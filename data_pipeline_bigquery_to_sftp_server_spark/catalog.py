@@ -1,0 +1,65 @@
+"""Table catalog over the harness parquet directories.
+
+The reference addressed tables as ``project.dataset.table`` strings
+(reference main.py:76); the engine's catalog is a directory of parquet
+files, one per table, registered as temp views so both the DataFrame API
+and ``spark.sql`` front doors see the same relations.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one table (SURVEY §2.1 S10).
+
+    A plain ``spark.read.parquet`` keeps Catalyst's predicate pushdown and
+    column pruning available to every downstream operator.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Nanosecond-precision timestamps (events.ts) arrive as long nanos under
+    # spark.sql.legacy.parquet.nanosAsLong; truncate to Spark's native
+    # microsecond timestamps. DuckDB keeps ns — comparisons that could feel
+    # sub-microsecond differences must format/truncate on both sides.
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, types.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every table as a temp view (SQL front door)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,114 @@
+"""Text-analysis functions for training-data pipelines (SURVEY §2.11 X5):
+tokenization, language-ID heuristic, quality scoring, token counting,
+document fingerprinting. All native Column expressions (codegen'd) —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword list for quality ratios — public-domain common set.
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from not"
+).split()
+
+
+def tokenize(col: Column) -> Column:
+    """Whitespace tokenization of normalized text -> array<string>."""
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (the fast estimator)."""
+    return F.size(tokenize(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + punctuation via a
+    GPT-2-style pre-tokenizer regex (contractions, words, numbers,
+    punctuation runs). An upper-bound proxy for LLM token budgets,
+    computed natively with regexp_count."""
+    pattern = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of tokens that are (English) stopwords — one of the
+    classic quality signals (C4/Gopher rules)."""
+    toks = tokenize(col)
+    # filter() keeps duplicate occurrences (array_intersect would dedup).
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars."""
+    n = F.length(col)
+    punct = n - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokenize(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme length,
+    high punctuation, missing stopwords, outlier word lengths.
+    Weights are heuristic (Gopher-rule flavored), deterministic."""
+    n_tok = token_count(col).cast("double")
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    p_ratio = punct_ratio(col)
+    punct_ok = F.when(p_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(1.0) - p_ratio)
+    mwl = mean_word_length(col)
+    mwl_ok = F.when((mwl >= 2) & (mwl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = stopword_ratio(col)
+    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_ok * 0.4 + punct_ok * 0.2 + mwl_ok * 0.2 + sw_ok * 0.2).alias("quality")
+
+
+# Tiny per-language marker vocabularies for the n-gram/stopword language
+# heuristic. Real systems use trained char-n-gram models (e.g. fastText);
+# this is the deterministic, dependency-free stand-in with the same plan
+# shape (score per language -> argmax).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "est", "une"],
+}
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: per-language marker-token hit count,
+    argmax wins, ties/no-hits -> 'und'. One pass, native exprs."""
+    toks = tokenize(col)
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: 64-bit rolling-hash-equivalent over
+    normalized content (xxhash64 of the canonical text). Used for exact
+    dedup joins where carrying full text through a shuffle is too heavy."""
+    return F.xxhash64(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))

@@ -1,0 +1,9 @@
+"""Operator library (SURVEY §2.2-§2.7, §2.11)."""
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators import (  # noqa: F401
+    dedup,
+    merge,
+    multimodal,
+    relational,
+    similarity,
+)

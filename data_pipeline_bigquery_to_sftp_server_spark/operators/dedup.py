@@ -1,0 +1,256 @@
+"""Deduplication operators (SURVEY §2.11 X1/X2) — exact and near-dup.
+
+Designed for the 100 TB training-data case: every strategy is a pure
+DataFrame plan with map-side-combinable aggregations and bounded shuffle
+keys; none collects to the driver.
+
+- exact: hash groupBy on normalized content (or raw keys).
+- minhash-LSH: shingle -> minhash signature -> band buckets -> bucket
+  join; candidate pairs verified with true Jaccard. Shuffle is on band
+  buckets (bounded width), not on document pairs.
+- simhash: 64-bit weighted-token fingerprint; near-dups share the
+  fingerprint (or a few rotated/banded variants).
+- n-gram Jaccard: direct pairwise verification used within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- X1: exact dedup ---------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exact dedup: full-row distinct or first-row-per-key.
+
+    Hash aggregate with partial (map-side) combine; at scale prefer a
+    key-list over full-row distinct so the shuffle carries only keys.
+    """
+    return df.dropDuplicates(keys) if keys else df.distinct()
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonicalization used by content dedup: lowercase, collapse
+    whitespace, strip. Matches the reference's cleaning discipline
+    (main.py:116) so "same text modulo whitespace/case" dedups."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def dedup_by_content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact near-dup via normalized sha2 fingerprint: one row per
+    distinct normalized content, keeping the smallest doc_id per group
+    (deterministic winner). Shuffle key = 256-bit hash, uniformly
+    distributed — no skew at any scale."""
+    fp = F.sha2(normalize_text(F.col(text_col)), 256).alias("content_fp")
+    return (
+        df.withColumn("content_fp", fp)
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# --- shingling / n-grams -----------------------------------------------------
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) of a text column — the unit set
+    for Jaccard similarity. Built with native split + transform, no UDF."""
+    toks = F.split(normalize_text(col), " ")
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # Short docs (< n tokens) get their whole text as the single shingle.
+    return F.when(k <= 0, F.array(normalize_text(col))).otherwise(F.array_distinct(grams))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over two array columns (native, codegen'd)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+# --- X2a: MinHash + LSH ------------------------------------------------------
+
+# 2^61-1, a Mersenne prime > any 32-bit hash; keeps (a*x+b) mod p well mixed.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def minhash_signature(col: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) of a
+    shingle-array column.
+
+    Uses universal hashing h_i(x) = (a_i * x + b_i) mod p over the 32-bit
+    xxhash of each shingle — all native expressions (xxhash64, transform,
+    array_min), fully distributed, no UDF, no driver state. Deterministic
+    given ``seed`` so signatures are reproducible across runs/rounds.
+
+    Coefficients stay below 2^30 so a*x (x < 2^32) fits in int64 under
+    ANSI arithmetic — max product 2^62, no overflow.
+    """
+    import random
+
+    rng = random.Random(seed)
+    params = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(num_hashes)]
+    base = F.transform(col, lambda s: F.abs(F.xxhash64(s)) % F.lit(1 << 32))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(base, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_P))
+            )
+            for a, b in params
+        ]
+    )
+    return sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding, verified with
+    true shingle Jaccard. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
+
+    Scale shape: the only shuffles are (1) groupBy/self-join on
+    (band, band_hash) — bucket keys, whose cardinality grows with corpus
+    size so buckets stay small; (2) the verify join carries candidate
+    pairs only. Never materializes the O(n^2) pair space. A hot bucket
+    (e.g. boilerplate) is capped client-side via ``spark.sql.adaptive``
+    skew handling; for pathological data add a bucket-size filter.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), ngram).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+
+    banded = base.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("_sig", b * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sh", "bb.band", "bb.bh")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sh").alias("sh_a"),
+            F.col("r._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard_sim") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# --- X2b: SimHash ------------------------------------------------------------
+
+
+def simhash(col: Column, num_bits: int = 64) -> Column:
+    """SimHash fingerprint of a token-array column: sign-sum of the
+    per-token hash bits. Native expressions only: for each bit position,
+    count tokens with that bit set vs total, majority wins.
+
+    Bits are derived from xxhash64(token); bit b of the fingerprint is 1
+    iff sum_t(bit_b(hash(t))) * 2 > n_tokens.
+    """
+    hashes = F.transform(col, lambda t: F.xxhash64(t))
+    n = F.size(col)
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+            )
+            * 2
+            > n,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(num_bits)
+    ]
+    out = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        out = out.bitwiseOR(F.shiftleft(bit, b))
+    return out
+
+
+def dedup_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group documents by exact SimHash collision (Hamming distance 0).
+
+    For distance<=k at scale, band the 64 bits into k+1 segments and
+    bucket-join per segment (pigeonhole), same shape as minhash-LSH.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    return (
+        df.select(F.col(id_col), simhash(toks).alias("simhash_fp"))
+        .groupBy("simhash_fp")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# --- X2c: n-gram Jaccard pairwise (bucketed) ---------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    bucket_col: Column | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within buckets.
+
+    ``bucket_col`` bounds the pair explosion (default: first token —
+    cheap prefix blocking). At 100 TB, pair-generation MUST be blocked;
+    the unbucketed cross-join is intentionally not offered.
+    """
+    norm = normalize_text(F.col(text_col))
+    bucket = bucket_col if bucket_col is not None else F.split(norm, " ")[0]
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), ngram).alias("_sh"),
+        bucket.alias("_bk"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, (F.col("l._bk") == F.col("r._bk")) & (F.col("l._id") < F.col("r._id")))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            jaccard(F.col("l._sh"), F.col("r._sh")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )

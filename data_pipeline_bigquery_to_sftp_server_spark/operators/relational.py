@@ -1,0 +1,154 @@
+"""Relational operator wrappers (SURVEY §2.2 P*, §2.3 J*, §2.4 A*,
+§2.6 O*, §2.7 set ops, §2.5 windows).
+
+These are deliberately thin ``DataFrame -> DataFrame`` functions: the
+engine's optimization story is "express the plan declaratively and let
+Catalyst choose the physical strategy" (predicate pushdown, column
+pruning, broadcast-vs-SMJ, partial aggregation, TakeOrdered for top-k).
+The wrappers exist to (a) name each capability from the reference's
+inventory, (b) pin scale-aware defaults (broadcast hints for dimension
+tables, semi/anti instead of driver-side sets — reference main.py:96
+collected ids into a Python set, which cannot work at 100 TB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# --- Projection / filter (P1-P7) ------------------------------------------
+
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """P1/P3 column projection; Catalyst prunes the parquet scan."""
+    return df.select(*cols)
+
+
+def distinct_keys(df: DataFrame, key: str) -> DataFrame:
+    """P1+P2+A1: ``SELECT DISTINCT key WHERE key IS NOT NULL``
+    (reference main.py:85-89 get_existing_ticket_ids).
+
+    Scale note: returns a DataFrame, never a driver-side set — membership
+    tests are expressed as semi/anti joins (J2/J3).
+    """
+    return df.select(key).where(F.col(key).isNotNull()).distinct()
+
+
+def filter_not_null(df: DataFrame, *cols: str) -> DataFrame:
+    """P2: IS NOT NULL conjunction (main.py:88)."""
+    out = df
+    for c in cols:
+        out = out.where(F.col(c).isNotNull())
+    return out
+
+
+def filter_non_empty(df: DataFrame, col: str) -> DataFrame:
+    """P7 truthy-string filter (main.py:108-109, 49-51)."""
+    return df.where(F.col(col).isNotNull() & (F.length(F.col(col)) > 0))
+
+
+# --- Joins (J1-J4 + general family) ----------------------------------------
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """J3 set-membership (main.py:410): rows of ``left`` whose key exists
+    in ``right``. Physical plan: broadcast-hash when ``right`` is small."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """J2 negated membership (main.py:409): rows of ``left`` not in
+    ``right`` — the reference's "new records" split."""
+    return left.join(right, on, "left_anti")
+
+
+def lookup_join(
+    facts: DataFrame, dim: DataFrame, on: str | list[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """J4 keyed-lookup join with an explicit broadcast hint on the
+    dimension side (the reference fanned out point lookups over 10
+    threads, main.py:437-453; the engine ships the small side to every
+    executor instead)."""
+    return facts.join(F.broadcast(dim), on, how)
+
+
+# --- Aggregation (A1-A9) ----------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """A1/X1 exact dedup. ``keys=None`` -> full-row distinct.
+
+    Physical: hash aggregate with map-side partial aggregation — the
+    at-scale replacement for the reference's DISTINCT-to-Python-set.
+    """
+    return df.dropDuplicates(list(keys)) if keys else df.distinct()
+
+
+def grouped_counts(df: DataFrame, *keys: str) -> DataFrame:
+    """A4 outcome tallies (main.py:323-329) generalized to any keys."""
+    return df.groupBy(*keys).agg(F.count("*").alias("n"))
+
+
+# --- Sorts / limits / top-k (O1-O4) ----------------------------------------
+
+
+def top_k(df: DataFrame, order: Column | Sequence[Column], k: int) -> DataFrame:
+    """O4 global top-k (main.py:130-139 "k most recent").
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject: each
+    partition keeps a k-heap, no global sort — the 100 TB-safe shape.
+    """
+    order = [order] if isinstance(order, Column) else list(order)
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order: Column | Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Window top-k: rank within each group, keep ranks <= k.
+
+    Uses ``row_number`` so ties resolve deterministically given a total
+    order; callers must include a tiebreaker column for determinism.
+    """
+    order = [order] if isinstance(order, Column) else list(order)
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def paginate(df: DataFrame, order: Column | Sequence[Column], page: int, per_page: int) -> DataFrame:
+    """O2 limit+offset pagination (main.py:130-137) via row_number —
+    Spark has no OFFSET pushdown on unsorted data, so pagination is a
+    windowed rank filter over a total order."""
+    order = [order] if isinstance(order, Column) else list(order)
+    w = Window.orderBy(*order)
+    lo, hi = (page - 1) * per_page, page * per_page
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") > lo) & (F.col("_rn") <= hi))
+        .drop("_rn")
+    )
+
+
+# --- Set operations (§2.7) ---------------------------------------------------
+
+
+def union_all(a: DataFrame, b: DataFrame, allow_missing: bool = False) -> DataFrame:
+    return a.unionByName(b, allowMissingColumns=allow_missing)
+
+
+def intersect(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
+    return a.intersectAll(b) if keep_duplicates else a.intersect(b)
+
+
+def except_(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
+    return a.exceptAll(b) if keep_duplicates else a.subtract(b)

@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (SURVEY §2.11 X3/X4).
+
+Two tiers, both pure DataFrame plans:
+
+- brute-force cosine top-k: exact baseline. The query side is broadcast
+  (queries are few), scoring is a native higher-order-function dot
+  product inside whole-stage codegen, and top-k per query is a windowed
+  row_number — at scale this is a single pass over the corpus with no
+  corpus shuffle.
+- LSH-bucketed (random hyperplane / SRP) ANN: sign-projection signature
+  -> band buckets -> bucket join -> exact re-rank within candidates.
+  The corpus is scanned once to compute signatures; candidate
+  generation shuffles only (band, bucket) keys. This is the 100 TB
+  path: probe cost ~ bucket size, not corpus size.
+
+An IVF variant (k-means coarse quantizer -> probe nearest centroids)
+would slot in the same way — centroids broadcast, corpus bucketed by
+nearest centroid; SRP-LSH is preferred here because it needs no
+training pass.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Native dot product over two array<float/double> columns:
+    zip_with multiply + aggregate sum — JVM-side, no Python."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0-norm inputs yield NULL (division by zero)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0, F.lit(None).cast("double")).otherwise(dot(a, b) / denom)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k for every query vector.
+
+    Plan shape: broadcast(queries) cross-join corpus -> score -> window
+    top-k per query. Corpus is never shuffled for scoring; the only
+    shuffle is the per-query top-k (keyed on query_id, cardinality =
+    #queries). row_number ties broken by corpus id for determinism.
+    """
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = corpus.select(id_col, vec_col).crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(
+            F.col(vec_col).cast("array<double>"),
+            F.col(query_vec_col).cast("array<double>"),
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def _srp_hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (Gaussian) for sign
+    random projection. Generated driver-side (num_planes × dim floats,
+    trivially small) and embedded as literals -> broadcast with the plan."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection signature: bit i = (vec · plane_i) > 0.
+    Returned as array<int> of 0/1 for banding."""
+    return F.array(
+        *[
+            (dot(vec, F.array(*[F.lit(w) for w in plane])) > 0).cast("int")
+            for plane in planes
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int | None = None,
+    num_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via SRP-LSH banding + exact re-rank.
+
+    Recall/cost dial: more bands -> higher recall, bigger candidate set.
+    A query's candidates are corpus rows sharing at least one band
+    bucket; candidates are scored exactly and top-k'd. Misses are
+    possible (approximate by contract).
+    """
+    if dim is None:
+        dim = len(queries.select(query_vec_col).first()[0])
+    planes = _srp_hyperplanes(dim, num_planes, seed)
+    rows_per_band = num_planes // bands
+
+    def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        sig = srp_signature(F.col(vc).cast("array<double>"), planes)
+        return df.select(idc, vc, sig.alias("_sig")).select(
+            idc,
+            vc,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band).cast("array<string>"))
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(idc, vc, "bb.band", "bb.bh")
+
+    c = banded(corpus, id_col, vec_col).alias("c")
+    q = banded(queries, query_id_col, query_vec_col).alias("q")
+    cand = (
+        c.join(q, (F.col("c.band") == F.col("q.band")) & (F.col("c.bh") == F.col("q.bh")))
+        .select(
+            F.col(f"q.{query_id_col}").alias(query_id_col),
+            F.col(f"c.{id_col}").alias(id_col),
+            F.col(f"c.{vec_col}").alias(vec_col),
+            F.col(f"q.{query_vec_col}").alias(query_vec_col),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        cosine(
+            F.col(vec_col).cast("array<double>"),
+            F.col(query_vec_col).cast("array<double>"),
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t)
+    via SRP-LSH self-join — the embedding analog of minhash dedup."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _srp_hyperplanes(dim, num_planes, seed)
+    rows_per_band = num_planes // bands
+    sig = srp_signature(F.col(vec_col).cast("array<double>"), planes)
+    banded = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")).select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band).cast("array<string>"))
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_v", "bb.band", "bb.bh")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")) & (F.col("l._id") < F.col("r._id")))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            cosine(F.col("l._v").cast("array<double>"), F.col("r._v").cast("array<double>")).alias("cos_sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cos_sim") >= threshold)
+    )

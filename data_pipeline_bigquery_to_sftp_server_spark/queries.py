@@ -1,0 +1,912 @@
+"""Query corpus: one entry per implemented SURVEY §2 operator, each with
+a DuckDB-equivalent oracle (driver contract, __spark_entry__.py).
+
+Conventions for oracle parity:
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are rounded (2-6 dp) so parallel-summation-order
+  FP noise can't flip the value hash;
+- int-ish computed columns are cast to bigint on both sides;
+- timestamps that pass through window/trunc logic are formatted to
+  strings on both sides (DuckDB reads the ns-precision events table as
+  TIMESTAMP_NS; Spark truncates to microseconds).
+
+Each function takes (spark, sf_dir) and returns a lazy DataFrame; the
+oracle dict maps the same key to ANSI SQL over the pre-registered
+DuckDB views of the identical parquet files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+from data_pipeline_bigquery_to_sftp_server_spark.functions import scalar, text
+from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup, merge, relational, similarity
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# A: aggregation family
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q1 shape; SURVEY §2.4 A6-A9): wide grouped agg
+    with partial aggregation + pushdown-able date filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_grouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 outcome tallies (reference main.py:323-329 success/failed
+    counters, generalized)."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.grouped_counts(ev, "event_type")
+
+
+_ORACLE_GROUPED_COUNTS = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A9 distinct-aggregate: exact count(DISTINCT) per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_ORACLE_COUNT_DISTINCT = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 hierarchical rollup (subtotals + grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 cube (all grouping-set combinations)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# P/J: projection, filters, joins
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+A1: the reference's get_existing_ticket_ids
+    (SELECT DISTINCT _id WHERE _id IS NOT NULL, main.py:85-89)."""
+    o = load_table(spark, sf_dir, "orders")
+    return relational.distinct_keys(o, "o_custkey")
+
+
+_ORACLE_DISTINCT_KEYS = (
+    "SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL"
+)
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: 'new' split — customers with no orders (main.py:409)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return relational.anti_join(
+        c.select("c_custkey", "c_name"),
+        o.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+    )
+
+
+_ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: 'existing' split — customers that do have orders (main.py:410)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return relational.semi_join(
+        c.select("c_custkey", "c_mktsegment"),
+        o.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+    )
+
+
+_ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 + multi-way star join (TPC-H Q5 shape): fact-fact join then
+    broadcast dimension chain; revenue per nation in ASIA.
+
+    Plan shape at scale: lineitem⋈orders shuffles on orderkey (both
+    huge); customer/nation/region broadcast — verified in tests.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_ORACLE_STAR_JOIN = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# O: sort / limit / top-k / pagination; window functions
+# ---------------------------------------------------------------------------
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 global top-k (TakeOrderedAndProject — per-partition k-heaps,
+    no global sort; reference 'k most recent', main.py:130-139)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return relational.top_k(agg, [F.desc("revenue"), F.asc("o_custkey")], 10)
+
+
+_ORACLE_TOP_CUSTOMERS = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey LIMIT 10
+"""
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 windows: top-3 orders per customer by price (row_number
+    with deterministic tiebreaker)."""
+    o = load_table(spark, sf_dir, "orders")
+    return relational.top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+        rank_col="rn",
+    ).withColumn("rn", F.col("rn").cast("long"))
+
+
+_ORACLE_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_window_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 frames: lag + running sum over a per-customer order timeline."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+    )
+
+
+_ORACLE_WINDOW_LAG = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 limit+offset pagination over a total order (main.py:130-137)."""
+    o = load_table(spark, sf_dir, "orders")
+    return relational.paginate(
+        o.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        [F.desc("o_orderdate"), F.asc("o_orderkey")],
+        page=3,
+        per_page=50,
+    )
+
+
+_ORACLE_PAGINATE = """
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+ORDER BY o_orderdate DESC, o_orderkey LIMIT 50 OFFSET 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT ∘ EXCEPT: building-segment customers plus
+    high-balance customers, minus those with an open ('O') order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    rich = c.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    open_orders = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return relational.except_(relational.union_all(building, rich).distinct(), open_orders)
+
+
+_ORACLE_SET_OPS = """
+(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION
+ SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who placed both 'F' and 'O' status orders."""
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o_cust = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return relational.intersect(f_cust, o_cust)
+
+
+_ORACLE_INTERSECT = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# ---------------------------------------------------------------------------
+# F: scalar-function parity (reference transform semantics)
+# ---------------------------------------------------------------------------
+
+
+def q_epoch_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6/F1: epoch-seconds -> datetime/date strings, epoch kept as a
+    string — the reference's createdTimestamp family (main.py:280-283).
+    Epochs derived from o_orderdate so both engines see identical input."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        scalar.to_str(epoch).alias("created_ts_str"),
+        scalar.seconds_to_readable(epoch).alias("created_datetime"),
+        scalar.seconds_to_date_only(epoch).alias("created_date"),
+    )
+
+
+_ORACLE_EPOCH_DATES = """
+SELECT o_orderkey,
+       CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR) AS created_ts_str,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')          AS created_datetime,
+       strftime(o_orderdate, '%Y-%m-%d')                   AS created_date
+FROM orders
+"""
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F14: whitespace collapse + empty->NULL (main.py:116, 292),
+    plus a substring truncate (F17, main.py:454)."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = scalar.empty_to_null(scalar.collapse_whitespace(F.col("text")))
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        scalar.truncate(cleaned, 50).alias("subject_prefix"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+    )
+
+
+_ORACLE_CLEAN_TEXT = r"""
+SELECT doc_id,
+       nullif(trim(regexp_replace(text, '\s+', ' ', 'g')), '')               AS clean_text,
+       substring(nullif(trim(regexp_replace(text, '\s+', ' ', 'g')), ''), 1, 50) AS subject_prefix,
+       CAST(length(nullif(trim(regexp_replace(text, '\s+', ' ', 'g')), '')) AS BIGINT) AS clean_len
+FROM documents
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 lenient JSON parse (main.py:215-222): extract props.k, aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = scalar.json_parse(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count("k").alias("n_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+_ORACLE_JSON_EXTRACT = """
+SELECT event_type,
+       round(avg(k), 4) AS avg_k,
+       count(k) AS n_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def q_bool_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/F13 coercion-with-default + F11 empty-array->NULL shape:
+    derive flags the way the reference coerced ticket fields
+    (main.py:286, 301-308)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_error = F.when(F.col("event_type") == "error", F.lit(True)).otherwise(F.lit(None).cast("boolean"))
+    return ev.select(
+        "event_id",
+        scalar.bool_with_default(is_error, False).alias("is_error"),
+        scalar.default_on_missing(F.col("value"), 0.0).alias("value_or_zero"),
+        scalar.py_bool_str(scalar.bool_with_default(is_error, False)).alias("is_error_pystr"),
+    )
+
+
+_ORACLE_BOOL_DEFAULTS = """
+SELECT event_id,
+       coalesce(CASE WHEN event_type = 'error' THEN TRUE ELSE NULL END, FALSE) AS is_error,
+       coalesce(value, 0.0) AS value_or_zero,
+       CASE WHEN coalesce(CASE WHEN event_type = 'error' THEN TRUE ELSE NULL END, FALSE)
+            THEN 'True' ELSE 'False' END AS is_error_pystr
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1: MERGE/upsert — the reference's crown jewel
+# ---------------------------------------------------------------------------
+
+
+def _staged_orders(o: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic staging batch: every 7th order repriced (update arm),
+    every 97th re-keyed +100M (insert arm). The reprice is an exact FP
+    addition — a multiply would need a round(), and Spark/DuckDB disagree
+    on half-boundary rounding of doubles."""
+    updates = o.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    inserts = o.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    return updates, inserts
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 MERGE rewrite (reference main.py:349-358): matched rows take
+    all staging columns, unmatched are inserted (anti-join + union)."""
+    o = load_table(spark, sf_dir, "orders")
+    updates, inserts = _staged_orders(o)
+    staging = updates.unionByName(inserts)
+    return merge.upsert_anti_union(o, staging, "o_orderkey")
+
+
+_ORACLE_MERGE_UPSERT = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+), inserts AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+), staging AS (
+  SELECT * FROM updates UNION ALL SELECT * FROM inserts
+)
+SELECT o.* FROM orders o WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT * FROM staging
+"""
+
+
+def q_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: the reference's inserted/updated report (main.py:323-329)."""
+    o = load_table(spark, sf_dir, "orders")
+    updates, inserts = _staged_orders(o)
+    staging = updates.unionByName(inserts)
+    return merge.merge_counts(o, staging, "o_orderkey")
+
+
+_ORACLE_MERGE_COUNTS = """
+WITH staging AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = s.o_orderkey)) AS inserted,
+       count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = s.o_orderkey))     AS updated
+FROM staging s
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1/X2: dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact content dedup via normalized sha2 fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_by_content_hash(d, "text")
+
+
+_ORACLE_DEDUP_EXACT = r"""
+SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_fp,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c: bucketed unigram-Jaccard near-dup pairs (prefix blocking).
+    The SQL-expressible verification arm of minhash-LSH."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.ngram_jaccard_pairs(d, "doc_id", "text", ngram=1, threshold=0.5)
+        .withColumn("jaccard_sim", F.round("jaccard_sim", 6))
+    )
+
+
+_ORACLE_JACCARD_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id AS _id,
+         list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1] AS bk
+  FROM documents
+)
+SELECT l._id AS id_a, r._id AS id_b,
+       round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE), 6) AS jaccard_sim
+FROM base l JOIN base r ON l.bk = r.bk AND l._id < r._id
+WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+      CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) >= 0.5
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2a: MinHash+LSH near-dup candidates, Jaccard-verified.
+    No SQL oracle (signature permutations aren't SQL-expressible);
+    driver records rows-only. Verified in pytest against brute force."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_pairs_df(d)
+
+
+def minhash_pairs_df(d: DataFrame) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, ngram=3, jaccard_threshold=0.5
+    )
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b: SimHash collision groups (rows-only check)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_simhash(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# X3/X4: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: brute-force cosine top-10 for 5 query vectors (exact baseline).
+    Both engines do double-precision sequential dot products; scores
+    rounded to 6dp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(e, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ORACLE_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.embedding::DOUBLE[], q.qv) /
+         (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e: embedding-cosine near-dup pairs via SRP-LSH (approximate;
+    rows-only check — recall verified against brute force in pytest).
+    The synthetic embeddings are near-orthogonal random vectors (max
+    pairwise cosine ~0.48), so the 'near-dup' threshold here is 0.35 to
+    produce a non-empty, checkable result; production dedup would use
+    ~0.95."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(e, threshold=0.35, dim=64)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 scale path: SRP-LSH bucketed ANN top-k (approximate;
+    rows-only check — recall measured in pytest)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_topk(e, queries, k=10, dim=64, num_planes=16, bands=8)
+
+
+# ---------------------------------------------------------------------------
+# X5: text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: corpus token frequencies, top 100."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(text.tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(100)
+    )
+
+
+_ORACLE_TOKEN_TOPK = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 100
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-document stats — token count, char count, punctuation
+    ratio, mean word length (identical closed-form on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n_tok = F.size(F.split(norm, " ")).cast("long")
+    n_char = F.length(F.col("text")).cast("long")
+    punct = (F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))).cast("double")
+    mwl = (F.length(norm) - (n_tok - 1)).cast("double") / n_tok.cast("double")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars_actual"),
+        F.round(punct / n_char.cast("double"), 6).alias("punct_ratio"),
+        F.round(mwl, 6).alias("mean_word_len"),
+    )
+
+
+_ORACLE_TEXT_STATS = r"""
+WITH t AS (
+  SELECT doc_id, text, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+       round(CAST(length(norm) - (len(string_split(norm, ' ')) - 1) AS DOUBLE)
+             / CAST(len(string_split(norm, ' ')) AS DOUBLE), 6) AS mean_word_len
+FROM t
+"""
+
+
+def q_lang_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 language-ID building block: per-language marker-token hit
+    counts (occurrence-counting, duplicates included)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    markers = {
+        "en_hits": ["the", "and", "of", "to", "is"],
+        "es_hits": ["el", "la", "de", "que", "los"],
+        "de_hits": ["der", "die", "und", "das", "ist"],
+        "fr_hits": ["le", "la", "les", "est", "une"],
+    }
+    cols = [
+        F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long").alias(name)
+        for name, words in markers.items()
+    ]
+    return d.select("doc_id", "lang", *cols)
+
+
+_ORACLE_LANG_MARKERS = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is')))   AS BIGINT) AS en_hits,
+       CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','los')))   AS BIGINT) AS es_hits,
+       CAST(len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS de_hits,
+       CAST(len(list_filter(toks, t -> t IN ('le','la','les','est','une')))  AS BIGINT) AS fr_hits
+FROM t
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 quality gate: docs passing simple Gopher-ish rules (token count
+    in range, mean word length in range), with the scoring columns."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n_tok = F.size(F.split(norm, " ")).cast("long")
+    mwl = (F.length(norm) - (n_tok - 1)).cast("double") / n_tok.cast("double")
+    return (
+        d.select("doc_id", "lang", n_tok.alias("n_tokens"), F.round(mwl, 6).alias("mean_word_len"))
+        .where((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 500))
+        .where((F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 10.0))
+    )
+
+
+_ORACLE_QUALITY_FILTER = r"""
+WITH t AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+         round(CAST(length(norm) - (len(string_split(norm, ' ')) - 1) AS DOUBLE)
+               / CAST(len(string_split(norm, ' ')) AS DOUBLE), 6) AS mean_word_len
+  FROM t
+)
+SELECT * FROM s
+WHERE n_tokens BETWEEN 10 AND 500 AND mean_word_len BETWEEN 2.0 AND 10.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization & time windows over events (batch forms of X7)
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a session break is a >30-minute gap
+    (lag + running-sum window pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "sess_id", F.sum("new_sess").over(run)
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+)
+SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg, batch form (hypertable-style time rollup).
+    Window start formatted to string on both sides (DuckDB reads the
+    events table at ns precision; Spark at µs)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.groupBy(hour.alias("hour_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+_ORACLE_HOURLY_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity by returnflag × linestatus as columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+_ORACLE_PIVOT = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "pricing_summary": q_pricing_summary,
+    "grouped_counts": q_grouped_counts,
+    "count_distinct": q_count_distinct,
+    "rollup": q_rollup,
+    "cube": q_cube,
+    "distinct_keys": q_distinct_keys,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "star_join": q_star_join,
+    "top_customers": q_top_customers,
+    "window_rank": q_window_rank,
+    "window_lag_running": q_window_lag_running,
+    "paginate": q_paginate,
+    "set_ops": q_set_ops,
+    "intersect": q_intersect,
+    "epoch_dates": q_epoch_dates,
+    "clean_text": q_clean_text,
+    "json_extract": q_json_extract,
+    "bool_defaults": q_bool_defaults,
+    "merge_upsert": q_merge_upsert,
+    "merge_counts": q_merge_counts,
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_groups": q_simhash_groups,
+    "cosine_topk": q_cosine_topk,
+    "embedding_dups": q_embedding_dups,
+    "lsh_topk": q_lsh_topk,
+    "token_topk": q_token_topk,
+    "text_stats": q_text_stats,
+    "lang_markers": q_lang_markers,
+    "quality_filter": q_quality_filter,
+    "sessionize": q_sessionize,
+    "hourly_rollup": q_hourly_rollup,
+    "pivot": q_pivot,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": _ORACLE_PRICING,
+    "grouped_counts": _ORACLE_GROUPED_COUNTS,
+    "count_distinct": _ORACLE_COUNT_DISTINCT,
+    "rollup": _ORACLE_ROLLUP,
+    "cube": _ORACLE_CUBE,
+    "distinct_keys": _ORACLE_DISTINCT_KEYS,
+    "anti_join": _ORACLE_ANTI_JOIN,
+    "semi_join": _ORACLE_SEMI_JOIN,
+    "star_join": _ORACLE_STAR_JOIN,
+    "top_customers": _ORACLE_TOP_CUSTOMERS,
+    "window_rank": _ORACLE_WINDOW_RANK,
+    "window_lag_running": _ORACLE_WINDOW_LAG,
+    "paginate": _ORACLE_PAGINATE,
+    "set_ops": _ORACLE_SET_OPS,
+    "intersect": _ORACLE_INTERSECT,
+    "epoch_dates": _ORACLE_EPOCH_DATES,
+    "clean_text": _ORACLE_CLEAN_TEXT,
+    "json_extract": _ORACLE_JSON_EXTRACT,
+    "bool_defaults": _ORACLE_BOOL_DEFAULTS,
+    "merge_upsert": _ORACLE_MERGE_UPSERT,
+    "merge_counts": _ORACLE_MERGE_COUNTS,
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "jaccard_pairs": _ORACLE_JACCARD_PAIRS,
+    # minhash_pairs / simhash_groups / embedding_dups / lsh_topk: rows-only
+    "cosine_topk": _ORACLE_COSINE_TOPK,
+    "token_topk": _ORACLE_TOKEN_TOPK,
+    "text_stats": _ORACLE_TEXT_STATS,
+    "lang_markers": _ORACLE_LANG_MARKERS,
+    "quality_filter": _ORACLE_QUALITY_FILTER,
+    "sessionize": _ORACLE_SESSIONIZE,
+    "hourly_rollup": _ORACLE_HOURLY_ROLLUP,
+    "pivot": _ORACLE_PIVOT,
+}
