@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {"pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect overhead). One warmup run of the flagship query
+absorbs JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_bigquery_to_sftp_server_spark.queries import QUERIES
+from data_pipeline_bigquery_to_sftp_server_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "star_join",
+    "top_customers",
+    "window_rank",
+    "merge_upsert",
+    "dedup_exact",
+    "jaccard_pairs",
+    "minhash_pairs",
+    "cosine_topk",
+    "token_topk",
+    "text_stats",
+    "sessionize",
+    "hourly_rollup",
+    "json_extract",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    run_one(spark, "pricing_summary", sf_dir)  # warmup: JVM + codegen + file listing
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = run_one(spark, name, sf_dir)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

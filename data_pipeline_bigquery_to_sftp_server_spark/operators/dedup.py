@@ -79,14 +79,21 @@ def jaccard(a: Column, b: Column) -> Column:
 _MERSENNE_P = (1 << 61) - 1
 
 
-def minhash_signature(col: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """MinHash signature (array<bigint>, length ``num_hashes``) of a
-    shingle-array column.
+def hash_shingles(col: Column) -> Column:
+    """Shingle strings -> 32-bit integer ids (xxhash64 folded). Computed
+    once per row as its own projection so the signature construction
+    doesn't re-hash strings per permutation."""
+    return F.transform(col, lambda s: F.abs(F.xxhash64(s)) % F.lit(1 << 32))
 
-    Uses universal hashing h_i(x) = (a_i * x + b_i) mod p over the 32-bit
-    xxhash of each shingle — all native expressions (xxhash64, transform,
-    array_min), fully distributed, no UDF, no driver state. Deterministic
-    given ``seed`` so signatures are reproducible across runs/rounds.
+
+def minhash_signature(hashed: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) over a
+    pre-hashed shingle-id array (see :func:`hash_shingles`).
+
+    Uses universal hashing h_i(x) = (a_i * x + b_i) mod p — all native
+    expressions (transform, array_min), fully distributed, no UDF, no
+    driver state. Deterministic given ``seed`` so signatures are
+    reproducible across runs/rounds.
 
     Coefficients stay below 2^30 so a*x (x < 2^32) fits in int64 under
     ANSI arithmetic — max product 2^62, no overflow.
@@ -95,16 +102,14 @@ def minhash_signature(col: Column, num_hashes: int = 64, seed: int = 42) -> Colu
 
     rng = random.Random(seed)
     params = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(num_hashes)]
-    base = F.transform(col, lambda s: F.abs(F.xxhash64(s)) % F.lit(1 << 32))
-    sig = F.array(
+    return F.array(
         *[
             F.array_min(
-                F.transform(base, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_P))
+                F.transform(hashed, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_P))
             )
             for a, b in params
         ]
     )
-    return sig
 
 
 def minhash_lsh_pairs(
@@ -128,14 +133,17 @@ def minhash_lsh_pairs(
     skew handling; for pathological data add a bucket-size filter.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), ngram).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+    # Shingle -> hash ids once; the pair join and the Jaccard verify both
+    # run on compact long arrays, never re-shuffling shingle strings.
+    base = (
+        df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), ngram).alias("_sh"))
+        .select("_id", F.array_distinct(hash_shingles(F.col("_sh"))).alias("_hs"))
+        .withColumn("_sig", minhash_signature(F.col("_hs"), num_hashes, seed))
+    )
 
     banded = base.select(
         "_id",
-        "_sh",
+        "_hs",
         F.explode(
             F.array(
                 *[
@@ -147,7 +155,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_sh", "bb.band", "bb.bh")
+    ).select("_id", "_hs", "bb.band", "bb.bh")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -161,13 +169,13 @@ def minhash_lsh_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l._sh").alias("sh_a"),
-            F.col("r._sh").alias("sh_b"),
+            F.col("l._hs").alias("hs_a"),
+            F.col("r._hs").alias("hs_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.withColumn("jaccard_sim", jaccard(F.col("hs_a"), F.col("hs_b")))
         .where(F.col("jaccard_sim") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -236,21 +244,35 @@ def ngram_jaccard_pairs(
     ``bucket_col`` bounds the pair explosion (default: first token —
     cheap prefix blocking). At 100 TB, pair-generation MUST be blocked;
     the unbucketed cross-join is intentionally not offered.
+
+    Two scale optimizations, both semantics-preserving:
+    - shingles are hashed to longs before the join (compact shuffle,
+      cheap intersect; collisions vanishingly rare);
+    - size-ratio pruning in the join condition: J(A,B) >= t implies
+      |A| >= t*|B| and |B| >= t*|A|, so disproportionate pairs never
+      materialize.
     """
     norm = normalize_text(F.col(text_col))
     bucket = bucket_col if bucket_col is not None else F.split(norm, " ")[0]
     base = df.select(
         F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), ngram).alias("_sh"),
+        F.array_distinct(hash_shingles(shingles(F.col(text_col), ngram))).alias("_hs"),
         bucket.alias("_bk"),
-    )
+    ).withColumn("_n", F.size("_hs"))
     l, r = base.alias("l"), base.alias("r")
+    t = F.lit(threshold)
     return (
-        l.join(r, (F.col("l._bk") == F.col("r._bk")) & (F.col("l._id") < F.col("r._id")))
+        l.join(
+            r,
+            (F.col("l._bk") == F.col("r._bk"))
+            & (F.col("l._id") < F.col("r._id"))
+            & (F.col("l._n").cast("double") >= t * F.col("r._n"))
+            & (F.col("r._n").cast("double") >= t * F.col("l._n")),
+        )
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            jaccard(F.col("l._sh"), F.col("r._sh")).alias("jaccard_sim"),
+            jaccard(F.col("l._hs"), F.col("r._hs")).alias("jaccard_sim"),
         )
         .where(F.col("jaccard_sim") >= threshold)
     )

@@ -51,7 +51,10 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-STRICT_DECODE = False  # True -> decode raises NotImplementedError
+# strict=True -> decode raises NotImplementedError instead of faking.
+# Passed as a function argument (captured by value into the mapInPandas
+# closure) because a module global would not propagate to executor
+# worker processes.
 
 
 def synthesize_media(spark, n: int = 64, kind: str = "image", payload_bytes: int = 1024) -> DataFrame:
@@ -74,13 +77,13 @@ def synthesize_media(spark, n: int = 64, kind: str = "image", payload_bytes: int
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_fake(payload: bytes, dim: int = 8) -> list[float]:
+def _decode_fake(payload: bytes, dim: int = 8, strict: bool = False) -> list[float]:
     """STUB DECODER — deterministic fake in place of PIL/librosa/ffmpeg.
 
     Real implementation would decode pixels/samples and pool features.
     Here: crc32-seeded pseudo-features so tests are reproducible.
     """
-    if STRICT_DECODE:
+    if strict:
         raise NotImplementedError("media codecs not available in this container")
     if payload is None:
         return []
@@ -88,7 +91,7 @@ def _decode_fake(payload: bytes, dim: int = 8) -> list[float]:
     return [((crc >> (4 * j)) & 0xF) / 15.0 for j in range(dim)]
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(media: DataFrame, dim: int = 8, strict: bool = False) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow batches).
 
     The iterator-of-batches shape is the real production plumbing: one
@@ -102,7 +105,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": [_decode_fake(p, dim) for p in pdf["payload"]],
+                    "feature": [_decode_fake(p, dim, strict) for p in pdf["payload"]],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
                     "sha1": [
                         hashlib.sha1(bytes(p)).hexdigest() if p is not None else None
@@ -114,14 +117,14 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(media: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
     """Resize stage (stubbed decode): metadata updated natively, payload
     passed through the fake 'resampler'. Filter+metadata edits stay
     JVM-side; only the payload rewrite crosses to Python."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if STRICT_DECODE:
+            if strict:
                 raise NotImplementedError("media codecs not available in this container")
             # Fake resample: truncate/pad payload proportionally to area ratio.
             out = pdf.copy()
@@ -136,7 +139,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.where(F.col("kind") == "image").mapInPandas(fn, media.schema)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (flatMap
     shape). Frame payload is stub-decoded; the row-explosion plumbing and
     schema are production-true."""
@@ -151,7 +154,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if STRICT_DECODE:
+            if strict:
                 raise NotImplementedError("media codecs not available in this container")
             ids, idxs, tss, frames = [], [], [], []
             for _, row in pdf.iterrows():

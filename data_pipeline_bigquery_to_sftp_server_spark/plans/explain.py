@@ -33,4 +33,16 @@ def read_schema(df: DataFrame) -> str:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Count whole-stage-codegen subtrees. Uses the 'codegen' explain
+    mode because under AQE the formatted plan hides codegen annotations
+    until execution."""
+    text = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    return text.count("WholeStageCodegen subtree")
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """True when the plan contains a map-side partial aggregate before
+    the exchange — the scale-critical shape for groupBy at 100 TB."""
+    return "partial_" in formatted_plan(df)

@@ -1,0 +1,80 @@
+"""Dedup operators (X1/X2): exact, minhash-LSH recall vs brute force,
+simhash collisions, jaccard math."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup
+
+
+def test_dedup_exact_full_row(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, s string")
+    assert dedup.dedup_exact(df).count() == 2
+    assert dedup.dedup_exact(df, ["s"]).count() == 2
+
+
+def test_content_hash_groups_whitespace_case_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_by_content_hash(df)
+    groups = {r.keep_doc_id: r.dup_count for r in out.collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_jaccard_expression(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
+    val = df.select(dedup.jaccard(F.col("x"), F.col("y")).alias("j")).first().j
+    assert abs(val - 0.5) < 1e-12  # 2 common / 4 union
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",)], "t string")
+    got = df.select(dedup.shingles(F.col("t"), 3).alias("s")).first().s
+    assert got == ["a b"]  # whole text when < n tokens
+
+
+def test_minhash_recall_against_bruteforce(spark, sf_dir):
+    """LSH candidates must recover >=90% of true high-jaccard pairs on
+    the sf0.001 documents (trigram shingles, threshold 0.5)."""
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            d, ngram=3, threshold=0.5, bucket_col=F.lit(1)
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            d, num_hashes=32, bands=16, ngram=3, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert got <= truth or all(pair in truth for pair in got)  # no false positives (verified)
+    if truth:
+        assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_simhash(df)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].dup_count == 2 and rows[0].keep_id == 1
+
+
+def test_size_ratio_pruning_is_lossless(spark):
+    """The |A|/|B| >= t prune must not drop any qualifying pair."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e"), (3, "a b")], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in dedup.ngram_jaccard_pairs(df, ngram=1, threshold=0.5, bucket_col=F.lit(1)).collect()
+    }
+    # J(1,2) = 4/5 = 0.8 qualifies; J(1,3)=0.5 qualifies; J(2,3)=2/5 no.
+    assert set(got) == {(1, 2), (1, 3)}
+    assert abs(got[(1, 2)] - 0.8) < 1e-12

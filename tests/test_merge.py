@@ -1,0 +1,56 @@
+"""MERGE/upsert semantics (SURVEY §2.3 J1, reference main.py:349-388):
+matched -> staging wins all columns; unmatched -> insert; re-run
+idempotence; the two strategies' documented NULL divergence."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators import merge
+
+
+def make(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, name string, val double"
+    )
+    staging = spark.createDataFrame(
+        [(2, "B!", 99.0), (4, "d", 40.0)], "id int, name string, val double"
+    )
+    return target, staging
+
+
+def as_map(df):
+    return {r.id: (r.name, r.val) for r in df.collect()}
+
+
+def test_anti_union_update_and_insert(spark):
+    target, staging = make(spark)
+    got = as_map(merge.upsert_anti_union(target, staging, "id"))
+    assert got == {1: ("a", 10.0), 2: ("B!", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_full_outer_matches_when_no_nulls(spark):
+    target, staging = make(spark)
+    a = as_map(merge.upsert_anti_union(target, staging, "id"))
+    b = as_map(merge.upsert_full_outer(target, staging, "id"))
+    assert a == b
+
+
+def test_strategies_diverge_on_staging_null(spark):
+    """Documented: anti+union overwrites with NULL (exact MERGE parity);
+    full-outer coalesce keeps the target value."""
+    target = spark.createDataFrame([(1, "a")], "id int, name string")
+    staging = spark.createDataFrame([(1, None)], "id int, name string")
+    assert merge.upsert_anti_union(target, staging, "id").first().name is None
+    assert merge.upsert_full_outer(target, staging, "id").first().name == "a"
+
+
+def test_idempotent_rerun(spark):
+    target, staging = make(spark)
+    once = merge.upsert_anti_union(target, staging, "id")
+    twice = merge.upsert_anti_union(once, staging, "id")
+    assert as_map(once) == as_map(twice)
+
+
+def test_merge_counts(spark):
+    target, staging = make(spark)
+    row = merge.merge_counts(target, staging, "id").first()
+    assert (row.inserted, row.updated) == (1, 1)

@@ -1,0 +1,83 @@
+"""Relational operator semantics + the scale-critical plan properties
+(SURVEY §4: pushdown, pruning, broadcast)."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+from data_pipeline_bigquery_to_sftp_server_spark.operators import relational as R
+from data_pipeline_bigquery_to_sftp_server_spark.plans import explain
+
+
+def test_semi_anti_partition(spark, sf_dir):
+    """semi + anti partition the left side exactly."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    semi = R.semi_join(c, o, "c_custkey")
+    anti = R.anti_join(c, o, "c_custkey")
+    assert semi.count() + anti.count() == c.count()
+    assert semi.join(anti, "c_custkey", "inner").count() == 0
+
+
+def test_distinct_keys_drops_nulls(spark):
+    df = spark.createDataFrame([(1,), (1,), (None,), (2,)], "k int")
+    got = sorted(r.k for r in R.distinct_keys(df, "k").collect())
+    assert got == [1, 2]
+
+
+def test_top_k_deterministic(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    got = R.top_k(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 5).collect()
+    exp = sorted(o.collect(), key=lambda r: (-r.o_totalprice, r.o_orderkey))[:5]
+    assert [r.o_orderkey for r in got] == [r.o_orderkey for r in exp]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9)], "g string, v int"
+    )
+    got = R.top_k_per_group(df, ["g"], [F.desc("v"), F.asc("v")], 2)
+    rows = {(r.g, r.v) for r in got.collect()}
+    assert rows == {("a", 3), ("a", 2), ("b", 9)}
+
+
+def test_paginate_disjoint_and_ordered(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    p1 = {r.o_orderkey for r in R.paginate(o, [F.asc("o_orderkey")], 1, 100).collect()}
+    p2 = {r.o_orderkey for r in R.paginate(o, [F.asc("o_orderkey")], 2, 100).collect()}
+    assert len(p1) == len(p2) == 100 and not (p1 & p2)
+    assert max(p1) < min(p2)
+
+
+# --- plan properties (the 100 TB checks) -----------------------------------
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.where(F.col("l_shipdate") <= "1996-01-01").select("l_orderkey")
+    pushed = explain.pushed_filters(df)
+    assert "l_shipdate" in pushed, f"filter not pushed: {pushed}"
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rs = explain.read_schema(li.select("l_orderkey", "l_quantity"))
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+
+def test_lookup_join_broadcasts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    df = R.lookup_join(li, part, li.l_partkey == part.p_partkey)
+    assert explain.has_broadcast_join(df)
+
+
+def test_whole_stage_codegen_present(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert explain.codegen_stage_count(agg) >= 1
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert explain.has_partial_aggregation(agg)

@@ -1,0 +1,74 @@
+"""Similarity search (X3/X4): native dot/cosine vs numpy, brute-force
+top-k exactness, LSH recall."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+from data_pipeline_bigquery_to_sftp_server_spark.operators import similarity
+
+
+def test_dot_and_cosine_match_numpy(spark):
+    a, b = [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], "x array<double>, y array<double>")
+    row = df.select(
+        similarity.dot(F.col("x"), F.col("y")).alias("d"),
+        similarity.cosine(F.col("x"), F.col("y")).alias("c"),
+    ).first()
+    assert abs(row.d - np.dot(a, b)) < 1e-12
+    exp = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert abs(row.c - exp) < 1e-12
+
+
+def test_cosine_zero_norm_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "x array<double>, y array<double>")
+    assert df.select(similarity.cosine(F.col("x"), F.col("y")).alias("c")).first().c is None
+
+
+def _numpy_topk(corpus: pd.DataFrame, qid: int, qvec, k: int):
+    mat = np.vstack(corpus["embedding"].to_numpy())
+    q = np.asarray(qvec, dtype=np.float64)
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(sims)), key=lambda i: (-sims[i], corpus["vec_id"].iloc[i]))[:k]
+    return [int(corpus["vec_id"].iloc[i]) for i in order]
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    pdf = e.toPandas()
+    pdf["embedding"] = pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64))
+    queries = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = similarity.brute_force_topk(e, queries, k=5).toPandas()
+    for qid in range(3):
+        qvec = pdf.loc[pdf.vec_id == qid, "embedding"].iloc[0]
+        exp = _numpy_topk(pdf, qid, qvec, 5)
+        mine = got[got.query_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert mine == exp, f"query {qid}: {mine} != {exp}"
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """ANN is approximate by contract; demand >=40% overlap with the
+    exact top-10 on near-orthogonal random vectors (a weak corpus for
+    LSH) — recall on clustered real embeddings would be far higher."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(e, queries, k=10).toPandas()
+    approx = similarity.lsh_topk(e, queries, k=10, dim=64, num_planes=16, bands=8).toPandas()
+    recalls = []
+    for qid in range(5):
+        t = set(exact[exact.query_id == qid].vec_id)
+        g = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(t & g) / len(t))
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_embedding_near_dup_pairs_all_above_threshold(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup_pairs(e, threshold=0.3, dim=64).collect()
+    assert all(r.cos_sim >= 0.3 for r in out)
+    assert all(r.id_a < r.id_b for r in out)

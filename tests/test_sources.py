@@ -1,0 +1,87 @@
+"""Sources/sinks: REST page scan + distributed detail fetch (S2/S3),
+SFTP transport roundtrip (S5/S6), staging lifecycle (S4/S8/S9)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from data_pipeline_bigquery_to_sftp_server_spark.sources import files, rest, sftp
+
+
+def test_scan_pages_stops_on_empty_and_short_page(spark):
+    pages = {1: [{"_id": f"t{i}"} for i in range(3)], 2: []}
+
+    def fetcher(page, per_page):
+        return pages.get(page, [])
+
+    ids = rest.scan_pages(spark, fetcher, per_page=3, max_pages=20)
+    assert sorted(r._id for r in ids.collect()) == ["t0", "t1", "t2"]
+
+
+def test_scan_pages_respects_cap(spark):
+    calls = []
+
+    def fetcher(page, per_page):
+        calls.append(page)
+        return [{"_id": f"p{page}-{i}"} for i in range(per_page)]
+
+    ids = rest.scan_pages(spark, fetcher, per_page=2, max_pages=3)
+    assert ids.count() == 6  # 3 pages x 2 (reference cap shape, main.py:130-134)
+    assert calls == [1, 2, 3]
+
+
+def test_fetch_details_distributed_with_failures(spark):
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("subject", T.StringType()),
+        ]
+    )
+
+    def detail(id_):
+        if id_ == "bad":
+            raise RuntimeError("boom")
+        return {"_id": id_, "subject": f"s-{id_}"}
+
+    ids = spark.createDataFrame([("a",), ("bad",), ("c",)], "_id string")
+    out = {r._id: r.subject for r in rest.fetch_details(ids, detail, schema).collect()}
+    assert out == {"a": "s-a", "bad": None, "c": "s-c"}  # error -> NULL row
+
+
+def test_sftp_roundtrip(spark, tmp_path):
+    transport = sftp.LocalDirTransport(str(tmp_path / "remote"))
+    (tmp_path / "remote" / "outgoing").mkdir(parents=True)
+    (tmp_path / "remote" / "outgoing" / "Overall_stats_live_manual_1.csv").write_text(
+        "a,b\n1,x\n2,y\n"
+    )
+    df = sftp.ingest_csv_from_sftp(
+        spark, transport, "outgoing", "Overall_stats_*.csv", str(tmp_path / "staging"),
+        schema="a INT, b STRING",
+    )
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+    sftp.export_csv_to_sftp(df, transport, str(tmp_path / "export"), "incoming/out.csv")
+    assert (tmp_path / "remote" / "incoming" / "out.csv").read_text().startswith("a,b")
+
+
+def test_sftp_no_match_raises(spark, tmp_path):
+    transport = sftp.LocalDirTransport(str(tmp_path / "remote"))
+    with pytest.raises(FileNotFoundError):
+        sftp.ingest_csv_from_sftp(spark, transport, "outgoing", "*.csv", str(tmp_path / "s"))
+
+
+def test_staging_lifecycle(spark):
+    files.stage_rows(spark, [{"_id": "1", "v": 2}], "stg_test")
+    clone = files.clone_schema(spark, "stg_test", "stg_clone")
+    assert clone.count() == 0 and set(clone.columns) == {"_id", "v"}  # S9 LIMIT 0
+    files.drop_staging(spark, "stg_test")
+    files.drop_staging(spark, "stg_clone")
+
+
+def test_csv_glob_read_write(spark, tmp_path):
+    (tmp_path / "x_1.csv").write_text("k,v\n1,a\n")
+    (tmp_path / "x_2.csv").write_text("k,v\n2,b\n")
+    df = files.read_csv(spark, str(tmp_path / "x_*.csv"), schema="k INT, v STRING")
+    assert df.count() == 2
+    files.write_csv_single(df, str(tmp_path / "out"))
+    part = list((tmp_path / "out").glob("part-*.csv"))
+    assert len(part) == 1  # single-file export (S6)

@@ -1,0 +1,63 @@
+"""Text-analysis functions (X5)."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.functions import text
+
+
+def test_tokenize_and_counts(spark):
+    df = spark.createDataFrame([("The  quick   brown fox",)], "t string")
+    row = df.select(
+        text.tokenize(F.col("t")).alias("toks"),
+        text.token_count(F.col("t")).alias("n"),
+    ).first()
+    assert row.toks == ["the", "quick", "brown", "fox"]
+    assert row.n == 4
+
+
+def test_bpe_ish_counts_more_than_whitespace(spark):
+    df = spark.createDataFrame([("don't stop, it's 2024!",)], "t string")
+    row = df.select(
+        text.token_count(F.col("t")).alias("ws"),
+        text.bpe_ish_token_count(F.col("t")).alias("bpe"),
+    ).first()
+    assert row.bpe > row.ws  # punctuation & contractions split
+
+
+def test_stopword_and_punct_ratios(spark):
+    df = spark.createDataFrame([("the cat and the dog",), ("!!!",)], "t string")
+    rows = df.select(
+        text.stopword_ratio(F.col("t")).alias("sw"),
+        text.punct_ratio(F.col("t")).alias("p"),
+    ).collect()
+    assert abs(rows[0].sw - 3 / 5) < 1e-12  # the, and, the
+    assert rows[0].p == 0.0
+    assert rows[1].p == 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat is on the mat",), ("el gato que los perros",), ("xyzzy plugh",)],
+        "t string",
+    )
+    got = [r.l for r in df.select(text.lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.select(text.quality_score(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [("hello   world",), ("Hello world",), ("goodbye world",)], "t string"
+    )
+    fps = [r.f for r in df.select(text.fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
