@@ -43,9 +43,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # sub-microsecond differences must format/truncate on both sides.
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, types.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # Integer division — float division would round-trip through
+            # double and lose microseconds at epoch-nano magnitudes.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

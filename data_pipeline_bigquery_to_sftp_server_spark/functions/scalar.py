@@ -187,13 +187,18 @@ def json_parse(col: Column, schema: str | T.DataType) -> Column:
 
 
 def json_serialize(col: Column, container: bool = False) -> Column:
-    """``json.dumps`` with empty/NULL -> NULL (main.py:309, 318).
+    """``json.dumps(x) if x else None`` (main.py:309, 318): NULL and
+    *empty* values serialize to NULL (empty dict/list is falsy in
+    Python). Also covers PERMISSIVE from_json of malformed input, which
+    yields an all-NULL struct -> "{}" -> NULL, matching the reference's
+    lenient-parse-then-skip behavior.
 
-    ``container=True`` adds the reference's empty-array/map -> NULL rule
-    (``size`` is only analyzable on array/map columns).
+    ``container=True`` adds the empty-array/map -> NULL rule via size()
+    (only analyzable on array/map columns).
     """
     is_empty = col.isNull() | (F.size(col) == 0) if container else col.isNull()
-    return F.when(is_empty, F.lit(None).cast("string")).otherwise(F.to_json(col))
+    out = F.when(is_empty, F.lit(None).cast("string")).otherwise(F.to_json(col))
+    return F.nullif(F.nullif(out, F.lit("{}")), F.lit("[]"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,9 +1,11 @@
 """Operator library (SURVEY §2.2-§2.7, §2.11)."""
 
 from data_pipeline_bigquery_to_sftp_server_spark.operators import (  # noqa: F401
+    asof,
     dedup,
     merge,
     multimodal,
     relational,
     similarity,
+    skew,
 )

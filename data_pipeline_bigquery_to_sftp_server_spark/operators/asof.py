@@ -1,0 +1,127 @@
+"""As-of and range (interval) joins — operators Spark lacks natively
+(SURVEY §2.3 J5-J8), built as compositions of existing DataFrame ops.
+
+As-of join (backward): for each left row, the single right row with the
+largest right timestamp <= left timestamp (per key). Implemented with
+the union + conditional window trick:
+
+    tag both sides -> union -> window last_value(right cols) over
+    (partition by key order by ts, side) -> keep left rows
+
+One shuffle on (key), no pair explosion — the same shape a native
+implementation would pick, and it scales linearly. The alternative
+``pd.merge_asof`` inside applyInPandas needs the whole key group in
+one pandas frame; the window form streams.
+
+Range join: equi-bucketized inequality join — each side is assigned to
+coarse time buckets, candidates meet only within bucket +/- 1, then the
+exact predicate filters. Avoids the O(n*m) BroadcastNestedLoop plan
+Spark would otherwise produce for a pure inequality condition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: latest right row at-or-before each left row.
+
+    Left rows with no prior right row keep NULLs (left-outer semantics,
+    matching DuckDB ``ASOF LEFT JOIN``).
+
+    Tie rule: right rows at exactly the left timestamp DO match
+    (<=, DuckDB-compatible).
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    r_tag = (
+        right.select(
+            key,
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        )
+        .withColumn("_side", F.lit(0))
+        .withColumn("_ts", F.col("_rts"))
+    )
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # Right rows sort before left rows at equal _ts (side 0 < 1), so
+    # last_value(...ignoreNulls) at a left row sees same-instant rights.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in right_value_cols
+        ],
+        F.last("_rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+    )
+    out_cols = [c for c in left.columns] + [f"{right_ts}{suffix}"] + [
+        F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in right_value_cols
+    ]
+    return filled.where(F.col("_side") == 1).select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: Column,
+    right_ts: Column,
+    lower_s: int,
+    upper_s: int,
+    bucket_s: int = 3600,
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """Interval join: pairs where right_ts in [left_ts - lower_s,
+    left_ts + upper_s] (bounds in seconds, inclusive).
+
+    Bucketization: the left side gets one integer bucket id at
+    ``bucket_s`` granularity; the right side explodes to every bucket
+    its match window overlaps, so the join is an equi-join on bucket id
+    (hash shuffle, whole-stage codegen) followed by the exact range
+    filter. This replaces the O(n*m) BroadcastNestedLoop plan Spark
+    would pick for a bare inequality condition. Choose ``bucket_s``
+    near the window width: each right row then lands in <= 3 buckets.
+    """
+    # Bucket ids are computed on second-truncated longs (coarse candidate
+    # pruning only); the exact predicate runs on the original timestamp
+    # columns at full precision so boundaries match a reference engine.
+    l = left.withColumn(
+        "_bkl", (left_ts.cast("long") / F.lit(bucket_s)).cast("long")
+    )
+    r = right.withColumn(
+        "_bkr",
+        F.explode(
+            F.sequence(
+                ((right_ts.cast("long") - F.lit(upper_s) - 1) / F.lit(bucket_s)).cast("long"),
+                ((right_ts.cast("long") + F.lit(lower_s) + 1) / F.lit(bucket_s)).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (right_ts >= left_ts - F.expr(f"INTERVAL {int(lower_s)} SECONDS"))
+        & (right_ts <= left_ts + F.expr(f"INTERVAL {int(upper_s)} SECONDS"))
+    )
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    return (
+        l.join(r, on=(F.col("_bkl") == F.col("_bkr")) & cond)
+        .drop("_bkl", "_bkr")
+    )

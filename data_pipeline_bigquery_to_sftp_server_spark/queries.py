@@ -23,9 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table, register_views
 from data_pipeline_bigquery_to_sftp_server_spark.functions import scalar, text
-from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup, merge, relational, similarity
+from data_pipeline_bigquery_to_sftp_server_spark.operators import (
+    asof,
+    dedup,
+    merge,
+    relational,
+    similarity,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -835,6 +841,252 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# TPC-H shapes beyond Q1 (J*/A*/O* composition benchmarks)
+# ---------------------------------------------------------------------------
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: two-fact join + filter + grouped agg + top-10."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(o.where(F.col("o_orderdate") < cutoff), li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate (pushdown showcase —
+    every predicate reaches the parquet reader)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+_ORACLE_FORECAST_REVENUE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL front door (spark.sql is co-equal
+    with the DataFrame API; SURVEY §3 E2)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 full window surface in one query: rank, dense_rank, ntile,
+    lead, first over a per-segment price ordering."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lead("c_custkey").over(w).alias("next_cust"),
+        F.first("c_custkey").over(w).alias("richest"),
+    )
+
+
+_ORACLE_WINDOW_SUITE = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+       lead(c_custkey)   OVER w AS next_cust,
+       first_value(c_custkey) OVER w AS richest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of / range joins (J5-J8 — operators Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event matched to the user's latest
+    purchase at-or-before it (union+window composition; one shuffle on
+    user_id, no pair explosion). Oracle: DuckDB native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof.asof_join_backward(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts_asof").alias("purchase_ts"),
+        F.col("purchase_value_asof").alias("purchase_value"),
+    )
+
+
+_ORACLE_ASOF_JOIN = """
+SELECT l.event_id, l.user_id, l.event_type,
+       r.ts AS purchase_ts, r.value AS purchase_value
+FROM events l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucketized equi-join: clicks within ±5 minutes
+    of an error by the same user (the plan is a hash join on coarse
+    time buckets + exact filter — never a nested-loop cross product)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("ets")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    out = asof.range_join(
+        errors,
+        clicks,
+        left_ts=F.col("ets"),
+        right_ts=F.col("cts"),
+        lower_s=300,
+        upper_s=300,
+        bucket_s=600,
+        extra_condition=F.col("e_user") == F.col("c_user"),
+    )
+    return out.select("error_id", "click_id", F.col("e_user").alias("user_id"))
+
+
+_ORACLE_RANGE_JOIN = """
+SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts - INTERVAL 5 MINUTE
+ AND c.ts <= e.ts + INTERVAL 5 MINUTE
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only extras: exact-parity HTML UDF, composite text scores,
+# streaming window (X7) — not SQL-expressible for the DuckDB oracle
+# ---------------------------------------------------------------------------
+
+
+def q_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 exact-parity HTML cleaning (pandas UDF; SAX semantics).
+    Rows-only: DuckDB can't run the reference's HTMLParser pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", scalar.clean_html(F.col("text")).alias("clean"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 language-ID heuristic (argmax over marker hits)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 composite quality score in [0,1] (Gopher-rule flavored)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(text.quality_score(F.col("text")), 6).alias("quality"),
+        F.round(text.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        text.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 document fingerprinting (xxhash64 of canonical text) joined
+    back to count docs sharing a fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+    return fp.groupBy("fp").agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: watermarked tumbling-window streaming agg driven to
+    completion on a file stream of the events table (rows-only; the
+    batch equivalent is oracle-checked as hourly_rollup)."""
+    import tempfile
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="events_stream_")
+    ev.write.mode("overwrite").parquet(path)
+    stream = W.read_events_stream(spark, path, ev.schema, max_files_per_trigger=8)
+    name = f"q_stream_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(
+        W.tumbling_counts(stream, window_len="1 hour", watermark="2 hours"), name
+    )
+    q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -874,6 +1126,17 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize": q_sessionize,
     "hourly_rollup": q_hourly_rollup,
     "pivot": q_pivot,
+    "shipping_priority": q_shipping_priority,
+    "forecast_revenue": q_forecast_revenue,
+    "grouping_sets_sql": q_grouping_sets_sql,
+    "window_suite": q_window_suite,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "html_clean": q_html_clean,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    "streaming_tumbling": q_streaming_tumbling,
 }
 
 ORACLES: dict[str, str] = {
@@ -909,4 +1172,13 @@ ORACLES: dict[str, str] = {
     "sessionize": _ORACLE_SESSIONIZE,
     "hourly_rollup": _ORACLE_HOURLY_ROLLUP,
     "pivot": _ORACLE_PIVOT,
+    "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
+    "forecast_revenue": _ORACLE_FORECAST_REVENUE,
+    "grouping_sets_sql": _ORACLE_GROUPING_SETS,
+    "window_suite": _ORACLE_WINDOW_SUITE,
+    "asof_join": _ORACLE_ASOF_JOIN,
+    "range_join": _ORACLE_RANGE_JOIN,
+    # html_clean / lang_id / quality_scores / fingerprints /
+    # streaming_tumbling: rows-only (python UDF semantics, xxhash64,
+    # composite heuristics, streaming) — covered by pytest instead.
 }

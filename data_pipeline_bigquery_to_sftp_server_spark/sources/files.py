@@ -54,6 +54,19 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, buckets: int = 16, sort: bool = True
+) -> None:
+    """Bucketed managed table: later equi-joins/aggs on ``key`` between
+    tables bucketed the same way run WITHOUT a shuffle (SURVEY §4;
+    the 100 TB answer to repeated joins on the same key). Verified in
+    tests by asserting no Exchange in the joined plan."""
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table_name)
+
+
 def read_json(
     spark: SparkSession, path: str, schema: T.StructType | str | None = None
 ) -> DataFrame:
