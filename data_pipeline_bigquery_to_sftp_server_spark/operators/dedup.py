@@ -86,6 +86,34 @@ def hash_shingles(col: Column) -> Column:
     return F.transform(col, lambda s: F.abs(F.xxhash64(s)) % F.lit(1 << 32))
 
 
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct hashed word n-grams as array<long in [0,2^32)> — the
+    fast path for dedup pipelines that never need shingle *strings*.
+
+    Construction rule that makes this fast: a non-trivial expression
+    captured INSIDE a higher-order-function lambda is re-evaluated per
+    element (Spark inlines it), turning shingling O(tokens^2). Here
+    every lambda touches only its own variables; the n-gram rolling
+    hash is a chain of zip_with over shifted slices, so token hashing
+    runs O(n) passes total and each pass is numeric (no string
+    allocation, no per-gram concat).
+    """
+    th = F.transform(F.split(normalize_text(col), " "), lambda t: F.xxhash64(t))
+    if n == 1:
+        grams = th
+    else:
+        acc = th
+        for i in range(1, n):
+            shifted = F.slice(th, i + 1, F.greatest(F.size(th) - i, F.lit(1)))
+            acc = F.zip_with(acc, shifted, lambda a, b: F.xxhash64(a, b))
+        # zip_with pads to the longer input; the trailing n-1 entries
+        # mixed NULLs in — slice to the true gram count.
+        grams = F.slice(acc, 1, F.greatest(F.size(th) - F.lit(n - 1), F.lit(1)))
+    folded = F.transform(grams, lambda g: F.abs(g) % F.lit(1 << 32))
+    whole = F.array(F.abs(F.xxhash64(th)) % F.lit(1 << 32))
+    return F.when(F.size(th) < n, whole).otherwise(F.array_distinct(folded))
+
+
 def minhash_signature(hashed: Column, num_hashes: int = 64, seed: int = 42) -> Column:
     """MinHash signature (array<bigint>, length ``num_hashes``) over a
     pre-hashed shingle-id array (see :func:`hash_shingles`).
@@ -136,14 +164,15 @@ def minhash_lsh_pairs(
     # Shingle -> hash ids once; the pair join and the Jaccard verify both
     # run on compact long arrays, never re-shuffling shingle strings.
     base = (
-        df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), ngram).alias("_sh"))
-        .select("_id", F.array_distinct(hash_shingles(F.col("_sh"))).alias("_hs"))
+        df.select(F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col), ngram).alias("_hs"))
+        .withColumn("_n", F.size("_hs"))
         .withColumn("_sig", minhash_signature(F.col("_hs"), num_hashes, seed))
     )
 
     banded = base.select(
         "_id",
         "_hs",
+        "_n",
         F.explode(
             F.array(
                 *[
@@ -155,7 +184,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_hs", "bb.band", "bb.bh")
+    ).select("_id", "_hs", "_n", "bb.band", "bb.bh")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -171,11 +200,15 @@ def minhash_lsh_pairs(
             F.col("r._id").alias("id_b"),
             F.col("l._hs").alias("hs_a"),
             F.col("r._hs").alias("hs_b"),
+            F.col("l._n").alias("n_a"),
+            F.col("r._n").alias("n_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     return (
-        cand.withColumn("jaccard_sim", jaccard(F.col("hs_a"), F.col("hs_b")))
+        cand.withColumn("jaccard_sim", inter / union)
         .where(F.col("jaccard_sim") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -256,11 +289,14 @@ def ngram_jaccard_pairs(
     bucket = bucket_col if bucket_col is not None else F.split(norm, " ")[0]
     base = df.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(hash_shingles(shingles(F.col(text_col), ngram))).alias("_hs"),
+        shingle_hashes(F.col(text_col), ngram).alias("_hs"),
         bucket.alias("_bk"),
     ).withColumn("_n", F.size("_hs"))
     l, r = base.alias("l"), base.alias("r")
     t = F.lit(threshold)
+    inter = F.size(F.array_intersect(F.col("l._hs"), F.col("r._hs"))).cast("double")
+    # |A ∪ B| = |A| + |B| - |A ∩ B| — one array op per pair, not two.
+    union = (F.col("l._n") + F.col("r._n")).cast("double") - inter
     return (
         l.join(
             r,
@@ -272,7 +308,7 @@ def ngram_jaccard_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            jaccard(F.col("l._hs"), F.col("r._hs")).alias("jaccard_sim"),
+            (inter / union).alias("jaccard_sim"),
         )
         .where(F.col("jaccard_sim") >= threshold)
     )

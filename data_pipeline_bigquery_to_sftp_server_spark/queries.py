@@ -618,6 +618,23 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 vectorized path: identical semantics to cosine_topk but scored
+    via Arrow->numpy BLAS with map-side partial top-k (the 100 TB scoring
+    shape). Shares cosine_topk's oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk_np(e, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2e: embedding-cosine near-dup pairs via SRP-LSH (approximate;
     rows-only check — recall verified against brute force in pytest).
@@ -1117,6 +1134,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
     "cosine_topk": q_cosine_topk,
+    "cosine_topk_np": q_cosine_topk_np,
     "embedding_dups": q_embedding_dups,
     "lsh_topk": q_lsh_topk,
     "token_topk": q_token_topk,
@@ -1165,6 +1183,7 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": _ORACLE_JACCARD_PAIRS,
     # minhash_pairs / simhash_groups / embedding_dups / lsh_topk: rows-only
     "cosine_topk": _ORACLE_COSINE_TOPK,
+    "cosine_topk_np": _ORACLE_COSINE_TOPK,
     "token_topk": _ORACLE_TOKEN_TOPK,
     "text_stats": _ORACLE_TEXT_STATS,
     "lang_markers": _ORACLE_LANG_MARKERS,

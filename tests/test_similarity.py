@@ -49,6 +49,22 @@ def test_brute_force_topk_matches_numpy(spark, sf_dir):
         assert mine == exp, f"query {qid}: {mine} != {exp}"
 
 
+def test_numpy_path_identical_to_hof(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.brute_force_topk(e, queries, k=7).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.brute_force_topk_np(e, queries, k=7).collect()
+    )
+    assert a == b
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     """ANN is approximate by contract; demand >=40% overlap with the
     exact top-10 on near-orthogonal random vectors (a weak corpus for
