@@ -1044,6 +1044,71 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long), the inverse of q_pivot."""
+    wide = q_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["O", "F"],
+        variableColumnName="l_linestatus",
+        valueColumnName="sum_qty",
+    )
+
+
+_ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o_qty,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'O' AS l_linestatus, o_qty AS sum_qty FROM wide
+UNION ALL
+SELECT l_returnflag, 'F' AS l_linestatus, f_qty AS sum_qty FROM wide
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 exact quantiles: continuous-interpolation percentile per group
+    (matches DuckDB quantile_cont). approx_percentile is the at-scale
+    variant (sketch-based; tested for tolerance in pytest, not oracled)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("price_p99"),
+    )
+
+
+_ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6)       AS p50,
+       round(quantile_cont(l_quantity, 0.9), 6)       AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ratio/percent over aggregates (the reference's progress %
+    arithmetic, main.py:450): share of each order status."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    total = o.count()
+    return counts.select(
+        "o_orderstatus",
+        "n",
+        F.round(F.col("n") / F.lit(float(total)) * 100.0, 4).alias("pct"),
+    )
+
+
+_ORACLE_RATIO_REPORT = """
+SELECT o_orderstatus, count(*) AS n,
+       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM orders) * 100.0, 4) AS pct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extras: exact-parity HTML UDF, composite text scores,
 # streaming window (X7) — not SQL-expressible for the DuckDB oracle
@@ -1150,6 +1215,9 @@ QUERIES: dict[str, QueryFn] = {
     "window_suite": q_window_suite,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "unpivot": q_unpivot,
+    "percentiles": q_percentiles,
+    "ratio_report": q_ratio_report,
     "html_clean": q_html_clean,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1197,6 +1265,9 @@ ORACLES: dict[str, str] = {
     "window_suite": _ORACLE_WINDOW_SUITE,
     "asof_join": _ORACLE_ASOF_JOIN,
     "range_join": _ORACLE_RANGE_JOIN,
+    "unpivot": _ORACLE_UNPIVOT,
+    "percentiles": _ORACLE_PERCENTILES,
+    "ratio_report": _ORACLE_RATIO_REPORT,
     # html_clean / lang_id / quality_scores / fingerprints /
     # streaming_tumbling: rows-only (python UDF semantics, xxhash64,
     # composite heuristics, streaming) — covered by pytest instead.
