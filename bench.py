@@ -38,6 +38,12 @@ HEADLINE = [
     "sessionize",
     "hourly_rollup",
     "json_extract",
+    "cosine_topk_np",
+    "asof_join",
+    "range_join",
+    "window_suite",
+    "percentiles",
+    "shipping_priority",
 ]
 
 

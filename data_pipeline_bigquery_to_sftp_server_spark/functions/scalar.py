@@ -93,7 +93,13 @@ def seconds_to_date_only(col: Column) -> Column:
 
 
 def collapse_whitespace(col: Column) -> Column:
-    """``re.sub(r'\\s+', ' ', s).strip()`` (main.py:116, 122)."""
+    """``re.sub(r'\\s+', ' ', s).strip()`` (main.py:116, 122).
+
+    Known divergence: Java's ``\\s`` excludes U+001C-U+001F (Python's
+    includes them); identical on real-world whitespace. Kept JVM-side
+    deliberately — exact parity on control chars isn't worth leaving
+    whole-stage codegen.
+    """
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 

@@ -492,6 +492,36 @@ SELECT * FROM staging
 """
 
 
+def q_merge_upsert_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 MERGE rewrite #2: full-outer + per-column coalesce. Same
+    result as anti+union when staging has no NULLs (these staged rows
+    don't), oracle-checked independently."""
+    o = load_table(spark, sf_dir, "orders")
+    updates, inserts = _staged_orders(o)
+    staging = updates.unionByName(inserts)
+    return merge.upsert_full_outer(o, staging, "o_orderkey")
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7+F8 round trip: parse props, re-serialize via to_json with the
+    empty->NULL rule (reference main.py:215-222, 309)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = scalar.json_parse(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        scalar.json_serialize(parsed).alias("props_norm"),
+    )
+
+
+_ORACLE_JSON_ROUNDTRIP = """
+SELECT event_id,
+       CASE WHEN CAST(json_extract(props, '$.k') AS INT) IS NULL THEN NULL
+            ELSE '{"k":' || CAST(json_extract(props, '$.k') AS INT) || '}'
+       END AS props_norm
+FROM events
+"""
+
+
 def q_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4: the reference's inserted/updated report (main.py:323-329)."""
     o = load_table(spark, sf_dir, "orders")
@@ -1193,7 +1223,9 @@ QUERIES: dict[str, QueryFn] = {
     "json_extract": q_json_extract,
     "bool_defaults": q_bool_defaults,
     "merge_upsert": q_merge_upsert,
+    "merge_upsert_outer": q_merge_upsert_outer,
     "merge_counts": q_merge_counts,
+    "json_roundtrip": q_json_roundtrip,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_pairs": q_minhash_pairs,
@@ -1246,7 +1278,9 @@ ORACLES: dict[str, str] = {
     "json_extract": _ORACLE_JSON_EXTRACT,
     "bool_defaults": _ORACLE_BOOL_DEFAULTS,
     "merge_upsert": _ORACLE_MERGE_UPSERT,
+    "merge_upsert_outer": _ORACLE_MERGE_UPSERT,
     "merge_counts": _ORACLE_MERGE_COUNTS,
+    "json_roundtrip": _ORACLE_JSON_ROUNDTRIP,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "jaccard_pairs": _ORACLE_JACCARD_PAIRS,
     # minhash_pairs / simhash_groups / embedding_dups / lsh_topk: rows-only

@@ -1,0 +1,94 @@
+"""Property-based tests (SURVEY §5: 'hypothesis round-trips — cheap and
+catches the quirky NULL rules'). Each property generates a batch of
+inputs and runs ONE Spark job over the whole batch."""
+
+import json
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.functions import scalar
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+# Java \s excludes U+001C-U+001F, Python \s includes them (documented
+# divergence in scalar.collapse_whitespace) — generate realistic text.
+_ALPHABET = st.characters(
+    codec="utf-8", exclude_characters=[chr(c) for c in range(0x1C, 0x20)]
+)
+texts = st.lists(
+    st.one_of(st.none(), st.text(alphabet=_ALPHABET, max_size=40)),
+    min_size=1,
+    max_size=30,
+)
+epochs = st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=2**33)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(epochs)
+def test_epoch_formatting_matches_python(spark, values):
+    """seconds_to_readable == datetime.utcfromtimestamp formatting, with
+    the 0/None -> NULL quirk (reference main.py:234-241)."""
+    import datetime
+
+    df = spark.createDataFrame([(v,) for v in values], "epoch bigint")
+    got = [
+        r.s
+        for r in df.select(scalar.seconds_to_readable(F.col("epoch")).alias("s"))
+        .orderBy(F.monotonically_increasing_id())
+        .collect()
+    ]
+    for v, s in zip(values, got):
+        if v is None or v == 0:
+            assert s is None
+        else:
+            exp = datetime.datetime.fromtimestamp(v, datetime.timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            assert s == exp
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_collapse_whitespace_idempotent_and_matches_python(spark, values):
+    import re
+
+    df = spark.createDataFrame([(v,) for v in values], "t string")
+    once = df.select(scalar.collapse_whitespace(F.col("t")).alias("a"))
+    twice = once.select("a", scalar.collapse_whitespace(F.col("a")).alias("b"))
+    for r, v in zip(twice.collect(), values):
+        if v is None:
+            assert r.a is None
+        else:
+            assert r.a == re.sub(r"\s+", " ", v).strip()
+            assert r.b == r.a  # idempotent
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.dictionaries(st.sampled_from(["k", "v"]), st.integers(-1000, 1000), max_size=2), min_size=1, max_size=20))
+def test_json_roundtrip_lenient(spark, dicts):
+    """from_json∘to_json: present keys survive, absent -> NULL fields,
+    empty dict -> NULL string (Python falsy rule)."""
+    rows = [(json.dumps(d),) for d in dicts]
+    df = spark.createDataFrame(rows, "j string")
+    parsed = scalar.json_parse(F.col("j"), "k INT, v INT")
+    out = df.select(scalar.json_serialize(parsed).alias("s")).collect()
+    for d, r in zip(dicts, out):
+        if not d:
+            assert r.s is None
+        else:
+            assert json.loads(r.s) == d
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.lists(st.text(alphabet="abcde ", max_size=8), max_size=6), min_size=1, max_size=15))
+def test_py_list_str_matches_python_repr(spark, lists_):
+    df = spark.createDataFrame([(v,) for v in lists_], "a array<string>")
+    out = df.select(scalar.py_list_str(F.col("a")).alias("s")).collect()
+    for v, r in zip(lists_, out):
+        # Python repr uses single quotes for these simple strings
+        assert r.s == str(v).replace('"', "'")
