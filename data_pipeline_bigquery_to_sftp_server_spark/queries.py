@@ -1074,6 +1074,49 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (§2.10): positional explode — token with its
+    position per document (generator function, lateral-view shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(text.tokenize(F.col("text"))).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+_ORACLE_POSEXPLODE = r"""
+SELECT doc_id,
+       CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+       unnest(toks) AS token
+FROM (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents WHERE doc_id < 50)
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated subqueries through the SQL front door:
+    customers above the global average balance, with their order count."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+_ORACLE_SCALAR_SUBQUERY = """
+SELECT c_custkey, c_acctbal,
+       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+"""
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide -> long), the inverse of q_pivot."""
     wide = q_pivot(spark, sf_dir)
@@ -1250,6 +1293,8 @@ QUERIES: dict[str, QueryFn] = {
     "unpivot": q_unpivot,
     "percentiles": q_percentiles,
     "ratio_report": q_ratio_report,
+    "posexplode": q_posexplode,
+    "scalar_subquery": q_scalar_subquery,
     "html_clean": q_html_clean,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1302,6 +1347,8 @@ ORACLES: dict[str, str] = {
     "unpivot": _ORACLE_UNPIVOT,
     "percentiles": _ORACLE_PERCENTILES,
     "ratio_report": _ORACLE_RATIO_REPORT,
+    "posexplode": _ORACLE_POSEXPLODE,
+    "scalar_subquery": _ORACLE_SCALAR_SUBQUERY,
     # html_clean / lang_id / quality_scores / fingerprints /
     # streaming_tumbling: rows-only (python UDF semantics, xxhash64,
     # composite heuristics, streaming) — covered by pytest instead.

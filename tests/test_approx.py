@@ -1,0 +1,25 @@
+"""Approximate aggregates (A9): sketch results must track exact values
+within documented tolerance — these can't be oracle-hash-checked, so
+tolerance is pinned here."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+
+
+def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact <= 0.05
+
+
+def test_approx_percentile_brackets_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact <= 0.01
