@@ -29,6 +29,28 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable confs the engine's semantics depend on, pinned here so
+# queries stay correct even under a SparkSession the harness built without
+# session.get_spark (e.g. the driver's own session):
+# - UTC: every date/time formatting rule (and the DuckDB oracle) assumes it
+# - nanosAsLong: the events table is TIMESTAMP(NANOS) parquet, unreadable
+#   by Spark otherwise; load_table converts the long back to a timestamp
+# - Arrow: pandas-UDF/mapInPandas transport
+_REQUIRED_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf in exotic deploys
+            pass
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one table (SURVEY §2.1 S10).
@@ -36,6 +58,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     A plain ``spark.read.parquet`` keeps Catalyst's predicate pushdown and
     column pruning available to every downstream operator.
     """
+    ensure_engine_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Nanosecond-precision timestamps (events.ts) arrive as long nanos under
     # spark.sql.legacy.parquet.nanosAsLong; truncate to Spark's native
