@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import ensure_parallelism
+
 # --- X1: exact dedup ---------------------------------------------------------
 
 
@@ -149,6 +151,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     jaccard_threshold: float = 0.8,
     seed: int = 42,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding, verified with
     true shingle Jaccard. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
@@ -159,12 +162,20 @@ def minhash_lsh_pairs(
     pairs only. Never materializes the O(n^2) pair space. A hot bucket
     (e.g. boilerplate) is capped client-side via ``spark.sql.adaptive``
     skew handling; for pathological data add a bucket-size filter.
+
+    ``broadcast_right=True`` hash-joins against a broadcast copy of the
+    banded signatures instead of shuffling both sides — the right call
+    when the signature table fits in executor memory (signatures are
+    ~100 bytes/doc: tens of millions of docs per broadcast). Beyond
+    that, leave it off and let the bucket-key shuffle scale out.
     """
     rows_per_band = num_hashes // bands
     # Shingle -> hash ids once; the pair join and the Jaccard verify both
     # run on compact long arrays, never re-shuffling shingle strings.
+    # Signature construction is compute-bound -> widen narrow scans.
     base = (
-        df.select(F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col), ngram).alias("_hs"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col), ngram).alias("_hs"))
         .withColumn("_n", F.size("_hs"))
         .withColumn("_sig", minhash_signature(F.col("_hs"), num_hashes, seed))
     )
@@ -187,7 +198,7 @@ def minhash_lsh_pairs(
     ).select("_id", "_hs", "_n", "bb.band", "bb.bh")
 
     left = banded.alias("l")
-    right = banded.alias("r")
+    right = F.broadcast(banded.alias("r")) if broadcast_right else banded.alias("r")
     cand = (
         left.join(
             right,
@@ -254,7 +265,8 @@ def dedup_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
     return (
-        df.select(F.col(id_col), simhash(toks).alias("simhash_fp"))
+        ensure_parallelism(df)
+        .select(F.col(id_col), simhash(toks).alias("simhash_fp"))
         .groupBy("simhash_fp")
         .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
         .where(F.col("dup_count") > 1)
@@ -271,6 +283,7 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
     bucket_col: Column | None = None,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard within buckets.
 
@@ -284,15 +297,24 @@ def ngram_jaccard_pairs(
     - size-ratio pruning in the join condition: J(A,B) >= t implies
       |A| >= t*|B| and |B| >= t*|A|, so disproportionate pairs never
       materialize.
+
+    ``broadcast_right=True`` replaces the bucket-key shuffle join with a
+    broadcast hash join on the right side. Prefix blocking yields few
+    distinct buckets, so the shuffle join degrades to few tasks (key
+    skew); broadcasting keeps pair generation partitioned by the *left*
+    rows instead. Only valid while the hashed-shingle table fits in
+    executor memory — at full corpus scale use the default shuffle path
+    with a higher-cardinality ``bucket_col``.
     """
     norm = normalize_text(F.col(text_col))
     bucket = bucket_col if bucket_col is not None else F.split(norm, " ")[0]
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         shingle_hashes(F.col(text_col), ngram).alias("_hs"),
         bucket.alias("_bk"),
     ).withColumn("_n", F.size("_hs"))
-    l, r = base.alias("l"), base.alias("r")
+    l = base.alias("l")
+    r = F.broadcast(base.alias("r")) if broadcast_right else base.alias("r")
     t = F.lit(threshold)
     inter = F.size(F.array_intersect(F.col("l._hs"), F.col("r._hs"))).cast("double")
     # |A ∪ B| = |A| + |B| - |A ∩ B| — one array op per pair, not two.

@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Native dot product over two array<float/double> columns:
@@ -65,7 +67,7 @@ def brute_force_topk(
     #queries). row_number ties broken by corpus id for determinism.
     """
     q = F.broadcast(queries.select(query_id_col, query_vec_col))
-    scored = corpus.select(id_col, vec_col).crossJoin(q).select(
+    scored = ensure_parallelism(corpus.select(id_col, vec_col)).crossJoin(q).select(
         F.col(query_id_col),
         F.col(id_col),
         cosine(
@@ -128,7 +130,7 @@ def brute_force_topk_np(
             }
             yield pd_local.DataFrame(rows)
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    scored = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(score, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -183,7 +185,7 @@ def lsh_topk(
 
     def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
         sig = srp_signature(F.col(vc).cast("array<double>"), planes)
-        return df.select(idc, vc, sig.alias("_sig")).select(
+        return ensure_parallelism(df).select(idc, vc, sig.alias("_sig")).select(
             idc,
             vc,
             F.explode(
@@ -246,7 +248,7 @@ def embedding_near_dup_pairs(
     planes = _srp_hyperplanes(dim, num_planes, seed)
     rows_per_band = num_planes // bands
     sig = srp_signature(F.col(vec_col).cast("array<double>"), planes)
-    banded = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")).select(
+    banded = ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")).select(
         "_id",
         "_v",
         F.explode(

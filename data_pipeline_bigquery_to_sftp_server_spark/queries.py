@@ -566,7 +566,9 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The SQL-expressible verification arm of minhash-LSH."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        dedup.ngram_jaccard_pairs(d, "doc_id", "text", ngram=1, threshold=0.5)
+        dedup.ngram_jaccard_pairs(
+            d, "doc_id", "text", ngram=1, threshold=0.5, broadcast_right=True
+        )
         .withColumn("jaccard_sim", F.round("jaccard_sim", 6))
     )
 
@@ -597,7 +599,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_pairs_df(d: DataFrame) -> DataFrame:
     return dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=8, ngram=3, jaccard_threshold=0.5
+        d, "doc_id", "text", num_hashes=32, bands=8, ngram=3,
+        jaccard_threshold=0.5, broadcast_right=True,
     )
 
 
