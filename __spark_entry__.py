@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each SQL-expressible query; keys
     missing here (minhash_pairs, simhash_groups, embedding_dups,
-    lsh_topk) are approximate/hash-seeded operators -> rows-only checks,
-    with recall verified against exact baselines in tests/."""
+    lsh_topk) are approximate/hash-seeded operators, html_clean is a
+    python-HTMLParser UDF, and streaming_tumbling is a streaming sink
+    -> rows-only checks, with recall/parity verified in tests/."""
     return dict(ORACLES)

@@ -1199,13 +1199,39 @@ def q_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 language-ID heuristic (argmax over marker hits)."""
+    """X5 language-ID heuristic (argmax over marker hits). Oracle
+    mirrors the argmax as list_aggregate(max) over (hits, lang) structs
+    — both engines break hit ties toward the lexicographically larger
+    language code (struct comparison is field-order lexicographic)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred"))
 
 
+_ORACLE_LANG_ID = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, list_aggregate([
+    {'hits': len(list_intersect(toks, ['the','and','of','to','is'])), 'lang': 'en'},
+    {'hits': len(list_intersect(toks, ['el','la','de','que','los'])), 'lang': 'es'},
+    {'hits': len(list_intersect(toks, ['der','die','und','das','ist'])), 'lang': 'de'},
+    {'hits': len(list_intersect(toks, ['le','la','les','est','une'])), 'lang': 'fr'}
+  ], 'max') AS best
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 composite quality score in [0,1] (Gopher-rule flavored)."""
+    """X5 composite quality score in [0,1] (Gopher-rule flavored).
+    Every signal (token/punct/stopword/word-length ratios, BPE-ish
+    token count) is a native expression, so the whole heuristic is
+    SQL-expressible and hash-checked against DuckDB."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1215,12 +1241,63 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mirrors functions/text.py exactly: same stopword list, same regexes
+# (RE2 and Java agree on these classes), same CASE thresholds/weights.
+_ORACLE_QUALITY_SCORES = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text,
+         len(toks) AS n_tok,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> x IN
+                ('the','a','an','and','or','of','to','in','is','are','was','were',
+                 'be','been','it','this','that','for','on','with','as','at','by',
+                 'from','not'))) AS DOUBLE) / len(toks) END AS sw_ratio,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE CAST(len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                   / len(text) END AS p_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / len(toks) END AS mwl,
+         len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+')) AS bpe
+  FROM t
+)
+SELECT doc_id,
+       round(
+         (CASE WHEN n_tok BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+         (CASE WHEN p_ratio <= 0.2 THEN 1.0 ELSE 1.0 - p_ratio END)  * 0.2 +
+         (CASE WHEN mwl BETWEEN 2 AND 12 THEN 1.0 ELSE 0.5 END)      * 0.2 +
+         (CASE WHEN sw_ratio >= 0.05 THEN 1.0 ELSE 0.5 END)          * 0.2, 6) AS quality,
+       round(sw_ratio, 6) AS stopword_ratio,
+       CAST(bpe AS BIGINT) AS bpe_tokens
+FROM m
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 document fingerprinting (xxhash64 of canonical text) joined
-    back to count docs sharing a fingerprint."""
+    """X5 document fingerprinting: xxhash64 of canonical text as the
+    dedup-join key; output is the per-fingerprint group profile
+    (first_doc, n_docs). The raw hash is engine-specific so it stays
+    out of the result; the oracle groups by the canonical text itself,
+    equivalent absent 64-bit collisions (none at test scale)."""
     d = load_table(spark, sf_dir, "documents")
     fp = d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
-    return fp.groupBy("fp").agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .select("first_doc", "n_docs")
+    )
+
+
+_ORACLE_FINGERPRINTS = r"""
+SELECT min(doc_id) AS first_doc, count(*) AS n_docs
+FROM documents
+GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+"""
 
 
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,7 +1429,9 @@ ORACLES: dict[str, str] = {
     "ratio_report": _ORACLE_RATIO_REPORT,
     "posexplode": _ORACLE_POSEXPLODE,
     "scalar_subquery": _ORACLE_SCALAR_SUBQUERY,
-    # html_clean / lang_id / quality_scores / fingerprints /
-    # streaming_tumbling: rows-only (python UDF semantics, xxhash64,
-    # composite heuristics, streaming) — covered by pytest instead.
+    "lang_id": _ORACLE_LANG_ID,
+    "quality_scores": _ORACLE_QUALITY_SCORES,
+    "fingerprints": _ORACLE_FINGERPRINTS,
+    # html_clean / streaming_tumbling: rows-only (python HTMLParser UDF
+    # semantics, streaming sink) — covered by pytest instead.
 }
