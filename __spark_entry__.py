@@ -31,7 +31,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each SQL-expressible query; keys
     missing here (minhash_pairs, simhash_groups, embedding_dups,
-    lsh_topk) are approximate/hash-seeded operators, html_clean is a
-    python-HTMLParser UDF, and streaming_tumbling is a streaming sink
-    -> rows-only checks, with recall/parity verified in tests/."""
+    lsh_topk, ivf_topk) are approximate/hash-seeded operators,
+    html_clean is a python-HTMLParser UDF, and streaming_tumbling is a
+    streaming sink -> rows-only checks, with recall/parity (and
+    IVF full-probe == exact brute force) verified in tests/."""
     return dict(ORACLES)

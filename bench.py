@@ -44,6 +44,8 @@ HEADLINE = [
     "window_suite",
     "percentiles",
     "shipping_priority",
+    "ivf_topk",
+    "media_features",
 ]
 
 

@@ -95,12 +95,13 @@ def seconds_to_date_only(col: Column) -> Column:
 def collapse_whitespace(col: Column) -> Column:
     """``re.sub(r'\\s+', ' ', s).strip()`` (main.py:116, 122).
 
-    Known divergence: Java's ``\\s`` excludes U+001C-U+001F (Python's
-    includes them); identical on real-world whitespace. Kept JVM-side
-    deliberately — exact parity on control chars isn't worth leaving
-    whole-stage codegen.
+    ``(?U)`` (UNICODE_CHARACTER_CLASS) makes Java's ``\\s`` match
+    Unicode whitespace like Python's does — U+00A0 NBSP matters for
+    HTML-derived text. Known remaining divergence: Python also treats
+    U+001C-U+001F as whitespace, Java never does; not worth leaving
+    whole-stage codegen over control chars.
     """
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.trim(F.regexp_replace(col, r"(?U)\s+", " "))
 
 
 def empty_to_null(col: Column) -> Column:

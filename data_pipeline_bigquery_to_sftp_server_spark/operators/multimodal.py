@@ -47,7 +47,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("sha1", T.StringType(), True),
+        T.StructField("digest", T.StringType(), True),
     ]
 )
 
@@ -91,12 +91,15 @@ def _decode_fake(payload: bytes, dim: int = 8, strict: bool = False) -> list[flo
     return [((crc >> (4 * j)) & 0xF) / 15.0 for j in range(dim)]
 
 
-def extract_features(media: DataFrame, dim: int = 8, strict: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 8, strict: bool = False, algo: str = "sha1"
+) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow batches).
 
     The iterator-of-batches shape is the real production plumbing: one
     Python worker per partition, Arrow transfer, constant memory per
-    batch regardless of corpus size.
+    batch regardless of corpus size. ``algo`` picks the payload digest
+    (any hashlib algorithm name).
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -107,8 +110,8 @@ def extract_features(media: DataFrame, dim: int = 8, strict: bool = False) -> Da
                     "kind": pdf["kind"],
                     "feature": [_decode_fake(p, dim, strict) for p in pdf["payload"]],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "sha1": [
-                        hashlib.sha1(bytes(p)).hexdigest() if p is not None else None
+                    "digest": [
+                        hashlib.new(algo, bytes(p)).hexdigest() if p is not None else None
                         for p in pdf["payload"]
                     ],
                 }

@@ -13,10 +13,11 @@ Two tiers, both pure DataFrame plans:
   generation shuffles only (band, bucket) keys. This is the 100 TB
   path: probe cost ~ bucket size, not corpus size.
 
-An IVF variant (k-means coarse quantizer -> probe nearest centroids)
-would slot in the same way — centroids broadcast, corpus bucketed by
-nearest centroid; SRP-LSH is preferred here because it needs no
-training pass.
+- IVF (inverted-file) ANN: k-means coarse quantizer (MLlib, trained on
+  a sample) -> corpus bucketed by nearest centroid -> queries probe
+  their ``n_probe`` nearest centroids -> exact re-rank within probed
+  buckets. Probing all centroids degrades gracefully to exact search
+  (the property the tests pin down).
 """
 
 from __future__ import annotations
@@ -221,6 +222,83 @@ def lsh_topk(
         cosine(
             F.col(vec_col).cast("array<double>"),
             F.col(query_vec_col).cast("array<double>"),
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: k-means coarse quantizer +
+    probe-nearest-centroid candidate generation + exact re-rank.
+
+    Scale shape (the 100 TB path):
+    - the quantizer trains on a *sample* (``train_fraction``) — centroid
+      count is tiny, so training cost is decoupled from corpus size;
+    - bucket assignment is one broadcast-centroid pass over the corpus
+      (MLlib transform, JVM-side), in production materialized once and
+      reused across queries;
+    - the probe list (query x n_probe centroids) is broadcast, so
+      candidate generation is a broadcast hash join on cluster id — the
+      corpus never shuffles; only candidates reach the per-query top-k
+      window (shuffle key = query id).
+
+    ``n_probe == n_centroids`` probes every bucket and must equal exact
+    brute force — pinned in tests; recall at partial probe is measured
+    there too.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = ensure_parallelism(corpus.select(id_col, vec_col)).withColumn(
+        "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    train = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
+    km = KMeans(k=n_centroids, seed=seed, maxIter=20, featuresCol="_fv", predictionCol="_cid")
+    model = km.fit(train)
+    assigned = model.transform(base).select(id_col, vec_col, "_cid")
+
+    # Probe list: n_probe nearest centroids per query, by cosine.
+    # Centroids are tiny (n_centroids x dim) -> rank them driver-side.
+    centers = np.vstack(model.clusterCenters())
+    c_norm = np.linalg.norm(centers, axis=1)
+    c_norm[c_norm == 0] = np.nan
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    probes = []
+    for row in q_rows:
+        qv = np.asarray(row[query_vec_col], dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        sims = (centers @ qv) / (c_norm * qn) if qn > 0 else np.zeros(len(centers))
+        for cid in np.argsort(-sims)[:n_probe]:
+            probes.append((row[query_id_col], int(cid), list(map(float, qv))))
+    probe_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            probes, f"{query_id_col} long, _cid int, {query_vec_col} array<double>"
+        )
+    )
+
+    scored = assigned.join(probe_df, "_cid").select(
+        query_id_col,
+        id_col,
+        cosine(
+            F.col(vec_col).cast("array<double>"), F.col(query_vec_col)
         ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))

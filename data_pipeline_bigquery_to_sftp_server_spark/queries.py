@@ -689,6 +689,18 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, queries, k=10, dim=64, num_planes=16, bands=8)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 scale path #2: IVF ANN top-k — k-means coarse quantizer,
+    probe-nearest-centroid candidates, exact re-rank (approximate;
+    rows-only check — full-probe==exact and partial-probe recall are
+    pinned in pytest)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(e, queries, k=10, n_centroids=16, n_probe=6)
+
+
 # ---------------------------------------------------------------------------
 # X5: text analysis
 # ---------------------------------------------------------------------------
@@ -1300,6 +1312,39 @@ GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
 """
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 multimodal plumbing, end-to-end and oracle-checked: documents
+    become opaque binary payloads (UTF-8 bytes stand in for image/audio
+    blobs), the Arrow-batched ``mapInPandas`` decode/feature stage runs
+    for real, and the SQL-expressible outputs (byte count, payload
+    digest) hash-match DuckDB. The fake-decoded feature vector itself is
+    covered by tests/test_multimodal.py."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("doc").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = multimodal.extract_features(media, dim=8, algo="sha256")
+    return feats.select("media_id", "n_bytes", "digest")
+
+
+# DuckDB sha256(varchar) digests the UTF-8 bytes — exactly the payload
+# the Spark side hashes.
+_ORACLE_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+"""
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: watermarked tumbling-window streaming agg driven to
     completion on a file stream of the events table (rows-only; the
@@ -1357,6 +1402,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk_np": q_cosine_topk_np,
     "embedding_dups": q_embedding_dups,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "token_topk": q_token_topk,
     "text_stats": q_text_stats,
     "lang_markers": q_lang_markers,
@@ -1379,6 +1425,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
+    "media_features": q_media_features,
     "streaming_tumbling": q_streaming_tumbling,
 }
 
@@ -1432,6 +1479,7 @@ ORACLES: dict[str, str] = {
     "lang_id": _ORACLE_LANG_ID,
     "quality_scores": _ORACLE_QUALITY_SCORES,
     "fingerprints": _ORACLE_FINGERPRINTS,
+    "media_features": _ORACLE_MEDIA_FEATURES,
     # html_clean / streaming_tumbling: rows-only (python HTMLParser UDF
     # semantics, streaming sink) — covered by pytest instead.
 }

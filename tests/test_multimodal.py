@@ -14,7 +14,7 @@ def test_feature_extraction_schema_and_determinism(spark):
     assert [r.feature for r in a] == [r.feature for r in b]  # deterministic stub
     assert all(len(r.feature) == 8 for r in a)
     assert all(r.n_bytes == 1024 for r in a)
-    assert all(r.sha1 is not None for r in a)
+    assert all(r.digest is not None for r in a)
 
 
 def test_metadata_only_query_prunes_payload(spark):

@@ -83,6 +83,44 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.4, recalls
 
 
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    """Probing every centroid searches every bucket, so IVF must return
+    exactly the brute-force result — the correctness anchor for the
+    approximate path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.brute_force_topk(e, queries, k=5).collect()
+    )
+    ivf = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.ivf_topk(
+            e, queries, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    )
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """Partial probe is approximate; near-orthogonal random vectors are
+    the worst case for a coarse quantizer, so demand modest recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(e, queries, k=10).toPandas()
+    approx = similarity.ivf_topk(e, queries, k=10, n_centroids=8, n_probe=4).toPandas()
+    recalls = []
+    for qid in range(5):
+        t = set(exact[exact.query_id == qid].vec_id)
+        g = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(t & g) / len(t))
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
 def test_embedding_near_dup_pairs_all_above_threshold(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     out = similarity.embedding_near_dup_pairs(e, threshold=0.3, dim=64).collect()
