@@ -32,7 +32,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each SQL-expressible query; keys
     missing here (minhash_pairs, simhash_groups, embedding_dups,
     lsh_topk, ivf_topk) are approximate/hash-seeded operators,
-    html_clean is a python-HTMLParser UDF, and streaming_tumbling is a
-    streaming sink -> rows-only checks, with recall/parity (and
-    IVF full-probe == exact brute force) verified in tests/."""
+    html_clean is a python-HTMLParser UDF, and streaming_tumbling /
+    streaming_session are streaming sinks -> rows-only checks, with
+    recall/parity (and IVF full-probe == exact brute force) verified
+    in tests/."""
     return dict(ORACLES)

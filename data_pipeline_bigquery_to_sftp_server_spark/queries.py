@@ -1312,6 +1312,64 @@ GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
 """
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6: CSV sink + glob source roundtrip (the reference's
+    SFTP↔storage CSV flows, README.md:110-112), oracle-checked: export
+    supplier as header CSV, read it back through the glob reader with
+    the original explicit schema, aggregate per nation. Proves the CSV
+    codec preserves types/values, not just that files appear."""
+    import tempfile
+
+    from data_pipeline_bigquery_to_sftp_server_spark.sources import files
+
+    s = load_table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    files.write_csv_single(s, out)
+    back = files.read_csv(spark, f"{out}/*.csv", schema=s.schema)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+_ORACLE_CSV_ROUNDTRIP = """
+SELECT s_nationkey,
+       count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_acctbal,
+       min(s_name) AS first_name
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/§2.9: watermarked session_window streaming agg driven to
+    completion on a file stream of events (rows-only: append mode only
+    emits sessions already past the watermark; the batch equivalent is
+    oracle-checked as sessionize)."""
+    import tempfile
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="events_sess_stream_")
+    ev.write.mode("overwrite").parquet(path)
+    stream = W.read_events_stream(spark, path, ev.schema, max_files_per_trigger=8)
+    name = f"q_sess_stream_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(
+        W.session_counts(stream, gap="30 minutes", watermark="2 hours"), name
+    )
+    q.stop()
+    return spark.table(name)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 multimodal plumbing, end-to-end and oracle-checked: documents
     become opaque binary payloads (UTF-8 bytes stand in for image/audio
@@ -1426,7 +1484,9 @@ QUERIES: dict[str, QueryFn] = {
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
     "media_features": q_media_features,
+    "csv_roundtrip": q_csv_roundtrip,
     "streaming_tumbling": q_streaming_tumbling,
+    "streaming_session": q_streaming_session,
 }
 
 ORACLES: dict[str, str] = {
@@ -1480,6 +1540,7 @@ ORACLES: dict[str, str] = {
     "quality_scores": _ORACLE_QUALITY_SCORES,
     "fingerprints": _ORACLE_FINGERPRINTS,
     "media_features": _ORACLE_MEDIA_FEATURES,
+    "csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
     # html_clean / streaming_tumbling: rows-only (python HTMLParser UDF
     # semantics, streaming sink) — covered by pytest instead.
 }
