@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1110,6 +1111,86 @@ FROM (SELECT doc_id,
 """
 
 
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface (§2.10): grouped-agg pandas UDF (Arrow-vectorized)
+    computing a geometric mean — not expressible with builtins — and
+    oracle-checked via exp(avg(ln(x)))."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    # Spark disallows mixing pandas and builtin aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas agg too.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(v.size)
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(geo_mean("o_totalprice"), 2).alias("geo_mean_price"),
+            n_rows("o_totalprice").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_UDAF_GEOMEAN = """
+SELECT o_orderpriority,
+       round(exp(avg(ln(o_totalprice))), 2) AS geo_mean_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (§2.10): a python table function (one input row ->
+    N output rows, lateral-join shape) splitting documents into indexed
+    sentences. Kept off hot paths by design (row-at-a-time python);
+    posexplode/explode cover the vectorized generator case."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            parts = [p.strip() for p in (text or "").split(".")]
+            i = 0
+            for p in parts:
+                if p:
+                    yield i, p
+                    i += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    d = load_table(spark, sf_dir, "documents")
+    d.where(F.col("doc_id") < 100).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.sent_idx, s.sentence "
+        "FROM _udtf_docs, LATERAL split_sentences(text) s"
+    )
+
+
+_ORACLE_UDTF_SENTENCES = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, '.'),
+                     s -> trim(s, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))),
+                     s -> s <> '') AS sents
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(unnest(range(len(sents))) AS INTEGER) AS sent_idx,
+       unnest(sents) AS sentence
+FROM t
+"""
+
+
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar + correlated subqueries through the SQL front door:
     customers above the global average balance, with their order count."""
@@ -1478,6 +1559,8 @@ QUERIES: dict[str, QueryFn] = {
     "percentiles": q_percentiles,
     "ratio_report": q_ratio_report,
     "posexplode": q_posexplode,
+    "udaf_geomean": q_udaf_geomean,
+    "udtf_sentences": q_udtf_sentences,
     "scalar_subquery": q_scalar_subquery,
     "html_clean": q_html_clean,
     "lang_id": q_lang_id,
@@ -1535,6 +1618,8 @@ ORACLES: dict[str, str] = {
     "percentiles": _ORACLE_PERCENTILES,
     "ratio_report": _ORACLE_RATIO_REPORT,
     "posexplode": _ORACLE_POSEXPLODE,
+    "udaf_geomean": _ORACLE_UDAF_GEOMEAN,
+    "udtf_sentences": _ORACLE_UDTF_SENTENCES,
     "scalar_subquery": _ORACLE_SCALAR_SUBQUERY,
     "lang_id": _ORACLE_LANG_ID,
     "quality_scores": _ORACLE_QUALITY_SCORES,
