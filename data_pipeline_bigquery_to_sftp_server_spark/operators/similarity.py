@@ -271,7 +271,12 @@ def ivf_topk(
         "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     train = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
-    km = KMeans(k=n_centroids, seed=seed, maxIter=20, featuresCol="_fv", predictionCol="_cid")
+    # A coarse quantizer only needs rough cluster shapes — few iters;
+    # recall is governed by n_probe, not centroid convergence.
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=8, initMode="random",
+        featuresCol="_fv", predictionCol="_cid",
+    )
     model = km.fit(train)
     assigned = model.transform(base).select(id_col, vec_col, "_cid")
 
