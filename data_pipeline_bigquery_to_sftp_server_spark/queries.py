@@ -32,6 +32,7 @@ from data_pipeline_bigquery_to_sftp_server_spark.operators import (
     merge,
     relational,
     similarity,
+    skew,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1111,6 +1112,35 @@ FROM (SELECT doc_id,
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation salted join (SURVEY §4): lineitem (hot side,
+    deterministic row-hash salt) ⋈ supplier (replicated across salts),
+    then per-nation totals. Salting must be invisible in the result —
+    the oracle is the plain join, which is exactly the property that
+    makes salting safe to deploy on a hot key at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    joined = skew.salted_join(li, s, key="l_suppkey", factor=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+_ORACLE_SALTED_JOIN = """
+SELECT s_nationkey,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
 def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDAF surface (§2.10): grouped-agg pandas UDF (Arrow-vectorized)
     computing a geometric mean — not expressible with builtins — and
@@ -1559,6 +1589,7 @@ QUERIES: dict[str, QueryFn] = {
     "percentiles": q_percentiles,
     "ratio_report": q_ratio_report,
     "posexplode": q_posexplode,
+    "salted_join": q_salted_join,
     "udaf_geomean": q_udaf_geomean,
     "udtf_sentences": q_udtf_sentences,
     "scalar_subquery": q_scalar_subquery,
@@ -1618,6 +1649,7 @@ ORACLES: dict[str, str] = {
     "percentiles": _ORACLE_PERCENTILES,
     "ratio_report": _ORACLE_RATIO_REPORT,
     "posexplode": _ORACLE_POSEXPLODE,
+    "salted_join": _ORACLE_SALTED_JOIN,
     "udaf_geomean": _ORACLE_UDAF_GEOMEAN,
     "udtf_sentences": _ORACLE_UDTF_SENTENCES,
     "scalar_subquery": _ORACLE_SCALAR_SUBQUERY,
