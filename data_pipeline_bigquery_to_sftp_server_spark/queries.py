@@ -1516,8 +1516,14 @@ FROM documents
 
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: watermarked tumbling-window streaming agg driven to
-    completion on a file stream of the events table (rows-only; the
-    batch equivalent is oracle-checked as hourly_rollup)."""
+    completion on a file stream of the events table, ORACLE-CHECKED:
+    ``complete`` output mode emits every window (including ones the
+    watermark hasn't closed), so the finished stream equals the batch
+    GROUP BY — which DuckDB can run. Complete mode holds the whole
+    result in state; that's fine for a bounded window-count result even
+    at 100 TB of input (state is windows × event_type, not rows), but
+    unbounded-key complete sinks would not be — those use append mode
+    (streaming_session) or foreachBatch (streaming_upsert)."""
     import tempfile
     import uuid
 
@@ -1529,10 +1535,70 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = W.read_events_stream(spark, path, ev.schema, max_files_per_trigger=8)
     name = f"q_stream_{uuid.uuid4().hex[:8]}"
     q = W.run_to_memory(
-        W.tumbling_counts(stream, window_len="1 hour", watermark="2 hours"), name
+        W.tumbling_counts(stream, window_len="1 hour", watermark="2 hours"),
+        name,
+        output_mode="complete",
     )
     q.stop()
-    return spark.table(name)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return spark.table(name).select(
+        F.date_format("window_start", fmt).alias("window_start"),
+        F.date_format("window_end", fmt).alias("window_end"),
+        "event_type",
+        "n",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+_ORACLE_STREAMING_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + J1: the reference's staging+MERGE loop (main.py:338-388)
+    generalized to a stream, ORACLE-CHECKED. The staging batch is split
+    into 4 parquet files fed one-per-micro-batch through foreachBatch;
+    each batch MERGEs into the running target (anti-join + union,
+    lineage cut with localCheckpoint so the plan doesn't grow per
+    batch). Staging is key-unique, so the final table is independent of
+    batch order and equals the one-shot batch MERGE — DuckDB runs that.
+    At scale the localCheckpoint slot is a Delta/Iceberg MERGE inside
+    foreachBatch; checkpointed idempotent-per-key batches give
+    effectively-exactly-once, the same argument the reference relied
+    on."""
+    import tempfile
+
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    o = load_table(spark, sf_dir, "orders")
+    updates, inserts = _staged_orders(o)
+    staging = updates.unionByName(inserts)
+    src = tempfile.mkdtemp(prefix="upsert_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="upsert_stream_ckpt_")
+    staging.repartition(4).write.mode("overwrite").parquet(src)
+
+    state = {"target": o.localCheckpoint()}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        merged = merge.upsert_anti_union(state["target"], batch_df, "o_orderkey")
+        state["target"] = merged.localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(staging.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = W.streaming_upsert(stream, apply_batch, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    return state["target"]
 
 
 # ---------------------------------------------------------------------------
@@ -1601,6 +1667,7 @@ QUERIES: dict[str, QueryFn] = {
     "csv_roundtrip": q_csv_roundtrip,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
+    "streaming_upsert": q_streaming_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -1658,6 +1725,10 @@ ORACLES: dict[str, str] = {
     "fingerprints": _ORACLE_FINGERPRINTS,
     "media_features": _ORACLE_MEDIA_FEATURES,
     "csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
-    # html_clean / streaming_tumbling: rows-only (python HTMLParser UDF
-    # semantics, streaming sink) — covered by pytest instead.
+    "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
+    # streaming_upsert finishes as the batch MERGE result: same oracle.
+    "streaming_upsert": _ORACLE_MERGE_UPSERT,
+    # html_clean / streaming_session: rows-only (python HTMLParser UDF
+    # semantics; append-mode session sink only emits watermark-closed
+    # sessions) — covered by pytest instead.
 }
