@@ -1243,6 +1243,103 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
 """
 
 
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS with a non-equi conjunct,
+    decorrelated to a left-semi join (orders with at least one line
+    shipped after the order date), counted per priority. The semi join
+    hashes on the equi key and evaluates the date conjunct as a
+    residual, so it broadcast/shuffle-plans like any equi join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_EXISTS_SUBQUERY = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_priority_case_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional CASE aggregation: per linestatus,
+    how many lineitems belong to urgent/high- vs lower-priority orders.
+    The CASE folds into the partial (map-side) aggregate, so the
+    shuffle carries 2 longs per linestatus, not the joined rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_ORACLE_PRIORITY_CASE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional-ratio aggregate: the share of
+    revenue from PROMO-type parts per returnflag. Single pass: both
+    the conditional and total revenue are partial aggregates of the
+    same join; no second scan, no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_PROMO_SHARE = """
+SELECT l_returnflag,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide -> long), the inverse of q_pivot."""
     wide = q_pivot(spark, sf_dir)
@@ -1659,6 +1756,9 @@ QUERIES: dict[str, QueryFn] = {
     "udaf_geomean": q_udaf_geomean,
     "udtf_sentences": q_udtf_sentences,
     "scalar_subquery": q_scalar_subquery,
+    "exists_subquery": q_exists_subquery,
+    "priority_case_counts": q_priority_case_counts,
+    "promo_share": q_promo_share,
     "html_clean": q_html_clean,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1720,6 +1820,9 @@ ORACLES: dict[str, str] = {
     "udaf_geomean": _ORACLE_UDAF_GEOMEAN,
     "udtf_sentences": _ORACLE_UDTF_SENTENCES,
     "scalar_subquery": _ORACLE_SCALAR_SUBQUERY,
+    "exists_subquery": _ORACLE_EXISTS_SUBQUERY,
+    "priority_case_counts": _ORACLE_PRIORITY_CASE,
+    "promo_share": _ORACLE_PROMO_SHARE,
     "lang_id": _ORACLE_LANG_ID,
     "quality_scores": _ORACLE_QUALITY_SCORES,
     "fingerprints": _ORACLE_FINGERPRINTS,

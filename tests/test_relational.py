@@ -81,3 +81,26 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
     assert explain.has_partial_aggregation(agg)
+
+
+def test_exists_subquery_plans_as_semi_join(spark, sf_dir):
+    """The correlated-EXISTS shape (TPC-H Q4) must decorrelate to a
+    single semi join with the date conjunct as a residual — no
+    nested-loop re-scan of lineitem per order."""
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import q_exists_subquery
+
+    df = q_exists_subquery(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert explain.has_partial_aggregation(df)
+
+
+def test_promo_share_broadcasts_dim(spark, sf_dir):
+    """part is a dimension table: the Q14-shaped ratio must broadcast it
+    rather than shuffling lineitem."""
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import q_promo_share
+
+    df = q_promo_share(spark, sf_dir)
+    assert explain.has_broadcast_join(df)
+    assert explain.has_partial_aggregation(df)
