@@ -13,9 +13,10 @@ Two tiers, both pure DataFrame plans:
   generation shuffles only (band, bucket) keys. This is the 100 TB
   path: probe cost ~ bucket size, not corpus size.
 
-- IVF (inverted-file) ANN: k-means coarse quantizer (MLlib, trained on
-  a sample) -> corpus bucketed by nearest centroid -> queries probe
-  their ``n_probe`` nearest centroids -> exact re-rank within probed
+- IVF (inverted-file) ANN: k-means coarse quantizer (numpy, trained
+  driver-side on a bounded sample, FAISS-style) -> corpus bucketed by
+  nearest centroid in one Arrow-batched pass -> queries probe their
+  ``n_probe`` nearest centroids -> exact re-rank within probed
   buckets. Probing all centroids degrades gracefully to exact search
   (the property the tests pin down).
 """
@@ -23,6 +24,8 @@ Two tiers, both pure DataFrame plans:
 from __future__ import annotations
 
 import random
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -49,6 +52,32 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; 0-norm inputs yield NULL (division by zero)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0, F.lit(None).cast("double")).otherwise(dot(a, b) / denom)
+
+
+def _kmeans_np(X, k: int, n_iter: int = 8, seed: int = 42):
+    """Plain Lloyd k-means on an in-memory sample — the coarse
+    quantizer for :func:`ivf_topk`. A quantizer only needs rough
+    cluster shapes (recall is governed by n_probe), so few iterations
+    and a bounded sample suffice; this is how FAISS trains IVF lists.
+    Deterministic for a fixed seed. Empty clusters are reseeded from
+    the data so exactly ``k`` centroids always come back."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    C = X[rng.choice(n, size=min(k, n), replace=False)].copy()
+    if len(C) < k:  # degenerate tiny sample: pad with jittered repeats
+        C = np.vstack([C, C[rng.integers(0, len(C), k - len(C))] + 1e-6])
+    for _ in range(n_iter):
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        lab = d2.argmin(axis=1)
+        for j in range(k):
+            m = lab == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+            else:
+                C[j] = X[rng.integers(0, n)]
+    return C
 
 
 def brute_force_topk(
@@ -264,25 +293,40 @@ def ivf_topk(
     there too.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
 
-    base = ensure_parallelism(corpus.select(id_col, vec_col)).withColumn(
-        "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    train = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
-    # A coarse quantizer only needs rough cluster shapes — few iters;
-    # recall is governed by n_probe, not centroid convergence.
-    km = KMeans(
-        k=n_centroids, seed=seed, maxIter=8, initMode="random",
-        featuresCol="_fv", predictionCol="_cid",
-    )
-    model = km.fit(train)
-    assigned = model.transform(base).select(id_col, vec_col, "_cid")
+    # Train the coarse quantizer driver-side on a bounded sample
+    # (FAISS-style): quantizer quality needs thousands of points, not
+    # the corpus — so training cost is O(sample), independent of corpus
+    # size, and avoids an iterative distributed k-means (one Spark job
+    # per iteration) for a 16xdim matrix of output.
+    max_train = 8192
+    if train_fraction >= 1.0:
+        sample_rows = corpus.select(vec_col).limit(max_train).collect()
+    else:
+        sample_rows = (
+            corpus.select(vec_col).sample(train_fraction, seed=seed).limit(max_train).collect()
+        )
+    X = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+    centers = _kmeans_np(X, n_centroids, n_iter=8, seed=seed)
+
+    # Bucket assignment: one embarrassingly-parallel Arrow-batched pass,
+    # nearest centroid by Euclidean distance (numpy matmul per batch).
+    # In production this column is materialized once and reused.
+    C = centers
+    cn2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        M = np.asarray(vecs.to_list(), dtype=np.float64)
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + cn2[None, :]
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    base = ensure_parallelism(corpus.select(id_col, vec_col))
+    assigned = base.withColumn("_cid", _assign(F.col(vec_col).cast("array<double>")))
 
     # Probe list: n_probe nearest centroids per query, by cosine.
     # Centroids are tiny (n_centroids x dim) -> rank them driver-side.
-    centers = np.vstack(model.clusterCenters())
     c_norm = np.linalg.norm(centers, axis=1)
     c_norm[c_norm == 0] = np.nan
     q_rows = queries.select(query_id_col, query_vec_col).collect()
