@@ -32,8 +32,10 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each SQL-expressible query; keys
     missing here (minhash_pairs, simhash_groups, embedding_dups,
     lsh_topk, ivf_topk) are approximate/hash-seeded operators,
-    html_clean is a python-HTMLParser UDF, and streaming_tumbling /
-    streaming_session are streaming sinks -> rows-only checks, with
-    recall/parity (and IVF full-probe == exact brute force) verified
-    in tests/."""
+    html_clean is a python-HTMLParser UDF, and streaming_session is an
+    append-mode sink (only watermark-closed sessions are emitted) ->
+    rows-only checks, with recall/parity (and IVF full-probe == exact
+    brute force) verified in tests/. The other streaming queries
+    (streaming_tumbling, streaming_sliding, streaming_upsert) run to
+    completion and ARE oracle-checked against their batch SQL."""
     return dict(ORACLES)

@@ -46,6 +46,9 @@ HEADLINE = [
     "shipping_priority",
     "ivf_topk",
     "media_features",
+    "exists_subquery",
+    "promo_share",
+    "salted_join",
 ]
 
 

@@ -1658,6 +1658,48 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: sliding-window streaming agg (1h window, 15min slide) driven
+    to completion in complete output mode, ORACLE-CHECKED: each event
+    belongs to exactly 4 overlapping windows, which DuckDB reproduces
+    by cross-joining the 4 slide offsets. Same bounded-state argument
+    as streaming_tumbling (state is windows x event_type)."""
+    import tempfile
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="events_slide_stream_")
+    ev.write.mode("overwrite").parquet(path)
+    stream = W.read_events_stream(spark, path, ev.schema, max_files_per_trigger=8)
+    name = f"q_slide_stream_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(
+        W.sliding_counts(
+            stream, window_len="1 hour", slide="15 minutes", watermark="2 hours"
+        ),
+        name,
+        output_mode="complete",
+    )
+    q.stop()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+_ORACLE_STREAMING_SLIDING = """
+SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - o.off * INTERVAL 15 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n
+FROM events
+CROSS JOIN (SELECT unnest(range(4)) AS off) o
+GROUP BY 1, 2
+"""
+
+
 def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 + J1: the reference's staging+MERGE loop (main.py:338-388)
     generalized to a stream, ORACLE-CHECKED. The staging batch is split
@@ -1768,6 +1810,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
     "streaming_upsert": q_streaming_upsert,
+    "streaming_sliding": q_streaming_sliding,
 }
 
 ORACLES: dict[str, str] = {
@@ -1831,6 +1874,7 @@ ORACLES: dict[str, str] = {
     "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
     # streaming_upsert finishes as the batch MERGE result: same oracle.
     "streaming_upsert": _ORACLE_MERGE_UPSERT,
+    "streaming_sliding": _ORACLE_STREAMING_SLIDING,
     # html_clean / streaming_session: rows-only (python HTMLParser UDF
     # semantics; append-mode session sink only emits watermark-closed
     # sessions) — covered by pytest instead.
