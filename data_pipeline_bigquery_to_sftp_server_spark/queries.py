@@ -681,6 +681,41 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(e, threshold=0.35, dim=64)
 
 
+def q_embedding_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e correctness anchor, ORACLE-CHECKED: exact pairwise cosine
+    near-dup pairs by brute-force self-join (id_a < id_b). Quadratic by
+    construction — this is the ground truth the LSH variant
+    (embedding_dups) trades recall against; at 100 TB only the LSH/IVF
+    paths run, with this one on samples to measure their recall. The
+    threshold filter runs on the unrounded score; the rounded score is
+    the output (DuckDB list_cosine_similarity on DOUBLE[] agrees to
+    well past 4 decimals)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    cos = similarity.cosine(
+        F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("_cos"))
+        .where(F.col("_cos") >= 0.35)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
+_ORACLE_EMBEDDING_DUPS_EXACT = """
+SELECT id_a, id_b, round(cos, 4) AS cos_sim
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cos >= 0.35
+"""
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 scale path: SRP-LSH bucketed ANN top-k (approximate;
     rows-only check — recall measured in pytest)."""
@@ -1775,6 +1810,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk": q_cosine_topk,
     "cosine_topk_np": q_cosine_topk_np,
     "embedding_dups": q_embedding_dups,
+    "embedding_dups_exact": q_embedding_dups_exact,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "token_topk": q_token_topk,
@@ -1840,6 +1876,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "jaccard_pairs": _ORACLE_JACCARD_PAIRS,
     # minhash_pairs / simhash_groups / embedding_dups / lsh_topk: rows-only
+    "embedding_dups_exact": _ORACLE_EMBEDDING_DUPS_EXACT,
     "cosine_topk": _ORACLE_COSINE_TOPK,
     "cosine_topk_np": _ORACLE_COSINE_TOPK,
     "token_topk": _ORACLE_TOKEN_TOPK,
