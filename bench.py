@@ -49,6 +49,8 @@ HEADLINE = [
     "exists_subquery",
     "promo_share",
     "salted_join",
+    "big_orders",
+    "disjunctive_rev",
 ]
 
 

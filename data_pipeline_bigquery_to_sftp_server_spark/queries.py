@@ -1440,6 +1440,117 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING filter over a grouped fact, then join
+    back to dimensions. The heavy groupBy runs FIRST on the narrow
+    (l_orderkey, l_quantity) projection; only the few surviving keys
+    join to orders/customer, so the dimension joins are broadcast-size
+    regardless of fact cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+    )
+
+
+_ORACLE_BIG_ORDERS = """
+SELECT c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2)            AS totalprice,
+       total_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey
+"""
+
+
+def q_disjunctive_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under OR-of-conjunct predicate groups
+    spanning both join sides. The shared equi key still drives a hash
+    join (part broadcast); the disjunction is a residual filter, so no
+    nested-loop fallback. Only the 5 referenced columns are scanned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | ((F.col("p_brand") == "Brand#9") & (F.col("l_quantity") >= 25))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_ORACLE_DISJUNCTIVE_REV = """
+SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'PROMO'   AND p_size BETWEEN 1 AND 15  AND l_quantity BETWEEN 1 AND 20)
+   OR (p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#9' AND l_quantity >= 25)
+"""
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 lexical variant — edit-distance fuzzy matching: pairs of
+    DISTINCT part names within levenshtein <= 2. Dedup-to-vocabulary
+    first (the name vocabulary is tiny and bounded even when part is
+    huge), so the quadratic compare runs on the vocab, not the table —
+    the same collapse-then-compare shape as dedup-by-key at 100 TB."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("edit_dist")
+        )
+        .where(F.col("edit_dist") <= 2)
+    )
+
+
+_ORACLE_FUZZY_NAME_PAIRS = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only extras: exact-parity HTML UDF, composite text scores,
 # streaming window (X7) — not SQL-expressible for the DuckDB oracle
@@ -1837,6 +1948,9 @@ QUERIES: dict[str, QueryFn] = {
     "exists_subquery": q_exists_subquery,
     "priority_case_counts": q_priority_case_counts,
     "promo_share": q_promo_share,
+    "big_orders": q_big_orders,
+    "disjunctive_rev": q_disjunctive_rev,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "html_clean": q_html_clean,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1903,6 +2017,9 @@ ORACLES: dict[str, str] = {
     "exists_subquery": _ORACLE_EXISTS_SUBQUERY,
     "priority_case_counts": _ORACLE_PRIORITY_CASE,
     "promo_share": _ORACLE_PROMO_SHARE,
+    "big_orders": _ORACLE_BIG_ORDERS,
+    "disjunctive_rev": _ORACLE_DISJUNCTIVE_REV,
+    "fuzzy_name_pairs": _ORACLE_FUZZY_NAME_PAIRS,
     "lang_id": _ORACLE_LANG_ID,
     "quality_scores": _ORACLE_QUALITY_SCORES,
     "fingerprints": _ORACLE_FINGERPRINTS,

@@ -104,3 +104,39 @@ def test_promo_share_broadcasts_dim(spark, sf_dir):
     df = q_promo_share(spark, sf_dir)
     assert explain.has_broadcast_join(df)
     assert explain.has_partial_aggregation(df)
+
+
+def test_big_orders_aggregates_before_join(spark, sf_dir):
+    """Q18 shape: the HAVING groupBy must run before the dimension
+    joins (partial agg present), and the fact scan must be pruned to
+    the two columns the agg needs."""
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import q_big_orders
+
+    df = q_big_orders(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert explain.has_partial_aggregation(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_disjunctive_rev_stays_hash_join(spark, sf_dir):
+    """Q19 shape: the OR-of-conjuncts must remain a residual on the
+    broadcast equi join — no nested-loop fallback."""
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import q_disjunctive_rev
+
+    df = q_disjunctive_rev(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert explain.has_broadcast_join(df)
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_fuzzy_name_pairs_compares_vocab_not_table(spark, sf_dir):
+    """The levenshtein self-join must run on the deduped name
+    vocabulary: a distinct aggregate appears below the join in the
+    plan, and only p_name is read from parquet."""
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import q_fuzzy_name_pairs
+
+    df = q_fuzzy_name_pairs(spark, sf_dir)
+    pairs = df.collect()
+    assert all(r.edit_dist <= 2 and r.name_a < r.name_b for r in pairs)
+    rs = explain.read_schema(df)
+    assert "p_name" in rs and "p_retailprice" not in rs
