@@ -1702,6 +1702,48 @@ ORDER BY s_nationkey
 """
 
 
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 at scale — hive-partitioned parquet sink + partition-pruned
+    scan, ORACLE-CHECKED: write orders partitioned by order month, read
+    back filtering to Q1-1995; the month predicate is satisfied by
+    directory pruning (PartitionFilters in the plan — asserted in
+    pytest), so only 3 of ~90 month directories are listed or read.
+    This is the layout that makes the 100 TB time-range query cheap:
+    cost scales with months touched, not table size."""
+    import tempfile
+
+    from data_pipeline_bigquery_to_sftp_server_spark.sources import files
+
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="part_prune_")
+    files.write_parquet(
+        o.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM")),
+        out,
+        partition_by=["o_month"],
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.where(F.col("o_month").isin("1995-01", "1995-02", "1995-03"))
+        .groupBy("o_month", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_month", "o_orderstatus")
+    )
+
+
+_ORACLE_PARTITIONED_PRUNE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-01', '1995-02', '1995-03')
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7/§2.9: watermarked session_window streaming agg driven to
     completion on a file stream of events (rows-only: append mode only
@@ -1951,6 +1993,7 @@ QUERIES: dict[str, QueryFn] = {
     "big_orders": q_big_orders,
     "disjunctive_rev": q_disjunctive_rev,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "partitioned_prune": q_partitioned_prune,
     "html_clean": q_html_clean,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -2020,6 +2063,7 @@ ORACLES: dict[str, str] = {
     "big_orders": _ORACLE_BIG_ORDERS,
     "disjunctive_rev": _ORACLE_DISJUNCTIVE_REV,
     "fuzzy_name_pairs": _ORACLE_FUZZY_NAME_PAIRS,
+    "partitioned_prune": _ORACLE_PARTITIONED_PRUNE,
     "lang_id": _ORACLE_LANG_ID,
     "quality_scores": _ORACLE_QUALITY_SCORES,
     "fingerprints": _ORACLE_FINGERPRINTS,

@@ -85,3 +85,16 @@ def test_csv_glob_read_write(spark, tmp_path):
     files.write_csv_single(df, str(tmp_path / "out"))
     part = list((tmp_path / "out").glob("part-*.csv"))
     assert len(part) == 1  # single-file export (S6)
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir):
+    """The month filter on a hive-partitioned layout must be satisfied
+    by directory pruning (PartitionFilters), not a data filter over the
+    full scan — the property that bounds time-range cost at 100 TB."""
+    from data_pipeline_bigquery_to_sftp_server_spark.plans import explain
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import q_partitioned_prune
+
+    df = q_partitioned_prune(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "o_month" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
