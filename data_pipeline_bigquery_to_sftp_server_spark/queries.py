@@ -1928,6 +1928,130 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state["target"]
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 streaming form + §2.9, ORACLE-CHECKED: watermarked
+    dropDuplicates over a file stream that delivers the whole events
+    table TWICE (the same parquet file under two names, one per
+    micro-batch). The second delivery is fully suppressed by dedup
+    state, so the append-mode output equals SELECT-from-events once —
+    exactly the at-least-once -> effectively-exactly-once upgrade the
+    reference's keyed MERGE provided (main.py:349-358), here as a
+    streaming operator. State is one key per event inside the watermark
+    horizon; at 100 TB the horizon bounds it to the late-data window."""
+    import glob as globmod
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="events_dedup_stage_")
+    src = tempfile.mkdtemp(prefix="events_dedup_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = globmod.glob(f"{stage}/part-*.parquet")[0]
+    shutil.copy(part, f"{src}/delivery1.parquet")
+    shutil.copy(part, f"{src}/delivery2.parquet")
+
+    stream = W.read_events_stream(spark, src, ev.schema, max_files_per_trigger=1)
+    deduped = W.streaming_dedup(
+        stream, key_cols=("event_id",), watermark="3650 days"
+    )
+    name = f"q_dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(deduped, name)
+    q.stop()
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+_ORACLE_STREAMING_DEDUP = """
+SELECT event_id, user_id, event_type, round(value, 4) AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events
+"""
+
+
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10/§2.9 custom stateful operator, ORACLE-CHECKED:
+    applyInPandasWithState per-user error-counter (reset on purchase,
+    alert at >= 3) driven over FOUR ts-ordered micro-batches (file
+    mtimes pin the source order). Update-mode emits one row per key per
+    batch; the monotone n_seen version stamp selects the final state,
+    which must equal the batch answer DuckDB computes (errors after
+    each user's last purchase). State is one 2-long tuple per key —
+    bounded by key cardinality, checkpointed by GroupState, so the
+    operator survives executor loss at any scale."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = tempfile.mkdtemp(prefix="events_state_src_")
+    wb = Window.orderBy("ts", "event_id")
+    parts = ev.withColumn("_b", F.ntile(4).over(wb))
+    for i in range(1, 5):
+        stage = tempfile.mkdtemp(prefix=f"events_state_b{i}_")
+        parts.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        dst = f"{src}/batch{i}.parquet"
+        shutil.copy(globmod.glob(f"{stage}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"q_state_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful.errors_since_purchase(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    updates = spark.table(name)
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (
+        updates.withColumn("_rn", F.row_number().over(wlast))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_errors_since_purchase", "alert")
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_STREAMING_STATEFUL = """
+WITH lp AS (
+  SELECT user_id, max(ts) FILTER (WHERE event_type = 'purchase') AS lpts
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       CAST(count(*) FILTER (WHERE e.event_type = 'error'
+                             AND (lpts IS NULL OR e.ts > lpts)) AS BIGINT)
+         AS n_errors_since_purchase,
+       count(*) FILTER (WHERE e.event_type = 'error'
+                        AND (lpts IS NULL OR e.ts > lpts)) >= 3
+         AS alert
+FROM events e JOIN lp ON e.user_id = lp.user_id
+GROUP BY e.user_id, lp.lpts
+ORDER BY e.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2004,6 +2128,8 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_session": q_streaming_session,
     "streaming_upsert": q_streaming_upsert,
     "streaming_sliding": q_streaming_sliding,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_stateful": q_streaming_stateful,
 }
 
 ORACLES: dict[str, str] = {
@@ -2073,6 +2199,8 @@ ORACLES: dict[str, str] = {
     # streaming_upsert finishes as the batch MERGE result: same oracle.
     "streaming_upsert": _ORACLE_MERGE_UPSERT,
     "streaming_sliding": _ORACLE_STREAMING_SLIDING,
+    "streaming_dedup": _ORACLE_STREAMING_DEDUP,
+    "streaming_stateful": _ORACLE_STREAMING_STATEFUL,
     # html_clean / streaming_session: rows-only (python HTMLParser UDF
     # semantics; append-mode session sink only emits watermark-closed
     # sessions) — covered by pytest instead.

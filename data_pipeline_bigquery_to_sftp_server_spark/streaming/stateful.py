@@ -16,8 +16,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "user_id long, n_errors_since_purchase long, alert boolean"
-STATE_SCHEMA = "n_errors long"
+OUTPUT_SCHEMA = (
+    "user_id long, n_errors_since_purchase long, alert boolean, n_seen long"
+)
+STATE_SCHEMA = "n_errors long, n_seen long"
 
 
 def _track_errors(
@@ -25,20 +27,26 @@ def _track_errors(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Count error events per user, reset on purchase; alert at >= 3."""
-    (n_errors,) = state.get if state.exists else (0,)
+    """Count error events per user, reset on purchase; alert at >= 3.
+    ``n_seen`` counts every event ever processed for the key — a
+    monotone version stamp, so in update-mode output the row with the
+    max n_seen per key IS the final state (micro-batch emission order
+    need not be tracked by the consumer)."""
+    n_errors, n_seen = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         for _, row in pdf.sort_values("ts").iterrows():
+            n_seen += 1
             if row["event_type"] == "purchase":
                 n_errors = 0
             elif row["event_type"] == "error":
                 n_errors += 1
-    state.update((n_errors,))
+    state.update((n_errors, n_seen))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_errors_since_purchase": [n_errors],
             "alert": [n_errors >= 3],
+            "n_seen": [n_seen],
         }
     )
 
