@@ -36,6 +36,7 @@ def oracle_sql() -> dict[str, str]:
     append-mode sink (only watermark-closed sessions are emitted) ->
     rows-only checks, with recall/parity (and IVF full-probe == exact
     brute force) verified in tests/. The other streaming queries
-    (streaming_tumbling, streaming_sliding, streaming_upsert) run to
-    completion and ARE oracle-checked against their batch SQL."""
+    (streaming_tumbling, streaming_sliding, streaming_upsert,
+    streaming_dedup, streaming_stateful) run to completion and ARE
+    oracle-checked against their batch SQL."""
     return dict(ORACLES)

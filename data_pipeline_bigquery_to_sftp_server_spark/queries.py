@@ -1523,6 +1523,86 @@ WHERE (p_type = 'PROMO'   AND p_size BETWEEN 1 AND 15  AND l_quantity BETWEEN 1 
 """
 
 
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 F19 (math/date arithmetic beyond epoch formatting): ship
+    delay in days, calendar truncation, month-offset due dates —
+    year/quarter extraction drives the grouped agg. All native
+    expressions inside whole-stage codegen; the join is the same
+    broadcast-able equi join as priority_case_counts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return (
+        j.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+            F.datediff("l_shipdate", "o_orderdate").alias("delay"),
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(
+                "ship_month"
+            ),
+            F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+                "due_date"
+            ),
+        )
+        .groupBy("o_year", "o_quarter")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("delay"), 4).alias("avg_ship_delay_days"),
+            F.min("ship_month").alias("first_ship_month"),
+            F.max("due_date").alias("last_due_date"),
+        )
+        .orderBy("o_year", "o_quarter")
+    )
+
+
+_ORACLE_DATE_ARITHMETIC = """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT)    AS o_year,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS o_quarter,
+       count(*)                                          AS n_lines,
+       round(avg(date_diff('day', o_orderdate, l_shipdate)), 4)
+                                                         AS avg_ship_delay_days,
+       min(strftime(date_trunc('month', l_shipdate), '%Y-%m-%d'))
+                                                         AS first_ship_month,
+       max(strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d'))
+                                                         AS last_due_date
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8/X3 higher-order-function surface over array columns:
+    per-vector L2 norm (aggregate fold), positive-component count
+    (filter), max |x| (transform + array_max) — all JVM-side lambda
+    expressions, no Python, evaluated in one pass per row with zero
+    shuffle. This is the declarative path the similarity operators
+    build on when numpy batching isn't warranted."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    n_pos = F.size(F.filter(v, lambda x: x > F.lit(0.0))).cast("long")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return e.select(
+        "vec_id",
+        F.round(l2, 4).alias("l2_norm"),
+        n_pos.alias("n_pos"),
+        F.round(max_abs, 4).alias("max_abs"),
+    )
+
+
+_ORACLE_ARRAY_HOF = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))), 4)        AS l2_norm,
+       CAST(len(list_filter(CAST(embedding AS DOUBLE[]),
+                            x -> x > 0)) AS BIGINT)                AS n_pos,
+       round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))), 4)             AS max_abs
+FROM embeddings
+"""
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 lexical variant — edit-distance fuzzy matching: pairs of
     DISTINCT part names within levenshtein <= 2. Dedup-to-vocabulary
@@ -2118,6 +2198,8 @@ QUERIES: dict[str, QueryFn] = {
     "disjunctive_rev": q_disjunctive_rev,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "partitioned_prune": q_partitioned_prune,
+    "date_arithmetic": q_date_arithmetic,
+    "array_hof": q_array_hof,
     "html_clean": q_html_clean,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -2190,6 +2272,8 @@ ORACLES: dict[str, str] = {
     "disjunctive_rev": _ORACLE_DISJUNCTIVE_REV,
     "fuzzy_name_pairs": _ORACLE_FUZZY_NAME_PAIRS,
     "partitioned_prune": _ORACLE_PARTITIONED_PRUNE,
+    "date_arithmetic": _ORACLE_DATE_ARITHMETIC,
+    "array_hof": _ORACLE_ARRAY_HOF,
     "lang_id": _ORACLE_LANG_ID,
     "quality_scores": _ORACLE_QUALITY_SCORES,
     "fingerprints": _ORACLE_FINGERPRINTS,
