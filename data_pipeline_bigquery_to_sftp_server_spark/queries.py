@@ -1536,6 +1536,49 @@ WHERE (p_type = 'PROMO'   AND p_size BETWEEN 1 AND 15  AND l_quantity BETWEEN 1 
 """
 
 
+def q_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 SQL front door (SURVEY §3): a multi-CTE statement with a
+    window over an aggregate, submitted as TEXT to spark.sql — the
+    engine's parser/analyzer/Catalyst replace the remote BigQuery the
+    reference shipped SQL strings to (main.py:85-89, 349-358). The
+    same text (modulo QUALIFY, which OSS Spark lacks) runs on DuckDB
+    as the oracle, so the two parsers' semantics are compared
+    directly."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        WITH cust_rev AS (
+          SELECT c_custkey, c_mktsegment, round(sum(o_totalprice), 2) AS revenue
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey, c_mktsegment
+        ), ranked AS (
+          SELECT c_mktsegment, c_custkey, revenue,
+                 CAST(rank() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rnk
+          FROM cust_rev
+        )
+        SELECT * FROM ranked WHERE rnk <= 5
+        ORDER BY c_mktsegment, rnk, c_custkey
+        """
+    )
+
+
+_ORACLE_SQL_CTE = """
+WITH cust_rev AS (
+  SELECT c_custkey, c_mktsegment, round(sum(o_totalprice), 2) AS revenue
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_mktsegment
+), ranked AS (
+  SELECT c_mktsegment, c_custkey, revenue,
+         CAST(rank() OVER (PARTITION BY c_mktsegment
+                           ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rnk
+  FROM cust_rev
+)
+SELECT * FROM ranked WHERE rnk <= 5
+ORDER BY c_mktsegment, rnk, c_custkey
+"""
+
+
 def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 F19 (math/date arithmetic beyond epoch formatting): ship
     delay in days, calendar truncation, month-offset due dates —
@@ -2213,6 +2256,7 @@ QUERIES: dict[str, QueryFn] = {
     "partitioned_prune": q_partitioned_prune,
     "date_arithmetic": q_date_arithmetic,
     "array_hof": q_array_hof,
+    "sql_cte": q_sql_cte,
     "html_clean": q_html_clean,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -2287,6 +2331,7 @@ ORACLES: dict[str, str] = {
     "partitioned_prune": _ORACLE_PARTITIONED_PRUNE,
     "date_arithmetic": _ORACLE_DATE_ARITHMETIC,
     "array_hof": _ORACLE_ARRAY_HOF,
+    "sql_cte": _ORACLE_SQL_CTE,
     "lang_id": _ORACLE_LANG_ID,
     "quality_scores": _ORACLE_QUALITY_SCORES,
     "fingerprints": _ORACLE_FINGERPRINTS,
