@@ -1536,6 +1536,151 @@ WHERE (p_type = 'PROMO'   AND p_size BETWEEN 1 AND 15  AND l_quantity BETWEEN 1 
 """
 
 
+def q_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E3 end-to-end, ORACLE-CHECKED: the reference's ENTIRE sync
+    flow (main.py:391-471) — paginated id scan -> new/existing split ->
+    distributed mapInPandas detail fetch -> the full 44-field-style
+    transform (0-epoch->NULL, HTML clean, Python-repr tags, lenient
+    JSON, bool defaults, struct shaping) -> anti+union MERGE into a
+    stale target -> final table. The ticket corpus is derived
+    DETERMINISTICALLY from `documents` (doc_id < 300), so DuckDB can
+    rebuild the expected post-merge table purely in SQL: transformed
+    rows for every scanned id plus the target-only rows the MERGE must
+    preserve. Struct output is compared as to_json. The driver-side
+    fetcher dict is the stand-in for the remote API and is bounded by
+    the reference's own page cap (2,000 ids/run, main.py:130-134)."""
+    from data_pipeline_bigquery_to_sftp_server_spark import pipeline
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    cts = (
+        F.when(F.col("doc_id") % 97 == 0, F.lit(0))
+        .otherwise(F.lit(1700000000) + F.col("doc_id") * 3600)
+        .cast("long")
+    )
+    raw = d.select(
+        F.col("doc_id").cast("string").alias("_id"),
+        F.substring("text", 1, 30).alias("subject"),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit(" &amp; more</p>")).alias(
+            "description"
+        ),
+        cts.alias("createdTimestamp"),
+        (F.lit(1700000500) + F.col("doc_id") * 3600).cast("long").alias(
+            "updatedTimestamp"
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.col("doc_id") % 3 == 0)
+        .alias("deleted"),
+        F.concat(F.lit("u"), F.col("doc_id"), F.lit("@example.com")).alias(
+            "fromEmail"
+        ),
+        F.concat(F.lit("User "), F.col("doc_id")).alias("fromName"),
+        F.array().cast("array<string>").alias("toEmails"),
+        F.when(F.col("doc_id") % 2 == 1, F.array("lang", "source"))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("tags"),
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.concat(
+                F.lit('{"k":"'),
+                F.col("lang"),
+                F.lit('","v":"'),
+                F.col("source"),
+                F.lit('"}'),
+            ),
+        )
+        .otherwise(F.lit("not json"))
+        .alias("meta"),
+        (F.col("doc_id") % 7).cast("long").alias("sendEmailFailureCount"),
+    )
+
+    # The "remote API": a bounded driver-side dict (the reference's own
+    # scan cap bounds this at 2,000 ids/run).
+    records = {r["_id"]: r.asDict() for r in raw.collect()}
+
+    def page_fetcher(page: int, per_page: int) -> list[dict]:
+        ids = sorted(records)[(page - 1) * per_page : page * per_page]
+        return [{"_id": i} for i in ids]
+
+    def detail_fetcher(tid: str) -> dict | None:
+        return records.get(tid)
+
+    # Stale target: ids < 150 carry an outdated subject (MERGE must
+    # overwrite), plus X-prefixed target-only rows (MERGE must keep).
+    stale = raw.where(F.col("_id").cast("int") < 150).withColumn(
+        "subject", F.lit("OLD")
+    )
+    extra = (
+        raw.where(F.col("_id").cast("int") < 20)
+        .withColumn("_id", F.concat(F.lit("X"), "_id"))
+        .withColumn("subject", F.lit("OLD"))
+    )
+    target = pipeline.transform_tickets(stale.unionByName(extra))
+
+    merged, _report = pipeline.sync_tickets(
+        spark, target, page_fetcher, detail_fetcher
+    )
+    return merged.select(
+        "_id",
+        "subject",
+        "description",
+        "createdTimestamp",
+        "createdDatetime",
+        "createdDate",
+        "updatedDatetime",
+        "deleted",
+        F.to_json("fromEmail").alias("fromEmail_json"),
+        "tags",
+        "meta",
+        "sendEmailFailureCount",
+    )
+
+
+_ORACLE_SYNC_PIPELINE = """
+WITH t AS (
+  SELECT doc_id, text, lang, source,
+         CASE WHEN doc_id % 97 = 0 THEN 0
+              ELSE 1700000000 + doc_id * 3600 END AS cts,
+         1700000500 + doc_id * 3600               AS uts
+  FROM documents WHERE doc_id < 300
+), x AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR)                  AS _id,
+         substr(text, 1, 30)                      AS subject,
+         text || ' & more'                        AS description,
+         CAST(cts AS VARCHAR)                     AS createdTimestamp,
+         CASE WHEN cts = 0 THEN NULL
+              ELSE strftime(make_timestamp(cts * 1000000),
+                            '%Y-%m-%d %H:%M:%S') END AS createdDatetime,
+         CASE WHEN cts = 0 THEN NULL
+              ELSE strftime(make_timestamp(cts * 1000000),
+                            '%Y-%m-%d') END          AS createdDate,
+         strftime(make_timestamp(uts * 1000000),
+                  '%Y-%m-%d %H:%M:%S')               AS updatedDatetime,
+         CASE WHEN doc_id % 5 = 0 THEN FALSE
+              ELSE doc_id % 3 = 0 END                AS deleted,
+         '{"email":"u' || doc_id || '@example.com","name":"User '
+             || doc_id || '"}'                       AS fromEmail_json,
+         CASE WHEN doc_id % 2 = 1
+              THEN '[''' || lang || ''', ''' || source || ''']'
+              ELSE '[]' END                          AS tags,
+         CASE WHEN doc_id % 4 <> 0
+              THEN '{"k":"' || lang || '","v":"' || source || '"}'
+              ELSE NULL END                          AS meta,
+         CAST(doc_id % 7 AS VARCHAR)                 AS sendEmailFailureCount
+  FROM t
+)
+SELECT _id, subject, description, createdTimestamp, createdDatetime,
+       createdDate, updatedDatetime, deleted, fromEmail_json, tags, meta,
+       sendEmailFailureCount
+FROM x
+UNION ALL
+SELECT 'X' || _id, 'OLD', description, createdTimestamp, createdDatetime,
+       createdDate, updatedDatetime, deleted, fromEmail_json, tags, meta,
+       sendEmailFailureCount
+FROM x WHERE doc_id < 20
+"""
+
+
 def q_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 SQL front door (SURVEY §3): a multi-CTE statement with a
     window over an aggregate, submitted as TEXT to spark.sql — the
@@ -2257,6 +2402,7 @@ QUERIES: dict[str, QueryFn] = {
     "date_arithmetic": q_date_arithmetic,
     "array_hof": q_array_hof,
     "sql_cte": q_sql_cte,
+    "sync_pipeline": q_sync_pipeline,
     "html_clean": q_html_clean,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -2332,6 +2478,7 @@ ORACLES: dict[str, str] = {
     "date_arithmetic": _ORACLE_DATE_ARITHMETIC,
     "array_hof": _ORACLE_ARRAY_HOF,
     "sql_cte": _ORACLE_SQL_CTE,
+    "sync_pipeline": _ORACLE_SYNC_PIPELINE,
     "lang_id": _ORACLE_LANG_ID,
     "quality_scores": _ORACLE_QUALITY_SCORES,
     "fingerprints": _ORACLE_FINGERPRINTS,
