@@ -2334,6 +2334,445 @@ ORDER BY e.user_id
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shaped relational breadth (Q4/Q7/Q8/Q13/Q15/Q17/Q22 shapes) — widens
+# the J*/A*/window coverage of SURVEY §2.3-2.6 with the classic decision-
+# support join/agg/subquery patterns the reference delegated to BigQuery.
+# ---------------------------------------------------------------------------
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (SURVEY §2.3 J3 semi-join + §2.4 A4): orders in a
+    quarter having at least one line shipped after the order date,
+    counted by priority.
+
+    Scale: the date filter prunes ORDERS before the semi-join, so the
+    shuffle on orderkey carries only one quarter of orders; the
+    non-equi (shipdate > orderdate) part rides along as a join-side
+    predicate instead of a post-join filter."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_q = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    late = o_q.join(
+        li,
+        (o_q.o_orderkey == li.l_orderkey) & (li.l_shipdate > o_q.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by ship
+    year — a five-table join where the supplier side and the customer
+    side each resolve a nation name.
+
+    Scale: both sides are pre-filtered to the two nations of interest
+    BEFORE the lineitem⋈orders shuffle — supplier/nation broadcast
+    prunes lineitem, customer/nation broadcast prunes orders — so the
+    one big shuffle carries ~2/25 of each fact table; the disjunctive
+    pair predicate (which straddles both sides) then runs on the
+    already-reduced join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_3", "NATION_8")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    supp = (
+        s.join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .where(F.col("supp_nation").isin(*pair))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        c.join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .where(F.col("cust_nation").isin(*pair))
+        .select("c_custkey", "cust_nation")
+    )
+    o_cn = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(o_cn, li.l_orderkey == o_cn.o_orderkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_ORACLE_VOLUME_SHIPPING = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+     OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: NATION_8's share of supplier revenue among ASIA
+    customers per order year — conditional aggregation (share =
+    sum(case)/sum) over a snowflake join.
+
+    Scale: region→nation→customer prunes orders via broadcast before
+    the fact-fact shuffle (same discipline as star_join); supplier
+    nation names ride a 10-row broadcast onto lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    o_asia = (
+        o.join(F.broadcast(asia_cust), o.o_custkey == asia_cust.c_custkey)
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
+    supp = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("s_nkey"),
+    ).select("s_suppkey", "supp_nation")
+    vol = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(o_asia, li.l_orderkey == o_asia.o_orderkey)
+        .select(
+            "o_year",
+            "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_8", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_ORACLE_MARKET_SHARE = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_8' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         n2.n_name AS supp_nation,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (§2.3 left-outer family): distribution of order counts
+    per customer, including zero-order customers.
+
+    Scale: orders are pre-aggregated to (custkey, count) with map-side
+    partial aggregation BEFORE joining customers — the join input
+    shrinks from |orders| rows to |customers-with-orders| rows, and the
+    left join preserves customers with no orders (count 0). The classic
+    formulation (left join then count) shuffles the full fact table."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ocnt = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    per_cust = c.join(ocnt, c.c_custkey == ocnt.o_custkey, "left").select(
+        "c_custkey", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_ORACLE_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the maximum quarterly revenue —
+    aggregate, then keep the rows equal to the global max (scalar-
+    subquery-against-own-aggregate pattern).
+
+    Scale: revenue is one row per supplier (tiny after the groupBy), so
+    the max side is a single-row broadcast; no second pass over
+    lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLE_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: average yearly revenue lost if small-quantity orders
+    (below half the per-part mean quantity) were not taken, for one
+    brand.
+
+    Scale: the correlated per-part average is computed once with a
+    map-side-combinable groupBy restricted to the brand's parts
+    (broadcast part prune), then broadcast back — two narrow passes
+    instead of a correlated-subquery re-scan per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    brand_parts = p.where(F.col("p_brand") == "Brand#2").select("p_partkey")
+    li_b = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = li_b.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li_b.join(F.broadcast(avg_qty), li_b.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_ORACLE_SMALL_QTY_REVENUE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#2'
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: per-nation count/balance of rich customers
+    (above-average positive balance) with no orders since 2000 —
+    scalar aggregate subquery + anti-join + grouped agg in one plan.
+
+    Scale: the average is a single-row broadcast; the anti-join
+    shuffles customer vs orders pre-filtered by date and projected to
+    one column; nation is a 25-row broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("ab")).join(
+        recent, c.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        rich.join(F.broadcast(n), rich.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_ORACLE_SALES_OPPORTUNITY = """
+SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType coverage (§1.2 notes decimal as an engine
+    extension): exact money arithmetic — cast to DECIMAL(18,2) before
+    summing so the grouped totals are exact, not FP-rounded.
+
+    Scale: decimal sums stay inside Tungsten codegen (no UDF); the
+    cast is pushed below the partial aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(price).cast("decimal(18,2)").alias("sum_price"),
+            F.min(price).cast("decimal(18,2)").alias("min_price"),
+            F.max(price).cast("decimal(18,2)").alias("max_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_ORACLE_DECIMAL_AGG = """
+SELECT l_linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+       CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
+       CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 regex surface beyond regexp_replace: group extraction with
+    identical group-index semantics on both engines (first word of the
+    part name; numeric brand id re-parsed from 'Brand#N')."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.regexp_extract("p_brand", r"(\d+)", 1).cast("long").alias("brand_num"),
+        )
+        .groupBy("first_word")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("brand_num").alias("max_brand_num"),
+        )
+        .orderBy("first_word")
+    )
+
+
+_ORACLE_REGEX_EXTRACT = r"""
+SELECT first_word, count(*) AS n, max(brand_num) AS max_brand_num
+FROM (
+  SELECT regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+         CAST(regexp_extract(p_brand, '(\d+)', 1) AS BIGINT) AS brand_num
+  FROM part
+)
+GROUP BY first_word
+ORDER BY first_word
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 RANGE frame (value-based, not row-based): per-customer
+    trailing-30-day spend at each order. Peers (equal order dates)
+    aggregate identically regardless of tie order, which is what makes
+    the value hash deterministic.
+
+    Scale: one shuffle on custkey; the frame is evaluated with a
+    running multiset inside each partition — no self-join."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+    )
+
+
+_ORACLE_WINDOW_RANGE_FRAME = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2409,6 +2848,16 @@ QUERIES: dict[str, QueryFn] = {
     "fingerprints": q_fingerprints,
     "media_features": q_media_features,
     "csv_roundtrip": q_csv_roundtrip,
+    "order_priority_check": q_order_priority_check,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "sales_opportunity": q_sales_opportunity,
+    "decimal_agg": q_decimal_agg,
+    "regex_extract": q_regex_extract,
+    "window_range_frame": q_window_range_frame,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
     "streaming_upsert": q_streaming_upsert,
@@ -2484,6 +2933,16 @@ ORACLES: dict[str, str] = {
     "fingerprints": _ORACLE_FINGERPRINTS,
     "media_features": _ORACLE_MEDIA_FEATURES,
     "csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
+    "order_priority_check": _ORACLE_ORDER_PRIORITY_CHECK,
+    "volume_shipping": _ORACLE_VOLUME_SHIPPING,
+    "market_share": _ORACLE_MARKET_SHARE,
+    "customer_distribution": _ORACLE_CUSTOMER_DISTRIBUTION,
+    "top_supplier": _ORACLE_TOP_SUPPLIER,
+    "small_qty_revenue": _ORACLE_SMALL_QTY_REVENUE,
+    "sales_opportunity": _ORACLE_SALES_OPPORTUNITY,
+    "decimal_agg": _ORACLE_DECIMAL_AGG,
+    "regex_extract": _ORACLE_REGEX_EXTRACT,
+    "window_range_frame": _ORACLE_WINDOW_RANGE_FRAME,
     "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
     # streaming_upsert finishes as the batch MERGE result: same oracle.
     "streaming_upsert": _ORACLE_MERGE_UPSERT,
