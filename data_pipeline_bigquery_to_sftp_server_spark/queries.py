@@ -2772,6 +2772,64 @@ FROM orders
 """
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by revenue lost to returned items in
+    a quarter — fact⋈fact join followed by grouped agg and a global
+    top-k. Deterministic at the limit boundary via a custkey
+    tie-break in BOTH engines.
+
+    Scale: orders are date-pruned before the orderkey shuffle and
+    lineitem is returnflag-pruned at the scan; the per-customer
+    aggregate is tiny, so the final top-k is a TakeOrderedAndProject
+    (no full sort). Revenue is summed in DECIMAL so the total is exact
+    (a double sum here straddles a half-cent rounding boundary between
+    summation orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    o_q = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li_r = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    item_rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    rev = (
+        li_r.join(o_q, li_r.l_orderkey == o_q.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(item_rev), 2).cast("double").alias("revenue"))
+    )
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_ORACLE_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+              AS DOUBLE) AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2858,6 +2916,7 @@ QUERIES: dict[str, QueryFn] = {
     "decimal_agg": q_decimal_agg,
     "regex_extract": q_regex_extract,
     "window_range_frame": q_window_range_frame,
+    "returned_items": q_returned_items,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
     "streaming_upsert": q_streaming_upsert,
@@ -2943,6 +3002,7 @@ ORACLES: dict[str, str] = {
     "decimal_agg": _ORACLE_DECIMAL_AGG,
     "regex_extract": _ORACLE_REGEX_EXTRACT,
     "window_range_frame": _ORACLE_WINDOW_RANGE_FRAME,
+    "returned_items": _ORACLE_RETURNED_ITEMS,
     "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
     # streaming_upsert finishes as the batch MERGE result: same oracle.
     "streaming_upsert": _ORACLE_MERGE_UPSERT,

@@ -111,6 +111,20 @@ def test_regex_extract_group_semantics(spark, sf_dir):
         assert row.p_brand == f"Brand#{row.brand_num}"
 
 
+def test_returned_items_topk_and_prunes(spark, sf_dir):
+    """Q10 shape: the global top-20 must compile to TakeOrderedAndProject
+    (per-partition heaps, no full sort), and the returnflag filter must
+    reach the lineitem scan as a pushed predicate."""
+    df = Q.q_returned_items(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
 def test_window_range_frame_includes_peers(spark, sf_dir):
     """RANGE frame: rows with equal order dates must see the same
     trailing sum (peer rows are in each other's frames), regardless of
