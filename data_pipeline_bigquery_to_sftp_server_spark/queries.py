@@ -2772,6 +2772,44 @@ FROM orders
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family breadth: ORC sink + source roundtrip, partitioned by
+    order status so the read-back filter prunes whole directories
+    (same discipline as the hive-partitioned parquet query). Oracle
+    aggregates the original parquet — proving the ORC codec preserves
+    types and values end-to-end, including timestamps."""
+    import tempfile
+
+    from data_pipeline_bigquery_to_sftp_server_spark.sources import files
+
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    files.write_orc(o, out, partition_by=["o_orderstatus"])
+    back = files.read_orc(spark, out)
+    return (
+        back.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("last_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_ORC_ROUNDTRIP = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: top-20 customers by revenue lost to returned items in
     a quarter — fact⋈fact join followed by grouped agg and a global
@@ -2917,6 +2955,7 @@ QUERIES: dict[str, QueryFn] = {
     "regex_extract": q_regex_extract,
     "window_range_frame": q_window_range_frame,
     "returned_items": q_returned_items,
+    "orc_roundtrip": q_orc_roundtrip,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
     "streaming_upsert": q_streaming_upsert,
@@ -3003,6 +3042,7 @@ ORACLES: dict[str, str] = {
     "regex_extract": _ORACLE_REGEX_EXTRACT,
     "window_range_frame": _ORACLE_WINDOW_RANGE_FRAME,
     "returned_items": _ORACLE_RETURNED_ITEMS,
+    "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
     "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
     # streaming_upsert finishes as the batch MERGE result: same oracle.
     "streaming_upsert": _ORACLE_MERGE_UPSERT,

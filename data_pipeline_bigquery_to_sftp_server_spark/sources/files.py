@@ -67,6 +67,21 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan: same columnar pushdown/pruning properties as parquet
+    (vectorized reader, predicate pushdown, partition discovery)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_json(
     spark: SparkSession, path: str, schema: T.StructType | str | None = None
 ) -> DataFrame:

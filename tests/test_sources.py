@@ -98,3 +98,15 @@ def test_partitioned_write_prunes_directories(spark, sf_dir):
     plan = explain.formatted_plan(df)
     assert "PartitionFilters" in plan
     assert "o_month" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_orc_roundtrip_prunes_partitions(spark, sf_dir):
+    """ORC read-back must prune the status partition at plan time
+    (PartitionFilters on o_orderstatus), same as the parquet path."""
+    from data_pipeline_bigquery_to_sftp_server_spark.plans import explain
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import q_orc_roundtrip
+
+    df = q_orc_roundtrip(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
