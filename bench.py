@@ -51,6 +51,12 @@ HEADLINE = [
     "salted_join",
     "big_orders",
     "disjunctive_rev",
+    "order_priority_check",
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "top_supplier",
+    "returned_items",
 ]
 
 
