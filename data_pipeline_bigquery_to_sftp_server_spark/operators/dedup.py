@@ -334,3 +334,84 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
+
+
+# --- X2d: pair graph -> clusters ---------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster a near-dup pair graph into components: returns
+    ``(node, component)`` where ``component`` is the minimum node id
+    reachable from ``node`` (a deterministic canonical representative).
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round, a node adopts the smallest label among itself
+    and its neighbors; stop when a round changes nothing (or at
+    ``max_iter``). Rounds needed = graph diameter — near-dup clusters
+    are shallow (duplicates of duplicates), so this converges in a
+    handful of rounds where a generic graph might need log-n
+    star-contraction.
+
+    Scale: each round is one shuffle of (edge endpoint, label) — the
+    label frontier never exceeds |edges| + |nodes| rows and carries two
+    longs per row. ``localCheckpoint`` truncates the lineage each round
+    so the plan doesn't grow with iteration count (the classic
+    iterative-algorithm trap on Spark). Driver sees only the
+    single-long changed-count per round, never data.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Roll a near-dup pair graph up to keep/drop decisions: one row per
+    component with the canonical (minimum-id) member to keep and the
+    member count. Docs in no pair are implicitly kept (not returned)."""
+    comp = connected_components(pairs, src, dst)
+    return comp.groupBy(F.col("component").alias("keep_id")).agg(
+        F.count("*").alias("n_members"),
+        F.sort_array(F.collect_list("node")).alias("members"),
+    )

@@ -2772,6 +2772,61 @@ FROM orders
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2d: near-dup pair graph -> connected components -> keep/drop
+    rollup (the dedup endgame: pairs alone don't say which docs to
+    drop when duplicates chain A~B~C). Spark side is iterative
+    min-label propagation with per-round lineage checkpoints; the
+    oracle replays it as a recursive-CTE transitive closure.
+
+    Scale: each round shuffles (endpoint, label) pairs — two longs per
+    edge — and near-dup clusters are shallow, so rounds ~ diameter ~
+    2-4; the pair set itself comes from the bounded-shuffle blocked
+    join, never the O(n^2) pair space."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", ngram=1, threshold=0.5, broadcast_right=True
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    return clusters.select(
+        "keep_id",
+        "n_members",
+        F.concat_ws(",", F.col("members")).alias("members"),
+    ).orderBy("keep_id")
+
+
+_ORACLE_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS _id,
+         list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1] AS bk
+  FROM documents
+), pairs AS (
+  SELECT l._id AS id_a, r._id AS id_b
+  FROM base l JOIN base r ON l.bk = r.bk AND l._id < r._id
+  WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labels AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT component AS keep_id,
+       count(*) AS n_members,
+       array_to_string(list_sort(list(node)), ',') AS members
+FROM labels
+GROUP BY component
+ORDER BY keep_id
+"""
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-family breadth: ORC sink + source roundtrip, partitioned by
     order status so the read-back filter prunes whole directories
@@ -2956,6 +3011,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_range_frame": q_window_range_frame,
     "returned_items": q_returned_items,
     "orc_roundtrip": q_orc_roundtrip,
+    "dedup_clusters": q_dedup_clusters,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
     "streaming_upsert": q_streaming_upsert,
@@ -3043,6 +3099,7 @@ ORACLES: dict[str, str] = {
     "window_range_frame": _ORACLE_WINDOW_RANGE_FRAME,
     "returned_items": _ORACLE_RETURNED_ITEMS,
     "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
+    "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
     "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
     # streaming_upsert finishes as the batch MERGE result: same oracle.
     "streaming_upsert": _ORACLE_MERGE_UPSERT,

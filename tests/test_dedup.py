@@ -78,3 +78,48 @@ def test_size_ratio_pruning_is_lossless(spark):
     # J(1,2) = 4/5 = 0.8 qualifies; J(1,3)=0.5 qualifies; J(2,3)=2/5 no.
     assert set(got) == {(1, 2), (1, 3)}
     assert abs(got[(1, 2)] - 0.8) < 1e-12
+
+
+def test_connected_components_chain_transitivity(spark):
+    """A~B and B~C must land in one component even with no direct A~C
+    edge, and the component label is the minimum member id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_clusters_matches_union_find(spark, sf_dir):
+    """Distributed label propagation over real near-dup pairs must equal
+    a driver-side union-find on the same (collected) pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", ngram=1, threshold=0.5, broadcast_right=True
+    )
+    edges = [(r.id_a, r.id_b) for r in pairs.select("id_a", "id_b").collect()]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected: dict[int, set] = {}
+    for node in parent:
+        expected.setdefault(find(node), set()).add(node)
+
+    got = {
+        r.keep_id: set(r.members)
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert got == expected
+    assert all(k == min(v) for k, v in got.items())
