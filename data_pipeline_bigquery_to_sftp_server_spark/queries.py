@@ -2772,6 +2772,47 @@ FROM orders
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 modernized (SURVEY §1.2 'Spark VariantType optional'):
+    schema-less semi-structured access — parse events.props into
+    VARIANT and extract a typed path, no declared struct schema (the
+    from_json route, q_json_extract, needs one). try_parse_json keeps
+    the reference's lenient-JSON rule: malformed input -> NULL, not an
+    error.
+
+    Scale: VARIANT stores a parsed binary encoding, so repeated path
+    extractions don't re-parse the text; extraction is codegen'd
+    JVM-side — no UDF, no shuffle beyond the final small agg."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_VARIANT_EXTRACT = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2d: near-dup pair graph -> connected components -> keep/drop
     rollup (the dedup endgame: pairs alone don't say which docs to
@@ -3012,6 +3053,7 @@ QUERIES: dict[str, QueryFn] = {
     "returned_items": q_returned_items,
     "orc_roundtrip": q_orc_roundtrip,
     "dedup_clusters": q_dedup_clusters,
+    "variant_extract": q_variant_extract,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
     "streaming_upsert": q_streaming_upsert,
@@ -3100,6 +3142,7 @@ ORACLES: dict[str, str] = {
     "returned_items": _ORACLE_RETURNED_ITEMS,
     "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
     "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
+    "variant_extract": _ORACLE_VARIANT_EXTRACT,
     "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
     # streaming_upsert finishes as the batch MERGE result: same oracle.
     "streaming_upsert": _ORACLE_MERGE_UPSERT,

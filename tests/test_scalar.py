@@ -115,3 +115,18 @@ def test_bool_and_default_coercions(spark):
     df2 = spark.createDataFrame([(None,), (5,)], "v int")
     out2 = df2.select(scalar.default_on_missing(F.col("v"), 0).alias("v")).collect()
     assert [r.v for r in out2] == [0, 5]
+
+
+def test_variant_malformed_json_is_null(spark):
+    """The reference swallows JSON parse errors to None (main.py:215-222);
+    the VARIANT path must keep that rule: try_parse_json(malformed) ->
+    NULL, and variant_get on NULL stays NULL."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ("not json",), (None,), ('{"k": null}',)], "props string"
+    )
+    out = df.select(
+        F.variant_get(F.try_parse_json("props"), "$.k", "bigint").alias("k")
+    ).collect()
+    assert [r.k for r in out] == [1, None, None, None]
