@@ -1,0 +1,71 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+A 100 TB corpus needs samples and train/val/test splits that are
+(a) reproducible run-to-run and engine-to-engine, (b) stable under
+re-partitioning and insertion order, and (c) computable without a
+shuffle or a global pass. ``df.sample(seed=...)`` fails (a) and (b):
+its RNG is partition-position dependent, so adding one file reshuffles
+every assignment. Hashing a stable id fixes all three — each row's
+fate is a pure function of its id, evaluated map-side.
+
+The hash is md5 of the (salted) id string: available and bit-identical
+in Spark, DuckDB, and virtually every engine, so splits survive a
+cross-engine migration — the property the oracle harness checks
+cell-for-cell. Rotate the salt to draw an independent fresh
+sample/split without touching the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 4 hex chars = 65536 buckets: fraction granularity 1/65536 ≈ 0.0015%.
+_PREFIX_LEN = 4
+_BUCKETS = 16**_PREFIX_LEN
+
+
+def _hash_prefix(id_col: Column, salt: str) -> Column:
+    """First 4 hex chars of md5(id || ':' || salt) — a uniform draw in
+    [0, ffff] as a lexicographically comparable string."""
+    return F.substring(
+        F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt))), 1, _PREFIX_LEN
+    )
+
+
+def _boundary(cum_fraction: float) -> str:
+    return format(min(int(cum_fraction * _BUCKETS), _BUCKETS - 1), "04x")
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen purely by id hash — map-side,
+    shuffle-free, identical on every engine and every run."""
+    return df.where(_hash_prefix(F.col(id_col), salt) < F.lit(_boundary(fraction)))
+
+
+def split_column(id_col: Column, splits: dict[str, float], salt: str = "") -> Column:
+    """Assignment expression mapping each id to a split name.
+
+    ``splits`` maps name -> fraction (must sum to ~1; the last split
+    absorbs hash values past the final boundary so every row lands
+    somewhere). Iteration order of the dict defines the bucket layout —
+    keep it fixed for a stable split.
+    """
+    prefix = _hash_prefix(id_col, salt)
+    names = list(splits)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = prefix < F.lit(_boundary(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+
+
+def hash_split(
+    df: DataFrame, id_col: str, splits: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split."""
+    return df.withColumn("split", split_column(F.col(id_col), splits, salt))

@@ -2772,6 +2772,49 @@ FROM orders
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data splits (X-family): deterministic hash-based
+    train/val/test assignment of documents — a pure function of
+    doc_id, so the split is reproducible run-to-run, engine-to-engine,
+    and stable when files are added or repartitioned (df.sample is
+    none of those: its RNG depends on partition position). Oracle
+    replays the identical md5-prefix rule in DuckDB and must land
+    every row in the same split.
+
+    Scale: assignment is map-side (no shuffle); only the per-split
+    per-lang rollup exchanges group rows."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split42"
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_ORACLE_HASH_SPLIT = """
+SELECT split, lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM (
+  SELECT lang, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 4) < 'cccc'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 4) < 'e666'
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 modernized (SURVEY §1.2 'Spark VariantType optional'):
     schema-less semi-structured access — parse events.props into
@@ -3054,6 +3097,7 @@ QUERIES: dict[str, QueryFn] = {
     "orc_roundtrip": q_orc_roundtrip,
     "dedup_clusters": q_dedup_clusters,
     "variant_extract": q_variant_extract,
+    "hash_split": q_hash_split,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
     "streaming_upsert": q_streaming_upsert,
@@ -3143,6 +3187,7 @@ ORACLES: dict[str, str] = {
     "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
     "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
     "variant_extract": _ORACLE_VARIANT_EXTRACT,
+    "hash_split": _ORACLE_HASH_SPLIT,
     "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
     # streaming_upsert finishes as the batch MERGE result: same oracle.
     "streaming_upsert": _ORACLE_MERGE_UPSERT,

@@ -1,0 +1,57 @@
+"""Deterministic sampling/split operator tests: the three properties
+df.sample(seed) lacks — run-to-run stability, partition-layout
+independence, and engine portability (the last is the hash_split
+oracle's job)."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+
+def test_sample_is_deterministic_and_layout_independent(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in sampling.deterministic_sample(d, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in sampling.deterministic_sample(d, "doc_id", 0.3).collect()}
+    c = {
+        r.doc_id
+        for r in sampling.deterministic_sample(d.repartition(7), "doc_id", 0.3).collect()
+    }
+    assert a == b == c
+    assert 0.2 <= len(a) / d.count() <= 0.4
+
+
+def test_sample_nests_monotonically(spark, sf_dir):
+    """A 10% sample must be a subset of the 30% sample under the same
+    salt — hash thresholds nest, so growing a sample never resamples."""
+    d = load_table(spark, sf_dir, "documents")
+    small = {r.doc_id for r in sampling.deterministic_sample(d, "doc_id", 0.1).collect()}
+    big = {r.doc_id for r in sampling.deterministic_sample(d, "doc_id", 0.3).collect()}
+    assert small <= big
+
+
+def test_salt_draws_independent_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in sampling.deterministic_sample(d, "doc_id", 0.3, salt="a").collect()}
+    b = {r.doc_id for r in sampling.deterministic_sample(d, "doc_id", 0.3, salt="b").collect()}
+    assert a != b
+
+
+def test_split_partitions_every_row_exactly_once(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    s = sampling.hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == d.count()
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_split_is_map_side_only(spark, sf_dir):
+    """Assignment itself must not shuffle: the plan before any agg is
+    scan -> project (no Exchange)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.plans import explain
+
+    d = load_table(spark, sf_dir, "documents")
+    s = sampling.hash_split(d, "doc_id", {"train": 0.8, "val": 0.2})
+    plan = explain.formatted_plan(s)
+    assert "Exchange" not in plan
