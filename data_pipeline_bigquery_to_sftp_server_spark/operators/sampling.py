@@ -69,3 +69,34 @@ def hash_split(
 ) -> DataFrame:
     """Add a ``split`` column assigning each row to a named split."""
     return df.withColumn("split", split_column(F.col(id_col), splits, salt))
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    n_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``n_per_group`` rows per group, chosen by hash order
+    — deterministic quota/stratified sampling (e.g. cap every source or
+    language at N docs so one crawl domain can't dominate a corpus).
+
+    Hash-ordering makes the quota a uniform random draw that is still
+    reproducible and engine-portable; ties are impossible because the
+    full hash is unique per id (tie-break on id anyway for safety).
+
+    Scale: one shuffle on the group columns; within each partition the
+    window keeps a streaming top-n — state is n rows per group, and
+    with AQE skew handling a pathological mega-group splits cleanly
+    because the rank filter is order-based, not value-based.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )

@@ -2815,6 +2815,34 @@ ORDER BY split, lang
 """
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-family curation: cap every (lang, source) cell at 5 docs,
+    chosen by deterministic hash order — quota sampling so no domain
+    dominates a corpus. Returns the kept doc ids; the oracle replays
+    the identical row_number-over-md5 rule, so both engines must keep
+    exactly the same documents."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = sampling.quota_sample(d, ["lang", "source"], "doc_id", 5, salt="quota1")
+    return kept.select("lang", "source", "doc_id").orderBy("lang", "source", "doc_id")
+
+
+_ORACLE_QUOTA_SAMPLE = """
+SELECT lang, source, doc_id
+FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota1') ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+ORDER BY lang, source, doc_id
+"""
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 modernized (SURVEY §1.2 'Spark VariantType optional'):
     schema-less semi-structured access — parse events.props into
@@ -3098,6 +3126,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters": q_dedup_clusters,
     "variant_extract": q_variant_extract,
     "hash_split": q_hash_split,
+    "quota_sample": q_quota_sample,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
     "streaming_upsert": q_streaming_upsert,
@@ -3188,6 +3217,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
     "variant_extract": _ORACLE_VARIANT_EXTRACT,
     "hash_split": _ORACLE_HASH_SPLIT,
+    "quota_sample": _ORACLE_QUOTA_SAMPLE,
     "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
     # streaming_upsert finishes as the batch MERGE result: same oracle.
     "streaming_upsert": _ORACLE_MERGE_UPSERT,

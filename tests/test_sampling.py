@@ -55,3 +55,16 @@ def test_split_is_map_side_only(spark, sf_dir):
     s = sampling.hash_split(d, "doc_id", {"train": 0.8, "val": 0.2})
     plan = explain.formatted_plan(s)
     assert "Exchange" not in plan
+
+
+def test_quota_sample_caps_groups_deterministically(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    kept = sampling.quota_sample(d, ["lang"], "doc_id", 3, salt="q")
+    sizes = kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    originals = dict(
+        (r.lang, r.n) for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    for r in sizes:
+        assert r.n == min(3, originals[r.lang])
+    again = {r.doc_id for r in sampling.quota_sample(d, ["lang"], "doc_id", 3, salt="q").collect()}
+    assert again == {r.doc_id for r in kept.collect()}
