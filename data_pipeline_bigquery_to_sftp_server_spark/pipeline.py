@@ -77,6 +77,32 @@ def transform_tickets(raw: DataFrame) -> DataFrame:
     )
 
 
+def observed_transform(raw: DataFrame, name: str = "sync_stats"):
+    """The reference's progress/summary counters (success/failed tallies
+    and percent prints, main.py:323-329, 449-450, 463-469) re-expressed
+    as a Spark ``Observation``: the metrics accumulate inside the ONE
+    action that materializes the batch — no second scan, no driver-side
+    loop over records.
+
+    Returns ``(transformed_df, observation)``; read
+    ``observation.get`` after any action on the returned frame. At
+    100 TB a second counting pass over the input is a full extra scan —
+    observations make the reference's reporting effectively free.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    staged = transform_tickets(raw).observe(
+        obs,
+        F.count(F.lit(1)).alias("processed"),
+        F.sum(F.when(F.col("description").isNull(), 1).otherwise(0)).alias(
+            "null_descriptions"
+        ),
+        F.sum(F.when(F.col("deleted"), 1).otherwise(0)).alias("deleted_count"),
+    )
+    return staged, obs
+
+
 def sync_tickets(
     spark: SparkSession,
     target: DataFrame,

@@ -79,3 +79,28 @@ def test_transform_is_lazy_and_schema_stable(spark):
         "tags", "meta", "sendEmailFailureCount",
     ]
     assert out.count() == 0
+
+
+def test_observed_transform_counts_in_single_action(spark):
+    """Observation metrics must match the data after exactly one action
+    (the reference re-counted with driver loops; here the counters ride
+    the write)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.pipeline import (
+        TICKET_RAW_SCHEMA,
+        observed_transform,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            ("a", "s1", "<b>hi</b>", 1700000000, 1700000100, True,
+             "x@y.z", "X", ["a@b.c"], ["t1"], '{"k": "1", "v": "2"}', 3),
+            ("b", "s2", None, 0, 0, False, None, None, [], [], None, 0),
+        ],
+        TICKET_RAW_SCHEMA,
+    )
+    staged, obs = observed_transform(raw, name="t_obs")
+    staged.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    assert m["processed"] == 2
+    assert m["null_descriptions"] == 1  # None description stays NULL
+    assert m["deleted_count"] == 1
