@@ -2843,6 +2843,59 @@ ORDER BY lang, source, doc_id
 """
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 quality signal the Gopher-style filters rely on: bigram
+    repetition ratio (count of the most frequent bigram / total
+    bigrams). Highly repetitive docs — boilerplate, keyword stuffing,
+    degenerate generations — score high and get dropped upstream of
+    training.
+
+    Scale: bigrams are built with one zip_with pass over shifted token
+    slices (the O(n) construction, see dedup.shingle_hashes), then the
+    count is a two-level partial-aggregable groupBy: (doc, gram) then
+    (doc). Shuffle carries (doc_id, gram-hash-sized) rows — linear in
+    corpus token count, no per-doc UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(dedup.normalize_text(F.col("text")), " ")
+    n = F.size(toks)
+    shifted = F.slice(toks, 2, F.greatest(n - 1, F.lit(1)))
+    zipped = F.zip_with(toks, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(n >= 2, F.slice(zipped, 1, n - 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    exploded = d.select("doc_id", F.explode(grams).alias("gram"))
+    per_gram = exploded.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("rep_ratio"),
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_REPETITION_SCORES = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM t WHERE len(w) >= 2
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS rep_ratio,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams
+FROM c
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 modernized (SURVEY §1.2 'Spark VariantType optional'):
     schema-less semi-structured access — parse events.props into
@@ -3127,6 +3180,7 @@ QUERIES: dict[str, QueryFn] = {
     "variant_extract": q_variant_extract,
     "hash_split": q_hash_split,
     "quota_sample": q_quota_sample,
+    "repetition_scores": q_repetition_scores,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
     "streaming_upsert": q_streaming_upsert,
@@ -3218,6 +3272,7 @@ ORACLES: dict[str, str] = {
     "variant_extract": _ORACLE_VARIANT_EXTRACT,
     "hash_split": _ORACLE_HASH_SPLIT,
     "quota_sample": _ORACLE_QUOTA_SAMPLE,
+    "repetition_scores": _ORACLE_REPETITION_SCORES,
     "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
     # streaming_upsert finishes as the batch MERGE result: same oracle.
     "streaming_upsert": _ORACLE_MERGE_UPSERT,

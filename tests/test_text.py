@@ -61,3 +61,19 @@ def test_fingerprint_whitespace_invariant(spark):
     fps = [r.f for r in df.select(text.fingerprint(F.col("t")).alias("f")).collect()]
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+def test_repetition_ratio_flags_degenerate_docs(spark, sf_dir):
+    """'spam spam spam spam' must score 1.0 (all bigrams identical);
+    an all-distinct-bigram sentence scores 1/n_bigrams."""
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import q_repetition_scores
+    import tempfile, os
+
+    out = tempfile.mkdtemp(prefix="repdocs_")
+    spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    rows = {r.doc_id: r for r in q_repetition_scores(spark, out).collect()}
+    assert rows[1].rep_ratio == 1.0 and rows[1].n_bigrams == 3
+    assert rows[2].rep_ratio == round(1 / 4, 6) and rows[2].n_bigrams == 4
