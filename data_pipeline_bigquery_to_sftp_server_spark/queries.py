@@ -2080,6 +2080,64 @@ FROM documents
 """
 
 
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 stream-stream join, ORACLE-CHECKED: signup -> purchase
+    conversion pairs per user within one hour, computed by joining two
+    watermarked streams of the events table. The time-bound join
+    condition lets Spark evict state (each side buffers only
+    watermark + bound of history); inner-join semantics guarantee the
+    finished stream equals the batch join, which DuckDB replays.
+
+    Scale: join state is bounded by events-per-hour x key cardinality,
+    independent of stream length — the property that makes this run
+    forever on an unbounded stream."""
+    import tempfile
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="events_ssj_")
+    ev.write.mode("overwrite").parquet(path)
+    signups = W.read_events_stream(spark, path, ev.schema, max_files_per_trigger=8).where(
+        F.col("event_type") == "signup"
+    )
+    purchases = W.read_events_stream(spark, path, ev.schema, max_files_per_trigger=8).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = W.stream_stream_join(
+        signups, purchases, key="user_id", within="1 hour", watermark="30 days"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("signup_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.date_format(F.col("l.ts"), fmt).alias("signup_ts"),
+        F.date_format(F.col("r.ts"), fmt).alias("purchase_ts"),
+    )
+    name = f"q_ssj_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(out, name, output_mode="append")
+    q.stop()
+    return spark.table(name).orderBy("user_id", "signup_id", "purchase_id")
+
+
+_ORACLE_STREAMING_JOIN = """
+SELECT s.user_id AS user_id,
+       s.event_id AS signup_id,
+       p.event_id AS purchase_id,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM events s
+JOIN events p
+  ON s.user_id = p.user_id
+ AND p.ts > s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+ORDER BY user_id, signup_id, purchase_id
+"""
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: watermarked tumbling-window streaming agg driven to
     completion on a file stream of the events table, ORACLE-CHECKED:
@@ -3181,6 +3239,7 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     "quota_sample": q_quota_sample,
     "repetition_scores": q_repetition_scores,
+    "streaming_join": q_streaming_join,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
     "streaming_upsert": q_streaming_upsert,
@@ -3273,6 +3332,7 @@ ORACLES: dict[str, str] = {
     "hash_split": _ORACLE_HASH_SPLIT,
     "quota_sample": _ORACLE_QUOTA_SAMPLE,
     "repetition_scores": _ORACLE_REPETITION_SCORES,
+    "streaming_join": _ORACLE_STREAMING_JOIN,
     "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
     # streaming_upsert finishes as the batch MERGE result: same oracle.
     "streaming_upsert": _ORACLE_MERGE_UPSERT,

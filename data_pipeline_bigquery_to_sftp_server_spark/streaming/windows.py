@@ -127,3 +127,32 @@ def streaming_upsert(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    right events on the same key that follow it within ``within``.
+
+    Both sides are watermarked and the join condition carries the time
+    bound, so Spark can size the join state: each side buffers only
+    rows younger than watermark + within — without the time constraint
+    a stream-stream join would have to keep every row forever. Inner
+    join output is exactly the batch join over the same data (state
+    eviction only drops rows that can no longer match), which is what
+    makes the streaming query oracle-checkable against batch SQL.
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") > F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")

@@ -107,3 +107,32 @@ def test_streaming_upsert_foreachbatch(spark, tmp_path):
 
     final = {r.id: (r.name, r.val) for r in spark.read.parquet(target_path).collect()}
     assert final == {1: ("a", 10.0), 2: ("B!", 99.0), 3: ("c", 30.0)}
+
+
+def test_stream_stream_join_equals_batch_join(spark, sf_dir):
+    """Inner stream-stream join must converge to the batch join result
+    (state eviction may only drop rows that can no longer match)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import q_streaming_join
+
+    got = q_streaming_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").alias("s")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    exp = (
+        s.join(
+            p,
+            (F.col("s.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") > F.col("s.ts"))
+            & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("s.user_id").alias("user_id"),
+            F.col("s.event_id").alias("signup_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.date_format(F.col("s.ts"), fmt).alias("signup_ts"),
+            F.date_format(F.col("p.ts"), fmt).alias("purchase_ts"),
+        )
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
