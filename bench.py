@@ -57,6 +57,11 @@ HEADLINE = [
     "customer_distribution",
     "top_supplier",
     "returned_items",
+    "variant_extract",
+    "hash_split",
+    "quota_sample",
+    "repetition_scores",
+    "dedup_clusters",
 ]
 
 

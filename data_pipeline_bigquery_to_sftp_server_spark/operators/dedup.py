@@ -361,28 +361,44 @@ def connected_components(
     label frontier never exceeds |edges| + |nodes| rows and carries two
     longs per row. ``localCheckpoint`` truncates the lineage each round
     so the plan doesn't grow with iteration count (the classic
-    iterative-algorithm trap on Spark). Driver sees only the
-    single-long changed-count per round, never data.
+    iterative-algorithm trap on Spark). Convergence is detected from
+    the label-sum: labels only ever decrease, so an unchanged sum means
+    a fixpoint. The sum rides the checkpoint materialization as an
+    ``Observation`` — each round costs exactly ONE job (propagate-join
+    + checkpoint), no separate counting pass — and the driver sees a
+    single number, never data.
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size the iteration to the graph, not the session default: each
+    # round is a fixed number of jobs, so on a small/medium graph the
+    # per-task overhead of wide stages dominates. ~250k edges per
+    # partition keeps tasks meaty; large graphs keep full parallelism.
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    parts = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 2))
+    edges = edges.repartition(parts, "b").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    label_sum = None
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        obs = Observation(f"cc_sum_{i}")
+        labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
@@ -390,17 +406,14 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
+            # decimal(38,0) sum: overflow-proof at any node count / id range.
+            .observe(obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = obs.get["s"]
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     return labels
 
 
