@@ -91,6 +91,49 @@ def read_json(
     return reader.json(path)
 
 
+def read_json_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Lenient JSON ingestion (the reference's per-record swallow-to-None
+    policy, main.py:192-194, 433-435, as an engine pattern): PERMISSIVE
+    mode nulls the fields of malformed lines and captures the raw text
+    in ``corrupt_col`` for quarantine, instead of failing the job.
+    Schema must include the corrupt column (nullable string)."""
+    full = T.StructType(
+        [*schema.fields, T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_rows_per_file: int
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_rows_per_file`` rows. The streaming/micro-batch sinks and
+    per-partition writers that feed a 100 TB lake produce thousands of
+    tiny files; scans then pay per-file open/footer costs and listing
+    dominates planning. Compaction is a repartition to
+    ceil(rows/target) — row-count based here; at scale drive it from
+    file sizes (AQE rebalance or maxRecordsPerFile) per partition
+    directory. Returns the file count written."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    parts = max(1, -(-n // target_rows_per_file))
+    df.repartition(parts).write.mode("overwrite").parquet(out_path)
+    import glob as _glob
+    import os as _os
+
+    return len(_glob.glob(_os.path.join(out_path, "part-*.parquet")))
+
+
 # --- staging-table lifecycle (S4/S8/S9) -------------------------------------
 
 

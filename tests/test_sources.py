@@ -110,3 +110,43 @@ def test_orc_roundtrip_prunes_partitions(spark, sf_dir):
     plan = explain.formatted_plan(df)
     assert "PartitionFilters" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_permissive_json_quarantines_malformed_lines(spark, tmp_path):
+    """PERMISSIVE ingestion: good lines parse, malformed lines null out
+    and land in the corrupt column — the reference's swallow-to-None
+    error policy without losing the evidence."""
+    from pyspark.sql import types as T
+
+    from data_pipeline_bigquery_to_sftp_server_spark.sources import files
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"id": 3, "v": "c"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = files.read_json_permissive(spark, str(p), schema)
+    rows = sorted(df.collect(), key=lambda r: (r.id is None, r.id))
+    assert [r.id for r in rows] == [1, 3, None]
+    assert rows[2]._corrupt_record == "this is not json"
+    assert rows[0]._corrupt_record is None
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """1000 rows scattered over 50 files must compact to the expected
+    ceil(rows/target) file count, preserving the data."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources import files
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compact")
+    spark.range(1000).repartition(50).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/part-*.parquet")) == 50
+    n_files = files.compact_parquet(spark, src, dst, target_rows_per_file=500)
+    assert n_files == 2
+    assert spark.read.parquet(dst).count() == 1000
