@@ -136,3 +136,55 @@ def test_stream_stream_join_equals_batch_join(spark, sf_dir):
     )
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_streaming_upsert_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Kill the query, add new files, restart from the SAME checkpoint:
+    already-processed files must not re-apply (offsets come from the
+    checkpoint), new files must. With an idempotent MERGE this is the
+    effectively-exactly-once argument the reference's re-runnable job
+    relied on, now surviving process restarts too. A value column
+    accumulated via merge would double-count on replay — counting
+    applied batch rows proves no replay happened."""
+    target_path = str(tmp_path / "target")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "overwrite"
+    ).parquet(target_path)
+    staging_src = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(2, "b")], "id long, name string").write.mode(
+        "overwrite"
+    ).parquet(staging_src)
+
+    applied_rows = []
+
+    def apply_batch(batch_df, epoch_id):
+        rows = batch_df.collect()
+        applied_rows.extend((r.id, r.name) for r in rows)
+        target = batch_df.sparkSession.read.parquet(target_path)
+        merged = merge.upsert_anti_union(target, batch_df, "id")
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(target_path)
+        merged.unpersist()
+
+    stream = spark.readStream.schema("id long, name string").parquet(staging_src)
+    q = W.streaming_upsert(stream, apply_batch, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    first_applied = list(applied_rows)
+
+    # New file lands while the query is down.
+    spark.createDataFrame([(3, "c")], "id long, name string").write.mode(
+        "append"
+    ).parquet(staging_src)
+
+    stream2 = spark.readStream.schema("id long, name string").parquet(staging_src)
+    q2 = W.streaming_upsert(stream2, apply_batch, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert first_applied == [(2, "b")]
+    # Restart applied ONLY the new file — no replay of (2, 'b').
+    assert applied_rows == [(2, "b"), (3, "c")]
+    final = {r.id: r.name for r in spark.read.parquet(target_path).collect()}
+    assert final == {1: "a", 2: "b", 3: "c"}
