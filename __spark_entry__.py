@@ -19,8 +19,12 @@ from data_pipeline_bigquery_to_sftp_server_spark.queries import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1-shape pricing summary) on sf0.001."""
-    return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query on sf0.001: the end-to-end corpus-curation
+    composite (quality filter -> near-dup cluster dedup ->
+    deterministic train/val/test split -> per-split stats) — the
+    X-family chain this engine adds on top of the reference's
+    relational surface. See q_curation_pipeline."""
+    return QUERIES["curation_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

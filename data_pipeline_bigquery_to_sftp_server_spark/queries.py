@@ -2080,6 +2080,134 @@ FROM documents
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship X-family composite — the full training-data curation
+    chain in ONE lazy plan, every stage individually oracle-proven
+    elsewhere in this corpus:
+
+      1. quality filter: >= 5 tokens and bigram repetition ratio < 0.6
+         (q_repetition_scores semantics)
+      2. near-dup dedup: exact-Jaccard pair graph -> connected
+         components -> keep only each cluster's minimum-id member
+         (q_dedup_clusters semantics); unpaired docs survive
+      3. deterministic split: md5-hash train/val/test 80/10/10
+         (q_hash_split semantics)
+      4. rollup: per (split, lang) doc counts + mean chars
+
+    Scale: stages 1 and 3 are map-side; stage 2 is the bounded-shuffle
+    pair join plus diameter-bounded label propagation; the rollup is a
+    partial-aggregable groupBy. Nothing collects to the driver."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+
+    # stage 1 — quality filter
+    toks = F.split(dedup.normalize_text(F.col("text")), " ")
+    n = F.size(toks)
+    shifted = F.slice(toks, 2, F.greatest(n - 1, F.lit(1)))
+    zipped = F.zip_with(toks, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(n >= 2, F.slice(zipped, 1, n - 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    rep = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg((F.max("cnt").cast("double") / F.sum("cnt")).alias("rep_ratio"))
+    )
+    quality = (
+        d.withColumn("n_tok", n)
+        .join(rep, "doc_id")
+        .where((F.col("n_tok") >= 5) & (F.col("rep_ratio") < 0.6))
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+
+    # stage 2 — near-dup cluster dedup (keep cluster minimum; unpaired pass)
+    pairs = dedup.ngram_jaccard_pairs(
+        quality, "doc_id", "text", ngram=1, threshold=0.5, broadcast_right=True
+    )
+    comp = dedup.connected_components(pairs)
+    dropped = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = quality.join(dropped, "doc_id", "left_anti")
+
+    # stages 3+4 — deterministic split, rollup
+    split = kept.withColumn(
+        "split",
+        sampling.split_column(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="cur1"
+        ),
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_ORACLE_CURATION_PIPELINE = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text, lang, n_chars,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM t WHERE len(w) >= 2
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+), rep AS (
+  SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS rep_ratio
+  FROM c GROUP BY doc_id
+), quality AS (
+  SELECT t.doc_id, t.text, t.lang, t.n_chars
+  FROM t JOIN rep ON t.doc_id = rep.doc_id
+  WHERE len(t.w) >= 5 AND rep.rep_ratio < 0.6
+), base AS (
+  SELECT doc_id AS _id,
+         list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1] AS bk
+  FROM quality
+), pairs AS (
+  SELECT l._id AS id_a, r._id AS id_b
+  FROM base l JOIN base r ON l.bk = r.bk AND l._id < r._id
+  WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labels AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+), kept AS (
+  SELECT q.* FROM quality q
+  LEFT JOIN labels l ON q.doc_id = l.node AND l.node <> l.component
+  WHERE l.node IS NULL
+), split AS (
+  SELECT lang, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':cur1'), 1, 4) < 'cccc'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':cur1'), 1, 4) < 'e666'
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT split, lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM split
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 stream-stream join, ORACLE-CHECKED: signup -> purchase
     conversion pairs per user within one hour, computed by joining two
@@ -3239,6 +3367,7 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     "quota_sample": q_quota_sample,
     "repetition_scores": q_repetition_scores,
+    "curation_pipeline": q_curation_pipeline,
     "streaming_join": q_streaming_join,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_session": q_streaming_session,
@@ -3332,6 +3461,7 @@ ORACLES: dict[str, str] = {
     "hash_split": _ORACLE_HASH_SPLIT,
     "quota_sample": _ORACLE_QUOTA_SAMPLE,
     "repetition_scores": _ORACLE_REPETITION_SCORES,
+    "curation_pipeline": _ORACLE_CURATION_PIPELINE,
     "streaming_join": _ORACLE_STREAMING_JOIN,
     "streaming_tumbling": _ORACLE_STREAMING_TUMBLING,
     # streaming_upsert finishes as the batch MERGE result: same oracle.
