@@ -62,6 +62,7 @@ HEADLINE = [
     "quota_sample",
     "repetition_scores",
     "dedup_clusters",
+    "curation_pipeline",
 ]
 
 
