@@ -2116,11 +2116,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg((F.max("cnt").cast("double") / F.sum("cnt")).alias("rep_ratio"))
     )
+    # Materialized once: the quality frame feeds BOTH the pair join and
+    # the final anti-join/split — without a checkpoint Spark recomputes
+    # the explode+double-agg repetition subtree for each consumer.
     quality = (
         d.withColumn("n_tok", n)
         .join(rep, "doc_id")
         .where((F.col("n_tok") >= 5) & (F.col("rep_ratio") < 0.6))
         .select("doc_id", "text", "lang", "n_chars")
+        .localCheckpoint(eager=True)
     )
 
     # stage 2 — near-dup cluster dedup (keep cluster minimum; unpaired pass)
