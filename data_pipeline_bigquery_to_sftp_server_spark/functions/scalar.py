@@ -100,6 +100,14 @@ def collapse_whitespace(col: Column) -> Column:
     HTML-derived text. Known remaining divergence: Python also treats
     U+001C-U+001F as whitespace, Java never does; not worth leaving
     whole-stage codegen over control chars.
+
+    ORACLE-PARITY NOTE: DuckDB's RE2 ``\\s`` is ASCII-only, so any
+    oracle SQL replaying this function must pre-normalize Unicode
+    whitespace (e.g. ``replace(s, chr(160), ' ')`` before the
+    ``regexp_replace``) or it diverges on exactly the non-ASCII inputs
+    this (?U) flag exists for. _ORACLE_CLEAN_TEXT normalizes NBSP that
+    way; the sync-pipeline oracle documents the assumption instead
+    (its test corpus is ASCII, where parity holds trivially).
     """
     return F.trim(F.regexp_replace(col, r"(?U)\s+", " "))
 

@@ -336,6 +336,96 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_pairs_complete(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ALL pairs with n-gram-shingle Jaccard >= ``threshold`` — exact and
+    complete, no blocking approximation. Returns (id_a, id_b,
+    jaccard_sim) with id_a < id_b.
+
+    Candidate generation is prefix filtering (the AllPairs / SSJoin
+    family — Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06): order
+    each document's shingles by global rarity (doc frequency asc); two
+    sets with J >= t MUST share a shingle among their first
+    ``n - ceil(t*n) + 1`` rarest shingles, so joining on prefix
+    shingles only is a recall-complete candidate generator. (Proof: if
+    B misses all of A's prefix, the overlap fits in A's suffix of size
+    ceil(t*|A|) - 1 < t*|A| <= |A ∩ B|.)
+
+    Scale shape — this is the pair generator the flagship uses, sized
+    for the 100 TB corpus case where broadcast or low-cardinality
+    blocking dies:
+    - join key = a *rare* shingle: cardinality grows with the corpus
+      and df-ordering pushes "the"-like hot tokens out of prefixes, so
+      bucket sizes stay small (no O(n^2) hot bucket, What's-wrong #2);
+    - every shuffle is bounded: df-count agg on shingle hash, per-doc
+      regroup (key = doc id, uniform), candidate join on prefix
+      shingle, id-keyed verify joins — no broadcast of the corpus
+      (What's-wrong #1), no all-pairs materialization;
+    - the symmetric length filter t*|A| <= |B| and t*|B| <= |A| prunes
+      candidates before the verify join;
+    - shingle arrays travel to the verify join keyed by doc id (once
+      per doc), not attached to each candidate pair.
+    """
+    # persist(): three consumers (df-count pass + both verify sides) would
+    # otherwise each re-run the shingling projection over the full input.
+    # Lazy MEMORY_AND_DISK persist is cluster-safe — lineage is intact, a
+    # lost block just recomputes its partition.
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col), ngram).alias("_hs"))
+        .withColumn("_n", F.size("_hs"))
+        .persist()
+    )
+    tok = base.select("_id", "_n", F.explode("_hs").alias("_h"))
+    dfreq = tok.groupBy("_h").agg(F.count("*").alias("_df"))
+    prefix_len = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
+    prefixes = (
+        tok.join(dfreq, "_h")
+        .groupBy("_id", "_n")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_ord"))
+        .select(
+            "_id",
+            "_n",
+            F.explode(
+                F.transform(F.slice("_ord", F.lit(1), prefix_len), lambda s: s["_h"])
+            ).alias("_h"),
+        )
+    )
+    t = F.lit(float(threshold))
+    cand = (
+        prefixes.alias("l")
+        .join(
+            prefixes.alias("r"),
+            (F.col("l._h") == F.col("r._h"))
+            & (F.col("l._id") < F.col("r._id"))
+            & (F.col("l._n").cast("double") >= t * F.col("r._n"))
+            & (F.col("r._n").cast("double") >= t * F.col("l._n")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_hs").alias("hs_a"), F.col("_n").alias("n_a")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_hs").alias("hs_b"), F.col("_n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard_sim", inter / union)
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
 # --- X2d: pair graph -> clusters ---------------------------------------------
 
 
@@ -344,6 +434,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster a near-dup pair graph into components: returns
     ``(node, component)`` where ``component`` is the minimum node id
@@ -367,30 +458,48 @@ def connected_components(
     ``Observation`` — each round costs exactly ONE job (propagate-join
     + checkpoint), no separate counting pass — and the driver sees a
     single number, never data.
+
+    ``checkpoint_dir`` selects the fault-tolerance mode. Default
+    (None) uses ``localCheckpoint`` — fastest, but executor-local: on
+    a real cluster a lost node truncates lineage unrecoverably and
+    aborts the iteration. Pass a reliable directory (HDFS/S3/DBFS on a
+    cluster; any path locally) to use ``df.checkpoint()`` instead, so
+    every round's state survives executor loss — the cluster-scale
+    mode. Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching the fixpoint (partial labels are wrong answers: callers
+    would drop documents under truncated cluster assignments — never
+    return them silently).
     """
     from pyspark.sql import Observation
 
-    edges = (
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _ckpt(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # Size the iteration to the graph, not the session default: each
     # round is a fixed number of jobs, so on a small/medium graph the
     # per-task overhead of wide stages dominates. ~250k edges per
     # partition keeps tasks meaty; large graphs keep full parallelism.
-    spark = pairs.sparkSession
     n_edges = edges.count()
     parts = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 2))
-    edges = edges.repartition(parts, "b").localCheckpoint(eager=True)
-    labels = (
+    edges = _ckpt(edges.repartition(parts, "b"))
+    labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
     )
     label_sum = None
+    converged = False
     for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -398,7 +507,7 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
         )
         obs = Observation(f"cc_sum_{i}")
-        labels = (
+        labels = _ckpt(
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
@@ -408,12 +517,19 @@ def connected_components(
             )
             # decimal(38,0) sum: overflow-proof at any node count / id range.
             .observe(obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s"))
-            .localCheckpoint(eager=True)
         )
         new_sum = obs.get["s"]
         if new_sum == label_sum:
+            converged = True
             break
         label_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; the graph's diameter exceeds the iteration budget. "
+            "Raise max_iter (or contract the graph first) — returning "
+            "partial labels would assign documents to wrong clusters."
+        )
     return labels
 
 

@@ -67,10 +67,21 @@ def upsert_full_outer(target: DataFrame, staging: DataFrame, key: str) -> DataFr
 
 def merge_counts(target: DataFrame, staging: DataFrame, key: str) -> DataFrame:
     """The reference's post-merge report (inserted vs updated tallies,
-    main.py:323-329, 365) as a single aggregation."""
-    matched = staging.join(target.select(key), key, "left_semi").count()
-    total = staging.count()
-    spark = target.sparkSession
-    return spark.createDataFrame(
-        [(total - matched, matched)], "inserted bigint, updated bigint"
+    main.py:323-329, 365) as ONE lazy plan: a left join against the
+    target's key column, then a single aggregation — staging is scanned
+    once and no driver action runs until the caller collects. (The
+    previous two-job form — semi-join count + total count — scanned
+    staging twice.)"""
+    # distinct() keeps parity with the semi-join form even if the target
+    # carries duplicate keys (each staging row still counts once).
+    marker = target.select(F.col(key)).distinct().withColumn("_matched", F.lit(1))
+    return (
+        staging.select(F.col(key))
+        .join(marker, key, "left")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("_matched").isNull(), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("inserted"),
+            F.coalesce(F.sum("_matched"), F.lit(0)).cast("bigint").alias("updated"),
+        )
     )

@@ -307,6 +307,12 @@ def ivf_topk(
         sample_rows = (
             corpus.select(vec_col).sample(train_fraction, seed=seed).limit(max_train).collect()
         )
+    if not sample_rows:
+        raise ValueError(
+            "ivf_topk: corpus is empty (or the training sample is) — "
+            "cannot train a coarse quantizer. Use brute_force_topk for "
+            "degenerate inputs."
+        )
     X = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
     centers = _kmeans_np(X, n_centroids, n_iter=8, seed=seed)
 
@@ -337,9 +343,12 @@ def ivf_topk(
         sims = (centers @ qv) / (c_norm * qn) if qn > 0 else np.zeros(len(centers))
         for cid in np.argsort(-sims)[:n_probe]:
             probes.append((row[query_id_col], int(cid), list(map(float, qv))))
+    # Probe schema derives the query-id type from the queries frame
+    # (string/int/long ids all work — not hardcoded to long).
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     probe_df = F.broadcast(
         corpus.sparkSession.createDataFrame(
-            probes, f"{query_id_col} long, _cid int, {query_vec_col} array<double>"
+            probes, f"{query_id_col} {qid_type}, _cid int, {query_vec_col} array<double>"
         )
     )
 

@@ -403,12 +403,19 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RE2's \s is ASCII-only while the Spark side uses (?U)\s — the
+# replace(chr(160)) pre-normalization keeps parity on NBSP (the common
+# HTML-derived Unicode whitespace) for non-ASCII corpora; see
+# functions/scalar.py collapse_whitespace for the full divergence note.
 _ORACLE_CLEAN_TEXT = r"""
+WITH n AS (
+  SELECT doc_id, replace(text, chr(160), ' ') AS t FROM documents
+)
 SELECT doc_id,
-       nullif(trim(regexp_replace(text, '\s+', ' ', 'g')), '')               AS clean_text,
-       substring(nullif(trim(regexp_replace(text, '\s+', ' ', 'g')), ''), 1, 50) AS subject_prefix,
-       CAST(length(nullif(trim(regexp_replace(text, '\s+', ' ', 'g')), '')) AS BIGINT) AS clean_len
-FROM documents
+       nullif(trim(regexp_replace(t, '\s+', ' ', 'g')), '')               AS clean_text,
+       substring(nullif(trim(regexp_replace(t, '\s+', ' ', 'g')), ''), 1, 50) AS subject_prefix,
+       CAST(length(nullif(trim(regexp_replace(t, '\s+', ' ', 'g')), '')) AS BIGINT) AS clean_len
+FROM n
 """
 
 
@@ -577,31 +584,46 @@ FROM documents GROUP BY 1
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2c: bucketed unigram-Jaccard near-dup pairs (prefix blocking).
-    The SQL-expressible verification arm of minhash-LSH."""
+    """X2c: ALL trigram-shingle Jaccard near-dup pairs at threshold 0.5
+    — exact and complete via prefix filtering (rarity-ordered prefix
+    shingles as the join key; recall-complete by the prefix-filter
+    theorem). The oracle is blocking-free brute force, so this query
+    pins the scale path's EXACTNESS, not just its candidates. The
+    shuffle key is a rare shingle (cardinality grows with the corpus)
+    — no broadcast, no hot first-token bucket. Same shingling +
+    threshold as q_minhash_pairs, so this is also minhash's exact
+    recall anchor."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        dedup.ngram_jaccard_pairs(
-            d, "doc_id", "text", ngram=1, threshold=0.5, broadcast_right=True
-        )
+        dedup.jaccard_pairs_complete(d, "doc_id", "text", ngram=3, threshold=0.5)
         .withColumn("jaccard_sim", F.round("jaccard_sim", 6))
     )
 
 
-_ORACLE_JACCARD_PAIRS = r"""
-WITH base AS (
+# Trigram shingle set per doc; docs under 3 tokens use their whole
+# normalized text as the single shingle (matching dedup.shingle_hashes).
+_SQL_TRIGRAM_BASE = r"""
   SELECT doc_id AS _id,
-         list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1] AS bk
-  FROM documents
-)
+         CASE WHEN len(w) < 3 THEN [norm]
+              ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         END AS sh
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM {src})
+"""
+
+_ORACLE_JACCARD_PAIRS = (
+    "WITH base AS (" + _SQL_TRIGRAM_BASE.format(src="documents") + r""")
 SELECT l._id AS id_a, r._id AS id_b,
        round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
              CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE), 6) AS jaccard_sim
-FROM base l JOIN base r ON l.bk = r.bk AND l._id < r._id
+FROM base l JOIN base r ON l._id < r._id
 WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
       CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) >= 0.5
 """
+)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,9 +635,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_pairs_df(d: DataFrame) -> DataFrame:
+    # Default shuffle pair-join on (band, band_hash) buckets — the 100 TB
+    # shape. broadcast_right stays available as a small-corpus opt-in but
+    # is never hardcoded in the query corpus.
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=32, bands=8, ngram=3,
-        jaccard_threshold=0.5, broadcast_right=True,
+        jaccard_threshold=0.5,
     )
 
 
@@ -1438,11 +1463,14 @@ def q_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, main.py:450): share of each order status."""
     o = load_table(spark, sf_dir, "orders")
     counts = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
-    total = o.count()
+    # One lazy plan: the grand total rides a window over the grouped
+    # counts (sums |groups| rows, not |orders|) instead of a separate
+    # driver-side count() action.
+    total = F.sum("n").over(Window.partitionBy())
     return counts.select(
         "o_orderstatus",
         "n",
-        F.round(F.col("n") / F.lit(float(total)) * 100.0, 4).alias("pct"),
+        F.round(F.col("n") / total.cast("double") * 100.0, 4).alias("pct"),
     )
 
 
@@ -1462,10 +1490,13 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # HAVING on the UNROUNDED sum (matching the oracle exactly); rounding
+    # is presentation-only in the projected column.
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .where(F.col("total_qty") > 300)
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .where(F.col("raw_qty") > 300)
+        .select("l_orderkey", F.round("raw_qty", 2).alias("total_qty"))
     )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
@@ -1635,6 +1666,13 @@ def q_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PARITY NOTE: this oracle passes `description` through as
+# `text || ' & more'` — valid because the engine's HTML clean collapses
+# whitespace with Python/(?U) Unicode `\\s` while RE2 has no equivalent,
+# and the testdata `text` is ASCII with single spaces. On a corpus with
+# Unicode whitespace (NBSP etc.) the oracle would need a
+# replace(chr(160), ' ')-style pre-normalization of `text`; see
+# functions/scalar.py collapse_whitespace for the divergence details.
 _ORACLE_SYNC_PIPELINE = """
 WITH t AS (
   SELECT doc_id, text, lang, source,
@@ -2127,9 +2165,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    # stage 2 — near-dup cluster dedup (keep cluster minimum; unpaired pass)
-    pairs = dedup.ngram_jaccard_pairs(
-        quality, "doc_id", "text", ngram=1, threshold=0.5, broadcast_right=True
+    # stage 2 — near-dup cluster dedup (keep cluster minimum; unpaired pass).
+    # Pair generation is the complete prefix-filtered trigram join: shuffle
+    # key = rare shingle, no corpus broadcast — the 100 TB-safe shape.
+    pairs = dedup.jaccard_pairs_complete(
+        quality, "doc_id", "text", ngram=3, threshold=0.5
     )
     comp = dedup.connected_components(pairs)
     dropped = comp.where(F.col("node") != F.col("component")).select(
@@ -2174,12 +2214,16 @@ WITH RECURSIVE t AS (
   WHERE len(t.w) >= 5 AND rep.rep_ratio < 0.6
 ), base AS (
   SELECT doc_id AS _id,
-         list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1] AS bk
-  FROM quality
+         CASE WHEN len(w) < 3 THEN [trim(regexp_replace(lower(text), '\s+', ' ', 'g'))]
+              ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         END AS sh
+  FROM (SELECT doc_id, text,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM quality)
 ), pairs AS (
   SELECT l._id AS id_a, r._id AS id_b
-  FROM base l JOIN base r ON l.bk = r.bk AND l._id < r._id
+  FROM base l JOIN base r ON l._id < r._id
   WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
         CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) >= 0.5
 ), edges AS (
@@ -3139,9 +3183,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-4; the pair set itself comes from the bounded-shuffle blocked
     join, never the O(n^2) pair space."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", ngram=1, threshold=0.5, broadcast_right=True
-    )
+    pairs = dedup.jaccard_pairs_complete(d, "doc_id", "text", ngram=3, threshold=0.5)
     clusters = dedup.dedup_clusters(pairs)
     return clusters.select(
         "keep_id",
@@ -3150,15 +3192,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("keep_id")
 
 
-_ORACLE_DEDUP_CLUSTERS = r"""
-WITH RECURSIVE base AS (
-  SELECT doc_id AS _id,
-         list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS sh,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1] AS bk
-  FROM documents
-), pairs AS (
+_ORACLE_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE base AS ("
+    + _SQL_TRIGRAM_BASE.format(src="documents")
+    + r"""), pairs AS (
   SELECT l._id AS id_a, r._id AS id_b
-  FROM base l JOIN base r ON l.bk = r.bk AND l._id < r._id
+  FROM base l JOIN base r ON l._id < r._id
   WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
         CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) >= 0.5
 ), edges AS (
@@ -3180,6 +3219,7 @@ FROM labels
 GROUP BY component
 ORDER BY keep_id
 """
+)
 
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

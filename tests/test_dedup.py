@@ -123,3 +123,70 @@ def test_dedup_clusters_matches_union_find(spark, sf_dir):
     }
     assert got == expected
     assert all(k == min(v) for k, v in got.items())
+
+
+def test_jaccard_pairs_complete_equals_bruteforce(spark, sf_dir):
+    """The prefix-filtered pair join (the flagship's scale-safe pair
+    generator) must return EXACTLY the brute-force all-pairs answer —
+    prefix filtering is recall-complete, not approximate."""
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    truth = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 9)
+        for r in dedup.ngram_jaccard_pairs(
+            d, ngram=1, threshold=0.5, bucket_col=F.lit(1)
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 9)
+        for r in dedup.jaccard_pairs_complete(d, ngram=1, threshold=0.5).collect()
+    }
+    assert got == truth
+
+
+def test_jaccard_pairs_complete_trigram_threshold_edge(spark):
+    """Pairs exactly AT the threshold are kept; below are dropped; the
+    rare-prefix join must not miss pairs that share only hot tokens."""
+    df = spark.createDataFrame(
+        [
+            (1, "x x x a b c d"),   # distinct set {x,a,b,c,d}
+            (2, "x x x a b c e"),   # J(1,2) = |{x,a,b,c}| / |{x,a,b,c,d,e}| = 4/6
+            (3, "q r s t u v w"),
+            (4, "q r s t u v z"),   # J(3,4) = 6/8 = 0.75
+            (5, "totally different content"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b) for r in dedup.jaccard_pairs_complete(df, ngram=1, threshold=0.6).collect()}
+    assert got == {(1, 2), (3, 4)}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode (cluster-safe df.checkpoint) must produce the
+    identical component labeling as the localCheckpoint default."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    local = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    reliable = {
+        r.node: r.component
+        for r in dedup.connected_components(
+            pairs, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    }
+    assert reliable == local == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_unconverged_raises(spark):
+    """A diameter larger than max_iter must raise, never silently return
+    partial (wrong) cluster labels."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)
+    # and with enough rounds the same chain converges to one component
+    comp = {r.node: r.component for r in dedup.connected_components(chain).collect()}
+    assert set(comp.values()) == {1}
