@@ -64,6 +64,60 @@ def py_list_str(col: Column) -> Column:
     )
 
 
+def py_repr(col: Column, dtype: T.DataType) -> Column:
+    """Generalized Python-``str()`` rendering of an arbitrarily nested
+    value — the reference stringifies whole Python objects with
+    ``to_str`` (main.py:197-198), including list-of-dict fields like
+    ``discounts`` (main.py:305), producing reprs such as
+    ``[{'code': 'WELCOME', 'amount': 10}]``.
+
+    Pure Column-expression recursion over the *static* schema (pass the
+    field's DataType): strings quote with ``'``, booleans render
+    ``True``/``False``, integers bare, NULL elements render ``None``
+    (Python ``str(None)``), structs render as dicts in field order,
+    arrays as lists. Top-level NULL is preserved as SQL NULL (to_str
+    semantics). Floats are rejected: Python ``repr(float)`` (shortest
+    round-trip) has no native SQL equivalent — keep floats out of
+    repr-stringified fields or cast them first.
+    """
+
+    def render(c: Column, dt: T.DataType) -> Column:
+        # Inner nulls render as Python's 'None'
+        if isinstance(dt, T.StringType):
+            body = F.concat(F.lit("'"), F.regexp_replace(c, r"(['\\])", r"\\$1"), F.lit("'"))
+        elif isinstance(dt, T.BooleanType):
+            body = F.when(c, F.lit("True")).otherwise(F.lit("False"))
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            body = c.cast("string")
+        elif isinstance(dt, T.ArrayType):
+            body = F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(c, lambda e: render(e, dt.elementType)), ", "
+                ),
+                F.lit("]"),
+            )
+        elif isinstance(dt, T.StructType):
+            parts: list[Column] = []
+            for i, fld in enumerate(dt.fields):
+                prefix = "{" if i == 0 else ", "
+                parts.append(
+                    F.concat(
+                        F.lit(f"{prefix}'{fld.name}': "),
+                        render(c.getField(fld.name), fld.dataType),
+                    )
+                )
+            body = F.concat(*parts, F.lit("}"))
+        else:
+            raise TypeError(f"py_repr: unsupported type {dt.simpleString()}")
+        # when/otherwise, not coalesce: a NULL struct still concat()s its
+        # literal field-name parts into a non-NULL string, so coalesce
+        # would render "{'f': None}" where Python prints "None".
+        return F.when(c.isNull(), F.lit("None")).otherwise(body)
+
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(render(col, dtype))
+
+
 # ---------------------------------------------------------------------------
 # F5/F6: epoch seconds -> formatted string, 0/NULL -> NULL (main.py:234-250)
 # ---------------------------------------------------------------------------

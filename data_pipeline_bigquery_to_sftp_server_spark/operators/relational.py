@@ -139,6 +139,35 @@ def paginate(df: DataFrame, order: Column | Sequence[Column], page: int, per_pag
     )
 
 
+def paginate_keyed(
+    df: DataFrame,
+    after: Column,
+    order: Column | Sequence[Column],
+    per_page: int,
+) -> DataFrame:
+    """O2 at scale: seek-style (keyset) pagination — the 100 TB path.
+
+    Global limit+offset (:func:`paginate`) funnels every row through ONE
+    window partition to assign global row numbers; inherent to offset
+    semantics, fine for report pages, a single-reducer bottleneck at
+    scale. The seek form replaces the offset with a predicate on the
+    last-seen key (``after``), so the page is
+    ``filter -> orderBy -> limit`` = parquet-pushed filter +
+    TakeOrderedAndProject (per-partition k-heaps, no global sort, no
+    single-partition window). Callers thread the last row's key tuple
+    from page N into page N+1 — exactly how keyed REST APIs paginate
+    (the reference's own API pages by ``sortBy=createdOn``,
+    main.py:135-142).
+
+    ``after`` is the boundary predicate (e.g. ``(d < lit(x)) |
+    ((d == lit(x)) & (k > lit(y)))`` for a (d DESC, k ASC) order);
+    composing it from the order spec is the caller's contract because
+    mixed-direction orders need per-column comparison directions.
+    """
+    order = [order] if isinstance(order, Column) else list(order)
+    return df.where(after).orderBy(*order).limit(per_page)
+
+
 # --- Set operations (§2.7) ---------------------------------------------------
 
 

@@ -37,6 +37,20 @@ TICKET_RAW_SCHEMA = T.StructType(
         T.StructField("tags", T.ArrayType(T.StringType()), True),
         T.StructField("meta", T.StringType(), True),
         T.StructField("sendEmailFailureCount", T.LongType(), True),
+        # list-of-dict field the reference flattens with str(list)
+        # (main.py:305 `discounts`) — exercises the generalized py_repr.
+        T.StructField(
+            "discounts",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("code", T.StringType(), True),
+                        T.StructField("amount", T.LongType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
 
@@ -74,6 +88,15 @@ def transform_tickets(raw: DataFrame) -> DataFrame:
         scalar.to_str(scalar.default_on_missing(F.col("sendEmailFailureCount"), 0)).alias(
             "sendEmailFailureCount"
         ),
+        # .get('discounts', []) default (main.py:301-305 pattern): a
+        # missing list renders as '[]', not NULL.
+        scalar.py_repr(
+            F.coalesce(
+                F.col("discounts"),
+                F.array().cast(TICKET_RAW_SCHEMA["discounts"].dataType),
+            ),
+            TICKET_RAW_SCHEMA["discounts"].dataType,
+        ).alias("discounts"),
     )
 
 

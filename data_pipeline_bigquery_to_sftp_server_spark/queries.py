@@ -188,6 +188,31 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
+def q_membership_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J3 in one frame: the reference's new-vs-existing id split
+    (main.py:409-410) — anti-join rows tagged 'new', semi-join rows
+    tagged 'existing'. One scan per side feeds both joins; at scale
+    both decorrelate to the same broadcast/shuffled hash join on the
+    key, and the union is append-only (no extra shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_custkey").alias("c_custkey"))
+    new = relational.anti_join(c.select("c_custkey"), keys, "c_custkey")
+    existing = relational.semi_join(c.select("c_custkey"), keys, "c_custkey")
+    return new.withColumn("split", F.lit("new")).unionByName(
+        existing.withColumn("split", F.lit("existing"))
+    )
+
+
+_ORACLE_MEMBERSHIP_SPLIT = """
+SELECT c_custkey, 'new' AS split FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, 'existing' AS split FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 + multi-way star join (TPC-H Q5 shape): revenue per nation in
     ASIA.
@@ -306,19 +331,57 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 
 def q_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2 limit+offset pagination over a total order (main.py:130-137)."""
+    """O2 both ways, returning the SAME page 3 through each strategy:
+
+    - ``offset``: global limit+offset via a row_number window
+      (main.py:130-137 semantics) — single-partition window by
+      construction, the report-page path;
+    - ``seek``: keyset pagination — the 100 TB path: filter on the
+      page-2 boundary key, then orderBy+limit (pushed filter +
+      TakeOrderedAndProject, no global window). The boundary row is
+      derived in-plan (the offset page's last row), so the whole query
+      stays one lazy plan.
+
+    Identical page contents under both tags is itself the correctness
+    statement: seek == offset for a total order.
+    """
     o = load_table(spark, sf_dir, "orders")
-    return relational.paginate(
-        o.select("o_orderkey", "o_orderdate", "o_totalprice"),
-        [F.desc("o_orderdate"), F.asc("o_orderkey")],
-        page=3,
-        per_page=50,
+    proj = o.select("o_orderkey", "o_orderdate", "o_totalprice")
+    order = [F.desc("o_orderdate"), F.asc("o_orderkey")]
+    offset_page = relational.paginate(proj, order, page=3, per_page=50)
+
+    # Page-2 boundary = global row 100 (the row the seek page starts
+    # after), derived via the same window machinery and cross-joined as
+    # a one-row boundary frame.
+    boundary = (
+        relational.paginate(proj, order, page=2, per_page=50)
+        .orderBy(F.asc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+        .select(
+            F.col("o_orderdate").alias("_bd"), F.col("o_orderkey").alias("_bk")
+        )
+    )
+    after = (F.col("o_orderdate") < F.col("_bd")) | (
+        (F.col("o_orderdate") == F.col("_bd"))
+        & (F.col("o_orderkey") > F.col("_bk"))
+    )
+    seek_page = relational.paginate_keyed(
+        proj.crossJoin(F.broadcast(boundary)), after, order, per_page=50
+    ).drop("_bd", "_bk")
+
+    return offset_page.withColumn("method", F.lit("offset")).unionByName(
+        seek_page.withColumn("method", F.lit("seek"))
     )
 
 
 _ORACLE_PAGINATE = """
-SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
-ORDER BY o_orderdate DESC, o_orderkey LIMIT 50 OFFSET 100
+WITH page AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+  ORDER BY o_orderdate DESC, o_orderkey LIMIT 50 OFFSET 100
+)
+SELECT o_orderkey, o_orderdate, o_totalprice, 'offset' AS method FROM page
+UNION ALL
+SELECT o_orderkey, o_orderdate, o_totalprice, 'seek' AS method FROM page
 """
 
 
@@ -335,15 +398,30 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = c.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
     rich = c.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
     open_orders = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
-    return relational.except_(relational.union_all(building, rich).distinct(), open_orders)
+    ue = relational.except_(relational.union_all(building, rich).distinct(), open_orders)
+    both = relational.intersect(
+        o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey")),
+        open_orders,
+    )
+    return ue.withColumn("op", F.lit("union_except")).unionByName(
+        both.withColumn("op", F.lit("intersect"))
+    )
 
 
 _ORACLE_SET_OPS = """
-(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
- UNION
- SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
-EXCEPT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+SELECT custkey, 'union_except' AS op FROM (
+  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   UNION
+   SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT custkey, 'intersect' AS op FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
 """
 
 
@@ -1064,9 +1142,17 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 full window surface in one query: rank, dense_rank, ntile,
-    lead, first over a per-segment price ordering."""
+    lead, first over a per-segment price ordering, plus a value-based
+    RANGE frame (acctbal within 1000 below the current row) — peers
+    aggregate identically regardless of tie order, keeping the hash
+    deterministic."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wr = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rangeBetween(-1000, 0)
+    )
     return c.select(
         "c_custkey",
         "c_mktsegment",
@@ -1076,6 +1162,7 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.lead("c_custkey").over(w).alias("next_cust"),
         F.first("c_custkey").over(w).alias("richest"),
+        F.count("*").over(wr).cast("long").alias("n_within_1000"),
     )
 
 
@@ -1085,7 +1172,9 @@ SELECT c_custkey, c_mktsegment, c_acctbal,
        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
        CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
        lead(c_custkey)   OVER w AS next_cust,
-       first_value(c_custkey) OVER w AS richest
+       first_value(c_custkey) OVER w AS richest,
+       CAST(count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_1000
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
 """
@@ -1622,6 +1711,38 @@ def q_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("not json"))
         .alias("meta"),
         (F.col("doc_id") % 7).cast("long").alias("sendEmailFailureCount"),
+        # list-of-struct field the reference flattens via str(list)
+        # (main.py:305 `discounts`) — every 6th doc has none (exercises
+        # the .get('discounts', []) -> '[]' default), odd docs get two.
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit(None).cast(
+                "array<struct<code:string,amount:bigint>>"
+            ),
+        )
+        .otherwise(
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("C"), (F.col("doc_id") % 5)).alias("code"),
+                        (F.col("doc_id") % 20).alias("amount"),
+                    ),
+                    F.struct(
+                        F.lit("WELCOME").alias("code"),
+                        F.lit(10).cast("bigint").alias("amount"),
+                    ),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("C"), (F.col("doc_id") % 5)).alias("code"),
+                        (F.col("doc_id") % 20).alias("amount"),
+                    )
+                )
+            )
+        )
+        .alias("discounts"),
     )
 
     # The "remote API": a bounded driver-side dict (the reference's own
@@ -1663,6 +1784,7 @@ def q_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tags",
         "meta",
         "sendEmailFailureCount",
+        "discounts",
     )
 
 
@@ -1704,17 +1826,25 @@ WITH t AS (
          CASE WHEN doc_id % 4 <> 0
               THEN '{"k":"' || lang || '","v":"' || source || '"}'
               ELSE NULL END                          AS meta,
-         CAST(doc_id % 7 AS VARCHAR)                 AS sendEmailFailureCount
+         CAST(doc_id % 7 AS VARCHAR)                 AS sendEmailFailureCount,
+         CASE WHEN doc_id % 6 = 0 THEN '[]'
+              WHEN doc_id % 2 = 1
+              THEN '[{''code'': ''C' || (doc_id % 5) || ''', ''amount'': '
+                   || (doc_id % 20)
+                   || '}, {''code'': ''WELCOME'', ''amount'': 10}]'
+              ELSE '[{''code'': ''C' || (doc_id % 5) || ''', ''amount'': '
+                   || (doc_id % 20) || '}]'
+         END                                         AS discounts
   FROM t
 )
 SELECT _id, subject, description, createdTimestamp, createdDatetime,
        createdDate, updatedDatetime, deleted, fromEmail_json, tags, meta,
-       sendEmailFailureCount
+       sendEmailFailureCount, discounts
 FROM x
 UNION ALL
 SELECT 'X' || _id, 'OLD', description, createdTimestamp, createdDatetime,
        createdDate, updatedDatetime, deleted, fromEmail_json, tags, meta,
-       sendEmailFailureCount
+       sendEmailFailureCount, discounts
 FROM x WHERE doc_id < 20
 """
 

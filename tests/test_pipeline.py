@@ -21,6 +21,9 @@ def _api(n_tickets=7):
             "tags": ["red", "blue"] if i % 2 else [],
             "meta": json.dumps({"k": str(i), "v": "x"}) if i % 4 else "not json",
             "sendEmailFailureCount": i,
+            "discounts": (
+                [{"code": f"C{i}", "amount": i}] if i % 2 else None
+            ),
         }
         for i in range(n_tickets)
     }
@@ -61,6 +64,9 @@ def test_sync_tickets_end_to_end(spark):
     assert rows["t1"].tags == "['red', 'blue']"  # python-repr flatten
     assert rows["t2"].meta == '{"k":"2","v":"x"}'
     assert rows["t4"].meta is None  # "not json" -> lenient parse -> empty -> NULL
+    # list-of-dict python-repr (reference main.py:305 `discounts`)
+    assert rows["t1"].discounts == "[{'code': 'C1', 'amount': 1}]"
+    assert rows["t2"].discounts == "[]"  # .get('discounts', []) default
 
     rep = {r.outcome: r.n for r in report.collect()}
     assert rep == {"inserted": 6, "updated": 1}
@@ -76,7 +82,7 @@ def test_transform_is_lazy_and_schema_stable(spark):
     assert names == [
         "_id", "subject", "description", "createdTimestamp", "createdDatetime",
         "createdDate", "updatedDatetime", "deleted", "fromEmail", "toEmails",
-        "tags", "meta", "sendEmailFailureCount",
+        "tags", "meta", "sendEmailFailureCount", "discounts",
     ]
     assert out.count() == 0
 
@@ -93,8 +99,9 @@ def test_observed_transform_counts_in_single_action(spark):
     raw = spark.createDataFrame(
         [
             ("a", "s1", "<b>hi</b>", 1700000000, 1700000100, True,
-             "x@y.z", "X", ["a@b.c"], ["t1"], '{"k": "1", "v": "2"}', 3),
-            ("b", "s2", None, 0, 0, False, None, None, [], [], None, 0),
+             "x@y.z", "X", ["a@b.c"], ["t1"], '{"k": "1", "v": "2"}', 3,
+             [("W", 5)]),
+            ("b", "s2", None, 0, 0, False, None, None, [], [], None, 0, None),
         ],
         TICKET_RAW_SCHEMA,
     )
