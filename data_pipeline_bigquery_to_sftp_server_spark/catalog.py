@@ -60,15 +60,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_engine_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Nanosecond-precision timestamps (events.ts) arrive as long nanos under
-    # spark.sql.legacy.parquet.nanosAsLong; truncate to Spark's native
-    # microsecond timestamps. DuckDB keeps ns — comparisons that could feel
-    # sub-microsecond differences must format/truncate on both sides.
+    # Nanosecond-precision timestamps (events.ts) have no native Spark
+    # type; normalize to microsecond TIMESTAMP whichever way this Spark
+    # surfaces them (both floor to µs, like DuckDB's display):
+    # - long nanos under spark.sql.legacy.parquet.nanosAsLong (≤4.1.1);
+    # - TIMESTAMP_NTZ, µs-truncated (4.1.2+ ignores the legacy conf) —
+    #   under the pinned UTC session TZ the NTZ→TIMESTAMP cast keeps the
+    #   wall clock, i.e. the same instant the writer recorded.
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, types.LongType):
             # Integer division — float division would round-trip through
             # double and lose microseconds at epoch-nano magnitudes.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, types.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

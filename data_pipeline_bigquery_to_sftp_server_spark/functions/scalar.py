@@ -54,14 +54,10 @@ def py_bool_str(col: Column) -> Column:
 
 def py_list_str(col: Column) -> Column:
     """Python-repr of a list of strings: ``['a', 'b']`` (main.py:301-305
-    stringifies arrays with ``str(list)``). NULL-preserving."""
-    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
-        F.concat(
-            F.lit("["),
-            F.array_join(F.transform(col, lambda e: F.concat(F.lit("'"), e, F.lit("'"))), ", "),
-            F.lit("]"),
-        )
-    )
+    stringifies arrays with ``str(list)``). NULL-preserving. Delegates
+    to :func:`py_repr` so element quoting/escaping follows the same
+    Python-parity rules everywhere."""
+    return py_repr(col, T.ArrayType(T.StringType()))
 
 
 def py_repr(col: Column, dtype: T.DataType) -> Column:
@@ -72,19 +68,41 @@ def py_repr(col: Column, dtype: T.DataType) -> Column:
     ``[{'code': 'WELCOME', 'amount': 10}]``.
 
     Pure Column-expression recursion over the *static* schema (pass the
-    field's DataType): strings quote with ``'``, booleans render
-    ``True``/``False``, integers bare, NULL elements render ``None``
-    (Python ``str(None)``), structs render as dicts in field order,
-    arrays as lists. Top-level NULL is preserved as SQL NULL (to_str
-    semantics). Floats are rejected: Python ``repr(float)`` (shortest
-    round-trip) has no native SQL equivalent — keep floats out of
-    repr-stringified fields or cast them first.
+    field's DataType): strings quote like Python ``repr`` — single
+    quotes normally, DOUBLE quotes when the value contains ``'`` but no
+    ``"`` (``str(["it's"]) == '["it\\'s"]'`` renders ``["it's"]``) —
+    with ``\\``/newline/CR/tab escaped as ``\\\\``/``\\n``/``\\r``/
+    ``\\t``; booleans render ``True``/``False``, integers bare, NULL
+    elements render ``None`` (Python ``str(None)``), structs render as
+    dicts in field order, arrays as lists. Top-level NULL is preserved
+    as SQL NULL (to_str semantics).
+
+    Documented divergences from CPython's repr: floats are rejected
+    (shortest-round-trip repr has no SQL equivalent — cast first), and
+    control characters other than ``\\n``/``\\r``/``\\t`` (e.g.
+    ``\\x00``-``\\x08``) plus non-printable Unicode are passed through
+    raw instead of ``\\xNN``/``\\uNNNN``-escaped.
     """
 
     def render(c: Column, dt: T.DataType) -> Column:
         # Inner nulls render as Python's 'None'
         if isinstance(dt, T.StringType):
-            body = F.concat(F.lit("'"), F.regexp_replace(c, r"(['\\])", r"\\$1"), F.lit("'"))
+            esc = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+            esc = F.replace(esc, F.lit("\n"), F.lit("\\n"))
+            esc = F.replace(esc, F.lit("\r"), F.lit("\\r"))
+            esc = F.replace(esc, F.lit("\t"), F.lit("\\t"))
+            # Python's quote selection: prefer ', switch to " when the
+            # value has a ' and no " (then ' needs no escape).
+            body = F.when(
+                c.contains("'") & ~c.contains('"'),
+                F.concat(F.lit('"'), esc, F.lit('"')),
+            ).otherwise(
+                F.concat(
+                    F.lit("'"),
+                    F.replace(esc, F.lit("'"), F.lit("\\'")),
+                    F.lit("'"),
+                )
+            )
         elif isinstance(dt, T.BooleanType):
             body = F.when(c, F.lit("True")).otherwise(F.lit("False"))
         elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):

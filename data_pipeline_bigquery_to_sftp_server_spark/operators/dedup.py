@@ -375,12 +375,31 @@ def jaccard_pairs_complete(
     # otherwise each re-run the shingling projection over the full input.
     # Lazy MEMORY_AND_DISK persist is cluster-safe — lineage is intact, a
     # lost block just recomputes its partition.
-    base = (
+    #
+    # Lifecycle caveat: the persist lives until the session ends (or the
+    # executor storage is evicted) — repeated calls in one session
+    # accumulate cached shingle arrays. Callers that materialize the
+    # result anyway should prefer ``jaccard_pairs_complete_materialized``,
+    # which releases the shingle cache as soon as the (small) pair set
+    # is computed.
+    base = _shingle_base(df, id_col, text_col, ngram).persist()
+    return _complete_pairs_from_base(base, threshold)
+
+
+def _shingle_base(
+    df: DataFrame, id_col: str, text_col: str, ngram: int
+) -> DataFrame:
+    """(_id, _hs, _n): hashed shingle set + set size per doc."""
+    return (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col), ngram).alias("_hs"))
         .withColumn("_n", F.size("_hs"))
-        .persist()
     )
+
+
+def _complete_pairs_from_base(base: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filter candidate join + exact verify over a shingled base
+    (see jaccard_pairs_complete for the algorithm + scale notes)."""
     tok = base.select("_id", "_n", F.explode("_hs").alias("_h"))
     dfreq = tok.groupBy("_h").agg(F.count("*").alias("_df"))
     prefix_len = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
@@ -426,6 +445,30 @@ def jaccard_pairs_complete(
     )
 
 
+def jaccard_pairs_complete_materialized(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``jaccard_pairs_complete`` with an explicit storage lifecycle:
+    eagerly materializes the (near-dup pairs are sparse, so small) pair
+    set into a persisted DataFrame and releases the (large) shingle
+    cache immediately after.
+
+    Use when the pair set will be consumed more than once — clustering,
+    reporting, the curation composite — or repeatedly in one session:
+    the shingle arrays never outlive the single materialization job.
+    Caller owns ``result.unpersist()`` when done with the pairs.
+    """
+    base = _shingle_base(df, id_col, text_col, ngram).persist()
+    pairs = _complete_pairs_from_base(base, threshold).persist()
+    pairs.count()  # one job: pairs materialize through the cached base
+    base.unpersist()
+    return pairs
+
+
 # --- X2d: pair graph -> clusters ---------------------------------------------
 
 
@@ -469,68 +512,135 @@ def connected_components(
     reaching the fixpoint (partial labels are wrong answers: callers
     would drop documents under truncated cluster assignments — never
     return them silently).
+
+    Reliable-mode housekeeping (``spark.cleaner.referenceTracking.
+    cleanCheckpoints`` defaults to false, so Spark itself never deletes
+    checkpoint files):
+    - each call checkpoints under its own ``cc-<uuid>`` subdirectory of
+      ``checkpoint_dir``, so concurrent callers never touch each
+      other's files;
+    - round N's label checkpoint is deleted as soon as round N+1's is
+      materialized, and on convergence everything but the final label
+      checkpoint (which the returned DataFrame reads) is removed —
+      storage held is O(one round), not O(diameter);
+    - the SparkContext checkpoint directory is context-global; it is
+      restored to its previous value before returning (briefly visible
+      to concurrent ``checkpoint()`` callers — Spark offers no scoped
+      alternative). The returned DataFrame's files live under
+      ``result.cc_checkpoint_path``; delete that directory once the
+      result is no longer needed.
     """
     from pyspark.sql import Observation
 
     spark = pairs.sparkSession
+    scoped_dir = None
+    fs = None
+    jvm = spark.sparkContext._jvm
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        import uuid
+
+        scoped_dir = checkpoint_dir.rstrip("/") + f"/cc-{uuid.uuid4().hex}"
+        jpath = jvm.org.apache.hadoop.fs.Path(scoped_dir)
+        # Hadoop FS (scheme-aware): works for file://, hdfs://, s3a://.
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        prev_dir = spark.sparkContext._jsc.sc().getCheckpointDir()
+        spark.sparkContext.setCheckpointDir(scoped_dir)
+
+    def _rdd_dirs() -> set[str]:
+        """Checkpoint data dirs (rdd-N) currently under our scoped dir."""
+        found: set[str] = set()
+        root = jvm.org.apache.hadoop.fs.Path(scoped_dir)
+        if not fs.exists(root):
+            return found
+        for st in fs.listStatus(root):  # scoped/<spark-uuid>/
+            for sub in fs.listStatus(st.getPath()):  # .../rdd-N
+                found.add(sub.getPath().toString())
+        return found
+
+    def _delete(paths: set[str]) -> None:
+        for p in paths:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    edges = _ckpt(
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
-    # Size the iteration to the graph, not the session default: each
-    # round is a fixed number of jobs, so on a small/medium graph the
-    # per-task overhead of wide stages dominates. ~250k edges per
-    # partition keeps tasks meaty; large graphs keep full parallelism.
-    n_edges = edges.count()
-    parts = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 2))
-    edges = _ckpt(edges.repartition(parts, "b"))
-    labels = _ckpt(
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-    )
-    label_sum = None
-    converged = False
-    for i in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
+    try:
+        edges = _ckpt(
+            pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct()
         )
-        obs = Observation(f"cc_sum_{i}")
+        raw_edge_dirs = _rdd_dirs() if scoped_dir else set()
+        # Size the iteration to the graph, not the session default: each
+        # round is a fixed number of jobs, so on a small/medium graph the
+        # per-task overhead of wide stages dominates. ~250k edges per
+        # partition keeps tasks meaty; large graphs keep full parallelism.
+        n_edges = edges.count()
+        parts = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 2))
+        edges = _ckpt(edges.repartition(parts, "b"))
+        protected: set[str] = set()
+        if scoped_dir:
+            # The repartitioned edges checkpoint is materialized; the raw
+            # union's files are dead weight from here on.
+            protected = _rdd_dirs() - raw_edge_dirs
+            _delete(raw_edge_dirs)
         labels = _ckpt(
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+            edges.select(F.col("a").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("component"))
+        )
+        last_label_dirs = (_rdd_dirs() - protected) if scoped_dir else set()
+        label_sum = None
+        converged = False
+        for i in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            # decimal(38,0) sum: overflow-proof at any node count / id range.
-            .observe(obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s"))
-        )
-        new_sum = obs.get["s"]
-        if new_sum == label_sum:
-            converged = True
-            break
-        label_sum = new_sum
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            "rounds; the graph's diameter exceeds the iteration budget. "
-            "Raise max_iter (or contract the graph first) — returning "
-            "partial labels would assign documents to wrong clusters."
-        )
-    return labels
+            obs = Observation(f"cc_sum_{i}")
+            labels = _ckpt(
+                labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                    ).alias("component"),
+                )
+                # decimal(38,0) sum: overflow-proof at any node count / id range.
+                .observe(obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s"))
+            )
+            if scoped_dir:
+                # Round i is durably materialized: round i-1's label files
+                # are no longer reachable from any live plan — drop them so
+                # reliable-mode storage stays O(one round), not O(rounds).
+                now = _rdd_dirs()
+                new_dirs = now - protected - last_label_dirs
+                _delete(last_label_dirs)
+                last_label_dirs = new_dirs
+            new_sum = obs.get["s"]
+            if new_sum == label_sum:
+                converged = True
+                break
+            label_sum = new_sum
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge within max_iter={max_iter} "
+                "rounds; the graph's diameter exceeds the iteration budget. "
+                "Raise max_iter (or contract the graph first) — returning "
+                "partial labels would assign documents to wrong clusters."
+            )
+        if scoped_dir:
+            # The returned labels frame reads only its own (final)
+            # checkpoint — edges files are now unreferenced too.
+            _delete(protected)
+            labels.cc_checkpoint_path = scoped_dir
+        return labels
+    finally:
+        if scoped_dir is not None and prev_dir.isDefined():
+            spark.sparkContext.setCheckpointDir(prev_dir.get())
 
 
 def dedup_clusters(

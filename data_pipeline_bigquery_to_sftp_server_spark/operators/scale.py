@@ -29,6 +29,19 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     scoring) — callers on pure-IO paths should not use this.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Plan-only width probe: ``df.inputFiles()`` resolves the leaf
+    # scans' file index during analysis — no Spark job, no RDD
+    # conversion of the unexecuted plan, and AQE keeps ownership of the
+    # physical plan (``df.rdd.getNumPartitions()`` forfeits all three).
+    # A file-backed scan with >= target files is already wide (large
+    # files additionally split by ``maxPartitionBytes``); non-file
+    # plans (in-memory frames) report zero files and get widened,
+    # which is exactly the compute-bound-small-input case this helper
+    # exists for.
+    try:
+        width = len(df.inputFiles())
+    except Exception:  # non-file-backed plan — treat as narrow
+        width = 0
+    if width < target:
         return df.repartition(target)
     return df

@@ -209,7 +209,16 @@ def lsh_topk(
     possible (approximate by contract).
     """
     if dim is None:
-        dim = len(queries.select(query_vec_col).first()[0])
+        # Inferring dim from data would cost a driver job + plan-analysis
+        # barrier per invocation (`.first()` on an unexecuted plan), so
+        # the vector width is part of the operator contract instead —
+        # same discipline as ivf_topk deriving the id type from the
+        # schema. Spark's array<float> schema does not carry length.
+        raise ValueError(
+            "lsh_topk: pass dim= (embedding width); it cannot be read "
+            "from the array<float> schema and inferring it from data "
+            "would force an eager driver job inside a lazy operator."
+        )
     planes = _srp_hyperplanes(dim, num_planes, seed)
     rows_per_band = num_planes // bands
 
@@ -380,7 +389,12 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t)
     via SRP-LSH self-join — the embedding analog of minhash dedup."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # See lsh_topk: dim is contract, not inferred — `.first()` here
+        # would be an eager driver job inside a lazy operator.
+        raise ValueError(
+            "embedding_near_dup_pairs: pass dim= (embedding width); "
+            "see lsh_topk for rationale."
+        )
     planes = _srp_hyperplanes(dim, num_planes, seed)
     rows_per_band = num_planes // bands
     sig = srp_signature(F.col(vec_col).cast("array<double>"), planes)

@@ -85,10 +85,21 @@ def test_json_roundtrip_lenient(spark, dicts):
 
 
 @settings(**SETTINGS)
-@given(st.lists(st.lists(st.text(alphabet="abcde ", max_size=8), max_size=6), min_size=1, max_size=15))
+@given(
+    st.lists(
+        st.lists(
+            # quotes, backslash, newline/CR/tab: the repr quote-selection
+            # and control-char escape rules, not just happy-path text
+            st.text(alphabet="ab'\"\\\n\r\t ", max_size=8),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
 def test_py_list_str_matches_python_repr(spark, lists_):
     df = spark.createDataFrame([(v,) for v in lists_], "a array<string>")
     out = df.select(scalar.py_list_str(F.col("a")).alias("s")).collect()
     for v, r in zip(lists_, out):
-        # Python repr uses single quotes for these simple strings
-        assert r.s == str(v).replace('"', "'")
+        # exact CPython parity, including "it's" -> double quotes
+        assert r.s == str(v), (v, r.s)

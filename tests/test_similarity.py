@@ -126,3 +126,32 @@ def test_embedding_near_dup_pairs_all_above_threshold(spark, sf_dir):
     out = similarity.embedding_near_dup_pairs(e, threshold=0.3, dim=64).collect()
     assert all(r.cos_sim >= 0.3 for r in out)
     assert all(r.id_a < r.id_b for r in out)
+
+
+def test_dim_is_required_not_inferred(spark, sf_dir):
+    """dim=None must raise, never trigger an eager .first() driver job
+    inside the lazy operator (the contract the docstrings promise)."""
+    import pytest
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        similarity.lsh_topk(e, queries, k=3)
+    with pytest.raises(ValueError, match="dim"):
+        similarity.embedding_near_dup_pairs(e, threshold=0.5)
+
+
+def test_ann_query_recall_column(spark, sf_dir):
+    """The queries() entries self-certify: every row carries its query's
+    recall_vs_exact, and mean recall clears the pytest threshold."""
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import QUERIES
+
+    for name in ("lsh_topk", "ivf_topk"):
+        pdf = QUERIES[name](spark, sf_dir).toPandas()
+        assert "recall_vs_exact" in pdf.columns
+        per_query = pdf.groupby("query_id").recall_vs_exact.first()
+        assert len(per_query) == 5
+        assert per_query.between(0.0, 1.0).all()
+        assert per_query.mean() >= 0.4, dict(per_query)
