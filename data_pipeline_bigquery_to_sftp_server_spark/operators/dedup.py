@@ -260,8 +260,8 @@ def simhash(col: Column, num_bits: int = 64) -> Column:
 def dedup_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Group documents by exact SimHash collision (Hamming distance 0).
 
-    For distance<=k at scale, band the 64 bits into k+1 segments and
-    bucket-join per segment (pigeonhole), same shape as minhash-LSH.
+    For distance<=k at scale use :func:`simhash_near_pairs` — the
+    banded pigeonhole join, same shape as minhash-LSH.
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
     return (
@@ -270,6 +270,82 @@ def dedup_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         .groupBy("simhash_fp")
         .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
         .where(F.col("dup_count") > 1)
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_bits: int = 64,
+) -> DataFrame:
+    """ALL pairs within SimHash Hamming distance ``k`` — complete, via
+    the pigeonhole band join the dedup_simhash docstring promises:
+    split the ``num_bits`` fingerprint into ``k + 1`` segments; two
+    fingerprints differing in <= k bits MUST agree exactly on at least
+    one segment (k differing bits cannot touch all k+1 segments), so a
+    per-segment equi-join is a recall-complete candidate generator.
+    Candidates are verified with the exact popcount of the XOR.
+
+    Returns (id_a, id_b, hamming_dist) with id_a < id_b.
+
+    Scale shape: the join key is (segment index, segment value) —
+    cardinality grows with the corpus (segments are ~16-bit slices of a
+    mixing hash, near-uniform), no broadcast, no all-pairs; the
+    verification is a map-side popcount on the joined rows. Same
+    candidate-bounding argument as minhash-LSH banding.
+    """
+    if not 0 <= k < num_bits:
+        raise ValueError(f"simhash_near_pairs: need 0 <= k < num_bits, got k={k}")
+    n_seg = k + 1
+    width = num_bits // n_seg
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    fp = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), simhash(toks, num_bits).alias("_fp"))
+    )
+
+    def segment(c: Column, i: int) -> Column:
+        start = i * width
+        # Last segment absorbs the remainder bits so all num_bits count.
+        w = num_bits - start if i == n_seg - 1 else width
+        if w >= 64:  # k=0: the lone segment IS the fingerprint
+            return c
+        mask = (1 << w) - 1
+        return F.shiftright(c, start).bitwiseAND(F.lit(mask))
+
+    banded = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_idx"),
+                        segment(F.col("_fp"), i).alias("seg_val"),
+                    )
+                    for i in range(n_seg)
+                ]
+            )
+        ).alias("seg"),
+    ).select("_id", "_fp", "seg.seg_idx", "seg.seg_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    dist = F.bit_count(F.col("l._fp").bitwiseXOR(F.col("r._fp")))
+    return (
+        l.join(
+            r,
+            (F.col("l.seg_idx") == F.col("r.seg_idx"))
+            & (F.col("l.seg_val") == F.col("r.seg_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            dist.cast("int").alias("hamming_dist"),
+        )
+        .where(F.col("hamming_dist") <= k)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

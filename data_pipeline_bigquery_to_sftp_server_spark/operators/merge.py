@@ -26,6 +26,7 @@ Strategy choice at scale:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -95,13 +96,38 @@ def upsert_partitioned(
 
     Returns the merged view of the touched partitions (what was
     written). Read the full table with ``spark.read.parquet(path)``.
+
+    Durability contract (plain parquet, no table format):
+    - First run bootstraps: if ``target_path`` does not exist yet, the
+      staging batch is written directly (the reference's CTAS-on-"Not
+      found: Table" behavior, main.py:366-372).
+    - The dynamic-partition-overwrite commit is atomic per partition
+      directory but NOT across partitions: a concurrent reader can
+      briefly observe a mix of old and new partitions. Single-writer,
+      no-concurrent-reader is the assumed deployment (same as the
+      reference's BigQuery-job serialization); a lakehouse format
+      (Delta/Iceberg) is the upgrade when snapshot isolation matters.
+    - The pre-write ``localCheckpoint`` is executor-local: an executor
+      loss between checkpoint and commit aborts the job with the OLD
+      table intact (the write never started or dynamic overwrite
+      replaces no directory until its new files commit) — rerun the
+      batch; the MERGE is idempotent on the key.
     """
     touched = [
         r[0] for r in staging.select(partition_col).distinct().collect()
     ]
-    target = spark.read.parquet(target_path).where(
-        F.col(partition_col).isin(touched)
-    )
+    try:
+        target = spark.read.parquet(target_path).where(
+            F.col(partition_col).isin(touched)
+        )
+    except AnalysisException:
+        # Bootstrap: no target yet — first batch becomes the table.
+        staging.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
+        return spark.read.parquet(target_path).where(
+            F.col(partition_col).isin(touched)
+        )
     # Materialize the merged partitions before writing: Spark (rightly)
     # refuses to overwrite a path that the write plan is still reading
     # from. localCheckpoint truncates lineage to the computed blocks —

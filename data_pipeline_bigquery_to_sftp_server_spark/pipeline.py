@@ -90,6 +90,13 @@ def transform_tickets(raw: DataFrame) -> DataFrame:
         ),
         # .get('discounts', []) default (main.py:301-305 pattern): a
         # missing list renders as '[]', not NULL.
+        # KNOWN DIVERGENCE: the reference distinguishes an ABSENT key
+        # (dict .get default -> '[]') from an explicit null value
+        # (str(None) -> the reference would emit 'None' through to_str).
+        # A DataFrame schema collapses absent-vs-null into one NULL, so
+        # both render '[]' here. Same caveat applies to the tags and
+        # toEmails defaults. Acceptable because the upstream API emits
+        # the key as absent, never as an explicit null.
         scalar.py_repr(
             F.coalesce(
                 F.col("discounts"),

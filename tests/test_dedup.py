@@ -190,3 +190,60 @@ def test_connected_components_unconverged_raises(spark):
     # and with enough rounds the same chain converges to one component
     comp = {r.node: r.component for r in dedup.connected_components(chain).collect()}
     assert set(comp.values()) == {1}
+
+
+def test_simhash_near_pairs_complete_vs_brute_force(spark, sf_dir):
+    """The k+1-segment pigeonhole band join must find EXACTLY the pairs
+    within Hamming distance k of each other — recall-complete by the
+    pigeonhole theorem, precision-exact by the popcount verify."""
+    from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(dedup.normalize_text(F.col("text")), " ")
+    fps = {
+        r.doc_id: r.fp
+        for r in d.select("doc_id", dedup.simhash(toks).alias("fp")).collect()
+    }
+    for k in (0, 3):
+        expected = {
+            (a, b, bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1"))
+            for a in fps
+            for b in fps
+            if a < b and bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= k
+        }
+        got = {
+            (r.id_a, r.id_b, r.hamming_dist)
+            for r in dedup.simhash_near_pairs(d, k=k).collect()
+        }
+        assert got == expected, f"k={k}: {len(got)} vs {len(expected)}"
+
+
+def test_simhash_near_pairs_rejects_bad_k(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k"):
+        dedup.simhash_near_pairs(df, k=64)
+
+
+def test_connected_components_checkpoint_cleanup(spark, tmp_path):
+    """Reliable mode must leave only the final label checkpoint on disk
+    (round N-1 and edge files are garbage-collected), scope itself to a
+    cc-* subdirectory, and still answer correctly."""
+    import os
+
+    base = tmp_path / "cc_gc"
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    labels = dedup.connected_components(pairs, checkpoint_dir=str(base))
+    got = {r.node: r.component for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    scoped = [p for p in os.listdir(base) if p.startswith("cc-")]
+    assert len(scoped) == 1
+    assert labels.cc_checkpoint_path == str(base) + "/" + scoped[0]
+    rdd_dirs = []
+    for root, dirs, _files in os.walk(base):
+        rdd_dirs += [d for d in dirs if d.startswith("rdd-")]
+    assert len(rdd_dirs) == 1, rdd_dirs  # only the final labels survive

@@ -54,3 +54,56 @@ def test_merge_counts(spark):
     target, staging = make(spark)
     row = merge.merge_counts(target, staging, "id").first()
     assert (row.inserted, row.updated) == (1, 1)
+
+
+def _pmake(spark):
+    target = spark.createDataFrame(
+        [(1, "2024-01", "a"), (2, "2024-01", "b"), (3, "2024-02", "c")],
+        "id int, month string, name string",
+    )
+    staging = spark.createDataFrame(
+        [(2, "2024-01", "B!"), (9, "2024-01", "new")],
+        "id int, month string, name string",
+    )
+    return target, staging
+
+
+def test_upsert_partitioned_merges_and_prunes(spark, tmp_path):
+    """Dynamic-overwrite MERGE rewrites only touched partition dirs:
+    the untouched partition's files are byte-identical afterwards."""
+    import os
+
+    path = str(tmp_path / "t")
+    target, staging = _pmake(spark)
+    target.write.partitionBy("month").parquet(path)
+    before = {
+        f: os.path.getmtime(os.path.join(path, "month=2024-02", f))
+        for f in os.listdir(os.path.join(path, "month=2024-02"))
+        if f.endswith(".parquet")
+    }
+    merge.upsert_partitioned(spark, path, staging, key="id", partition_col="month")
+    full = {r.id: r.name for r in spark.read.parquet(path).collect()}
+    assert full == {1: "a", 2: "B!", 3: "c", 9: "new"}
+    after = {
+        f: os.path.getmtime(os.path.join(path, "month=2024-02", f))
+        for f in os.listdir(os.path.join(path, "month=2024-02"))
+        if f.endswith(".parquet")
+    }
+    assert after == before  # untouched partition not rewritten
+
+
+def test_upsert_partitioned_bootstraps_missing_target(spark, tmp_path):
+    """First run against a nonexistent path must create the table from
+    the staging batch (reference CTAS-on-not-found, main.py:366-372)."""
+    path = str(tmp_path / "fresh")
+    _, staging = _pmake(spark)
+    out = merge.upsert_partitioned(spark, path, staging, key="id", partition_col="month")
+    assert {r.id: r.name for r in out.collect()} == {2: "B!", 9: "new"}
+    assert {r.id for r in spark.read.parquet(path).collect()} == {2, 9}
+    # and the next run merges normally on top of the bootstrap
+    more = spark.createDataFrame(
+        [(9, "2024-01", "upd"), (5, "2024-03", "e")], "id int, month string, name string"
+    )
+    merge.upsert_partitioned(spark, path, more, key="id", partition_col="month")
+    full = {r.id: r.name for r in spark.read.parquet(path).collect()}
+    assert full == {2: "B!", 9: "upd", 5: "e"}
