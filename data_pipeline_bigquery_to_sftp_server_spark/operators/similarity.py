@@ -311,7 +311,19 @@ def ivf_topk(
     # per iteration) for a 16xdim matrix of output.
     max_train = 8192
     if train_fraction >= 1.0:
-        sample_rows = corpus.select(vec_col).limit(max_train).collect()
+        # Deterministic uniform sample: order by a seeded hash of the id
+        # and take the first max_train. Catalyst executes orderBy+limit
+        # as TakeOrdered (per-partition top-k, merged on the driver — no
+        # full sort shuffle), so cost is one O(corpus) scan. A plain
+        # limit() would collect the first rows of the first file(s) —
+        # one shard's distribution, a biased quantizer at 100 TB.
+        sample_rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(max_train)
+            .select(vec_col)
+            .collect()
+        )
     else:
         sample_rows = (
             corpus.select(vec_col).sample(train_fraction, seed=seed).limit(max_train).collect()

@@ -758,6 +758,15 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_simhash(d, "doc_id", "text")
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b: ALL pairs within SimHash Hamming distance <= 3 via the
+    pigeonhole band join (recall-complete by construction; rows-only —
+    the 64-bit sign-sum fingerprint isn't SQL-expressible — completeness
+    vs brute-force XOR popcount pinned in test_dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, "doc_id", "text", k=3)
+
+
 # ---------------------------------------------------------------------------
 # X3/X4: similarity search
 # ---------------------------------------------------------------------------
@@ -907,6 +916,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = similarity.ivf_topk(e, queries, k=10, n_centroids=16, n_probe=6)
     return _ann_with_recall(approx, e, queries, k=10)
+
+
+def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: IVF at ``n_probe == n_centroids`` probes every inverted list,
+    so the candidate set is the whole corpus and the exact re-rank makes
+    the result provably identical to brute force (similarity.ivf_topk
+    docstring; equality pinned in test_similarity). This gives the IVF
+    family an ORACLE-CHECKED driver row — the same _ORACLE_COSINE_TOPK
+    as the exact scorers — while the partial-probe variant stays
+    recall-certified rows-only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_topk(e, queries, k=10, n_centroids=16, n_probe=16)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3613,6 +3643,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk_np": q_cosine_topk_np,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_full_probe": q_ivf_full_probe,
     "embedding_dups_exact": q_embedding_dups_exact,
     # text analysis family (X)
     "token_topk": q_token_topk,
@@ -3649,9 +3680,9 @@ QUERIES: dict[str, QueryFn] = {
     "json_roundtrip": q_json_roundtrip,
     "bool_defaults": q_bool_defaults,
     "regex_extract": q_regex_extract,
-    # windows
+    # windows (window_range_frame demoted past 50 to make room for
+    # ivf_full_probe — the family keeps window_suite in-window)
     "window_suite": q_window_suite,
-    "window_range_frame": q_window_range_frame,
     # UDF / UDAF / UDTF surface
     "udaf_geomean": q_udaf_geomean,
     "udtf_sentences": q_udtf_sentences,
@@ -3667,6 +3698,9 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_stateful": q_streaming_stateful,
     # -- slots 51+: variants + remainder (verified via verify_local) --
+    "window_range_frame": q_window_range_frame,
+    "membership_split": q_membership_split,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "rollup": q_rollup,
     "cube": q_cube,
     "window_rank": q_window_rank,
@@ -3745,6 +3779,10 @@ ORACLES: dict[str, str] = {
     "embedding_dups_exact": _ORACLE_EMBEDDING_DUPS_EXACT,
     "cosine_topk": _ORACLE_COSINE_TOPK,
     "cosine_topk_np": _ORACLE_COSINE_TOPK,
+    # full probe == exact brute force (see q_ivf_full_probe docstring)
+    "ivf_full_probe": _ORACLE_COSINE_TOPK,
+    "membership_split": _ORACLE_MEMBERSHIP_SPLIT,
+    # simhash_near_pairs: rows-only (fingerprint isn't SQL-expressible)
     "token_topk": _ORACLE_TOKEN_TOPK,
     "text_stats": _ORACLE_TEXT_STATS,
     "lang_markers": _ORACLE_LANG_MARKERS,
