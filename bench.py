@@ -69,6 +69,9 @@ HEADLINE = [
     "curation_pipeline",
     "sync_pipeline",
     "streaming_tumbling",
+    "decontaminate",
+    "pii_redaction",
+    "pack_sequences",
 ]
 
 

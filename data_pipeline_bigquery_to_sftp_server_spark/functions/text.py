@@ -112,3 +112,36 @@ def fingerprint(col: Column) -> Column:
     normalized content (xxhash64 of the canonical text). Used for exact
     dedup joins where carrying full text through a shuffle is too heavy."""
     return F.xxhash64(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+# --- PII scrubbing -----------------------------------------------------------
+# Conservative patterns restricted to syntax RE2 (DuckDB) and java.util
+# .regex (Spark) interpret identically, so the oracle can replay the
+# exact same substitutions. Map-side only — no joins, no shuffle, no
+# Python: PII scrubbing at 100 TB is a pure projection.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+# TPC-H phone shape (CC-NNN-NNN-NNNN) plus common US-style NNN-NNN-NNNN.
+PII_PHONE_RE = r"\b[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?\b"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, phone numbers, and IPv4 addresses with typed
+    placeholder tokens (<EMAIL>, <PHONE>, <IP>). Email first: an email's
+    domain may contain digit runs a later pattern could half-match."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) match counts, counted in the same
+    order redact_pii substitutes so overlapping matches tally once."""
+    after_email = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    return (
+        F.regexp_count(col, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(after_email, F.lit(PII_PHONE_RE)),
+        F.regexp_count(after_phone, F.lit(PII_IPV4_RE)),
+    )

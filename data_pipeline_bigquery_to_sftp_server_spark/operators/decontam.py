@@ -1,0 +1,79 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation corpus.
+
+The standard LLM-training hygiene step (n-gram overlap against eval
+benchmarks, as popularized by the GPT-3/PaLM data cards): any training
+document containing an n-gram that also occurs in a benchmark document
+is suspect — report the overlap so the pipeline can drop or audit it.
+
+Scale shape (the 100 TB path): the eval corpus is benchmarks — tiny by
+construction (thousands of documents, not billions) — so its distinct
+n-gram set broadcasts; the training side explodes to (doc, gram) pairs
+and the membership test is a broadcast LEFT SEMI hash join, i.e.
+map-side, no shuffle of the training corpus. The per-doc rollup then
+shuffles only the HITS (contaminated grams), not every gram. With a
+large eval side, drop ``broadcast_eval`` and the semi join shuffles on
+the gram key like any fact-fact join.
+
+N-grams reuse :func:`dedup.shingle_hashes` (xxhash64-chained word
+grams folded to 32 bits, distinct per doc) so the gram id is a compact
+long on the wire, never a string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators.dedup import shingle_hashes
+from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
+    ensure_parallelism,
+)
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-training-document contamination report against an eval set.
+
+    Returns ``(id_col, n_grams, n_contaminated, contamination_ratio)``
+    with one row per training document (clean docs report 0 / 0.0);
+    ``contamination_ratio`` = contaminated distinct grams / distinct
+    grams, rounded to 6dp. Documents shorter than ``n`` tokens fall
+    back to their whole normalized text as a single gram (same rule as
+    the dedup shinglers, so a verbatim short-question copy still hits).
+    """
+    grams = shingle_hashes(F.col(text_col), n)
+    base = ensure_parallelism(train).select(
+        F.col(id_col), grams.alias("_gs")
+    )
+    t_grams = base.select(id_col, F.explode("_gs").alias("_g"))
+    e_grams = (
+        ensure_parallelism(eval_df)
+        .select(F.explode(shingle_hashes(F.col(text_col), n)).alias("_g"))
+        .distinct()
+    )
+    if broadcast_eval:
+        e_grams = F.broadcast(e_grams)
+    hits = (
+        t_grams.join(e_grams, "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        base.select(id_col, F.size("_gs").alias("n_grams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("contamination_ratio"),
+        )
+    )

@@ -715,8 +715,15 @@ def connected_components(
             labels.cc_checkpoint_path = scoped_dir
         return labels
     finally:
-        if scoped_dir is not None and prev_dir.isDefined():
-            spark.sparkContext.setCheckpointDir(prev_dir.get())
+        if scoped_dir is not None:
+            # Restore unconditionally: leaving the context-global dir
+            # pointed inside scoped_dir (which the caller is told to
+            # delete) would send a later unrelated df.checkpoint()'s
+            # files into the documented cleanup path. PySpark accepts
+            # None to clear an initially-unset checkpoint dir.
+            spark.sparkContext.setCheckpointDir(
+                prev_dir.get() if prev_dir.isDefined() else None
+            )
 
 
 def dedup_clusters(

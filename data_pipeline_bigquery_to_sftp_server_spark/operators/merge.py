@@ -26,7 +26,6 @@ Strategy choice at scale:
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -116,11 +115,18 @@ def upsert_partitioned(
     touched = [
         r[0] for r in staging.select(partition_col).distinct().collect()
     ]
-    try:
-        target = spark.read.parquet(target_path).where(
-            F.col(partition_col).isin(touched)
-        )
-    except AnalysisException:
+    # Probe target existence explicitly (scheme-aware Hadoop FS, same
+    # pattern as connected_components). Catching AnalysisException
+    # around the read would also swallow analysis failures on an
+    # EXISTING table — schema drift, a target written without
+    # partition_col, an empty directory — and misread them as
+    # "bootstrap", overwriting the table with the staging batch. The
+    # reference's equivalent catch matches only "Not found: Table"
+    # (main.py:366-368); absence must be the ONLY bootstrap trigger.
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         # Bootstrap: no target yet — first batch becomes the table.
         staging.write.mode("overwrite").partitionBy(partition_col).parquet(
             target_path
@@ -128,6 +134,11 @@ def upsert_partitioned(
         return spark.read.parquet(target_path).where(
             F.col(partition_col).isin(touched)
         )
+    # Any failure from here on (unreadable parquet, missing
+    # partition_col) propagates — the existing table stays intact.
+    target = spark.read.parquet(target_path).where(
+        F.col(partition_col).isin(touched)
+    )
     # Materialize the merged partitions before writing: Spark (rightly)
     # refuses to overwrite a path that the write plan is still reading
     # from. localCheckpoint truncates lineage to the computed blocks —

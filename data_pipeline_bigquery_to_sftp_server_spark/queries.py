@@ -2220,6 +2220,144 @@ GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/X1 benchmark decontamination: per-training-doc 4-gram overlap
+    against an eval split (docs with doc_id % 20 == 0 stand in for the
+    benchmark corpus). Broadcast semi join on hashed grams — the
+    training corpus never shuffles (operators/decontam.py). Counts are
+    over hashed grams in Spark vs string grams in the oracle —
+    identical absent 32-bit collisions (same parity argument as
+    jaccard_pairs)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import decontam
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_df = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    return decontam.ngram_contamination(train, eval_df, "doc_id", "text", n=4)
+
+
+_ORACLE_DECONTAMINATE = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 4 THEN [norm]
+              ELSE list_distinct(list_transform(range(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+         END AS gs
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents)
+), ev AS (
+  SELECT DISTINCT unnest(gs) AS g FROM base WHERE doc_id % 20 = 0
+), tr AS (
+  SELECT doc_id, gs FROM base WHERE doc_id % 20 != 0
+), hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM (SELECT doc_id, unnest(gs) AS g FROM tr) t
+  WHERE g IN (SELECT g FROM ev)
+  GROUP BY doc_id
+)
+SELECT tr.doc_id,
+       len(tr.gs) AS n_grams,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / len(tr.gs), 6)
+         AS contamination_ratio
+FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 sequence packing: documents FFD-packed into 512-token bins,
+    reported per bin (rows-only: the first-fit-decreasing assignment is
+    order-dependent and not SQL-expressible; the invariants — every doc
+    packed once, no bin over budget, FFD fill bound — are pinned in
+    test_packing)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import packing
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_tokens")
+    )
+    assign = packing.pack_sequences(docs, budget=512, num_groups=8)
+    return packing.packing_summary(assign).orderBy("bin_id")
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 PII scrubbing: typed placeholder substitution (<EMAIL>,
+    <PHONE>, <IP>) plus per-class match counts, all native regexp —
+    map-side projection, the right shape for scrubbing 100 TB. The
+    documents corpus is synthetic word soup with no PII, so the query
+    plants known PII deterministically from customer fields (name ->
+    email, custkey -> phone and IP) and both engines redact the same
+    text (patterns restricted to the regex subset RE2 and java.util
+    .regex read identically)."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        (key % 90 + 10).cast("string"),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lpad(((key * 7) % 1000).cast("string"), 3, "0"),
+        F.lpad(((key * 13) % 10000).cast("string"), 4, "0"),
+    )
+    synth = F.concat(
+        F.col("c_mktsegment"),
+        F.lit(" customer "),
+        F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", "")),
+        F.lit("@example.com tel "),
+        phone,
+        F.lit(" ip 10.0."),
+        (key % 256).cast("string"),
+        F.lit(".1 end"),
+    )
+    n_emails, n_phones, n_ips = text.pii_counts(synth)
+    return c.select(
+        "c_custkey",
+        text.redact_pii(synth).alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+    )
+
+
+_ORACLE_PII_REDACTION = r"""
+WITH t AS (
+  SELECT c_custkey,
+         c_mktsegment || ' customer ' ||
+         lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) ||
+         '@example.com tel ' ||
+         CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' ||
+         lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') ||
+         ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1 end' AS txt
+  FROM customer
+), s AS (
+  SELECT c_custkey, txt,
+         regexp_replace(txt,
+           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS after_email
+  FROM t
+), s2 AS (
+  SELECT c_custkey, txt, after_email,
+         regexp_replace(after_email,
+           '\b[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?\b',
+           '<PHONE>', 'g') AS after_phone
+  FROM s
+)
+SELECT c_custkey,
+       regexp_replace(after_phone, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                      '<IP>', 'g') AS redacted,
+       len(regexp_extract_all(txt,
+           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(after_email,
+           '\b[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?\b')) AS n_phones,
+       len(regexp_extract_all(after_phone,
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips
+FROM s2
+"""
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6: CSV sink + glob source roundtrip (the reference's
     SFTP↔storage CSV flows, README.md:110-112), oracle-checked: export
@@ -2424,7 +2562,11 @@ def q_curation_pipeline(
     executor-local, so an executor loss aborts the job on a real
     cluster. Pass a reliable directory (HDFS/S3/DBFS) in production;
     it is threaded through to ``connected_components``, which scopes,
-    rotates, and garbage-collects its round checkpoints there."""
+    rotates, and garbage-collects its round checkpoints there. The
+    quality frame's own checkpoint is scoped the same way; its path is
+    exposed as ``result.curation_checkpoint_path`` — delete it after
+    materializing the rollup. The context-global checkpoint dir is
+    restored before this function returns."""
     from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
 
     d = load_table(spark, sf_dir, "documents")
@@ -2455,9 +2597,25 @@ def q_curation_pipeline(
         .where((F.col("n_tok") >= 5) & (F.col("rep_ratio") < 0.6))
         .select("doc_id", "text", "lang", "n_chars")
     )
+    quality_dir = None
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-        quality = quality.checkpoint(eager=True)
+        # Mirror connected_components' housekeeping: the quality frame's
+        # reliable checkpoint lives in its own scoped subdirectory, the
+        # context-global checkpoint dir is restored before continuing
+        # (connected_components below scopes its own), and the scoped
+        # path is exposed on the result as ``curation_checkpoint_path``
+        # so the caller can delete it once the rollup is materialized.
+        import uuid
+
+        quality_dir = checkpoint_dir.rstrip("/") + f"/cur-{uuid.uuid4().hex}"
+        prev = spark.sparkContext._jsc.sc().getCheckpointDir()
+        spark.sparkContext.setCheckpointDir(quality_dir)
+        try:
+            quality = quality.checkpoint(eager=True)
+        finally:
+            spark.sparkContext.setCheckpointDir(
+                prev.get() if prev.isDefined() else None
+            )
     else:
         quality = quality.localCheckpoint(eager=True)
 
@@ -2481,7 +2639,7 @@ def q_curation_pipeline(
             F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="cur1"
         ),
     )
-    return (
+    out = (
         split.groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -2489,6 +2647,9 @@ def q_curation_pipeline(
         )
         .orderBy("split", "lang")
     )
+    if quality_dir is not None:
+        out.curation_checkpoint_path = quality_dir
+    return out
 
 
 _ORACLE_CURATION_PIPELINE = r"""
@@ -3701,6 +3862,9 @@ QUERIES: dict[str, QueryFn] = {
     "window_range_frame": q_window_range_frame,
     "membership_split": q_membership_split,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "decontaminate": q_decontaminate,
+    "pii_redaction": q_pii_redaction,
+    "pack_sequences": q_pack_sequences,
     "rollup": q_rollup,
     "cube": q_cube,
     "window_rank": q_window_rank,
@@ -3818,6 +3982,8 @@ ORACLES: dict[str, str] = {
     "lang_id": _ORACLE_LANG_ID,
     "quality_scores": _ORACLE_QUALITY_SCORES,
     "fingerprints": _ORACLE_FINGERPRINTS,
+    "decontaminate": _ORACLE_DECONTAMINATE,
+    "pii_redaction": _ORACLE_PII_REDACTION,
     "media_features": _ORACLE_MEDIA_FEATURES,
     "csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
     "order_priority_check": _ORACLE_ORDER_PRIORITY_CHECK,

@@ -1,0 +1,67 @@
+"""Benchmark decontamination (operators/decontam.py): the broadcast
+semi-join gram overlap must equal a python brute force over the same
+normalize/4-gram/short-doc-fallback rule, and the non-broadcast
+(shuffled semi join) path must return the identical frame."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+from data_pipeline_bigquery_to_sftp_server_spark.operators import decontam
+
+
+def _grams(txt, n=4):
+    norm = re.sub(r"\s+", " ", txt.lower()).strip()
+    w = norm.split(" ")
+    if len(w) < n:
+        return {norm}
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_contamination_vs_brute_force(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    eval_grams = set()
+    for doc_id, t in texts.items():
+        if doc_id % 20 == 0:
+            eval_grams |= _grams(t)
+    expected = {}
+    for doc_id, t in texts.items():
+        if doc_id % 20 == 0:
+            continue
+        gs = _grams(t)
+        hit = len(gs & eval_grams)
+        expected[doc_id] = (len(gs), hit, round(hit / len(gs), 6))
+
+    out = decontam.ngram_contamination(
+        d.where(F.col("doc_id") % 20 != 0),
+        d.where(F.col("doc_id") % 20 == 0),
+        n=4,
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contamination_ratio)
+        for r in out.collect()
+    }
+    assert got == expected
+    # some contamination must actually exist at this SF, or the test
+    # proves nothing about the hit path
+    assert any(v[1] > 0 for v in expected.values())
+
+
+def test_contamination_broadcast_off_identical(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 20 != 0)
+    ev = d.where(F.col("doc_id") % 20 == 0)
+    a = sorted(
+        map(tuple, decontam.ngram_contamination(train, ev, n=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            decontam.ngram_contamination(
+                train, ev, n=4, broadcast_eval=False
+            ).collect(),
+        )
+    )
+    assert a == b

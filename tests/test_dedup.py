@@ -247,3 +247,54 @@ def test_connected_components_checkpoint_cleanup(spark, tmp_path):
     for root, dirs, _files in os.walk(base):
         rdd_dirs += [d for d in dirs if d.startswith("rdd-")]
     assert len(rdd_dirs) == 1, rdd_dirs  # only the final labels survive
+
+
+def test_connected_components_restores_checkpoint_dir(spark, tmp_path):
+    """The context-global checkpoint dir must be restored after reliable
+    mode: to its previous value when one was set, and cleared when none
+    was — never left pointing inside the scoped cc-* dir the caller is
+    told to delete."""
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    jsc = spark.sparkContext._jsc
+
+    # Case 1: no prior dir -> must be cleared, not left at cc-*.
+    spark.sparkContext.setCheckpointDir(None)
+    dedup.connected_components(pairs, checkpoint_dir=str(tmp_path / "a")).collect()
+    assert not jsc.sc().getCheckpointDir().isDefined()
+
+    # Case 2: a prior dir -> must be restored under the original root.
+    # (setCheckpointDir nests a fresh UUID per call, so byte-identical
+    # restoration is impossible via the public API; what matters is
+    # that later checkpoints land under the caller's root, never under
+    # the scoped cc-* dir the caller is told to delete.)
+    prev = str(tmp_path / "prev_ckpt")
+    spark.sparkContext.setCheckpointDir(prev)
+    before = jsc.sc().getCheckpointDir().get()
+    dedup.connected_components(pairs, checkpoint_dir=str(tmp_path / "b")).collect()
+    after = jsc.sc().getCheckpointDir().get()
+    assert after.startswith(before)
+    assert "/cc-" not in after
+    spark.sparkContext.setCheckpointDir(None)  # leave no test residue
+
+
+def test_curation_pipeline_reliable_checkpoint_hygiene(spark, sf_dir, tmp_path):
+    """q_curation_pipeline's reliable mode must (1) match the default
+    mode's result, (2) scope the quality checkpoint to a cur-* subdir
+    exposed as curation_checkpoint_path, and (3) restore the global
+    checkpoint dir before returning."""
+    import os
+
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import (
+        q_curation_pipeline,
+    )
+
+    jsc = spark.sparkContext._jsc
+    spark.sparkContext.setCheckpointDir(None)
+    base = str(tmp_path / "cur_ckpt")
+    default_rows = [tuple(r) for r in q_curation_pipeline(spark, sf_dir).collect()]
+    out = q_curation_pipeline(spark, sf_dir, checkpoint_dir=base)
+    reliable_rows = [tuple(r) for r in out.collect()]
+    assert reliable_rows == default_rows
+    assert not jsc.sc().getCheckpointDir().isDefined()
+    assert out.curation_checkpoint_path.startswith(base + "/cur-")
+    assert os.path.isdir(out.curation_checkpoint_path)

@@ -107,3 +107,22 @@ def test_upsert_partitioned_bootstraps_missing_target(spark, tmp_path):
     merge.upsert_partitioned(spark, path, more, key="id", partition_col="month")
     full = {r.id: r.name for r in spark.read.parquet(path).collect()}
     assert full == {2: "B!", 9: "upd", 5: "e"}
+
+
+def test_upsert_partitioned_existing_table_failure_is_not_bootstrap(spark, tmp_path):
+    """An analysis failure on an EXISTING target (here: a table written
+    without the partition column) must propagate, NOT be misread as
+    'table absent' — the old data-loss mode overwrote the table with
+    the staging batch. Bootstrap triggers on path absence only."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    path = str(tmp_path / "nopart")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, name string"
+    ).write.parquet(path)  # existing table WITHOUT `month`
+    _, staging = _pmake(spark)
+    with pytest.raises(AnalysisException):
+        merge.upsert_partitioned(spark, path, staging, key="id", partition_col="month")
+    # the existing table is intact, not replaced by the staging batch
+    assert {r.id: r.name for r in spark.read.parquet(path).collect()} == {1: "a", 2: "b"}

@@ -1,0 +1,74 @@
+"""Sequence packing (operators/packing.py): FFD bin assignment must be
+a partition of the input, respect the budget, isolate oversized docs,
+be deterministic, and meet the FFD fill bound."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+from data_pipeline_bigquery_to_sftp_server_spark.functions import text
+from data_pipeline_bigquery_to_sftp_server_spark.operators import packing
+
+BUDGET = 128
+
+
+def _docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def test_pack_is_partition_and_respects_budget(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    assign = packing.pack_sequences(docs, budget=BUDGET, num_groups=4)
+    rows = assign.collect()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs  # each doc exactly once
+    fills: dict[int, int] = {}
+    members: dict[int, list] = {}
+    for r in rows:
+        fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
+        members.setdefault(r.bin_id, []).append(r)
+    for bin_id, fill in fills.items():
+        over = [r for r in members[bin_id] if r.oversize]
+        if over:
+            # oversized docs sit alone in a dedicated bin
+            assert len(members[bin_id]) == 1
+            assert over[0].n_tokens > BUDGET
+        else:
+            assert fill <= BUDGET, (bin_id, fill)
+
+
+def test_pack_ffd_fill_bound(spark, sf_dir):
+    """FFD can open at most one bin per group that is <= half full (any
+    two half-empty bins would have been merged by first-fit), so the
+    bin count is bounded by total/(budget/2) + groups + oversize."""
+    docs = _docs(spark, sf_dir)
+    num_groups = 4
+    assign = packing.pack_sequences(docs, budget=BUDGET, num_groups=num_groups)
+    summary = packing.packing_summary(assign).collect()
+    regular = [r for r in summary if not r.oversize]
+    n_oversize = len(summary) - len(regular)
+    total = sum(r.fill for r in regular)
+    assert len(regular) <= total / (BUDGET / 2) + num_groups
+
+
+def test_pack_deterministic_and_partitioning_invariant(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = sorted(map(tuple, packing.pack_sequences(docs, budget=BUDGET).collect()))
+    b = sorted(
+        map(
+            tuple,
+            packing.pack_sequences(docs.repartition(7), budget=BUDGET).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pack_rejects_bad_budget(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget"):
+        packing.pack_sequences(df, budget=0)

@@ -77,3 +77,29 @@ def test_repetition_ratio_flags_degenerate_docs(spark, sf_dir):
     rows = {r.doc_id: r for r in q_repetition_scores(spark, out).collect()}
     assert rows[1].rep_ratio == 1.0 and rows[1].n_bigrams == 3
     assert rows[2].rep_ratio == round(1 / 4, 6) and rows[2].n_bigrams == 4
+
+
+def test_redact_pii_and_counts(spark):
+    rows = [
+        (1, "mail a.b+c@ex-ample.co.uk and 10.20.30.40 then 25-989-741-2988"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.io z@w.ai ip 1.2.3.4 tel 123-456-7890"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    e, p, i = text.pii_counts(F.col("t"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            text.redact_pii(F.col("t")).alias("r"),
+            e.alias("e"),
+            p.alias("p"),
+            i.alias("i"),
+        ).collect()
+    }
+    assert out[1].r == "mail <EMAIL> and <IP> then <PHONE>"
+    assert (out[1].e, out[1].p, out[1].i) == (1, 1, 1)
+    assert out[2].r == "no pii here at all"
+    assert (out[2].e, out[2].p, out[2].i) == (0, 0, 0)
+    assert out[3].r == "two mails <EMAIL> <EMAIL> ip <IP> tel <PHONE>"
+    assert (out[3].e, out[3].p, out[3].i) == (2, 1, 1)
