@@ -476,12 +476,18 @@ def _shingle_base(
 def _complete_pairs_from_base(base: DataFrame, threshold: float) -> DataFrame:
     """Prefix-filter candidate join + exact verify over a shingled base
     (see jaccard_pairs_complete for the algorithm + scale notes)."""
+    from pyspark.sql import Window
+
     tok = base.select("_id", "_n", F.explode("_hs").alias("_h"))
-    dfreq = tok.groupBy("_h").agg(F.count("*").alias("_df"))
+    # Document frequency per shingle as a window count over the exploded
+    # tokens: ONE scan of base and ONE shuffle (by _h). The groupBy+join
+    # alternative scans base twice and shuffles both derivations of tok
+    # separately (partial-agg side and join side have different plans up
+    # to the exchange, so the exchange isn't reused).
+    tok = tok.withColumn("_df", F.count("*").over(Window.partitionBy("_h")))
     prefix_len = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
     prefixes = (
-        tok.join(dfreq, "_h")
-        .groupBy("_id", "_n")
+        tok.groupBy("_id", "_n")
         .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_ord"))
         .select(
             "_id",
