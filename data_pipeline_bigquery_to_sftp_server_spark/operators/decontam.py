@@ -49,31 +49,36 @@ def ngram_contamination(
     the dedup shinglers, so a verbatim short-question copy still hits).
     """
     grams = shingle_hashes(F.col(text_col), n)
-    base = ensure_parallelism(train).select(
-        F.col(id_col), grams.alias("_gs")
+    # One pass: every (doc, gram) row probes the (broadcast) eval gram
+    # set via a LEFT join and a single per-doc aggregation counts both
+    # totals and hits — no second join back to restore clean docs
+    # (every gram row survives a left join, so every doc reaches the
+    # rollup). A semi-join formulation needs one more exchange and a
+    # second derivation of the gram base.
+    t_grams = ensure_parallelism(train).select(
+        F.col(id_col), F.explode(grams).alias("_g")
     )
-    t_grams = base.select(id_col, F.explode("_gs").alias("_g"))
     e_grams = (
         ensure_parallelism(eval_df)
         .select(F.explode(shingle_hashes(F.col(text_col), n)).alias("_g"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     if broadcast_eval:
         e_grams = F.broadcast(e_grams)
-    hits = (
-        t_grams.join(e_grams, "_g", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
-    )
     return (
-        base.select(id_col, F.size("_gs").alias("n_grams"))
-        .join(hits, id_col, "left")
+        t_grams.join(e_grams, "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
         .select(
             id_col,
             "n_grams",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.round(
-                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams"), 6
-            ).alias("contamination_ratio"),
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
+                "contamination_ratio"
+            ),
         )
     )
