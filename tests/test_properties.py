@@ -103,3 +103,60 @@ def test_py_list_str_matches_python_repr(spark, lists_):
     for v, r in zip(lists_, out):
         # exact CPython parity, including "it's" -> double quotes
         assert r.s == str(v), (v, r.s)
+
+
+# PII fragments to plant: valid emails/phones/IPs plus near-misses that
+# must NOT be redacted (missing TLD, letters in octets, short runs).
+_PII_BITS = st.sampled_from(
+    [
+        "bob@x.io",
+        "a.b+c@ex-ample.co.uk",
+        "not-an-email@",
+        "@nope",
+        "25-989-741-2988",
+        "123-456-7890",
+        "12-34",
+        "1.2.3.4",
+        "10.0.255.1",
+        "1.2.3",
+        "plain words",
+        "x9",
+    ]
+)
+_pii_texts = st.lists(
+    st.lists(_PII_BITS, min_size=0, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(_pii_texts)
+def test_pii_redaction_matches_python_re(spark, values):
+    """redact_pii / pii_counts == Python re with the identical patterns
+    and substitution order — a third engine pinning the claim that the
+    patterns sit in the regex subset all three interpret identically."""
+    import re
+
+    from data_pipeline_bigquery_to_sftp_server_spark.functions import text as T
+
+    df = spark.createDataFrame([(v,) for v in values], "t string")
+    e, p, i = T.pii_counts(F.col("t"))
+    got = (
+        df.select(
+            T.redact_pii(F.col("t")).alias("r"),
+            e.alias("e"),
+            p.alias("p"),
+            i.alias("i"),
+        )
+        .orderBy(F.monotonically_increasing_id())
+        .collect()
+    )
+    for v, row in zip(values, got):
+        s1 = re.sub(T.PII_EMAIL_RE, "<EMAIL>", v)
+        s2 = re.sub(T.PII_PHONE_RE, "<PHONE>", s1)
+        s3 = re.sub(T.PII_IPV4_RE, "<IP>", s2)
+        assert row.r == s3, (v, row.r, s3)
+        assert row.e == len(re.findall(T.PII_EMAIL_RE, v))
+        assert row.p == len(re.findall(T.PII_PHONE_RE, s1))
+        assert row.i == len(re.findall(T.PII_IPV4_RE, s2))
