@@ -34,12 +34,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each SQL-expressible query; keys
-    missing here (minhash_pairs, simhash_groups, embedding_dups,
-    lsh_topk, ivf_topk) are approximate/hash-seeded operators and
-    html_clean is a python-HTMLParser UDF -> rows-only checks, with
-    recall/parity (and IVF full-probe == exact brute force) verified
-    in tests/. ALL seven streaming queries run to completion and ARE
-    oracle-checked against batch SQL — including streaming_session,
-    whose append-mode sink deterministically emits exactly the
-    watermark-closed sessions (gaps-and-islands CTE oracle)."""
+    missing here (minhash_pairs, simhash_groups, simhash_near_pairs,
+    embedding_dups, lsh_topk, ivf_topk) are approximate/hash-seeded
+    operators, html_clean is a python-HTMLParser UDF, and
+    pack_sequences is an order-dependent FFD assignment -> rows-only
+    checks, with recall/parity (IVF full-probe == exact brute force is
+    ALSO oracle-checked as ivf_full_probe) verified in tests/. ALL
+    seven streaming queries run to completion and ARE oracle-checked
+    against batch SQL — including streaming_session, whose append-mode
+    sink deterministically emits exactly the watermark-closed sessions
+    (gaps-and-islands CTE oracle)."""
     return dict(ORACLES)
