@@ -72,6 +72,7 @@ HEADLINE = [
     "decontaminate",
     "pii_redaction",
     "pack_sequences",
+    "heavy_hitters",
 ]
 
 

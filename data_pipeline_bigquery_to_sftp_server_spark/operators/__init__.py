@@ -2,10 +2,15 @@
 
 from data_pipeline_bigquery_to_sftp_server_spark.operators import (  # noqa: F401
     asof,
+    decontam,
     dedup,
     merge,
     multimodal,
+    packing,
     relational,
+    sampling,
+    scale,
     similarity,
+    sketch,
     skew,
 )

@@ -2266,6 +2266,28 @@ FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 sketch-then-verify heavy hitters: map-side Misra-Gries
+    candidate generation (token stream never shuffles) + exact count
+    verify restricted to the broadcast candidate set. Counts are exact
+    (the sketch only bounds candidacy), so this IS oracle-checkable:
+    equality holds because the k-th token's frequency (~N/vocab) far
+    exceeds N/capacity here (operators/sketch.py docstring; eviction
+    path exercised in test_sketch)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    return sketch.heavy_hitters(d, text.tokenize(F.col("text")), k=20, capacity=256)
+
+
+_ORACLE_HEAVY_HITTERS = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 sequence packing: documents FFD-packed into 512-token bins,
     reported per bin (rows-only: the first-fit-decreasing assignment is
@@ -3865,6 +3887,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate": q_decontaminate,
     "pii_redaction": q_pii_redaction,
     "pack_sequences": q_pack_sequences,
+    "heavy_hitters": q_heavy_hitters,
     "rollup": q_rollup,
     "cube": q_cube,
     "window_rank": q_window_rank,
@@ -3984,6 +4007,7 @@ ORACLES: dict[str, str] = {
     "fingerprints": _ORACLE_FINGERPRINTS,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "pii_redaction": _ORACLE_PII_REDACTION,
+    "heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "media_features": _ORACLE_MEDIA_FEATURES,
     "csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
     "order_priority_check": _ORACLE_ORDER_PRIORITY_CHECK,
