@@ -944,6 +944,56 @@ def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 sliding-window chunking: split each document into 32-token
+    chunks with stride 24 (8-token overlap) — the standard long-document
+    preprocessing for a fixed context length. Pure map-side: tokenize ->
+    sequence of window starts -> posexplode -> slice + rejoin; no
+    shuffle, no UDF, scales as a projection. Short docs yield exactly
+    one (possibly sub-window) chunk."""
+    size, stride = 32, 24
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... while start < n (at least
+    # one chunk even for empty-ish docs); last window may be short.
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(size)) / F.lit(stride)) + 1, F.lit(1)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    return (
+        d.select("doc_id", toks.alias("_t"), F.posexplode(starts))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice("_t", F.col("col") + 1, size)
+            ).alias("chunk"),
+            F.least(F.size("_t") - F.col("col"), F.lit(size))
+            .cast("long")
+            .alias("chunk_tokens"),
+        )
+    )
+
+
+_ORACLE_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), n AS (
+  SELECT doc_id, w, len(w) AS nt,
+         greatest(CAST(ceil((len(w) - 32) / 24.0) AS INT) + 1, 1) AS nc
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(w, i * 24 + 1, i * 24 + 32), ' ') AS chunk,
+       CAST(least(nt - i * 24, 32) AS BIGINT) AS chunk_tokens
+FROM n, unnest(range(0, nc)) AS u(i)
+"""
+
+
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: corpus token frequencies, top 100."""
     d = load_table(spark, sf_dir, "documents")
@@ -3888,6 +3938,7 @@ QUERIES: dict[str, QueryFn] = {
     "pii_redaction": q_pii_redaction,
     "pack_sequences": q_pack_sequences,
     "heavy_hitters": q_heavy_hitters,
+    "chunk_documents": q_chunk_documents,
     "rollup": q_rollup,
     "cube": q_cube,
     "window_rank": q_window_rank,
@@ -4008,6 +4059,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": _ORACLE_DECONTAMINATE,
     "pii_redaction": _ORACLE_PII_REDACTION,
     "heavy_hitters": _ORACLE_HEAVY_HITTERS,
+    "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
     "media_features": _ORACLE_MEDIA_FEATURES,
     "csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
     "order_priority_check": _ORACLE_ORDER_PRIORITY_CHECK,

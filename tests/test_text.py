@@ -103,3 +103,31 @@ def test_redact_pii_and_counts(spark):
     assert (out[2].e, out[2].p, out[2].i) == (0, 0, 0)
     assert out[3].r == "two mails <EMAIL> <EMAIL> ip <IP> tel <PHONE>"
     assert (out[3].e, out[3].p, out[3].i) == (2, 1, 1)
+
+
+def test_chunk_documents_window_semantics(spark, tmp_path):
+    """Pin the sliding-window rule on a hand-built doc: 85 tokens with
+    size=32/stride=24 -> starts 0,24,48,72; last chunk short (13); a
+    short doc -> exactly one chunk."""
+    import os
+
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import (
+        q_chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(85))
+    df = spark.createDataFrame(
+        [(1, words, "en", 10, "t"), (2, "only three tokens", "en", 10, "t")],
+        "doc_id long, text string, lang string, n_chars long, source string",
+    )
+    path = str(tmp_path / "docs")
+    df.write.parquet(os.path.join(path, "documents.parquet"))
+    out = q_chunk_documents(spark, path).collect()
+    d1 = sorted((r.chunk_idx, r.chunk_tokens) for r in out if r.doc_id == 1)
+    assert d1 == [(0, 32), (1, 32), (2, 32), (3, 13)]
+    chunks = {r.chunk_idx: r.chunk for r in out if r.doc_id == 1}
+    assert chunks[0].split(" ")[0] == "w0"
+    assert chunks[1].split(" ")[0] == "w24"  # 8-token overlap
+    assert chunks[3] == " ".join(f"w{i}" for i in range(72, 85))
+    d2 = [(r.chunk_idx, r.chunk_tokens, r.chunk) for r in out if r.doc_id == 2]
+    assert d2 == [(0, 3, "only three tokens")]
