@@ -58,3 +58,42 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_defaults(
+    total_cores: int,
+    executor_memory_gb: int = 32,
+) -> dict[str, str]:
+    """Recommended spark-submit conf for running this engine on a real
+    cluster (the 1000-executor / 100 TB deployment SCALING.md designs
+    for) — documentation as code; pass to ``extra_conf`` or a
+    ``spark-submit --conf`` line. Rationale per knob:
+
+    - shuffle partitions ~2.5x total cores: AQE coalesces down, so err
+      high; too-low cannot be fixed at runtime.
+    - 128 MB maxPartitionBytes keeps scan tasks memory-bounded; with
+      ~5 tasks/core in flight per executor this stays well inside
+      executor memory even with string-heavy rows.
+    - broadcast threshold 64 MB: every TPC-H-ish dimension broadcasts;
+      fact-fact joins shuffle (deliberate).
+    - AQE + skew join: runtime re-planning splits skewed partitions —
+      the default answer to hot keys before reaching for skew.salted_join.
+    - Arrow batch 10k rows bounds pandas-UDF peak memory for wide/binary
+      rows (multimodal payloads).
+    - UTC + nanosAsLong: engine semantic requirements (catalog.py).
+    """
+    return {
+        "spark.sql.shuffle.partitions": str(int(total_cores * 2.5)),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.executor.memory": f"{executor_memory_gb}g",
+        "spark.memory.fraction": "0.6",
+        "spark.sql.parquet.compression.codec": "zstd",
+    }

@@ -56,3 +56,15 @@ def test_estimate_degrades_to_narrow_on_missing_path(spark, tmp_path):
     df = spark.read.parquet(path)
     shutil.rmtree(path)
     assert estimate_scan_partitions(df, target=1 << 30) == 0
+
+
+def test_cluster_defaults_shape():
+    from data_pipeline_bigquery_to_sftp_server_spark.session import (
+        cluster_defaults,
+    )
+
+    conf = cluster_defaults(total_cores=8000, executor_memory_gb=64)
+    assert conf["spark.sql.shuffle.partitions"] == "20000"
+    assert conf["spark.executor.memory"] == "64g"
+    # every value must be a plain string (spark-submit compatible)
+    assert all(isinstance(v, str) for v in conf.values())
