@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_pipeline_bigquery_to_sftp_server_spark.queries import (
     QUERIES,
+    _events_stream_src,
     clear_pair_cache,
+    clear_stream_src_cache,
     shared_jaccard_pairs,
 )
 from data_pipeline_bigquery_to_sftp_server_spark.session import get_spark
@@ -114,6 +116,14 @@ def main() -> None:
     t0 = time.perf_counter()
     shared_jaccard_pairs(spark, sf_dir)  # eagerly builds + persists
     timings["pair_materialize"] = round(time.perf_counter() - t0, 3)
+
+    # Same honesty rule for the streaming queries' shared file-stream
+    # staging copy: its one-time write is a visible line item, and the
+    # streaming entries then measure stream execution only.
+    clear_stream_src_cache()
+    t0 = time.perf_counter()
+    _events_stream_src(spark, sf_dir)
+    timings["stream_stage_materialize"] = round(time.perf_counter() - t0, 3)
 
     # Best of two runs per query: the second run re-executes the full
     # plan (noop sink caches nothing), so min() filters transient

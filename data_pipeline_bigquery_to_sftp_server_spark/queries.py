@@ -714,6 +714,12 @@ def _events_stream_src(spark: SparkSession, sf_dir: str):
     return path, ev.schema
 
 
+def clear_stream_src_cache() -> None:
+    """Forget cached staging copies (the dirs themselves are tempdirs;
+    bench uses this so the copy cost is measured explicitly)."""
+    _STREAM_SRC_CACHE.clear()
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2c: ALL trigram-shingle Jaccard near-dup pairs at threshold 0.5
     — exact and complete via prefix filtering (rarity-ordered prefix
