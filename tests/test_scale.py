@@ -68,3 +68,31 @@ def test_cluster_defaults_shape():
     assert conf["spark.executor.memory"] == "64g"
     # every value must be a plain string (spark-submit compatible)
     assert all(isinstance(v, str) for v in conf.values())
+
+
+def test_new_operator_plan_shapes(spark, sf_dir):
+    """Pin the scale-critical plan properties the X8-X11 docstrings
+    claim: decontamination joins broadcast (training side never
+    shuffles for membership), PII redaction and chunking are pure
+    map-side projections (zero exchanges), heavy hitters broadcasts
+    its candidate set, and the exact-count rollups keep map-side
+    partial aggregation."""
+    from data_pipeline_bigquery_to_sftp_server_spark.plans import explain
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import (
+        q_chunk_documents,
+        q_decontaminate,
+        q_heavy_hitters,
+        q_pii_redaction,
+    )
+
+    dec = q_decontaminate(spark, sf_dir)
+    assert explain.has_broadcast_join(dec)
+    assert explain.has_partial_aggregation(dec)
+
+    hh = q_heavy_hitters(spark, sf_dir)
+    assert explain.has_broadcast_join(hh)
+    assert explain.has_partial_aggregation(hh)
+
+    for q in (q_pii_redaction, q_chunk_documents):
+        plan = explain.formatted_plan(q(spark, sf_dir))
+        assert "Exchange" not in plan, q.__name__  # map-side only
