@@ -2621,6 +2621,45 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "digest")
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 video frame sampling, ORACLE-CHECKED: documents stand in as
+    videos with a deterministic duration; the ``mapInPandas`` flatMap
+    row explosion (one output row per sampled frame) runs for real and
+    the SQL-expressible outputs — frame index, timestamp, sampled-frame
+    byte count — hash-match DuckDB's range() expansion. The frame
+    payload bytes themselves are stub-decoded (codecs absent) and
+    pinned in tests/test_multimodal.py."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("video/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("doc_id") % 10 + 1) * 1000).cast("long").alias("duration_ms"),
+    )
+    frames = multimodal.sample_frames(media, every_ms=750)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
+_ORACLE_MEDIA_FRAMES = """
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 750 AS BIGINT) AS ts_ms,
+       CAST(least(octet_length(CAST(text AS BLOB)), 64) AS BIGINT) AS frame_bytes
+FROM documents,
+     unnest(range(0, CAST(ceil(((doc_id % 10 + 1) * 1000) / 750.0) AS BIGINT))) AS u(i)
+"""
+
+
 # DuckDB sha256(varchar) digests the UTF-8 bytes — exactly the payload
 # the Spark side hashes.
 _ORACLE_MEDIA_FEATURES = """
@@ -3956,6 +3995,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": q_pack_sequences,
     "heavy_hitters": q_heavy_hitters,
     "chunk_documents": q_chunk_documents,
+    "media_frames": q_media_frames,
     "rollup": q_rollup,
     "cube": q_cube,
     "window_rank": q_window_rank,
@@ -4077,6 +4117,7 @@ ORACLES: dict[str, str] = {
     "pii_redaction": _ORACLE_PII_REDACTION,
     "heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
+    "media_frames": _ORACLE_MEDIA_FRAMES,
     "media_features": _ORACLE_MEDIA_FEATURES,
     "csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
     "order_priority_check": _ORACLE_ORDER_PRIORITY_CHECK,
