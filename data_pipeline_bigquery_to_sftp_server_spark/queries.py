@@ -2660,6 +2660,50 @@ FROM documents,
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 image resize stage, ORACLE-CHECKED: documents stand in as
+    images; metadata edits stay JVM-side and the stub resampler's
+    byte-count contract (payload truncated to max(32, w*h/64)) is
+    SQL-replayable, so before/after byte counts hash-match DuckDB.
+    Real pixel resampling is the stubbed codec slot
+    (tests/test_multimodal.py pins the plumbing)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        (64 + (F.col("doc_id") % 8) * 16).cast("int").alias("width"),
+        (64 + (F.col("doc_id") % 5) * 16).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    before = media.select(
+        "media_id", F.length("payload").cast("long").alias("n_bytes_before")
+    )
+    resized = multimodal.resize_images(media, width=64, height=64)
+    return (
+        resized.select(
+            "media_id",
+            "width",
+            "height",
+            F.length("payload").cast("long").alias("n_bytes_after"),
+        )
+        .join(before, "media_id")
+    )
+
+
+_ORACLE_MEDIA_RESIZE = """
+SELECT doc_id AS media_id,
+       CAST(64 AS INT) AS width,
+       CAST(64 AS INT) AS height,
+       CAST(least(octet_length(CAST(text AS BLOB)), 64) AS BIGINT) AS n_bytes_after,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes_before
+FROM documents
+"""
+
+
 # DuckDB sha256(varchar) digests the UTF-8 bytes — exactly the payload
 # the Spark side hashes.
 _ORACLE_MEDIA_FEATURES = """
@@ -3996,6 +4040,7 @@ QUERIES: dict[str, QueryFn] = {
     "heavy_hitters": q_heavy_hitters,
     "chunk_documents": q_chunk_documents,
     "media_frames": q_media_frames,
+    "media_resize": q_media_resize,
     "rollup": q_rollup,
     "cube": q_cube,
     "window_rank": q_window_rank,
@@ -4118,6 +4163,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
     "media_frames": _ORACLE_MEDIA_FRAMES,
+    "media_resize": _ORACLE_MEDIA_RESIZE,
     "media_features": _ORACLE_MEDIA_FEATURES,
     "csv_roundtrip": _ORACLE_CSV_ROUNDTRIP,
     "order_priority_check": _ORACLE_ORDER_PRIORITY_CHECK,
