@@ -160,3 +160,47 @@ def test_pii_redaction_matches_python_re(spark, values):
         assert row.e == len(re.findall(T.PII_EMAIL_RE, v))
         assert row.p == len(re.findall(T.PII_PHONE_RE, s1))
         assert row.i == len(re.findall(T.PII_IPV4_RE, s2))
+
+
+_token_counts = st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=20)
+
+
+@settings(**SETTINGS)
+@given(_token_counts)
+def test_chunking_covers_every_token_once_per_window(spark, counts):
+    """For any document length: chunk count matches the closed form,
+    consecutive chunks overlap by exactly size-stride (when a next
+    chunk exists), and every token position is covered."""
+    import math
+
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import (
+        q_chunk_documents,
+    )
+    import os
+    import tempfile
+
+    size, stride = 32, 24
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n)) if n else "", "en", 1, "s")
+        for i, n in enumerate(counts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long, source string"
+    )
+    path = tempfile.mkdtemp(prefix="chunk_prop_")
+    df.write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    out = q_chunk_documents(spark, path)
+    per_doc: dict[int, list] = {}
+    for r in out.collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(counts):
+        n_eff = max(n, 1)  # empty text tokenizes to one empty token
+        expected_chunks = max(math.ceil((n_eff - size) / stride) + 1, 1)
+        chunks = sorted(per_doc[i], key=lambda r: r.chunk_idx)
+        assert len(chunks) == expected_chunks, (i, n)
+        covered = set()
+        for r in chunks:
+            start = r.chunk_idx * stride
+            covered |= set(range(start, start + r.chunk_tokens))
+            assert r.chunk_tokens == min(n_eff - start, size)
+        assert covered == set(range(n_eff)), (i, n)
