@@ -156,18 +156,33 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) 
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if strict:
                 raise NotImplementedError("media codecs not available in this container")
-            ids, idxs, tss, frames = [], [], [], []
-            for _, row in pdf.iterrows():
-                dur = row["duration_ms"] or 0
-                for j, ts in enumerate(range(0, int(dur), every_ms)):
-                    ids.append(row["media_id"])
-                    idxs.append(j)
-                    tss.append(ts)
-                    payload = row["payload"]
-                    frames.append(None if payload is None else bytes(payload)[:64])
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames})
+            # Vectorized row explosion: frames-per-row via ceil(dur/step),
+            # then np.repeat for the parent columns and a concatenated
+            # arange for the per-frame index — no per-row python loop.
+            dur = pdf["duration_ms"].fillna(0).astype("int64").to_numpy()
+            n = np.ceil(dur / every_ms).astype("int64").clip(min=0)
+            idxs = (
+                np.concatenate([np.arange(k) for k in n])
+                if len(n) and n.sum()
+                else np.array([], dtype="int64")
+            )
+            stubs = [
+                None if p is None else bytes(p)[:64] for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n),
+                    "frame_idx": idxs.astype("int32"),
+                    "ts_ms": idxs * every_ms,
+                    "frame": np.repeat(
+                        np.asarray(stubs, dtype=object), n
+                    ),
+                }
+            )
 
     return media.where(F.col("kind") == "video").mapInPandas(fn, frame_schema)
