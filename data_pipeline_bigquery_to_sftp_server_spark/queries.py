@@ -2345,6 +2345,43 @@ FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 lexical retrieval: BM25 top-25 for a fixed 3-term query,
+    ORACLE-CHECKED — the whole ranking (tf, df, doc length, corpus
+    stats, Robertson idf) is relational, so DuckDB replays it exactly;
+    scores rounded to 6dp before ranking on both engines."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import retrieval
+
+    d = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(d, ["join", "filter", "merge"], k=25)
+
+
+_ORACLE_BM25_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks
+  WHERE t IN ('join', 'filter', 'merge') GROUP BY doc_id, t
+), dfq AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY t
+), sc AS (
+  SELECT tf.doc_id,
+         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS w
+  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(w), 6) AS bm25
+FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X11 sketch-then-verify heavy hitters: map-side Misra-Gries
     candidate generation (token stream never shuffles) + exact count
@@ -4038,6 +4075,7 @@ QUERIES: dict[str, QueryFn] = {
     "pii_redaction": q_pii_redaction,
     "pack_sequences": q_pack_sequences,
     "heavy_hitters": q_heavy_hitters,
+    "bm25_topk": q_bm25_topk,
     "chunk_documents": q_chunk_documents,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
@@ -4161,6 +4199,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": _ORACLE_DECONTAMINATE,
     "pii_redaction": _ORACLE_PII_REDACTION,
     "heavy_hitters": _ORACLE_HEAVY_HITTERS,
+    "bm25_topk": _ORACLE_BM25_TOPK,
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
     "media_frames": _ORACLE_MEDIA_FRAMES,
     "media_resize": _ORACLE_MEDIA_RESIZE,
