@@ -75,6 +75,7 @@ HEADLINE = [
     "pii_redaction",
     "pack_sequences",
     "heavy_hitters",
+    "bm25_topk",
 ]
 
 

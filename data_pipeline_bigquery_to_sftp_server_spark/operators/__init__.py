@@ -8,6 +8,7 @@ from data_pipeline_bigquery_to_sftp_server_spark.operators import (  # noqa: F40
     multimodal,
     packing,
     relational,
+    retrieval,
     sampling,
     scale,
     similarity,

@@ -46,38 +46,53 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
+    # Single corpus pass: ONE explode + ONE doc-keyed aggregation
+    # producing doc length and a pivoted per-query-term tf column
+    # (|query_terms| is small by construction, so the pivot width is
+    # bounded). The naive tf/df/doclen-as-separate-frames formulation
+    # scans the corpus 4x; this shape scans it once for scoring plus
+    # once for the one-row stats aggregate.
     toks = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
     )
-    doclen = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
-    stats = doclen.agg(
-        F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")
+    per_doc = toks.groupBy(id_col).agg(
+        F.count("*").alias("_dl"),
+        *[
+            F.count(F.when(F.col("_t") == t, 1)).alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
     )
-    tf = (
-        toks.where(F.col("_t").isin(list(query_terms)))
-        .groupBy(id_col, "_t")
-        .agg(F.count("*").alias("_tf"))
+    # Corpus stats + per-term document frequency in ONE one-row frame,
+    # broadcast to the scorers.
+    stats = per_doc.agg(
+        F.count("*").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.count(F.when(F.col(f"_tf{i}") > 0, 1)).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
     )
-    dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "_t")
-        .join(doclen, id_col)
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
-    )
-    weight = idf * (
-        F.col("_tf")
-        * (k1 + 1.0)
-        / (
-            F.col("_tf")
-            + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    weight = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+            + 1.0
         )
-    )
+        w = idf * (
+            F.col(f"_tf{i}")
+            * (k1 + 1.0)
+            / (
+                F.col(f"_tf{i}")
+                + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+            )
+        )
+        w = F.when(F.col(f"_tf{i}") > 0, w).otherwise(F.lit(0.0))
+        weight = w if weight is None else weight + w
     return (
-        scored.groupBy(id_col)
-        .agg(F.round(F.sum(weight), 6).alias("bm25"))
+        scored.select(id_col, F.round(weight, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )
