@@ -93,3 +93,41 @@ def packing_summary(assign: DataFrame, tokens_col: str = "n_tokens") -> DataFram
         F.sum(tokens_col).alias("fill"),
         F.max("oversize").alias("oversize"),
     )
+
+
+def assemble_bins(
+    assign: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str = "n_tokens",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize the packed training sequences: join the
+    pack_sequences assignment back to the documents and concatenate
+    each bin's texts (deterministic member order: token count desc,
+    id asc — the FFD insertion order) into one sequence per bin.
+
+    Returns (bin_id, n_docs, fill, sequence). One doc-keyed broadcast-
+    able join + one bin-keyed aggregation; the heavy strings move
+    exactly once, straight into their output bin.
+    """
+    joined = assign.join(docs.select(id_col, text_col), id_col)
+    member = F.struct(
+        (-F.col(tokens_col)).alias("_neg_tokens"),
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+    )
+    return (
+        joined.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tokens_col).alias("fill"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(member)), lambda s: s["_text"]
+                ),
+                sep,
+            ).alias("sequence"),
+        )
+    )

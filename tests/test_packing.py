@@ -72,3 +72,23 @@ def test_pack_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="budget"):
         packing.pack_sequences(df, budget=0)
+
+
+def test_assemble_bins_reconstructs_every_doc_once(spark, sf_dir):
+    """Every document's text appears in exactly one packed sequence,
+    and per-bin stats agree with packing_summary."""
+    docs = _docs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assign = packing.pack_sequences(docs, budget=BUDGET, num_groups=4)
+    bins = packing.assemble_bins(assign, d).collect()
+    summary = {r.bin_id: (r.n_docs, r.fill) for r in packing.packing_summary(assign).collect()}
+    texts = {r.doc_id: r.text for r in d.collect()}
+    seen = 0
+    for r in bins:
+        assert summary[r.bin_id] == (r.n_docs, r.fill)
+        parts = r.sequence.split("\n\n")
+        seen += len(parts)
+    # documents contain no double-newlines at test scale, so the split
+    # count equals the member count
+    assert seen == len(texts)
+    assert not any("\n\n" in t for t in texts.values())
