@@ -697,21 +697,21 @@ def clear_pair_cache() -> None:
 # (application, sf_dir) so the four plain-copy streaming queries pay
 # the copy once and their timings measure the STREAM, not the setup
 # write.
-_STREAM_SRC_CACHE: dict[tuple[str, str], str] = {}
+_STREAM_SRC_CACHE: dict[tuple[str, str, str], str] = {}
 
 
-def _events_stream_src(spark: SparkSession, sf_dir: str):
-    """(path, schema) of the session-cached events staging copy."""
+def _events_stream_src(spark: SparkSession, sf_dir: str, table: str = "events"):
+    """(path, schema) of the session-cached staging copy of ``table``."""
     import tempfile
 
-    ev = load_table(spark, sf_dir, "events")
-    key = (spark.sparkContext.applicationId, sf_dir)
+    df = load_table(spark, sf_dir, table)
+    key = (spark.sparkContext.applicationId, sf_dir, table)
     path = _STREAM_SRC_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="events_stream_src_")
-        ev.write.mode("overwrite").parquet(path)
+        path = tempfile.mkdtemp(prefix=f"{table}_stream_src_")
+        df.write.mode("overwrite").parquet(path)
         _STREAM_SRC_CACHE[key] = path
-    return path, ev.schema
+    return path, df.schema
 
 
 def clear_stream_src_cache() -> None:
@@ -2430,6 +2430,13 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (patterns restricted to the regex subset RE2 and java.util
     .regex read identically)."""
     c = load_table(spark, sf_dir, "customer")
+    return _pii_projection(c)
+
+
+def _pii_projection(c: DataFrame) -> DataFrame:
+    """The PII-scrub projection over the customer shape — pure Column
+    expressions, so it applies unchanged to batch frames AND streams
+    (q_streaming_pii)."""
     key = F.col("c_custkey")
     phone = F.concat_ws(
         "-",
@@ -2456,6 +2463,26 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_phones.alias("n_phones"),
         n_ips.alias("n_ips"),
     )
+
+
+def q_streaming_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7+X9 composition, ORACLE-CHECKED: the PII-scrub projection is a
+    stateless streaming stage — applied to a file stream of the
+    customer table, driven to completion in append mode, the sink holds
+    exactly the batch projection (same _ORACLE_PII_REDACTION). Proves
+    the hygiene layer composes with Structured Streaming unchanged; at
+    scale this is the scrub-on-ingest topology (no second pass over
+    stored data)."""
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    path, schema = _events_stream_src(spark, sf_dir, table="customer")
+    stream = W.read_events_stream(spark, path, schema, max_files_per_trigger=4)
+    name = f"q_pii_stream_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(_pii_projection(stream), name, output_mode="append")
+    q.stop()
+    return spark.table(name)
 
 
 _ORACLE_PII_REDACTION = r"""
@@ -4077,6 +4104,7 @@ QUERIES: dict[str, QueryFn] = {
     "heavy_hitters": q_heavy_hitters,
     "bm25_topk": q_bm25_topk,
     "chunk_documents": q_chunk_documents,
+    "streaming_pii": q_streaming_pii,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
     "rollup": q_rollup,
@@ -4201,6 +4229,8 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "bm25_topk": _ORACLE_BM25_TOPK,
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
+    # stateless streaming projection == the batch projection
+    "streaming_pii": _ORACLE_PII_REDACTION,
     "media_frames": _ORACLE_MEDIA_FRAMES,
     "media_resize": _ORACLE_MEDIA_RESIZE,
     "media_features": _ORACLE_MEDIA_FEATURES,
