@@ -37,7 +37,8 @@ def oracle_sql() -> dict[str, str]:
     missing here (minhash_pairs, simhash_groups, simhash_near_pairs,
     embedding_dups, lsh_topk, ivf_topk) are approximate/hash-seeded
     operators, html_clean is a python-HTMLParser UDF, and
-    pack_sequences is an order-dependent FFD assignment -> rows-only
+    pack_sequences / assemble_bins report an order-dependent FFD
+    assignment -> rows-only
     checks, with recall/parity (IVF full-probe == exact brute force is
     ALSO oracle-checked as ivf_full_probe) verified in tests/. ALL
     seven streaming queries run to completion and ARE oracle-checked

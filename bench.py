@@ -76,6 +76,11 @@ HEADLINE = [
     "pack_sequences",
     "heavy_hitters",
     "bm25_topk",
+    "chunk_documents",
+    "media_frames",
+    "media_resize",
+    "streaming_pii",
+    "assemble_bins",
 ]
 
 

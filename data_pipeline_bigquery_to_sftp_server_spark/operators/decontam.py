@@ -9,11 +9,14 @@ is suspect — report the overlap so the pipeline can drop or audit it.
 Scale shape (the 100 TB path): the eval corpus is benchmarks — tiny by
 construction (thousands of documents, not billions) — so its distinct
 n-gram set broadcasts; the training side explodes to (doc, gram) pairs
-and the membership test is a broadcast LEFT SEMI hash join, i.e.
-map-side, no shuffle of the training corpus. The per-doc rollup then
-shuffles only the HITS (contaminated grams), not every gram. With a
-large eval side, drop ``broadcast_eval`` and the semi join shuffles on
-the gram key like any fact-fact join.
+and the membership test is a broadcast LEFT OUTER hash join probing
+the eval set, i.e. map-side, no shuffle of the training corpus. (Outer
+rather than semi on purpose: every gram row survives the join, so ONE
+per-doc rollup counts totals and hits together — a semi-join
+formulation needs a second derivation of the gram base plus a join
+back to restore clean docs.) The rollup shuffles doc keys only. With a
+large eval side, drop ``broadcast_eval`` and the join shuffles on the
+gram key like any fact-fact join.
 
 N-grams reuse :func:`dedup.shingle_hashes` (xxhash64-chained word
 grams folded to 32 bits, distinct per doc) so the gram id is a compact

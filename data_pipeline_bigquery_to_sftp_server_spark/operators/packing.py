@@ -45,8 +45,12 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError(f"pack_sequences: budget must be positive, got {budget}")
     num_groups = num_groups or df.sparkSession.sparkContext.defaultParallelism
+    # The id column passes through untouched, so its output type is
+    # whatever the input declares (string doc ids are common in real
+    # corpora — don't force long).
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} long, {tokens_col} long, bin_id long, oversize boolean"
+        f"{id_col} {id_type}, {tokens_col} long, bin_id long, oversize boolean"
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -64,7 +68,11 @@ def pack_sequences(
                 oversize.append(True)
                 continue
             for j, cap in enumerate(remaining):
-                if cap >= t:
+                # cap > 0 keeps zero-token docs out of exactly-full
+                # bins — in particular out of an oversized doc's
+                # dedicated bin (cap == 0), preserving the
+                # 'oversized docs sit alone' invariant.
+                if cap >= t and cap > 0:
                     remaining[j] = cap - t
                     bin_ids.append(group | j)
                     break

@@ -13,9 +13,12 @@ entirely from relational primitives so Catalyst owns the plan:
 - final score = groupBy(doc) sum of per-term weights, then top-k via
   TakeOrdered.
 
-At 100 TB nothing here shuffles the corpus more than the two doc-keyed
-aggregations; query-term cardinality (|q| << vocab) bounds everything
-else.
+At 100 TB nothing here shuffles the corpus more than the one doc-keyed
+aggregation; query-term cardinality (|q| << vocab) bounds everything
+else. The aggregated per-doc frame (one row per document — orders of
+magnitude smaller than the token stream) is persisted so the stats
+branch reads the cache instead of re-running the explode subtree: ONE
+corpus scan total.
 """
 
 from __future__ import annotations
@@ -50,8 +53,13 @@ def bm25_topk(
     # producing doc length and a pivoted per-query-term tf column
     # (|query_terms| is small by construction, so the pivot width is
     # bounded). The naive tf/df/doclen-as-separate-frames formulation
-    # scans the corpus 4x; this shape scans it once for scoring plus
-    # once for the one-row stats aggregate.
+    # scans the corpus 4x; persisting per_doc (one row per doc) makes
+    # the stats branch a cache read, so the explode subtree runs ONCE.
+    # Lifecycle: the broadcast of `stats` materializes the cache before
+    # the scoring pass reads it; the persist stays for the session (the
+    # shared-intermediate pattern — callers rerunning bm25 with new
+    # terms would rebuild per_doc anyway since the tf pivot is
+    # term-specific, so entries age out with the frame).
     toks = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
     )
@@ -61,7 +69,7 @@ def bm25_topk(
             F.count(F.when(F.col("_t") == t, 1)).alias(f"_tf{i}")
             for i, t in enumerate(query_terms)
         ],
-    )
+    ).persist()
     # Corpus stats + per-term document frequency in ONE one-row frame,
     # broadcast to the scorers.
     stats = per_doc.agg(

@@ -6,20 +6,29 @@ token per partition — when token cardinality is huge (URLs, n-grams,
 user ids at 100 TB), that per-partition distinct set is itself the
 bottleneck. The sketch path bounds it:
 
-- **Pass 1 (no token shuffle):** each Arrow batch runs a Misra-Gries
-  summary with ``capacity`` counters via ``mapInPandas``; only the
-  surviving candidate tokens (<= capacity per batch) leave the
-  executors. Recall guarantee by averaging: any token with global
+- **Pass 1 (no token shuffle):** each Arrow batch keeps only the tokens
+  whose in-batch frequency exceeds ``len(batch) / capacity`` — a fully
+  vectorized ``value_counts`` threshold (numpy-speed; no per-token
+  Python loop). Recall guarantee by averaging: any token with global
   frequency > N/capacity exceeds n_b/capacity in at least one batch, so
-  it survives that batch's summary and reaches the candidate set.
+  it clears that batch's threshold and reaches the candidate set. At
+  most ``capacity - 1`` tokens can clear the threshold in one batch
+  (m tokens each > n_b/capacity sum past n_b otherwise), so candidate
+  width is bounded exactly like a capacity-counter summary. Each batch
+  also emits one sentinel row carrying its row count, so the corpus
+  token total N is known without a second corpus scan.
 - **Pass 2 (exact verify):** token occurrences are counted exactly but
   only for the (broadcast) candidate set, so the shuffle carries
   candidates only. Output counts are EXACT — the sketch only bounds
   which tokens can reach the final top-k.
 
 The result equals exact top-k whenever the k-th item's true frequency
-exceeds N/capacity (document/assert per use); the operator is therefore
-oracle-checkable, unlike a raw sketch whose counts are approximate.
+exceeds N/capacity. With ``check_exact=True`` (default) that bound is
+enforced AT EXECUTION TIME via ``assert_true`` over (f_k, N) — both
+already in the plan: f_k is a window-min over the k result rows, N is
+the sentinel-row sum — so a mis-sized ``capacity`` fails loudly on
+oracle-less production data instead of silently dropping a heavy
+hitter.
 """
 
 from __future__ import annotations
@@ -27,7 +36,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
@@ -35,24 +44,25 @@ from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
 )
 
 
-def _misra_gries_batches(capacity: int):
+def _batch_candidates(capacity: int):
+    """Vectorized per-batch frequent-items summary: candidate tokens
+    (in-batch freq > n_b/capacity) plus one (NULL, n_b) sentinel row."""
+
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            counts: dict[str, int] = {}
-            for tok in pdf["token"]:
-                if tok in counts:
-                    counts[tok] += 1
-                elif len(counts) < capacity:
-                    counts[tok] = 1
-                else:
-                    # Decrement-all step: amortized O(1) per input item
-                    # (each decrement pays back one prior increment).
-                    dead = [t for t in counts if counts[t] == 1]
-                    for t in counts:
-                        counts[t] -= 1
-                    for t in dead:
-                        del counts[t]
-            yield pd.DataFrame({"token": list(counts.keys())})
+            n_b = len(pdf)
+            if n_b == 0:
+                continue
+            vc = pdf["token"].value_counts()
+            cands = vc.index[vc.to_numpy() > n_b / capacity]
+            yield pd.DataFrame(
+                {
+                    "token": list(cands) + [None],
+                    "n_batch": pd.array(
+                        [None] * len(cands) + [n_b], dtype="Int64"
+                    ),
+                }
+            )
 
     return summarize
 
@@ -62,6 +72,7 @@ def heavy_hitters(
     token_col: Column,
     k: int = 20,
     capacity: int = 256,
+    check_exact: bool = True,
 ) -> DataFrame:
     """Top-k most frequent tokens of ``token_col`` (an array<string>
     expression, e.g. ``text.tokenize(col)``) with EXACT counts, via the
@@ -69,19 +80,31 @@ def heavy_hitters(
     by (n desc, token), k rows.
 
     Exact-equality condition: true frequency of the k-th item > N /
-    capacity. Size ``capacity`` >= N / f_k; when unsure, oversize — the
-    cost is executor memory (capacity counters) and candidate-set
-    width, both tiny next to the corpus.
+    capacity. ``check_exact=True`` asserts this inside the plan (fails
+    the job with a diagnostic message when violated); size ``capacity``
+    >= N / f_k and oversize when unsure — the cost is candidate-set
+    width, tiny next to the corpus. Pass ``check_exact=False`` only
+    when a possibly-incomplete tail is acceptable (counts stay exact
+    for every returned token either way).
     """
     toks = ensure_parallelism(df).select(
         F.explode(token_col).alias("token")
     )
+    # The summary is tiny (<= capacity candidates + 1 sentinel per Arrow
+    # batch); persist so the candidate branch and the N branch cost one
+    # corpus scan, not two.
+    summary = toks.mapInPandas(
+        _batch_candidates(capacity), "token string, n_batch long"
+    )
+    if check_exact:
+        summary = summary.persist()
     candidates = (
-        toks.mapInPandas(_misra_gries_batches(capacity), "token string")
+        summary.where(F.col("token").isNotNull())
+        .select("token")
         .distinct()
         .withColumnRenamed("token", "_cand")
     )
-    return (
+    topk = (
         toks.join(
             F.broadcast(candidates), toks.token == F.col("_cand"), "left_semi"
         )
@@ -89,4 +112,42 @@ def heavy_hitters(
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "token")
         .limit(k)
+    )
+    if not check_exact:
+        return topk
+    n_total = summary.where(F.col("token").isNull()).agg(
+        F.sum("n_batch").alias("_n_total")
+    )
+    # f_k as a window-min over the k result rows (post-limit, so the
+    # single-partition window touches k rows, not the corpus); the
+    # assert_true filter rides the plan lazily — no eager execution, no
+    # second run of the verify subtree. Fewer than k verified rows is
+    # ALSO a violation: the unreturned k-th token's frequency is
+    # unknown, so the result cannot be certified (a corpus with < k
+    # distinct tokens trips this too — there, check_exact=False is the
+    # honest mode since no k-th item exists to bound).
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bound_ok = (F.col("_rows") == k) & (
+        F.col("_fk") * F.lit(capacity) > F.col("_n_total")
+    )
+    msg = F.concat(
+        F.lit("heavy_hitters: exactness bound violated — rows="),
+        F.col("_rows").cast("string"),
+        F.lit(f"/{k}, f_k="),
+        F.col("_fk").cast("string"),
+        F.lit(", N/capacity="),
+        (F.col("_n_total") / F.lit(capacity)).cast("string"),
+        F.lit(" (N="),
+        F.col("_n_total").cast("string"),
+        F.lit(f", capacity={capacity}); raise capacity or pass check_exact=False"),
+    )
+    return (
+        topk.crossJoin(F.broadcast(n_total))
+        .withColumn("_fk", F.min("n").over(whole))
+        .withColumn("_rows", F.count("*").over(whole))
+        .where(F.assert_true(bound_ok, msg).isNull())
+        .select("token", "n")
+        .orderBy(F.desc("n"), "token")
     )

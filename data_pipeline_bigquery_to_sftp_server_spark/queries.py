@@ -17,6 +17,7 @@ DuckDB views of the identical parquet files.
 
 from __future__ import annotations
 
+import atexit
 from collections.abc import Callable
 
 import pandas as pd
@@ -715,9 +716,17 @@ def _events_stream_src(spark: SparkSession, sf_dir: str, table: str = "events"):
 
 
 def clear_stream_src_cache() -> None:
-    """Forget cached staging copies (the dirs themselves are tempdirs;
-    bench uses this so the copy cost is measured explicitly)."""
-    _STREAM_SRC_CACHE.clear()
+    """Delete and forget cached staging copies (bench uses this so the
+    copy cost is measured explicitly; also registered atexit so
+    repeated sessions don't accumulate parquet copies in /tmp)."""
+    import shutil
+
+    while _STREAM_SRC_CACHE:
+        _, path = _STREAM_SRC_CACHE.popitem()
+        shutil.rmtree(path, ignore_errors=True)
+
+
+atexit.register(clear_stream_src_cache)
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2302,8 +2311,9 @@ GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5/X1 benchmark decontamination: per-training-doc 4-gram overlap
     against an eval split (docs with doc_id % 20 == 0 stand in for the
-    benchmark corpus). Broadcast semi join on hashed grams — the
-    training corpus never shuffles (operators/decontam.py). Counts are
+    benchmark corpus). Broadcast left outer join on hashed grams with a
+    single per-doc rollup counting totals and hits — the training
+    corpus never shuffles (operators/decontam.py). Counts are
     over hashed grams in Spark vs string grams in the oracle —
     identical absent 32-bit collisions (same parity argument as
     jaccard_pairs)."""
@@ -2383,13 +2393,15 @@ FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X11 sketch-then-verify heavy hitters: map-side Misra-Gries
-    candidate generation (token stream never shuffles) + exact count
-    verify restricted to the broadcast candidate set. Counts are exact
-    (the sketch only bounds candidacy), so this IS oracle-checkable:
-    equality holds because the k-th token's frequency (~N/vocab) far
-    exceeds N/capacity here (operators/sketch.py docstring; eviction
-    path exercised in test_sketch)."""
+    """X11 sketch-then-verify heavy hitters: vectorized per-batch
+    frequency-threshold candidate generation (token stream never
+    shuffles, no per-token Python) + exact count verify restricted to
+    the broadcast candidate set. Counts are exact (the sketch only
+    bounds candidacy), so this IS oracle-checkable: equality holds
+    because the k-th token's frequency (~8x N/capacity here) clears the
+    bound, and the default check_exact guard asserts exactly that AT
+    RUNTIME inside the plan (operators/sketch.py; guard trip exercised
+    in test_sketch)."""
     from data_pipeline_bigquery_to_sftp_server_spark.operators import sketch
 
     d = load_table(spark, sf_dir, "documents")
@@ -2418,6 +2430,33 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = packing.pack_sequences(docs, budget=512, num_groups=8)
     return packing.packing_summary(assign).orderBy("bin_id")
+
+
+def q_assemble_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 packed-sequence materialization (the actual training
+    artifact): join the FFD assignment back to the documents and
+    concatenate each bin's texts in deterministic member order — one
+    doc-keyed join + one bin-keyed aggregation; the heavy strings move
+    exactly once, straight into their output bin (operators/packing.py
+    assemble_bins). Rows-only like pack_sequences (the assignment is
+    order-dependent, not SQL-expressible); reconstruction invariants —
+    every doc's text in exactly one sequence, per-bin stats equal to
+    packing_summary — are pinned in test_packing. The long sequence
+    string is reported as a length, keeping the verify payload sane."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import packing
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_tokens")
+    )
+    assign = packing.pack_sequences(docs, budget=512, num_groups=8)
+    bins = packing.assemble_bins(assign, d.select("doc_id", "text"))
+    return bins.select(
+        "bin_id",
+        "n_docs",
+        "fill",
+        F.length("sequence").alias("seq_chars"),
+    ).orderBy("bin_id")
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4071,11 +4110,12 @@ QUERIES: dict[str, QueryFn] = {
     "top_customers": q_top_customers,
     "paginate": q_paginate,
     "set_ops": q_set_ops,
-    # scalar functions
-    "epoch_dates": q_epoch_dates,
+    # scalar functions (epoch_dates / bool_defaults / json_roundtrip
+    # demoted past 50 in r5 — sync_pipeline's driver row exercises the
+    # same scalar surface (epoch->date, bool/default coercion, to_json)
+    # and all three stay verify_local-green; their slots fund the LLM
+    # hygiene/retrieval family below)
     "clean_text": q_clean_text,
-    "json_roundtrip": q_json_roundtrip,
-    "bool_defaults": q_bool_defaults,
     "regex_extract": q_regex_extract,
     # windows (window_range_frame demoted past 50 to make room for
     # ivf_full_probe — the family keeps window_suite in-window)
@@ -4083,9 +4123,15 @@ QUERIES: dict[str, QueryFn] = {
     # UDF / UDAF / UDTF surface
     "udaf_geomean": q_udaf_geomean,
     "udtf_sentences": q_udtf_sentences,
-    # TPC-H-style reports
-    "big_orders": q_big_orders,
-    "market_share": q_market_share,
+    # LLM hygiene / retrieval family (r5 curation: official driver rows
+    # for the operators this engine exists to add; the displaced
+    # TPC-H-style reports big_orders/market_share duplicate the
+    # pricing_summary/star_join family semantics)
+    "decontaminate": q_decontaminate,
+    "pii_redaction": q_pii_redaction,
+    "heavy_hitters": q_heavy_hitters,
+    "bm25_topk": q_bm25_topk,
+    "chunk_documents": q_chunk_documents,
     # streaming (all seven)
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
@@ -4095,15 +4141,16 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_stateful": q_streaming_stateful,
     # -- slots 51+: variants + remainder (verified via verify_local) --
+    "epoch_dates": q_epoch_dates,
+    "bool_defaults": q_bool_defaults,
+    "json_roundtrip": q_json_roundtrip,
+    "big_orders": q_big_orders,
+    "market_share": q_market_share,
     "window_range_frame": q_window_range_frame,
     "membership_split": q_membership_split,
     "simhash_near_pairs": q_simhash_near_pairs,
-    "decontaminate": q_decontaminate,
-    "pii_redaction": q_pii_redaction,
     "pack_sequences": q_pack_sequences,
-    "heavy_hitters": q_heavy_hitters,
-    "bm25_topk": q_bm25_topk,
-    "chunk_documents": q_chunk_documents,
+    "assemble_bins": q_assemble_bins,
     "streaming_pii": q_streaming_pii,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,

@@ -74,6 +74,32 @@ def test_pack_rejects_bad_budget(spark):
         packing.pack_sequences(df, budget=0)
 
 
+def test_pack_string_ids(spark):
+    """The id column's type is derived from the input schema — string
+    doc ids (common in real corpora) must pass through unchanged."""
+    rows = [(f"doc-{i}", 10 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    out = packing.pack_sequences(df, budget=64, num_groups=2).collect()
+    assert len(out) == 20
+    assert {r.doc_id for r in out} == {f"doc-{i}" for i in range(20)}
+    assert all(isinstance(r.doc_id, str) for r in out)
+
+
+def test_pack_zero_token_doc_avoids_oversize_bins(spark):
+    """A zero-token doc must not slip into an oversized doc's dedicated
+    (exactly-full) bin: every oversize bin still holds exactly one doc."""
+    rows = [(1, 999), (2, 0), (3, 0), (4, 5)]  # budget 10: doc 1 oversize
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = packing.pack_sequences(df, budget=10, num_groups=1).collect()
+    by_bin: dict[int, list] = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for members in by_bin.values():
+        if any(m.oversize for m in members):
+            assert len(members) == 1
+    assert len(out) == 4 and len({r.doc_id for r in out}) == 4
+
+
 def test_assemble_bins_reconstructs_every_doc_once(spark, sf_dir):
     """Every document's text appears in exactly one packed sequence,
     and per-bin stats agree with packing_summary."""
