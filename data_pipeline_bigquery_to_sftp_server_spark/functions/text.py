@@ -121,27 +121,44 @@ def fingerprint(col: Column) -> Column:
 # Python: PII scrubbing at 100 TB is a pure projection.
 
 PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+# Payment-card shape: 4x4 digit groups dash/space separated, or a bare
+# 16-digit run. Applied BEFORE the phone pattern so the digit groups
+# are consumed whole (the phone shape can't match 4-digit lead groups,
+# but ordering makes the invariant structural, not coincidental).
+PII_CC_RE = r"\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{16}\b"
+# IBAN shape: 2 uppercase country letters, 2 check digits, 11-30
+# alphanumerics (15-char Norway floor .. 34-char ceiling).
+PII_IBAN_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
 # TPC-H phone shape (CC-NNN-NNN-NNNN) plus common US-style NNN-NNN-NNNN.
 PII_PHONE_RE = r"\b[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?\b"
 PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
 
 def redact_pii(col: Column) -> Column:
-    """Replace emails, phone numbers, and IPv4 addresses with typed
-    placeholder tokens (<EMAIL>, <PHONE>, <IP>). Email first: an email's
-    domain may contain digit runs a later pattern could half-match."""
+    """Replace emails, payment cards, IBANs, phone numbers, and IPv4
+    addresses with typed placeholder tokens (<EMAIL>, <CC>, <IBAN>,
+    <PHONE>, <IP>). Order is most-specific-first: an email's domain may
+    contain digit runs, and a card's 4-digit groups could otherwise be
+    nibbled by the looser phone pattern."""
     out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_CC_RE, "<CC>")
+    out = F.regexp_replace(out, PII_IBAN_RE, "<IBAN>")
     out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
     return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
 
 
-def pii_counts(col: Column) -> tuple[Column, Column, Column]:
-    """(n_emails, n_phones, n_ips) match counts, counted in the same
-    order redact_pii substitutes so overlapping matches tally once."""
+def pii_counts(col: Column) -> tuple[Column, Column, Column, Column, Column]:
+    """(n_emails, n_ccs, n_ibans, n_phones, n_ips) match counts, each
+    counted on the text AFTER the preceding substitutions — the same
+    chain redact_pii applies — so overlapping matches tally once."""
     after_email = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
-    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    after_cc = F.regexp_replace(after_email, PII_CC_RE, "<CC>")
+    after_iban = F.regexp_replace(after_cc, PII_IBAN_RE, "<IBAN>")
+    after_phone = F.regexp_replace(after_iban, PII_PHONE_RE, "<PHONE>")
     return (
         F.regexp_count(col, F.lit(PII_EMAIL_RE)),
-        F.regexp_count(after_email, F.lit(PII_PHONE_RE)),
+        F.regexp_count(after_email, F.lit(PII_CC_RE)),
+        F.regexp_count(after_cc, F.lit(PII_IBAN_RE)),
+        F.regexp_count(after_iban, F.lit(PII_PHONE_RE)),
         F.regexp_count(after_phone, F.lit(PII_IPV4_RE)),
     )

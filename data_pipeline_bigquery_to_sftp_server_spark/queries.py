@@ -2460,14 +2460,14 @@ def q_assemble_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 PII scrubbing: typed placeholder substitution (<EMAIL>,
-    <PHONE>, <IP>) plus per-class match counts, all native regexp —
-    map-side projection, the right shape for scrubbing 100 TB. The
-    documents corpus is synthetic word soup with no PII, so the query
-    plants known PII deterministically from customer fields (name ->
-    email, custkey -> phone and IP) and both engines redact the same
-    text (patterns restricted to the regex subset RE2 and java.util
-    .regex read identically)."""
+    """X5 PII scrubbing: typed placeholder substitution (<EMAIL>, <CC>,
+    <IBAN>, <PHONE>, <IP>) plus per-class match counts, all native
+    regexp — map-side projection, the right shape for scrubbing 100 TB.
+    The documents corpus is synthetic word soup with no PII, so the
+    query plants all five classes deterministically from customer
+    fields (name -> email, custkey -> card/IBAN/phone/IP) and both
+    engines redact the same text (patterns restricted to the regex
+    subset RE2 and java.util.regex read identically)."""
     c = load_table(spark, sf_dir, "customer")
     return _pii_projection(c)
 
@@ -2475,7 +2475,9 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pii_projection(c: DataFrame) -> DataFrame:
     """The PII-scrub projection over the customer shape — pure Column
     expressions, so it applies unchanged to batch frames AND streams
-    (q_streaming_pii)."""
+    (q_streaming_pii). Plants all five PII classes (email, payment
+    card, IBAN, phone, IPv4) deterministically from customer fields so
+    both engines scrub the identical text."""
     key = F.col("c_custkey")
     phone = F.concat_ws(
         "-",
@@ -2484,21 +2486,40 @@ def _pii_projection(c: DataFrame) -> DataFrame:
         F.lpad(((key * 7) % 1000).cast("string"), 3, "0"),
         F.lpad(((key * 13) % 10000).cast("string"), 4, "0"),
     )
+    card = F.concat_ws(
+        "-",
+        F.lpad(((key * 3) % 10000).cast("string"), 4, "0"),
+        F.lpad(((key * 7) % 10000).cast("string"), 4, "0"),
+        F.lpad(((key * 11) % 10000).cast("string"), 4, "0"),
+        F.lpad(((key * 17) % 10000).cast("string"), 4, "0"),
+    )
+    iban = F.concat(
+        F.lit("DE"),
+        F.lpad((key % 100).cast("string"), 2, "0"),
+        F.lpad(((key * 31) % 1000000000).cast("string"), 9, "0"),
+        F.lpad(((key * 37) % 1000000000).cast("string"), 9, "0"),
+    )
     synth = F.concat(
         F.col("c_mktsegment"),
         F.lit(" customer "),
         F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", "")),
         F.lit("@example.com tel "),
         phone,
+        F.lit(" card "),
+        card,
+        F.lit(" iban "),
+        iban,
         F.lit(" ip 10.0."),
         (key % 256).cast("string"),
         F.lit(".1 end"),
     )
-    n_emails, n_phones, n_ips = text.pii_counts(synth)
+    n_emails, n_ccs, n_ibans, n_phones, n_ips = text.pii_counts(synth)
     return c.select(
         "c_custkey",
         text.redact_pii(synth).alias("redacted"),
         n_emails.alias("n_emails"),
+        n_ccs.alias("n_ccs"),
+        n_ibans.alias("n_ibans"),
         n_phones.alias("n_phones"),
         n_ips.alias("n_ips"),
     )
@@ -2534,6 +2555,14 @@ WITH t AS (
          lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
          lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
          lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') ||
+         ' card ' ||
+         lpad(CAST((c_custkey * 3) % 10000 AS VARCHAR), 4, '0') || '-' ||
+         lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') || '-' ||
+         lpad(CAST((c_custkey * 11) % 10000 AS VARCHAR), 4, '0') || '-' ||
+         lpad(CAST((c_custkey * 17) % 10000 AS VARCHAR), 4, '0') ||
+         ' iban DE' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') ||
+         lpad(CAST((c_custkey * 31) % 1000000000 AS VARCHAR), 9, '0') ||
+         lpad(CAST((c_custkey * 37) % 1000000000 AS VARCHAR), 9, '0') ||
          ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1 end' AS txt
   FROM customer
 ), s AS (
@@ -2545,9 +2574,19 @@ WITH t AS (
 ), s2 AS (
   SELECT c_custkey, txt, after_email,
          regexp_replace(after_email,
+           '\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{16}\b',
+           '<CC>', 'g') AS after_cc
+  FROM s
+), s3 AS (
+  SELECT *, regexp_replace(after_cc,
+           '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b',
+           '<IBAN>', 'g') AS after_iban
+  FROM s2
+), s4 AS (
+  SELECT *, regexp_replace(after_iban,
            '\b[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?\b',
            '<PHONE>', 'g') AS after_phone
-  FROM s
+  FROM s3
 )
 SELECT c_custkey,
        regexp_replace(after_phone, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
@@ -2555,10 +2594,14 @@ SELECT c_custkey,
        len(regexp_extract_all(txt,
            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
        len(regexp_extract_all(after_email,
+           '\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{16}\b')) AS n_ccs,
+       len(regexp_extract_all(after_cc,
+           '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b')) AS n_ibans,
+       len(regexp_extract_all(after_iban,
            '\b[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?\b')) AS n_phones,
        len(regexp_extract_all(after_phone,
            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips
-FROM s2
+FROM s4
 """
 
 

@@ -121,6 +121,14 @@ _PII_BITS = st.sampled_from(
         "1.2.3",
         "plain words",
         "x9",
+        "1234-5678-9012-3456",
+        "1234567890123456",
+        "4111 1111 1111 1111",
+        "123456789012345",
+        "DE89370400440532013000",
+        "GB82WEST12345698765432",
+        "DE12nope",
+        "XX99",
     ]
 )
 _pii_texts = st.lists(
@@ -141,11 +149,13 @@ def test_pii_redaction_matches_python_re(spark, values):
     from data_pipeline_bigquery_to_sftp_server_spark.functions import text as T
 
     df = spark.createDataFrame([(v,) for v in values], "t string")
-    e, p, i = T.pii_counts(F.col("t"))
+    e, cc, ib, p, i = T.pii_counts(F.col("t"))
     got = (
         df.select(
             T.redact_pii(F.col("t")).alias("r"),
             e.alias("e"),
+            cc.alias("cc"),
+            ib.alias("ib"),
             p.alias("p"),
             i.alias("i"),
         )
@@ -154,12 +164,16 @@ def test_pii_redaction_matches_python_re(spark, values):
     )
     for v, row in zip(values, got):
         s1 = re.sub(T.PII_EMAIL_RE, "<EMAIL>", v)
-        s2 = re.sub(T.PII_PHONE_RE, "<PHONE>", s1)
-        s3 = re.sub(T.PII_IPV4_RE, "<IP>", s2)
-        assert row.r == s3, (v, row.r, s3)
+        s2 = re.sub(T.PII_CC_RE, "<CC>", s1)
+        s3 = re.sub(T.PII_IBAN_RE, "<IBAN>", s2)
+        s4 = re.sub(T.PII_PHONE_RE, "<PHONE>", s3)
+        s5 = re.sub(T.PII_IPV4_RE, "<IP>", s4)
+        assert row.r == s5, (v, row.r, s5)
         assert row.e == len(re.findall(T.PII_EMAIL_RE, v))
-        assert row.p == len(re.findall(T.PII_PHONE_RE, s1))
-        assert row.i == len(re.findall(T.PII_IPV4_RE, s2))
+        assert row.cc == len(re.findall(T.PII_CC_RE, s1))
+        assert row.ib == len(re.findall(T.PII_IBAN_RE, s2))
+        assert row.p == len(re.findall(T.PII_PHONE_RE, s3))
+        assert row.i == len(re.findall(T.PII_IPV4_RE, s4))
 
 
 _token_counts = st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=20)

@@ -84,25 +84,34 @@ def test_redact_pii_and_counts(spark):
         (1, "mail a.b+c@ex-ample.co.uk and 10.20.30.40 then 25-989-741-2988"),
         (2, "no pii here at all"),
         (3, "two mails x@y.io z@w.ai ip 1.2.3.4 tel 123-456-7890"),
+        (4, "card 1234-5678-9012-3456 or 1234567890123456 acct DE89370400440532013000"),
+        (5, "not a card 123-456 not an iban DE12short"),
     ]
     df = spark.createDataFrame(rows, "id long, t string")
-    e, p, i = text.pii_counts(F.col("t"))
+    e, cc, ib, p, i = text.pii_counts(F.col("t"))
     out = {
         r.id: r
         for r in df.select(
             "id",
             text.redact_pii(F.col("t")).alias("r"),
             e.alias("e"),
+            cc.alias("cc"),
+            ib.alias("ib"),
             p.alias("p"),
             i.alias("i"),
         ).collect()
     }
     assert out[1].r == "mail <EMAIL> and <IP> then <PHONE>"
-    assert (out[1].e, out[1].p, out[1].i) == (1, 1, 1)
+    assert (out[1].e, out[1].cc, out[1].ib, out[1].p, out[1].i) == (1, 0, 0, 1, 1)
     assert out[2].r == "no pii here at all"
-    assert (out[2].e, out[2].p, out[2].i) == (0, 0, 0)
+    assert (out[2].e, out[2].cc, out[2].ib, out[2].p, out[2].i) == (0, 0, 0, 0, 0)
     assert out[3].r == "two mails <EMAIL> <EMAIL> ip <IP> tel <PHONE>"
-    assert (out[3].e, out[3].p, out[3].i) == (2, 1, 1)
+    assert (out[3].e, out[3].cc, out[3].ib, out[3].p, out[3].i) == (2, 0, 0, 1, 1)
+    assert out[4].r == "card <CC> or <CC> acct <IBAN>"
+    assert (out[4].e, out[4].cc, out[4].ib, out[4].p, out[4].i) == (0, 2, 1, 0, 0)
+    # near-misses must survive: short digit runs, short pseudo-IBANs
+    assert out[5].r == "not a card 123-456 not an iban DE12short"
+    assert (out[5].e, out[5].cc, out[5].ib, out[5].p, out[5].i) == (0, 0, 0, 0, 0)
 
 
 def test_chunk_documents_window_semantics(spark, tmp_path):
