@@ -10,6 +10,14 @@ texts verbatim, which matters because verbatim replicas would plant
 artificial near-duplicate clusters and corrupt exactly the pair-join
 selectivity the scaling run is supposed to measure.
 
+Near-duplicate structure is planted, matching the measured sf0.1
+graph (256 trigram-Jaccard>=0.5 pairs over 5,000 docs): DUP_FRAC of
+the documents get one mutated twin (5% of words resampled — trigram
+Jaccard ~0.7, comfortably over the 0.5 threshold), so the pair join
+and connected-components families keep a non-degenerate, same-density
+workload at 10x scale instead of the zero-pair graph independent
+resampling would produce.
+
 Output: {out_dir}/documents.parquet with the sf0.1 schema
 (doc_id, text, lang, source, n_chars). Used ONLY for performance
 scaling measurements — correctness oracles stay on the driver-provided
@@ -30,6 +38,8 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
 SEED = 42
+DUP_FRAC = 0.025  # fraction of base docs that get one mutated twin
+MUTATE_P = 0.05  # per-word resample probability in the twin
 
 
 def main() -> None:
@@ -45,13 +55,23 @@ def main() -> None:
     langs = src["lang"].to_numpy()
     sources = src["source"].to_numpy()
 
-    doc_lens = rng.choice(lengths, size=n_docs, replace=True)
+    n_twins = int(n_docs * DUP_FRAC / (1 + DUP_FRAC))
+    n_base = n_docs - n_twins
+    doc_lens = rng.choice(lengths, size=n_base, replace=True)
     total = int(doc_lens.sum())
     flat = rng.choice(vocab, size=total, replace=True, p=probs)
     offsets = np.concatenate([[0], np.cumsum(doc_lens)])
     texts = [
-        " ".join(flat[offsets[i] : offsets[i + 1]]) for i in range(n_docs)
+        " ".join(flat[offsets[i] : offsets[i + 1]]) for i in range(n_base)
     ]
+    # Mutated twins of the first n_twins base docs: resample MUTATE_P of
+    # the words -> trigram Jaccard ~ (1-3p)/(1+3p) ~ 0.7, a planted
+    # near-dup pair per twin (same shape the real corpus carries).
+    for i in range(n_twins):
+        w = np.array(texts[i].split())
+        mask = rng.random(len(w)) < MUTATE_P
+        w[mask] = rng.choice(vocab, size=int(mask.sum()), replace=True, p=probs)
+        texts.append(" ".join(w))
     out = pa.table(
         {
             "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
@@ -66,7 +86,8 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(out, f"{out_dir}/documents.parquet")
     print(
-        f"wrote {n_docs} docs ({total} tokens, vocab {len(vocab)}) "
+        f"wrote {n_docs} docs ({n_twins} planted near-dup twins, "
+        f"{total} base tokens, vocab {len(vocab)}) "
         f"-> {out_dir}/documents.parquet"
     )
 
