@@ -81,6 +81,7 @@ HEADLINE = [
     "media_resize",
     "streaming_pii",
     "assemble_bins",
+    "dup_ngram_spans",
 ]
 
 

@@ -551,6 +551,94 @@ def jaccard_pairs_complete_materialized(
     return pairs
 
 
+# --- X2f: exact substring-duplication spans ----------------------------------
+
+
+def _positional_gram_hashes(col: Column, n: int) -> Column:
+    """Positional (NOT distinct) word n-gram rolling hashes: element i
+    is the xxhash64 chain of words i..i+n-1, so equal values mark equal
+    word sequences (modulo 64-bit collisions). Same O(n)-passes chain
+    as shingle_hashes; docs shorter than n yield an empty array."""
+    th = F.transform(F.split(normalize_text(col), " "), lambda t: F.xxhash64(t))
+    acc = th
+    for i in range(1, n):
+        shifted = F.slice(th, i + 1, F.greatest(F.size(th) - i, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.xxhash64(a, b))
+    return F.when(F.size(th) < n, F.array().cast("array<bigint>")).otherwise(
+        F.slice(acc, 1, F.size(th) - F.lit(n - 1))
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """Exact substring-duplication signal — the word-level analogue of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    count the token positions covered by at least one n-gram that also
+    occurs VERBATIM in some other document. Returns one row per doc:
+    ``(id_col, n_tokens, n_dup_tokens, dup_ratio)`` (ratio rounded to
+    6dp; docs shorter than n tokens report 0).
+
+    Plan shape (the 100 TB path): positional grams ride as xxhash64
+    longs, never strings. Duplicated grams come from ONE gram-keyed
+    aggregation (distinct-doc count > 1, map-side combinable) joined
+    back to the positional stream on the gram key; the span union is an
+    explode of position RANGES restricted to duplicated grams only
+    (sparse by construction) followed by a (doc, position) distinct —
+    interval union done relationally, no per-doc Python. The tokenized
+    base is persisted so the gram stream and the per-doc length frame
+    cost one corpus scan.
+    """
+    base = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.size(F.split(normalize_text(F.col(text_col)), " ")).alias(
+                "n_tokens"
+            ),
+            _positional_gram_hashes(F.col(text_col), n).alias("_gh"),
+        )
+        .persist()
+    )
+    grams = base.select("_id", F.posexplode("_gh").alias("_p0", "_g"))
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .where(F.col("_nd") > 1)
+        .select("_g")
+    )
+    cov = (
+        grams.join(dup, "_g")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_p0") + 1, F.col("_p0") + n)
+            ).alias("_pos"),
+        )
+        .distinct()
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_dup_tokens"))
+    )
+    return (
+        base.select("_id", "n_tokens")
+        .join(cov, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 # --- X2d: pair graph -> clusters ---------------------------------------------
 
 

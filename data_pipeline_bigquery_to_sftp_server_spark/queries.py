@@ -2355,6 +2355,47 @@ FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
 """
 
 
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2f exact substring-duplication spans, ORACLE-CHECKED: per
+    document, the token positions covered by a 20-gram occurring
+    verbatim in another document (the word-level Lee-et-al substring
+    dedup signal; operators/dedup.py duplicate_ngram_spans). Spark
+    compares xxhash64-chained grams, the oracle compares gram STRINGS —
+    identical absent 64-bit collisions, the same parity argument as
+    jaccard_pairs/decontaminate."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_ngram_spans(d, "doc_id", "text", n=20)
+
+
+_ORACLE_DUP_NGRAM_SPANS = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, u.i AS pos, array_to_string(w[u.i:u.i+19], ' ') AS gm
+  FROM d, unnest(range(1, len(w) - 18)) AS u(i)
+  WHERE len(w) >= 20
+), dup AS (
+  SELECT gm FROM (SELECT gm, count(DISTINCT doc_id) AS c FROM g GROUP BY gm)
+  WHERE c > 1
+), cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM g JOIN dup USING (gm), unnest(range(pos, pos + 20)) AS t(p)
+), covn AS (
+  SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(d.w) AS n_tokens,
+       coalesce(c.n_dup_tokens, 0) AS n_dup_tokens,
+       round(CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE)
+             / greatest(len(d.w), 1), 6) AS dup_ratio
+FROM d LEFT JOIN covn c ON d.doc_id = c.doc_id
+"""
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 lexical retrieval: BM25 top-25 for a fixed 3-term query,
     ORACLE-CHECKED — the whole ranking (tf, df, doc length, corpus
@@ -4192,6 +4233,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_range_frame": q_window_range_frame,
     "membership_split": q_membership_split,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "dup_ngram_spans": q_dup_ngram_spans,
     "pack_sequences": q_pack_sequences,
     "assemble_bins": q_assemble_bins,
     "streaming_pii": q_streaming_pii,
@@ -4315,6 +4357,7 @@ ORACLES: dict[str, str] = {
     "quality_scores": _ORACLE_QUALITY_SCORES,
     "fingerprints": _ORACLE_FINGERPRINTS,
     "decontaminate": _ORACLE_DECONTAMINATE,
+    "dup_ngram_spans": _ORACLE_DUP_NGRAM_SPANS,
     "pii_redaction": _ORACLE_PII_REDACTION,
     "heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "bm25_topk": _ORACLE_BM25_TOPK,

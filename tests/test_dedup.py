@@ -298,3 +298,37 @@ def test_curation_pipeline_reliable_checkpoint_hygiene(spark, sf_dir, tmp_path):
     assert not jsc.sc().getCheckpointDir().isDefined()
     assert out.curation_checkpoint_path.startswith(base + "/cur-")
     assert os.path.isdir(out.curation_checkpoint_path)
+
+
+def test_duplicate_ngram_spans_planted_overlap(spark):
+    """Two docs share a verbatim 25-token run -> with n=20 exactly the
+    25 overlapping positions are flagged in each; unrelated docs and
+    short docs report 0."""
+    shared = " ".join(f"s{i}" for i in range(25))
+    rows = [
+        (1, "aa bb " + shared + " cc dd"),
+        (2, shared + " zz yy xx"),
+        (3, " ".join(f"u{i}" for i in range(40))),  # no overlap
+        (4, "tiny doc"),  # shorter than n
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicate_ngram_spans(df, n=20).collect()}
+    assert out[1].n_dup_tokens == 25 and out[1].n_tokens == 29
+    assert out[2].n_dup_tokens == 25 and out[2].n_tokens == 28
+    assert out[1].dup_ratio == round(25 / 29, 6)
+    assert out[3].n_dup_tokens == 0
+    assert out[4].n_dup_tokens == 0 and out[4].dup_ratio == 0.0
+
+
+def test_duplicate_ngram_spans_within_doc_repeat_not_flagged(spark):
+    """A 20-gram repeated WITHIN one doc but in no other doc is not
+    cross-document duplication (that's repetition_scores' job)."""
+    run = " ".join(f"r{i}" for i in range(20))
+    rows = [
+        (1, run + " mid " + run),
+        (2, " ".join(f"o{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicate_ngram_spans(df, n=20).collect()}
+    assert out[1].n_dup_tokens == 0
+    assert out[2].n_dup_tokens == 0
