@@ -82,6 +82,7 @@ HEADLINE = [
     "streaming_pii",
     "assemble_bins",
     "dup_ngram_spans",
+    "mixture_sample",
 ]
 
 

@@ -71,6 +71,43 @@ def hash_split(
     return df.withColumn("split", split_column(F.col(id_col), splits, salt))
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Source-mixture resampling — the data-recipe step that reweights
+    corpus sources for a training run (Pile/DoReMi-style mixture
+    weights): keep each row of source ``s`` with probability
+    ``rates[s]``; sources absent from ``rates`` drop entirely. The
+    draw is the same engine-portable md5 id hash as the split family,
+    so the operator is a pure map-side filter — no shuffle, stable
+    under repartitioning, identical across engines and runs; rotate
+    ``salt`` for an independent draw.
+
+    Downsampling only (rates in [0, 1]): upsampling needs row
+    replication (explode a per-row copy count), a different plan shape
+    — rejected here so a mis-specified recipe fails loudly.
+    """
+    if not rates:
+        raise ValueError("mixture_sample: rates must be non-empty")
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(
+                f"mixture_sample: rate for {s!r} must be in [0, 1], got {r}"
+            )
+    prefix = _hash_prefix(F.col(id_col), salt)
+    expr = None
+    for s, r in rates.items():
+        cond = F.col(source_col) == s
+        if r < 1.0:  # rate 1.0 keeps every row of the source exactly
+            cond = cond & (prefix < F.lit(_boundary(r)))
+        expr = cond if expr is None else expr | cond
+    return df.where(expr)
+
+
 def quota_sample(
     df: DataFrame,
     group_cols: list[str],

@@ -3894,6 +3894,41 @@ ORDER BY lang, source, doc_id
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-family data recipe, ORACLE-CHECKED: source-mixture resampling
+    (Pile/DoReMi-style weights) — src0 kept whole, src5 at 50%, src10
+    at 25%, src15 at 10%, every other source dropped, each row's fate
+    a pure function of md5(doc_id, salt). Map-side filter, no shuffle;
+    the oracle replays the identical hash-prefix rule so both engines
+    must keep exactly the same documents (operators/sampling.py
+    mixture_sample)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = sampling.mixture_sample(
+        d,
+        {"src0": 1.0, "src5": 0.5, "src10": 0.25, "src15": 0.1},
+        salt="mix1",
+    )
+    return kept.select("source", "lang", "doc_id").orderBy(
+        "source", "lang", "doc_id"
+    )
+
+
+_ORACLE_MIXTURE_SAMPLE = """
+SELECT source, lang, doc_id
+FROM documents
+WHERE (source = 'src0')
+   OR (source = 'src5'
+       AND substring(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 4) < '8000')
+   OR (source = 'src10'
+       AND substring(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 4) < '4000')
+   OR (source = 'src15'
+       AND substring(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 4) < '1999')
+ORDER BY source, lang, doc_id
+"""
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 quality signal the Gopher-style filters rely on: bigram
     repetition ratio (count of the most frequent bigram / total
@@ -4285,6 +4320,7 @@ QUERIES: dict[str, QueryFn] = {
     "orc_roundtrip": q_orc_roundtrip,
     "variant_extract": q_variant_extract,
     "quota_sample": q_quota_sample,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -4384,6 +4420,7 @@ ORACLES: dict[str, str] = {
     "variant_extract": _ORACLE_VARIANT_EXTRACT,
     "hash_split": _ORACLE_HASH_SPLIT,
     "quota_sample": _ORACLE_QUOTA_SAMPLE,
+    "mixture_sample": _ORACLE_MIXTURE_SAMPLE,
     "repetition_scores": _ORACLE_REPETITION_SCORES,
     "curation_pipeline": _ORACLE_CURATION_PIPELINE,
     "streaming_join": _ORACLE_STREAMING_JOIN,

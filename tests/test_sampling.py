@@ -68,3 +68,47 @@ def test_quota_sample_caps_groups_deterministically(spark, sf_dir):
         assert r.n == min(3, originals[r.lang])
     again = {r.doc_id for r in sampling.quota_sample(d, ["lang"], "doc_id", 3, salt="q").collect()}
     assert again == {r.doc_id for r in kept.collect()}
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    """Rate-1.0 sources keep every row, rate-0 sources behave as ~none,
+    unlisted sources drop entirely; assignment is a pure function of
+    the id (repartition-invariant)."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5}
+    kept = sampling.mixture_sample(d, rates, salt="m")
+    src_counts = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    full = {
+        r.source: r.n
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert src_counts["src0"] == full["src0"]  # rate 1.0 keeps all
+    assert 0 < src_counts.get("src1", 0) < full["src1"]  # thinned
+    assert set(src_counts) <= {"src0", "src1"}  # unlisted sources drop
+    again = {
+        r.doc_id
+        for r in sampling.mixture_sample(d.repartition(7), rates, salt="m").collect()
+    }
+    assert again == {r.doc_id for r in kept.collect()}
+
+
+def test_mixture_sample_is_map_side(spark, sf_dir):
+    from data_pipeline_bigquery_to_sftp_server_spark.plans import explain
+
+    d = load_table(spark, sf_dir, "documents")
+    s = sampling.mixture_sample(d, {"src0": 0.5, "src1": 1.0}, salt="m")
+    plan = explain.formatted_plan(s)
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_rejects_bad_rates(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.mixture_sample(df, {})
+    with pytest.raises(ValueError, match="rate for"):
+        sampling.mixture_sample(df, {"a": 1.5})
