@@ -83,6 +83,7 @@ HEADLINE = [
     "assemble_bins",
     "dup_ngram_spans",
     "mixture_sample",
+    "lm_scores",
 ]
 
 

@@ -3929,6 +3929,35 @@ ORDER BY source, lang, doc_id
 """
 
 
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-family quality gate, ORACLE-CHECKED: CCNet-style perplexity
+    signal — per-doc mean negative log2-likelihood under a corpus-
+    trained additively-smoothed unigram LM (operators/lm.py). Fully
+    relational (one token-keyed agg for the LM, token join, per-doc
+    rollup), so DuckDB replays it bit-for-bit on the rounded mean."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm
+
+    d = load_table(spark, sf_dir, "documents")
+    return lm.unigram_nll_scores(d, "doc_id", "text", smoothing=0.5)
+
+
+_ORACLE_LM_SCORES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+), v AS (
+  SELECT t, count(*) AS n FROM toks GROUP BY t
+), s AS (
+  SELECT sum(n) AS N, count(*) AS V FROM v
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-log2((v.n + 0.5) / (s.N + 0.5 * s.V))), 6) AS mean_nll
+FROM toks JOIN v USING (t) CROSS JOIN s
+GROUP BY doc_id
+"""
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 quality signal the Gopher-style filters rely on: bigram
     repetition ratio (count of the most frequent bigram / total
@@ -4321,6 +4350,7 @@ QUERIES: dict[str, QueryFn] = {
     "variant_extract": q_variant_extract,
     "quota_sample": q_quota_sample,
     "mixture_sample": q_mixture_sample,
+    "lm_scores": q_lm_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -4421,6 +4451,7 @@ ORACLES: dict[str, str] = {
     "hash_split": _ORACLE_HASH_SPLIT,
     "quota_sample": _ORACLE_QUOTA_SAMPLE,
     "mixture_sample": _ORACLE_MIXTURE_SAMPLE,
+    "lm_scores": _ORACLE_LM_SCORES,
     "repetition_scores": _ORACLE_REPETITION_SCORES,
     "curation_pipeline": _ORACLE_CURATION_PIPELINE,
     "streaming_join": _ORACLE_STREAMING_JOIN,
