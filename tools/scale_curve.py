@@ -35,6 +35,9 @@ DEFAULT = [
     "text_stats",
     "token_topk",
     "dedup_exact",
+    "dup_ngram_spans",
+    "mixture_sample",
+    "lm_scores",
 ]
 
 
