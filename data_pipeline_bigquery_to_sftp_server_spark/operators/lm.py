@@ -36,30 +36,44 @@ def unigram_nll_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     smoothing: float = 0.5,
+    train: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean negative log2-likelihood under the corpus
     unigram distribution with additive ``smoothing``. Returns one row
     per document: ``(id_col, n_tokens, mean_nll)`` (6dp; lower = more
     typical text; perplexity = 2^mean_nll if a caller wants it).
 
-    Every token of the scored corpus is in the LM by construction
-    (same corpus), so the LM join is inner with no loss; score against
-    a FOREIGN corpus by training on one frame and joining from another
-    — same plan, left join + unseen-token fallback (not needed here).
+    With ``train=None`` the LM is trained on the scored corpus itself
+    (the in-container stand-in). Passing ``train`` builds the LM from
+    that frame instead — the production shape, where fresh data is
+    scored against a reference corpus — and tokens unseen in training
+    back off to the zero-count smoothed probability
+    ``smoothing / (N + smoothing * V)`` via the left join's NULL
+    count. Identical plan either way: one token-keyed aggregation, a
+    token join (vocabulary-sized LM, broadcast when it fits), one
+    per-doc rollup.
     """
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
-    ).persist()
-    lm = toks.groupBy("_t").agg(F.count("*").alias("_n"))
+    )
+    if train is None:
+        # consumed twice (LM build + scoring): one corpus scan via cache
+        toks = toks.persist()
+        lm_toks = toks
+    else:
+        lm_toks = ensure_parallelism(train).select(
+            F.explode(tokenize(F.col(text_col))).alias("_t")
+        )
+    lm = lm_toks.groupBy("_t").agg(F.count("*").alias("_n"))
     # N.B. Spark resolves column names case-insensitively by default,
     # so the totals get distinct names rather than _N/_V.
     stats = lm.agg(F.sum("_n").alias("_tot"), F.count("*").alias("_vsz"))
     nll = -F.log2(
-        (F.col("_n") + F.lit(smoothing))
+        (F.coalesce(F.col("_n"), F.lit(0)) + F.lit(smoothing))
         / (F.col("_tot") + F.lit(smoothing) * F.col("_vsz"))
     )
     return (
-        toks.join(lm, "_t")
+        toks.join(lm, "_t", "left")
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(

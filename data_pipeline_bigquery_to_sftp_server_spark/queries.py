@@ -3958,6 +3958,40 @@ GROUP BY doc_id
 """
 
 
+def q_lm_scores_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 production shape, ORACLE-CHECKED: the unigram LM is trained
+    on one split (doc_id % 20 != 0) and SCORES the other (doc_id % 20
+    == 0) — fresh data against a reference corpus — with unseen tokens
+    backing off to the zero-count smoothed probability through the
+    left join's NULL count (operators/lm.py)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    return lm.unigram_nll_scores(scored, "doc_id", "text", 0.5, train=train)
+
+
+_ORACLE_LM_SCORES_FOREIGN = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents WHERE doc_id % 20 = 0
+), ttoks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents WHERE doc_id % 20 != 0
+), v AS (
+  SELECT t, count(*) AS n FROM ttoks GROUP BY t
+), s AS (
+  SELECT sum(n) AS N, count(*) AS V FROM v
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-log2((coalesce(v.n, 0) + 0.5) / (s.N + 0.5 * s.V))), 6) AS mean_nll
+FROM toks LEFT JOIN v USING (t) CROSS JOIN s
+GROUP BY doc_id
+"""
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 quality signal the Gopher-style filters rely on: bigram
     repetition ratio (count of the most frequent bigram / total
@@ -4351,6 +4385,7 @@ QUERIES: dict[str, QueryFn] = {
     "quota_sample": q_quota_sample,
     "mixture_sample": q_mixture_sample,
     "lm_scores": q_lm_scores,
+    "lm_scores_foreign": q_lm_scores_foreign,
 }
 
 ORACLES: dict[str, str] = {
@@ -4452,6 +4487,7 @@ ORACLES: dict[str, str] = {
     "quota_sample": _ORACLE_QUOTA_SAMPLE,
     "mixture_sample": _ORACLE_MIXTURE_SAMPLE,
     "lm_scores": _ORACLE_LM_SCORES,
+    "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
     "repetition_scores": _ORACLE_REPETITION_SCORES,
     "curation_pipeline": _ORACLE_CURATION_PIPELINE,
     "streaming_join": _ORACLE_STREAMING_JOIN,

@@ -29,3 +29,16 @@ def test_unigram_nll_rare_tokens_score_higher(spark):
     out = {r.doc_id: r.mean_nll for r in lm.unigram_nll_scores(df).collect()}
     assert out[9] > out[1]  # atypical doc scores strictly higher
     assert all(out[i] == out[1] for i in range(2, 9))  # identical docs tie
+
+
+def test_unigram_nll_foreign_corpus_with_unseen_fallback(spark):
+    """LM trained on one frame scores another; a token absent from
+    training gets exactly the zero-count smoothed probability."""
+    train = spark.createDataFrame([(10, "a a b"), (11, "a b")], "doc_id long, text string")
+    scored = spark.createDataFrame([(1, "a zzz")], "doc_id long, text string")
+    out = lm.unigram_nll_scores(scored, smoothing=0.5, train=train).collect()
+    # train counts: a=3, b=2; N=5, V=2
+    p_a = (3 + 0.5) / (5 + 0.5 * 2)
+    p_unseen = (0 + 0.5) / (5 + 0.5 * 2)
+    want = round((-math.log2(p_a) - math.log2(p_unseen)) / 2, 6)
+    assert out[0].n_tokens == 2 and out[0].mean_nll == want
