@@ -77,35 +77,67 @@ def mixture_sample(
     source_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "",
+    copy_col: str | None = None,
 ) -> DataFrame:
     """Source-mixture resampling — the data-recipe step that reweights
     corpus sources for a training run (Pile/DoReMi-style mixture
-    weights): keep each row of source ``s`` with probability
-    ``rates[s]``; sources absent from ``rates`` drop entirely. The
-    draw is the same engine-portable md5 id hash as the split family,
-    so the operator is a pure map-side filter — no shuffle, stable
-    under repartitioning, identical across engines and runs; rotate
-    ``salt`` for an independent draw.
+    weights): emit each row of source ``s`` an expected ``rates[s]``
+    times; sources absent from ``rates`` drop entirely. The draw is
+    the same engine-portable md5 id hash as the split family, so the
+    operator is pure map-side — no shuffle, stable under
+    repartitioning, identical across engines and runs; rotate ``salt``
+    for an independent draw.
 
-    Downsampling only (rates in [0, 1]): upsampling needs row
-    replication (explode a per-row copy count), a different plan shape
-    — rejected here so a mis-specified recipe fails loudly.
+    Rates may exceed 1 (upsampling, e.g. a Wikipedia-x3 Pile/LLaMA-
+    style weight): a row of source ``s`` is emitted ``floor(rates[s])``
+    times plus one extra copy when its hash lands under the fractional
+    remainder — so the output is exactly deterministic per id and the
+    expected multiplicity is the rate. With ``copy_col`` set, an extra
+    0-based copy-index column disambiguates the replicas (training
+    pipelines shard on (id, copy)).
+
+    Plan shape: when every rate is <= 1 and no ``copy_col`` is asked
+    for, this stays the pure filter of the downsampling-only operator
+    (no generator in the plan). Any rate > 1 (or ``copy_col``)
+    switches to a per-row copy count exploded through
+    ``posexplode(array_repeat(...))`` — still map-side, no shuffle;
+    rows whose copy count is 0 vanish with their empty array.
     """
     if not rates:
         raise ValueError("mixture_sample: rates must be non-empty")
     for s, r in rates.items():
-        if not 0.0 <= r <= 1.0:
+        if r < 0.0:
             raise ValueError(
-                f"mixture_sample: rate for {s!r} must be in [0, 1], got {r}"
+                f"mixture_sample: rate for {s!r} must be >= 0, got {r}"
             )
     prefix = _hash_prefix(F.col(id_col), salt)
-    expr = None
+
+    if copy_col is None and all(r <= 1.0 for r in rates.values()):
+        expr = None
+        for s, r in rates.items():
+            cond = F.col(source_col) == s
+            if r < 1.0:  # rate 1.0 keeps every row of the source exactly
+                cond = cond & (prefix < F.lit(_boundary(r)))
+            expr = cond if expr is None else expr | cond
+        return df.where(expr)
+
+    # Upsampling path: deterministic per-row copy count.
+    copies = None
     for s, r in rates.items():
+        base = int(r)  # floor for r >= 0
+        frac = r - base
+        c = F.lit(base)
+        if frac > 0.0:
+            c = c + (prefix < F.lit(_boundary(frac))).cast("int")
         cond = F.col(source_col) == s
-        if r < 1.0:  # rate 1.0 keeps every row of the source exactly
-            cond = cond & (prefix < F.lit(_boundary(r)))
-        expr = cond if expr is None else expr | cond
-    return df.where(expr)
+        copies = F.when(cond, c) if copies is None else copies.when(cond, c)
+    copies = copies.otherwise(F.lit(0))
+    out = df.select(
+        "*", F.posexplode(F.array_repeat(F.lit(1), copies)).alias("_cp", "_one")
+    ).drop("_one")
+    if copy_col is not None:
+        return out.withColumnRenamed("_cp", copy_col)
+    return out.drop("_cp")
 
 
 def quota_sample(

@@ -3929,6 +3929,50 @@ ORDER BY source, lang, doc_id
 """
 
 
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 upsampling shape, ORACLE-CHECKED: a realistic data recipe
+    that UPsamples a high-quality source (src0 x2.5, the Wikipedia-x3
+    Pile/LLaMA pattern), keeps src5 whole, thins src10 to 25%, drops
+    the rest. Each row of src0 is emitted floor(2.5)=2 times plus one
+    extra copy when md5(doc_id, salt) lands under the fractional
+    remainder, with a 0-based copy index so replicas stay addressable.
+    Map-side posexplode(array_repeat) — no shuffle; the oracle replays
+    the identical copy-count rule via range+unnest so both engines
+    must emit exactly the same (doc, copy) multiset
+    (operators/sampling.py mixture_sample)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        d,
+        {"src0": 2.5, "src5": 1.0, "src10": 0.25},
+        salt="mix2",
+        copy_col="copy_idx",
+    )
+    return out.select(
+        "source", "doc_id", F.col("copy_idx").cast("long").alias("copy_idx")
+    ).orderBy("source", "doc_id", "copy_idx")
+
+
+_ORACLE_MIXTURE_UPSAMPLE = """
+WITH c AS (
+  SELECT source, doc_id,
+         CASE WHEN source = 'src0'
+                THEN 2 + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':mix2'), 1, 4) < '8000'
+                              THEN 1 ELSE 0 END
+              WHEN source = 'src5' THEN 1
+              WHEN source = 'src10'
+                THEN CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':mix2'), 1, 4) < '4000'
+                          THEN 1 ELSE 0 END
+              ELSE 0 END AS copies
+  FROM documents
+)
+SELECT source, doc_id, CAST(i AS BIGINT) AS copy_idx
+FROM c, unnest(range(0, copies)) AS u(i)
+ORDER BY source, doc_id, copy_idx
+"""
+
+
 def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-family quality gate, ORACLE-CHECKED: CCNet-style perplexity
     signal — per-doc mean negative log2-likelihood under a corpus-
@@ -4384,6 +4428,7 @@ QUERIES: dict[str, QueryFn] = {
     "variant_extract": q_variant_extract,
     "quota_sample": q_quota_sample,
     "mixture_sample": q_mixture_sample,
+    "mixture_upsample": q_mixture_upsample,
     "lm_scores": q_lm_scores,
     "lm_scores_foreign": q_lm_scores_foreign,
 }
@@ -4486,6 +4531,7 @@ ORACLES: dict[str, str] = {
     "hash_split": _ORACLE_HASH_SPLIT,
     "quota_sample": _ORACLE_QUOTA_SAMPLE,
     "mixture_sample": _ORACLE_MIXTURE_SAMPLE,
+    "mixture_upsample": _ORACLE_MIXTURE_UPSAMPLE,
     "lm_scores": _ORACLE_LM_SCORES,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
     "repetition_scores": _ORACLE_REPETITION_SCORES,

@@ -111,4 +111,53 @@ def test_mixture_sample_rejects_bad_rates(spark):
     with pytest.raises(ValueError, match="non-empty"):
         sampling.mixture_sample(df, {})
     with pytest.raises(ValueError, match="rate for"):
-        sampling.mixture_sample(df, {"a": 1.5})
+        sampling.mixture_sample(df, {"a": -0.1})
+
+
+def test_mixture_upsample_multiplicity(spark, sf_dir):
+    """Rate 2.5 emits each src0 row 2 or 3 times, totalling ~2.5x the
+    source count (hash-granularity tolerance); copy indices are dense
+    0..k-1 per doc; a pure-downsampling recipe with copy_col still
+    routes through the replication path with the same kept-set as the
+    filter path."""
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        d, {"src0": 2.5}, salt="up", copy_col="copy_idx"
+    )
+    per_doc = {
+        r.doc_id: r.n
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_doc.values()) <= {2, 3}
+    n_src0 = d.where(F.col("source") == "src0").count()
+    total = sum(per_doc.values())
+    assert 2.0 * n_src0 <= total <= 3.0 * n_src0
+    assert abs(total / n_src0 - 2.5) < 0.35  # hash draw ~Binomial(n, .5)
+    # copy indices dense per doc
+    idx = out.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy_idx")).alias("ix"),
+        F.count("*").alias("n"),
+    )
+    for r in idx.collect():
+        assert r.ix == list(range(r.n))
+    # replication path at rate<=1 == filter path kept set
+    filt = {
+        r.doc_id
+        for r in sampling.mixture_sample(d, {"src0": 0.5}, salt="up").collect()
+    }
+    repl = {
+        r.doc_id
+        for r in sampling.mixture_sample(
+            d, {"src0": 0.5}, salt="up", copy_col="c"
+        ).collect()
+    }
+    assert filt == repl
+
+
+def test_mixture_upsample_is_map_side(spark, sf_dir):
+    from data_pipeline_bigquery_to_sftp_server_spark.plans import explain
+
+    d = load_table(spark, sf_dir, "documents")
+    s = sampling.mixture_sample(d, {"src0": 3.25, "src1": 0.5}, salt="m")
+    plan = explain.formatted_plan(s)
+    assert "Exchange" not in plan
