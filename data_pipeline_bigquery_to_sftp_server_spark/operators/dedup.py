@@ -452,13 +452,14 @@ def jaccard_pairs_complete(
     # Lazy MEMORY_AND_DISK persist is cluster-safe — lineage is intact, a
     # lost block just recomputes its partition.
     #
-    # Lifecycle caveat: the persist lives until the session ends (or the
-    # executor storage is evicted) — repeated calls in one session
-    # accumulate cached shingle arrays. Callers that materialize the
-    # result anyway should prefer ``jaccard_pairs_complete_materialized``,
-    # which releases the shingle cache as soon as the (small) pair set
-    # is computed.
-    base = _shingle_base(df, id_col, text_col, ngram).persist()
+    # Lifecycle: the persist is tracked in the session cache registry
+    # (cache.clear_operator_caches releases it). Callers that
+    # materialize the result anyway should prefer
+    # ``jaccard_pairs_complete_materialized``, which releases the
+    # shingle cache as soon as the (small) pair set is computed.
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    base = persist_tracked(_shingle_base(df, id_col, text_col, ngram))
     return _complete_pairs_from_base(base, threshold)
 
 
@@ -602,8 +603,10 @@ def duplicate_ngram_spans(
             ),
             _positional_gram_hashes(F.col(text_col), n).alias("_gh"),
         )
-        .persist()
     )
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    base = persist_tracked(base)
     grams = base.select("_id", F.posexplode("_gh").alias("_p0", "_g"))
     dup = (
         grams.groupBy("_g")

@@ -16,8 +16,18 @@ back to the LM on the token key and rolls up per document — two
 shuffles total (token key, then doc key), no Python anywhere. The LM
 table is vocabulary-sized (<< corpus) so Spark's size-based planner
 broadcasts it when it fits; Zipf-skew in the join key is harmless
-under a broadcast join (no shuffle of the hot key). The exploded token
-stream is persisted so LM build + scoring cost one corpus scan.
+under a broadcast join (no shuffle of the hot key).
+
+Storage trade for the self-train path (train=None), where the token
+stream feeds BOTH the LM build and the scorer: what gets persisted is
+the per-document token ARRAYS — corpus-text-sized, one row per doc —
+not the exploded one-row-per-token stream, which is strictly larger
+(per-token row overhead + the doc id duplicated onto every token) and
+would thrash executor storage at corpus scale. The cache is tracked in
+the session registry (cache.clear_operator_caches) so long-lived
+sessions can release it; the two explodes re-run, but explode over a
+cached array is pure map-side compute, no re-tokenize, no extra scan.
+The production path (train= supplied) persists nothing.
 """
 
 from __future__ import annotations
@@ -53,14 +63,23 @@ def unigram_nll_scores(
     token join (vocabulary-sized LM, broadcast when it fits), one
     per-doc rollup.
     """
-    toks = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
-    )
     if train is None:
-        # consumed twice (LM build + scoring): one corpus scan via cache
-        toks = toks.persist()
+        # Consumed twice (LM build + scoring): persist the per-doc
+        # token arrays — corpus-text-sized, NOT token-row-sized (see
+        # module docstring) — so both consumers cost one corpus scan.
+        from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+        arrays = persist_tracked(
+            ensure_parallelism(df).select(
+                F.col(id_col), tokenize(F.col(text_col)).alias("_ta")
+            )
+        )
+        toks = arrays.select(id_col, F.explode("_ta").alias("_t"))
         lm_toks = toks
     else:
+        toks = ensure_parallelism(df).select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
+        )
         lm_toks = ensure_parallelism(train).select(
             F.explode(tokenize(F.col(text_col))).alias("_t")
         )

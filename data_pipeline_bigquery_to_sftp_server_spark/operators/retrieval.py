@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
 from data_pipeline_bigquery_to_sftp_server_spark.functions.text import tokenize
 from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
     ensure_parallelism,
@@ -56,10 +57,10 @@ def bm25_topk(
     # scans the corpus 4x; persisting per_doc (one row per doc) makes
     # the stats branch a cache read, so the explode subtree runs ONCE.
     # Lifecycle: the broadcast of `stats` materializes the cache before
-    # the scoring pass reads it; the persist stays for the session (the
-    # shared-intermediate pattern — callers rerunning bm25 with new
-    # terms would rebuild per_doc anyway since the tf pivot is
-    # term-specific, so entries age out with the frame).
+    # the scoring pass reads it; the persist is tracked in the session
+    # cache registry (cache.clear_operator_caches releases it — callers
+    # rerunning bm25 with new terms rebuild per_doc anyway since the tf
+    # pivot is term-specific).
     toks = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
     )
@@ -69,7 +70,8 @@ def bm25_topk(
             F.count(F.when(F.col("_t") == t, 1)).alias(f"_tf{i}")
             for i, t in enumerate(query_terms)
         ],
-    ).persist()
+    )
+    per_doc = persist_tracked(per_doc)
     # Corpus stats + per-term document frequency in ONE one-row frame,
     # broadcast to the scorers.
     stats = per_doc.agg(

@@ -97,7 +97,9 @@ def heavy_hitters(
         _batch_candidates(capacity), "token string, n_batch long"
     )
     if check_exact:
-        summary = summary.persist()
+        from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+        summary = persist_tracked(summary)
     candidates = (
         summary.where(F.col("token").isNotNull())
         .select("token")
