@@ -100,3 +100,96 @@ def unigram_nll_scores(
             F.round(F.avg(nll), 6).alias("mean_nll"),
         )
     )
+
+
+def _bigram_structs(arr):
+    """array<struct<_prev,_cur>> of adjacent token pairs (empty for
+    docs under 2 tokens — they carry no transition signal)."""
+    n = F.size(arr)
+    shifted = F.slice(arr, 2, F.greatest(n - 1, F.lit(1)))
+    zipped = F.zip_with(
+        arr, shifted, lambda a, b: F.struct(a.alias("_prev"), b.alias("_cur"))
+    )
+    return F.when(n >= 2, F.slice(zipped, 1, n - 1)).otherwise(
+        F.array().cast("array<struct<_prev:string,_cur:string>>")
+    )
+
+
+def bigram_nll_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+    alpha: float = 0.4,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean negative log2-likelihood over bigram
+    transitions with stupid backoff (Brants et al., "Large Language
+    Models in Machine Translation": score(w_i | w_{i-1}) =
+    count(w_{i-1} w_i) / count(w_{i-1}) when the bigram was seen in
+    training, else ``alpha`` x the additively-smoothed unigram
+    probability of w_i). Returns one row per document with >= 2
+    tokens: ``(id_col, n_bigrams, mean_nll)`` (6dp).
+
+    This is the step from "CCNet-style" toward CCNet proper: a
+    transition model catches shuffled-word and template-stitched text
+    whose unigram distribution looks perfectly natural (pinned in
+    test_lm). Still fully relational — bigrams are built map-side with
+    one zip_with over shifted token slices (no Python, no extra scan),
+    counted by ONE gram-keyed aggregation, and joined back to the gram
+    stream alongside the unigram vocabulary; both LM tables are
+    vocabulary-sized, so Spark's planner broadcasts them when they fit
+    and Zipf skew in the join keys stays harmless.
+
+    ``train=None`` trains on the scored corpus itself (per-doc token
+    arrays cached once, as unigram_nll_scores); with ``train`` the
+    counts come from the reference corpus instead — two passes over
+    the training frame (token-keyed + gram-keyed aggregations), each a
+    straight scan, deliberately not cached at corpus scale.
+    """
+    score_arrays = ensure_parallelism(df).select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_ta")
+    )
+    if train is None:
+        from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+        score_arrays = persist_tracked(score_arrays)
+        train_arrays = score_arrays
+    else:
+        train_arrays = ensure_parallelism(train).select(
+            tokenize(F.col(text_col)).alias("_ta")
+        )
+    grams = score_arrays.select(
+        id_col, F.explode(_bigram_structs(F.col("_ta"))).alias("_bg")
+    ).select(id_col, F.col("_bg._prev").alias("_prev"), F.col("_bg._cur").alias("_cur"))
+    uni = (
+        train_arrays.select(F.explode("_ta").alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").alias("_n"))
+    )
+    big = (
+        train_arrays.select(F.explode(_bigram_structs(F.col("_ta"))).alias("_bg"))
+        .select(F.col("_bg._prev").alias("_prev"), F.col("_bg._cur").alias("_cur"))
+        .groupBy("_prev", "_cur")
+        .agg(F.count("*").alias("_nb"))
+    )
+    stats = uni.agg(F.sum("_n").alias("_tot"), F.count("*").alias("_vsz"))
+    up = uni.select(F.col("_t").alias("_prev"), F.col("_n").alias("_np"))
+    uc = uni.select(F.col("_t").alias("_cur"), F.col("_n").alias("_nc"))
+    backoff_p = (F.coalesce(F.col("_nc"), F.lit(0)) + F.lit(smoothing)) / (
+        F.col("_tot") + F.lit(smoothing) * F.col("_vsz")
+    )
+    nll = F.when(
+        F.col("_nb").isNotNull(), -F.log2(F.col("_nb") / F.col("_np"))
+    ).otherwise(-F.log2(F.lit(alpha) * backoff_p))
+    return (
+        grams.join(big, ["_prev", "_cur"], "left")
+        .join(up, "_prev", "left")
+        .join(uc, "_cur", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("mean_nll"),
+        )
+    )

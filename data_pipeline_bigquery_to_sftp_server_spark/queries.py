@@ -4036,6 +4036,57 @@ GROUP BY doc_id
 """
 
 
+def q_lm_scores_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 bigram LM, ORACLE-CHECKED: per-doc mean NLL over bigram
+    transitions with stupid backoff (alpha=0.4), trained on one split
+    (doc_id % 20 != 0) and scoring the other — so unseen bigrams
+    exercise the backoff branch and unseen tokens the zero-count
+    smoothing, both replayed exactly by the oracle. The transition
+    model separates shuffled-word text from natural text where the
+    unigram model is blind (pinned in test_lm)
+    (operators/lm.py bigram_nll_scores)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    return lm.bigram_nll_scores(scored, "doc_id", "text", 0.5, 0.4, train=train)
+
+
+_ORACLE_LM_SCORES_BIGRAM = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(w[2:], (x,i) -> w[i] || ' ' || x)) AS g
+  FROM t WHERE doc_id % 20 = 0
+), uni AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest(w) AS tok FROM t WHERE doc_id % 20 != 0)
+  GROUP BY tok
+), big AS (
+  SELECT g, count(*) AS nb
+  FROM (SELECT unnest(list_transform(w[2:], (x,i) -> w[i] || ' ' || x)) AS g
+        FROM t WHERE doc_id % 20 != 0)
+  GROUP BY g
+), s AS (
+  SELECT sum(n) AS N, count(*) AS V FROM uni
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(CASE WHEN big.nb IS NOT NULL THEN -log2(big.nb / up.n)
+                      ELSE -log2(0.4 * ((coalesce(uc.n, 0) + 0.5) / (s.N + 0.5 * s.V)))
+                 END), 6) AS mean_nll
+FROM bg
+LEFT JOIN big USING (g)
+LEFT JOIN uni up ON up.tok = split_part(bg.g, ' ', 1)
+LEFT JOIN uni uc ON uc.tok = split_part(bg.g, ' ', 2)
+CROSS JOIN s
+GROUP BY doc_id
+"""
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 quality signal the Gopher-style filters rely on: bigram
     repetition ratio (count of the most frequent bigram / total
@@ -4431,6 +4482,7 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_upsample": q_mixture_upsample,
     "lm_scores": q_lm_scores,
     "lm_scores_foreign": q_lm_scores_foreign,
+    "lm_scores_bigram": q_lm_scores_bigram,
 }
 
 ORACLES: dict[str, str] = {
@@ -4534,6 +4586,7 @@ ORACLES: dict[str, str] = {
     "mixture_upsample": _ORACLE_MIXTURE_UPSAMPLE,
     "lm_scores": _ORACLE_LM_SCORES,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
+    "lm_scores_bigram": _ORACLE_LM_SCORES_BIGRAM,
     "repetition_scores": _ORACLE_REPETITION_SCORES,
     "curation_pipeline": _ORACLE_CURATION_PIPELINE,
     "streaming_join": _ORACLE_STREAMING_JOIN,

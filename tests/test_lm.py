@@ -31,6 +31,64 @@ def test_unigram_nll_rare_tokens_score_higher(spark):
     assert all(out[i] == out[1] for i in range(2, 9))  # identical docs tie
 
 
+def test_bigram_nll_exact_small_case(spark):
+    """Exact math on a 2-doc corpus, self-trained: every bigram seen,
+    so every transition scores -log2(count(prev cur)/count(prev))."""
+    rows = [(1, "a b a b"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lm.bigram_nll_scores(df, smoothing=0.5).collect()}
+    # bigram counts: (a,b)=3, (b,a)=1; unigram: a=3, b=3
+    nll_ab = -math.log2(3 / 3)
+    nll_ba = -math.log2(1 / 3)
+    assert out[1].n_bigrams == 3
+    assert out[1].mean_nll == round((2 * nll_ab + nll_ba) / 3, 6)
+    assert out[2].n_bigrams == 1
+    assert out[2].mean_nll == round(nll_ab, 6)
+
+
+def test_bigram_nll_backoff_on_unseen_transition(spark):
+    """An unseen bigram backs off to alpha x smoothed unigram p(cur);
+    an unseen token also exercises the zero-count coalesce."""
+    train = spark.createDataFrame(
+        [(10, "a b a b"), (11, "b c")], "doc_id long, text string"
+    )
+    scored = spark.createDataFrame([(1, "c a zzz")], "doc_id long, text string")
+    out = lm.bigram_nll_scores(scored, smoothing=0.5, alpha=0.4, train=train).collect()
+    # train: uni a=2,b=3,c=1 -> N=6,V=3; bigrams (a,b)=2,(b,a)=1,(b,c)=1
+    p_a = (2 + 0.5) / (6 + 0.5 * 3)
+    p_zzz = (0 + 0.5) / (6 + 0.5 * 3)
+    want = round((-math.log2(0.4 * p_a) - math.log2(0.4 * p_zzz)) / 2, 6)
+    assert out[0].n_bigrams == 2 and out[0].mean_nll == want
+
+
+def test_bigram_nll_separates_shuffled_text_where_unigram_cannot(spark):
+    """A word-shuffled document has the exact same unigram NLL as its
+    natural original (same token multiset) but a strictly higher
+    bigram NLL — the signal that justifies the transition model."""
+    natural = "the quick brown fox jumps over the lazy dog and the quick brown fox runs"
+    toks = natural.split()
+    # deterministic derangement-ish shuffle: reverse, which breaks
+    # every adjacent pair of this sentence
+    shuffled = " ".join(reversed(toks))
+    train_rows = [(i, natural) for i in range(10, 20)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    scored = spark.createDataFrame(
+        [(1, natural), (2, shuffled)], "doc_id long, text string"
+    )
+    uni = {r.doc_id: r.mean_nll for r in lm.unigram_nll_scores(scored, train=train).collect()}
+    big = {r.doc_id: r.mean_nll for r in lm.bigram_nll_scores(scored, train=train).collect()}
+    assert uni[1] == uni[2]  # unigram model is blind to word order
+    assert big[2] > big[1]  # transition model catches it
+
+
+def test_bigram_nll_drops_sub_two_token_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    out = lm.bigram_nll_scores(df).collect()
+    assert {r.doc_id for r in out} == {3}
+
+
 def test_unigram_nll_foreign_corpus_with_unseen_fallback(spark):
     """LM trained on one frame scores another; a token absent from
     training gets exactly the zero-count smoothed probability."""
