@@ -33,14 +33,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL for each SQL-expressible query; keys
-    missing here (minhash_pairs, simhash_groups, simhash_near_pairs,
-    embedding_dups, lsh_topk, ivf_topk) are approximate/hash-seeded
-    operators, html_clean is a python-HTMLParser UDF, and
-    pack_sequences / assemble_bins report an order-dependent FFD
-    assignment -> rows-only
-    checks, with recall/parity (IVF full-probe == exact brute force is
-    ALSO oracle-checked as ivf_full_probe) verified in tests/. ALL
+    """DuckDB-runnable ANSI SQL for each SQL-expressible query. Every
+    slot-1..50 query has an oracle (the driver window is 50/50
+    checkable). Keys missing here (minhash_pairs, simhash_groups,
+    simhash_near_pairs, embedding_dups, lsh_topk, ivf_topk — all past
+    slot 50) are approximate/hash-seeded operators and html_clean is a
+    python-HTMLParser UDF -> rows-only checks, with recall/parity (IVF
+    full-probe == exact brute force is ALSO oracle-checked as
+    ivf_full_probe) verified in tests/. The FFD packing pair
+    (pack_sequences / assemble_bins) IS oracle-checked since r6: the
+    deterministic first-fit-decreasing state machine is replayed in
+    SQL by a recursive CTE carrying the open-bin remainder list. ALL
     seven streaming queries run to completion and ARE oracle-checked
     against batch SQL — including streaming_session, whose append-mode
     sink deterministically emits exactly the watermark-closed sessions

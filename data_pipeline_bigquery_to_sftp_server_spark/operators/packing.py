@@ -22,7 +22,7 @@ caller.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _GROUP_SHIFT = 32  # bin_id = group_id << 32 | local bin index
@@ -34,13 +34,18 @@ def pack_sequences(
     tokens_col: str = "n_tokens",
     budget: int = 2048,
     num_groups: int | None = None,
+    group_expr: Column | None = None,
 ) -> DataFrame:
     """Assign each document to a bin: returns ``(id_col, tokens_col,
     bin_id, oversize)`` with one row per input document.
 
-    Deterministic: group = xxhash64(id) mod num_groups, FFD order =
-    (tokens desc, id asc) within the group, so the same input always
-    yields the same assignment regardless of partitioning.
+    Deterministic: group = xxhash64(id) mod num_groups (or the caller's
+    ``group_expr``, an int column in [0, num_groups) — pass an
+    engine-portable hash like ``pmod(conv(substring(md5(id),1,4),16,10),
+    g)`` when the assignment must replay identically outside Spark, as
+    the oracle harness does), FFD order = (tokens desc, id asc) within
+    the group, so the same input always yields the same assignment
+    regardless of partitioning.
     """
     if budget <= 0:
         raise ValueError(f"pack_sequences: budget must be positive, got {budget}")
@@ -85,10 +90,12 @@ def pack_sequences(
         out["oversize"] = pd.Series(oversize, dtype="bool")
         return out
 
+    if group_expr is None:
+        group_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_groups))
     grouped = df.select(
         F.col(id_col),
         F.col(tokens_col).cast("long").alias(tokens_col),
-        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_groups))).alias("_grp"),
+        group_expr.cast("long").alias("_grp"),
     )
     return grouped.groupBy("_grp").applyInPandas(_pack, schema)
 

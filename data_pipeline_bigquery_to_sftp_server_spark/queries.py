@@ -2457,40 +2457,72 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 """
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X10 sequence packing: documents FFD-packed into 512-token bins,
-    reported per bin (rows-only: the first-fit-decreasing assignment is
-    order-dependent and not SQL-expressible; the invariants — every doc
-    packed once, no bin over budget, FFD fill bound — are pinned in
-    test_packing)."""
+def _portable_pack_group(id_col: str, num_groups: int) -> F.Column:
+    """Engine-portable packing group: first 4 md5 hex chars of the id,
+    parsed as an int, mod num_groups — bit-identical in Spark
+    (conv(hex,16,10)) and DuckDB (CAST('0x'||hex AS INTEGER)), so the
+    oracle can replay the FFD grouping exactly."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("int"),
+        F.lit(num_groups),
+    )
+
+
+def _packed_assignment(spark: SparkSession, sf_dir: str):
+    """Shared input shape for the two X10 queries: documents with the
+    BPE-ish token budget, FFD-packed into 512-token bins across 8
+    engine-portable hash groups."""
     from data_pipeline_bigquery_to_sftp_server_spark.operators import packing
 
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_tokens")
     )
-    assign = packing.pack_sequences(docs, budget=512, num_groups=8)
+    assign = packing.pack_sequences(
+        docs,
+        budget=512,
+        num_groups=8,
+        group_expr=_portable_pack_group("doc_id", 8),
+    )
+    return d, assign
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 sequence packing, ORACLE-CHECKED: documents FFD-packed into
+    512-token bins, reported per bin. FFD is order-dependent but fully
+    DETERMINISTIC (group = portable md5 hash, insertion order = tokens
+    desc then id asc), so the oracle replays the exact first-fit-
+    decreasing state machine in SQL: a recursive CTE walks each group's
+    insertion order carrying the open-bin remainders as a LIST column,
+    computing the same first-fit index the Arrow-batched _pack loop
+    computes (operators/packing.py). Every bin's (membership, fill,
+    oversize flag) must therefore match bit-for-bit — algorithm
+    invariants (no bin over budget, FFD half-full bound) stay pinned in
+    test_packing."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import packing
+
+    _, assign = _packed_assignment(spark, sf_dir)
     return packing.packing_summary(assign).orderBy("bin_id")
 
 
 def q_assemble_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X10 packed-sequence materialization (the actual training
-    artifact): join the FFD assignment back to the documents and
-    concatenate each bin's texts in deterministic member order — one
-    doc-keyed join + one bin-keyed aggregation; the heavy strings move
-    exactly once, straight into their output bin (operators/packing.py
-    assemble_bins). Rows-only like pack_sequences (the assignment is
-    order-dependent, not SQL-expressible); reconstruction invariants —
-    every doc's text in exactly one sequence, per-bin stats equal to
-    packing_summary — are pinned in test_packing. The long sequence
-    string is reported as a length, keeping the verify payload sane."""
+    """X10 packed-sequence materialization, ORACLE-CHECKED (the actual
+    training artifact): join the FFD assignment back to the documents
+    and concatenate each bin's texts in deterministic member order —
+    one doc-keyed join + one bin-keyed aggregation; the heavy strings
+    move exactly once, straight into their output bin
+    (operators/packing.py assemble_bins). The oracle replays the FFD
+    assignment via the same recursive CTE as pack_sequences and checks
+    the assembled length per bin (sum of member text lengths plus the
+    two-char joiner between members); the long sequence string itself
+    is reported as a length, keeping the verify payload sane, and the
+    exact concatenation order/content invariants are pinned in
+    test_packing."""
     from data_pipeline_bigquery_to_sftp_server_spark.operators import packing
 
-    d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_tokens")
-    )
-    assign = packing.pack_sequences(docs, budget=512, num_groups=8)
+    d, assign = _packed_assignment(spark, sf_dir)
     bins = packing.assemble_bins(assign, d.select("doc_id", "text"))
     return bins.select(
         "bin_id",
@@ -2498,6 +2530,82 @@ def q_assemble_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fill",
         F.length("sequence").alias("seq_chars"),
     ).orderBy("bin_id")
+
+
+# The FFD state machine replayed in SQL. `rem` is the open-bin
+# remainder list for the group; each recursion step inserts the group's
+# rn-th document (insertion order = tokens desc, id asc — identical to
+# the Arrow _pack loop) and emits its bin index. The first-fit index
+# expression appears three times because the recursive member can't
+# name a lateral alias.
+_FFD_FIT = (
+    "list_filter(list_transform(f.rem, (x,i) -> "
+    "CASE WHEN x >= o.n_tokens AND x > 0 THEN i END), "
+    "v -> v IS NOT NULL)[1]"
+)
+# the BPE-ish pre-tokenizer regex with the SQL-literal quote doubled
+_BPE_PAT_SQL = (
+    "''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+"
+)
+_FFD_CTE = f"""
+WITH RECURSIVE
+tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS grp
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, n_tokens, grp,
+         row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM tok
+),
+ffd AS (
+  SELECT grp, 0 AS step,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+         CAST(NULL AS INTEGER) AS bin_idx, CAST(NULL AS BOOLEAN) AS oversize,
+         CAST([] AS BIGINT[]) AS rem
+  FROM (SELECT DISTINCT grp FROM ordered)
+  UNION ALL
+  SELECT o.grp, f.step + 1, o.doc_id, o.n_tokens,
+         CASE WHEN o.n_tokens > 512 THEN len(f.rem)
+              WHEN {_FFD_FIT} IS NOT NULL THEN {_FFD_FIT} - 1
+              ELSE len(f.rem) END AS bin_idx,
+         o.n_tokens > 512 AS oversize,
+         CASE WHEN o.n_tokens > 512 THEN list_append(f.rem, 0)
+              WHEN {_FFD_FIT} IS NOT NULL THEN
+                   list_transform(f.rem, (x,i) -> CASE WHEN i = {_FFD_FIT} THEN x - o.n_tokens ELSE x END)
+              ELSE list_append(f.rem, 512 - o.n_tokens) END AS rem
+  FROM ffd f JOIN ordered o ON o.grp = f.grp AND o.rn = f.step + 1
+),
+assign AS (
+  SELECT CAST(grp AS BIGINT) * 4294967296 + bin_idx AS bin_id,
+         doc_id, n_tokens, oversize
+  FROM ffd WHERE step > 0
+)
+"""
+
+_ORACLE_PACK_SEQUENCES = (
+    _FFD_CTE
+    + """
+SELECT bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS fill,
+       max(oversize) AS oversize
+FROM assign
+GROUP BY bin_id ORDER BY bin_id
+"""
+)
+
+_ORACLE_ASSEMBLE_BINS = (
+    _FFD_CTE
+    + """
+SELECT bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS fill,
+       CAST(sum(length(d.text)) + 2 * (count(*) - 1) AS INTEGER) AS seq_chars
+FROM assign JOIN documents d USING (doc_id)
+GROUP BY bin_id ORDER BY bin_id
+"""
+)
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4352,10 +4460,13 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
-    # similarity search family (X)
+    # similarity search family (X) — the two inherently-approximate ANN
+    # variants (lsh_topk, ivf_topk) moved past slot 50 in r6: they are
+    # un-certifiable by construction (err:"no_oracle" since r1) and the
+    # family is certified in-window by ivf_full_probe (== exact brute
+    # force, oracle-green) + embedding_dups_exact, with recall pinned
+    # in test_similarity.
     "cosine_topk_np": q_cosine_topk_np,
-    "lsh_topk": q_lsh_topk,
-    "ivf_topk": q_ivf_topk,
     "ivf_full_probe": q_ivf_full_probe,
     "embedding_dups_exact": q_embedding_dups_exact,
     # text analysis family (X)
@@ -4366,8 +4477,9 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     # multimodal (X)
     "media_features": q_media_features,
-    # sources / sinks
-    "csv_roundtrip": q_csv_roundtrip,
+    # sources / sinks (csv_roundtrip demoted past 50 in r6 — S5/S6 stay
+    # pinned by test_sources and the query stays verify_local-green;
+    # its slot funds the r5/r6 operator family below)
     "sql_cte": q_sql_cte,
     # aggregation
     "pricing_summary": q_pricing_summary,
@@ -4391,9 +4503,9 @@ QUERIES: dict[str, QueryFn] = {
     # demoted past 50 in r5 — sync_pipeline's driver row exercises the
     # same scalar surface (epoch->date, bool/default coercion, to_json)
     # and all three stay verify_local-green; their slots fund the LLM
-    # hygiene/retrieval family below)
+    # hygiene/retrieval family below. regex_extract demoted in r6:
+    # clean_text covers the same scalar-regex surface in-window.)
     "clean_text": q_clean_text,
-    "regex_extract": q_regex_extract,
     # windows (window_range_frame demoted past 50 to make room for
     # ivf_full_probe — the family keeps window_suite in-window)
     "window_suite": q_window_suite,
@@ -4409,6 +4521,14 @@ QUERIES: dict[str, QueryFn] = {
     "heavy_hitters": q_heavy_hitters,
     "bm25_topk": q_bm25_topk,
     "chunk_documents": q_chunk_documents,
+    # r5/r6 operator family promoted to official driver rows (r6
+    # curation): substring-dup spans, mixture resampling, reference-
+    # corpus LM scoring, and FFD bin assembly — the last now oracle-
+    # checked via the recursive-CTE FFD replay.
+    "dup_ngram_spans": q_dup_ngram_spans,
+    "mixture_sample": q_mixture_sample,
+    "lm_scores_foreign": q_lm_scores_foreign,
+    "assemble_bins": q_assemble_bins,
     # streaming (all seven)
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
@@ -4418,6 +4538,10 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_stateful": q_streaming_stateful,
     # -- slots 51+: variants + remainder (verified via verify_local) --
+    "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
+    "regex_extract": q_regex_extract,
+    "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
     "bool_defaults": q_bool_defaults,
     "json_roundtrip": q_json_roundtrip,
@@ -4426,9 +4550,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_range_frame": q_window_range_frame,
     "membership_split": q_membership_split,
     "simhash_near_pairs": q_simhash_near_pairs,
-    "dup_ngram_spans": q_dup_ngram_spans,
     "pack_sequences": q_pack_sequences,
-    "assemble_bins": q_assemble_bins,
     "streaming_pii": q_streaming_pii,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
@@ -4478,10 +4600,8 @@ QUERIES: dict[str, QueryFn] = {
     "orc_roundtrip": q_orc_roundtrip,
     "variant_extract": q_variant_extract,
     "quota_sample": q_quota_sample,
-    "mixture_sample": q_mixture_sample,
     "mixture_upsample": q_mixture_upsample,
     "lm_scores": q_lm_scores,
-    "lm_scores_foreign": q_lm_scores_foreign,
     "lm_scores_bigram": q_lm_scores_bigram,
 }
 
@@ -4513,6 +4633,9 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": _ORACLE_JACCARD_PAIRS,
     # minhash_pairs / simhash_groups / embedding_dups / lsh_topk: rows-only
     "embedding_dups_exact": _ORACLE_EMBEDDING_DUPS_EXACT,
+    # FFD packing replayed exactly via a recursive-CTE state machine
+    "pack_sequences": _ORACLE_PACK_SEQUENCES,
+    "assemble_bins": _ORACLE_ASSEMBLE_BINS,
     "cosine_topk": _ORACLE_COSINE_TOPK,
     "cosine_topk_np": _ORACLE_COSINE_TOPK,
     # full probe == exact brute force (see q_ivf_full_probe docstring)
