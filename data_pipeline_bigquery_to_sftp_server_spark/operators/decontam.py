@@ -34,6 +34,59 @@ from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
 )
 
 
+def collect_eval_grams(
+    eval_df: DataFrame, text_col: str = "text", n: int = 4
+) -> list[int]:
+    """Materialize the eval corpus's distinct hashed n-gram set on the
+    driver (sorted for a deterministic literal). Bounded by
+    construction: eval benchmarks are thousands of documents, so the
+    distinct gram set is MBs, not corpus-sized — the same bounded-
+    collect contract as the IVF training sample. Feed the result to
+    :func:`contamination_stateless` (and re-use it across batches /
+    streams — it's just a list)."""
+    rows = (
+        ensure_parallelism(eval_df)
+        .select(F.explode(shingle_hashes(F.col(text_col), n)).alias("_g"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r._g for r in rows)
+
+
+def contamination_stateless(
+    df: DataFrame,
+    eval_grams: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Per-row contamination report against a pre-built eval gram set —
+    the STATELESS shape of :func:`ngram_contamination`: the per-doc
+    gram array never explodes, the probe is ``array_intersect`` with
+    the broadcast-literal eval set, and every output row derives from
+    exactly one input row. No join, no aggregation, no shuffle — so
+    the projection lifts to Structured Streaming unchanged
+    (scrub-on-ingest topology, see q_streaming_decontam) and in batch
+    runs as a pure map.
+
+    Equivalent to the join formulation because ``shingle_hashes`` is
+    distinct-per-doc: ``size(array_intersect(grams, eval))`` counts
+    exactly the distinct contaminated grams the rollup counts. Use the
+    join formulation when the eval side is too big to ship as a
+    literal (fact-fact decontamination).
+    """
+    grams = shingle_hashes(F.col(text_col), n)
+    hits = F.size(F.array_intersect(grams, F.lit(eval_grams).cast("array<long>")))
+    return df.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("n_grams"),
+        hits.cast("long").alias("n_contaminated"),
+        F.round(
+            hits.cast("double") / F.size(grams).cast("double"), 6
+        ).alias("contamination_ratio"),
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,

@@ -2694,6 +2694,39 @@ def q_streaming_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7+X8 composition, ORACLE-CHECKED: benchmark decontamination as
+    a stateless streaming stage. The eval corpus's hashed 4-gram set is
+    built once batch-side (bounded driver collect — benchmarks are
+    tiny) and shipped as a broadcast literal; each arriving training
+    document probes it with array_intersect over its own gram array —
+    no join, no aggregation, no state — so the stage runs in append
+    mode and the sink holds exactly the batch decontamination report
+    (same _ORACLE_DECONTAMINATE as q_decontaminate). At scale this is
+    contamination-screening-on-ingest: fresh crawl data is scored
+    against the benchmark set before it ever lands in the corpus
+    (operators/decontam.py contamination_stateless)."""
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import decontam
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_grams = decontam.collect_eval_grams(
+        d.where(F.col("doc_id") % 20 == 0), "text", n=4
+    )
+    path, schema = _events_stream_src(spark, sf_dir, table="documents")
+    stream = W.read_events_stream(spark, path, schema, max_files_per_trigger=4)
+    train_stream = stream.where(F.col("doc_id") % 20 != 0)
+    report = decontam.contamination_stateless(
+        train_stream, eval_grams, "doc_id", "text", n=4
+    )
+    name = f"q_decontam_stream_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(report, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
 _ORACLE_PII_REDACTION = r"""
 WITH t AS (
   SELECT c_custkey,
@@ -4552,6 +4585,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "pack_sequences": q_pack_sequences,
     "streaming_pii": q_streaming_pii,
+    "streaming_decontam": q_streaming_decontam,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
     "rollup": q_rollup,
@@ -4685,6 +4719,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
     # stateless streaming projection == the batch projection
     "streaming_pii": _ORACLE_PII_REDACTION,
+    "streaming_decontam": _ORACLE_DECONTAMINATE,
     "media_frames": _ORACLE_MEDIA_FRAMES,
     "media_resize": _ORACLE_MEDIA_RESIZE,
     "media_features": _ORACLE_MEDIA_FEATURES,

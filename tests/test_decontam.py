@@ -65,3 +65,21 @@ def test_contamination_broadcast_off_identical(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_contamination_stateless_equals_join_formulation(spark, sf_dir):
+    """The broadcast-literal array_intersect probe must report exactly
+    what the left-join + rollup reports, and its plan must be a pure
+    projection (no Exchange) — the property that lets it lift to a
+    streaming stage."""
+    from data_pipeline_bigquery_to_sftp_server_spark.plans import explain
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 20 != 0)
+    ev = d.where(F.col("doc_id") % 20 == 0)
+    grams = decontam.collect_eval_grams(ev, n=4)
+    stateless = decontam.contamination_stateless(train, grams, n=4)
+    a = sorted(map(tuple, stateless.collect()))
+    b = sorted(map(tuple, decontam.ngram_contamination(train, ev, n=4).collect()))
+    assert a == b
+    assert "Exchange" not in explain.formatted_plan(stateless)
