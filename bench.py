@@ -83,7 +83,11 @@ HEADLINE = [
     "assemble_bins",
     "dup_ngram_spans",
     "mixture_sample",
+    "mixture_upsample",
     "lm_scores",
+    "lm_scores_bigram",
+    "streaming_decontam",
+    "recipe_pipeline",
 ]
 
 

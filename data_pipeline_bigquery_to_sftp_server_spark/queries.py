@@ -2547,14 +2547,17 @@ _FFD_FIT = (
 _BPE_PAT_SQL = (
     "''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+"
 )
-_FFD_CTE = f"""
+
+
+def _ffd_oracle_cte(base_sql: str, budget: int) -> str:
+    """Recursive-CTE FFD replay over ``base_sql``, which must yield
+    (doc_id, n_tokens, grp). Produces the ``assign`` CTE with one row
+    per input doc: (bin_id, doc_id, n_tokens, oversize) — identical to
+    pack_sequences' Arrow _pack loop given the same grouping and
+    budget."""
+    return f"""
 WITH RECURSIVE
-tok AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS n_tokens,
-         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS grp
-  FROM documents
-),
+tok AS ({base_sql}),
 ordered AS (
   SELECT doc_id, n_tokens, grp,
          row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, doc_id ASC) AS rn
@@ -2568,14 +2571,14 @@ ffd AS (
   FROM (SELECT DISTINCT grp FROM ordered)
   UNION ALL
   SELECT o.grp, f.step + 1, o.doc_id, o.n_tokens,
-         CASE WHEN o.n_tokens > 512 THEN len(f.rem)
+         CASE WHEN o.n_tokens > {budget} THEN len(f.rem)
               WHEN {_FFD_FIT} IS NOT NULL THEN {_FFD_FIT} - 1
               ELSE len(f.rem) END AS bin_idx,
-         o.n_tokens > 512 AS oversize,
-         CASE WHEN o.n_tokens > 512 THEN list_append(f.rem, 0)
+         o.n_tokens > {budget} AS oversize,
+         CASE WHEN o.n_tokens > {budget} THEN list_append(f.rem, 0)
               WHEN {_FFD_FIT} IS NOT NULL THEN
                    list_transform(f.rem, (x,i) -> CASE WHEN i = {_FFD_FIT} THEN x - o.n_tokens ELSE x END)
-              ELSE list_append(f.rem, 512 - o.n_tokens) END AS rem
+              ELSE list_append(f.rem, {budget} - o.n_tokens) END AS rem
   FROM ffd f JOIN ordered o ON o.grp = f.grp AND o.rn = f.step + 1
 ),
 assign AS (
@@ -2584,6 +2587,17 @@ assign AS (
   FROM ffd WHERE step > 0
 )
 """
+
+
+_FFD_CTE = _ffd_oracle_cte(
+    f"""
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS grp
+  FROM documents
+""",
+    budget=512,
+)
 
 _ORACLE_PACK_SEQUENCES = (
     _FFD_CTE
@@ -2603,6 +2617,95 @@ SELECT bin_id, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS fill,
        CAST(sum(length(d.text)) + 2 * (count(*) - 1) AS INTEGER) AS seq_chars
 FROM assign JOIN documents d USING (doc_id)
+GROUP BY bin_id ORDER BY bin_id
+"""
+)
+
+
+def q_recipe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship-adjacent composite, ORACLE-CHECKED end-to-end: the
+    data-RECIPE side of a training run, chaining the X-family operators
+    the way a corpus build actually uses them —
+
+      1. source-mixture resampling with UPsampling (src0 x2, src5 x1,
+         src10 x0.5, src15 x0.25; Pile/LLaMA-style weights) with a
+         copy index so replicas stay addressable;
+      2. a Gopher-ish quality gate (token count and mean word length
+         in range — the same closed form as quality_filter);
+      3. FFD sequence packing of the surviving (doc, copy) replicas
+         into 256-token training bins (portable grouping, so the
+         oracle replays the exact bin assignment).
+
+    Output: per-bin (bin_id, n_docs, fill, oversize). Every stage is
+    deterministic and engine-portable, so DuckDB replays the WHOLE
+    chain — mixture via range+unnest, the gate as a predicate, packing
+    via the recursive-CTE FFD state machine. The curation_pipeline
+    composite covers the dedup/split side; this covers the recipe side
+    (operators/sampling.py, operators/packing.py)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import packing, sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    mixed = sampling.mixture_sample(
+        d,
+        {"src0": 2.0, "src5": 1.0, "src10": 0.5, "src15": 0.25},
+        salt="recipe",
+        copy_col="copy_idx",
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n_tok = F.size(F.split(norm, " ")).cast("long")
+    mwl = (F.length(norm) - (n_tok - 1)).cast("double") / n_tok.cast("double")
+    gated = (
+        mixed.select(
+            (F.col("doc_id") * 4 + F.col("copy_idx")).alias("uid"),
+            n_tok.alias("n_tokens"),
+            F.round(mwl, 6).alias("_mwl"),
+        )
+        .where((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 500))
+        .where((F.col("_mwl") >= 2.0) & (F.col("_mwl") <= 10.0))
+    )
+    assign = packing.pack_sequences(
+        gated.select("uid", "n_tokens"),
+        id_col="uid",
+        tokens_col="n_tokens",
+        budget=256,
+        num_groups=8,
+        group_expr=_portable_pack_group("uid", 8),
+    )
+    return packing.packing_summary(assign).orderBy("bin_id")
+
+
+_ORACLE_RECIPE_PIPELINE = (
+    _ffd_oracle_cte(
+        r"""
+  SELECT doc_id * 4 + i AS doc_id, n_tokens,
+         CAST('0x' || substring(md5(CAST(doc_id * 4 + i AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS grp
+  FROM (
+    SELECT doc_id,
+           CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+           round(CAST(length(norm) - (len(string_split(norm, ' ')) - 1) AS DOUBLE)
+                 / CAST(len(string_split(norm, ' ')) AS DOUBLE), 6) AS mwl,
+           CASE WHEN source = 'src0' THEN 2
+                WHEN source = 'src5' THEN 1
+                WHEN source = 'src10'
+                  THEN CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':recipe'), 1, 4) < '8000'
+                            THEN 1 ELSE 0 END
+                WHEN source = 'src15'
+                  THEN CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':recipe'), 1, 4) < '4000'
+                            THEN 1 ELSE 0 END
+                ELSE 0 END AS copies
+    FROM (SELECT doc_id, source,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+          FROM documents)
+  ), unnest(range(0, copies)) AS u(i)
+  WHERE n_tokens BETWEEN 10 AND 500 AND mwl BETWEEN 2.0 AND 10.0
+""",
+        budget=256,
+    )
+    + """
+SELECT bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS fill,
+       max(oversize) AS oversize
+FROM assign
 GROUP BY bin_id ORDER BY bin_id
 """
 )
@@ -4586,6 +4689,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": q_pack_sequences,
     "streaming_pii": q_streaming_pii,
     "streaming_decontam": q_streaming_decontam,
+    "recipe_pipeline": q_recipe_pipeline,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
     "rollup": q_rollup,
@@ -4670,6 +4774,7 @@ ORACLES: dict[str, str] = {
     # FFD packing replayed exactly via a recursive-CTE state machine
     "pack_sequences": _ORACLE_PACK_SEQUENCES,
     "assemble_bins": _ORACLE_ASSEMBLE_BINS,
+    "recipe_pipeline": _ORACLE_RECIPE_PIPELINE,
     "cosine_topk": _ORACLE_COSINE_TOPK,
     "cosine_topk_np": _ORACLE_COSINE_TOPK,
     # full probe == exact brute force (see q_ivf_full_probe docstring)
