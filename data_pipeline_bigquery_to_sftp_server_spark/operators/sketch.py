@@ -14,9 +14,16 @@ bottleneck. The sketch path bounds it:
   it clears that batch's threshold and reaches the candidate set. At
   most ``capacity - 1`` tokens can clear the threshold in one batch
   (m tokens each > n_b/capacity sum past n_b otherwise), so candidate
-  width is bounded exactly like a capacity-counter summary. Each batch
-  also emits one sentinel row carrying its row count, so the corpus
-  token total N is known without a second corpus scan.
+  width is bounded exactly like a capacity-counter summary. Memory
+  note: only the EMITTED candidate width is capacity-bounded; the
+  transient ``value_counts`` table is O(distinct tokens per Arrow
+  batch), i.e. bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k rows),
+  not by ``capacity`` — the trade for replacing the per-token
+  Misra-Gries Python loop with a vectorized pass. Shrink the Arrow
+  batch size if per-batch distinct sets ever matter. Each batch also
+  emits one sentinel row carrying its row count, so the corpus token
+  total N is known without a second corpus scan.
 - **Pass 2 (exact verify):** token occurrences are counted exactly but
   only for the (broadcast) candidate set, so the shuffle carries
   candidates only. Output counts are EXACT — the sketch only bounds

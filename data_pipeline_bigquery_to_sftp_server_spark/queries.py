@@ -2859,7 +2859,7 @@ WITH t AS (
 ), s2 AS (
   SELECT c_custkey, txt, after_email,
          regexp_replace(after_email,
-           '\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{16}\b',
+           '\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{13,19}\b',
            '<CC>', 'g') AS after_cc
   FROM s
 ), s3 AS (
@@ -2879,7 +2879,7 @@ SELECT c_custkey,
        len(regexp_extract_all(txt,
            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
        len(regexp_extract_all(after_email,
-           '\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{16}\b')) AS n_ccs,
+           '\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{13,19}\b')) AS n_ccs,
        len(regexp_extract_all(after_cc,
            '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b')) AS n_ibans,
        len(regexp_extract_all(after_iban,

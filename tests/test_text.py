@@ -86,6 +86,7 @@ def test_redact_pii_and_counts(spark):
         (3, "two mails x@y.io z@w.ai ip 1.2.3.4 tel 123-456-7890"),
         (4, "card 1234-5678-9012-3456 or 1234567890123456 acct DE89370400440532013000"),
         (5, "not a card 123-456 not an iban DE12short"),
+        (6, "amex 378282246310005 visa13 4222222222222 id 12345678901234567890"),
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     e, cc, ib, p, i = text.pii_counts(F.col("t"))
@@ -112,6 +113,10 @@ def test_redact_pii_and_counts(spark):
     # near-misses must survive: short digit runs, short pseudo-IBANs
     assert out[5].r == "not a card 123-456 not an iban DE12short"
     assert (out[5].e, out[5].cc, out[5].ib, out[5].p, out[5].i) == (0, 0, 0, 0, 0)
+    # 13-19 digit PAN range: 15-digit Amex and 13-digit legacy Visa
+    # redact; a 20-digit id is NOT a card and survives
+    assert out[6].r == "amex <CC> visa13 <CC> id 12345678901234567890"
+    assert (out[6].e, out[6].cc, out[6].ib, out[6].p, out[6].i) == (0, 2, 0, 0, 0)
 
 
 def test_chunk_documents_window_semantics(spark, tmp_path):
