@@ -729,6 +729,31 @@ def clear_stream_src_cache() -> None:
 atexit.register(clear_stream_src_cache)
 
 
+# Every other query fixture that needs a scratch directory (CSV/ORC
+# round-trips, partition-prune staging, per-query stream sources and
+# checkpoints) allocates it here: one registry, removed atexit, so a
+# repeated verify+bench session leaves /tmp flat.
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(path)
+    return path
+
+
+def clear_scratch_dirs() -> None:
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(clear_scratch_dirs)
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2c: ALL trigram-shingle Jaccard near-dup pairs at threshold 0.5
     — exact and complete via prefix filtering (rarity-ordered prefix
@@ -2901,7 +2926,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_bigquery_to_sftp_server_spark.sources import files
 
     s = load_table(spark, sf_dir, "supplier")
-    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    out = _scratch_dir("csv_roundtrip_")
     files.write_csv_single(s, out)
     back = files.read_csv(spark, f"{out}/*.csv", schema=s.schema)
     return (
@@ -2939,7 +2964,7 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_bigquery_to_sftp_server_spark.sources import files
 
     o = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="part_prune_")
+    out = _scratch_dir("part_prune_")
     files.write_parquet(
         o.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM")),
         out,
@@ -3483,8 +3508,8 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     updates, inserts = _staged_orders(o)
     staging = updates.unionByName(inserts)
-    src = tempfile.mkdtemp(prefix="upsert_stream_src_")
-    ckpt = tempfile.mkdtemp(prefix="upsert_stream_ckpt_")
+    src = _scratch_dir("upsert_stream_src_")
+    ckpt = _scratch_dir("upsert_stream_ckpt_")
     staging.repartition(4).write.mode("overwrite").parquet(src)
 
     state = {"target": o.localCheckpoint()}
@@ -3522,8 +3547,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
 
     ev = load_table(spark, sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="events_dedup_stage_")
-    src = tempfile.mkdtemp(prefix="events_dedup_src_")
+    stage = _scratch_dir("events_dedup_stage_")
+    src = _scratch_dir("events_dedup_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(stage)
     part = globmod.glob(f"{stage}/part-*.parquet")[0]
     shutil.copy(part, f"{src}/delivery1.parquet")
@@ -3573,11 +3598,11 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    src = tempfile.mkdtemp(prefix="events_state_src_")
+    src = _scratch_dir("events_state_src_")
     wb = Window.orderBy("ts", "event_id")
     parts = ev.withColumn("_b", F.ntile(4).over(wb))
     for i in range(1, 5):
-        stage = tempfile.mkdtemp(prefix=f"events_state_b{i}_")
+        stage = _scratch_dir(f"events_state_b{i}_")
         parts.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stage)
@@ -4487,7 +4512,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_bigquery_to_sftp_server_spark.sources import files
 
     o = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    out = _scratch_dir("orc_roundtrip_")
     files.write_orc(o, out, partition_by=["o_orderstatus"])
     back = files.read_orc(spark, out)
     return (
