@@ -169,6 +169,70 @@ def brute_force_topk_np(
     )
 
 
+def exact_near_dup_pairs_np(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ALL exact cosine near-dup pairs (id_a < id_b, cos >= threshold),
+    BLAS-blocked: the corpus's normalized vector matrix is materialized
+    once driver-side and shipped to every scoring task (bounded by
+    design — this operator is the ground-truth / recall-measurement
+    path, run on corpus SAMPLES at scale: n x dim float64 is MBs for
+    any sample worth verifying), and each Arrow batch computes its
+    (batch x n) similarity block in one matmul, emitting only the
+    above-threshold pairs whose smaller id lives in the batch — each
+    unordered pair exactly once, no quadratic row materialization in
+    the plan.
+
+    Replaces the expression-tree formulation (broadcast nested-loop
+    join + per-pair zip_with dot product), which evaluates ~n²/2
+    interpreted 64-element folds: at sf0.1 that is 80 s vs ~1 s for
+    this path, and the gap grows quadratically. Scores are float64
+    either way; output rounds to 4dp like the oracle.
+    """
+    import numpy as np
+    import pandas as pd_local
+
+    all_pdf = df.select(id_col, vec_col).toPandas()
+    all_ids = all_pdf[id_col].to_numpy()
+    all_mat = np.vstack(all_pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(all_mat, axis=1)
+    norms[norms == 0] = np.nan  # zero vectors -> no pairs (NULL cosine)
+    all_mat = all_mat / norms[:, None]
+    order = np.argsort(all_ids)
+    all_ids, all_mat = all_ids[order], all_mat[order]
+
+    out_schema = f"id_a long, id_b long, cos_sim double"
+
+    def pairs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(mat, axis=1)
+            bn[bn == 0] = np.nan
+            mat = mat / bn[:, None]
+            sims = mat @ all_mat.T  # (batch, n)
+            keep = (sims >= threshold) & (ids[:, None] < all_ids[None, :])
+            bi, ci = np.nonzero(keep)
+            if len(bi) == 0:
+                continue
+            yield pd_local.DataFrame(
+                {
+                    "id_a": ids[bi],
+                    "id_b": all_ids[ci],
+                    "cos_sim": np.round(sims[bi, ci], 4),
+                }
+            )
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        pairs, out_schema
+    )
+
+
 def _srp_hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (Gaussian) for sign
     random projection. Generated driver-side (num_planes × dim floats,

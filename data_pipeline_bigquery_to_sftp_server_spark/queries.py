@@ -900,26 +900,20 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2e correctness anchor, ORACLE-CHECKED: exact pairwise cosine
-    near-dup pairs by brute-force self-join (id_a < id_b). Quadratic by
-    construction — this is the ground truth the LSH variant
-    (embedding_dups) trades recall against; at 100 TB only the LSH/IVF
-    paths run, with this one on samples to measure their recall. The
-    threshold filter runs on the unrounded score; the rounded score is
-    the output (DuckDB list_cosine_similarity on DOUBLE[] agrees to
-    well past 4 decimals)."""
+    """X2e correctness anchor, ORACLE-CHECKED: ALL exact pairwise
+    cosine near-dup pairs (id_a < id_b, cos >= 0.35), BLAS-blocked —
+    each Arrow batch computes its (batch x corpus) similarity block in
+    one float64 matmul and emits only above-threshold pairs (r6: was a
+    broadcast nested-loop self-join with per-pair interpreted folds,
+    80 s at sf0.1; now ~1 s, and the gap grows quadratically).
+    Quadratic compute by construction — this is the ground truth the
+    LSH variant (embedding_dups) trades recall against; at 100 TB it
+    runs on samples to measure LSH/IVF recall. The threshold filter
+    runs on the unrounded score; the rounded score is the output
+    (DuckDB list_cosine_similarity on DOUBLE[] agrees to well past 4
+    decimals)."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    cos = similarity.cosine(
-        F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("_cos"))
-        .where(F.col("_cos") >= 0.35)
-        .select("id_a", "id_b", F.round("_cos", 4).alias("cos_sim"))
-    )
+    return similarity.exact_near_dup_pairs_np(e, threshold=0.35)
 
 
 _ORACLE_EMBEDDING_DUPS_EXACT = """

@@ -155,3 +155,29 @@ def test_ann_query_recall_column(spark, sf_dir):
         assert len(per_query) == 5
         assert per_query.between(0.0, 1.0).all()
         assert per_query.mean() >= 0.4, dict(per_query)
+
+
+def test_exact_near_dup_pairs_np_matches_numpy_reference(spark, sf_dir):
+    """The BLAS-blocked all-pairs operator must emit exactly the
+    above-threshold (id_a < id_b) pairs a dense numpy computation
+    finds — every pair once, rounded to 4dp."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.exact_near_dup_pairs_np(e, threshold=0.35).collect()
+    }
+    pdf = e.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    order = np.argsort(ids)
+    want = {}
+    for ai in range(len(ids)):
+        for bi in range(len(ids)):
+            if ids[ai] < ids[bi] and sims[ai, bi] >= 0.35:
+                want[(ids[ai], ids[bi])] = round(float(sims[ai, bi]), 4)
+    assert got == want
+    assert len(want) > 0

@@ -38,6 +38,20 @@ DEFAULT = [
     "dup_ngram_spans",
     "mixture_sample",
     "lm_scores",
+    "lm_scores_bigram",
+    "mixture_upsample",
+    "recipe_pipeline",
+]
+
+# The embeddings family (needs {sf_dir}/embeddings.parquet — derive the
+# 10x corpus with tools/make_scaled_embeddings.py). Invoke as:
+#   python tools/scale_curve.py <dir> EMB
+EMBEDDINGS = [
+    "cosine_topk_np",
+    "lsh_topk",
+    "ivf_topk",
+    "embedding_dups",
+    "embedding_dups_exact",
 ]
 
 
@@ -57,8 +71,11 @@ def run_one(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1x"
     names = sys.argv[2:] or DEFAULT
+    if names == ["EMB"]:
+        names = EMBEDDINGS
     spark = get_spark(app_name="scale_curve")
-    run_one(spark, "text_stats", sf_dir)  # warmup: JVM + codegen
+    warm = "cosine_topk_np" if set(names) <= set(EMBEDDINGS) else "text_stats"
+    run_one(spark, warm, sf_dir)  # warmup: JVM + codegen
     spark.range(0, 32, 1, 32).mapInPandas(_py_warm, "id long").write.mode(
         "overwrite"
     ).format("noop").save()
