@@ -243,12 +243,49 @@ def _srp_hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
 
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection signature: bit i = (vec · plane_i) > 0.
-    Returned as array<int> of 0/1 for banding."""
+    Returned as array<int> of 0/1 for banding.
+
+    Expression form — num_planes x dim literal nodes per signature.
+    Fine for one-off column use; the LSH operators use
+    :func:`_with_srp_signature_np` instead, whose per-batch matmul
+    avoids both the interpreted per-plane folds and (empirically the
+    bigger cost locally) Janino compiling the thousand-literal
+    projection."""
     return F.array(
         *[
             (dot(vec, F.array(*[F.lit(w) for w in plane])) > 0).cast("int")
             for plane in planes
         ]
+    )
+
+
+def _with_srp_signature_np(
+    df: DataFrame, id_col: str, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """(id, vec, _sig array<int>): SRP signatures via one numpy matmul
+    per Arrow batch — sign(vec @ planes.T), identical bits to
+    :func:`srp_signature` (float64 both ways; planes are Gaussian, so
+    exact-zero dot products don't occur)."""
+    import numpy as np
+    import pandas as pd_local
+
+    p = np.asarray(planes, dtype=np.float64)
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    schema = f"{id_col} {id_t}, {vec_col} {vec_t}, _sig array<int>"
+
+    def sign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ p.T > 0).astype(np.int32)
+            out = pdf[[id_col, vec_col]].copy()
+            out["_sig"] = list(bits)
+            yield out
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        sign, schema
     )
 
 
@@ -287,8 +324,7 @@ def lsh_topk(
     rows_per_band = num_planes // bands
 
     def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        sig = srp_signature(F.col(vc).cast("array<double>"), planes)
-        return ensure_parallelism(df).select(idc, vc, sig.alias("_sig")).select(
+        return _with_srp_signature_np(df, idc, vc, planes).select(
             idc,
             vc,
             F.explode(
@@ -473,32 +509,69 @@ def embedding_near_dup_pairs(
         )
     planes = _srp_hyperplanes(dim, num_planes, seed)
     rows_per_band = num_planes // bands
-    sig = srp_signature(F.col(vec_col).cast("array<double>"), planes)
-    banded = ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")).select(
-        "_id",
-        "_v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band).cast("array<string>"))
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "_v", "bb.band", "bb.bh")
+    banded = (
+        _with_srp_signature_np(
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            "_id",
+            "_v",
+            planes,
+        )
+        .select(
+            "_id",
+            "_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band).cast("array<string>"))
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("_id", "_v", "bb.band", "bb.bh")
+    )
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    # Candidates dedup BEFORE verification (a pair colliding in several
+    # bands would otherwise be scored once per band), then the exact
+    # cosine verify runs vectorized: one row-wise numpy dot per Arrow
+    # batch instead of an interpreted 64-element fold per candidate.
+    cand = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")) & (F.col("l._id") < F.col("r._id")))
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            cosine(F.col("l._v").cast("array<double>"), F.col("r._v").cast("array<double>")).alias("cos_sim"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .where(F.col("cos_sim") >= threshold)
     )
+
+    import numpy as np
+    import pandas as pd_local
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack(pdf["_va"].to_numpy()).astype(np.float64)
+            b = np.vstack(pdf["_vb"].to_numpy()).astype(np.float64)
+            cos = (a * b).sum(axis=1) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            keep = cos >= threshold
+            if not keep.any():
+                continue
+            yield pd_local.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    return cand.mapInPandas(verify, "id_a long, id_b long, cos_sim double")
