@@ -118,3 +118,56 @@ def test_assemble_bins_reconstructs_every_doc_once(spark, sf_dir):
     # count equals the member count
     assert seen == len(texts)
     assert not any("\n\n" in t for t in texts.values())
+
+
+def test_pack_portable_grouping_matches_python_ffd(spark):
+    """With the engine-portable md5 group_expr (the configuration the
+    recursive-CTE oracle replays), the full assignment — groups, bin
+    ids, oversize flags — must equal a direct Python FFD simulation,
+    including oversize and zero-token docs."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import (
+        _portable_pack_group,
+    )
+
+    budget, groups = 100, 4
+    rows = [(i, [5, 40, 40, 30, 0, 250, 100, 60, 7, 93][i % 10] + i % 3) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.bin_id, r.oversize)
+        for r in packing.pack_sequences(
+            df,
+            budget=budget,
+            num_groups=groups,
+            group_expr=_portable_pack_group("doc_id", groups),
+        ).collect()
+    }
+
+    def grp(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % groups
+
+    per_group = {}
+    for doc_id, t in rows:
+        per_group.setdefault(grp(doc_id), []).append((doc_id, t))
+    want = {}
+    for g, docs in per_group.items():
+        docs.sort(key=lambda x: (-x[1], x[0]))
+        remaining = []
+        for doc_id, t in docs:
+            if t > budget:
+                remaining.append(0)
+                want[doc_id] = ((g << 32) | (len(remaining) - 1), True)
+                continue
+            for j, cap in enumerate(remaining):
+                if cap >= t and cap > 0:
+                    remaining[j] = cap - t
+                    want[doc_id] = ((g << 32) | j, False)
+                    break
+            else:
+                remaining.append(budget - t)
+                want[doc_id] = ((g << 32) | (len(remaining) - 1), False)
+    assert got == want
+    assert any(o for _, o in want.values())  # oversize branch exercised
