@@ -642,6 +642,73 @@ def duplicate_ngram_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """The actionable counterpart of :func:`duplicate_ngram_spans`:
+    REBUILD each document's normalized text with every token position
+    covered by a cross-document duplicated n-gram dropped — the
+    transform step of Lee-et-al substring dedup. Returns one row per
+    doc: ``(id_col, n_tokens, n_removed, clean_text)``.
+
+    Policy: covered positions are removed from EVERY occurrence (the
+    conservative choice for training data — duplicated boilerplate
+    contributes nothing; callers wanting keep-one-copy semantics can
+    combine the span report with a canonical-doc rule instead).
+
+    Plan shape: identical to the span report (one gram-keyed agg, the
+    sparse range-explode, one (doc,pos) distinct) plus a per-doc
+    rollup of covered positions into a sorted array and ONE doc-keyed
+    join back to the token arrays; the rebuild is then a map-side
+    filter-by-index + concat — the heavy strings shuffle zero times
+    (token arrays stay on their scan side; only the sparse coverage
+    arrays move).
+    """
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    base = persist_tracked(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+            _positional_gram_hashes(F.col(text_col), n).alias("_gh"),
+        )
+    )
+    grams = base.select("_id", F.posexplode("_gh").alias("_p0", "_g"))
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .where(F.col("_nd") > 1)
+        .select("_g")
+    )
+    cov = (
+        grams.join(dup, "_g")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_p0") + 1, F.col("_p0") + n)
+            ).alias("_pos"),
+        )
+        .distinct()
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("_pos")).alias("_cov"))
+    )
+    covered = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    # filter's lambda index is 0-based; coverage positions are 1-based
+    kept = F.filter("_w", lambda t, i: ~F.array_contains(covered, i + 1))
+    return (
+        base.join(cov, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_w").alias("n_tokens"),
+            F.size(covered).alias("n_removed"),
+            F.concat_ws(" ", kept).alias("clean_text"),
+        )
+    )
+
+
 # --- X2d: pair graph -> clusters ---------------------------------------------
 
 

@@ -2374,6 +2374,49 @@ FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
 """
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13b span REMOVAL, ORACLE-CHECKED: the actionable transform on
+    top of the substring-duplication signal — every token position
+    covered by a cross-document duplicated 20-gram is dropped and the
+    normalized text rebuilt (operators/dedup.py remove_duplicate_spans,
+    Lee-et-al dedup's transform step). The oracle replays the whole
+    chain on gram STRINGS — including the rebuilt clean_text, compared
+    verbatim cell-for-cell — so both engines must drop exactly the
+    same positions from exactly the same documents."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(d, "doc_id", "text", n=20)
+
+
+_ORACLE_REMOVE_DUP_SPANS = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, u.i AS pos, array_to_string(w[u.i:u.i+19], ' ') AS gm
+  FROM d, unnest(range(1, len(w) - 18)) AS u(i)
+  WHERE len(w) >= 20
+), dup AS (
+  SELECT gm FROM (SELECT gm, count(DISTINCT doc_id) AS c FROM g GROUP BY gm)
+  WHERE c > 1
+), cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM g JOIN dup USING (gm), unnest(range(pos, pos + 20)) AS t(p)
+), covl AS (
+  SELECT doc_id, list_sort(list(p)) AS cv FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(d.w) AS n_tokens,
+       coalesce(len(c.cv), 0) AS n_removed,
+       coalesce(array_to_string(
+         list_filter(d.w, (x, i) -> NOT list_contains(coalesce(c.cv, CAST([] AS BIGINT[])), i)),
+         ' '), '') AS clean_text
+FROM d LEFT JOIN covl c ON d.doc_id = c.doc_id
+"""
+
+
 def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2f exact substring-duplication spans, ORACLE-CHECKED: per
     document, the token positions covered by a 20-gram occurring
@@ -4705,6 +4748,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_range_frame": q_window_range_frame,
     "membership_split": q_membership_split,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "remove_dup_spans": q_remove_dup_spans,
     "pack_sequences": q_pack_sequences,
     "streaming_pii": q_streaming_pii,
     "streaming_decontam": q_streaming_decontam,
@@ -4837,6 +4881,7 @@ ORACLES: dict[str, str] = {
     "fingerprints": _ORACLE_FINGERPRINTS,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "dup_ngram_spans": _ORACLE_DUP_NGRAM_SPANS,
+    "remove_dup_spans": _ORACLE_REMOVE_DUP_SPANS,
     "pii_redaction": _ORACLE_PII_REDACTION,
     "heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "bm25_topk": _ORACLE_BM25_TOPK,

@@ -332,3 +332,27 @@ def test_duplicate_ngram_spans_within_doc_repeat_not_flagged(spark):
     out = {r.doc_id: r for r in dedup.duplicate_ngram_spans(df, n=20).collect()}
     assert out[1].n_dup_tokens == 0
     assert out[2].n_dup_tokens == 0
+
+
+def test_remove_duplicate_spans_drops_only_shared_grams(spark):
+    """Two docs share a verbatim 5-gram; removal must drop exactly the
+    covered positions in BOTH docs, keep unique text verbatim, and
+    leave a doc with no shared grams untouched."""
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"one two three {shared} four five"),
+        (2, f"{shared} six seven eight nine ten"),
+        (3, "totally unique words here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_spans(df, n=5).collect()
+    }
+    assert out[1].clean_text == "one two three four five"
+    assert out[1].n_removed == 5
+    assert out[2].clean_text == "six seven eight nine ten"
+    assert out[2].n_removed == 5
+    assert out[3].clean_text == rows[2][1]
+    assert out[3].n_removed == 0
+    assert all(out[i].n_tokens == len(rows[i - 1][1].split()) for i in (1, 2, 3))
