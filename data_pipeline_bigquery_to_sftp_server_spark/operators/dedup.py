@@ -642,6 +642,97 @@ def duplicate_ngram_spans(
     )
 
 
+def incremental_dedup_report(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Screen an INCOMING batch against the existing corpus — the
+    content-level analogue of the reference's new-vs-existing key sync
+    (main.py existing-ids anti-membership), and the shape production
+    ingestion actually needs: don't re-dedup 100 TB, dedup the delta
+    against it. One row per new document:
+
+    ``(id_col, exact_dup, n_near_dups, best_match_id, best_jaccard)``
+
+    - ``exact_dup``: the normalized content already exists verbatim in
+      the corpus (xxhash64 fingerprint equi-join — uniform key, no
+      skew; the corpus side is a distinct fingerprint column, never
+      texts).
+    - near-dup stats come from the COMPLETE prefix-filter Jaccard join
+      (jaccard_pairs_complete) run over the side-tagged union, keeping
+      only cross-side pairs — so candidate generation, the length
+      filter, and the recall-complete prefix theorem are all inherited
+      from the verified pair machinery rather than re-derived.
+      ``best_match_id`` is the highest-Jaccard corpus doc (6dp-rounded
+      before ranking for engine-portable order; ties -> smallest id).
+
+    Scale: the union pair join is the same rare-shingle-keyed shuffle
+    the batch dedup pays; the corpus side contributes shingle arrays
+    once (no all-pairs, no corpus re-shuffle per batch — at steady
+    state, persist the corpus's shingle base and prefix table and only
+    the delta side is computed fresh).
+    """
+    id_t = new.schema[id_col].dataType.simpleString()
+    fp = F.xxhash64(normalize_text(F.col(text_col)))
+    corpus_fp = (
+        ensure_parallelism(corpus).select(fp.alias("_fp")).distinct()
+        .withColumn("_e", F.lit(1))
+    )
+    tag = lambda df, side: df.select(  # noqa: E731
+        F.concat(F.lit(side), F.col(id_col).cast("string")).alias(id_col),
+        F.col(text_col),
+    )
+    pairs = jaccard_pairs_complete(
+        tag(new, "n:").unionByName(tag(corpus, "c:")),
+        id_col,
+        text_col,
+        ngram=ngram,
+        threshold=threshold,
+    )
+    # 'c:' < 'n:' lexicographically, so cross pairs are always
+    # (id_a = corpus, id_b = new); same-side pairs get filtered out.
+    cross = (
+        pairs.where(
+            F.col("id_a").startswith("c:") & F.col("id_b").startswith("n:")
+        )
+        .select(
+            F.expr(f"substring(id_b, 3)").cast(id_t).alias("_nid"),
+            F.expr(f"substring(id_a, 3)").cast(id_t).alias("_cid"),
+            F.round("jaccard_sim", 6).alias("_j"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_nid").orderBy(F.desc("_j"), F.asc("_cid"))
+    best = (
+        cross.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_nid", F.col("_cid").alias("best_match_id"), F.col("_j").alias("best_jaccard"))
+    )
+    counts = cross.groupBy("_nid").agg(F.count("*").alias("n_near_dups"))
+    return (
+        ensure_parallelism(new)
+        .select(F.col(id_col), fp.alias("_fp"))
+        .join(corpus_fp, "_fp", "left")
+        .select(id_col, (F.col("_e").isNotNull()).alias("exact_dup"))
+        .join(counts, F.col(id_col) == F.col("_nid"), "left")
+        .drop("_nid")
+        .join(best, F.col(id_col) == F.col("_nid"), "left")
+        .drop("_nid")
+        .select(
+            id_col,
+            "exact_dup",
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+            "best_match_id",
+            "best_jaccard",
+        )
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -797,6 +797,60 @@ WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
 )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2g incremental ingestion screen, ORACLE-CHECKED: an incoming
+    batch (doc_id % 10 == 0) is deduplicated AGAINST the existing
+    corpus (the rest) — exact content-fingerprint membership plus
+    complete cross-side trigram-Jaccard stats with a deterministic
+    best-match ranking (operators/dedup.py incremental_dedup_report).
+    The content-level analogue of the reference's new-vs-existing key
+    sync, and the shape ingestion needs at 100 TB: dedup the delta,
+    not the corpus. Oracle replays exact membership on normalized
+    STRINGS and the pair stats by brute-force cross Jaccard."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_dedup_report(new, corpus, "doc_id", "text")
+
+
+_ORACLE_INCREMENTAL_DEDUP = (
+    "WITH basen AS ("
+    + _SQL_TRIGRAM_BASE.format(src="(SELECT * FROM documents WHERE doc_id % 10 = 0)")
+    + "), basec AS ("
+    + _SQL_TRIGRAM_BASE.format(src="(SELECT * FROM documents WHERE doc_id % 10 != 0)")
+    + r""")
+, pairs AS (
+  SELECT n._id AS nid, c._id AS cid,
+         round(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(n.sh, c.sh))) AS DOUBLE), 6) AS j
+  FROM basen n JOIN basec c
+    ON CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE) /
+       CAST(len(list_distinct(list_concat(n.sh, c.sh))) AS DOUBLE) >= 0.5
+), best AS (
+  SELECT nid, cid, j,
+         row_number() OVER (PARTITION BY nid ORDER BY j DESC, cid ASC) AS rn
+  FROM pairs
+), cnt AS (
+  SELECT nid, count(*) AS n_near_dups FROM pairs GROUP BY nid
+), cfp AS (
+  SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
+  FROM documents WHERE doc_id % 10 != 0
+)
+SELECT d.doc_id,
+       trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')) IN (SELECT nm FROM cfp) AS exact_dup,
+       coalesce(cnt.n_near_dups, 0) AS n_near_dups,
+       b.cid AS best_match_id,
+       b.j AS best_jaccard
+FROM documents d
+LEFT JOIN cnt ON cnt.nid = d.doc_id
+LEFT JOIN (SELECT nid, cid, j FROM best WHERE rn = 1) b ON b.nid = d.doc_id
+WHERE d.doc_id % 10 = 0
+"""
+)
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2a: MinHash+LSH near-dup candidates, Jaccard-verified.
     No SQL oracle (signature permutations aren't SQL-expressible);
@@ -4749,6 +4803,7 @@ QUERIES: dict[str, QueryFn] = {
     "membership_split": q_membership_split,
     "simhash_near_pairs": q_simhash_near_pairs,
     "remove_dup_spans": q_remove_dup_spans,
+    "incremental_dedup": q_incremental_dedup,
     "pack_sequences": q_pack_sequences,
     "streaming_pii": q_streaming_pii,
     "streaming_decontam": q_streaming_decontam,
@@ -4882,6 +4937,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": _ORACLE_DECONTAMINATE,
     "dup_ngram_spans": _ORACLE_DUP_NGRAM_SPANS,
     "remove_dup_spans": _ORACLE_REMOVE_DUP_SPANS,
+    "incremental_dedup": _ORACLE_INCREMENTAL_DEDUP,
     "pii_redaction": _ORACLE_PII_REDACTION,
     "heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "bm25_topk": _ORACLE_BM25_TOPK,

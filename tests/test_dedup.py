@@ -356,3 +356,30 @@ def test_remove_duplicate_spans_drops_only_shared_grams(spark):
     assert out[3].clean_text == rows[2][1]
     assert out[3].n_removed == 0
     assert all(out[i].n_tokens == len(rows[i - 1][1].split()) for i in (1, 2, 3))
+
+
+def test_incremental_dedup_report_flags_exact_and_near(spark):
+    """A new doc identical to a corpus doc -> exact_dup + best match;
+    a mutated copy -> near-dup only; a fresh doc -> clean row."""
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "completely different corpus text about other things entirely"),
+    ]
+    new_rows = [
+        (100, corpus_rows[0][1]),  # verbatim copy
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota NOPE"),  # near
+        (102, "nothing like anything in the corpus whatsoever truly"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_dedup_report(new, corpus).collect()
+    }
+    assert out[100].exact_dup and out[100].best_match_id == 1
+    assert out[100].best_jaccard == 1.0 and out[100].n_near_dups == 1
+    assert not out[101].exact_dup
+    assert out[101].n_near_dups == 1 and out[101].best_match_id == 1
+    assert 0.5 <= out[101].best_jaccard < 1.0
+    assert not out[102].exact_dup and out[102].n_near_dups == 0
+    assert out[102].best_match_id is None and out[102].best_jaccard is None
