@@ -82,12 +82,17 @@ HEADLINE = [
     "streaming_pii",
     "assemble_bins",
     "dup_ngram_spans",
+    "remove_dup_spans",
+    "incremental_dedup",
     "mixture_sample",
     "mixture_upsample",
     "lm_scores",
     "lm_scores_bigram",
     "streaming_decontam",
     "recipe_pipeline",
+    "embedding_dups_exact",
+    "embedding_dups",
+    "lsh_topk",
 ]
 
 
