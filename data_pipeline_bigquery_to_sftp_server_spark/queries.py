@@ -4447,6 +4447,62 @@ GROUP BY doc_id
 """
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21 model-based classification, ORACLE-CHECKED: multinomial
+    Naive Bayes trained on the labeled split (doc_id % 5 != 0, label =
+    lang) and classifying the held-out split — the fastText-style
+    learned-classifier stage of LLM pipelines, in the one model family
+    whose TRAINING is itself a relational aggregation, so DuckDB
+    replays train + inference end-to-end: likelihood table, priors,
+    smoothed unseen-token backoff, per-token-normalized posterior, and
+    the deterministic argmax (operators/nb.py naive_bayes_scores)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import nb
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.where(F.col("doc_id") % 5 == 0)
+    train = d.where(F.col("doc_id") % 5 != 0)
+    return nb.naive_bayes_scores(scored, "doc_id", "text", "lang", 1.0, train=train)
+
+
+_ORACLE_NB_CLASSIFY = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), trt AS (
+  SELECT lang AS cls, unnest(w) AS t FROM norm WHERE doc_id % 5 != 0
+), sc AS (
+  SELECT doc_id, unnest(w) AS t FROM norm WHERE doc_id % 5 = 0
+), ct AS (
+  SELECT cls, t, count(*) AS n FROM trt GROUP BY cls, t
+), tot AS (
+  SELECT cls, sum(n) AS tot FROM ct GROUP BY cls
+), v AS (
+  SELECT count(DISTINCT t) AS vsz FROM trt
+), pri AS (
+  SELECT lang AS cls,
+         CAST(count(*) AS DOUBLE)
+           / (SELECT count(*) FROM norm WHERE doc_id % 5 != 0) AS prior
+  FROM norm WHERE doc_id % 5 != 0 GROUP BY lang
+), pc AS (
+  SELECT s.doc_id, p.cls,
+         round((log2(p.prior)
+                + sum(log2((coalesce(ct.n, 0) + 1.0) / (tot.tot + 1.0 * v.vsz))))
+               / count(*), 6) AS score
+  FROM sc s
+  CROSS JOIN pri p
+  LEFT JOIN ct ON ct.cls = p.cls AND ct.t = s.t
+  JOIN tot ON tot.cls = p.cls
+  CROSS JOIN v
+  GROUP BY s.doc_id, p.cls, p.prior
+)
+SELECT doc_id, cls AS predicted, score AS best_score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+      FROM pc)
+WHERE rn = 1
+"""
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 quality signal the Gopher-style filters rely on: bigram
     repetition ratio (count of the most frequent bigram / total
@@ -4859,6 +4915,7 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_upsample": q_mixture_upsample,
     "lm_scores": q_lm_scores,
     "lm_scores_bigram": q_lm_scores_bigram,
+    "nb_classify": q_nb_classify,
 }
 
 ORACLES: dict[str, str] = {
@@ -4970,6 +5027,7 @@ ORACLES: dict[str, str] = {
     "lm_scores": _ORACLE_LM_SCORES,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
     "lm_scores_bigram": _ORACLE_LM_SCORES_BIGRAM,
+    "nb_classify": _ORACLE_NB_CLASSIFY,
     "repetition_scores": _ORACLE_REPETITION_SCORES,
     "curation_pipeline": _ORACLE_CURATION_PIPELINE,
     "streaming_join": _ORACLE_STREAMING_JOIN,

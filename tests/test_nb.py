@@ -1,0 +1,71 @@
+"""Relational Naive Bayes classifier (operators/nb.py): exact
+small-case math, held-out separation on class-conditional vocab,
+unseen-token backoff, and deterministic tie-breaking."""
+
+import math
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators import nb
+
+
+def test_nb_exact_small_case(spark):
+    # train: class x = "a a b" (1 doc), class y = "b b" (1 doc)
+    # counts: x: a=2,b=1 tot=3 | y: b=2 tot=2; V=2; priors 0.5/0.5
+    train = spark.createDataFrame(
+        [(10, "a a b", "x"), (11, "b b", "y")],
+        "doc_id long, text string, lang string",
+    )
+    scored = spark.createDataFrame(
+        [(1, "a b")], "doc_id long, text string"
+    )
+    out = nb.naive_bayes_scores(scored, train=train).collect()
+    p_a_x, p_b_x = (2 + 1) / (3 + 2), (1 + 1) / (3 + 2)
+    p_a_y, p_b_y = (0 + 1) / (2 + 2), (2 + 1) / (2 + 2)
+    s_x = round((math.log2(0.5) + math.log2(p_a_x) + math.log2(p_b_x)) / 2, 6)
+    s_y = round((math.log2(0.5) + math.log2(p_a_y) + math.log2(p_b_y)) / 2, 6)
+    assert len(out) == 1
+    want = ("x", s_x) if s_x >= s_y else ("y", s_y)
+    assert (out[0].predicted, out[0].best_score) == want
+
+
+def test_nb_separates_class_conditional_vocab(spark):
+    """Docs drawn from disjoint class vocabularies must classify
+    perfectly on a held-out split, self-train or foreign."""
+    rows = []
+    for i in range(40):
+        rows.append((i * 2, "spark scala jvm shuffle executor " * 3, "tech"))
+        rows.append((i * 2 + 1, "sonnet stanza rhyme meter verse " * 3, "poetry"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.where("doc_id < 60")
+    held = df.where("doc_id >= 60")
+    out = nb.naive_bayes_scores(held, train=train).collect()
+    truth = {r[0]: r[2] for r in rows}
+    assert len(out) == 20
+    assert all(r.predicted == truth[r.doc_id] for r in out)
+
+
+def test_nb_unseen_tokens_back_off_not_crash(spark):
+    train = spark.createDataFrame(
+        [(10, "alpha alpha", "x"), (11, "beta beta", "y")],
+        "doc_id long, text string, lang string",
+    )
+    scored = spark.createDataFrame(
+        [(1, "zzz qqq alpha")], "doc_id long, text string"
+    )
+    out = nb.naive_bayes_scores(scored, train=train).collect()
+    # the one seen token decides the class; unseen tokens contribute
+    # the same smoothed mass to both classes (equal totals here)
+    assert out[0].predicted == "x"
+
+
+def test_nb_tie_breaks_on_class_name(spark):
+    """Symmetric classes + a doc equidistant from both -> identical
+    rounded scores -> the lexicographically smaller class wins."""
+    train = spark.createDataFrame(
+        [(10, "aa bb", "c1"), (11, "cc dd", "c2")],
+        "doc_id long, text string, lang string",
+    )
+    scored = spark.createDataFrame(
+        [(1, "aa cc")], "doc_id long, text string"
+    )
+    out = nb.naive_bayes_scores(scored, train=train).collect()
+    assert out[0].predicted == "c1"
