@@ -88,6 +88,7 @@ HEADLINE = [
     "mixture_upsample",
     "lm_scores",
     "lm_scores_bigram",
+    "nb_classify",
     "streaming_decontam",
     "recipe_pipeline",
     "embedding_dups_exact",
