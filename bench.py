@@ -90,6 +90,7 @@ HEADLINE = [
     "lm_scores_bigram",
     "nb_classify",
     "streaming_decontam",
+    "streaming_classify",
     "recipe_pipeline",
     "embedding_dups_exact",
     "embedding_dups",

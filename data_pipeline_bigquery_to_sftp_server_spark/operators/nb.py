@@ -34,6 +34,103 @@ from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
 )
 
 
+def collect_nb_model(
+    train: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    smoothing: float = 1.0,
+) -> dict:
+    """Materialize the NB model driver-side for closure-style
+    deployment (streaming classify-on-ingest): class list, log2
+    priors, per-class log2 unseen-token backoff, and the per-token
+    log2 likelihood rows. Vocab x classes — MBs by construction, the
+    same bounded-collect contract as the decontamination eval set."""
+    import math
+
+    from pyspark.sql import functions as FF
+
+    toks = ensure_parallelism(train).select(
+        FF.col(label_col).alias("_cls"), FF.explode(tokenize(FF.col(text_col))).alias("_t")
+    )
+    ct = toks.groupBy("_cls", "_t").agg(FF.count("*").alias("_n")).collect()
+    vocab_size = len({r._t for r in ct})
+    totals: dict[str, int] = {}
+    for r in ct:
+        totals[r._cls] = totals.get(r._cls, 0) + r._n
+    doc_counts = {
+        r._cls: r._docs
+        for r in train.groupBy(FF.col(label_col).alias("_cls"))
+        .agg(FF.count("*").alias("_docs"))
+        .collect()
+    }
+    all_docs = sum(doc_counts.values())
+    classes = sorted(totals)
+    denom = {c: totals[c] + smoothing * vocab_size for c in classes}
+    loglik: dict[str, list[float]] = {}
+    for r in ct:
+        row = loglik.setdefault(r._t, [None] * len(classes))
+        row[classes.index(r._cls)] = math.log2((r._n + smoothing) / denom[r._cls])
+    backoff = [math.log2(smoothing / denom[c]) for c in classes]
+    for row in loglik.values():
+        for i, v in enumerate(row):
+            if v is None:
+                row[i] = backoff[i]
+    return {
+        "classes": classes,
+        "log_priors": [math.log2(doc_counts[c] / all_docs) for c in classes],
+        "backoff": backoff,
+        "loglik": loglik,
+    }
+
+
+def classify_stateless(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a pre-collected NB model shipped as a
+    task closure — no join, no aggregation, no shuffle, so the stage
+    runs unchanged as a Structured Streaming append stage
+    (classify-on-ingest, the deployment shape of a trained quality/
+    language filter). Numerically identical formula to
+    :func:`naive_bayes_scores` (float64 log2 sums, per-token
+    normalization, 6dp rounding before the argmax, ties on class
+    name), so the batch oracle replays it."""
+    import numpy as np
+    import pandas as pd_local
+
+    classes = model["classes"]
+    priors = np.asarray(model["log_priors"])
+    backoff = np.asarray(model["backoff"])
+    loglik = model["loglik"]
+    id_t = df.schema[id_col].dataType.simpleString()
+    base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            preds, scores = [], []
+            for toks in pdf["_toks"]:
+                acc = priors.copy()
+                for t in toks:
+                    acc += loglik.get(t, backoff)
+                acc = np.round(acc / max(len(toks), 1), 6)
+                # priors ride outside the per-token sum in the batch
+                # formula: (log prior + sum ll) / n — replicate exactly
+                best = int(np.argmax(acc))  # ties -> first = class asc
+                preds.append(classes[best])
+                scores.append(float(acc[best]))
+            yield pd_local.DataFrame(
+                {id_col: pdf[id_col], "predicted": preds, "best_score": scores}
+            )
+
+    return base.mapInPandas(
+        score, f"{id_col} {id_t}, predicted string, best_score double"
+    )
+
+
 def naive_bayes_scores(
     df: DataFrame,
     id_col: str = "doc_id",

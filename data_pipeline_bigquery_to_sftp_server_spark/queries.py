@@ -2946,6 +2946,33 @@ def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7+X21 composition, ORACLE-CHECKED: the trained NB model
+    deployed to a stream — collected once batch-side (vocab x classes,
+    MBs) and shipped as a task closure; each arriving document scores
+    against it with no join, no aggregation, no state, so the stage
+    runs in append mode and the sink holds exactly the batch
+    classification (same _ORACLE_NB_CLASSIFY as q_nb_classify). The
+    classify-on-ingest deployment shape of a learned quality/language
+    filter (operators/nb.py classify_stateless)."""
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import nb
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    d = load_table(spark, sf_dir, "documents")
+    model = nb.collect_nb_model(d.where(F.col("doc_id") % 5 != 0), "text", "lang", 1.0)
+    path, schema = _events_stream_src(spark, sf_dir, table="documents")
+    stream = W.read_events_stream(spark, path, schema, max_files_per_trigger=4)
+    scored = nb.classify_stateless(
+        stream.where(F.col("doc_id") % 5 == 0), model, "doc_id", "text"
+    )
+    name = f"q_classify_stream_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(scored, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
 _ORACLE_PII_REDACTION = r"""
 WITH t AS (
   SELECT c_custkey,
@@ -4863,6 +4890,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": q_pack_sequences,
     "streaming_pii": q_streaming_pii,
     "streaming_decontam": q_streaming_decontam,
+    "streaming_classify": q_streaming_classify,
     "recipe_pipeline": q_recipe_pipeline,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
@@ -5002,6 +5030,7 @@ ORACLES: dict[str, str] = {
     # stateless streaming projection == the batch projection
     "streaming_pii": _ORACLE_PII_REDACTION,
     "streaming_decontam": _ORACLE_DECONTAMINATE,
+    "streaming_classify": _ORACLE_NB_CLASSIFY,
     "media_frames": _ORACLE_MEDIA_FRAMES,
     "media_resize": _ORACLE_MEDIA_RESIZE,
     "media_features": _ORACLE_MEDIA_FEATURES,

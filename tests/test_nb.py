@@ -69,3 +69,25 @@ def test_nb_tie_breaks_on_class_name(spark):
     )
     out = nb.naive_bayes_scores(scored, train=train).collect()
     assert out[0].predicted == "c1"
+
+
+def test_nb_closure_deployment_equals_batch(spark, sf_dir):
+    """classify_stateless with a collected model must reproduce the
+    relational naive_bayes_scores output exactly (same rounding, same
+    tie-breaks), and its plan must be a pure map (no Exchange) — the
+    property that lets it deploy to a stream."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+    from data_pipeline_bigquery_to_sftp_server_spark.plans import explain
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 5 != 0)
+    scored = d.where(F.col("doc_id") % 5 == 0)
+    batch = sorted(
+        map(tuple, nb.naive_bayes_scores(scored, train=train).collect())
+    )
+    model = nb.collect_nb_model(train)
+    closure_df = nb.classify_stateless(scored, model)
+    assert sorted(map(tuple, closure_df.collect())) == batch
+    assert "Exchange" not in explain.formatted_plan(closure_df)
