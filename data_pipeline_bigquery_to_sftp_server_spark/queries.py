@@ -4816,9 +4816,9 @@ QUERIES: dict[str, QueryFn] = {
     # pinned by test_sources and the query stays verify_local-green;
     # its slot funds the r5/r6 operator family below)
     "sql_cte": q_sql_cte,
-    # aggregation
+    # aggregation (grouped_counts demoted in r6 — pricing_summary holds
+    # the grouped-agg surface in-window; slot funds nb_classify below)
     "pricing_summary": q_pricing_summary,
-    "grouped_counts": q_grouped_counts,
     "count_distinct": q_count_distinct,
     "grouping_sets_sql": q_grouping_sets_sql,
     "distinct_keys": q_distinct_keys,
@@ -4838,15 +4838,15 @@ QUERIES: dict[str, QueryFn] = {
     # demoted past 50 in r5 — sync_pipeline's driver row exercises the
     # same scalar surface (epoch->date, bool/default coercion, to_json)
     # and all three stay verify_local-green; their slots fund the LLM
-    # hygiene/retrieval family below. regex_extract demoted in r6:
-    # clean_text covers the same scalar-regex surface in-window.)
-    "clean_text": q_clean_text,
+    # hygiene/retrieval family below. regex_extract AND clean_text
+    # demoted in r6: sync_pipeline's driver row exercises the same
+    # scalar surface end-to-end; both stay verify_local-green.)
     # windows (window_range_frame demoted past 50 to make room for
     # ivf_full_probe — the family keeps window_suite in-window)
     "window_suite": q_window_suite,
-    # UDF / UDAF / UDTF surface
+    # UDF / UDAF / UDTF surface (§2.10 is one row — udaf_geomean holds
+    # it in-window; udtf_sentences demoted in r6, verify_local-green)
     "udaf_geomean": q_udaf_geomean,
-    "udtf_sentences": q_udtf_sentences,
     # LLM hygiene / retrieval family (r5 curation: official driver rows
     # for the operators this engine exists to add; the displaced
     # TPC-H-style reports big_orders/market_share duplicate the
@@ -4864,6 +4864,11 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_sample": q_mixture_sample,
     "lm_scores_foreign": q_lm_scores_foreign,
     "assemble_bins": q_assemble_bins,
+    # r6 operators with official driver rows: the recipe composite, the
+    # bigram LM, and the relational NB classifier (all oracle-green)
+    "recipe_pipeline": q_recipe_pipeline,
+    "lm_scores_bigram": q_lm_scores_bigram,
+    "nb_classify": q_nb_classify,
     # streaming (all seven)
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
@@ -4873,6 +4878,9 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_stateful": q_streaming_stateful,
     # -- slots 51+: variants + remainder (verified via verify_local) --
+    "clean_text": q_clean_text,
+    "grouped_counts": q_grouped_counts,
+    "udtf_sentences": q_udtf_sentences,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "regex_extract": q_regex_extract,
@@ -4891,7 +4899,6 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_pii": q_streaming_pii,
     "streaming_decontam": q_streaming_decontam,
     "streaming_classify": q_streaming_classify,
-    "recipe_pipeline": q_recipe_pipeline,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
     "rollup": q_rollup,
@@ -4942,8 +4949,6 @@ QUERIES: dict[str, QueryFn] = {
     "quota_sample": q_quota_sample,
     "mixture_upsample": q_mixture_upsample,
     "lm_scores": q_lm_scores,
-    "lm_scores_bigram": q_lm_scores_bigram,
-    "nb_classify": q_nb_classify,
 }
 
 ORACLES: dict[str, str] = {
