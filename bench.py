@@ -84,6 +84,7 @@ HEADLINE = [
     "dup_ngram_spans",
     "remove_dup_spans",
     "incremental_dedup",
+    "incremental_embedding_dups",
     "mixture_sample",
     "mixture_upsample",
     "lm_scores",

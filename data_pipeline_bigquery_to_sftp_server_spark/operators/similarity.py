@@ -233,6 +233,58 @@ def exact_near_dup_pairs_np(
     )
 
 
+def cross_near_dup_pairs_np(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental embedding dedup: all (new, corpus) pairs with cosine
+    >= threshold — screen an incoming batch's embeddings against the
+    existing corpus, the embedding-side counterpart of
+    dedup.incremental_dedup_report. Same BLAS-blocked shape as
+    :func:`exact_near_dup_pairs_np` with the CORPUS matrix shipped to
+    every task and the NEW side streamed through Arrow batches — at
+    steady state the corpus matrix is built once and reused per batch,
+    and only the delta is scanned. Returns (id_new, id_corpus,
+    cos_sim) with cos rounded to 4dp."""
+    import numpy as np
+    import pandas as pd_local
+
+    c_pdf = corpus.select(id_col, vec_col).toPandas()
+    c_ids = c_pdf[id_col].to_numpy()
+    c_mat = np.vstack(c_pdf[vec_col].to_numpy()).astype(np.float64)
+    cn = np.linalg.norm(c_mat, axis=1)
+    cn[cn == 0] = np.nan
+    c_mat = c_mat / cn[:, None]
+
+    def pairs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(mat, axis=1)
+            bn[bn == 0] = np.nan
+            mat = mat / bn[:, None]
+            sims = mat @ c_mat.T
+            bi, ci = np.nonzero(sims >= threshold)
+            if len(bi) == 0:
+                continue
+            yield pd_local.DataFrame(
+                {
+                    "id_new": ids[bi],
+                    "id_corpus": c_ids[ci],
+                    "cos_sim": np.round(sims[bi, ci], 4),
+                }
+            )
+
+    return ensure_parallelism(new.select(id_col, vec_col)).mapInPandas(
+        pairs, "id_new long, id_corpus long, cos_sim double"
+    )
+
+
 def _srp_hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (Gaussian) for sign
     random projection. Generated driver-side (num_planes × dim floats,

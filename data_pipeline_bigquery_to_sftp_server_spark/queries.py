@@ -1016,6 +1016,32 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_with_recall(approx, e, queries, k=10)
 
 
+def q_incremental_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e/X20 composition, ORACLE-CHECKED: incremental embedding-side
+    dedup — an incoming batch (vec_id % 10 == 0) screened against the
+    existing corpus (the rest) for cosine >= 0.35 pairs, BLAS-blocked
+    with the corpus matrix shipped once and only the delta streamed
+    (operators/similarity.py cross_near_dup_pairs_np). The embedding
+    counterpart of incremental_dedup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    new = e.where(F.col("vec_id") % 10 == 0)
+    corpus = e.where(F.col("vec_id") % 10 != 0)
+    return similarity.cross_near_dup_pairs_np(new, corpus, threshold=0.35)
+
+
+_ORACLE_INCREMENTAL_EMBEDDING_DUPS = """
+SELECT id_new, id_corpus, round(cos, 4) AS cos_sim
+FROM (
+  SELECT n.vec_id AS id_new, c.vec_id AS id_corpus,
+         list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM (SELECT * FROM embeddings WHERE vec_id % 10 = 0) n
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 10 != 0) c
+)
+WHERE cos >= 0.35
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 scale path #2: IVF ANN top-k — k-means coarse quantizer,
     probe-nearest-centroid candidates, exact re-rank (approximate;
@@ -4895,6 +4921,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "remove_dup_spans": q_remove_dup_spans,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_embedding_dups": q_incremental_embedding_dups,
     "pack_sequences": q_pack_sequences,
     "streaming_pii": q_streaming_pii,
     "streaming_decontam": q_streaming_decontam,
@@ -5028,6 +5055,7 @@ ORACLES: dict[str, str] = {
     "dup_ngram_spans": _ORACLE_DUP_NGRAM_SPANS,
     "remove_dup_spans": _ORACLE_REMOVE_DUP_SPANS,
     "incremental_dedup": _ORACLE_INCREMENTAL_DEDUP,
+    "incremental_embedding_dups": _ORACLE_INCREMENTAL_EMBEDDING_DUPS,
     "pii_redaction": _ORACLE_PII_REDACTION,
     "heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "bm25_topk": _ORACLE_BM25_TOPK,
