@@ -85,6 +85,7 @@ HEADLINE = [
     "remove_dup_spans",
     "incremental_dedup",
     "incremental_embedding_dups",
+    "semantic_dedup",
     "mixture_sample",
     "mixture_upsample",
     "lm_scores",

@@ -1042,6 +1042,56 @@ WHERE cos >= 0.35
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e endgame, ORACLE-CHECKED: SemDeDup-style semantic
+    deduplication — embedding near-dup pairs (exact BLAS all-pairs at
+    cos >= 0.35) chained into connected components with a
+    keep-smallest-id representative per cluster, so transitively
+    similar groups A~B~C collapse to one kept document. The exact
+    variant runs on samples at 100 TB with the SRP-banded pair
+    generator substituting for the all-pairs step (identical
+    downstream plan); the oracle replays pairs + transitive closure
+    recursively (operators/similarity.py exact_near_dup_pairs_np +
+    operators/dedup.py connected components)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.exact_near_dup_pairs_np(e, threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    return clusters.select(
+        "keep_id",
+        "n_members",
+        F.concat_ws(",", F.col("members")).alias("members"),
+    ).orderBy("keep_id")
+
+
+_ORACLE_SEMANTIC_DEDUP = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labels AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT component AS keep_id,
+       count(*) AS n_members,
+       array_to_string(list_sort(list(node)), ',') AS members
+FROM labels
+GROUP BY component
+ORDER BY keep_id
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 scale path #2: IVF ANN top-k — k-means coarse quantizer,
     probe-nearest-centroid candidates, exact re-rank (approximate;
@@ -4922,6 +4972,7 @@ QUERIES: dict[str, QueryFn] = {
     "remove_dup_spans": q_remove_dup_spans,
     "incremental_dedup": q_incremental_dedup,
     "incremental_embedding_dups": q_incremental_embedding_dups,
+    "semantic_dedup": q_semantic_dedup,
     "pack_sequences": q_pack_sequences,
     "streaming_pii": q_streaming_pii,
     "streaming_decontam": q_streaming_decontam,
@@ -5056,6 +5107,7 @@ ORACLES: dict[str, str] = {
     "remove_dup_spans": _ORACLE_REMOVE_DUP_SPANS,
     "incremental_dedup": _ORACLE_INCREMENTAL_DEDUP,
     "incremental_embedding_dups": _ORACLE_INCREMENTAL_EMBEDDING_DUPS,
+    "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
     "pii_redaction": _ORACLE_PII_REDACTION,
     "heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "bm25_topk": _ORACLE_BM25_TOPK,
