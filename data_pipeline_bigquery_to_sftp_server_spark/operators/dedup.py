@@ -992,3 +992,52 @@ def dedup_clusters(
         F.count("*").alias("n_members"),
         F.sort_array(F.collect_list("node")).alias("members"),
     )
+
+
+def dedup_keep_best(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "q",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep/drop decisions with a QUALITY rule instead of min-id:
+    within each near-dup component, keep the member with the highest
+    ``quality_col`` (ties -> smallest id) — how production dedup
+    actually chooses (keep the longest / highest-quality copy, drop
+    boilerplate-truncated ones). Returns one row per component:
+    ``(keep_id, keep_quality, n_members, members)``.
+
+    ``quality`` maps ``id_col`` -> ``quality_col`` (token count, LM
+    score, classifier margin — anything orderable). Plan: the CC
+    labels join quality on the member id (id-keyed, uniform), then one
+    per-component argmax via window row_number — the same two-shuffle
+    rollup as dedup_clusters plus the quality join.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src, dst)
+    labeled = comp.join(
+        quality.select(F.col(id_col).alias("node"), F.col(quality_col)),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.asc("node")
+    )
+    best = (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keep_id"),
+            F.col(quality_col).alias("keep_quality"),
+        )
+    )
+    rollup = labeled.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.sort_array(F.collect_list("node")).alias("members"),
+    )
+    return best.join(rollup, "component").select(
+        "keep_id", "keep_quality", "n_members", "members"
+    )
