@@ -123,14 +123,21 @@ def fingerprint(col: Column) -> Column:
 PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 # Payment-card shape: 4x4 digit groups dash/space separated, or a bare
 # 13-19 digit run (the ISO/IEC 7812 PAN length range — covers 15-digit
-# Amex and 13-digit legacy Visa, not just 16). Runs of 20+ digits keep
-# failing the trailing \b, so long numeric ids survive. Applied BEFORE
-# the phone pattern so the digit groups are consumed whole (the phone
-# shape can't match 4-digit lead groups, but ordering makes the
-# invariant structural, not coincidental). A solid IBAN can't lose its
-# digit tail to this pattern: the tail follows the country letters with
-# no word boundary between them.
-PII_CC_RE = r"\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{13,19}\b"
+# Amex and 13-digit legacy Visa, not just 16) whose leading digit is a
+# card-network MII (2=new-range Mastercard, 3=Amex/Diners, 4=Visa,
+# 5=Mastercard, 6=Discover/UnionPay). The MII gate keeps 13-digit
+# epoch-millisecond timestamps (leading 1 until year 2286) and other
+# 0/1/7-9-prefixed numeric identifiers out of the redaction; a Luhn
+# check can't be expressed in a portable regex, so MII+length is the
+# precision/recall point chosen — bare PANs from the five major
+# networks all start 2-6. Runs of 20+ digits keep failing the trailing
+# \b, so longer numeric ids survive. Applied BEFORE the phone pattern
+# so the digit groups are consumed whole (the phone shape can't match
+# 4-digit lead groups, but ordering makes the invariant structural, not
+# coincidental). A solid IBAN can't lose its digit tail to this
+# pattern: the tail follows the country letters with no word boundary
+# between them.
+PII_CC_RE = r"\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[2-6][0-9]{12,18}\b"
 # IBAN shape: 2 uppercase country letters, 2 check digits, 11-30
 # alphanumerics (15-char Norway floor .. 34-char ceiling).
 PII_IBAN_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"

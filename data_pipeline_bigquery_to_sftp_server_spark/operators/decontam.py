@@ -82,6 +82,12 @@ def contamination_stateless(
     Equivalent to the join formulation because ``shingle_hashes`` is
     distinct-per-doc. Use the join formulation when the eval side is
     too big to ship to every task (fact-fact decontamination).
+
+    NULL-text documents are dropped, matching the batch twin (there,
+    ``explode`` of the NULL gram array yields no rows, so the doc never
+    reaches the rollup) — and a poisoned record must not kill the
+    stream: without the filter the probe's ``len()`` would raise on the
+    None array inside the task.
     """
     # No ensure_parallelism here: the stage must stay exchange-free
     # (the property that lets it run as a stateless streaming stage and
@@ -91,7 +97,7 @@ def contamination_stateless(
     id_t = df.schema[id_col].dataType.simpleString()
     base = df.select(
         F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_gs")
-    )
+    ).where(F.col("_gs").isNotNull())
 
     def probe(batches):
         for pdf in batches:

@@ -96,38 +96,79 @@ def classify_stateless(
     language filter). Numerically identical formula to
     :func:`naive_bayes_scores` (float64 log2 sums, per-token
     normalization, 6dp rounding before the argmax, ties on class
-    name), so the batch oracle replays it."""
+    name), so the batch oracle replays it.
+
+    Throughput shape: the Python stage is fully vectorized — tokens
+    factorize against the vocab (one hash lookup per token via a
+    pandas map), per-token log-likelihood ROWS are gathered from one
+    (vocab+1, classes) matrix (last row = unseen-token backoff) and
+    summed per document with ``np.add.reduceat`` — no per-token Python
+    loop. Rounding and argmax happen JVM-side (``F.round`` + array
+    ops) so half-way cases round half-away exactly like the batch
+    scorer and the DuckDB oracle (numpy's round is half-to-even).
+    NULL-text documents are dropped, matching the batch twin where
+    ``explode`` of a NULL token array emits no rows."""
     import numpy as np
     import pandas as pd_local
 
     classes = model["classes"]
-    priors = np.asarray(model["log_priors"])
-    backoff = np.asarray(model["backoff"])
+    k = len(classes)
+    priors = np.asarray(model["log_priors"], dtype=np.float64)
+    backoff = np.asarray(model["backoff"], dtype=np.float64)
     loglik = model["loglik"]
+    vocab = list(loglik)
+    tok2row = {t: i for i, t in enumerate(vocab)}
+    # Row v = per-class log-likelihoods of vocab[v]; row len(vocab) =
+    # the unseen-token backoff. Vocab x classes floats — the same
+    # bounded closure the model dict already is.
+    lmat = np.asarray([loglik[t] for t in vocab], dtype=np.float64).reshape(
+        len(vocab), k
+    )
+    lmat = np.vstack([lmat, backoff[None, :]])
     id_t = df.schema[id_col].dataType.simpleString()
-    base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    base = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).where(F.col("_toks").isNotNull())
 
     def score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            preds, scores = [], []
-            for toks in pdf["_toks"]:
-                acc = priors.copy()
-                for t in toks:
-                    acc += loglik.get(t, backoff)
-                acc = np.round(acc / max(len(toks), 1), 6)
-                # priors ride outside the per-token sum in the batch
-                # formula: (log prior + sum ll) / n — replicate exactly
-                best = int(np.argmax(acc))  # ties -> first = class asc
-                preds.append(classes[best])
-                scores.append(float(acc[best]))
-            yield pd_local.DataFrame(
-                {id_col: pdf[id_col], "predicted": preds, "best_score": scores}
-            )
+            toks = pdf["_toks"]
+            lengths = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+            sums = np.zeros((len(pdf), k), dtype=np.float64)
+            nz = lengths > 0
+            if nz.any():
+                flat = pd_local.Series(
+                    np.concatenate([np.asarray(t, dtype=object) for t in toks[nz]])
+                )
+                rows = (
+                    flat.map(tok2row)
+                    .fillna(len(vocab))
+                    .to_numpy(dtype=np.int64)
+                )
+                starts = np.zeros(int(nz.sum()), dtype=np.int64)
+                starts[1:] = np.cumsum(lengths[nz])[:-1]
+                sums[nz] = np.add.reduceat(lmat[rows], starts, axis=0)
+            # batch formula: (log2 prior + sum ll) / n — priors added
+            # AFTER the token sum, same association as the batch scorer
+            acc = (priors[None, :] + sums) / np.maximum(lengths, 1)[:, None]
+            out = pdf[[id_col]].copy()
+            out["_scores"] = list(acc)
+            yield out
 
-    return base.mapInPandas(
-        score, f"{id_col} {id_t}, predicted string, best_score double"
+    scored = base.mapInPandas(score, f"{id_col} {id_t}, _scores array<double>")
+    rounded = F.transform("_scores", lambda x: F.round(x, 6))
+    class_arr = F.array(*[F.lit(c) for c in classes])
+    # first max position = lowest class index = class name asc (classes
+    # are sorted), replicating the batch row_number tie-break
+    return scored.select(
+        F.col(id_col),
+        F.element_at(
+            class_arr,
+            F.array_position(rounded, F.array_max(rounded)).cast("int"),
+        ).alias("predicted"),
+        F.array_max(rounded).alias("best_score"),
     )
 
 

@@ -174,6 +174,7 @@ def exact_near_dup_pairs_np(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """ALL exact cosine near-dup pairs (id_a < id_b, cos >= threshold),
     BLAS-blocked: the corpus's normalized vector matrix is materialized
@@ -191,10 +192,26 @@ def exact_near_dup_pairs_np(
     interpreted 64-element folds: at sf0.1 that is 80 s vs ~1 s for
     this path, and the gap grows quadratically. Scores are float64
     either way; output rounds to 4dp like the oracle.
+
+    Misuse guard: the whole corpus is materialized driver-side, so an
+    unsampled 100 TB input would OOM the driver silently mid-collect.
+    ``max_rows`` (default 1M ≈ 0.5 GB at dim=64 float64) is counted
+    FIRST and a clear error raised — the sketch.py discipline of
+    asserting a bounded contract instead of trusting it. Raise the
+    ceiling explicitly if your sample really is bigger.
     """
     import numpy as np
     import pandas as pd_local
 
+    n_corpus = df.count()
+    if n_corpus > max_rows:
+        raise ValueError(
+            f"exact_near_dup_pairs_np: input has {n_corpus} rows > "
+            f"max_rows={max_rows}. This operator materializes the whole "
+            "corpus driver-side (ground-truth path — run it on a "
+            "sample), or use the SRP-banded pair generator "
+            "(embedding_near_dup_pairs) for full-corpus screens."
+        )
     all_pdf = df.select(id_col, vec_col).toPandas()
     all_ids = all_pdf[id_col].to_numpy()
     all_mat = np.vstack(all_pdf[vec_col].to_numpy()).astype(np.float64)
@@ -204,7 +221,8 @@ def exact_near_dup_pairs_np(
     order = np.argsort(all_ids)
     all_ids, all_mat = all_ids[order], all_mat[order]
 
-    out_schema = f"id_a long, id_b long, cos_sim double"
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
 
     def pairs(batches):
         for pdf in batches:
@@ -239,25 +257,44 @@ def cross_near_dup_pairs_np(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_corpus_rows: int = 1_000_000,
 ) -> DataFrame:
-    """Incremental embedding dedup: all (new, corpus) pairs with cosine
-    >= threshold — screen an incoming batch's embeddings against the
-    existing corpus, the embedding-side counterpart of
-    dedup.incremental_dedup_report. Same BLAS-blocked shape as
-    :func:`exact_near_dup_pairs_np` with the CORPUS matrix shipped to
-    every task and the NEW side streamed through Arrow batches — at
-    steady state the corpus matrix is built once and reused per batch,
-    and only the delta is scanned. Returns (id_new, id_corpus,
-    cos_sim) with cos rounded to 4dp."""
+    """Incremental embedding dedup, EXACT / bounded-corpus tier: all
+    (new, corpus) pairs with cosine >= threshold — screen an incoming
+    batch's embeddings against the existing corpus, the embedding-side
+    counterpart of dedup.incremental_dedup_report. Same BLAS-blocked
+    shape as :func:`exact_near_dup_pairs_np` with the CORPUS matrix
+    shipped to every task and the NEW side streamed through Arrow
+    batches. Returns (id_new, id_corpus, cos_sim) with cos rounded to
+    4dp.
+
+    Scale contract: the corpus here is the UNBOUNDED side of the
+    operator, and it is collected driver-side — so this tier is for
+    corpora whose matrix genuinely fits (the exact/oracle twin, and
+    steady states where the corpus is a curated representative set).
+    ``max_corpus_rows`` is counted first and violated loudly rather
+    than OOMing mid-collect. For the 100 TB corpus use
+    :func:`cross_near_dup_pairs_banded` — the SRP-banded screen where
+    the corpus never leaves the cluster."""
     import numpy as np
     import pandas as pd_local
 
+    n_corpus = corpus.count()
+    if n_corpus > max_corpus_rows:
+        raise ValueError(
+            f"cross_near_dup_pairs_np: corpus has {n_corpus} rows > "
+            f"max_corpus_rows={max_corpus_rows}; its matrix is shipped "
+            "to the driver and every task. Use "
+            "cross_near_dup_pairs_banded for unbounded corpora."
+        )
     c_pdf = corpus.select(id_col, vec_col).toPandas()
     c_ids = c_pdf[id_col].to_numpy()
     c_mat = np.vstack(c_pdf[vec_col].to_numpy()).astype(np.float64)
     cn = np.linalg.norm(c_mat, axis=1)
     cn[cn == 0] = np.nan
     c_mat = c_mat / cn[:, None]
+    new_id_t = new.schema[id_col].dataType.simpleString()
+    corpus_id_t = corpus.schema[id_col].dataType.simpleString()
 
     def pairs(batches):
         for pdf in batches:
@@ -281,7 +318,7 @@ def cross_near_dup_pairs_np(
             )
 
     return ensure_parallelism(new.select(id_col, vec_col)).mapInPandas(
-        pairs, "id_new long, id_corpus long, cos_sim double"
+        pairs, f"id_new {new_id_t}, id_corpus {corpus_id_t}, cos_sim double"
     )
 
 
@@ -341,6 +378,161 @@ def _with_srp_signature_np(
     )
 
 
+def auto_srp_num_planes(
+    n_rows: int, bands: int, target_bucket_rows: int = 128, min_bits: int = 4
+) -> int:
+    """Derive the SRP hash width from the corpus size — the measured
+    width-vs-log-n law (SCALING r6 finding 4): banded candidate volume
+    is O(n²/2^{planes/bands}) per band, so holding the expected bucket
+    population at ``target_bucket_rows`` needs
+    ``bits_per_band = ceil(log2(n / target_bucket_rows))`` — the width
+    grows with log n instead of being a manual knob. Floors at
+    ``min_bits`` so tiny corpora keep the collision-friendly width the
+    synthetic low-threshold tests rely on. Reproduces both measured
+    points: n=2,000 → 16 planes (4 bands), n=20,000 → 32 planes (the
+    config that brought the 10× self-join from 59 s to 6.1 s)."""
+    import math
+
+    bits = min_bits
+    if n_rows > target_bucket_rows:
+        bits = max(min_bits, math.ceil(math.log2(n_rows / target_bucket_rows)))
+    return bands * bits
+
+
+def _band_explode(
+    df: DataFrame, id_col: str, vec_col: str, planes: list[list[float]], bands: int
+) -> DataFrame:
+    """(id, vec, band, bh): one row per (row, band), the band's bit
+    slice hashed to a 64-bit bucket key — the candidate-generation side
+    of every SRP-LSH operator (self-join, cross screen, query probe)."""
+    rows_per_band = len(planes) // bands
+    return (
+        _with_srp_signature_np(df, id_col, vec_col, planes)
+        .select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ",",
+                                    F.slice(
+                                        "_sig", b * rows_per_band + 1, rows_per_band
+                                    ).cast("array<string>"),
+                                )
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, vec_col, "bb.band", "bb.bh")
+    )
+
+
+def cross_near_dup_pairs_banded(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    num_planes: int | str = 16,
+    bands: int = 4,
+    seed: int = 42,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental embedding dedup, UNBOUNDED-corpus tier: SRP-banded
+    (new ⋈ corpus) screen. The scale-safe sibling of
+    :func:`cross_near_dup_pairs_np` — the corpus NEVER leaves the
+    cluster: both sides get numpy-matmul SRP signatures per Arrow
+    batch, band bit-slices hash to bucket keys, and candidates come
+    from the (band, bucket) equi-join — cross-side by construction
+    (the two sides are distinct frames, so no side-tagging is needed,
+    unlike the unioned text path in dedup.incremental_dedup_report).
+    Each candidate batch is verified with an exact row-wise float64
+    cosine, so every emitted pair is a TRUE pair (precision 1 vs the
+    exact twin); RECALL is the banding dial — a pair is a candidate
+    only if some band's bits agree, the standard LSH contract (pinned
+    vs the exact twin in test_similarity).
+
+    Plan shape at 100 TB: the delta (``new``) is small by contract, so
+    with ``broadcast_new`` the candidate join is a broadcast hash join
+    — the corpus is scanned once, signatured map-side, and never
+    shuffles; only candidates (bounded by bucket collisions) reach the
+    dedup + verify stages. ``num_planes="auto"`` derives the hash
+    width from a corpus count via :func:`auto_srp_num_planes` (one
+    count job — the width-vs-log-n law made API), keeping buckets
+    bounded as the corpus grows. Returns (id_new, id_corpus, cos_sim
+    rounded 4dp), a subset of the exact twin's output."""
+    import numpy as np
+    import pandas as pd_local
+
+    if dim is None:
+        raise ValueError(
+            "cross_near_dup_pairs_banded: pass dim= (embedding width); "
+            "see lsh_topk for rationale."
+        )
+    if num_planes == "auto":
+        num_planes = auto_srp_num_planes(corpus.count(), bands)
+    planes = _srp_hyperplanes(dim, num_planes, seed)
+    n_side = _band_explode(
+        new.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv")),
+        "_nid",
+        "_nv",
+        planes,
+        bands,
+    )
+    if broadcast_new:
+        n_side = F.broadcast(n_side)
+    c_side = _band_explode(
+        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")),
+        "_cid",
+        "_cv",
+        planes,
+        bands,
+    )
+    # candidate dedup BEFORE the exact verify: a pair colliding in
+    # several bands must be scored once (same rule as the self-join)
+    cand = (
+        c_side.join(n_side, ["band", "bh"])
+        .select("_nid", "_nv", "_cid", "_cv")
+        .dropDuplicates(["_nid", "_cid"])
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack(pdf["_nv"].to_numpy()).astype(np.float64)
+            b = np.vstack(pdf["_cv"].to_numpy()).astype(np.float64)
+            an = np.linalg.norm(a, axis=1)
+            bn = np.linalg.norm(b, axis=1)
+            an[an == 0] = np.nan
+            bn[bn == 0] = np.nan
+            cos = (a * b).sum(axis=1) / (an * bn)
+            keep = cos >= threshold
+            if not keep.any():
+                continue
+            yield pd_local.DataFrame(
+                {
+                    "id_new": pdf["_nid"].to_numpy()[keep],
+                    "id_corpus": pdf["_cid"].to_numpy()[keep],
+                    "cos_sim": np.round(cos[keep], 4),
+                }
+            )
+
+    new_id_t = new.schema[id_col].dataType.simpleString()
+    corpus_id_t = corpus.schema[id_col].dataType.simpleString()
+    return cand.mapInPandas(
+        verify, f"id_new {new_id_t}, id_corpus {corpus_id_t}, cos_sim double"
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -373,29 +565,8 @@ def lsh_topk(
             "would force an eager driver job inside a lazy operator."
         )
     planes = _srp_hyperplanes(dim, num_planes, seed)
-    rows_per_band = num_planes // bands
-
-    def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        return _with_srp_signature_np(df, idc, vc, planes).select(
-            idc,
-            vc,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band).cast("array<string>"))
-                            ).alias("bh"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(idc, vc, "bb.band", "bb.bh")
-
-    c = banded(corpus, id_col, vec_col).alias("c")
-    q = banded(queries, query_id_col, query_vec_col).alias("q")
+    c = _band_explode(corpus, id_col, vec_col, planes, bands).alias("c")
+    q = _band_explode(queries, query_id_col, query_vec_col, planes, bands).alias("q")
     cand = (
         c.join(q, (F.col("c.band") == F.col("q.band")) & (F.col("c.bh") == F.col("q.bh")))
         .select(
@@ -545,13 +716,23 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 16,
+    num_planes: int | str = 16,
     bands: int = 4,
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t)
-    via SRP-LSH self-join — the embedding analog of minhash dedup."""
+    via SRP-LSH self-join — the embedding analog of minhash dedup.
+    Output ids carry the input id type (string/int/long all work).
+
+    ``num_planes="auto"`` derives the hash width from a corpus count
+    (one count job) via :func:`auto_srp_num_planes`: the banded
+    self-join's candidate volume is O(n²/2^{planes/bands}), so the
+    width must grow with log n to keep buckets bounded — the measured
+    law (SCALING r6 finding 4: 10× rows at fixed 16 planes → 59 s;
+    auto picks 32 → 6.1 s). The fixed default stays 16 because the
+    synthetic low-threshold test corpus needs the collision-friendly
+    width for non-empty results."""
     if dim is None:
         # See lsh_topk: dim is contract, not inferred — `.first()` here
         # would be an eager driver job inside a lazy operator.
@@ -559,33 +740,15 @@ def embedding_near_dup_pairs(
             "embedding_near_dup_pairs: pass dim= (embedding width); "
             "see lsh_topk for rationale."
         )
+    if num_planes == "auto":
+        num_planes = auto_srp_num_planes(df.count(), bands)
     planes = _srp_hyperplanes(dim, num_planes, seed)
-    rows_per_band = num_planes // bands
-    banded = (
-        _with_srp_signature_np(
-            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-            "_id",
-            "_v",
-            planes,
-        )
-        .select(
-            "_id",
-            "_v",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band).cast("array<string>"))
-                            ).alias("bh"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        )
-        .select("_id", "_v", "bb.band", "bb.bh")
+    banded = _band_explode(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_id",
+        "_v",
+        planes,
+        bands,
     )
     l, r = banded.alias("l"), banded.alias("r")
     # Candidates dedup BEFORE verification (a pair colliding in several
@@ -626,4 +789,5 @@ def embedding_near_dup_pairs(
                 }
             )
 
-    return cand.mapInPandas(verify, "id_a long, id_b long, cos_sim double")
+    id_t = df.schema[id_col].dataType.simpleString()
+    return cand.mapInPandas(verify, f"id_a {id_t}, id_b {id_t}, cos_sim double")

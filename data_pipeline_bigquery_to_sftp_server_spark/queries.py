@@ -1042,6 +1042,41 @@ WHERE cos >= 0.35
 """
 
 
+def q_incremental_embedding_dups_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X20b scale tier (r7): the SRP-banded (new ⋈ corpus) screen —
+    the corpus never leaves the cluster (broadcast-delta candidate
+    join, exact BLAS verify per bucket), the shape that survives when
+    the corpus matrix no longer fits a driver (similarity.py
+    cross_near_dup_pairs_banded). Approximate by the LSH contract, so
+    rows-only — but self-certifying: every row carries
+    ``recall_vs_exact`` (banded pairs are a verified SUBSET of the
+    exact twin's pairs, so recall = n_banded/n_exact, computed
+    in-plan from the oracle-checked exact path), and subset+recall are
+    pinned in test_similarity."""
+    e = load_table(spark, sf_dir, "embeddings")
+    new = e.where(F.col("vec_id") % 10 == 0)
+    corpus = e.where(F.col("vec_id") % 10 != 0)
+    banded = similarity.cross_near_dup_pairs_banded(
+        new, corpus, threshold=0.35, dim=64, num_planes=16, bands=8
+    )
+    exact_n = similarity.cross_near_dup_pairs_np(
+        new, corpus, threshold=0.35
+    ).agg(F.count("*").alias("_n_exact"))
+    stats = banded.agg(F.count("*").alias("_n_banded")).crossJoin(
+        F.broadcast(exact_n)
+    )
+    return banded.crossJoin(F.broadcast(stats)).select(
+        "id_new",
+        "id_corpus",
+        "cos_sim",
+        F.round(F.col("_n_banded") / F.greatest("_n_exact", F.lit(1)), 4).alias(
+            "recall_vs_exact"
+        ),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2e endgame, ORACLE-CHECKED: SemDeDup-style semantic
     deduplication — embedding near-dup pairs (exact BLAS all-pairs at
@@ -3078,7 +3113,7 @@ WITH t AS (
 ), s2 AS (
   SELECT c_custkey, txt, after_email,
          regexp_replace(after_email,
-           '\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{13,19}\b',
+           '\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[2-6][0-9]{12,18}\b',
            '<CC>', 'g') AS after_cc
   FROM s
 ), s3 AS (
@@ -3098,7 +3133,7 @@ SELECT c_custkey,
        len(regexp_extract_all(txt,
            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
        len(regexp_extract_all(after_email,
-           '\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{13,19}\b')) AS n_ccs,
+           '\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[2-6][0-9]{12,18}\b')) AS n_ccs,
        len(regexp_extract_all(after_cc,
            '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b')) AS n_ibans,
        len(regexp_extract_all(after_iban,
@@ -4867,10 +4902,20 @@ QUERIES: dict[str, QueryFn] = {
     # flagship + reference sync flow
     "curation_pipeline": q_curation_pipeline,
     "sync_pipeline": q_sync_pipeline,
-    # dedup family (X)
+    # dedup family (X) — r7 rotation: the r6 operators earn official
+    # driver rows (remove_dup_spans, incremental_dedup,
+    # incremental_embedding_dups, semantic_dedup, pack_sequences move
+    # into the window; the displaced long-stable relational rows
+    # distinct_keys / anti_join / semi_join / paginate / set_ops cover
+    # each other's machinery — membership_split replays anti+semi in
+    # one query — and all five stay verify_local-green past slot 50)
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "remove_dup_spans": q_remove_dup_spans,
+    "incremental_dedup": q_incremental_dedup,
+    "semantic_dedup": q_semantic_dedup,
+    "pack_sequences": q_pack_sequences,
     # similarity search family (X) — the two inherently-approximate ANN
     # variants (lsh_topk, ivf_topk) moved past slot 50 in r6: they are
     # un-certifiable by construction (err:"no_oracle" since r1) and the
@@ -4880,6 +4925,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk_np": q_cosine_topk_np,
     "ivf_full_probe": q_ivf_full_probe,
     "embedding_dups_exact": q_embedding_dups_exact,
+    "incremental_embedding_dups": q_incremental_embedding_dups,
     # text analysis family (X)
     "token_topk": q_token_topk,
     "text_stats": q_text_stats,
@@ -4897,10 +4943,7 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "count_distinct": q_count_distinct,
     "grouping_sets_sql": q_grouping_sets_sql,
-    "distinct_keys": q_distinct_keys,
     # joins
-    "anti_join": q_anti_join,
-    "semi_join": q_semi_join,
     "star_join": q_star_join,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -4908,8 +4951,6 @@ QUERIES: dict[str, QueryFn] = {
     "merge_upsert": q_merge_upsert,
     # order / pagination / set ops
     "top_customers": q_top_customers,
-    "paginate": q_paginate,
-    "set_ops": q_set_ops,
     # scalar functions (epoch_dates / bool_defaults / json_roundtrip
     # demoted past 50 in r5 — sync_pipeline's driver row exercises the
     # same scalar surface (epoch->date, bool/default coercion, to_json)
@@ -4954,6 +4995,12 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_stateful": q_streaming_stateful,
     # -- slots 51+: variants + remainder (verified via verify_local) --
+    # r7-displaced relational rows (see the dedup-family note above)
+    "distinct_keys": q_distinct_keys,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "paginate": q_paginate,
+    "set_ops": q_set_ops,
     "clean_text": q_clean_text,
     "grouped_counts": q_grouped_counts,
     "udtf_sentences": q_udtf_sentences,
@@ -4969,11 +5016,6 @@ QUERIES: dict[str, QueryFn] = {
     "window_range_frame": q_window_range_frame,
     "membership_split": q_membership_split,
     "simhash_near_pairs": q_simhash_near_pairs,
-    "remove_dup_spans": q_remove_dup_spans,
-    "incremental_dedup": q_incremental_dedup,
-    "incremental_embedding_dups": q_incremental_embedding_dups,
-    "semantic_dedup": q_semantic_dedup,
-    "pack_sequences": q_pack_sequences,
     "streaming_pii": q_streaming_pii,
     "streaming_decontam": q_streaming_decontam,
     "streaming_classify": q_streaming_classify,
@@ -4991,6 +5033,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_groups": q_simhash_groups,
     "cosine_topk": q_cosine_topk,
     "embedding_dups": q_embedding_dups,
+    "incremental_embedding_dups_banded": q_incremental_embedding_dups_banded,
     "lang_markers": q_lang_markers,
     "sessionize": q_sessionize,
     "hourly_rollup": q_hourly_rollup,

@@ -83,3 +83,26 @@ def test_contamination_stateless_equals_join_formulation(spark, sf_dir):
     b = sorted(map(tuple, decontam.ngram_contamination(train, ev, n=4).collect()))
     assert a == b
     assert "Exchange" not in explain.formatted_plan(stateless)
+
+
+def test_contamination_stateless_null_text_dropped_not_crashed(spark):
+    """A NULL-text record must not kill the scrub-on-ingest stage: it
+    is dropped, matching the batch twin where explode of the NULL gram
+    array emits no rows (ADVICE r6)."""
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"), (2, None), (3, "clean text here totally fine")],
+        "doc_id long, text string",
+    )
+    grams = decontam.collect_eval_grams(ev, n=4)
+    out = {r.doc_id: r for r in decontam.contamination_stateless(train, grams, n=4).collect()}
+    assert set(out) == {1, 3}
+    batch = {
+        r.doc_id: tuple(r)
+        for r in decontam.ngram_contamination(train, ev, n=4).collect()
+    }
+    assert set(batch) == {1, 3}
+    assert all(tuple(out[i]) == batch[i] for i in (1, 3))

@@ -91,3 +91,30 @@ def test_nb_closure_deployment_equals_batch(spark, sf_dir):
     closure_df = nb.classify_stateless(scored, model)
     assert sorted(map(tuple, closure_df.collect())) == batch
     assert "Exchange" not in explain.formatted_plan(closure_df)
+
+
+def test_nb_classify_stateless_null_text_dropped_not_crashed(spark):
+    """A NULL-text record must not kill the (streaming-deployable)
+    stateless scorer: it is dropped, matching the batch twin where
+    explode of the NULL token array emits no rows (ADVICE r6)."""
+    train = spark.createDataFrame(
+        [(10, "alpha alpha", "x"), (11, "beta beta", "y")],
+        "doc_id long, text string, lang string",
+    )
+    scored = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "beta")],
+        "doc_id long, text string",
+    )
+    model = nb.collect_nb_model(train)
+    out = {r.doc_id: r for r in nb.classify_stateless(scored, model).collect()}
+    assert set(out) == {1, 3}
+    batch = {
+        r.doc_id: r
+        for r in nb.naive_bayes_scores(scored, train=train).collect()
+    }
+    assert set(batch) == {1, 3}
+    assert all(
+        (out[i].predicted, out[i].best_score)
+        == (batch[i].predicted, batch[i].best_score)
+        for i in (1, 3)
+    )

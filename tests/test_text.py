@@ -84,9 +84,10 @@ def test_redact_pii_and_counts(spark):
         (1, "mail a.b+c@ex-ample.co.uk and 10.20.30.40 then 25-989-741-2988"),
         (2, "no pii here at all"),
         (3, "two mails x@y.io z@w.ai ip 1.2.3.4 tel 123-456-7890"),
-        (4, "card 1234-5678-9012-3456 or 1234567890123456 acct DE89370400440532013000"),
+        (4, "card 1234-5678-9012-3456 or 5234567890123456 acct DE89370400440532013000"),
         (5, "not a card 123-456 not an iban DE12short"),
         (6, "amex 378282246310005 visa13 4222222222222 id 12345678901234567890"),
+        (7, "ts 1723600000123 said 1234567890123456 done"),
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     e, cc, ib, p, i = text.pii_counts(F.col("t"))
@@ -117,6 +118,10 @@ def test_redact_pii_and_counts(spark):
     # redact; a 20-digit id is NOT a card and survives
     assert out[6].r == "amex <CC> visa13 <CC> id 12345678901234567890"
     assert (out[6].e, out[6].cc, out[6].ib, out[6].p, out[6].i) == (0, 2, 0, 0, 0)
+    # MII gate: 13-digit epoch-ms timestamps (leading 1) and other
+    # 0/1/7-9-prefixed long numeric ids are NOT cards and survive
+    assert out[7].r == "ts 1723600000123 said 1234567890123456 done"
+    assert (out[7].e, out[7].cc, out[7].ib, out[7].p, out[7].i) == (0, 0, 0, 0, 0)
 
 
 def test_chunk_documents_window_semantics(spark, tmp_path):
