@@ -179,6 +179,7 @@ def naive_bayes_scores(
     label_col: str = "lang",
     smoothing: float = 1.0,
     train: DataFrame | None = None,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Multinomial NB with additive ``smoothing``: score every document
     against every training class and return the argmax. One row per
@@ -193,7 +194,22 @@ def naive_bayes_scores(
     ``train=None`` trains on the scored frame itself; pass ``train``
     for the production split (classify fresh docs against a labeled
     reference corpus). Unseen tokens back off to the zero-count
-    smoothed likelihood of each class via the left join's NULL count.
+    smoothed likelihood of each class via a per-class backoff array.
+
+    Plan shape (pivoted, the module-header promise): the likelihood
+    table is pivoted to ONE row per token carrying an ARRAY of
+    per-class log2 likelihoods (class order = class name ascending),
+    so the corpus token stream is probed by a SINGLE join on the token
+    key — it is never multiplied x classes through a join. The rollup
+    then runs per (doc, class-position) with ordinary SUM, which
+    partial-aggregates map-side (tokens of a doc are co-located after
+    the explode, so the combiner collapses each doc to k rows BEFORE
+    the shuffle — a collect_list-of-arrays rollup would ship every
+    token's array through the exchange instead). The pivoted table is
+    vocab x k doubles; ``broadcast_model=True`` (default) broadcasts
+    it so the probe is exchange-free. For vocabularies past the
+    broadcast threshold pass False and the probe becomes one
+    token-keyed shuffle join with Zipf skew handled by AQE.
     """
     scored_toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
@@ -202,11 +218,14 @@ def naive_bayes_scores(
     tr_toks = ensure_parallelism(tr).select(
         F.col(label_col).alias("_cls"), F.explode(tokenize(F.col(text_col))).alias("_t")
     )
-    # likelihood table: one (class, token) count; class totals + vocab
-    # size + doc priors are tiny side aggregates that broadcast.
+    # likelihood counts: ONE (class, token)-keyed aggregation; class
+    # totals + vocab size + doc priors are tiny side aggregates. Every
+    # consumer below reuses the SAME ct / cmeta objects, so their
+    # shuffle/broadcast subtrees are plan-identical and Spark's
+    # ReuseExchange executes each once.
     ct = tr_toks.groupBy("_cls", "_t").agg(F.count("*").alias("_n"))
     totals = ct.groupBy("_cls").agg(F.sum("_n").alias("_tot"))
-    vocab = ct.select("_t").distinct().agg(F.count("*").alias("_vsz"))
+    vocab = ct.agg(F.count_distinct("_t").alias("_vsz"))
     priors = (
         tr.groupBy(F.col(label_col).alias("_cls"))
         .agg(F.count("*").alias("_docs"))
@@ -215,44 +234,78 @@ def naive_bayes_scores(
         )
         .select("_cls", (F.col("_docs") / F.col("_alldocs")).alias("_prior"))
     )
-    classes = priors.join(totals, "_cls").crossJoin(F.broadcast(vocab))
-    # every (token occurrence, class) pair: left join keeps unseen
-    # tokens (NULL count -> smoothed zero likelihood)
-    pairs = (
-        scored_toks.crossJoin(F.broadcast(classes.select("_cls")))
-        .join(ct, ["_cls", "_t"], "left")
-        .join(F.broadcast(classes), "_cls")
-    )
-    loglik = F.log2(
-        (F.coalesce(F.col("_n"), F.lit(0)) + F.lit(smoothing))
-        / (F.col("_tot") + F.lit(smoothing) * F.col("_vsz"))
-    )
-    per_class = (
-        pairs.groupBy(id_col, "_cls")
+    s = F.lit(float(smoothing))
+    # one-row class metadata, classes sorted ascending — the array
+    # POSITION is the class identity everywhere downstream.
+    cmeta = (
+        priors.join(totals, "_cls")
+        .crossJoin(F.broadcast(vocab))
         .agg(
-            F.count("*").alias("_ntok"),
-            F.sum(loglik).alias("_ll"),
-            F.first("_prior").alias("_prior"),
-        )
-        .select(
-            id_col,
-            "_cls",
-            F.round(
-                (F.log2("_prior") + F.col("_ll")) / F.col("_ntok"), 6
-            ).alias("_score"),
+            F.array_sort(
+                F.collect_list(F.struct("_cls", "_prior", "_tot", "_vsz"))
+            ).alias("_cm")
         )
     )
-    # deterministic argmax: score desc, class asc — the same
-    # row_number form the oracle replays
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("_cls"))
-    return (
-        per_class.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+    meta = cmeta.select(
+        F.transform("_cm", lambda c: c["_cls"]).alias("_classes"),
+        F.transform("_cm", lambda c: F.log2(c["_prior"])).alias("_lpriors"),
+        F.transform(
+            "_cm", lambda c: F.log2(s / (c["_tot"] + s * c["_vsz"]))
+        ).alias("_backoff"),
+    )
+    # pivoted likelihood table: token -> array of per-class log2
+    # likelihoods (missing (class, token) counts coalesce to the
+    # smoothed zero). vocab x k rows -> vocab rows of k-arrays.
+    tok_table = (
+        ct.groupBy("_t")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_cls", "_n"))).alias("_cn")
+        )
+        .crossJoin(F.broadcast(cmeta))
+        .select(
+            "_t",
+            F.transform(
+                "_cm",
+                lambda c: F.log2(
+                    (F.coalesce(F.element_at("_cn", c["_cls"]), F.lit(0)) + s)
+                    / (c["_tot"] + s * c["_vsz"])
+                ),
+            ).alias("_ll"),
+        )
+    )
+    probe = tok_table if not broadcast_model else F.broadcast(tok_table)
+    # ONE probe join per token occurrence; unseen tokens pick up the
+    # backoff array from the one-row broadcast meta.
+    per_tok = (
+        scored_toks.join(probe, "_t", "left")
+        .crossJoin(F.broadcast(meta.select("_backoff")))
         .select(
             id_col,
-            F.col("_cls").alias("predicted"),
-            F.col("_score").alias("best_score"),
+            F.posexplode(F.coalesce("_ll", "_backoff")).alias("_pos", "_l"),
         )
+    )
+    # rollup 1: per (doc, class-position) SUM — partial-aggregates
+    # map-side down to k rows per doc per partition before shuffling.
+    per_cls = per_tok.groupBy(id_col, "_pos").agg(
+        F.sum("_l").alias("_s"), F.count("*").alias("_ntok")
+    )
+    # rollup 2: reassemble the k per-class sums into position order
+    # (docs x k rows in, docs rows out — trivially small).
+    doc = per_cls.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_s"))), lambda x: x["_s"]
+        ).alias("_sums"),
+        F.first("_ntok").alias("_ntok"),
+    )
+    rounded = F.zip_with(
+        "_lpriors", "_sums", lambda p, x: F.round((p + x) / F.col("_ntok"), 6)
+    )
+    # first max position = lowest class index = class name asc — the
+    # same deterministic tie-break the oracle's row_number replays
+    return doc.crossJoin(F.broadcast(meta.select("_classes", "_lpriors"))).select(
+        id_col,
+        F.element_at(
+            "_classes", F.array_position(rounded, F.array_max(rounded)).cast("int")
+        ).alias("predicted"),
+        F.array_max(rounded).alias("best_score"),
     )

@@ -815,6 +815,24 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup_report(new, corpus, "doc_id", "text")
 
 
+def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20 persisted-corpus-state tier of the incremental screen: the
+    corpus's fingerprints, shingle base, and hash-order prefix table
+    are built ONCE (operators/dedup_state.py build_dedup_state) and
+    the batch is screened against the held state — the steady-state
+    ingest shape where the 100 TB side is never recomputed per batch.
+    The hash-order prefix filter is complete, so the report is
+    bit-identical to q_incremental_dedup and the SAME oracle replays
+    it (parity also pinned in test_dedup_state)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup_state
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    state = dedup_state.build_dedup_state(corpus, "doc_id", "text")
+    return dedup_state.screen_against_state(new, state)
+
+
 _ORACLE_INCREMENTAL_DEDUP = (
     "WITH basen AS ("
     + _SQL_TRIGRAM_BASE.format(src="(SELECT * FROM documents WHERE doc_id % 10 = 0)")
@@ -4995,6 +5013,9 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_stateful": q_streaming_stateful,
     # -- slots 51+: variants + remainder (verified via verify_local) --
+    # r7: persisted-state tier of the incremental screen — same report,
+    # same oracle as the in-window incremental_dedup row
+    "stateful_dedup": q_stateful_dedup,
     # r7-displaced relational rows (see the dedup-family note above)
     "distinct_keys": q_distinct_keys,
     "anti_join": q_anti_join,
@@ -5149,6 +5170,7 @@ ORACLES: dict[str, str] = {
     "dup_ngram_spans": _ORACLE_DUP_NGRAM_SPANS,
     "remove_dup_spans": _ORACLE_REMOVE_DUP_SPANS,
     "incremental_dedup": _ORACLE_INCREMENTAL_DEDUP,
+    "stateful_dedup": _ORACLE_INCREMENTAL_DEDUP,
     "incremental_embedding_dups": _ORACLE_INCREMENTAL_EMBEDDING_DUPS,
     "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
     "pii_redaction": _ORACLE_PII_REDACTION,

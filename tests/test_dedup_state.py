@@ -1,0 +1,73 @@
+"""Persisted-corpus-state incremental dedup (X20 state API): parity
+with the one-shot report, absorb semantics, save/load round-trip."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup
+from data_pipeline_bigquery_to_sftp_server_spark.operators.dedup_state import (
+    absorb_batch,
+    build_dedup_state,
+    load_dedup_state,
+    save_dedup_state,
+    screen_against_state,
+)
+
+
+def _canon(df):
+    pdf = df.toPandas().reindex(
+        ["doc_id", "exact_dup", "n_near_dups", "best_match_id", "best_jaccard"],
+        axis=1,
+    )
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_stateful_screen_matches_one_shot_report(spark, sf_dir):
+    """The hash-order prefix filter is complete, so the stateful
+    screen must be BIT-IDENTICAL to the df-ordered one-shot path."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    one_shot = _canon(dedup.incremental_dedup_report(new, corpus, "doc_id", "text"))
+    state = build_dedup_state(corpus, "doc_id", "text")
+    stateful = _canon(screen_against_state(new, state))
+    pd.testing.assert_frame_equal(one_shot, stateful)
+
+
+def test_absorb_then_rescreen_marks_exact_dups(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "totally novel content here"), (11, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    state = build_dedup_state(corpus, "doc_id", "text")
+    first = {r.doc_id: r.exact_dup for r in screen_against_state(batch, state).collect()}
+    assert first == {10: False, 11: True}
+    # absorb the accepted (non-dup) row; an identical later arrival is
+    # then an exact dup, without any corpus-side recompute
+    state2 = absorb_batch(state, batch.where(F.col("doc_id") == 10))
+    again = spark.createDataFrame(
+        [(20, "totally novel content here")], "doc_id long, text string"
+    )
+    out = screen_against_state(again, state2).collect()[0]
+    assert out.exact_dup is True
+    assert out.best_match_id == 10 and out.best_jaccard == 1.0
+
+
+def test_save_load_roundtrip(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    state = build_dedup_state(corpus, "doc_id", "text")
+    path = str(tmp_path / "state")
+    save_dedup_state(state, path)
+    loaded = load_dedup_state(spark, path)
+    assert (loaded.ngram, loaded.threshold) == (state.ngram, state.threshold)
+    pd.testing.assert_frame_equal(
+        _canon(screen_against_state(new, state)),
+        _canon(screen_against_state(new, loaded)),
+    )
