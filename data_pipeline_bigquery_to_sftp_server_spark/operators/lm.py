@@ -193,3 +193,75 @@ def bigram_nll_scores(
             F.round(F.avg(nll), 6).alias("mean_nll"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: corpus-level pointwise mutual information
+    over adjacent token pairs —
+
+        pmi(a, b) = log2( P(a b) / (P(a) * P(b)) )
+
+    with P(a b) = bigram count / total bigrams and P(.) = unigram
+    count / total tokens. High-PMI pairs are the corpus's multi-word
+    expressions ("new york", "machine learning") — the statistic
+    behind phrase detection in word2vec's preprocessing (Mikolov et
+    al. 2013) and a standard input to tokenizer-merge and stop-phrase
+    curation in LLM data pipelines. Returns one row per surviving
+    bigram: ``(w1, w2, n_ab, pmi)`` with pmi rounded to 6dp;
+    ``min_count`` drops the unstable low-frequency tail (PMI's known
+    bias toward hapax pairs).
+
+    Plan shape at 100 TB: the corpus is tokenized ONCE (per-doc arrays
+    tracked-persisted — same storage trade as the LM scorers above);
+    unigram and bigram counts are each one map-side-combinable
+    aggregation over an explode of those arrays, the corpus totals are
+    a one-row agg, and the final PMI math joins the (min_count-pruned,
+    vocabulary-sized) bigram table to the unigram table twice on the
+    token key. Corpus text never shuffles — only counts do.
+    """
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    toks = persist_tracked(
+        ensure_parallelism(df)
+        .select(tokenize(F.col(text_col)).alias("_ta"))
+        .where(F.col("_ta").isNotNull())
+    )
+    uni = toks.select(F.explode("_ta").alias("_w")).groupBy("_w").agg(
+        F.count("*").alias("_c")
+    )
+    bi = (
+        toks.select(F.explode(_bigram_structs(F.col("_ta"))).alias("_bg"))
+        .select(F.col("_bg._prev").alias("w1"), F.col("_bg._cur").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    # totals BEFORE the min_count prune: probabilities are over the
+    # whole corpus, the prune only limits which pairs are reported
+    totals = toks.agg(
+        F.sum(F.size("_ta")).alias("_nu"),
+        F.sum(F.greatest(F.size("_ta") - F.lit(1), F.lit(0))).alias("_nb"),
+    )
+    ua = uni.select(F.col("_w").alias("w1"), F.col("_c").alias("_ca"))
+    ub = uni.select(F.col("_w").alias("w2"), F.col("_c").alias("_cb"))
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log2(
+                    (F.col("n_ab") / F.col("_nb"))
+                    / ((F.col("_ca") / F.col("_nu")) * (F.col("_cb") / F.col("_nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -106,3 +106,77 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )
+
+
+def tfidf_doc_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Lexical near-duplicate / similar-document pairs by TF-IDF
+    cosine: every unordered doc pair whose cosine similarity over
+    tf*idf-weighted token vectors meets ``threshold``. Complements the
+    Jaccard family (set overlap, frequency-blind) with a
+    frequency-AWARE lexical similarity — two docs sharing many rare
+    terms rank far above two docs sharing boilerplate — and the
+    embedding family with a model-free signal. Returns
+    ``(id_a, id_b, cos_sim)`` with id_a < id_b and cos rounded to 6dp.
+
+    Weights: ``w(d, t) = tf(d, t) * log2(N / df(t))``. Tokens present
+    in more than ``max_df_frac`` of documents are dropped BEFORE
+    weighting (and excluded from norms): the standard sklearn-style
+    ``max_df`` cut. That prune is also the scale guard — the pair
+    join is token-keyed, and its blowup is driven by exactly the
+    high-df tokens the cut removes (a token in f docs contributes
+    f^2/2 candidate pairs; capping f/N caps the quadratic term). The
+    near-ubiquitous tokens it drops carry idf ~ 0 anyway.
+
+    Plan shape at 100 TB: one corpus tokenize -> (doc, token, tf)
+    aggregation; df + N are aggregates of THAT table (never a second
+    corpus scan — the weighted table is tracked-persisted since the
+    norm branch and the pair join both read it); per-doc norms are a
+    doc-keyed rollup; the pair join shuffles only df-pruned weighted
+    postings on the token key, and the dot-product rollup is
+    map-side-combinable (SUM over (id_a, id_b)).
+    """
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("_t")
+    )
+    tf = toks.groupBy("_id", "_t").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    n_docs = tf.agg(F.count_distinct("_id").alias("_nd"))
+    weighted = persist_tracked(
+        tf.join(dfreq, "_t")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("_df") <= F.lit(float(max_df_frac)) * F.col("_nd"))
+        .select(
+            "_id",
+            "_t",
+            (F.col("_tf") * F.log2(F.col("_nd") / F.col("_df"))).alias("_w"),
+        )
+    )
+    norms = weighted.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
+    )
+    dots = (
+        weighted.alias("a")
+        .join(
+            weighted.alias("b"),
+            (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.sum(F.col("a._w") * F.col("b._w")).alias("_dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("_norm").alias("_na"))
+    nb_ = norms.select(F.col("_id").alias("id_b"), F.col("_norm").alias("_nb"))
+    cos = F.col("_dot") / (F.col("_na") * F.col("_nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb_, "id_b")
+        .where(cos >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+    )

@@ -2678,6 +2678,89 @@ FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24 collocation mining, ORACLE-CHECKED: top-100 adjacent token
+    pairs by corpus-level pointwise mutual information (min bigram
+    count 5, pmi rounded to 6dp before ranking; ties on the words) —
+    the phrase-detection statistic of word2vec preprocessing, used for
+    tokenizer-merge and stop-phrase curation
+    (operators/lm.py pmi_collocations)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        lm.pmi_collocations(d, "text", min_count=5)
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(100)
+    )
+
+
+_ORACLE_PMI_COLLOCATIONS = r"""
+WITH t AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), bg AS (
+  SELECT unnest(list_transform(w[2:], (x,i) -> w[i] || ' ' || x)) AS g FROM t
+), uc AS (
+  SELECT tok, count(*) AS c FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok
+), bc AS (
+  SELECT g, count(*) AS n FROM bg GROUP BY g HAVING count(*) >= 5
+), s AS (
+  SELECT (SELECT count(*) FROM (SELECT unnest(w) FROM t)) AS nu,
+         (SELECT count(*) FROM bg) AS nb
+)
+SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, n AS n_ab,
+       round(log2((n / CAST(s.nb AS DOUBLE))
+                  / ((ua.c / CAST(s.nu AS DOUBLE)) * (ub.c / CAST(s.nu AS DOUBLE)))), 6) AS pmi
+FROM bc
+JOIN uc ua ON ua.tok = split_part(g, ' ', 1)
+JOIN uc ub ON ub.tok = split_part(g, ' ', 2)
+CROSS JOIN s
+ORDER BY pmi DESC, w1, w2 LIMIT 100
+"""
+
+
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25 frequency-aware lexical similarity, ORACLE-CHECKED: all doc
+    pairs with TF-IDF cosine >= 0.35 (max_df cut at 50%) — the sparse
+    sibling of the embedding near-dup screen and the tf-aware
+    complement of the Jaccard family; the whole weighting (tf, df,
+    idf, norms, token-keyed dot product) is relational, so DuckDB
+    replays it exactly (operators/retrieval.py tfidf_doc_pairs)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import retrieval
+
+    d = load_table(spark, sf_dir, "documents")
+    return retrieval.tfidf_doc_pairs(d, "doc_id", "text", threshold=0.35)
+
+
+_ORACLE_TFIDF_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok
+), dfq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tf
+), w AS (
+  SELECT doc_id, tok, tf * log2(CAST(nd.n AS DOUBLE) / dfq.df) AS w
+  FROM tf JOIN dfq USING (tok) CROSS JOIN nd
+  WHERE dfq.df <= 0.5 * nd.n
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+), d AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, round(dot / (x.nrm * y.nrm), 6) AS cos_sim
+FROM d JOIN nrm x ON x.doc_id = d.id_a JOIN nrm y ON y.doc_id = d.id_b
+WHERE dot / (x.nrm * y.nrm) >= 0.35
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X11 sketch-then-verify heavy hitters: vectorized per-batch
     frequency-threshold candidate generation (token stream never
@@ -5016,6 +5099,9 @@ QUERIES: dict[str, QueryFn] = {
     # r7: persisted-state tier of the incremental screen — same report,
     # same oracle as the in-window incremental_dedup row
     "stateful_dedup": q_stateful_dedup,
+    # r7 new operators (oracle-green via verify_local)
+    "pmi_collocations": q_pmi_collocations,
+    "tfidf_pairs": q_tfidf_pairs,
     # r7-displaced relational rows (see the dedup-family note above)
     "distinct_keys": q_distinct_keys,
     "anti_join": q_anti_join,
@@ -5176,6 +5262,8 @@ ORACLES: dict[str, str] = {
     "pii_redaction": _ORACLE_PII_REDACTION,
     "heavy_hitters": _ORACLE_HEAVY_HITTERS,
     "bm25_topk": _ORACLE_BM25_TOPK,
+    "pmi_collocations": _ORACLE_PMI_COLLOCATIONS,
+    "tfidf_pairs": _ORACLE_TFIDF_PAIRS,
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
     # stateless streaming projection == the batch projection
     "streaming_pii": _ORACLE_PII_REDACTION,

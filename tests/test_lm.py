@@ -100,3 +100,40 @@ def test_unigram_nll_foreign_corpus_with_unseen_fallback(spark):
     p_unseen = (0 + 0.5) / (5 + 0.5 * 2)
     want = round((-math.log2(p_a) - math.log2(p_unseen)) / 2, 6)
     assert out[0].n_tokens == 2 and out[0].mean_nll == want
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """Four docs: 'new york' always adjacent (a true collocation);
+    'the cat' adjacent only once among many 'the'/'cat' uses."""
+    df = spark.createDataFrame(
+        [
+            (1, "new york is big the cat sat"),
+            (2, "new york has the subway the cat"),
+            (3, "in new york the people the cat ran"),
+            (4, "new york new york the end"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.w1, r.w2): (r.n_ab, r.pmi) for r in
+           lm.pmi_collocations(df, min_count=2).collect()}
+    assert ("new", "york") in out
+    n_uni = sum(len(t.split()) for _, t in
+                [(1, "new york is big the cat sat"),
+                 (2, "new york has the subway the cat"),
+                 (3, "in new york the people the cat ran"),
+                 (4, "new york new york the end")])
+    n_bi = n_uni - 4
+    n_ab, pmi = out[("new", "york")]
+    assert n_ab == 5
+    want = round(math.log2((5 / n_bi) / ((5 / n_uni) * (5 / n_uni))), 6)
+    assert pmi == want
+    # every reported pair respects min_count
+    assert all(n >= 2 for n, _ in out.values())
+
+
+def test_pmi_collocations_null_text_ignored(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, None)], "doc_id long, text string"
+    )
+    out = lm.pmi_collocations(df, min_count=3).collect()
+    assert {(r.w1, r.w2) for r in out} == {("a", "b")}
