@@ -97,6 +97,9 @@ HEADLINE = [
     "embedding_dups_exact",
     "embedding_dups",
     "lsh_topk",
+    "stateful_dedup",
+    "pmi_collocations",
+    "tfidf_pairs",
 ]
 
 

@@ -274,35 +274,56 @@ def naive_bayes_scores(
         )
     )
     probe = tok_table if not broadcast_model else F.broadcast(tok_table)
-    # ONE probe join per token occurrence; unseen tokens pick up the
-    # backoff array from the one-row broadcast meta.
-    per_tok = (
-        scored_toks.join(probe, "_t", "left")
-        .crossJoin(F.broadcast(meta.select("_backoff")))
-        .select(
-            id_col,
-            F.posexplode(F.coalesce("_ll", "_backoff")).alias("_pos", "_l"),
-        )
+    # ONE probe join per token occurrence. posexplode_OUTER keeps
+    # unseen tokens (null _ll) as a single null-position row — they
+    # need no per-token class array, only a COUNT: each contributes
+    # the same backoff log-likelihood to every class, applied once at
+    # the doc level as _nun * backoff[c]. Seen tokens explode to k
+    # narrow rows; both rollups partial-aggregate map-side (tokens of
+    # a doc are co-located after the explode).
+    per_tok = scored_toks.join(probe, "_t", "left").select(
+        id_col, F.posexplode_outer("_ll").alias("_pos", "_l")
     )
-    # rollup 1: per (doc, class-position) SUM — partial-aggregates
-    # map-side down to k rows per doc per partition before shuffling.
     per_cls = per_tok.groupBy(id_col, "_pos").agg(
-        F.sum("_l").alias("_s"), F.count("*").alias("_ntok")
+        F.sum("_l").alias("_s"), F.count("*").alias("_n")
     )
-    # rollup 2: reassemble the k per-class sums into position order
-    # (docs x k rows in, docs rows out — trivially small).
+    # reassemble the k per-class sums into position order; the
+    # null-position group carries the unseen-token count. Seen tokens
+    # appear once per position, so the pos-0 count is the seen count.
     doc = per_cls.groupBy(id_col).agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("_pos", "_s"))), lambda x: x["_s"]
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_pos").isNotNull(), F.struct("_pos", "_s"))
+                )
+            ),
+            lambda x: x["_s"],
         ).alias("_sums"),
-        F.first("_ntok").alias("_ntok"),
+        F.sum(F.when(F.col("_pos").isNull(), F.col("_n")).otherwise(F.lit(0))).alias(
+            "_nun"
+        ),
+        F.coalesce(F.max(F.when(F.col("_pos") == 0, F.col("_n"))), F.lit(0)).alias(
+            "_nseen"
+        ),
     )
-    rounded = F.zip_with(
-        "_lpriors", "_sums", lambda p, x: F.round((p + x) / F.col("_ntok"), 6)
+    ntok = F.col("_nseen") + F.col("_nun")
+    rounded = F.transform(
+        "_lpriors",
+        lambda p, i: F.round(
+            (
+                p
+                # try_: the all-unseen doc has an EMPTY _sums array
+                + F.coalesce(F.try_element_at("_sums", i + F.lit(1)), F.lit(0.0))
+                + F.col("_nun") * F.element_at("_backoff", i + F.lit(1))
+            )
+            / ntok,
+            6,
+        ),
     )
     # first max position = lowest class index = class name asc — the
-    # same deterministic tie-break the oracle's row_number replays
-    return doc.crossJoin(F.broadcast(meta.select("_classes", "_lpriors"))).select(
+    # same deterministic tie-break the oracle's row_number replays;
+    # the one-row meta broadcast is the ONLY class-metadata consumer.
+    return doc.crossJoin(F.broadcast(meta)).select(
         id_col,
         F.element_at(
             "_classes", F.array_position(rounded, F.array_max(rounded)).cast("int")

@@ -118,3 +118,21 @@ def test_nb_classify_stateless_null_text_dropped_not_crashed(spark):
         == (batch[i].predicted, batch[i].best_score)
         for i in (1, 3)
     )
+
+
+def test_nb_all_unseen_doc_scores_backoff_only(spark):
+    """A doc whose EVERY token is unseen exercises the empty-sums
+    path: score = (log2 prior + n * backoff[c]) / n for each class."""
+    import math
+
+    train = spark.createDataFrame(
+        [(10, "alpha alpha", "x"), (11, "beta", "y")],
+        "doc_id long, text string, lang string",
+    )
+    scored = spark.createDataFrame([(1, "zzz qqq")], "doc_id long, text string")
+    out = nb.naive_bayes_scores(scored, train=train).collect()[0]
+    # counts: x: alpha=2 (tot 2), y: beta=1 (tot 1); vocab=2; priors 1/2 each
+    sx = (math.log2(0.5) + 2 * math.log2(1.0 / (2 + 2))) / 2
+    sy = (math.log2(0.5) + 2 * math.log2(1.0 / (1 + 2))) / 2
+    assert out.predicted == ("x" if round(sx, 6) > round(sy, 6) else "y")
+    assert out.best_score == round(max(sx, sy), 6)
