@@ -44,7 +44,7 @@ def oracle_sql() -> dict[str, str]:
     (pack_sequences / assemble_bins) IS oracle-checked since r6: the
     deterministic first-fit-decreasing state machine is replayed in
     SQL by a recursive CTE carrying the open-bin remainder list. ALL
-    seven streaming queries run to completion and ARE oracle-checked
+    eight streaming queries run to completion and ARE oracle-checked
     against batch SQL — including streaming_session, whose append-mode
     sink deterministically emits exactly the watermark-closed sessions
     (gaps-and-islands CTE oracle)."""

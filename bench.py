@@ -100,6 +100,7 @@ HEADLINE = [
     "stateful_dedup",
     "pmi_collocations",
     "tfidf_pairs",
+    "streaming_incremental_dedup",
 ]
 
 

@@ -230,6 +230,42 @@ def screen_against_state(
     )
 
 
+def exact_screen_stream(stream: DataFrame, state: DedupState) -> DataFrame:
+    """Exact-dup screen-on-ingest as a STREAMING stage: each arriving
+    document's content fingerprint probes the held corpus state via a
+    stream-static LEFT OUTER join (stream left, static right — a
+    stateless per-micro-batch join in Structured Streaming, so the
+    stage runs in append mode with no watermark or state store).
+    Output is one row per arriving doc: ``(id_col, exact_dup)`` — the
+    streaming lift of :func:`screen_against_state`'s exact_dup column,
+    bit-identical to the batch twin (same oracle).
+
+    Scale shape: unlike the X17/X22 closure deployments (eval grams,
+    NB model — bounded by contract), the corpus fingerprint set here is
+    the UNBOUNDED side, so it is NOT collected: it stays a distributed
+    static frame, deduplicated once and persisted by
+    :func:`build_dedup_state`'s tracked persist, and the per-trigger
+    join re-exchanges only the arriving micro-batch. Near-dup stats
+    stay in the batch path (:func:`screen_against_state`) — Jaccard
+    candidate generation needs the corpus-side prefix join, which is
+    not a stateless stream stage.
+
+    Reference: the per-run new-vs-existing key screen
+    (main.py existing-ids membership) lifted to ingest time.
+    """
+    # distinct-ify the append-only fp store so the LEFT OUTER join
+    # cannot multiply stream rows (the batch path's semi join is
+    # immune; outer joins are not).
+    probe = state.fingerprints.dropDuplicates(["_fp"]).withColumn("_e", F.lit(1))
+    fp = stream.select(
+        F.col(state.id_col),
+        F.xxhash64(normalize_text(F.col(state.text_col))).alias("_fp"),
+    )
+    return fp.join(probe, "_fp", "left").select(
+        state.id_col, F.col("_e").isNotNull().alias("exact_dup")
+    )
+
+
 def absorb_batch(
     state: DedupState, accepted: DataFrame, persist: bool = True
 ) -> DedupState:

@@ -3185,6 +3185,48 @@ def q_streaming_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7+X20 composition, ORACLE-CHECKED: exact-dedup screen-on-ingest
+    as a stream. The corpus dedup state is built once batch-side
+    (operators/dedup_state.py build_dedup_state), then the incoming
+    docs (doc_id % 10 == 0) arrive as a file stream and each
+    micro-batch probes the state's DISTRIBUTED fingerprint frame via a
+    stream-static left outer join — stateless, append-mode, and unlike
+    the X17/X22 closure deployments the corpus side is never collected
+    (it is the unbounded side of this operator). The sink holds
+    exactly the batch twin's exact_dup column: the same membership
+    semantics the oracle replays for q_incremental_dedup /
+    q_stateful_dedup, restricted to (doc_id, exact_dup)."""
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup_state
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    d = load_table(spark, sf_dir, "documents")
+    state = dedup_state.build_dedup_state(d.where(F.col("doc_id") % 10 != 0), "doc_id", "text")
+    path, schema = _events_stream_src(spark, sf_dir, table="documents")
+    stream = W.read_events_stream(spark, path, schema, max_files_per_trigger=4)
+    screened = dedup_state.exact_screen_stream(
+        stream.where(F.col("doc_id") % 10 == 0), state
+    )
+    name = f"q_incdedup_stream_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(screened, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
+_ORACLE_STREAMING_INCREMENTAL_DEDUP = r"""
+WITH cfp AS (
+  SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
+  FROM documents WHERE doc_id % 10 != 0
+)
+SELECT d.doc_id,
+       trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')) IN (SELECT nm FROM cfp) AS exact_dup
+FROM documents d
+WHERE d.doc_id % 10 = 0
+"""
+
+
 _ORACLE_PII_REDACTION = r"""
 WITH t AS (
   SELECT c_custkey,
@@ -5042,16 +5084,12 @@ QUERIES: dict[str, QueryFn] = {
     # aggregation (grouped_counts demoted in r6 — pricing_summary holds
     # the grouped-agg surface in-window; slot funds nb_classify below)
     "pricing_summary": q_pricing_summary,
-    "count_distinct": q_count_distinct,
-    "grouping_sets_sql": q_grouping_sets_sql,
-    # joins
+    # joins (merge_upsert demoted in r7 — streaming_upsert's driver row
+    # IS the same MERGE machinery via foreachBatch; verify_local-green)
     "star_join": q_star_join,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "salted_join": q_salted_join,
-    "merge_upsert": q_merge_upsert,
-    # order / pagination / set ops
-    "top_customers": q_top_customers,
     # scalar functions (epoch_dates / bool_defaults / json_roundtrip
     # demoted past 50 in r5 — sync_pipeline's driver row exercises the
     # same scalar surface (epoch->date, bool/default coercion, to_json)
@@ -5087,7 +5125,21 @@ QUERIES: dict[str, QueryFn] = {
     "recipe_pipeline": q_recipe_pipeline,
     "lm_scores_bigram": q_lm_scores_bigram,
     "nb_classify": q_nb_classify,
-    # streaming (all seven)
+    # r7 operators promoted to official driver rows: the persisted-
+    # state tier of the incremental screen (same report + oracle as the
+    # in-window incremental_dedup row, so the window certifies the
+    # one-shot/stateful parity directly), PMI collocation mining, and
+    # TF-IDF cosine doc pairs. Displaced: count_distinct /
+    # grouping_sets_sql (pricing_summary holds the agg family),
+    # merge_upsert (streaming_upsert's row runs the same MERGE via
+    # foreachBatch), top_customers (ordering/top-k rides window_suite,
+    # bm25_topk, cosine_topk_np) — all four verify_local-green.
+    "stateful_dedup": q_stateful_dedup,
+    "pmi_collocations": q_pmi_collocations,
+    "tfidf_pairs": q_tfidf_pairs,
+    # streaming (all eight — streaming_incremental_dedup is the r7
+    # X7+X20 composition: screen-on-ingest exact dedup via a
+    # stream-static join against the held corpus state)
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
     "streaming_session": q_streaming_session,
@@ -5095,14 +5147,14 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_upsert": q_streaming_upsert,
     "streaming_dedup": q_streaming_dedup,
     "streaming_stateful": q_streaming_stateful,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
     # -- slots 51+: variants + remainder (verified via verify_local) --
-    # r7: persisted-state tier of the incremental screen — same report,
-    # same oracle as the in-window incremental_dedup row
-    "stateful_dedup": q_stateful_dedup,
-    # r7 new operators (oracle-green via verify_local)
-    "pmi_collocations": q_pmi_collocations,
-    "tfidf_pairs": q_tfidf_pairs,
-    # r7-displaced relational rows (see the dedup-family note above)
+    # r7-displaced rows (see the window notes above)
+    "count_distinct": q_count_distinct,
+    "grouping_sets_sql": q_grouping_sets_sql,
+    "merge_upsert": q_merge_upsert,
+    "top_customers": q_top_customers,
+    # earlier-displaced relational rows (see the dedup-family note)
     "distinct_keys": q_distinct_keys,
     "anti_join": q_anti_join,
     "semi_join": q_semi_join,
@@ -5304,6 +5356,7 @@ ORACLES: dict[str, str] = {
     "streaming_sliding": _ORACLE_STREAMING_SLIDING,
     "streaming_dedup": _ORACLE_STREAMING_DEDUP,
     "streaming_stateful": _ORACLE_STREAMING_STATEFUL,
+    "streaming_incremental_dedup": _ORACLE_STREAMING_INCREMENTAL_DEDUP,
     # append mode emits exactly the watermark-closed sessions, which is
     # deterministic once the stream is driven to completion — replayed
     # as a gaps-and-islands CTE + watermark filter.

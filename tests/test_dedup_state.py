@@ -71,3 +71,42 @@ def test_save_load_roundtrip(spark, sf_dir, tmp_path):
         _canon(screen_against_state(new, state)),
         _canon(screen_against_state(new, loaded)),
     )
+
+
+def test_exact_screen_stream_matches_batch_twin(spark, sf_dir):
+    """The streaming exact screen (stream-static left outer join
+    against the state's distributed fingerprint frame) must emit, once
+    drained, exactly the batch screen's (doc_id, exact_dup) column —
+    including exact_dup=True rows for corpus-duplicated content."""
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.dedup_state import (
+        exact_screen_stream,
+    )
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    state = build_dedup_state(corpus, "doc_id", "text")
+    batch = (
+        screen_against_state(new, state)
+        .select("doc_id", "exact_dup")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import _events_stream_src
+
+    path, schema = _events_stream_src(spark, sf_dir, table="documents")
+    stream = W.read_events_stream(
+        spark, path, schema, max_files_per_trigger=4
+    ).where(F.col("doc_id") % 10 == 0)
+    name = f"t_incdedup_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(exact_screen_stream(stream, state), name, output_mode="append")
+    q.stop()
+    streamed = (
+        spark.table(name).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batch, streamed)
+    assert bool(streamed["exact_dup"].any()) == bool(batch["exact_dup"].any())
