@@ -101,6 +101,7 @@ HEADLINE = [
     "pmi_collocations",
     "tfidf_pairs",
     "streaming_incremental_dedup",
+    "importance_resample",
 ]
 
 

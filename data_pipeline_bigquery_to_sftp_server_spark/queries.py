@@ -4643,6 +4643,68 @@ GROUP BY doc_id
 """
 
 
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 DSIR-style data selection, ORACLE-CHECKED: every non-src0
+    document is scored by the summed per-token ln-likelihood ratio
+    between a unigram LM trained on the src0 "target domain" sample
+    and one trained on the raw pool itself, then k=100 docs are drawn
+    without replacement ∝ their importance weight via the Gumbel
+    top-k trick — with the Gumbel noise a pure function of
+    (doc_id, salt) through the engine-portable md5 uniform, so DuckDB
+    replays the EXACT selection: same weights (6dp), same keys, same
+    100 documents, same ranks (operators/dsir.py)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dsir
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.where(F.col("source") == "src0")
+    raw = d.where(F.col("source") != "src0")
+    out = dsir.importance_resample(
+        raw, target, k=100, id_col="doc_id", text_col="text", salt="dsir1"
+    )
+    return out.select(
+        "doc_id", "n_tokens", "log_w", "sel_key", F.col("rank").alias("sel_rank")
+    )
+
+
+_ORACLE_IMPORTANCE_RESAMPLE = r"""
+WITH rtoks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents WHERE source <> 'src0'
+), ttoks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents WHERE source = 'src0'
+), tv AS (
+  SELECT t, count(*) AS tn FROM ttoks GROUP BY t
+), rv AS (
+  SELECT t, count(*) AS rn FROM rtoks GROUP BY t
+), s AS (
+  SELECT (SELECT count(*) FROM (SELECT t FROM tv UNION SELECT t FROM rv)) AS vsz,
+         (SELECT sum(tn) FROM tv) AS ttot,
+         (SELECT sum(rn) FROM rv) AS rtot
+), w AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(sum(ln((coalesce(tv.tn, 0) + 0.5) / (s.ttot + 0.5 * s.vsz))
+                   - ln((rv.rn + 0.5) / (s.rtot + 0.5 * s.vsz))), 6) AS log_w
+  FROM rtoks LEFT JOIN tv USING (t) JOIN rv USING (t) CROSS JOIN s
+  GROUP BY doc_id
+), g AS (
+  SELECT doc_id, n_tokens, log_w,
+         round(log_w + -ln(-ln(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir1'), 1, 12))::BIGINT)::DOUBLE
+           / 281474976710656.0)), 6) AS sel_key
+  FROM w
+)
+SELECT doc_id, n_tokens, log_w, sel_key, CAST(sel_rank AS INT) AS sel_rank
+FROM (
+  SELECT doc_id, n_tokens, log_w, sel_key,
+         row_number() OVER (ORDER BY sel_key DESC, doc_id ASC) AS sel_rank
+  FROM g
+)
+WHERE sel_rank <= 100
+"""
+
+
 def q_lm_scores_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X15 production shape, ORACLE-CHECKED: the unigram LM is trained
     on one split (doc_id % 20 != 0) and SCORES the other (doc_id % 20
@@ -5149,6 +5211,8 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_stateful": q_streaming_stateful,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     # -- slots 51+: variants + remainder (verified via verify_local) --
+    # r7 late additions (oracle-green via verify_local; next rotation)
+    "importance_resample": q_importance_resample,
     # r7-displaced rows (see the window notes above)
     "count_distinct": q_count_distinct,
     "grouping_sets_sql": q_grouping_sets_sql,
@@ -5344,6 +5408,7 @@ ORACLES: dict[str, str] = {
     "mixture_sample": _ORACLE_MIXTURE_SAMPLE,
     "mixture_upsample": _ORACLE_MIXTURE_UPSAMPLE,
     "lm_scores": _ORACLE_LM_SCORES,
+    "importance_resample": _ORACLE_IMPORTANCE_RESAMPLE,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
     "lm_scores_bigram": _ORACLE_LM_SCORES_BIGRAM,
     "nb_classify": _ORACLE_NB_CLASSIFY,
