@@ -102,6 +102,8 @@ HEADLINE = [
     "tfidf_pairs",
     "streaming_incremental_dedup",
     "importance_resample",
+    "ccnet_buckets",
+    "vocab_coverage",
 ]
 
 

@@ -265,3 +265,105 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    smoothing: float = 0.5,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. §4.3): documents
+    are ranked per language by LM score and cut into ``n_buckets``
+    equal-population buckets — bucket 1 ("head") is the most fluent
+    third, bucket ``n`` ("tail") the least; CCNet publishes the corpus
+    partitioned this way so consumers pick their quality/volume
+    trade-off instead of a fixed threshold.
+
+    Returns one row per token-bearing doc:
+    ``(id_col, lang_col, n_tokens, mean_nll, bucket)``. Ranking uses
+    ``ntile`` over (mean_nll rounded 6dp, id) — fully deterministic,
+    engine-portable (DuckDB's ntile has identical semantics), so the
+    whole partition is oracle-replayable.
+
+    Scale: the per-lang ntile is ONE window over doc-level rows (one
+    row per document, not per token — the shuffle key is the language,
+    and doc-level cardinality is what windows are sized for). Skewed
+    language distribution (English ≫ rest) makes the en partition
+    large; CCNet itself shards by language before ranking, and at
+    100 TB the same applies — run per-language if one language's
+    doc-level rows exceed a partition. LM choice follows
+    unigram_nll_scores: self-trained by default, reference-corpus via
+    ``train``.
+    """
+    from pyspark.sql.window import Window
+
+    scores = unigram_nll_scores(df, id_col, text_col, smoothing, train=train)
+    langs = df.select(F.col(id_col), F.col(lang_col))
+    w = Window.partitionBy(lang_col).orderBy(F.asc("mean_nll"), F.asc(id_col))
+    return (
+        scores.join(langs, id_col)
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        .select(id_col, lang_col, "n_tokens", "mean_nll", "bucket")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    coverage: float = 0.8,
+    min_count: int = 1,
+) -> DataFrame:
+    """Tokenizer-prep vocabulary table: the smallest frequency-ranked
+    token prefix covering ``coverage`` of the corpus token mass — the
+    standard first step of vocabulary construction (word-level vocab
+    cut, wordpiece seed vocabulary, coverage-vs-size curves for
+    choosing |V|). Returns ``(token, n, tok_rank, cum_share)`` for
+    every token whose cumulative mass BEFORE it is still under the
+    target (so the result always reaches >= coverage), ranked by
+    (count desc, token asc).
+
+    The cut condition compares exact integer ratios ((cum - n) / N) —
+    no float rounding can move the boundary between engines; cum_share
+    is rounded 6dp for output only.
+
+    Scale: counts are one token-keyed aggregation (map-side
+    combinable). The ranking window is GLOBAL but runs over the
+    VOCABULARY, not the corpus — with a Zipf vocabulary and a
+    ``min_count`` cut (hapaxes can never enter a sub-100% coverage
+    prefix at corpus scale; cut them before the sort) the ranked frame
+    is millions of rows, a single-partition sort Spark handles
+    routinely. For corpora where even that overflows, pre-filter with
+    a count threshold from a first pass (sketch.py's heavy-hitter
+    two-pass is the same discipline).
+    """
+    from pyspark.sql.window import Window
+
+    counts_all = (
+        ensure_parallelism(df)
+        .select(F.explode(tokenize(F.col(text_col))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").alias("_n"))
+    )
+    # coverage is of the FULL corpus token mass — the min_count cut
+    # shrinks the ranked frame, never the denominator
+    total = counts_all.agg(F.sum("_n").alias("_tot"))
+    counts = counts_all.where(F.col("_n") >= int(min_count))
+    order = [F.desc("_n"), F.asc("_t")]
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_rank = Window.orderBy(*order)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_cum", F.sum("_n").over(w_cum))
+        .withColumn("tok_rank", F.row_number().over(w_rank))
+        .where((F.col("_cum") - F.col("_n")) / F.col("_tot") < F.lit(float(coverage)))
+        .select(
+            F.col("_t").alias("token"),
+            F.col("_n").alias("n"),
+            "tok_rank",
+            F.round(F.col("_cum") / F.col("_tot"), 6).alias("cum_share"),
+        )
+    )

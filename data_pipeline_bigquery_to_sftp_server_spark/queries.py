@@ -4643,6 +4643,77 @@ GROUP BY doc_id
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 CCNet head/middle/tail partition, ORACLE-CHECKED: per-doc
+    unigram-LM scores cut into three equal-population buckets PER
+    LANGUAGE by deterministic ntile over (mean_nll, doc_id) — the
+    published CCNet corpus layout, where consumers choose the
+    quality/volume trade-off by bucket instead of a fixed perplexity
+    threshold (operators/lm.py perplexity_buckets). DuckDB's ntile has
+    identical semantics, so the oracle replays every doc's bucket."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm
+
+    d = load_table(spark, sf_dir, "documents")
+    return lm.perplexity_buckets(d, "doc_id", "text", "lang", n_buckets=3)
+
+
+_ORACLE_CCNET_BUCKETS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+), v AS (
+  SELECT t, count(*) AS n FROM toks GROUP BY t
+), s AS (
+  SELECT sum(n) AS N, count(*) AS V FROM v
+), sc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(avg(-log2((v.n + 0.5) / (s.N + 0.5 * s.V))), 6) AS mean_nll
+  FROM toks JOIN v USING (t) CROSS JOIN s
+  GROUP BY doc_id
+)
+SELECT sc.doc_id, d.lang, sc.n_tokens, sc.mean_nll,
+       CAST(ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY sc.mean_nll ASC, sc.doc_id ASC) AS INT) AS bucket
+FROM sc JOIN documents d USING (doc_id)
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 tokenizer-prep vocabulary cut, ORACLE-CHECKED: the smallest
+    frequency-ranked token prefix covering 80% of the corpus token
+    mass, with rank and cumulative share per kept token — vocabulary
+    construction's first step, and the coverage-vs-|V| curve behind
+    choosing a tokenizer budget. The cut compares exact integer ratios
+    so the boundary cannot drift between engines (operators/lm.py
+    vocab_coverage)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm
+
+    d = load_table(spark, sf_dir, "documents")
+    return lm.vocab_coverage(d, "text", coverage=0.8)
+
+
+_ORACLE_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+), v AS (
+  SELECT t, count(*) AS n FROM toks GROUP BY t
+), tot AS (
+  SELECT sum(n) AS ntot FROM v
+), r AS (
+  SELECT t, n,
+         row_number() OVER (ORDER BY n DESC, t ASC) AS tok_rank,
+         sum(n) OVER (ORDER BY n DESC, t ASC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM v
+)
+SELECT t AS token, n, CAST(tok_rank AS INT) AS tok_rank,
+       round(CAST(cum AS DOUBLE) / tot.ntot, 6) AS cum_share
+FROM r CROSS JOIN tot
+WHERE CAST(cum - n AS DOUBLE) / tot.ntot < 0.8
+"""
+
+
 def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X27 DSIR-style data selection, ORACLE-CHECKED: every non-src0
     document is scored by the summed per-token ln-likelihood ratio
@@ -5213,6 +5284,8 @@ QUERIES: dict[str, QueryFn] = {
     # -- slots 51+: variants + remainder (verified via verify_local) --
     # r7 late additions (oracle-green via verify_local; next rotation)
     "importance_resample": q_importance_resample,
+    "ccnet_buckets": q_ccnet_buckets,
+    "vocab_coverage": q_vocab_coverage,
     # r7-displaced rows (see the window notes above)
     "count_distinct": q_count_distinct,
     "grouping_sets_sql": q_grouping_sets_sql,
@@ -5409,6 +5482,8 @@ ORACLES: dict[str, str] = {
     "mixture_upsample": _ORACLE_MIXTURE_UPSAMPLE,
     "lm_scores": _ORACLE_LM_SCORES,
     "importance_resample": _ORACLE_IMPORTANCE_RESAMPLE,
+    "ccnet_buckets": _ORACLE_CCNET_BUCKETS,
+    "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
     "lm_scores_bigram": _ORACLE_LM_SCORES_BIGRAM,
     "nb_classify": _ORACLE_NB_CLASSIFY,

@@ -137,3 +137,55 @@ def test_pmi_collocations_null_text_ignored(spark):
     )
     out = lm.pmi_collocations(df, min_count=3).collect()
     assert {(r.w1, r.w2) for r in out} == {("a", "b")}
+
+
+def test_perplexity_buckets_equal_population_and_ordering(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm as lm_mod
+
+    rows = [(i, "en" if i <= 6 else "de", t) for i, t in enumerate([
+        "the quick brown fox", "the lazy dog", "the quick dog",
+        "zzz qqq xxx", "the brown dog runs", "quick brown quick",
+        "ein kleiner hund", "ein grosser hund", "ein hund laeuft",
+    ], start=1)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = lm_mod.perplexity_buckets(df, "doc_id", "text", "lang", n_buckets=3)
+    pdf = out.toPandas()
+    # ntile(3) over 6 en docs -> 2 per bucket; 3 de docs -> 1 per bucket
+    en = pdf[pdf.lang == "en"].groupby("bucket").size()
+    de = pdf[pdf.lang == "de"].groupby("bucket").size()
+    assert list(en) == [2, 2, 2] and list(de) == [1, 1, 1]
+    # bucket ordering follows mean_nll within a language
+    for _, g in pdf.groupby("lang"):
+        g = g.sort_values(["mean_nll", "doc_id"]).reset_index(drop=True)
+        assert list(g.bucket) == sorted(g.bucket)
+    # the gibberish doc lands in the en tail
+    assert int(pdf[pdf.doc_id == 4].bucket.iloc[0]) == 3
+
+
+def test_vocab_coverage_prefix_reaches_target(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm as lm_mod
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b b c c d")], "doc_id long, text string"
+    )
+    # mass: a=4/10, b=3/10, c=2/10, d=1/10
+    out = lm_mod.vocab_coverage(df, "text", coverage=0.8).toPandas()
+    assert list(out.token) == ["a", "b", "c"]          # 0.9 cum >= 0.8
+    assert list(out.tok_rank) == [1, 2, 3]
+    assert list(out.cum_share) == [0.4, 0.7, 0.9]
+    # exactly-at-target boundary: prefix stops once coverage reached
+    out2 = lm_mod.vocab_coverage(df, "text", coverage=0.7).toPandas()
+    assert list(out2.token) == ["a", "b"]
+
+
+def test_vocab_coverage_min_count_keeps_full_denominator(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm as lm_mod
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b b c c d")], "doc_id long, text string"
+    )
+    out = lm_mod.vocab_coverage(df, "text", coverage=0.95, min_count=2).toPandas()
+    # d (hapax) is cut from the ranked frame, but shares still divide
+    # by the full 10-token mass
+    assert "d" not in set(out.token)
+    assert list(out.cum_share) == [0.4, 0.7, 0.9]
