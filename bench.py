@@ -104,6 +104,7 @@ HEADLINE = [
     "importance_resample",
     "ccnet_buckets",
     "vocab_coverage",
+    "temperature_sample",
 ]
 
 

@@ -169,3 +169,66 @@ def quota_sample(
         .where(F.col("_rn") <= n_per_group)
         .drop("_rn")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float,
+    target_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based group rebalancing (the mT5 / XLM-R
+    multilingual alpha-sampling rule): sampling rate per group g is
+    ``(n_g/N)^alpha`` renormalized — alpha=1 keeps natural
+    proportions, alpha->0 approaches uniform-over-groups, the standard
+    0.3 boosts low-resource languages at the expense of the head.
+    Each row is kept when its md5 uniform (pure function of id+salt)
+    falls under the group's keep probability
+
+        p_g = min(1, target_rows * rate_g / n_g)
+
+    so the expected kept count is ``target_rows`` (less any mass lost
+    to capped head groups) with low-resource groups UPweighted
+    relative to natural sampling. p_g rounds to 6dp before the
+    comparison so the accept boundary is engine-exact (pow() may
+    differ in the last ulp between libm and the JVM; the rounded
+    threshold cannot).
+
+    Returns kept rows as ``(group_col, id_col, p_keep)``. Map-side
+    except the group-count aggregation (tiny — one row per group,
+    broadcast back), so the scan shape matches mixture_sample: no
+    shuffle of the data itself. Deterministic and engine-portable —
+    the oracle replays the exact kept set. Rotate ``salt`` for an
+    independent draw.
+    """
+    g = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    tot = g.agg(F.sum("_n").alias("_gN"))
+    r = g.crossJoin(F.broadcast(tot)).withColumn(
+        "_w", F.pow(F.col("_n") / F.col("_gN"), F.lit(float(alpha)))
+    )
+    z = r.agg(F.sum("_w").alias("_sw"))
+    p = (
+        r.crossJoin(F.broadcast(z))
+        .withColumn(
+            "p_keep",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_rows)) * (F.col("_w") / F.col("_sw")) / F.col("_n"),
+                ),
+                6,
+            ),
+        )
+        .select(group_col, "p_keep")
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 12
+    )
+    u = F.conv(h, 16, 10).cast("double") / F.lit(float(2**48))
+    return (
+        df.join(F.broadcast(p), group_col)
+        .where(u < F.col("p_keep"))
+        .select(group_col, id_col, "p_keep")
+    )

@@ -4679,6 +4679,44 @@ FROM sc JOIN documents d USING (doc_id)
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 multilingual temperature rebalancing, ORACLE-CHECKED: the
+    mT5/XLM-R alpha-sampling rule — per-language sampling rates
+    ∝ (n_l/N)^0.3 renormalized, rows kept when their engine-portable
+    md5 uniform falls under the language's 6dp-rounded keep
+    probability, expected total 300 docs with low-resource languages
+    upweighted. Deterministic, so the oracle replays the exact kept
+    set (operators/sampling.py temperature_sample)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.temperature_sample(
+        d, "lang", "doc_id", alpha=0.3, target_rows=300, salt="temp1"
+    )
+    return out.orderBy("lang", "doc_id")
+
+
+_ORACLE_TEMPERATURE_SAMPLE = r"""
+WITH g AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(n) AS gn FROM g
+), r AS (
+  SELECT lang, n, pow(CAST(n AS DOUBLE) / tot.gn, 0.3) AS w FROM g CROSS JOIN tot
+), z AS (
+  SELECT sum(w) AS sw FROM r
+), p AS (
+  SELECT lang, round(least(1.0, 300.0 * (w / z.sw) / n), 6) AS p_keep
+  FROM r CROSS JOIN z
+)
+SELECT d.lang, d.doc_id, p.p_keep
+FROM documents d JOIN p USING (lang)
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp1'), 1, 12))::BIGINT)::DOUBLE
+      / 281474976710656.0 < p.p_keep
+ORDER BY d.lang, d.doc_id
+"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X29 tokenizer-prep vocabulary cut, ORACLE-CHECKED: the smallest
     frequency-ranked token prefix covering 80% of the corpus token
@@ -5286,6 +5324,7 @@ QUERIES: dict[str, QueryFn] = {
     "importance_resample": q_importance_resample,
     "ccnet_buckets": q_ccnet_buckets,
     "vocab_coverage": q_vocab_coverage,
+    "temperature_sample": q_temperature_sample,
     # r7-displaced rows (see the window notes above)
     "count_distinct": q_count_distinct,
     "grouping_sets_sql": q_grouping_sets_sql,
@@ -5484,6 +5523,7 @@ ORACLES: dict[str, str] = {
     "importance_resample": _ORACLE_IMPORTANCE_RESAMPLE,
     "ccnet_buckets": _ORACLE_CCNET_BUCKETS,
     "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
+    "temperature_sample": _ORACLE_TEMPERATURE_SAMPLE,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
     "lm_scores_bigram": _ORACLE_LM_SCORES_BIGRAM,
     "nb_classify": _ORACLE_NB_CLASSIFY,

@@ -161,3 +161,43 @@ def test_mixture_upsample_is_map_side(spark, sf_dir):
     s = sampling.mixture_sample(d, {"src0": 3.25, "src1": 0.5}, salt="m")
     plan = explain.formatted_plan(s)
     assert "Exchange" not in plan
+
+
+def test_temperature_sample_alpha1_is_natural_sampling(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    rows = [(i, "en" if i < 90 else "sw") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.temperature_sample(df, "lang", "doc_id", alpha=1.0, target_rows=50)
+    # alpha=1: every group's keep probability collapses to T/N
+    ps = {r.lang: r.p_keep for r in out.collect()}
+    assert ps["en"] == ps["sw"] == 0.5
+
+
+def test_temperature_sample_upweights_low_resource_groups(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    rows = [(i, "en" if i < 900 else "sw") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.temperature_sample(
+        df, "lang", "doc_id", alpha=0.3, target_rows=200
+    ).toPandas()
+    ps = out.groupby("lang").p_keep.first()
+    assert ps["sw"] > ps["en"]  # low-resource boosted
+    kept = out.groupby("lang").size()
+    # sw share of the kept set far exceeds its 10% natural share
+    assert kept["sw"] / kept.sum() > 0.25
+    # expected total ~200 (binomial spread)
+    assert 150 < kept.sum() < 250
+
+
+def test_temperature_sample_deterministic_and_salted(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = {r.doc_id for r in sampling.temperature_sample(df, "lang", "doc_id", 0.5, 80, salt="x").collect()}
+    b = {r.doc_id for r in sampling.temperature_sample(df, "lang", "doc_id", 0.5, 80, salt="x").collect()}
+    c = {r.doc_id for r in sampling.temperature_sample(df, "lang", "doc_id", 0.5, 80, salt="y").collect()}
+    assert a == b
+    assert a != c
