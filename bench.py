@@ -105,6 +105,7 @@ HEADLINE = [
     "ccnet_buckets",
     "vocab_coverage",
     "temperature_sample",
+    "gopher_rules",
 ]
 
 

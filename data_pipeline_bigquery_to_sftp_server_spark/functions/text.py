@@ -174,3 +174,82 @@ def pii_counts(col: Column) -> tuple[Column, Column, Column, Column, Column]:
         F.regexp_count(after_iban, F.lit(PII_PHONE_RE)),
         F.regexp_count(after_phone, F.lit(PII_IPV4_RE)),
     )
+
+
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", Appendix A1.1 quality filters). The stop-word rule uses
+# the paper's own 8-word list, distinct from _STOPWORDS above.
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(col: Column) -> Column:
+    """The published Gopher quality-rule battery as an auditable
+    struct: one boolean per rule plus the measured ratios, so a
+    curation pipeline can report WHY a document was dropped (and tune
+    thresholds) rather than emitting a bare verdict. Rules (Rae et
+    al. 2021, A1.1): word count in [50, 100k]; mean word length in
+    [3, 10]; symbol-to-word ratio (# and ...) <= 0.1; <= 90% of lines
+    bullet-started; <= 30% of lines ellipsis-ended; >= 80% of words
+    contain an alphabetic character; >= 2 of the paper's 8 stop words
+    present. All native Column expressions over one tokenize + one
+    line split — zero-shuffle, codegen'd; threshold comparisons use
+    exact integer-ratio arithmetic (engine-portable).
+    """
+    toks = tokenize(col)
+    n_words = F.size(toks).cast("double")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    mwl = total_len / n_words
+    n_hash = (
+        F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
+    ).cast("double")
+    n_ellipsis = (
+        (F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", ""))) / 3
+    ).cast("double")
+    sym_ratio = (n_hash + n_ellipsis) / n_words
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike(r"[a-z]"))).cast("double") / n_words
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    ok_words = (n_words >= 50) & (n_words <= 100_000)
+    ok_mwl = (mwl >= 3) & (mwl <= 10)
+    ok_sym = sym_ratio <= 0.1
+    ok_bullet = bullet_frac <= 0.9
+    ok_ellipsis = ellipsis_frac <= 0.3
+    ok_alpha = alpha_frac >= 0.8
+    ok_stop = stop_hits >= 2
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_mwl"),
+        ok_sym.alias("ok_sym"),
+        ok_bullet.alias("ok_bullet"),
+        ok_ellipsis.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (
+            ok_words & ok_mwl & ok_sym & ok_bullet & ok_ellipsis & ok_alpha & ok_stop
+        ).alias("keep"),
+    )

@@ -4679,6 +4679,72 @@ FROM sc JOIN documents d USING (doc_id)
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 Gopher quality-rule battery, ORACLE-CHECKED: the published
+    Rae et al. 2021 A1.1 filters (word count, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, stop-word presence) as an auditable per-document report
+    — every rule's measurement and boolean plus the combined keep
+    verdict, so curation can explain drops and tune thresholds.
+    Zero-shuffle native expressions; the oracle replays every ratio
+    and flag (functions/text.py gopher_flags)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.functions.text import gopher_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", gopher_flags(F.col("text")).alias("g"))
+        .select("doc_id", "g.*")
+    )
+
+
+_ORACLE_GOPHER_RULES = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS nw,
+         CAST(list_aggregate(list_transform(toks, t -> strlen(t)), 'sum') AS DOUBLE)
+           / len(toks) AS mwl,
+         (CAST(strlen(text) - strlen(replace(text, '#', '')) AS DOUBLE)
+          + CAST(strlen(text) - strlen(replace(text, '...', '')) AS DOUBLE) / 3)
+           / len(toks) AS sym_ratio,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+           / len(lines) AS bullet_frac,
+         CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE)
+           / len(lines) AS ellipsis_frac,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           / len(toks) AS alpha_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(toks, s))) AS stop_hits
+  FROM base
+)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       round(mwl, 4) AS mean_word_len,
+       round(sym_ratio, 4) AS symbol_ratio,
+       round(bullet_frac, 4) AS bullet_frac,
+       round(ellipsis_frac, 4) AS ellipsis_frac,
+       round(alpha_frac, 4) AS alpha_frac,
+       CAST(stop_hits AS INT) AS stop_hits,
+       nw >= 50 AND nw <= 100000 AS ok_words,
+       mwl >= 3 AND mwl <= 10 AS ok_mwl,
+       sym_ratio <= 0.1 AS ok_sym,
+       bullet_frac <= 0.9 AS ok_bullet,
+       ellipsis_frac <= 0.3 AS ok_ellipsis,
+       alpha_frac >= 0.8 AS ok_alpha,
+       stop_hits >= 2 AS ok_stop,
+       (nw >= 50 AND nw <= 100000) AND (mwl >= 3 AND mwl <= 10)
+         AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         AND stop_hits >= 2 AS keep
+FROM m
+"""
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X30 multilingual temperature rebalancing, ORACLE-CHECKED: the
     mT5/XLM-R alpha-sampling rule — per-language sampling rates
@@ -5325,6 +5391,7 @@ QUERIES: dict[str, QueryFn] = {
     "ccnet_buckets": q_ccnet_buckets,
     "vocab_coverage": q_vocab_coverage,
     "temperature_sample": q_temperature_sample,
+    "gopher_rules": q_gopher_rules,
     # r7-displaced rows (see the window notes above)
     "count_distinct": q_count_distinct,
     "grouping_sets_sql": q_grouping_sets_sql,
@@ -5524,6 +5591,7 @@ ORACLES: dict[str, str] = {
     "ccnet_buckets": _ORACLE_CCNET_BUCKETS,
     "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
     "temperature_sample": _ORACLE_TEMPERATURE_SAMPLE,
+    "gopher_rules": _ORACLE_GOPHER_RULES,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
     "lm_scores_bigram": _ORACLE_LM_SCORES_BIGRAM,
     "nb_classify": _ORACLE_NB_CLASSIFY,

@@ -150,3 +150,32 @@ def test_chunk_documents_window_semantics(spark, tmp_path):
     assert chunks[3] == " ".join(f"w{i}" for i in range(72, 85))
     d2 = [(r.chunk_idx, r.chunk_tokens, r.chunk) for r in out if r.doc_id == 2]
     assert d2 == [(0, 3, "only three tokens")]
+
+
+def test_gopher_flags_rule_battery(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.functions.text import gopher_flags
+    from pyspark.sql import functions as F
+
+    good = "the quick brown fox jumps over the lazy dog and that have with " * 5
+    short = "the and of"                                  # fails word count
+    symbols = "the of and that have " + "# " * 20          # fails symbol ratio
+    bullets = "\n".join(["- item the of and that have"] * 10)  # all lines bulleted
+    numeric = "the of 111 222 333 444 555 666 777 888 " * 8   # fails alpha frac
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, bullets), (5, numeric)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", gopher_flags(F.col("text")).alias("g"))
+        .select("doc_id", "g.*")
+        .collect()
+    }
+    assert out[1].keep
+    assert not out[2].ok_words and not out[2].keep
+    assert not out[3].ok_sym and not out[3].keep
+    assert not out[4].ok_bullet and out[4].bullet_frac == 1.0
+    assert not out[5].ok_alpha and not out[5].keep
+    # measurements come back rounded and sane
+    assert out[1].n_words == 65 and 3 <= out[1].mean_word_len <= 10
+    assert out[1].stop_hits >= 2
