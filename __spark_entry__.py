@@ -37,8 +37,10 @@ def oracle_sql() -> dict[str, str]:
     slot-1..50 query has an oracle (the driver window is 50/50
     checkable). Keys missing here (minhash_pairs, simhash_groups,
     simhash_near_pairs, embedding_dups, lsh_topk, ivf_topk — all past
-    slot 50) are approximate/hash-seeded operators and html_clean is a
-    python-HTMLParser UDF -> rows-only checks, with recall/parity (IVF
+    slot 50) are approximate/hash-seeded operators, html_clean is a
+    python-HTMLParser UDF, and cluster_documents is iterative float
+    k-means (numpy-reference-pinned) -> rows-only checks, with
+    recall/parity (IVF
     full-probe == exact brute force is ALSO oracle-checked as
     ivf_full_probe) verified in tests/. The FFD packing pair
     (pack_sequences / assemble_bins) IS oracle-checked since r6: the

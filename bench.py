@@ -106,6 +106,7 @@ HEADLINE = [
     "vocab_coverage",
     "temperature_sample",
     "gopher_rules",
+    "cluster_documents",
 ]
 
 

@@ -1,0 +1,144 @@
+"""Distributed k-means over embedding columns — the iterative-ML
+pattern on DataFrames, and the clustering stage SemDeDup (Abbas et
+al. 2023) runs before within-cluster dedup.
+
+Why not reuse ivf_topk's quantizer: that k-means trains driver-side on
+a bounded SAMPLE (a coarse quantizer only needs rough shapes). This
+module is the full corpus-scale fit: every iteration assigns ALL rows
+and updates centroids from ALL rows — the shape you need when cluster
+assignments themselves are the product (SemDeDup partitions, corpus
+maps, diversity sampling strata).
+
+Per-iteration plan (Lloyd):
+- ASSIGN: centroids ride the task closure (k x dim floats, KBs);
+  one Arrow-batched pandas_udf computes argmin distances per batch —
+  no shuffle, no join.
+- UPDATE: the assigned frame posexplodes its vector to
+  (cluster, dim_idx, value) and one groupBy(cluster, dim_idx)
+  aggregation produces per-dimension sums + counts. Partial (map-side)
+  aggregation collapses each partition to at most k*dim rows before
+  the exchange, so the shuffle carries k * dim * n_partitions rows —
+  independent of corpus size. The k*dim result is collected (tiny by
+  construction) and divided driver-side into new centroids.
+
+So each iteration is one scan + one bounded shuffle; n_iter iterations
+= n_iter Spark jobs, the standard iterative-algorithm cost model
+(same discipline as dedup.py's connected-components rounds). The
+input frame is persisted once (tracked) since every iteration rescans
+it.
+
+Determinism: init picks the k hash-smallest ids (TakeOrdered — one
+scan, no full sort), and per-batch/partition float summation order can
+vary, so exact centroid bits are NOT guaranteed reproducible across
+partitionings — assignments are, for any corpus whose cluster margins
+exceed float noise (the usual k-means caveat; pinned against a numpy
+reference on separated data in tests). Empty clusters reseed from the
+hash-ordered sample, deterministically.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
+    ensure_parallelism,
+)
+
+
+def _assign_col(vec_col: str, centers):
+    """pandas_udf: nearest-centroid index per row (Euclidean argmin,
+    one matmul per Arrow batch). centers rides the closure."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=np.float64)
+    cn2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.asarray(vecs.to_list(), dtype=np.float64)
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + cn2[None, :]
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return assign(F.col(vec_col).cast("array<double>"))
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Full-corpus distributed Lloyd k-means. Returns
+    ``(assigned_df, centers)``: the input with an int ``cluster``
+    column (lazy — assignment under the FINAL centroids), and the
+    final centroids as a plain nested list (k x dim, driver-side by
+    design: centroids are the bounded model artifact, like nb.py's
+    collected model)."""
+    import numpy as np
+
+    base = persist_tracked(
+        ensure_parallelism(df.select(id_col, vec_col))
+    )
+    # deterministic init: the k hash-smallest rows (TakeOrdered scan)
+    init_rows = (
+        base.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(int(k))
+        .select(vec_col)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"kmeans_assign: corpus has fewer rows than k={k}")
+    centers = np.asarray([r[0] for r in init_rows], dtype=np.float64)
+    reseed = centers.copy()  # deterministic replacements for empty clusters
+
+    for _ in range(int(n_iter)):
+        assigned = base.withColumn("_c", _assign_col(vec_col, centers))
+        # UPDATE: k*dim aggregation rows after map-side partial agg
+        upd = (
+            assigned.select("_c", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("_c", "pos")
+            .agg(F.sum("col").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        sums = np.zeros_like(centers)
+        counts = np.zeros(k)
+        for r in upd:
+            sums[r["_c"], r["pos"]] = r["_s"]
+            counts[r["_c"]] = r["_n"]
+        new_centers = reseed.copy()
+        nz = counts > 0
+        new_centers[nz] = sums[nz] / counts[nz][:, None]
+        centers = new_centers
+
+    out = df.join(
+        base.withColumn("cluster", _assign_col(vec_col, centers)).select(
+            id_col, "cluster"
+        ),
+        id_col,
+    )
+    return out, [list(map(float, c)) for c in centers]
+
+
+def cluster_profile(assigned: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster summary of a kmeans_assign result: size and mean
+    within-cluster vector norm — the corpus-map report. One grouped
+    aggregation (map-side combinable)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.similarity import l2_norm
+
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(l2_norm(F.col(vec_col).cast("array<double>"))), 4).alias(
+                "avg_norm"
+            ),
+        )
+        .orderBy("cluster")
+    )

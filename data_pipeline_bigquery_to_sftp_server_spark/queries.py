@@ -4679,6 +4679,23 @@ FROM sc JOIN documents d USING (doc_id)
 """
 
 
+def q_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32 full-corpus distributed k-means (rows-only: iterative float
+    argmin is not SQL-expressible; assignments are pinned against a
+    numpy Lloyd reference under identical init in test_clustering).
+    Unlike ivf_topk's bounded-sample quantizer this fits on ALL rows —
+    per iteration one closure-broadcast Arrow assignment pass (no
+    shuffle) + one posexplode aggregation whose exchange carries
+    k x dim x n_partitions rows regardless of corpus size
+    (operators/clustering.py). Output is the per-cluster corpus-map
+    profile."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import clustering
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = clustering.kmeans_assign(e, k=8, n_iter=4, seed=42)
+    return clustering.cluster_profile(assigned)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X31 Gopher quality-rule battery, ORACLE-CHECKED: the published
     Rae et al. 2021 A1.1 filters (word count, mean word length,
@@ -5392,6 +5409,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_coverage": q_vocab_coverage,
     "temperature_sample": q_temperature_sample,
     "gopher_rules": q_gopher_rules,
+    "cluster_documents": q_cluster_documents,
     # r7-displaced rows (see the window notes above)
     "count_distinct": q_count_distinct,
     "grouping_sets_sql": q_grouping_sets_sql,
