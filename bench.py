@@ -107,6 +107,7 @@ HEADLINE = [
     "temperature_sample",
     "gopher_rules",
     "cluster_documents",
+    "semantic_dedup_clustered",
 ]
 
 

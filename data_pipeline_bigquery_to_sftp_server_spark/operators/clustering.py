@@ -142,3 +142,59 @@ def cluster_profile(assigned: DataFrame, vec_col: str = "embedding") -> DataFram
         )
         .orderBy("cluster")
     )
+
+
+def within_cluster_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """All exact cosine pairs (id_a < id_b, cos >= threshold) whose
+    BOTH ends share a k-means cluster — the published SemDeDup shape
+    (Abbas et al. 2023 §3: cluster the corpus, then search duplicates
+    only within clusters), which turns the quadratic all-pairs search
+    into k independent quadratic-in-cluster-size searches with no
+    driver-side matrix at all.
+
+    One shuffle on the cluster key, then a per-cluster BLAS block
+    inside ``applyInPandas`` (normalize, one matmul, upper triangle by
+    id). Cross-cluster near-dups are missed by construction — the
+    recall/cost dial is k (more clusters = cheaper, lower recall),
+    pinned against the global exact path in test_clustering. A
+    pathological jumbo cluster re-introduces the quadratic term;
+    SemDeDup's own practice (and the fix here) is raising k so cluster
+    sizes stay batch-shaped.
+    """
+    import numpy as np
+
+    id_t = assigned.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = np.nan
+        mat = mat / n[:, None]
+        sims = mat @ mat.T
+        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai],
+                "id_b": ids[bi],
+                "cos_sim": np.round(sims[ai, bi], 4),
+            }
+        )
+
+    return (
+        assigned.select(cluster_col, id_col, vec_col)
+        .groupBy(cluster_col)
+        .applyInPandas(pairs, out_schema)
+    )

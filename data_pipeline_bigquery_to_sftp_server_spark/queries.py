@@ -4679,6 +4679,31 @@ FROM sc JOIN documents d USING (doc_id)
 """
 
 
+def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23+X32 — SemDeDup at its PUBLISHED shape (rows-only: the
+    k-means partition isn't SQL-expressible; pair recall vs the global
+    exact path is pinned in test_clustering): k-means cluster the
+    corpus, search near-dup pairs only WITHIN clusters (per-cluster
+    BLAS blocks via applyInPandas — no driver-side matrix, no
+    quadratic global term), then the same connected-components +
+    keep-min-id representative plan as the oracle-checked
+    q_semantic_dedup. Cross-cluster dups are traded away by
+    construction; k is the recall/cost dial."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import clustering
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = clustering.kmeans_assign(e, k=8, n_iter=4, seed=42)
+    pairs = clustering.within_cluster_pairs(assigned, threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    return clusters.select(
+        "keep_id",
+        "n_members",
+        F.concat_ws(",", F.col("members")).alias("members"),
+    ).orderBy("keep_id")
+
+
 def q_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X32 full-corpus distributed k-means (rows-only: iterative float
     argmin is not SQL-expressible; assignments are pinned against a
@@ -5410,6 +5435,7 @@ QUERIES: dict[str, QueryFn] = {
     "temperature_sample": q_temperature_sample,
     "gopher_rules": q_gopher_rules,
     "cluster_documents": q_cluster_documents,
+    "semantic_dedup_clustered": q_semantic_dedup_clustered,
     # r7-displaced rows (see the window notes above)
     "count_distinct": q_count_distinct,
     "grouping_sets_sql": q_grouping_sets_sql,

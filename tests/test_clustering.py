@@ -76,3 +76,23 @@ def test_kmeans_rejects_k_larger_than_corpus(spark):
 
     with pytest.raises(ValueError, match="fewer rows"):
         clustering.kmeans_assign(df, k=5, n_iter=1)
+
+
+def test_within_cluster_pairs_subset_and_blob_exact(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import similarity
+
+    df, X = _separated_corpus(spark)
+    assigned, _ = clustering.kmeans_assign(df, k=3, n_iter=4, seed=11)
+    within = {
+        (r.id_a, r.id_b)
+        for r in clustering.within_cluster_pairs(assigned, threshold=0.9).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.exact_near_dup_pairs_np(df, threshold=0.9).collect()
+    }
+    assert within <= exact
+    # blobs are tight (cos within-blob ~1) and orthogonal-ish across
+    # blobs, and k-means recovers the blobs exactly -> no cross-cluster
+    # near-dups exist, so the within-cluster search is recall-complete
+    assert within == exact and len(within) > 0
