@@ -255,8 +255,14 @@ def exact_screen_stream(stream: DataFrame, state: DedupState) -> DataFrame:
     """
     # distinct-ify the append-only fp store so the LEFT OUTER join
     # cannot multiply stream rows (the batch path's semi join is
-    # immune; outer joins are not).
-    probe = state.fingerprints.dropDuplicates(["_fp"]).withColumn("_e", F.lit(1))
+    # immune; outer joins are not) — and persist the distinct probe so
+    # the dedup aggregation runs once, not once per micro-batch
+    # trigger (the static side is re-evaluated at every trigger).
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    probe = persist_tracked(
+        state.fingerprints.dropDuplicates(["_fp"]).withColumn("_e", F.lit(1))
+    )
     fp = stream.select(
         F.col(state.id_col),
         F.xxhash64(normalize_text(F.col(state.text_col))).alias("_fp"),

@@ -114,6 +114,19 @@ def importance_weights(
     stats = (
         vocab.crossJoin(tv.agg(F.sum("_tn").alias("_ttot")))
         .crossJoin(rv.agg(F.sum("_rn").alias("_rtot")))
+        # in-plan contract assert (the sketch.py discipline): an empty
+        # target corpus would propagate NULL totals into every weight
+        # silently — fail loudly at execution instead, with no eager
+        # count job at operator-construction time.
+        .where(
+            F.assert_true(
+                F.col("_ttot").isNotNull(),
+                F.lit(
+                    "importance_weights: target corpus has no tokens — "
+                    "DSIR needs a non-empty target-domain sample"
+                ),
+            ).isNull()
+        )
     )
     # every raw token is in rv by construction (counted from the same
     # stream), so only the target side needs the unseen-token backoff

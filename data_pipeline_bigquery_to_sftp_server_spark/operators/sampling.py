@@ -202,6 +202,10 @@ def temperature_sample(
     shuffle of the data itself. Deterministic and engine-portable —
     the oracle replays the exact kept set. Rotate ``salt`` for an
     independent draw.
+
+    NULL group keys never match the equi-join on ``group_col`` and are
+    therefore dropped, not sampled — pre-bucket unknowns into a
+    sentinel group (e.g. 'und' for language) if they should compete.
     """
     g = df.groupBy(group_col).agg(F.count("*").alias("_n"))
     tot = g.agg(F.sum("_n").alias("_gN"))
