@@ -108,6 +108,7 @@ HEADLINE = [
     "gopher_rules",
     "cluster_documents",
     "semantic_dedup_clustered",
+    "shuffle_shards",
 ]
 
 

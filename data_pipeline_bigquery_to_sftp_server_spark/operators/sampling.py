@@ -236,3 +236,49 @@ def temperature_sample(
         .where(u < F.col("p_keep"))
         .select(group_col, id_col, "p_keep")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the materialization
+    step between curation and training: every row gets a ``shard``
+    (md5-hash bucket, so shards are uniform and a pure function of the
+    id) and a ``pos`` (its rank within the shard under a SECOND,
+    independent hash order), giving a reproducible, engine-portable
+    "globally shuffled" training order that survives repartitioning
+    and re-runs — everything ``df.orderBy(rand())`` is not.
+
+    Scale: one shuffle on the shard key; each shard sorts
+    corpus/n_shards rows inside its window partition, so ``n_shards``
+    is the dial that keeps per-partition sort state bounded (pick
+    shards ~ files you want to write). Two salts derive from ``salt``
+    so shard assignment and within-shard order are independent draws —
+    rotating ``salt`` reshuffles both.
+    """
+    from pyspark.sql.window import Window
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt + ":shard"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_shards
+    ).cast("int")
+    order_h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt + ":order"))
+    )
+    w = Window.partitionBy("shard").orderBy(order_h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select("shard", "pos", *[c for c in df.columns])
+    )

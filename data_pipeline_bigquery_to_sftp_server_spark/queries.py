@@ -4721,6 +4721,36 @@ def q_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_profile(assigned)
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34 deterministic global shuffle + sharding, ORACLE-CHECKED:
+    the curation-to-training materialization step — every doc gets an
+    md5-bucket shard and a within-shard rank under an independent
+    hash order, yielding a reproducible engine-portable 'globally
+    shuffled' training order (everything orderBy(rand()) is not).
+    The oracle replays shard AND position for every document
+    (operators/sampling.py shuffle_shards)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.shuffle_shards(d, "doc_id", n_shards=8, salt="shuf1")
+    return out.select("shard", "pos", "doc_id").orderBy("shard", "pos")
+
+
+_ORACLE_SHUFFLE_SHARDS = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf1:shard'), 1, 12))::BIGINT % 8) AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || ':shuf1:order') AS oh
+  FROM documents
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY oh ASC, doc_id ASC) AS INT) AS pos,
+       doc_id
+FROM s
+ORDER BY shard, pos
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X31 Gopher quality-rule battery, ORACLE-CHECKED: the published
     Rae et al. 2021 A1.1 filters (word count, mean word length,
@@ -5434,6 +5464,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_coverage": q_vocab_coverage,
     "temperature_sample": q_temperature_sample,
     "gopher_rules": q_gopher_rules,
+    "shuffle_shards": q_shuffle_shards,
     "cluster_documents": q_cluster_documents,
     "semantic_dedup_clustered": q_semantic_dedup_clustered,
     # r7-displaced rows (see the window notes above)
@@ -5636,6 +5667,7 @@ ORACLES: dict[str, str] = {
     "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
     "temperature_sample": _ORACLE_TEMPERATURE_SAMPLE,
     "gopher_rules": _ORACLE_GOPHER_RULES,
+    "shuffle_shards": _ORACLE_SHUFFLE_SHARDS,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
     "lm_scores_bigram": _ORACLE_LM_SCORES_BIGRAM,
     "nb_classify": _ORACLE_NB_CLASSIFY,

@@ -201,3 +201,30 @@ def test_temperature_sample_deterministic_and_salted(spark):
     c = {r.doc_id for r in sampling.temperature_sample(df, "lang", "doc_id", 0.5, 80, salt="y").collect()}
     assert a == b
     assert a != c
+
+
+def test_shuffle_shards_is_a_permutation_and_stable(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = sampling.shuffle_shards(df, "doc_id", n_shards=4, salt="s").toPandas()
+    # every row exactly once; positions are 1..n contiguous per shard
+    assert len(a) == 500 and a.doc_id.nunique() == 500
+    for _, g in a.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+    # shards roughly uniform (binomial around 125)
+    sizes = a.groupby("shard").size()
+    assert len(sizes) == 4 and sizes.min() > 80 and sizes.max() < 170
+    # deterministic across runs, different under a new salt
+    b = sampling.shuffle_shards(df, "doc_id", n_shards=4, salt="s").toPandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True)
+    )
+    c = sampling.shuffle_shards(df, "doc_id", n_shards=4, salt="t").toPandas()
+    assert not a.sort_values("doc_id").reset_index(drop=True).equals(
+        c.sort_values("doc_id").reset_index(drop=True)
+    )
+    # shard order and within-shard order are independent hashes: two
+    # docs in the same shard are not in id order (shuffled)
+    g0 = a[a.shard == a.shard.iloc[0]].sort_values("pos")
+    assert list(g0.doc_id) != sorted(g0.doc_id)
