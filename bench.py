@@ -109,6 +109,7 @@ HEADLINE = [
     "cluster_documents",
     "semantic_dedup_clustered",
     "shuffle_shards",
+    "selection_pipeline",
 ]
 
 

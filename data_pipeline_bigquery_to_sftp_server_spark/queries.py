@@ -4721,6 +4721,110 @@ def q_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_profile(assigned)
 
 
+def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 END-TO-END SELECTION COMPOSITE, ORACLE-CHECKED through all
+    four stages: Gopher length gate (the battery's ok_words rule — the
+    one discriminating rule on the synthetic word-soup corpus) →
+    DSIR importance resample (k=150 against the src0 target domain) →
+    temperature language rebalancing (alpha=0.5, target 100) →
+    deterministic shuffle+shard (4 shards). The third composite next
+    to curation_pipeline (dedup side) and recipe_pipeline (mixture →
+    gate → pack): this one is the SELECTION side — what to keep, in
+    what proportions, in what order — and every stage is a
+    deterministic pure function of (content, id, salt), so one DuckDB
+    query replays the entire chain doc-for-doc, shard position
+    included."""
+    from data_pipeline_bigquery_to_sftp_server_spark.functions.text import gopher_flags
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dsir, sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    pool = (
+        d.where(F.col("text").isNotNull())
+        .withColumn("_g", gopher_flags(F.col("text")))
+        .where(F.col("_g.ok_words"))
+        .select("doc_id", "lang", "source", "text")
+    )
+    target = pool.where(F.col("source") == "src0")
+    raw = pool.where(F.col("source") != "src0")
+    sel = dsir.importance_resample(raw, target, k=150, salt="selpipe")
+    sel_docs = pool.join(sel.select("doc_id"), "doc_id")
+    balanced = sampling.temperature_sample(
+        sel_docs, "lang", "doc_id", alpha=0.5, target_rows=100, salt="selpipe2"
+    )
+    kept = pool.join(balanced.select("doc_id"), "doc_id")
+    out = sampling.shuffle_shards(kept, "doc_id", n_shards=4, salt="selpipe3")
+    return out.select("shard", "pos", "doc_id", "lang").orderBy("shard", "pos")
+
+
+_ORACLE_SELECTION_PIPELINE = r"""
+WITH pool AS (
+  SELECT doc_id, lang, source, text
+  FROM documents
+  WHERE text IS NOT NULL
+    AND len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+        BETWEEN 50 AND 100000
+), rtoks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM pool WHERE source <> 'src0'
+), ttoks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM pool WHERE source = 'src0'
+), tv AS (
+  SELECT t, count(*) AS tn FROM ttoks GROUP BY t
+), rv AS (
+  SELECT t, count(*) AS rn FROM rtoks GROUP BY t
+), s AS (
+  SELECT (SELECT count(*) FROM (SELECT t FROM tv UNION SELECT t FROM rv)) AS vsz,
+         (SELECT sum(tn) FROM tv) AS ttot,
+         (SELECT sum(rn) FROM rv) AS rtot
+), w AS (
+  SELECT doc_id,
+         round(sum(ln((coalesce(tv.tn, 0) + 0.5) / (s.ttot + 0.5 * s.vsz))
+                   - ln((rv.rn + 0.5) / (s.rtot + 0.5 * s.vsz))), 6) AS log_w
+  FROM rtoks LEFT JOIN tv USING (t) JOIN rv USING (t) CROSS JOIN s
+  GROUP BY doc_id
+), sel AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY round(log_w + -ln(-ln(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':selpipe'), 1, 12))::BIGINT)::DOUBLE
+               / 281474976710656.0)), 6) DESC, doc_id ASC) AS rnk
+    FROM w
+  ) WHERE rnk <= 150
+), seld AS (
+  SELECT p.* FROM pool p JOIN sel USING (doc_id)
+), g AS (
+  SELECT lang, count(*) AS n FROM seld GROUP BY lang
+), tot AS (
+  SELECT sum(n) AS gn FROM g
+), rr AS (
+  SELECT lang, n, pow(CAST(n AS DOUBLE) / tot.gn, 0.5) AS wt FROM g CROSS JOIN tot
+), z AS (
+  SELECT sum(wt) AS sw FROM rr
+), pk AS (
+  SELECT lang, round(least(1.0, 100.0 * (wt / z.sw) / n), 6) AS p_keep
+  FROM rr CROSS JOIN z
+), kept AS (
+  SELECT d.doc_id, d.lang
+  FROM seld d JOIN pk USING (lang)
+  WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':selpipe2'), 1, 12))::BIGINT)::DOUBLE
+        / 281474976710656.0 < pk.p_keep
+), sh AS (
+  SELECT doc_id, lang,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':selpipe3:shard'), 1, 12))::BIGINT % 4) AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || ':selpipe3:order') AS oh
+  FROM kept
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY oh ASC, doc_id ASC) AS INT) AS pos,
+       doc_id, lang
+FROM sh
+ORDER BY shard, pos
+"""
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X34 deterministic global shuffle + sharding, ORACLE-CHECKED:
     the curation-to-training materialization step — every doc gets an
@@ -5465,6 +5569,7 @@ QUERIES: dict[str, QueryFn] = {
     "temperature_sample": q_temperature_sample,
     "gopher_rules": q_gopher_rules,
     "shuffle_shards": q_shuffle_shards,
+    "selection_pipeline": q_selection_pipeline,
     "cluster_documents": q_cluster_documents,
     "semantic_dedup_clustered": q_semantic_dedup_clustered,
     # r7-displaced rows (see the window notes above)
@@ -5668,6 +5773,7 @@ ORACLES: dict[str, str] = {
     "temperature_sample": _ORACLE_TEMPERATURE_SAMPLE,
     "gopher_rules": _ORACLE_GOPHER_RULES,
     "shuffle_shards": _ORACLE_SHUFFLE_SHARDS,
+    "selection_pipeline": _ORACLE_SELECTION_PIPELINE,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
     "lm_scores_bigram": _ORACLE_LM_SCORES_BIGRAM,
     "nb_classify": _ORACLE_NB_CLASSIFY,
