@@ -4737,8 +4737,13 @@ def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_bigquery_to_sftp_server_spark.functions.text import gopher_flags
     from data_pipeline_bigquery_to_sftp_server_spark.operators import dsir, sampling
 
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
     d = load_table(spark, sf_dir, "documents")
-    pool = (
+    # the gated pool feeds five consumers (target/raw LM builds, the
+    # DSIR score stream, and the two id joins) — persist it once so
+    # the gate+tokenize runs one corpus scan, not five
+    pool = persist_tracked(
         d.where(F.col("text").isNotNull())
         .withColumn("_g", gopher_flags(F.col("text")))
         .where(F.col("_g.ok_words"))
