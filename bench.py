@@ -110,6 +110,8 @@ HEADLINE = [
     "semantic_dedup_clustered",
     "shuffle_shards",
     "selection_pipeline",
+    "c4_line_filter",
+    "line_dedup",
 ]
 
 

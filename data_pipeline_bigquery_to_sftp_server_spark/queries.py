@@ -4721,6 +4721,113 @@ def q_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_profile(assigned)
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36a C4 per-line cleaning, ORACLE-CHECKED: documents (synthesized
+    multi-line, the pii_redaction pattern — the documents table is
+    single-line word soup, so line structure is built from customer
+    fields) keep only lines with >= 5 words AND terminal punctuation;
+    emptied documents are discarded. The whole transform is one
+    map-side higher-order-function expression — no explode, no shuffle
+    (operators/lines.py c4_line_filter)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lines as L
+
+    c = load_table(spark, sf_dir, "customer")
+    txt = F.concat(
+        F.col("c_name"), F.lit(" is a "), F.col("c_mktsegment"),
+        F.lit(" customer in good standing."), F.lit("\n"),
+        F.lit("id "), F.col("c_custkey").cast("string"), F.lit("\n"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.lit("Their account balance currently looks healthy."),
+        ).otherwise(F.lit("short line")),
+    )
+    d = c.select(F.col("c_custkey").alias("doc_id"), txt.alias("text"))
+    return L.c4_line_filter(d, "doc_id", "text").orderBy("doc_id")
+
+
+_ORACLE_C4_LINE_FILTER = r"""
+WITH d AS (
+  SELECT c_custkey AS doc_id,
+         c_name || ' is a ' || c_mktsegment || ' customer in good standing.'
+         || chr(10) || 'id ' || CAST(c_custkey AS VARCHAR) || chr(10)
+         || CASE WHEN c_custkey % 2 = 0
+                 THEN 'Their account balance currently looks healthy.'
+                 ELSE 'short line' END AS text
+  FROM customer
+), split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+), kept AS (
+  SELECT doc_id, ls,
+         list_filter(ls, l ->
+           len(string_split(trim(regexp_replace(l, '\s+', ' ', 'g')), ' ')) >= 5
+           AND regexp_matches(rtrim(l), '[.!?]["'']?$')) AS ks
+  FROM split
+)
+SELECT doc_id,
+       array_to_string(ks, chr(10)) AS text,
+       CAST(len(ls) AS INT) AS n_lines,
+       CAST(len(ks) AS INT) AS n_kept
+FROM kept
+WHERE len(ks) > 0
+ORDER BY doc_id
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36b corpus-wide duplicate-line removal, ORACLE-CHECKED: every
+    line whose normalized text occurs more than once ACROSS the corpus
+    is removed (the C4/Dolma boilerplate rule — nav bars, footers,
+    license headers). The synthesized docs carry a global boilerplate
+    line (dropped everywhere), a per-segment footer (~n/5 occurrences,
+    dropped), and one unique line (kept), so the operator's corpus-
+    distributional nature is actually exercised
+    (operators/lines.py corpus_line_dedup)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lines as L
+
+    c = load_table(spark, sf_dir, "customer")
+    txt = F.concat(
+        F.lit("Subscribe to our newsletter today"), F.lit("\n"),
+        F.col("c_name"), F.lit(" wrote unique line number "),
+        F.col("c_custkey").cast("string"), F.lit("\n"),
+        F.lit("segment "), F.col("c_mktsegment"), F.lit(" homepage footer"),
+    )
+    d = c.select(F.col("c_custkey").alias("doc_id"), txt.alias("text"))
+    return L.corpus_line_dedup(d, "doc_id", "text").orderBy("doc_id")
+
+
+_ORACLE_LINE_DEDUP = r"""
+WITH d AS (
+  SELECT c_custkey AS doc_id,
+         'Subscribe to our newsletter today' || chr(10)
+         || c_name || ' wrote unique line number ' || CAST(c_custkey AS VARCHAR)
+         || chr(10) || 'segment ' || c_mktsegment || ' homepage footer' AS text
+  FROM customer
+), ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM d
+), lines AS (
+  SELECT doc_id, i AS pos, arr[i] AS line,
+         trim(regexp_replace(lower(arr[i]), '\s+', ' ', 'g')) AS nm
+  FROM ls, unnest(range(1, len(arr) + 1)) AS t(i)
+), over_limit AS (
+  SELECT nm FROM lines GROUP BY nm HAVING count(*) > 1
+), kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE nm NOT IN (SELECT nm FROM over_limit)
+)
+SELECT d.doc_id,
+       coalesce(k.text, '') AS text,
+       CAST(len(string_split(d.text, chr(10))) AS INT) AS n_lines,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM d
+LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X35 END-TO-END SELECTION COMPOSITE, ORACLE-CHECKED through all
     four stages: Gopher length gate (the battery's ok_words rule — the
@@ -5575,6 +5682,8 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_rules": q_gopher_rules,
     "shuffle_shards": q_shuffle_shards,
     "selection_pipeline": q_selection_pipeline,
+    "c4_line_filter": q_c4_line_filter,
+    "line_dedup": q_line_dedup,
     "cluster_documents": q_cluster_documents,
     "semantic_dedup_clustered": q_semantic_dedup_clustered,
     # r7-displaced rows (see the window notes above)
@@ -5779,6 +5888,8 @@ ORACLES: dict[str, str] = {
     "gopher_rules": _ORACLE_GOPHER_RULES,
     "shuffle_shards": _ORACLE_SHUFFLE_SHARDS,
     "selection_pipeline": _ORACLE_SELECTION_PIPELINE,
+    "c4_line_filter": _ORACLE_C4_LINE_FILTER,
+    "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
     "lm_scores_bigram": _ORACLE_LM_SCORES_BIGRAM,
     "nb_classify": _ORACLE_NB_CLASSIFY,

@@ -1,0 +1,58 @@
+"""Line-level cleaning (X36): C4 per-line rules and corpus-wide
+duplicate-line removal."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators import lines as L
+
+
+def test_c4_line_filter_keeps_terminal_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "This is a proper sentence with enough words.\nshort\nAnother good long line ends here!"),
+            (2, "no terminal punctuation on this line at all\nid 42"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in L.c4_line_filter(df).collect()}
+    assert out[1].n_lines == 3 and out[1].n_kept == 2
+    assert out[1].text.splitlines() == [
+        "This is a proper sentence with enough words.",
+        "Another good long line ends here!",
+    ]
+    # doc 2: no line survives -> dropped; doc 3: null text -> dropped
+    assert set(out) == {1}
+
+
+def test_c4_line_filter_without_terminal_rule(spark):
+    df = spark.createDataFrame(
+        [(1, "five words are right here\nfour words only here")],
+        "doc_id long, text string",
+    )
+    out = L.c4_line_filter(df, min_words=5, require_terminal=False).collect()[0]
+    assert out.n_kept == 1 and out.text == "five words are right here"
+
+
+def test_corpus_line_dedup_removes_cross_doc_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "SHARED FOOTER\nunique one"),
+            (2, "shared   footer\nunique two"),  # same after normalization
+            (3, "only unique three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in L.corpus_line_dedup(df).collect()}
+    # the footer (normalized-equal across docs 1+2) is removed everywhere
+    assert out[1].text == "unique one" and out[1].n_kept == 1
+    assert out[2].text == "unique two" and out[2].n_kept == 1
+    assert out[3].text == "only unique three" and out[3].n_lines == 1
+    # order preserved when multiple lines survive
+    df2 = spark.createDataFrame(
+        [(1, "dup\nfirst keep\ndup\nsecond keep"), (2, "dup")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in L.corpus_line_dedup(df2).collect()}
+    assert got[1].text == "first keep\nsecond keep"
+    assert got[2].n_kept == 0 and got[2].text == ""
