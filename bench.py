@@ -112,6 +112,8 @@ HEADLINE = [
     "selection_pipeline",
     "c4_line_filter",
     "line_dedup",
+    "snapshot_diff",
+    "scd2_apply",
 ]
 
 

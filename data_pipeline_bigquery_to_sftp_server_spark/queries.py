@@ -4721,6 +4721,119 @@ def q_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_profile(assigned)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family extension, ORACLE-CHECKED: change-data-capture between
+    two snapshots — one NULL-safe full-outer join classifies every key
+    as insert / delete / update / unchanged (operators/merge.py
+    snapshot_diff). The value-diff upgrade of the reference's key-only
+    sync (main.py decides insert-vs-update by key membership, never
+    comparing values). The new snapshot is derived deterministically
+    from customer: every 97th key deleted, every 5th balance bumped,
+    every 50th key re-inserted under a new id."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import merge
+
+    c = load_table(spark, sf_dir, "customer")
+    old = c.select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal").cast("double"), 2).alias("bal")
+    )
+    base = c.where(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.col("c_acctbal").cast("double") + 10
+            ).otherwise(F.col("c_acctbal").cast("double")),
+            2,
+        ).alias("bal"),
+    )
+    adds = c.where(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("bal"),
+    )
+    new = base.unionByName(adds)
+    return merge.snapshot_diff(old, new, "c_custkey").orderBy("c_custkey")
+
+
+_ORACLE_SNAPSHOT_DIFF = r"""
+WITH o AS (
+  SELECT c_custkey, c_name, round(CAST(c_acctbal AS DOUBLE), 2) AS bal FROM customer
+), n AS (
+  SELECT c_custkey, c_name,
+         round(CASE WHEN c_custkey % 5 = 0 THEN CAST(c_acctbal AS DOUBLE) + 10
+                    ELSE CAST(c_acctbal AS DOUBLE) END, 2) AS bal
+  FROM customer WHERE c_custkey % 97 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW ' || c_name, round(CAST(c_acctbal AS DOUBLE), 2)
+  FROM customer WHERE c_custkey % 50 = 0
+)
+SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN n.c_custkey IS NULL THEN 'delete'
+            WHEN n.c_name IS DISTINCT FROM o.c_name
+              OR n.bal IS DISTINCT FROM o.bal THEN 'update'
+            ELSE 'unchanged' END AS op,
+       CASE WHEN n.c_custkey IS NULL THEN o.c_name ELSE n.c_name END AS c_name,
+       CASE WHEN n.c_custkey IS NULL THEN o.bal ELSE n.bal END AS bal
+FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+ORDER BY c_custkey
+"""
+
+
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family extension, ORACLE-CHECKED: slowly-changing-dimension
+    type 2 MERGE — changed keys' open rows close at the batch
+    timestamp and new versions open, unchanged keys and closed history
+    pass through (operators/merge.py scd2_apply). The history-keeping
+    upgrade of the reference's in-place MERGE. The oracle is an
+    INDEPENDENT re-derivation of the expected interval table (not a
+    mirror of the join plan): every 3rd customer changes segment,
+    every 100th key arrives new."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import merge
+
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.lit("2019-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    upd = c.select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    ).unionByName(
+        c.where(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+            F.lit("BUILDING").alias("c_mktsegment"),
+        )
+    )
+    out = merge.scd2_apply(current, upd, "c_custkey", batch_ts="2020-06-01")
+    return out.orderBy("c_custkey", "valid_from")
+
+
+_ORACLE_SCD2_APPLY = r"""
+SELECT c_custkey, c_name, c_mktsegment, '2019-01-01' AS valid_from,
+       CAST(NULL AS VARCHAR) AS valid_to
+FROM customer WHERE c_custkey % 3 != 0
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment, '2019-01-01', '2020-06-01'
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT c_custkey, c_name, 'MOVED', '2020-06-01', CAST(NULL AS VARCHAR)
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT c_custkey + 1000000, 'NEW ' || c_name, 'BUILDING', '2020-06-01',
+       CAST(NULL AS VARCHAR)
+FROM customer WHERE c_custkey % 100 = 0
+ORDER BY c_custkey, valid_from
+"""
+
+
 def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X36a C4 per-line cleaning, ORACLE-CHECKED: documents (synthesized
     multi-line, the pii_redaction pattern — the documents table is
@@ -5682,6 +5795,8 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_rules": q_gopher_rules,
     "shuffle_shards": q_shuffle_shards,
     "selection_pipeline": q_selection_pipeline,
+    "snapshot_diff": q_snapshot_diff,
+    "scd2_apply": q_scd2_apply,
     "c4_line_filter": q_c4_line_filter,
     "line_dedup": q_line_dedup,
     "cluster_documents": q_cluster_documents,
@@ -5888,6 +6003,8 @@ ORACLES: dict[str, str] = {
     "gopher_rules": _ORACLE_GOPHER_RULES,
     "shuffle_shards": _ORACLE_SHUFFLE_SHARDS,
     "selection_pipeline": _ORACLE_SELECTION_PIPELINE,
+    "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
+    "scd2_apply": _ORACLE_SCD2_APPLY,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

@@ -126,3 +126,54 @@ def test_upsert_partitioned_existing_table_failure_is_not_bootstrap(spark, tmp_p
         merge.upsert_partitioned(spark, path, staging, key="id", partition_col="month")
     # the existing table is intact, not replaced by the staging batch
     assert {r.id: r.name for r in spark.read.parquet(path).collect()} == {1: "a", 2: "b"}
+
+
+def test_snapshot_diff_classifies_including_null_transitions(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import merge as M
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, None)],
+        "k long, name string, val double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (5, "e", 50.0), (4, None, None)],
+        "k long, name string, val double",
+    )
+    got = {r.k: r.op for r in M.snapshot_diff(old, new, "k").collect()}
+    assert got == {
+        1: "unchanged",
+        2: "update",     # NULL -> 20.0 is a change (eqNullSafe)
+        3: "delete",
+        4: "unchanged",  # all-NULL row present on both sides
+        5: "insert",
+    }
+
+
+def test_scd2_apply_closes_changed_and_keeps_history(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import merge as M
+
+    current = spark.createDataFrame(
+        [
+            (1, "x", "OLDSEG", "2018-01-01", "2019-01-01"),  # closed history
+            (1, "x", "SEG1", "2019-01-01", None),
+            (2, "y", "SEG2", "2019-01-01", None),
+        ],
+        "k long, name string, seg string, valid_from string, valid_to string",
+    )
+    upd = spark.createDataFrame(
+        [(1, "x", "SEG9"), (2, "y", "SEG2"), (3, "z", "SEG3")],
+        "k long, name string, seg string",
+    )
+    out = M.scd2_apply(current, upd, "k", batch_ts="2020-01-01")
+    rows = {(r.k, r.valid_from, r.valid_to): (r.name, r.seg) for r in out.collect()}
+    assert rows == {
+        (1, "2018-01-01", "2019-01-01"): ("x", "OLDSEG"),   # history untouched
+        (1, "2019-01-01", "2020-01-01"): ("x", "SEG1"),     # closed out
+        (1, "2020-01-01", None): ("x", "SEG9"),             # new version
+        (2, "2019-01-01", None): ("y", "SEG2"),             # unchanged stays open
+        (3, "2020-01-01", None): ("z", "SEG3"),             # brand-new key
+    }
+    # idempotence: re-applying the same batch later changes nothing
+    again = M.scd2_apply(out, upd, "k", batch_ts="2021-01-01")
+    assert again.count() == out.count()
+    assert again.where(F.col("valid_to") == "2021-01-01").count() == 0
