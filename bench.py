@@ -114,6 +114,7 @@ HEADLINE = [
     "line_dedup",
     "snapshot_diff",
     "scd2_apply",
+    "pagerank",
 ]
 
 

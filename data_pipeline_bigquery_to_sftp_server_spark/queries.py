@@ -4721,6 +4721,73 @@ def q_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_profile(assigned)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 graph ranking, ORACLE-CHECKED: 3 power iterations of damped
+    PageRank with dangling-mass redistribution over a deterministic
+    synthetic link graph (each doc links to (7k+1) mod 1009 and
+    (13k+3) mod 1009 — the modulus exceeds the id range, so dst-only
+    dangling nodes exist and the redistribution term is actually
+    exercised). Per-iteration 9dp rounding makes distributed float-sum
+    order irrelevant, so the unrolled-CTE oracle replays every rank
+    (operators/graph.py pagerank). The crawl-graph importance prior
+    corpus curation joins as a quality signal."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import graph
+
+    d = load_table(spark, sf_dir, "documents")
+    e = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % 1009).alias("dst"),
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 3) % 1009).alias("dst"),
+        )
+    )
+    return graph.pagerank(e, n_iter=3).orderBy("node")
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    head = r"""
+WITH e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % 1009 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 3) % 1009 FROM documents
+), verts AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), outdeg AS (
+  SELECT src AS node, count(*) AS deg FROM e GROUP BY src
+), s AS (
+  SELECT count(*) AS n FROM verts
+), r0 AS (
+  SELECT node, round(1.0 / s.n, 9) AS rank FROM verts CROSS JOIN s
+)"""
+    step = r""", r{K} AS (
+  SELECT v.node,
+         round((1 - 0.85) / s.n
+               + 0.85 * (coalesce(c.inn, 0) + dm{K}.dm / s.n), 9) AS rank
+  FROM verts v
+  CROSS JOIN s
+  CROSS JOIN (
+    SELECT coalesce(sum(rank), 0) AS dm FROM r{P}
+    WHERE node NOT IN (SELECT node FROM outdeg)
+  ) dm{K}
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / o.deg) AS inn
+    FROM e JOIN r{P} r ON r.node = e.src JOIN outdeg o ON o.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = v.node
+)"""
+    body = "".join(step.format(K=k, P=k - 1) for k in range(1, n_iter + 1))
+    return (
+        head
+        + body
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{n_iter} ORDER BY node\n"
+    )
+
+
+_ORACLE_PAGERANK = _pagerank_oracle(3)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-family extension, ORACLE-CHECKED: change-data-capture between
     two snapshots — one NULL-safe full-outer join classifies every key
@@ -5795,6 +5862,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_rules": q_gopher_rules,
     "shuffle_shards": q_shuffle_shards,
     "selection_pipeline": q_selection_pipeline,
+    "pagerank": q_pagerank,
     "snapshot_diff": q_snapshot_diff,
     "scd2_apply": q_scd2_apply,
     "c4_line_filter": q_c4_line_filter,
@@ -6003,6 +6071,7 @@ ORACLES: dict[str, str] = {
     "gopher_rules": _ORACLE_GOPHER_RULES,
     "shuffle_shards": _ORACLE_SHUFFLE_SHARDS,
     "selection_pipeline": _ORACLE_SELECTION_PIPELINE,
+    "pagerank": _ORACLE_PAGERANK,
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
     "scd2_apply": _ORACLE_SCD2_APPLY,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,

@@ -1,0 +1,44 @@
+"""PageRank (X37): mass conservation, in-degree ordering, dangling
+redistribution, numpy power-iteration parity."""
+
+import numpy as np
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # small graph WITH a dangling node (4 has no out-edges)
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (2, 4)]
+    out = {
+        r.node: r.rank
+        for r in graph.pagerank(_edges(spark, pairs), n_iter=5).collect()
+    }
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, _ in pairs:
+        outdeg[idx[s]] += 1
+    r = np.full(n, round(1.0 / n, 9))
+    for _ in range(5):
+        contrib = np.zeros(n)
+        for s, d in pairs:
+            contrib[idx[d]] += r[idx[s]] / outdeg[idx[s]]
+        dm = r[outdeg == 0].sum()
+        r = np.round((1 - 0.85) / n + 0.85 * (contrib + dm / n), 9)
+    for v in nodes:
+        assert abs(out[v] - round(float(r[idx[v]]), 6)) < 1e-9
+    # stochastic completion: total mass conserved at ~1
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    # every node holds at least the teleport floor
+    assert min(out.values()) >= round((1 - 0.85) / n, 6)
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    pairs = [(1, 2), (2, 3), (3, 1)]
+    out = {r.node: r.rank for r in graph.pagerank(_edges(spark, pairs), n_iter=4).collect()}
+    assert len(set(out.values())) == 1  # perfect symmetry -> equal ranks
