@@ -38,9 +38,9 @@ def oracle_sql() -> dict[str, str]:
     checkable). Keys missing here (minhash_pairs, simhash_groups,
     simhash_near_pairs, embedding_dups, lsh_topk, ivf_topk — all past
     slot 50) are approximate/hash-seeded operators, html_clean is a
-    python-HTMLParser UDF, and cluster_documents is iterative float
-    k-means (numpy-reference-pinned) -> rows-only checks, with
-    recall/parity (IVF
+    python-HTMLParser UDF, and cluster_documents /
+    semantic_dedup_clustered ride iterative float k-means
+    (numpy-reference-pinned) -> rows-only checks, with recall/parity (IVF
     full-probe == exact brute force is ALSO oracle-checked as
     ivf_full_probe) verified in tests/. The FFD packing pair
     (pack_sequences / assemble_bins) IS oracle-checked since r6: the
