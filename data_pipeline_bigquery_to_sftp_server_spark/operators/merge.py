@@ -201,19 +201,20 @@ def snapshot_diff(
     whatever sink policy the caller has (append CDC log, MERGE, audit).
     """
     cols = compare_cols or [c for c in new.columns if c != key]
-    o = old.select(key, *[F.col(c).alias(f"_o_{c}") for c in cols])
-    n = new.select(key, *[F.col(c).alias(f"_n_{c}") for c in cols])
+    # presence flags must not rely on a compared column being non-null
+    # (a row whose every compared value is NULL is still present), so a
+    # constant-true marker column rides each side into the ONE join.
+    o = old.select(
+        key, F.lit(1).alias("_in_old"), *[F.col(c).alias(f"_o_{c}") for c in cols]
+    )
+    n = new.select(
+        key, F.lit(1).alias("_in_new"), *[F.col(c).alias(f"_n_{c}") for c in cols]
+    )
     changed = None
     for c in cols:
         ne = ~F.col(f"_n_{c}").eqNullSafe(F.col(f"_o_{c}"))
         changed = ne if changed is None else (changed | ne)
     j = o.join(n, key, "full_outer")
-    # presence flags must not rely on a compared column being non-null
-    # (a row whose every compared value is NULL is still present), so
-    # presence rides constant-true marker columns:
-    o2 = old.select(key).withColumn("_in_old", F.lit(1))
-    n2 = new.select(key).withColumn("_in_new", F.lit(1))
-    j = j.join(o2, key, "left").join(n2, key, "left")
     op = (
         F.when(F.col("_in_old").isNull(), F.lit("insert"))
         .when(F.col("_in_new").isNull(), F.lit("delete"))
@@ -262,17 +263,17 @@ def scd2_apply(
     ]
     open_rows = current.where(F.col("valid_to").isNull())
     closed_rows = current.where(F.col("valid_to").isNotNull())
-    u = updates.select(key, *[F.col(c).alias(f"_u_{c}") for c in cols])
+    # marker column (see snapshot_diff): an all-NULL update row still
+    # counts as present, with no second join needed
+    u = updates.select(
+        key, F.lit(1).alias("_has_upd"), *[F.col(c).alias(f"_u_{c}") for c in cols]
+    )
     j = open_rows.join(u, key, "full_outer")
     changed = None
     for c in cols:
         ne = ~F.col(f"_u_{c}").eqNullSafe(F.col(c))
         changed = ne if changed is None else (changed | ne)
     has_open = F.col("valid_from").isNotNull()
-    # robust presence markers (see snapshot_diff): a marker join, so an
-    # all-NULL update row still counts as present
-    um = updates.select(key).withColumn("_has_upd", F.lit(1))
-    j = j.join(um, key, "left")
     is_new_key = ~has_open & F.col("_has_upd").isNotNull()
     is_changed = has_open & F.col("_has_upd").isNotNull() & changed
     bts = F.lit(batch_ts)
