@@ -115,6 +115,7 @@ HEADLINE = [
     "snapshot_diff",
     "scd2_apply",
     "pagerank",
+    "bloom_screen",
 ]
 
 

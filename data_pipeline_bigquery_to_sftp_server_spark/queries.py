@@ -4721,6 +4721,46 @@ def q_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_profile(assigned)
 
 
+def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 Bloom-prefiltered exact dedup screen, ORACLE-CHECKED: the
+    production two-tier membership pattern — every incoming doc
+    (doc_id % 10 == 0) probes a corpus Bloom bitmap MAP-SIDE (no join,
+    no shuffle; the bitmap is ~1.2 bytes/doc and rides the task
+    closure), and only the maybe-duplicates reach the exact
+    fingerprint semi join, shrinking its probe side from |batch| to
+    |dups| + FPR·|batch|. Bloom guarantees no false negatives, and the
+    exact verify removes false positives, so the final exact_dup
+    column is EXACTLY the membership answer — the same oracle as the
+    stream-static screen replays it (operators/bloom.py)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import bloom
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    bm = bloom.build_bloom(corpus, normalize_text(F.col("text")), num_bits=1 << 20)
+    maybe = new.withColumn(
+        "_maybe", bloom.bloom_flag(normalize_text(F.col("text")), bm)
+    )
+    corpus_fp = corpus.select(
+        F.xxhash64(normalize_text(F.col("text"))).alias("_fp")
+    ).dropDuplicates()
+    verified = (
+        maybe.where(F.col("_maybe"))
+        .withColumn("_fp", F.xxhash64(normalize_text(F.col("text"))))
+        .join(corpus_fp, "_fp", "left_semi")
+        .select(F.col("doc_id").alias("_vid"))
+        .withColumn("_e", F.lit(1))
+    )
+    return (
+        new.select("doc_id")
+        .join(verified, F.col("doc_id") == F.col("_vid"), "left")
+        .select("doc_id", F.col("_e").isNotNull().alias("exact_dup"))
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X37 graph ranking, ORACLE-CHECKED: 3 power iterations of damped
     PageRank with dangling-mass redistribution over a deterministic
@@ -5862,6 +5902,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_rules": q_gopher_rules,
     "shuffle_shards": q_shuffle_shards,
     "selection_pipeline": q_selection_pipeline,
+    "bloom_screen": q_bloom_screen,
     "pagerank": q_pagerank,
     "snapshot_diff": q_snapshot_diff,
     "scd2_apply": q_scd2_apply,
@@ -6071,6 +6112,7 @@ ORACLES: dict[str, str] = {
     "gopher_rules": _ORACLE_GOPHER_RULES,
     "shuffle_shards": _ORACLE_SHUFFLE_SHARDS,
     "selection_pipeline": _ORACLE_SELECTION_PIPELINE,
+    "bloom_screen": _ORACLE_STREAMING_INCREMENTAL_DEDUP,
     "pagerank": _ORACLE_PAGERANK,
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
     "scd2_apply": _ORACLE_SCD2_APPLY,
