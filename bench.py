@@ -116,6 +116,8 @@ HEADLINE = [
     "scd2_apply",
     "pagerank",
     "bloom_screen",
+    "hard_negatives",
+    "corpus_report",
 ]
 
 

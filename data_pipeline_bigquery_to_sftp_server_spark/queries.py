@@ -4721,6 +4721,136 @@ def q_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_profile(assigned)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40 corpus data-card report, ORACLE-CHECKED: the per-source
+    observability rollup a curation run publishes (Datasheets/data-card
+    practice) — document and token volumes, language diversity,
+    exact-duplicate rate (normalized-content multiplicity), and the
+    Gopher length-gate pass share, in one pass + one rollup. Every
+    number is relational, so the card is auditable cross-engine."""
+    from data_pipeline_bigquery_to_sftp_server_spark.functions.text import token_count
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    per_doc = d.select(
+        "source",
+        "lang",
+        token_count(F.col("text")).alias("_toks"),
+        normalize_text(F.col("text")).alias("_nm"),
+    )
+    mult = per_doc.groupBy("_nm").agg(F.count("*").alias("_mult"))
+    j = per_doc.join(mult, "_nm")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_toks").alias("total_tokens"),
+            F.round(F.avg("_toks"), 2).alias("avg_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum((F.col("_mult") > 1).cast("int")).alias("n_dup_docs"),
+            F.round(
+                F.avg(((F.col("_toks") >= 50) & (F.col("_toks") <= 100000)).cast("int")),
+                4,
+            ).alias("len_gate_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_CORPUS_REPORT = r"""
+WITH per_doc AS (
+  SELECT source, lang,
+         len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
+  FROM documents WHERE text IS NOT NULL
+), mult AS (
+  SELECT nm, count(*) AS m FROM per_doc GROUP BY nm
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       round(avg(toks), 2) AS avg_tokens,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(CASE WHEN mult.m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       round(avg(CASE WHEN toks BETWEEN 50 AND 100000 THEN 1 ELSE 0 END), 4)
+         AS len_gate_share
+FROM per_doc JOIN mult USING (nm)
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39 hard-negative mining for contrastive training,
+    ORACLE-CHECKED: for each anchor (vec_id % 50 == 0), the top-5 most
+    cosine-similar corpus vectors with a DIFFERENT label — the
+    retrieval step behind training embedding models (high-similarity
+    wrong-label examples are the gradient-rich negatives;
+    random-negative batches are too easy). Exact scoring here (the
+    recall anchor); at corpus scale the identical label-filtered
+    re-rank runs over lsh_topk/ivf_topk candidates instead — same
+    output contract. Plan: anchors broadcast, corpus scanned once,
+    per-anchor top-k window keyed on the anchor id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    from pyspark.sql.window import Window
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
+        ensure_parallelism,
+    )
+
+    scored = (
+        ensure_parallelism(e.select("vec_id", "embedding", "label"))
+        .crossJoin(F.broadcast(anchors))
+        .where(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            similarity.cosine(
+                F.col("embedding").cast("array<double>"),
+                F.col("query_vec").cast("array<double>"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+_ORACLE_HARD_NEGATIVES = r"""
+WITH a AS (
+  SELECT vec_id AS query_id, embedding AS query_vec, label AS query_label
+  FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT a.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(a.query_vec AS DOUBLE[])) AS cos_sim
+  FROM embeddings e CROSS JOIN a
+  WHERE e.label <> a.query_label
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
 def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X38 Bloom-prefiltered exact dedup screen, ORACLE-CHECKED: the
     production two-tier membership pattern — every incoming doc
@@ -5902,6 +6032,8 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_rules": q_gopher_rules,
     "shuffle_shards": q_shuffle_shards,
     "selection_pipeline": q_selection_pipeline,
+    "corpus_report": q_corpus_report,
+    "hard_negatives": q_hard_negatives,
     "bloom_screen": q_bloom_screen,
     "pagerank": q_pagerank,
     "snapshot_diff": q_snapshot_diff,
@@ -6112,6 +6244,8 @@ ORACLES: dict[str, str] = {
     "gopher_rules": _ORACLE_GOPHER_RULES,
     "shuffle_shards": _ORACLE_SHUFFLE_SHARDS,
     "selection_pipeline": _ORACLE_SELECTION_PIPELINE,
+    "corpus_report": _ORACLE_CORPUS_REPORT,
+    "hard_negatives": _ORACLE_HARD_NEGATIVES,
     "bloom_screen": _ORACLE_STREAMING_INCREMENTAL_DEDUP,
     "pagerank": _ORACLE_PAGERANK,
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
