@@ -5949,7 +5949,10 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "quality_filter": q_quality_filter,
     "repetition_scores": q_repetition_scores,
-    "hash_split": q_hash_split,
+    # (hash_split displaced in late r7 — the deterministic-split
+    # machinery runs in-window inside curation_pipeline; pagerank takes
+    # the slot: the oracle-replayable iterative graph ranking)
+    "pagerank": q_pagerank,
     # multimodal (X)
     "media_features": q_media_features,
     # sources / sinks (csv_roundtrip demoted past 50 in r6 — S5/S6 stay
@@ -5992,8 +5995,12 @@ QUERIES: dict[str, QueryFn] = {
     # corpus LM scoring, and FFD bin assembly — the last now oracle-
     # checked via the recursive-CTE FFD replay.
     "dup_ngram_spans": q_dup_ngram_spans,
-    "mixture_sample": q_mixture_sample,
-    "lm_scores_foreign": q_lm_scores_foreign,
+    # (mixture_sample / lm_scores_foreign displaced in late r7 —
+    # recipe_pipeline exercises mixture in-window, and
+    # importance_resample IS the train= reference-LM path twice over;
+    # the two slots fund the selection composite + DSIR)
+    "selection_pipeline": q_selection_pipeline,
+    "importance_resample": q_importance_resample,
     "assemble_bins": q_assemble_bins,
     # r6 operators with official driver rows: the recipe composite, the
     # bigram LM, and the relational NB classifier (all oracle-green)
@@ -6025,17 +6032,17 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     # -- slots 51+: variants + remainder (verified via verify_local) --
     # r7 late additions (oracle-green via verify_local; next rotation)
-    "importance_resample": q_importance_resample,
     "ccnet_buckets": q_ccnet_buckets,
     "vocab_coverage": q_vocab_coverage,
     "temperature_sample": q_temperature_sample,
     "gopher_rules": q_gopher_rules,
     "shuffle_shards": q_shuffle_shards,
-    "selection_pipeline": q_selection_pipeline,
     "corpus_report": q_corpus_report,
     "hard_negatives": q_hard_negatives,
+    "hash_split": q_hash_split,
+    "mixture_sample": q_mixture_sample,
+    "lm_scores_foreign": q_lm_scores_foreign,
     "bloom_screen": q_bloom_screen,
-    "pagerank": q_pagerank,
     "snapshot_diff": q_snapshot_diff,
     "scd2_apply": q_scd2_apply,
     "c4_line_filter": q_c4_line_filter,
