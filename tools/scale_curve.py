@@ -52,6 +52,9 @@ EMBEDDINGS = [
     "ivf_topk",
     "embedding_dups",
     "embedding_dups_exact",
+    "hard_negatives",
+    "cluster_documents",
+    "semantic_dedup_clustered",
 ]
 
 
