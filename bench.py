@@ -118,6 +118,8 @@ HEADLINE = [
     "bloom_screen",
     "hard_negatives",
     "corpus_report",
+    "streaming_quality_gate",
+    "ingest_pipeline",
 ]
 
 

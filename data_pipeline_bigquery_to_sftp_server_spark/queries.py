@@ -3215,6 +3215,104 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41 INGEST LIFECYCLE COMPOSITE, ORACLE-CHECKED: the reference's
+    sync loop (fetch → screen-against-existing → upsert, main.py's
+    existing-ids membership) at content level, through the full
+    three-tier machinery: Bloom prefilter (map-side, no join) → exact
+    fingerprint verify against the held DedupState (only
+    maybe-duplicates reach the join) → absorb the accepted batch into
+    the state → RE-SCREEN the whole batch against the absorbed state.
+    Output per batch doc: ``(doc_id, exact_dup, dup_after_absorb)``.
+    The oracle replays exact_dup as corpus membership and pins the
+    lifecycle invariant the re-screen must produce: after absorb,
+    EVERY batch doc's content is in the state (original dups were
+    already there; accepted docs were just folded in), so
+    dup_after_absorb is uniformly true — computed the long way through
+    absorb_batch + a second screen on the Spark side."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import bloom, dedup_state
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    state = dedup_state.build_dedup_state(corpus, "doc_id", "text")
+    bm = bloom.build_bloom(corpus, normalize_text(F.col("text")), num_bits=1 << 20)
+    fp = batch.select(
+        "doc_id",
+        "text",
+        F.xxhash64(normalize_text(F.col("text"))).alias("_fp"),
+        bloom.bloom_flag(normalize_text(F.col("text")), bm).alias("_maybe"),
+    )
+    store = state.fingerprints.dropDuplicates(["_fp"])
+    dup_ids = (
+        fp.where(F.col("_maybe"))
+        .join(store, "_fp", "left_semi")
+        .select(F.col("doc_id").alias("_did"))
+        .withColumn("_e", F.lit(1))
+    )
+    accepted = batch.join(
+        dup_ids, batch["doc_id"] == dup_ids["_did"], "left_anti"
+    )
+    state2 = dedup_state.absorb_batch(state, accepted)
+    after_ids = (
+        fp.join(state2.fingerprints.dropDuplicates(["_fp"]), "_fp", "left_semi")
+        .select(F.col("doc_id").alias("_aid"))
+        .withColumn("_a", F.lit(1))
+    )
+    return (
+        batch.select("doc_id")
+        .join(dup_ids, F.col("doc_id") == F.col("_did"), "left")
+        .join(after_ids, F.col("doc_id") == F.col("_aid"), "left")
+        .select(
+            "doc_id",
+            F.col("_e").isNotNull().alias("exact_dup"),
+            F.col("_a").isNotNull().alias("dup_after_absorb"),
+        )
+    )
+
+
+_ORACLE_INGEST_PIPELINE = r"""
+WITH cfp AS (
+  SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
+  FROM documents WHERE doc_id % 10 != 0
+)
+SELECT d.doc_id,
+       trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')) IN (SELECT nm FROM cfp) AS exact_dup,
+       TRUE AS dup_after_absorb
+FROM documents d
+WHERE d.doc_id % 10 = 0
+"""
+
+
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7+X31 composition, ORACLE-CHECKED: the Gopher rule battery as
+    a quality-gate-on-ingest streaming stage — gopher_flags is a pure
+    zero-shuffle projection, so it lifts to an append-mode stream
+    unchanged and the sink holds exactly the batch report (same
+    _ORACLE_GOPHER_RULES restricted to the streamed slice). The
+    production deployment of a quality filter: score documents BEFORE
+    they land in the corpus, not in a second pass over stored data."""
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.functions.text import gopher_flags
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    path, schema = _events_stream_src(spark, sf_dir, table="documents")
+    stream = W.read_events_stream(spark, path, schema, max_files_per_trigger=4)
+    flagged = (
+        stream.where(F.col("text").isNotNull() & (F.col("doc_id") % 4 == 0))
+        .select("doc_id", gopher_flags(F.col("text")).alias("g"))
+        .select("doc_id", "g.*")
+    )
+    name = f"q_quality_stream_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(flagged, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
 _ORACLE_STREAMING_INCREMENTAL_DEDUP = r"""
 WITH cfp AS (
   SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
@@ -5383,6 +5481,14 @@ FROM m
 """
 
 
+_ORACLE_STREAMING_QUALITY_GATE = _ORACLE_GOPHER_RULES.replace(
+    "FROM documents WHERE text IS NOT NULL",
+    "FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0",
+)
+
+
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X30 multilingual temperature rebalancing, ORACLE-CHECKED: the
     mT5/XLM-R alpha-sampling rule — per-language sampling rates
@@ -6038,6 +6144,8 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_rules": q_gopher_rules,
     "shuffle_shards": q_shuffle_shards,
     "corpus_report": q_corpus_report,
+    "streaming_quality_gate": q_streaming_quality_gate,
+    "ingest_pipeline": q_ingest_pipeline,
     "hard_negatives": q_hard_negatives,
     "hash_split": q_hash_split,
     "mixture_sample": q_mixture_sample,
@@ -6252,6 +6360,8 @@ ORACLES: dict[str, str] = {
     "shuffle_shards": _ORACLE_SHUFFLE_SHARDS,
     "selection_pipeline": _ORACLE_SELECTION_PIPELINE,
     "corpus_report": _ORACLE_CORPUS_REPORT,
+    "streaming_quality_gate": _ORACLE_STREAMING_QUALITY_GATE,
+    "ingest_pipeline": _ORACLE_INGEST_PIPELINE,
     "hard_negatives": _ORACLE_HARD_NEGATIVES,
     "bloom_screen": _ORACLE_STREAMING_INCREMENTAL_DEDUP,
     "pagerank": _ORACLE_PAGERANK,
