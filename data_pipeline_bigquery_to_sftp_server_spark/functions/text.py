@@ -221,10 +221,13 @@ def gopher_flags(col: Column) -> Column:
     alpha_frac = (
         F.size(F.filter(toks, lambda t: t.rlike(r"[a-z]"))).cast("double") / n_words
     )
+    # distinct stop words present: array_intersect evaluates the token
+    # array ONCE — the filter-lambda formulation re-evaluates the doc's
+    # tokenize per stop word (the HOF-lambda pitfall dedup.py documents:
+    # expressions captured inside a lambda re-run per element).
     stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(toks, s),
+        F.array_intersect(
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]), toks
         )
     )
     ok_words = (n_words >= 50) & (n_words <= 100_000)
