@@ -120,6 +120,7 @@ HEADLINE = [
     "corpus_report",
     "streaming_quality_gate",
     "ingest_pipeline",
+    "retrieval_mrr",
 ]
 
 

@@ -4884,6 +4884,83 @@ ORDER BY source
 """
 
 
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 embedding-space retrieval eval, ORACLE-CHECKED: for each
+    anchor (vec_id % 50 == 0), the rank of its FIRST same-label
+    neighbor under exact cosine ordering (self excluded) and the
+    reciprocal rank — the kNN/MRR harness that scores an embedding
+    space before it is trusted for semantic dedup or ANN retrieval
+    (label = relevance). Mean reciprocal rank over anchors is the
+    corpus-level metric; per-anchor rows keep the check strong. Same
+    broadcast-anchors/one-scan shape as q_hard_negatives."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    from pyspark.sql.window import Window
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
+        ensure_parallelism,
+    )
+
+    scored = (
+        ensure_parallelism(e.select("vec_id", "embedding", "label"))
+        .crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "label",
+            similarity.cosine(
+                F.col("embedding").cast("array<double>"),
+                F.col("query_vec").cast("array<double>"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    first_hit = (
+        ranked.where(F.col("label") == F.col("query_label"))
+        .groupBy("query_id")
+        .agg(F.min("rnk").alias("first_rel_rank"))
+    )
+    return (
+        first_hit.select(
+            "query_id",
+            "first_rel_rank",
+            F.round(F.lit(1.0) / F.col("first_rel_rank"), 6).alias("reciprocal_rank"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ORACLE_RETRIEVAL_MRR = r"""
+WITH a AS (
+  SELECT vec_id AS query_id, embedding AS query_vec, label AS query_label
+  FROM embeddings WHERE vec_id % 50 = 0
+), ranked AS (
+  SELECT a.query_id, a.query_label, e.vec_id, e.label,
+         row_number() OVER (
+           PARTITION BY a.query_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(a.query_vec AS DOUBLE[])) DESC,
+                    e.vec_id ASC) AS rnk
+  FROM embeddings e CROSS JOIN a
+  WHERE e.vec_id <> a.query_id
+)
+SELECT query_id,
+       CAST(min(rnk) AS INT) AS first_rel_rank,
+       round(1.0 / min(rnk), 6) AS reciprocal_rank
+FROM ranked
+WHERE label = query_label
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X39 hard-negative mining for contrastive training,
     ORACLE-CHECKED: for each anchor (vec_id % 50 == 0), the top-5 most
@@ -6151,6 +6228,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_quality_gate": q_streaming_quality_gate,
     "ingest_pipeline": q_ingest_pipeline,
     "hard_negatives": q_hard_negatives,
+    "retrieval_mrr": q_retrieval_mrr,
     "hash_split": q_hash_split,
     "mixture_sample": q_mixture_sample,
     "lm_scores_foreign": q_lm_scores_foreign,
@@ -6367,6 +6445,7 @@ ORACLES: dict[str, str] = {
     "streaming_quality_gate": _ORACLE_STREAMING_QUALITY_GATE,
     "ingest_pipeline": _ORACLE_INGEST_PIPELINE,
     "hard_negatives": _ORACLE_HARD_NEGATIVES,
+    "retrieval_mrr": _ORACLE_RETRIEVAL_MRR,
     "bloom_screen": _ORACLE_STREAMING_INCREMENTAL_DEDUP,
     "pagerank": _ORACLE_PAGERANK,
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
