@@ -247,3 +247,50 @@ def test_cross_np_corpus_ceiling_raises(spark, sf_dir):
         )
     with pytest.raises(ValueError, match="max_rows"):
         similarity.exact_near_dup_pairs_np(e, threshold=0.35, max_rows=10)
+
+
+def test_retrieval_mrr_perfect_space_ranks_first(spark):
+    """In a perfectly-separated label space every anchor's nearest
+    neighbor shares its label -> first_rel_rank == 1, MRR == 1."""
+    import numpy as np
+
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import q_retrieval_mrr  # noqa: F401
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for lab, center in enumerate([np.ones(8), -np.ones(8)]):
+        for i in range(50):
+            v = center + rng.normal(0, 0.05, 8)
+            rows.append((lab * 50 + i, [float(x) for x in v], lab))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    anchors = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "label",
+            S.cosine(
+                F.col("embedding").cast("array<double>"),
+                F.col("query_vec").cast("array<double>"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    got = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("label") == F.col("query_label"))
+        .groupBy("query_id")
+        .agg(F.min("rnk").alias("r"))
+        .collect()
+    )
+    assert len(got) == 2 and all(row.r == 1 for row in got)
