@@ -6135,7 +6135,10 @@ QUERIES: dict[str, QueryFn] = {
     "token_topk": q_token_topk,
     "text_stats": q_text_stats,
     "quality_filter": q_quality_filter,
-    "repetition_scores": q_repetition_scores,
+    # (repetition_scores displaced late r7 — the text-quality family
+    # keeps token_topk/text_stats/quality_filter official; the slot
+    # funds the Gopher rule battery)
+    "gopher_rules": q_gopher_rules,
     # (hash_split displaced in late r7 — the deterministic-split
     # machinery runs in-window inside curation_pipeline; pagerank takes
     # the slot: the oracle-replayable iterative graph ranking)
@@ -6153,7 +6156,9 @@ QUERIES: dict[str, QueryFn] = {
     # IS the same MERGE machinery via foreachBatch; verify_local-green)
     "star_join": q_star_join,
     "asof_join": q_asof_join,
-    "range_join": q_range_join,
+    # (range_join displaced late r7 — non-equi joins keep asof_join's
+    # official row; the slot funds the ingest lifecycle composite)
+    "ingest_pipeline": q_ingest_pipeline,
     "salted_join": q_salted_join,
     # scalar functions (epoch_dates / bool_defaults / json_roundtrip
     # demoted past 50 in r5 — sync_pipeline's driver row exercises the
@@ -6222,16 +6227,16 @@ QUERIES: dict[str, QueryFn] = {
     "ccnet_buckets": q_ccnet_buckets,
     "vocab_coverage": q_vocab_coverage,
     "temperature_sample": q_temperature_sample,
-    "gopher_rules": q_gopher_rules,
     "shuffle_shards": q_shuffle_shards,
     "corpus_report": q_corpus_report,
     "streaming_quality_gate": q_streaming_quality_gate,
-    "ingest_pipeline": q_ingest_pipeline,
     "hard_negatives": q_hard_negatives,
     "retrieval_mrr": q_retrieval_mrr,
     "hash_split": q_hash_split,
     "mixture_sample": q_mixture_sample,
     "lm_scores_foreign": q_lm_scores_foreign,
+    "range_join": q_range_join,
+    "repetition_scores": q_repetition_scores,
     "bloom_screen": q_bloom_screen,
     "snapshot_diff": q_snapshot_diff,
     "scd2_apply": q_scd2_apply,
