@@ -58,6 +58,8 @@ def pagerank(
     # N is a bounded driver scalar (one count job over the persisted
     # vertex frame) — the literal both engines share.
     n = verts.count()
+    if n == 0:
+        raise ValueError("pagerank: edge frame is empty (no vertices)")
     e = persist_tracked(
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     )

@@ -192,7 +192,9 @@ def snapshot_diff(
     column differs), or ``unchanged``. Returns the key, the op, and the
     new-side values (old-side for deletes). NULL-safe comparison via
     ``eqNullSafe`` so NULL->value and value->NULL transitions count as
-    updates.
+    updates. Contract: ``key`` is unique within each snapshot (the
+    CDC invariant) — a duplicated key would fan out through the
+    full-outer join rather than raise.
 
     The natural extension of the reference's key-only sync
     (main.py existing-ids membership decides insert-vs-update; it never
@@ -256,7 +258,10 @@ def scd2_apply(
     the updates (closed history never joins — at scale it is the bulk
     of the table and stays untouched, partition-pruned on valid_to),
     then a union of three branches sharing that join. No window, no
-    collect.
+    collect. Contract: ``updates`` carries at most one row per key
+    (collapse upstream with a latest-wins window if a batch can hold
+    several versions); duplicated update keys would fan out through
+    the join rather than raise.
     """
     cols = compare_cols or [
         c for c in updates.columns if c not in (key, "valid_from", "valid_to")
