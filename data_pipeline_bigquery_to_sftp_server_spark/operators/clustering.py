@@ -107,6 +107,22 @@ def kmeans_assign(
             .agg(F.sum("col").alias("_s"), F.count("*").alias("_n"))
             .collect()
         )
+        # ragged-input guard (free: checks the collected k*dim rows, no
+        # extra job): a short/long vector shows up as a per-cluster pos
+        # set that isn't exactly {0..dim-1} with one uniform count —
+        # without this, last-write-wins on counts[cluster] would yield
+        # silently wrong centroids instead of raising.
+        dim = centers.shape[1]
+        seen: dict[int, dict[int, int]] = {}
+        for r in upd:
+            seen.setdefault(r["_c"], {})[r["pos"]] = r["_n"]
+        for c, pos_counts in seen.items():
+            if sorted(pos_counts) != list(range(dim)) or len(set(pos_counts.values())) != 1:
+                raise ValueError(
+                    f"kmeans_assign: ragged embedding vectors detected in "
+                    f"cluster {c} (positions/counts inconsistent with "
+                    f"dim={dim}) — all vectors must share one dimension."
+                )
         sums = np.zeros_like(centers)
         counts = np.zeros(k)
         for r in upd:

@@ -212,10 +212,11 @@ def snapshot_diff(
     n = new.select(
         key, F.lit(1).alias("_in_new"), *[F.col(c).alias(f"_n_{c}") for c in cols]
     )
-    changed = None
+    # seed False so a key-only snapshot (compare_cols resolves empty)
+    # degrades to insert/delete/unchanged instead of F.when(None, ...)
+    changed = F.lit(False)
     for c in cols:
-        ne = ~F.col(f"_n_{c}").eqNullSafe(F.col(f"_o_{c}"))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ~F.col(f"_n_{c}").eqNullSafe(F.col(f"_o_{c}"))
     j = o.join(n, key, "full_outer")
     op = (
         F.when(F.col("_in_old").isNull(), F.lit("insert"))
@@ -274,28 +275,34 @@ def scd2_apply(
         key, F.lit(1).alias("_has_upd"), *[F.col(c).alias(f"_u_{c}") for c in cols]
     )
     j = open_rows.join(u, key, "full_outer")
-    changed = None
+    # seed False (see snapshot_diff): a key-only dimension degrades to
+    # pass-through + inserts instead of a plan-time TypeError
+    changed = F.lit(False)
     for c in cols:
-        ne = ~F.col(f"_u_{c}").eqNullSafe(F.col(c))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ~F.col(f"_u_{c}").eqNullSafe(F.col(c))
     has_open = F.col("valid_from").isNotNull()
     is_new_key = ~has_open & F.col("_has_upd").isNotNull()
     is_changed = has_open & F.col("_has_upd").isNotNull() & changed
+    # interval columns keep CURRENT's types (date/timestamp/string all
+    # work): a hardcoded string cast here would silently coerce the
+    # whole output schema through unionByName (or error under ANSI).
+    vf_t = current.schema["valid_from"].dataType
+    vt_t = current.schema["valid_to"].dataType
     bts = F.lit(batch_ts)
     # branch 1: surviving open rows — unchanged keys or keys with no update
     keep_open = j.where(has_open & ~is_changed).select(
-        key, *cols, "valid_from", F.lit(None).cast("string").alias("valid_to")
+        key, *cols, "valid_from", F.lit(None).cast(vt_t).alias("valid_to")
     )
     # branch 2: closed-out versions of changed keys
     close_out = j.where(is_changed).select(
-        key, *cols, "valid_from", bts.cast("string").alias("valid_to")
+        key, *cols, "valid_from", bts.cast(vt_t).alias("valid_to")
     )
     # branch 3: fresh open rows for changed + new keys
     fresh = j.where(is_changed | is_new_key).select(
         F.col(key),
         *[F.col(f"_u_{c}").alias(c) for c in cols],
-        bts.cast("string").alias("valid_from"),
-        F.lit(None).cast("string").alias("valid_to"),
+        bts.cast(vf_t).alias("valid_from"),
+        F.lit(None).cast(vt_t).alias("valid_to"),
     )
     return closed_rows.select(key, *cols, "valid_from", "valid_to").unionByName(
         keep_open

@@ -3202,12 +3202,17 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup_state
     from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
 
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text is filtered on BOTH sides (matching the oracle's
+    # text IS NOT NULL): xxhash64(normalize_text(NULL)) would collapse
+    # every NULL-text doc onto one constant fingerprint while SQL's
+    # IN-subquery yields NULL — a latent divergence even though the
+    # fixture has no NULL texts today.
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     state = dedup_state.build_dedup_state(d.where(F.col("doc_id") % 10 != 0), "doc_id", "text")
     path, schema = _events_stream_src(spark, sf_dir, table="documents")
     stream = W.read_events_stream(spark, path, schema, max_files_per_trigger=4)
     screened = dedup_state.exact_screen_stream(
-        stream.where(F.col("doc_id") % 10 == 0), state
+        stream.where((F.col("doc_id") % 10 == 0) & F.col("text").isNotNull()), state
     )
     name = f"q_incdedup_stream_{uuid.uuid4().hex[:8]}"
     q = W.run_to_memory(screened, name, output_mode="append")
@@ -3235,7 +3240,10 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_text,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text filter on both sides, matching the oracle (see
+    # q_streaming_incremental_dedup's note on the constant-fingerprint
+    # collapse a NULL would cause).
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     batch = d.where(F.col("doc_id") % 10 == 0)
     corpus = d.where(F.col("doc_id") % 10 != 0)
     state = dedup_state.build_dedup_state(corpus, "doc_id", "text")
@@ -3277,13 +3285,13 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_INGEST_PIPELINE = r"""
 WITH cfp AS (
   SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
-  FROM documents WHERE doc_id % 10 != 0
+  FROM documents WHERE doc_id % 10 != 0 AND text IS NOT NULL
 )
 SELECT d.doc_id,
        trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')) IN (SELECT nm FROM cfp) AS exact_dup,
        TRUE AS dup_after_absorb
 FROM documents d
-WHERE d.doc_id % 10 = 0
+WHERE d.doc_id % 10 = 0 AND d.text IS NOT NULL
 """
 
 
@@ -3316,12 +3324,12 @@ def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_STREAMING_INCREMENTAL_DEDUP = r"""
 WITH cfp AS (
   SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
-  FROM documents WHERE doc_id % 10 != 0
+  FROM documents WHERE doc_id % 10 != 0 AND text IS NOT NULL
 )
 SELECT d.doc_id,
        trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')) IN (SELECT nm FROM cfp) AS exact_dup
 FROM documents d
-WHERE d.doc_id % 10 = 0
+WHERE d.doc_id % 10 = 0 AND d.text IS NOT NULL
 """
 
 
@@ -4914,9 +4922,15 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_label",
             "vec_id",
             "label",
-            similarity.cosine(
-                F.col("embedding").cast("array<double>"),
-                F.col("query_vec").cast("array<double>"),
+            # round BEFORE the argmax window (the repo's round-before-
+            # rank rule, as in dsir.py's sel_key): a last-ulp Spark/
+            # DuckDB float disagreement on near-ties must not flip ranks
+            F.round(
+                similarity.cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("query_vec").cast("array<double>"),
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -4945,8 +4959,8 @@ WITH a AS (
   SELECT a.query_id, a.query_label, e.vec_id, e.label,
          row_number() OVER (
            PARTITION BY a.query_id
-           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                           CAST(a.query_vec AS DOUBLE[])) DESC,
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(a.query_vec AS DOUBLE[])), 6) DESC,
                     e.vec_id ASC) AS rnk
   FROM embeddings e CROSS JOIN a
   WHERE e.vec_id <> a.query_id
@@ -4991,9 +5005,15 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            similarity.cosine(
-                F.col("embedding").cast("array<double>"),
-                F.col("query_vec").cast("array<double>"),
+            # round BEFORE the top-k window (round-before-rank rule —
+            # see q_retrieval_mrr): near-tie float noise must not flip
+            # adjacent ranks between Spark and the oracle
+            F.round(
+                similarity.cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("query_vec").cast("array<double>"),
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -5001,9 +5021,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
-        .select(
-            "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
-        )
+        .select("query_id", "vec_id", "cos_sim", "rnk")
         .orderBy("query_id", "rnk")
     )
 
@@ -5014,8 +5032,8 @@ WITH a AS (
   FROM embeddings WHERE vec_id % 50 = 0
 ), scored AS (
   SELECT a.query_id, e.vec_id,
-         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                CAST(a.query_vec AS DOUBLE[])) AS cos_sim
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(a.query_vec AS DOUBLE[])), 6) AS cos_sim
   FROM embeddings e CROSS JOIN a
   WHERE e.label <> a.query_label
 ), ranked AS (
@@ -5024,7 +5042,7 @@ WITH a AS (
                             ORDER BY cos_sim DESC, vec_id ASC) AS rnk
   FROM scored
 )
-SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, CAST(rnk AS INT) AS rnk
+SELECT query_id, vec_id, cos_sim, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= 5
 ORDER BY query_id, rnk
 """
@@ -5046,7 +5064,9 @@ def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_text,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text filter on both sides, matching the oracle (see
+    # q_streaming_incremental_dedup's note).
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     new = d.where(F.col("doc_id") % 10 == 0)
     corpus = d.where(F.col("doc_id") % 10 != 0)
     bm = bloom.build_bloom(corpus, normalize_text(F.col("text")), num_bits=1 << 20)

@@ -177,3 +177,51 @@ def test_scd2_apply_closes_changed_and_keeps_history(spark):
     again = M.scd2_apply(out, upd, "k", batch_ts="2021-01-01")
     assert again.count() == out.count()
     assert again.where(F.col("valid_to") == "2021-01-01").count() == 0
+
+
+def test_scd2_apply_preserves_date_interval_types(spark):
+    """ADVICE r7: with DATE interval columns the output schema must keep
+    DATE (the old hardcoded string cast silently coerced the whole
+    dimension through unionByName)."""
+    import datetime
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import merge as M
+
+    d = datetime.date
+    current = spark.createDataFrame(
+        [
+            (1, "SEG1", d(2019, 1, 1), None),
+            (2, "SEG2", d(2019, 1, 1), None),
+        ],
+        "k long, seg string, valid_from date, valid_to date",
+    )
+    upd = spark.createDataFrame([(1, "SEG9"), (3, "SEG3")], "k long, seg string")
+    out = M.scd2_apply(current, upd, "k", batch_ts=d(2020, 6, 1))
+    assert out.schema["valid_from"].dataType.simpleString() == "date"
+    assert out.schema["valid_to"].dataType.simpleString() == "date"
+    rows = {(r.k, r.valid_from, r.valid_to): r.seg for r in out.collect()}
+    assert rows == {
+        (1, d(2019, 1, 1), d(2020, 6, 1)): "SEG1",
+        (1, d(2020, 6, 1), None): "SEG9",
+        (2, d(2019, 1, 1), None): "SEG2",
+        (3, d(2020, 6, 1), None): "SEG3",
+    }
+
+
+def test_key_only_snapshots_degrade_to_membership(spark):
+    """ADVICE r7: compare_cols resolving empty (key-only snapshots) must
+    classify by membership instead of raising at plan time."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import merge as M
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r.k: r.op for r in M.snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "delete", 2: "unchanged", 3: "insert"}
+
+    current = spark.createDataFrame(
+        [(1, "2019-01-01", None)], "k long, valid_from string, valid_to string"
+    )
+    upd = spark.createDataFrame([(1,), (2,)], "k long")
+    out = M.scd2_apply(current, upd, "k", batch_ts="2020-01-01")
+    rows = {(r.k, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {(1, "2019-01-01", None), (2, "2020-01-01", None)}
