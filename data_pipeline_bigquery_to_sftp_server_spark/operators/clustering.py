@@ -67,25 +67,46 @@ def _assign_col(vec_col: str, centers):
     return assign(F.col(vec_col).cast("array<double>"))
 
 
+def auto_kmeans_k(n_rows: int, target_cluster_rows: int = 4096, min_k: int = 2) -> int:
+    """Derive k from the corpus size so expected cluster populations
+    stay batch-shaped — the clustering mirror of
+    ``similarity.auto_srp_num_planes`` (the r6 width-vs-log-n law):
+    SemDeDup's within-cluster search is quadratic in cluster size, so
+    the cost-vs-recall dial must GROW with the corpus, not sit at a
+    manual constant. ``k = ceil(n / target_cluster_rows)`` holds the
+    mean cluster at ``target_cluster_rows`` (default 4096 — half the
+    ``within_cluster_pairs`` ceiling, leaving 2x headroom for the skew
+    a mean hides)."""
+    import math
+
+    return max(min_k, math.ceil(n_rows / max(1, int(target_cluster_rows))))
+
+
 def kmeans_assign(
     df: DataFrame,
-    k: int = 8,
+    k: int | str = 8,
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    target_cluster_rows: int = 4096,
 ):
     """Full-corpus distributed Lloyd k-means. Returns
     ``(assigned_df, centers)``: the input with an int ``cluster``
     column (lazy — assignment under the FINAL centroids), and the
     final centroids as a plain nested list (k x dim, driver-side by
     design: centroids are the bounded model artifact, like nb.py's
-    collected model)."""
+    collected model). ``k="auto"`` derives k from a corpus count via
+    :func:`auto_kmeans_k` (one count job against the already-persisted
+    base), so cluster sizes stay batch-shaped as the corpus grows."""
     import numpy as np
 
     base = persist_tracked(
         ensure_parallelism(df.select(id_col, vec_col))
     )
+    if k == "auto":
+        k = auto_kmeans_k(base.count(), target_cluster_rows)
+    k = int(k)
     # deterministic init: the k hash-smallest rows (TakeOrdered scan)
     init_rows = (
         base.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
@@ -160,12 +181,54 @@ def cluster_profile(assigned: DataFrame, vec_col: str = "embedding") -> DataFram
     )
 
 
+def multi_probe_assign(
+    df: DataFrame,
+    centers,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` NEAREST centroids (the
+    standard IVF multi-probe trick) — one row per (vector, probed
+    cluster). Running the within-cluster pair search over this frame
+    instead of the single-assignment one recovers cross-cluster
+    BOUNDARY pairs that single-probe SemDeDup trades away: two near-dup
+    vectors straddling a centroid boundary still share their 2nd-
+    nearest cluster. Cost: the pair-search input grows n_probe-fold
+    (each cluster sees its members plus its boundary shell); pairs
+    found in several shared clusters are identical rows — callers
+    dropDuplicates([id_a, id_b]). Map-side only (same closure-broadcast
+    Arrow pass as assignment, one explode, no shuffle here)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=np.float64)
+    if not 1 <= int(n_probe) <= len(C):
+        raise ValueError(f"multi_probe_assign: n_probe must be in [1, k={len(C)}]")
+    n_probe = int(n_probe)
+    cn2 = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        M = np.asarray(vecs.to_list(), dtype=np.float64)
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + cn2[None, :]
+        idx = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(idx))
+
+    return (
+        df.withColumn("_cl", probes(F.col(vec_col).cast("array<double>")))
+        .withColumn("cluster", F.explode("_cl"))
+        .drop("_cl")
+    )
+
+
 def within_cluster_pairs(
     assigned: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
+    max_cluster_rows: int | None = 8192,
 ) -> DataFrame:
     """All exact cosine pairs (id_a < id_b, cos >= threshold) whose
     BOTH ends share a k-means cluster — the published SemDeDup shape
@@ -178,12 +241,39 @@ def within_cluster_pairs(
     inside ``applyInPandas`` (normalize, one matmul, upper triangle by
     id). Cross-cluster near-dups are missed by construction — the
     recall/cost dial is k (more clusters = cheaper, lower recall),
-    pinned against the global exact path in test_clustering. A
-    pathological jumbo cluster re-introduces the quadratic term;
-    SemDeDup's own practice (and the fix here) is raising k so cluster
-    sizes stay batch-shaped.
+    pinned against the global exact path in test_clustering;
+    :func:`multi_probe_assign` recovers boundary pairs.
+
+    A pathological jumbo cluster re-introduces the quadratic term AND
+    materializes whole in one pandas task, so ``max_cluster_rows``
+    (default 8192 — a ~0.5 GB transient sims matrix) is ENFORCED by a
+    cheap ``groupBy(cluster).count()`` pre-pass that raises BEFORE any
+    group is materialized (the similarity.py exact_near_dup_pairs_np
+    count-first discipline). The fix for a violation is raising k —
+    pass ``k="auto"`` to :func:`kmeans_assign` — not raising the
+    ceiling. ``max_cluster_rows=None`` disables the pre-pass (one
+    extra assignment scan) for callers that already hold a size bound.
     """
     import numpy as np
+
+    if max_cluster_rows is not None:
+        jumbo = (
+            assigned.groupBy(cluster_col)
+            .count()
+            .where(F.col("count") > int(max_cluster_rows))
+            .orderBy(F.desc("count"))
+            .take(1)
+        )
+        if jumbo:
+            raise ValueError(
+                f"within_cluster_pairs: cluster {jumbo[0][cluster_col]} has "
+                f"{jumbo[0]['count']} rows > max_cluster_rows="
+                f"{max_cluster_rows} — one applyInPandas task would "
+                "materialize it whole and the in-cluster search is "
+                "quadratic. Raise k (kmeans_assign(k='auto') derives a "
+                "batch-shaped k from the corpus count) or raise the "
+                "ceiling explicitly if the memory budget allows."
+            )
 
     id_t = assigned.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"

@@ -4791,16 +4791,23 @@ def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact path is pinned in test_clustering): k-means cluster the
     corpus, search near-dup pairs only WITHIN clusters (per-cluster
     BLAS blocks via applyInPandas — no driver-side matrix, no
-    quadratic global term), then the same connected-components +
+    quadratic global term, a jumbo cluster fails loudly via the
+    count-first ceiling), then the same connected-components +
     keep-min-id representative plan as the oracle-checked
-    q_semantic_dedup. Cross-cluster dups are traded away by
-    construction; k is the recall/cost dial."""
+    q_semantic_dedup. The pair-search stage runs MULTI-PROBE (r8):
+    each vector searches its 2 nearest clusters, recovering the
+    centroid-boundary pairs single-probe trades away (recall vs the
+    global exact path pinned higher in test_clustering); k stays the
+    recall/cost dial."""
     from data_pipeline_bigquery_to_sftp_server_spark.operators import clustering
 
     e = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = clustering.kmeans_assign(e, k=8, n_iter=4, seed=42)
-    pairs = clustering.within_cluster_pairs(assigned, threshold=0.35).select(
-        "id_a", "id_b"
+    _, centers = clustering.kmeans_assign(e, k=8, n_iter=4, seed=42)
+    probed = clustering.multi_probe_assign(e, centers, n_probe=2)
+    pairs = (
+        clustering.within_cluster_pairs(probed, threshold=0.35)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     clusters = dedup.dedup_clusters(pairs)
     return clusters.select(
