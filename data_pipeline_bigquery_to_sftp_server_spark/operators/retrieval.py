@@ -180,3 +180,158 @@ def tfidf_doc_pairs(
         .where(cos >= F.lit(float(threshold)))
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+def _ann_candidates(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_candidates: int,
+    method: str,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    seed: int,
+    ann_kwargs: dict,
+) -> DataFrame:
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import similarity
+
+    queries = anchors.select(query_id_col, query_vec_col)
+    common = dict(
+        k=k_candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        seed=seed,
+    )
+    if method == "lsh":
+        return similarity.lsh_topk(corpus, queries, **common, **ann_kwargs)
+    if method == "ivf":
+        return similarity.ivf_topk(corpus, queries, **common, **ann_kwargs)
+    raise ValueError(f"hard_negatives_ann: unknown method {method!r} (lsh|ivf)")
+
+
+def hard_negatives_ann(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    k_candidates: int = 50,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+    seed: int = 42,
+    **ann_kwargs,
+) -> DataFrame:
+    """Hard-negative mining at corpus scale: ANN candidates
+    (``k_candidates`` per anchor via SRP-LSH banding or IVF — the
+    corpus never cross-joins the anchors) -> label filter -> exact
+    cosine re-rank -> top ``k``. Same output contract as the exact
+    broadcast-scan path in q_hard_negatives: ``(query_id, vec_id,
+    cos_sim rounded 6dp BEFORE ranking, rnk)``. Recall is the ANN dial
+    (a true hard negative outside every shared band/probed bucket is
+    missed); every returned row is exact-scored, so precision is 1 —
+    pinned vs the exact path in test_retrieval, including the
+    full-probe IVF configuration that must EQUAL it (the X20d
+    verification pattern). ``k_candidates`` must comfortably exceed
+    ``k`` so the label filter leaves enough survivors (the published
+    candidates-then-filter retrieval shape).
+
+    Plan: candidate generation is the ANN operator's broadcast/bucket
+    join (corpus scanned, never shuffled on anchors); the label join
+    touches only |anchors| x k_candidates rows; the re-rank window
+    shuffles that bounded set on the anchor key.
+    """
+    from pyspark.sql import Window
+
+    cand = _ann_candidates(
+        corpus, anchors, k_candidates, method,
+        id_col, vec_col, query_id_col, query_vec_col, seed, ann_kwargs,
+    )
+    # the candidate set is bounded (|anchors| x k_candidates) -> it is
+    # the broadcast side of the label join; the corpus label column is
+    # scanned map-side, never shuffled on the candidate ids
+    labeled = (
+        corpus.select(id_col, label_col)
+        .join(F.broadcast(cand), id_col)
+        .join(
+            F.broadcast(anchors.select(query_id_col, query_label_col)),
+            query_id_col,
+        )
+        .where(F.col(label_col) != F.col(query_label_col))
+        # round BEFORE the top-k window (round-before-rank rule)
+        .select(query_id_col, id_col, F.round("cos_sim", 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        labeled.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rnk")
+    )
+
+
+def retrieval_mrr_ann(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_candidates: int = 50,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+    seed: int = 42,
+    **ann_kwargs,
+) -> DataFrame:
+    """MRR eval over ANN candidate lists — the scale twin of
+    q_retrieval_mrr: rank the ``k_candidates`` retrieved per anchor
+    (self excluded, cosine rounded 6dp before ranking), then the first
+    same-label rank and its reciprocal. Ranks are WITHIN the candidate
+    list; they equal the global ranks whenever the candidates cover
+    the global top (guaranteed under full-probe IVF with
+    ``k_candidates >= |corpus|`` — equality pinned in test_retrieval).
+    An anchor whose candidates hold no same-label row emits no row
+    (the eval's miss; the exact path can only miss when the corpus
+    has no same-label vector at all)."""
+    from pyspark.sql import Window
+
+    cand = _ann_candidates(
+        corpus, anchors, k_candidates, method,
+        id_col, vec_col, query_id_col, query_vec_col, seed, ann_kwargs,
+    )
+    scored = (
+        corpus.select(id_col, label_col)
+        .join(
+            F.broadcast(cand.where(F.col(id_col) != F.col(query_id_col))), id_col
+        )
+        .join(
+            F.broadcast(anchors.select(query_id_col, query_label_col)),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            query_label_col,
+            id_col,
+            label_col,
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.where(F.col(label_col) == F.col(query_label_col))
+        .groupBy(query_id_col)
+        .agg(F.min("rnk").alias("first_rel_rank"))
+        .select(
+            query_id_col,
+            "first_rel_rank",
+            F.round(F.lit(1.0) / F.col("first_rel_rank"), 6).alias(
+                "reciprocal_rank"
+            ),
+        )
+    )

@@ -4989,10 +4989,11 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval step behind training embedding models (high-similarity
     wrong-label examples are the gradient-rich negatives;
     random-negative batches are too easy). Exact scoring here (the
-    recall anchor); at corpus scale the identical label-filtered
-    re-rank runs over lsh_topk/ivf_topk candidates instead — same
-    output contract. Plan: anchors broadcast, corpus scanned once,
-    per-anchor top-k window keyed on the anchor id."""
+    recall anchor); the corpus-scale path over lsh_topk/ivf_topk
+    candidates is operators/retrieval.py hard_negatives_ann — same
+    output contract, exercised by q_hard_negatives_ann with a
+    self-certifying recall column. Plan: anchors broadcast, corpus
+    scanned once, per-anchor top-k window keyed on the anchor id."""
     e = load_table(spark, sf_dir, "embeddings")
     anchors = e.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -5053,6 +5054,70 @@ SELECT query_id, vec_id, cos_sim, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= 5
 ORDER BY query_id, rnk
 """
+
+
+def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39b hard-negative mining, ANN tier (rows-only: LSH banding is
+    hash-seeded/approximate by construction): the q_hard_negatives
+    docstring's corpus-scale path, now real — SRP-LSH candidates
+    (k'=40 per anchor) -> label filter -> exact re-rank -> top-5, same
+    output contract as the exact twin plus a self-certifying
+    ``recall_vs_exact`` column joined from the exact path in the same
+    plan (the lsh_topk pattern). Recall floor + full-probe-IVF
+    equality pinned in test_retrieval."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import (
+        retrieval as R,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    approx = R.hard_negatives_ann(
+        e, anchors, k=5, k_candidates=40, method="lsh",
+        dim=64, num_planes=16, bands=8,
+    )
+    exact = q_hard_negatives(spark, sf_dir).select(
+        F.col("query_id").alias("_eq"), F.col("vec_id").alias("_ev")
+    )
+    hits = approx.alias("a").join(
+        exact,
+        (F.col("a.query_id") == F.col("_eq")) & (F.col("a.vec_id") == F.col("_ev")),
+        "left",
+    )
+    rec = hits.groupBy(F.col("a.query_id").alias("query_id")).agg(
+        F.round(F.count("_ev") / F.lit(5), 4).alias("recall_vs_exact")
+    )
+    return approx.join(rec, "query_id").orderBy("query_id", "rnk")
+
+
+def q_retrieval_mrr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43b retrieval MRR over ANN candidate lists (rows-only:
+    hash-seeded candidates) — operators/retrieval.py retrieval_mrr_ann
+    with SRP-LSH candidates, carrying the exact path's
+    ``first_rel_rank`` alongside (``exact_first_rel_rank``) so the
+    record self-certifies how often the candidate-list rank equals the
+    global rank; agreement pinned in test_retrieval."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import (
+        retrieval as R,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    approx = R.retrieval_mrr_ann(
+        e, anchors, k_candidates=40, method="lsh",
+        dim=64, num_planes=16, bands=8,
+    )
+    exact = q_retrieval_mrr(spark, sf_dir).select(
+        "query_id", F.col("first_rel_rank").alias("exact_first_rel_rank")
+    )
+    return approx.join(exact, "query_id").orderBy("query_id")
 
 
 def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5275,6 +5340,67 @@ SELECT c_custkey + 1000000, 'NEW ' || c_name, 'BUILDING', '2020-06-01',
 FROM customer WHERE c_custkey % 100 = 0
 ORDER BY c_custkey, valid_from
 """
+
+
+def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + J10 composition, ORACLE-CHECKED: SCD2 on a stream — the
+    screen-on-ingest deployment of the interval MERGE, mirroring how
+    dedup (X26) and quality (X42) already ride foreachBatch. The same
+    update batch as q_scd2_apply arrives as 4 KEY-PARTITIONED parquet
+    files fed one per micro-batch; each batch applies
+    merge.scd2_apply against the running dimension (lineage cut per
+    batch with localCheckpoint, the streaming_upsert pattern). Because
+    the sub-batches partition the update KEYS and share one batch_ts,
+    sequential application composes to the one-shot MERGE — keys
+    untouched by a sub-batch pass through scd2_apply unchanged — so
+    the final dimension is batch-order-independent and the BATCH
+    twin's oracle (_ORACLE_SCD2_APPLY) replays it bit-for-bit."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import merge
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.lit("2019-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    upd = c.select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    ).unionByName(
+        c.where(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+            F.lit("BUILDING").alias("c_mktsegment"),
+        )
+    )
+    src = _scratch_dir("scd2_stream_src_")
+    ckpt = _scratch_dir("scd2_stream_ckpt_")
+    # key-partitioned split: every key lands in exactly one file, so
+    # each micro-batch is key-unique AND key-disjoint from the others —
+    # the composition precondition above
+    upd.repartition(4, "c_custkey").write.mode("overwrite").parquet(src)
+
+    state = {"dim": current.localCheckpoint()}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = merge.scd2_apply(state["dim"], batch_df, "c_custkey", batch_ts="2020-06-01")
+        state["dim"] = out.localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(upd.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = W.streaming_upsert(stream, apply_batch, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    return state["dim"].orderBy("c_custkey", "valid_from")
 
 
 def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6259,6 +6385,13 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_quality_gate": q_streaming_quality_gate,
     "hard_negatives": q_hard_negatives,
     "retrieval_mrr": q_retrieval_mrr,
+    # r8: the ANN tier of the hard-negative / MRR pair (rows-only,
+    # self-certifying recall/agreement columns; full-probe equality
+    # pinned in test_retrieval)
+    "hard_negatives_ann": q_hard_negatives_ann,
+    "retrieval_mrr_ann": q_retrieval_mrr_ann,
+    # r8: SCD2 screen-on-ingest (oracle-checked against the batch twin)
+    "streaming_scd2": q_streaming_scd2,
     "hash_split": q_hash_split,
     "mixture_sample": q_mixture_sample,
     "lm_scores_foreign": q_lm_scores_foreign,
@@ -6482,6 +6615,9 @@ ORACLES: dict[str, str] = {
     "pagerank": _ORACLE_PAGERANK,
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
     "scd2_apply": _ORACLE_SCD2_APPLY,
+    # key-disjoint micro-batches at one batch_ts compose to the one-shot
+    # MERGE (see q_streaming_scd2) -> the batch oracle replays the stream
+    "streaming_scd2": _ORACLE_SCD2_APPLY,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
