@@ -11,7 +11,10 @@ appended to. This module is that state API:
   frames: content fingerprints (exact-dup probe), the shingle base
   (verify side), and the prefix-filter candidate table. All map-side:
   no corpus shuffle beyond the partitioning that makes later per-batch
-  joins exchange-free on the corpus side.
+  joins exchange-free on the corpus side. Since r8 the state also
+  holds the BLOOM bitmap tier (bloom.py) over the same normalized
+  content, so the full three-tier probe — bloom map-side prefilter ->
+  exact fingerprint join -> near-dup prefix join — is one held object.
 - :func:`screen_against_state` — per-batch report, IDENTICAL output
   contract (and oracle) to ``incremental_dedup_report``: only the
   delta's shingles/prefixes are computed fresh.
@@ -79,7 +82,15 @@ class DedupState:
       append-only, possibly duplicated (probed with a semi join).
     - ``base``: ``(_id, _hs, _n)`` shingle-hash set + size per doc.
     - ``prefixes``: ``(_id, _n, _h)`` hash-order prefix shingles.
-    """
+
+    ``bloom`` (r8) is the COMPRESSED membership tier held WITH the
+    state — the packed bitmap over the same normalized content the
+    fingerprints hash, so the full three-tier probe (bloom map-side ->
+    exact fingerprint join -> near-dup prefix join) is one held
+    object: built in :func:`build_dedup_state`, OR-folded by
+    :func:`absorb_batch` (bit positions are deterministic per value,
+    so the fold is byte-identical to a rebuild), serialized by
+    save/load. ``None`` disables the tier (``with_bloom=False``)."""
 
     id_col: str
     text_col: str
@@ -88,6 +99,9 @@ class DedupState:
     fingerprints: DataFrame
     base: DataFrame
     prefixes: DataFrame
+    bloom: bytes | None = None
+    bloom_num_hashes: int = 4
+    bloom_seed: int = 42
 
 
 def _fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -116,12 +130,21 @@ def build_dedup_state(
     ngram: int = 3,
     threshold: float = 0.5,
     persist: bool = True,
+    with_bloom: bool = True,
+    bloom_num_bits: int = 1 << 20,
+    bloom_num_hashes: int = 4,
+    bloom_seed: int = 42,
 ) -> DedupState:
     """One corpus pass -> reusable :class:`DedupState`. The three
     frames are repartitioned on their future JOIN keys before the
     (tracked) persist, so every subsequent batch join re-exchanges
     only the delta side — the partitioning shuffles paid here are paid
-    once, not per batch."""
+    once, not per batch. ``with_bloom`` (default) additionally builds
+    the compressed membership bitmap (one extra eager pass over the
+    corpus — ~1.2 bytes/doc at 1% FPR; size the bits to the corpus),
+    so screens can prefilter their exact probe map-side."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import bloom as B
+
     base = _shingle_base(corpus, id_col, text_col, ngram)
     fps = _fingerprints(corpus, id_col, text_col).repartition("_fp")
     base_p = base.repartition("_id")
@@ -132,6 +155,17 @@ def build_dedup_state(
             persist_tracked(base_p),
             persist_tracked(prefixes),
         )
+    bm = (
+        B.build_bloom(
+            corpus,
+            normalize_text(F.col(text_col)),
+            num_bits=bloom_num_bits,
+            num_hashes=bloom_num_hashes,
+            seed=bloom_seed,
+        )
+        if with_bloom
+        else None
+    )
     return DedupState(
         id_col=id_col,
         text_col=text_col,
@@ -140,6 +174,9 @@ def build_dedup_state(
         fingerprints=fps,
         base=base_p,
         prefixes=prefixes,
+        bloom=bm,
+        bloom_num_hashes=bloom_num_hashes,
+        bloom_seed=bloom_seed,
     )
 
 
@@ -202,7 +239,24 @@ def screen_against_state(
         )
     )
     counts = cross.groupBy("_nid").agg(F.count("*").alias("n_near_dups"))
-    new_fp = ensure_parallelism(new).select(
+    probe_src = ensure_parallelism(new)
+    if state.bloom is not None:
+        # bloom tier: map-side prefilter of the exact probe — no false
+        # negatives, so dropping bloom-negative rows before the semi
+        # join cannot change exact_dup (they would produce no hit
+        # anyway); the join's probe side shrinks from |batch| to
+        # |dups| + FPR*|batch|.
+        from data_pipeline_bigquery_to_sftp_server_spark.operators import bloom as B
+
+        probe_src = probe_src.where(
+            B.bloom_flag(
+                normalize_text(F.col(text_col)),
+                state.bloom,
+                num_hashes=state.bloom_num_hashes,
+                seed=state.bloom_seed,
+            )
+        )
+    new_fp = probe_src.select(
         F.col(id_col), F.xxhash64(normalize_text(F.col(text_col))).alias("_fp")
     )
     # semi join: immune to duplicate fps in the append-only store, and
@@ -278,8 +332,12 @@ def absorb_batch(
     """Append ``accepted`` rows (the caller's keep-policy output — the
     screen never decides what survives) to the state. Pure union: the
     hash-order prefixes of existing docs are stable by construction,
-    so nothing corpus-side is recomputed. Union discards the stored
-    partitioning and grows lineage per absorb — after many batches,
+    so nothing corpus-side is recomputed. The bloom tier (if held) is
+    OR-folded with a bitmap built from ``accepted`` alone — bit
+    positions are pure functions of the value, so the fold is
+    byte-identical to rebuilding over corpus+batch (pinned in
+    test_dedup_state). Union discards the stored partitioning and
+    grows lineage per absorb — after many batches,
     :func:`save_dedup_state` + :func:`load_dedup_state` re-partitions
     and truncates both."""
     nbase = _shingle_base(accepted, state.id_col, state.text_col, state.ngram)
@@ -296,17 +354,45 @@ def absorb_batch(
             persist_tracked(base),
             persist_tracked(prefixes),
         )
-    return replace(state, fingerprints=fps, base=base, prefixes=prefixes)
+    bm = state.bloom
+    if bm is not None:
+        from data_pipeline_bigquery_to_sftp_server_spark.operators import bloom as B
+
+        delta = B.build_bloom(
+            accepted,
+            normalize_text(F.col(state.text_col)),
+            num_bits=len(bm) * 8,
+            num_hashes=state.bloom_num_hashes,
+            seed=state.bloom_seed,
+        )
+        import numpy as np
+
+        bm = (
+            np.frombuffer(bm, dtype=np.uint8) | np.frombuffer(delta, dtype=np.uint8)
+        ).tobytes()
+    return replace(state, fingerprints=fps, base=base, prefixes=prefixes, bloom=bm)
 
 
 def save_dedup_state(state: DedupState, path: str) -> None:
     """Write the state under ``path``/{params,fingerprints,base,
     prefixes} as parquet — durable across sessions, and the lineage/
-    partitioning reset for long absorb chains."""
+    partitioning reset for long absorb chains. The bloom bitmap (if
+    held) rides the params row as a binary column."""
     spark = state.base.sparkSession
     spark.createDataFrame(
-        [(state.id_col, state.text_col, state.ngram, state.threshold)],
-        "id_col string, text_col string, ngram int, threshold double",
+        [
+            (
+                state.id_col,
+                state.text_col,
+                state.ngram,
+                state.threshold,
+                state.bloom,
+                state.bloom_num_hashes,
+                state.bloom_seed,
+            )
+        ],
+        "id_col string, text_col string, ngram int, threshold double, "
+        "bloom binary, bloom_num_hashes int, bloom_seed int",
     ).write.mode("overwrite").parquet(f"{path}/params")
     state.fingerprints.write.mode("overwrite").parquet(f"{path}/fingerprints")
     state.base.write.mode("overwrite").parquet(f"{path}/base")
@@ -337,4 +423,7 @@ def load_dedup_state(
         fingerprints=fps,
         base=base,
         prefixes=prefixes,
+        bloom=bytes(p.bloom) if p.bloom is not None else None,
+        bloom_num_hashes=p.bloom_num_hashes,
+        bloom_seed=p.bloom_seed,
     )

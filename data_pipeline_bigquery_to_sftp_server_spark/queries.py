@@ -3208,7 +3208,12 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     # IN-subquery yields NULL — a latent divergence even though the
     # fixture has no NULL texts today.
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    state = dedup_state.build_dedup_state(d.where(F.col("doc_id") % 10 != 0), "doc_id", "text")
+    # with_bloom=False: the stream-static exact screen probes the
+    # distributed fingerprint frame directly, so the bloom tier's eager
+    # build pass would be paid for nothing here
+    state = dedup_state.build_dedup_state(
+        d.where(F.col("doc_id") % 10 != 0), "doc_id", "text", with_bloom=False
+    )
     path, schema = _events_stream_src(spark, sf_dir, table="documents")
     stream = W.read_events_stream(spark, path, schema, max_files_per_trigger=4)
     screened = dedup_state.exact_screen_stream(
@@ -3246,13 +3251,20 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     batch = d.where(F.col("doc_id") % 10 == 0)
     corpus = d.where(F.col("doc_id") % 10 != 0)
+    # r8: the bloom tier is a MEMBER of the state (built once with it,
+    # OR-folded on absorb) — the probe reads state.bloom instead of
+    # rebuilding a separate bitmap per run
     state = dedup_state.build_dedup_state(corpus, "doc_id", "text")
-    bm = bloom.build_bloom(corpus, normalize_text(F.col("text")), num_bits=1 << 20)
     fp = batch.select(
         "doc_id",
         "text",
         F.xxhash64(normalize_text(F.col("text"))).alias("_fp"),
-        bloom.bloom_flag(normalize_text(F.col("text")), bm).alias("_maybe"),
+        bloom.bloom_flag(
+            normalize_text(F.col("text")),
+            state.bloom,
+            num_hashes=state.bloom_num_hashes,
+            seed=state.bloom_seed,
+        ).alias("_maybe"),
     )
     store = state.fingerprints.dropDuplicates(["_fp"])
     dup_ids = (

@@ -110,3 +110,43 @@ def test_exact_screen_stream_matches_batch_twin(spark, sf_dir):
     )
     pd.testing.assert_frame_equal(batch, streamed)
     assert bool(streamed["exact_dup"].any()) == bool(batch["exact_dup"].any())
+
+
+def test_bloom_tier_fold_equals_rebuild_and_roundtrips(spark, sf_dir, tmp_path):
+    """r8: absorb's OR-fold must be byte-identical to rebuilding the
+    bitmap over corpus+accepted (bit positions are pure value
+    functions), the bitmap must survive save/load, and the
+    bloom-prefiltered screen must equal the bloom-less screen."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.bloom import build_bloom
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    state = build_dedup_state(corpus, "doc_id", "text")
+    assert state.bloom is not None and len(state.bloom) == (1 << 20) // 8
+
+    # screen parity: the prefilter may only shrink the exact probe side
+    no_bloom = build_dedup_state(corpus, "doc_id", "text", with_bloom=False)
+    assert no_bloom.bloom is None
+    a = _canon(screen_against_state(new, state))
+    b = _canon(screen_against_state(new, no_bloom))
+    pd.testing.assert_frame_equal(a, b)
+
+    # OR-fold == rebuild over the grown corpus
+    accepted = new.where(F.col("doc_id") % 20 == 0)
+    state2 = absorb_batch(state, accepted)
+    rebuilt = build_bloom(
+        corpus.unionByName(accepted), normalize_text(F.col("text")), num_bits=1 << 20
+    )
+    assert state2.bloom == rebuilt
+
+    # save/load carries the bitmap + its params
+    path = str(tmp_path / "state_bloom")
+    save_dedup_state(state2, path)
+    loaded = load_dedup_state(spark, path)
+    assert loaded.bloom == state2.bloom
+    assert loaded.bloom_num_hashes == state2.bloom_num_hashes
+    assert loaded.bloom_seed == state2.bloom_seed
