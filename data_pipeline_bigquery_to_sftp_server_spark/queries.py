@@ -6283,7 +6283,11 @@ QUERIES: dict[str, QueryFn] = {
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "remove_dup_spans": q_remove_dup_spans,
-    "incremental_dedup": q_incremental_dedup,
+    # (incremental_dedup displaced in r8 — stateful_dedup's in-window
+    # row replays the IDENTICAL report through the IDENTICAL oracle, so
+    # the one-shot twin adds no window coverage; verify_local-green.
+    # Its slot funds bloom_screen: the two-tier membership screen.)
+    "bloom_screen": q_bloom_screen,
     "semantic_dedup": q_semantic_dedup,
     "pack_sequences": q_pack_sequences,
     # similarity search family (X) — the two inherently-approximate ANN
@@ -6292,13 +6296,20 @@ QUERIES: dict[str, QueryFn] = {
     # family is certified in-window by ivf_full_probe (== exact brute
     # force, oracle-green) + embedding_dups_exact, with recall pinned
     # in test_similarity.
-    "cosine_topk_np": q_cosine_topk_np,
+    # (cosine_topk_np displaced in r8 — ivf_full_probe holds the SAME
+    # brute-force oracle in-window, and retrieval_mrr newly exercises
+    # exact cosine + per-query ranking; verify_local-green. Its slot
+    # funds the MRR eval row.)
+    "retrieval_mrr": q_retrieval_mrr,
     "ivf_full_probe": q_ivf_full_probe,
     "embedding_dups_exact": q_embedding_dups_exact,
     "incremental_embedding_dups": q_incremental_embedding_dups,
-    # text analysis family (X)
+    # text analysis family (X) — text_stats displaced in r8:
+    # corpus_report aggregates the same token/length machinery PLUS the
+    # per-source data-card rollup, a strictly wider check; token_topk /
+    # quality_filter / gopher_rules keep the family's other axes.
     "token_topk": q_token_topk,
-    "text_stats": q_text_stats,
+    "corpus_report": q_corpus_report,
     "quality_filter": q_quality_filter,
     # (repetition_scores displaced late r7 — the text-quality family
     # keeps token_topk/text_stats/quality_filter official; the slot
@@ -6351,7 +6362,12 @@ QUERIES: dict[str, QueryFn] = {
     # curation): substring-dup spans, mixture resampling, reference-
     # corpus LM scoring, and FFD bin assembly — the last now oracle-
     # checked via the recursive-CTE FFD replay.
-    "dup_ngram_spans": q_dup_ngram_spans,
+    # (dup_ngram_spans displaced in r8 — remove_dup_spans's in-window
+    # row consumes the span table end-to-end, exercising the same
+    # positional-gram machinery plus the removal transform;
+    # verify_local-green. Its slot funds the CDC row: snapshot_diff is
+    # the J-family member with ZERO prior window representation.)
+    "snapshot_diff": q_snapshot_diff,
     # (mixture_sample / lm_scores_foreign displaced in late r7 —
     # recipe_pipeline exercises mixture in-window, and
     # importance_resample IS the train= reference-LM path twice over;
@@ -6376,11 +6392,16 @@ QUERIES: dict[str, QueryFn] = {
     "stateful_dedup": q_stateful_dedup,
     "pmi_collocations": q_pmi_collocations,
     "tfidf_pairs": q_tfidf_pairs,
-    # streaming (all eight — streaming_incremental_dedup is the r7
-    # X7+X20 composition: screen-on-ingest exact dedup via a
-    # stream-static join against the held corpus state)
+    # scd2_apply joins the window in r8 (the other CDC-family row; its
+    # oracle INDEPENDENTLY re-derives the interval table)
+    "scd2_apply": q_scd2_apply,
+    # streaming (seven of eight in-window — streaming_sliding displaced
+    # in r8: tumbling/session keep the windowed-agg axes and sliding is
+    # the overlap variant of tumbling; verify_local-green.
+    # streaming_incremental_dedup is the r7 X7+X20 composition:
+    # screen-on-ingest exact dedup via a stream-static join against the
+    # held corpus state)
     "streaming_tumbling": q_streaming_tumbling,
-    "streaming_sliding": q_streaming_sliding,
     "streaming_session": q_streaming_session,
     "streaming_join": q_streaming_join,
     "streaming_upsert": q_streaming_upsert,
@@ -6393,10 +6414,8 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_coverage": q_vocab_coverage,
     "temperature_sample": q_temperature_sample,
     "shuffle_shards": q_shuffle_shards,
-    "corpus_report": q_corpus_report,
     "streaming_quality_gate": q_streaming_quality_gate,
     "hard_negatives": q_hard_negatives,
-    "retrieval_mrr": q_retrieval_mrr,
     # r8: the ANN tier of the hard-negative / MRR pair (rows-only,
     # self-certifying recall/agreement columns; full-probe equality
     # pinned in test_retrieval)
@@ -6404,14 +6423,18 @@ QUERIES: dict[str, QueryFn] = {
     "retrieval_mrr_ann": q_retrieval_mrr_ann,
     # r8: SCD2 screen-on-ingest (oracle-checked against the batch twin)
     "streaming_scd2": q_streaming_scd2,
+    # r8-displaced rows (see the window notes above) — all stay
+    # verify_local-green on the identical oracles
+    "incremental_dedup": q_incremental_dedup,
+    "cosine_topk_np": q_cosine_topk_np,
+    "text_stats": q_text_stats,
+    "dup_ngram_spans": q_dup_ngram_spans,
+    "streaming_sliding": q_streaming_sliding,
     "hash_split": q_hash_split,
     "mixture_sample": q_mixture_sample,
     "lm_scores_foreign": q_lm_scores_foreign,
     "range_join": q_range_join,
     "repetition_scores": q_repetition_scores,
-    "bloom_screen": q_bloom_screen,
-    "snapshot_diff": q_snapshot_diff,
-    "scd2_apply": q_scd2_apply,
     "c4_line_filter": q_c4_line_filter,
     "line_dedup": q_line_dedup,
     "cluster_documents": q_cluster_documents,
