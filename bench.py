@@ -124,6 +124,9 @@ HEADLINE = [
     "hard_negatives_ann",
     "retrieval_mrr_ann",
     "streaming_scd2",
+    "priority_dedup",
+    "contrastive_triplets",
+    "curriculum_shards",
 ]
 
 

@@ -1041,3 +1041,48 @@ def dedup_keep_best(
     return best.join(rollup, "component").select(
         "keep_id", "keep_quality", "n_members", "members"
     )
+
+
+def priority_dedup(
+    df: DataFrame,
+    priority: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source exact dedup with a KEEP POLICY (X44): one
+    representative per exact-content group, chosen by (``priority``
+    ascending, ``id_col`` ascending) — the multi-source curation rule
+    (Dolma/CCNet practice: when the same document arrives from a
+    curated dump AND a crawl, keep the curated copy, not the min-id
+    one). ``priority`` is any deterministic Column (smaller = keep
+    first), e.g. a CASE over the source column.
+
+    Returns the kept rows with ``n_copies`` (group multiplicity — 1 =
+    unique) and ``n_sources`` (distinct sources the content appeared
+    in, if a ``source`` column exists; callers without one get just
+    n_copies). Plan: ONE shuffle on the 8-byte content hash (the
+    corpus_report discipline — document bodies never ride the
+    exchange) carrying (hash, priority, id [, source]); the window and
+    the multiplicity agg share that partitioning.
+    """
+    from pyspark.sql import Window
+
+    key = F.xxhash64(normalize_text(F.col(text_col)))
+    has_source = "source" in df.columns
+    slim = df.select(
+        id_col,
+        *(["source"] if has_source else []),
+        key.alias("_k"),
+        priority.alias("_prio"),
+    )
+    w = Window.partitionBy("_k").orderBy(F.asc("_prio"), F.asc(id_col))
+    aggs = [F.count("*").alias("n_copies")]
+    if has_source:
+        aggs.append(F.countDistinct("source").alias("n_sources"))
+    stats = slim.groupBy("_k").agg(*aggs)
+    kept = (
+        slim.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
+    return kept.join(stats, "_k").drop("_k")

@@ -335,3 +335,89 @@ def retrieval_mrr_ann(
             ),
         )
     )
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    n_neg: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Contrastive training-pair assembly (X46): for every anchor, the
+    single hardest POSITIVE (most-similar same-label vector, self
+    excluded — hard-positive mining) crossed with the ``n_neg``
+    hardest NEGATIVES (most-similar different-label vectors) — the
+    (anchor, positive, negative_1..k) rows an InfoNCE/triplet-loss
+    batch builder consumes. One row per (anchor, negative) with the
+    shared positive alongside, so downstream grouping by anchor
+    reassembles the batch without re-joining.
+
+    Plan: ONE broadcast-anchors corpus scan scores everything (cosine
+    rounded 6dp BEFORE both windows — the round-before-rank rule);
+    the same scored frame feeds the positive window (same-label) and
+    the negative window (different-label), so Spark reuses the
+    exchange. Fully relational -> the DuckDB oracle replays every row.
+    Anchors whose label has no other member emit nothing (no
+    positive exists — the degenerate case a batch builder must skip
+    anyway).
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import similarity
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
+        ensure_parallelism,
+    )
+
+    scored = persist_tracked(
+        ensure_parallelism(corpus.select(id_col, vec_col, label_col))
+        .crossJoin(
+            F.broadcast(
+                anchors.select(query_id_col, query_vec_col, query_label_col)
+            )
+        )
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            query_label_col,
+            id_col,
+            label_col,
+            F.round(
+                similarity.cosine(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col(query_vec_col).cast("array<double>"),
+                ),
+                6,
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
+    pos = (
+        scored.where(F.col(label_col) == F.col(query_label_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("pos_id"),
+            F.col("_cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.where(F.col(label_col) != F.col(query_label_col))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= n_neg)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neg_id"),
+            F.col("_cos").alias("neg_cos"),
+            "neg_rank",
+        )
+    )
+    return pos.join(neg, query_id_col).select(
+        query_id_col, "pos_id", "pos_cos", "neg_id", "neg_cos", "neg_rank"
+    )

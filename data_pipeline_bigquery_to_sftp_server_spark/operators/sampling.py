@@ -282,3 +282,60 @@ def shuffle_shards(
         .withColumn("pos", F.row_number().over(w))
         .select("shard", "pos", *[c for c in df.columns])
     )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 3,
+    n_shards: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Curriculum-ordered training layout (X45): cut the corpus into
+    ``n_buckets`` equal-population DIFFICULTY buckets by deterministic
+    ntile over (``score_col`` asc, ``id_col`` asc) — smaller score =
+    easier, the curriculum-learning convention — then assign each row
+    an md5 ``shard`` (uniform, engine-portable, independent of
+    difficulty) and a ``pos`` that orders every shard easy->hard with
+    an md5 tiebreak WITHIN a bucket (so each difficulty stage is
+    internally shuffled, not score-sorted — the standard
+    staged-curriculum layout). A trainer reading any shard
+    sequentially sees the full curriculum; shards are balanced because
+    assignment ignores difficulty.
+
+    Plan: the ntile window is one global sort of (score, id) pairs
+    (bytes per row, not documents — callers pass a scored id frame);
+    the shard window sorts corpus/n_shards rows per partition, the
+    shuffle_shards bound. Fully relational and md5-deterministic ->
+    the oracle replays every (shard, pos) assignment.
+    """
+    from pyspark.sql.window import Window
+
+    wb = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col(id_col).cast("string"), F.lit(":" + salt + ":cshard"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_shards
+    ).cast("int")
+    order_h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt + ":corder"))
+    )
+    bucketed = df.withColumn("bucket", F.ntile(n_buckets).over(wb)).withColumn(
+        "shard", shard
+    )
+    wp = Window.partitionBy("shard").orderBy(
+        F.col("bucket").asc(), order_h.asc(), F.col(id_col).asc()
+    )
+    return bucketed.withColumn("pos", F.row_number().over(wp)).select(
+        "shard", "pos", "bucket", *[c for c in df.columns]
+    )

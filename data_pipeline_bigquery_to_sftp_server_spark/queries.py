@@ -5661,6 +5661,142 @@ ORDER BY shard, pos
 """
 
 
+def q_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 cross-source priority dedup, ORACLE-CHECKED: one kept copy
+    per exact-content group chosen by (source priority, doc_id) — the
+    multi-source curation keep-policy (curated dump beats crawl), vs
+    plain dedup's min-id rule. Priority here is the source's numeric
+    suffix (src2 beats src7). One 8-byte-hash shuffle; kept rows carry
+    the group multiplicity and distinct-source count for the data card
+    (operators/dedup.py priority_dedup)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    prio = F.substring("source", 4, 10).cast("int")
+    return D.priority_dedup(d, prio, "doc_id", "text").orderBy("doc_id")
+
+
+_ORACLE_PRIORITY_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm,
+         CAST(substr(source, 4) AS INT) AS prio
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT nm, count(*) AS n_copies, count(DISTINCT source) AS n_sources
+  FROM d GROUP BY nm
+), k AS (
+  SELECT doc_id, source, nm,
+         row_number() OVER (PARTITION BY nm ORDER BY prio ASC, doc_id ASC) AS rn
+  FROM d
+)
+SELECT k.doc_id, k.source, s.n_copies, s.n_sources
+FROM k JOIN s USING (nm) WHERE rn = 1
+ORDER BY k.doc_id
+"""
+
+
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 contrastive training-pair assembly, ORACLE-CHECKED: per
+    anchor (vec_id % 50 == 0) the hardest same-label POSITIVE crossed
+    with the 4 hardest different-label NEGATIVES — the
+    (anchor, positive, negative_k) rows an InfoNCE batch builder
+    consumes, composing the X39 negative miner with hard-positive
+    mining in ONE corpus scan (operators/retrieval.py
+    contrastive_triplets)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import (
+        retrieval as R,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return R.contrastive_triplets(e, anchors, n_neg=4).orderBy(
+        "query_id", "neg_rank"
+    )
+
+
+_ORACLE_CONTRASTIVE_TRIPLETS = r"""
+WITH a AS (
+  SELECT vec_id AS query_id, embedding AS query_vec, label AS query_label
+  FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT a.query_id, a.query_label, e.vec_id, e.label,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(a.query_vec AS DOUBLE[])), 6) AS cos
+  FROM embeddings e CROSS JOIN a
+  WHERE e.vec_id <> a.query_id
+), pos AS (
+  SELECT query_id, vec_id AS pos_id, cos AS pos_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored WHERE label = query_label
+), neg AS (
+  SELECT query_id, vec_id AS neg_id, cos AS neg_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS neg_rank
+  FROM scored WHERE label <> query_label
+)
+SELECT p.query_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+       CAST(n.neg_rank AS INT) AS neg_rank
+FROM pos p JOIN neg n USING (query_id)
+WHERE p.rn = 1 AND n.neg_rank <= 4
+ORDER BY p.query_id, n.neg_rank
+"""
+
+
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 curriculum-ordered training layout, ORACLE-CHECKED:
+    per-doc unigram-LM difficulty (mean NLL — the X15 signal) cut into
+    3 equal-population ntile stages, every doc md5-assigned to one of
+    8 balanced shards, and positioned so each shard reads easy->hard
+    with an independent md5 shuffle WITHIN each stage — the staged
+    curriculum-learning materialization (operators/sampling.py
+    curriculum_shards). Both engines replay every (shard, pos)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm, sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = lm.unigram_nll_scores(d, "doc_id", "text", smoothing=0.5).select(
+        "doc_id", "mean_nll"
+    )
+    return sampling.curriculum_shards(
+        scores, "mean_nll", "doc_id", n_buckets=3, n_shards=8, salt="cur1"
+    ).orderBy("shard", "pos")
+
+
+_ORACLE_CURRICULUM_SHARDS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+), v AS (
+  SELECT t, count(*) AS n FROM toks GROUP BY t
+), s AS (
+  SELECT sum(n) AS N, count(*) AS V FROM v
+), sc AS (
+  SELECT doc_id,
+         round(avg(-log2((v.n + 0.5) / (s.N + 0.5 * s.V))), 6) AS mean_nll
+  FROM toks JOIN v USING (t) CROSS JOIN s
+  GROUP BY doc_id
+), b AS (
+  SELECT doc_id, mean_nll,
+         CAST(ntile(3) OVER (ORDER BY mean_nll ASC, doc_id ASC) AS INT) AS bucket,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur1:cshard'), 1, 12))::BIGINT % 8) AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || ':cur1:corder') AS oh
+  FROM sc
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY bucket ASC, oh ASC, doc_id ASC) AS INT) AS pos,
+       bucket, doc_id, mean_nll
+FROM b
+ORDER BY shard, pos
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X31 Gopher quality-rule battery, ORACLE-CHECKED: the published
     Rae et al. 2021 A1.1 filters (word count, mean word length,
@@ -6423,6 +6559,11 @@ QUERIES: dict[str, QueryFn] = {
     "retrieval_mrr_ann": q_retrieval_mrr_ann,
     # r8: SCD2 screen-on-ingest (oracle-checked against the batch twin)
     "streaming_scd2": q_streaming_scd2,
+    # r8: cross-source priority dedup, contrastive triplet assembly,
+    # curriculum shards (all oracle-checked; next rotation candidates)
+    "priority_dedup": q_priority_dedup,
+    "contrastive_triplets": q_contrastive_triplets,
+    "curriculum_shards": q_curriculum_shards,
     # r8-displaced rows (see the window notes above) — all stay
     # verify_local-green on the identical oracles
     "incremental_dedup": q_incremental_dedup,
@@ -6653,6 +6794,9 @@ ORACLES: dict[str, str] = {
     # key-disjoint micro-batches at one batch_ts compose to the one-shot
     # MERGE (see q_streaming_scd2) -> the batch oracle replays the stream
     "streaming_scd2": _ORACLE_SCD2_APPLY,
+    "priority_dedup": _ORACLE_PRIORITY_DEDUP,
+    "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
+    "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

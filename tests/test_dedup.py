@@ -383,3 +383,33 @@ def test_incremental_dedup_report_flags_exact_and_near(spark):
     assert 0.5 <= out[101].best_jaccard < 1.0
     assert not out[102].exact_dup and out[102].n_near_dups == 0
     assert out[102].best_match_id is None and out[102].best_jaccard is None
+
+
+def test_priority_dedup_keep_policy(spark):
+    """r8 X44: one kept copy per content group by (priority, id);
+    multiplicity and distinct-source counts ride the kept row."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.dedup import (
+        priority_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "crawl", "the same text"),
+            (2, "curated", "The  Same   TEXT"),   # same normalized content
+            (3, "crawl", "the same text"),
+            (4, "crawl", "unique document"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    prio = F.when(F.col("source") == "curated", 0).otherwise(1)
+    got = {r.doc_id: (r.n_copies, r.n_sources) for r in
+           priority_dedup(df, prio).collect()}
+    # curated copy (id 2) wins its 3-copy group despite not being min-id
+    assert got == {2: (3, 2), 4: (1, 1)}
+
+    # no source column -> no n_sources, policy still honored
+    df2 = df.select("doc_id", "text")
+    got2 = {r.doc_id for r in priority_dedup(df2, F.lit(0)).collect()}
+    assert got2 == {1, 4}  # ties on priority fall back to min id

@@ -202,3 +202,34 @@ def test_retrieval_mrr_ann_full_probe_matches_exact(spark):
             if labs[j] == labs[qi] and ids[j] != ids[qi]
         )
         assert got[int(ids[qi])] == first
+
+
+def test_contrastive_triplets_shape_and_degenerate_anchor(spark):
+    """r8 X46: hardest same-label positive + n_neg hardest wrong-label
+    negatives per anchor; an anchor whose label has no other member
+    emits nothing."""
+    from pyspark.sql import functions as F
+
+    e = _labeled_embedding_corpus(spark)
+    # add a singleton-label anchor (vec_id 200, label 'solo')
+    solo = spark.createDataFrame(
+        [(200, [1.0] * 16, "solo")], "vec_id long, embedding array<double>, label string"
+    )
+    corpus = e.unionByName(solo)
+    anchors = corpus.where((F.col("vec_id") % 10 == 0) | (F.col("vec_id") == 200)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = retrieval.contrastive_triplets(corpus, anchors, n_neg=3).collect()
+    rows = {}
+    for r in out:
+        rows.setdefault(r.query_id, []).append(r)
+    assert 200 not in rows  # degenerate anchor skipped
+    labs = {r.vec_id: r.label for r in corpus.collect()}
+    for qid, rs in rows.items():
+        assert len(rs) == 3 and sorted(r.neg_rank for r in rs) == [1, 2, 3]
+        assert len({r.pos_id for r in rs}) == 1  # one shared positive
+        for r in rs:
+            assert labs[r.pos_id] == labs[qid] and labs[r.neg_id] != labs[qid]
+            assert r.pos_id != qid

@@ -228,3 +228,34 @@ def test_shuffle_shards_is_a_permutation_and_stable(spark):
     # docs in the same shard are not in id order (shuffled)
     g0 = a[a.shard == a.shard.iloc[0]].sort_values("pos")
     assert list(g0.doc_id) != sorted(g0.doc_id)
+
+
+def test_curriculum_shards_layout(spark):
+    """r8 X45: buckets are equal-population ntile stages; each shard's
+    bucket sequence is non-decreasing (easy->hard read order); pos is
+    contiguous from 1 per shard; shard assignment ignores difficulty."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sampling import (
+        curriculum_shards,
+    )
+
+    rows = [(i, float((i * 37) % 101)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = curriculum_shards(df, "score", "doc_id", n_buckets=3, n_shards=4).collect()
+    assert len(out) == 120
+    by_bucket = {}
+    by_shard = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.doc_id)
+        by_shard.setdefault(r.shard, []).append((r.pos, r.bucket))
+    assert sorted(len(v) for v in by_bucket.values()) == [40, 40, 40]
+    for shard, seq in by_shard.items():
+        seq.sort()
+        assert [p for p, _ in seq] == list(range(1, len(seq) + 1))
+        buckets = [b for _, b in seq]
+        assert buckets == sorted(buckets)  # curriculum order within shard
+    # ntile ground truth: the 40 smallest scores are bucket 1
+    ranked = sorted(rows, key=lambda t: (t[1], t[0]))
+    easy = {i for i, _ in ranked[:40]}
+    assert set(by_bucket[1]) == easy
