@@ -181,3 +181,96 @@ def intersect(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> Data
 
 def except_(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
     return a.exceptAll(b) if keep_duplicates else a.subtract(b)
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "grank",
+    num_partitions: int | None = None,
+):
+    """Exact global row-number under a total order WITHOUT a
+    single-partition window (the scale trap ``Window.orderBy(...)``
+    falls into): range-repartition + sort on the order key (Spark's
+    global-sort shuffle — every partition holds a contiguous key
+    range), stream a per-partition local counter in ONE Arrow pass (no
+    second sort, no pid hash-shuffle), collect the tiny per-partition
+    count list, prefix-sum it driver-side, and add each partition's
+    offset via a broadcast join. Returns ``(df.columns..., rank_col)``
+    with ranks 1..N, plus N itself as the second tuple element (free —
+    the sum of the collected counts; callers needing ntile-style math
+    avoid a second count job).
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreaker)
+    — equal keys may straddle a range boundary, which would make ranks
+    partition-dependent. The classic zipWithIndex, lifted to
+    DataFrames: two bounded shuffles (range + broadcast), per-partition
+    state is one integer.
+    """
+    import pandas as pd_local
+
+    cols = list(order_cols)
+    n_parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = df.repartitionByRange(int(n_parts), *[F.col(c) for c in cols])
+    ranged = ranged.sortWithinPartitions(*cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # fresh StructType: .add() would MUTATE the plan's cached schema
+    # object and desync the analyzer's view of the child output
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(ranged.schema.fields) + [StructField("_lrn", LongType())]
+    )
+
+    def local_rn(batches):
+        # batches arrive in sorted partition order -> a running counter
+        # IS the local row number; no window, no exchange
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_lrn"] = range(seen + 1, seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    numbered = ranged.mapInPandas(local_rn, schema)
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in numbered.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    total = sum(n for _, n in counts)
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    )
+    out = (
+        numbered.join(off_df, "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+    return out, total
+
+
+def ntile_by_rank(rank: Column, n_rows: int, n_buckets: int) -> Column:
+    """ntile(n_buckets) recomputed from an exact global rank, with the
+    SQL-standard remainder rule: the FIRST ``N % k`` buckets hold
+    ``ceil(N/k)`` rows, the rest ``floor(N/k)`` (a naive
+    ``floor((r-1)k/N)+1`` spreads the big buckets evenly instead —
+    NOT ntile; pinned against Spark's own ntile in test_relational).
+    With q = N//k, m = N%k: ranks up to ``m*(q+1)`` land in bucket
+    ``ceil(r/(q+1))``, the rest in ``m + ceil((r - m*(q+1))/q)``.
+    Lets bucket assignment ride :func:`with_global_rank`'s scalable
+    plan instead of a single-partition ntile window; engine
+    equivalence to DuckDB's ntile is oracle-checked wherever used."""
+    q, m = divmod(int(n_rows), int(n_buckets))
+    head = m * (q + 1)
+    return (
+        F.when(rank <= head, F.ceil(rank / F.lit(q + 1)))
+        .otherwise(F.lit(m) + F.ceil((rank - F.lit(head)) / F.lit(max(q, 1))))
+        .cast("int")
+    )

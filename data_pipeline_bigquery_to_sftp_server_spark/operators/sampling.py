@@ -304,15 +304,24 @@ def curriculum_shards(
     sequentially sees the full curriculum; shards are balanced because
     assignment ignores difficulty.
 
-    Plan: the ntile window is one global sort of (score, id) pairs
-    (bytes per row, not documents — callers pass a scored id frame);
-    the shard window sorts corpus/n_shards rows per partition, the
-    shuffle_shards bound. Fully relational and md5-deterministic ->
-    the oracle replays every (shard, pos) assignment.
+    Plan (r8, scale-correct): bucket assignment does NOT use the
+    single-partition ntile window — difficulty ranks come from
+    ``relational.with_global_rank`` (range-repartition + streamed
+    per-partition counter + broadcast offsets: the zipWithIndex shape,
+    two bounded shuffles, no partition ever holds the whole corpus)
+    and ntile is recomputed from the rank via the SQL-standard
+    ``floor((r-1)k/N)+1`` split (``relational.ntile_by_rank``) —
+    equivalence to DuckDB's ntile IS the oracle check. The shard
+    window then sorts corpus/n_shards rows per partition, the
+    shuffle_shards bound. Mildly eager: the rank's per-partition count
+    list is collected (n_partitions integers).
     """
     from pyspark.sql.window import Window
 
-    wb = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
+        ntile_by_rank,
+        with_global_rank,
+    )
     shard = (
         F.conv(
             F.substring(
@@ -330,8 +339,11 @@ def curriculum_shards(
     order_h = F.md5(
         F.concat(F.col(id_col).cast("string"), F.lit(":" + salt + ":corder"))
     )
-    bucketed = df.withColumn("bucket", F.ntile(n_buckets).over(wb)).withColumn(
-        "shard", shard
+    ranked, n_rows = with_global_rank(df, [score_col, id_col], rank_col="_grank")
+    bucketed = (
+        ranked.withColumn("bucket", ntile_by_rank(F.col("_grank"), n_rows, n_buckets))
+        .drop("_grank")
+        .withColumn("shard", shard)
     )
     wp = Window.partitionBy("shard").orderBy(
         F.col("bucket").asc(), order_h.asc(), F.col(id_col).asc()

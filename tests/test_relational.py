@@ -140,3 +140,36 @@ def test_fuzzy_name_pairs_compares_vocab_not_table(spark, sf_dir):
     assert all(r.edit_dist <= 2 and r.name_a < r.name_b for r in pairs)
     rs = explain.read_schema(df)
     assert "p_name" in rs and "p_retailprice" not in rs
+
+
+def test_with_global_rank_is_exact_and_partition_independent(spark):
+    """r8: the scalable rank must equal the single-window row_number
+    for every row, across different input partitionings."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
+        ntile_by_rank,
+        with_global_rank,
+    )
+
+    rows = [(i, float((i * 37) % 101)) for i in range(500)]
+    expected = {
+        i: r + 1
+        for r, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "id long, score double").repartition(parts)
+        out, n = with_global_rank(df, ["score", "id"])
+        assert n == 500
+        got = {r.id: r.grank for r in out.collect()}
+        assert got == expected
+    # ntile_by_rank == Spark's ntile under the same total order
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "id long, score double")
+    w = Window.orderBy(F.col("score").asc(), F.col("id").asc())
+    ref = {r.id: r.nt for r in df.withColumn("nt", F.ntile(7).over(w)).collect()}
+    out, n = with_global_rank(df, ["score", "id"])
+    got = {
+        r.id: r.b
+        for r in out.withColumn("b", ntile_by_rank(F.col("grank"), n, 7)).collect()
+    }
+    assert got == ref
