@@ -5672,7 +5672,11 @@ def q_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup as D
 
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    prio = F.substring("source", 4, 10).cast("int")
+    # coalesce the parsed priority: an unparseable source would cast to
+    # NULL, and Spark sorts NULLs FIRST asc while DuckDB sorts them
+    # LAST — the sentinel removes the latent divergence (all fixture
+    # sources parse today; same discipline as the NULL-text screens)
+    prio = F.coalesce(F.substring("source", 4, 10).cast("int"), F.lit(999999))
     return D.priority_dedup(d, prio, "doc_id", "text").orderBy("doc_id")
 
 
@@ -5680,7 +5684,7 @@ _ORACLE_PRIORITY_DEDUP = r"""
 WITH d AS (
   SELECT doc_id, source,
          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm,
-         CAST(substr(source, 4) AS INT) AS prio
+         coalesce(TRY_CAST(substr(source, 4) AS INT), 999999) AS prio
   FROM documents WHERE text IS NOT NULL
 ), s AS (
   SELECT nm, count(*) AS n_copies, count(DISTINCT source) AS n_sources
