@@ -127,6 +127,8 @@ HEADLINE = [
     "priority_dedup",
     "contrastive_triplets",
     "curriculum_shards",
+    "winnow_fingerprints",
+    "winnow_pairs",
 ]
 
 

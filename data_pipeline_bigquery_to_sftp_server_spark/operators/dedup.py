@@ -1086,3 +1086,109 @@ def priority_dedup(
         .drop("_rn", "_prio")
     )
     return kept.join(stats, "_k").drop("_k")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (X47 — Schleimer et al. 2003,
+    the MOSS scheme): hash every token k-gram, slide a ``window`` over
+    consecutive gram positions, and keep each window's MINIMUM hash
+    (rightmost on ties — the robust-winnowing rule). Guarantees: any
+    shared run of ``window + k - 1`` tokens between two documents
+    shares at least one selected fingerprint, while only ~2/(window+1)
+    of grams are kept — so a corpus-wide duplicate-detection join runs
+    on the winnowed set instead of the full gram stream (the scale
+    win; the n-gram-span family's positional join keeps every gram).
+
+    Returns one row per selected fingerprint: ``(id_col, pos, fp)``
+    with 1-based gram position and a 16-hex-char md5 fingerprint —
+    md5 (not xxhash64) so the selection is ENGINE-PORTABLE and the
+    whole operator oracle-replays row-for-row. Documents shorter than
+    ``window`` grams winnow their single partial window (min of all
+    grams); documents under ``k`` tokens emit nothing.
+
+    Plan: one tokenize + gram explode (map-side), ONE doc-keyed window
+    over gram positions with a bounded ROWS frame (the only shuffle —
+    key = doc id, frame state = ``window`` rows), then a distinct on
+    the selected (doc, fingerprint-key) pairs. Tie-break rides the
+    frame min via key encoding: ``fp || lpad(999999999 - pos)`` makes
+    lexicographic min = (min hash, rightmost pos) in one comparison.
+    """
+    from pyspark.sql import Window as W
+
+    from data_pipeline_bigquery_to_sftp_server_spark.functions.text import tokenize
+
+    if k < 1 or window < 1:
+        raise ValueError("winnow_fingerprints: k and window must be >= 1")
+    toks = tokenize(F.col(text_col))
+    n_grams = F.size(toks) - F.lit(k) + 1
+    grams = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            n_grams.alias("_ng"),
+            F.posexplode(
+                F.when(
+                    n_grams >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), n_grams),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                    ),
+                ).otherwise(F.array())
+            ).alias("_p0", "_g"),
+        )
+        .select(
+            id_col,
+            "_ng",
+            (F.col("_p0") + 1).alias("pos"),
+            F.substring(F.md5(F.col("_g")), 1, 16).alias("_h"),
+        )
+    )
+    key = F.concat(
+        F.col("_h"),
+        F.lpad((F.lit(999999999) - F.col("pos")).cast("string"), 9, "0"),
+    )
+    frame = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    starts = grams.withColumn("_key", key).withColumn(
+        "_win", F.min("_key").over(frame)
+    ).where(F.col("pos") <= F.greatest(F.col("_ng") - F.lit(window) + 1, F.lit(1)))
+    return (
+        starts.select(
+            id_col,
+            F.substring("_win", 1, 16).alias("fp"),
+            (F.lit(999999999) - F.substring("_win", 17, 9).cast("int")).alias("pos"),
+        )
+        .dropDuplicates([id_col, "fp", "pos"])
+        .select(id_col, "pos", "fp")
+    )
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame, id_col: str = "doc_id", min_shared: int = 2
+) -> DataFrame:
+    """Candidate duplicate pairs from winnowed fingerprints: unordered
+    doc pairs sharing at least ``min_shared`` distinct fingerprints,
+    with the shared count — the MOSS match stage. The join is keyed on
+    the fingerprint VALUE over the winnowed set (~2/(w+1) of the gram
+    volume), and the count rollup is map-side-combinable; the standard
+    AllPairs caveat applies (a boilerplate fingerprint shared by f
+    docs contributes f²/2 candidates — prune ubiquitous fps upstream
+    with a df cut if the corpus has them)."""
+    a = fps.select(F.col(id_col).alias("id_a"), F.col("fp").alias("_f")).dropDuplicates()
+    b = fps.select(F.col(id_col).alias("id_b"), F.col("fp").alias("_f")).dropDuplicates()
+    return (
+        a.join(b, "_f")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )

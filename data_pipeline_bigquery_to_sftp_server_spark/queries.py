@@ -5801,6 +5801,82 @@ ORDER BY shard, pos
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 winnowing fingerprints, ORACLE-CHECKED row-for-row: the
+    MOSS fingerprint-sparsification scheme (Schleimer et al. 2003) —
+    per 4-window of 5-gram md5 hashes keep the rightmost minimum, so
+    ~2/(w+1) of grams survive while any shared 8-token run still
+    collides (operators/dedup.py winnow_fingerprints). md5 keeps the
+    selection engine-portable; DuckDB replays every selected
+    (doc, pos, fp)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return D.winnow_fingerprints(d, "doc_id", "text", k=5, window=4).orderBy(
+        "doc_id", "pos", "fp"
+    )
+
+
+_SQL_WINNOW_BASE = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ls
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, len(ls) - 4 AS ng, i AS pos,
+         substr(md5(array_to_string(ls[i:i+4], ' ')), 1, 16) AS h
+  FROM d, unnest(range(1, greatest(len(ls) - 3, 1))) AS t(i)
+), keyed AS (
+  SELECT doc_id, ng, pos,
+         h || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS key
+  FROM g
+), win AS (
+  SELECT doc_id, ng, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+  FROM keyed
+), sel AS (
+  SELECT DISTINCT doc_id,
+         CAST(999999999 - CAST(substr(wk, 17, 9) AS INT) AS INT) AS pos,
+         substr(wk, 1, 16) AS fp
+  FROM win
+  WHERE pos <= greatest(ng - 3, 1)
+)"""
+
+_ORACLE_WINNOW_FINGERPRINTS = (
+    _SQL_WINNOW_BASE + "\nSELECT doc_id, pos, fp FROM sel ORDER BY doc_id, pos, fp\n"
+)
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47b winnowed-fingerprint overlap pairs, ORACLE-CHECKED: the
+    MOSS match stage — unordered doc pairs sharing >= 2 distinct
+    winnowed fingerprints with the shared count. The candidate join
+    runs over the SPARSIFIED set (~2/(w+1) of gram volume), which is
+    the scheme's scale advantage over the full positional-gram join
+    (operators/dedup.py winnow_overlap_pairs)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    fps = D.winnow_fingerprints(d, "doc_id", "text", k=5, window=4)
+    return D.winnow_overlap_pairs(fps, "doc_id", min_shared=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_ORACLE_WINNOW_PAIRS = (
+    _SQL_WINNOW_BASE
+    + r"""
+, u AS (SELECT DISTINCT doc_id, fp FROM sel)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+ORDER BY id_a, id_b
+"""
+)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X31 Gopher quality-rule battery, ORACLE-CHECKED: the published
     Rae et al. 2021 A1.1 filters (word count, mean word length,
@@ -6568,6 +6644,8 @@ QUERIES: dict[str, QueryFn] = {
     "priority_dedup": q_priority_dedup,
     "contrastive_triplets": q_contrastive_triplets,
     "curriculum_shards": q_curriculum_shards,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_pairs": q_winnow_pairs,
     # r8-displaced rows (see the window notes above) — all stay
     # verify_local-green on the identical oracles
     "incremental_dedup": q_incremental_dedup,
@@ -6801,6 +6879,8 @@ ORACLES: dict[str, str] = {
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,
+    "winnow_fingerprints": _ORACLE_WINNOW_FINGERPRINTS,
+    "winnow_pairs": _ORACLE_WINNOW_PAIRS,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

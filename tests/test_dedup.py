@@ -413,3 +413,50 @@ def test_priority_dedup_keep_policy(spark):
     df2 = df.select("doc_id", "text")
     got2 = {r.doc_id for r in priority_dedup(df2, F.lit(0)).collect()}
     assert got2 == {1, 4}  # ties on priority fall back to min id
+
+
+def test_winnow_fingerprints_guarantees(spark):
+    """r8 X47: (a) every w-window of gram positions contains a selected
+    fingerprint (coverage), (b) two docs sharing a run of w+k-1 tokens
+    share a fingerprint (detection), (c) short docs winnow their single
+    partial window, sub-k docs emit nothing."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(50)}" for _ in range(200)]
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1 tokens
+    docs = [
+        (1, " ".join(words)),
+        (2, " ".join(words[100:]) + " " + shared),
+        (3, "one two three four " + shared + " nine ten"),
+        (4, "tiny little doc here now"),   # exactly k=5 tokens -> 1 gram
+        (5, "too small"),                  # < k tokens -> nothing
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=5, window=4)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    # (c) degenerate sizes
+    assert 5 not in by_doc
+    assert len(by_doc[4]) == 1 and next(iter(by_doc[4]))[0] == 1
+    # (a) coverage: doc 1 has 196 grams; every window [p, p+3] hits a pick
+    pos1 = sorted(p for p, _ in by_doc[1])
+    n_grams = 200 - 5 + 1
+    for start in range(1, n_grams - 4 + 2):
+        assert any(start <= p <= start + 3 for p in pos1), start
+    # density ~ 2/(w+1): picks well below total grams
+    assert len(pos1) < n_grams * 0.6
+    # (b) detection: docs 2 and 3 share the 8-token run -> shared fp
+    f2 = {f for _, f in by_doc[2]}
+    f3 = {f for _, f in by_doc[3]}
+    assert f2 & f3
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in winnow_overlap_pairs(fps, min_shared=1).collect()}
+    assert (2, 3) in pairs
