@@ -129,6 +129,7 @@ HEADLINE = [
     "curriculum_shards",
     "winnow_fingerprints",
     "winnow_pairs",
+    "encode_token_ids",
 ]
 
 

@@ -367,3 +367,73 @@ def vocab_coverage(
             F.round(F.col("_cum") / F.col("_tot"), 6).alias("cum_share"),
         )
     )
+
+
+def encode_token_ids(
+    df: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Tokenizer APPLICATION (X48): materialize every document as its
+    integer token-id sequence under a corpus-derived word-level
+    vocabulary — the step between vocabulary construction
+    (:func:`vocab_coverage`) and training-shard writing (packing /
+    curriculum / shuffle_shards all consume token counts; this emits
+    the ids themselves). The vocabulary is the top ``vocab_size``
+    tokens by (count desc, token asc) with ids 1..vocab_size in rank
+    order; out-of-vocabulary tokens encode as ``unk_id``.
+
+    Returns ``(id_col, n_tokens, n_oov, ids)`` with ``ids`` the
+    comma-joined id sequence IN DOCUMENT ORDER — a string, not an
+    array, so the row (order included) hash-compares across engines
+    (DuckDB replays it with ``string_agg(... ORDER BY pos)``).
+
+    Plan: one token-keyed count aggregation; the ranking window runs
+    over the VOCABULARY (bounded by ``vocab_size`` after a cheap
+    top-(vocab_size) TakeOrdered-style cut — never the corpus); the
+    encode join is posexplode -> broadcast vocab join -> doc-keyed
+    reassembly via array_sort over (pos, id) structs. Two shuffles
+    total: token counts, per-doc reassembly.
+    """
+    from pyspark.sql.window import Window
+
+    if 1 <= int(unk_id) <= int(vocab_size):
+        raise ValueError(
+            f"encode_token_ids: unk_id={unk_id} collides with the vocab id "
+            f"range 1..{vocab_size} — n_oov would count real tokens."
+        )
+    toks = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("pos", "_t"))
+    )
+    counts = toks.groupBy("_t").agg(F.count("*").alias("_n"))
+    # bound the global ranking window's input to vocab_size rows first:
+    # orderBy+limit compiles to TakeOrdered (per-partition heaps), so
+    # the single-partition window only ever sees vocab_size rows
+    top = counts.orderBy(F.desc("_n"), F.asc("_t")).limit(int(vocab_size))
+    w = Window.orderBy(F.desc("_n"), F.asc("_t"))
+    vocab = top.withColumn("tok_id", F.row_number().over(w)).select("_t", "tok_id")
+    encoded = toks.join(F.broadcast(vocab), "_t", "left").select(
+        id_col,
+        "pos",
+        F.coalesce("tok_id", F.lit(int(unk_id))).alias("_id"),
+    )
+    return (
+        encoded.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("_id") == unk_id).cast("int")).alias("n_oov"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("_id")))
+                    ),
+                    lambda s: s["_id"].cast("string"),
+                ),
+            ).alias("ids"),
+        )
+        .select(id_col, "n_tokens", "n_oov", "ids")
+    )

@@ -5877,6 +5877,45 @@ ORDER BY id_a, id_b
 )
 
 
+def q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48 tokenizer application, ORACLE-CHECKED including sequence
+    ORDER: every document as its integer token-id sequence under the
+    corpus top-512 word vocabulary (ids in frequency-rank order, OOV
+    -> 0) — the materialization step between vocab construction (X29)
+    and shard writing; ids ride a comma-joined string so the oracle
+    hash covers the exact order (operators/lm.py encode_token_ids)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return lm.encode_token_ids(d, vocab_size=512).orderBy("doc_id")
+
+
+_ORACLE_ENCODE_TOKEN_IDS = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ls
+  FROM documents WHERE text IS NOT NULL
+), toks AS (
+  SELECT doc_id, i AS pos, ls[i] AS t
+  FROM d, unnest(range(1, len(ls) + 1)) AS u(i)
+), c AS (
+  SELECT t, count(*) AS n FROM toks GROUP BY t
+), v AS (
+  SELECT t, tok_id FROM (
+    SELECT t, row_number() OVER (ORDER BY n DESC, t ASC) AS tok_id FROM c
+  ) WHERE tok_id <= 512
+), e AS (
+  SELECT doc_id, pos, coalesce(v.tok_id, 0) AS id
+  FROM toks LEFT JOIN v USING (t)
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+FROM e GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X31 Gopher quality-rule battery, ORACLE-CHECKED: the published
     Rae et al. 2021 A1.1 filters (word count, mean word length,
@@ -6646,6 +6685,7 @@ QUERIES: dict[str, QueryFn] = {
     "curriculum_shards": q_curriculum_shards,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
+    "encode_token_ids": q_encode_token_ids,
     # r8-displaced rows (see the window notes above) — all stay
     # verify_local-green on the identical oracles
     "incremental_dedup": q_incremental_dedup,
@@ -6881,6 +6921,7 @@ ORACLES: dict[str, str] = {
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,
     "winnow_fingerprints": _ORACLE_WINNOW_FINGERPRINTS,
     "winnow_pairs": _ORACLE_WINNOW_PAIRS,
+    "encode_token_ids": _ORACLE_ENCODE_TOKEN_IDS,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

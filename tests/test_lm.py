@@ -189,3 +189,29 @@ def test_vocab_coverage_min_count_keeps_full_denominator(spark):
     # by the full 10-token mass
     assert "d" not in set(out.token)
     assert list(out.cum_share) == [0.4, 0.7, 0.9]
+
+
+def test_encode_token_ids_order_vocab_and_guard(spark):
+    """r8 X48: ids follow frequency rank (1 = most frequent, ties by
+    token asc), OOV -> unk, sequence order preserved; unk colliding
+    with the vocab range fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.lm import (
+        encode_token_ids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "b a b c b a"),
+            (2, "a c d"),
+        ],
+        "doc_id long, text string",
+    )
+    # counts: b=3, a=3, c=2, d=1 -> vocab_size=3: a->1 (tie b/a by token), b->2, c->3; d OOV
+    out = {r.doc_id: r for r in encode_token_ids(df, vocab_size=3).collect()}
+    assert out[1].ids == "2,1,2,3,2,1" and out[1].n_oov == 0 and out[1].n_tokens == 6
+    assert out[2].ids == "1,3,0" and out[2].n_oov == 1
+    with pytest.raises(ValueError, match="collides"):
+        encode_token_ids(df, vocab_size=3, unk_id=2)
