@@ -130,6 +130,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "winnow_pairs",
     "encode_token_ids",
+    "quality_ensemble",
 ]
 
 

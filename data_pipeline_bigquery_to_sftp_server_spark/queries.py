@@ -5877,6 +5877,154 @@ ORDER BY id_a, id_b
 )
 
 
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 QUALITY-SIGNAL ENSEMBLE, ORACLE-CHECKED end-to-end: the
+    curation decision real pipelines make — fuse the unigram-LM
+    perplexity signal (X15), the Gopher rule battery (X31), and the
+    link-graph PageRank prior (X37) into ONE per-doc quality score via
+    RANK normalization: each signal's global rank (the r8 scalable
+    with_global_rank — no single-partition window, no z-score float
+    parity risk: ranks are integers) is averaged and scaled to [0,1].
+    Higher = better on every axis (low perplexity, many rules passed,
+    high centrality). One DuckDB query replays the whole chain —
+    3-iteration PageRank included — making this the fourth
+    whole-pipeline certification alongside selection/recipe/curation."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+    from data_pipeline_bigquery_to_sftp_server_spark.functions.text import gopher_flags
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import graph, lm
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
+        with_global_rank,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    nll = lm.unigram_nll_scores(d, "doc_id", "text", smoothing=0.5).select(
+        "doc_id", "mean_nll"
+    )
+    g = d.select("doc_id", gopher_flags(F.col("text")).alias("_g"))
+    npass = g.select(
+        "doc_id",
+        sum(
+            F.col(f"_g.{r}").cast("int")
+            for r in [
+                "ok_words", "ok_mwl", "ok_sym", "ok_bullet",
+                "ok_ellipsis", "ok_alpha", "ok_stop",
+            ]
+        ).alias("n_passed"),
+    )
+    edges = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % 1009).alias("dst")
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 3) % 1009).alias("dst"),
+        )
+    )
+    pr = graph.pagerank(edges, n_iter=3).select(
+        F.col("node").alias("doc_id"), F.col("rank").alias("pr")
+    )
+    sig = persist_tracked(
+        d.select("doc_id").join(nll, "doc_id").join(npass, "doc_id").join(pr, "doc_id")
+    )
+    # rank-normalize: ascending rank of each GOODNESS direction
+    # (neg mean_nll / n_passed / pr all ascending = worst-first)
+    r_lm, n = with_global_rank(
+        sig.select("doc_id", (-F.col("mean_nll")).alias("_neg")), ["_neg", "doc_id"],
+        rank_col="_r1",
+    )
+    r_gp, _ = with_global_rank(
+        sig.select("doc_id", "n_passed"), ["n_passed", "doc_id"], rank_col="_r2"
+    )
+    r_pr, _ = with_global_rank(
+        sig.select("doc_id", "pr"), ["pr", "doc_id"], rank_col="_r3"
+    )
+    return (
+        sig.join(r_lm.select("doc_id", "_r1"), "doc_id")
+        .join(r_gp.select("doc_id", "_r2"), "doc_id")
+        .join(r_pr.select("doc_id", "_r3"), "doc_id")
+        .select(
+            "doc_id",
+            "mean_nll",
+            "n_passed",
+            "pr",
+            F.round(
+                (F.col("_r1") + F.col("_r2") + F.col("_r3")) / F.lit(3.0 * n), 6
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _quality_ensemble_oracle() -> str:
+    pr_chain = _ORACLE_PAGERANK.rsplit("\nSELECT", 1)[0]
+    return (
+        pr_chain
+        + r"""
+, prf AS (
+  SELECT node AS doc_id, round(rank, 6) AS pr FROM r3
+), toksq AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+), vq AS (
+  SELECT t, count(*) AS n FROM toksq GROUP BY t
+), sq AS (
+  SELECT sum(n) AS N, count(*) AS V FROM vq
+), nllq AS (
+  SELECT doc_id, round(avg(-log2((vq.n + 0.5) / (sq.N + 0.5 * sq.V))), 6) AS mean_nll
+  FROM toksq JOIN vq USING (t) CROSS JOIN sq GROUP BY doc_id
+), gbase AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents WHERE text IS NOT NULL
+), gm AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS nw,
+         CAST(list_aggregate(list_transform(toks, t -> strlen(t)), 'sum') AS DOUBLE)
+           / len(toks) AS mwl,
+         (CAST(strlen(text) - strlen(replace(text, '#', '')) AS DOUBLE)
+          + CAST(strlen(text) - strlen(replace(text, '...', '')) AS DOUBLE) / 3)
+           / len(toks) AS sym_ratio,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+           / len(lines) AS bullet_frac,
+         CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE)
+           / len(lines) AS ellipsis_frac,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           / len(toks) AS alpha_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         st -> list_contains(toks, st))) AS stop_hits
+  FROM gbase
+), gq AS (
+  SELECT doc_id,
+         CAST(nw >= 50 AND nw <= 100000 AS INT) + CAST(mwl >= 3 AND mwl <= 10 AS INT)
+         + CAST(sym_ratio <= 0.1 AS INT) + CAST(bullet_frac <= 0.9 AS INT)
+         + CAST(ellipsis_frac <= 0.3 AS INT) + CAST(alpha_frac >= 0.8 AS INT)
+         + CAST(stop_hits >= 2 AS INT) AS n_passed
+  FROM gm
+), sig AS (
+  SELECT d.doc_id, nllq.mean_nll, gq.n_passed, prf.pr
+  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+  JOIN nllq USING (doc_id) JOIN gq USING (doc_id) JOIN prf USING (doc_id)
+), nq AS (
+  SELECT count(*) AS n FROM sig
+), ranked AS (
+  SELECT doc_id, mean_nll, n_passed, pr,
+         row_number() OVER (ORDER BY mean_nll DESC, doc_id ASC) AS r1,
+         row_number() OVER (ORDER BY n_passed ASC, doc_id ASC) AS r2,
+         row_number() OVER (ORDER BY pr ASC, doc_id ASC) AS r3
+  FROM sig
+)
+SELECT doc_id, mean_nll, n_passed, pr,
+       round((r1 + r2 + r3) / (3.0 * nq.n), 6) AS quality_score
+FROM ranked CROSS JOIN nq
+ORDER BY doc_id
+"""
+    )
+
+
+_ORACLE_QUALITY_ENSEMBLE = _quality_ensemble_oracle()
+
+
 def q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X48 tokenizer application, ORACLE-CHECKED including sequence
     ORDER: every document as its integer token-id sequence under the
@@ -6686,6 +6834,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "encode_token_ids": q_encode_token_ids,
+    "quality_ensemble": q_quality_ensemble,
     # r8-displaced rows (see the window notes above) — all stay
     # verify_local-green on the identical oracles
     "incremental_dedup": q_incremental_dedup,
@@ -6922,6 +7071,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": _ORACLE_WINNOW_FINGERPRINTS,
     "winnow_pairs": _ORACLE_WINNOW_PAIRS,
     "encode_token_ids": _ORACLE_ENCODE_TOKEN_IDS,
+    "quality_ensemble": _ORACLE_QUALITY_ENSEMBLE,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

@@ -179,3 +179,26 @@ def test_gopher_flags_rule_battery(spark):
     # measurements come back rounded and sane
     assert out[1].n_words == 65 and 3 <= out[1].mean_word_len <= 10
     assert out[1].stop_hits >= 2
+
+
+def test_quality_ensemble_rank_normalization(spark, sf_dir):
+    """r8 X49: the fused score is the mean of three rank-normalized
+    signals — monotone in each signal holding the others fixed, and
+    bounded in (0, 1]."""
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import (
+        q_quality_ensemble,
+    )
+
+    rows = q_quality_ensemble(spark, sf_dir).collect()
+    assert rows and all(0 < r.quality_score <= 1.0 for r in rows)
+    # reconstruct the three ranks and re-derive the score for 10 docs
+    n = len(rows)
+    by_lm = sorted(rows, key=lambda r: (-r.mean_nll, r.doc_id))
+    by_gp = sorted(rows, key=lambda r: (r.n_passed, r.doc_id))
+    by_pr = sorted(rows, key=lambda r: (r.pr, r.doc_id))
+    r_lm = {r.doc_id: i + 1 for i, r in enumerate(by_lm)}
+    r_gp = {r.doc_id: i + 1 for i, r in enumerate(by_gp)}
+    r_pr = {r.doc_id: i + 1 for i, r in enumerate(by_pr)}
+    for r in rows[:10]:
+        expect = round((r_lm[r.doc_id] + r_gp[r.doc_id] + r_pr[r.doc_id]) / (3.0 * n), 6)
+        assert abs(r.quality_score - expect) < 1e-9
