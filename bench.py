@@ -131,6 +131,7 @@ HEADLINE = [
     "winnow_pairs",
     "encode_token_ids",
     "quality_ensemble",
+    "session_sequences",
 ]
 
 

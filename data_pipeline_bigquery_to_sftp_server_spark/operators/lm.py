@@ -395,7 +395,11 @@ def encode_token_ids(
     top-(vocab_size) TakeOrdered-style cut — never the corpus); the
     encode join is posexplode -> broadcast vocab join -> doc-keyed
     reassembly via array_sort over (pos, id) structs. Two shuffles
-    total: token counts, per-doc reassembly.
+    total: token counts, per-doc reassembly. The reassembly buffers
+    ONE DOCUMENT's ids per aggregation group — document length (not
+    corpus size) bounds executor memory; chunk pathological megadocs
+    upstream (chunk_documents) before encoding, the same per-row bound
+    every doc-granular operator here carries.
     """
     from pyspark.sql.window import Window
 

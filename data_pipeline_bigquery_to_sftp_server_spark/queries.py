@@ -5877,6 +5877,42 @@ ORDER BY id_a, id_b
 )
 
 
+def q_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 session-sequence materialization, ORACLE-CHECKED including
+    sequence ORDER: the events table as behavioral training data — one
+    row per (user, >30-min-gap session) carrying the ordered
+    event-type sequence (comma-joined so the hash covers order), the
+    analogue of encode_token_ids for the event modality; composes with
+    the same packing/curriculum/shard chain downstream
+    (operators/sessions.py session_sequences)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.session_sequences(ev).orderBy("user_id", "sess_id")
+
+
+_ORACLE_SESSION_SEQUENCES = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       count(*) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+FROM s GROUP BY user_id, sess_id
+ORDER BY user_id, sess_id
+"""
+
+
 def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X49 QUALITY-SIGNAL ENSEMBLE, ORACLE-CHECKED end-to-end: the
     curation decision real pipelines make — fuse the unigram-LM
@@ -6835,6 +6871,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_pairs": q_winnow_pairs,
     "encode_token_ids": q_encode_token_ids,
     "quality_ensemble": q_quality_ensemble,
+    "session_sequences": q_session_sequences,
     # r8-displaced rows (see the window notes above) — all stay
     # verify_local-green on the identical oracles
     "incremental_dedup": q_incremental_dedup,
@@ -7072,6 +7109,7 @@ ORACLES: dict[str, str] = {
     "winnow_pairs": _ORACLE_WINNOW_PAIRS,
     "encode_token_ids": _ORACLE_ENCODE_TOKEN_IDS,
     "quality_ensemble": _ORACLE_QUALITY_ENSEMBLE,
+    "session_sequences": _ORACLE_SESSION_SEQUENCES,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

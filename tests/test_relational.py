@@ -173,3 +173,34 @@ def test_with_global_rank_is_exact_and_partition_independent(spark):
         for r in out.withColumn("b", ntile_by_rank(F.col("grank"), n, 7)).collect()
     }
     assert got == ref
+
+
+def test_session_sequences_order_and_breaks(spark):
+    """r8 X50: >gap breaks open a new session; sequences are in
+    (ts, event_id) order; sess_id numbers per user from 1."""
+    import datetime as dt
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sessions import (
+        session_sequences,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 1, t0, "view"),
+        (2, 1, t0 + dt.timedelta(minutes=5), "click"),
+        (3, 1, t0 + dt.timedelta(minutes=50), "buy"),       # >30m -> new session
+        (4, 2, t0, "view"),
+        (5, 2, t0, "click"),                                # same ts -> event_id order
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.user_id, r.sess_id): (r.n_events, r.seq)
+        for r in session_sequences(ev).collect()
+    }
+    assert got == {
+        (1, 1): (2, "view,click"),
+        (1, 2): (1, "buy"),
+        (2, 1): (2, "view,click"),
+    }
