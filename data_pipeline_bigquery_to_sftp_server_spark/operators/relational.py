@@ -205,10 +205,11 @@ def with_global_rank(
     — equal keys may straddle a range boundary, which would make ranks
     partition-dependent. The classic zipWithIndex, lifted to
     DataFrames: two bounded shuffles (range + broadcast), per-partition
-    state is one integer.
+    state is one integer. ``numbered`` is persisted before the count
+    collect so the partitioning the offsets were computed from is
+    exactly the one the returned frame reads (repartitionByRange
+    samples; an unpersisted recompute could re-sample differently).
     """
-    import pandas as pd_local
-
     cols = list(order_cols)
     n_parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
@@ -235,7 +236,9 @@ def with_global_rank(
             seen += len(pdf)
             yield pdf
 
-    numbered = ranged.mapInPandas(local_rn, schema)
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    numbered = persist_tracked(ranged.mapInPandas(local_rn, schema))
     counts = sorted(
         (r["_pid"], r["n"])
         for r in numbered.groupBy("_pid").agg(F.count("*").alias("n")).collect()

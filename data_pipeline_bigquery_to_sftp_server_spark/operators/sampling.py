@@ -309,9 +309,10 @@ def curriculum_shards(
     ``relational.with_global_rank`` (range-repartition + streamed
     per-partition counter + broadcast offsets: the zipWithIndex shape,
     two bounded shuffles, no partition ever holds the whole corpus)
-    and ntile is recomputed from the rank via the SQL-standard
-    ``floor((r-1)k/N)+1`` split (``relational.ntile_by_rank``) —
-    equivalence to DuckDB's ntile IS the oracle check. The shard
+    and ntile is recomputed from the rank via the SQL-standard ntile
+    remainder rule (``relational.ntile_by_rank``: first ``N % k``
+    buckets get the extra row) — equivalence to DuckDB's ntile IS the
+    oracle check. The shard
     window then sorts corpus/n_shards rows per partition, the
     shuffle_shards bound. Mildly eager: the rank's per-partition count
     list is collected (n_partitions integers).

@@ -5676,7 +5676,10 @@ def q_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL, and Spark sorts NULLs FIRST asc while DuckDB sorts them
     # LAST — the sentinel removes the latent divergence (all fixture
     # sources parse today; same discipline as the NULL-text screens)
-    prio = F.coalesce(F.substring("source", 4, 10).cast("int"), F.lit(999999))
+    # no-length-cap substring: the oracle's substr(source, 4) reads to
+    # the end of the string, so a >10-char suffix must not truncate on
+    # the Spark side only (r8 ADVICE)
+    prio = F.coalesce(F.expr("substring(source, 4)").cast("int"), F.lit(999999))
     return D.priority_dedup(d, prio, "doc_id", "text").orderBy("doc_id")
 
 
@@ -5932,7 +5935,8 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_global_rank,
     )
 
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d_all = load_table(spark, sf_dir, "documents")
+    d = d_all.where(F.col("text").isNotNull())
     nll = lm.unigram_nll_scores(d, "doc_id", "text", smoothing=0.5).select(
         "doc_id", "mean_nll"
     )
@@ -5947,10 +5951,15 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("n_passed"),
     )
-    edges = d.select(
+    # edges come from the UNFILTERED table: the oracle reuses
+    # _ORACLE_PAGERANK's edge CTE (FROM documents, no text screen), so
+    # the Spark vertex set must match it exactly — a future NULL-text
+    # fixture row would otherwise shift rank mass on one side only
+    # (r8 ADVICE). The downstream doc_id join re-applies the screen.
+    edges = d_all.select(
         F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % 1009).alias("dst")
     ).unionByName(
-        d.select(
+        d_all.select(
             F.col("doc_id").alias("src"),
             ((F.col("doc_id") * 13 + 3) % 1009).alias("dst"),
         )
