@@ -5971,29 +5971,57 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id").join(nll, "doc_id").join(npass, "doc_id").join(pr, "doc_id")
     )
     # rank-normalize: ascending rank of each GOODNESS direction
-    # (neg mean_nll / n_passed / pr all ascending = worst-first)
-    r_lm, n = with_global_rank(
-        sig.select("doc_id", (-F.col("mean_nll")).alias("_neg")), ["_neg", "doc_id"],
-        rank_col="_r1",
+    # (neg mean_nll / n_passed / pr all ascending = worst-first).
+    # ONE rank pass for all three signals (r9): stack them long-format
+    # as (signal, value, doc_id) and take a single global rank ordered
+    # by (signal, value, doc_id) — each signal occupies a contiguous
+    # block of exactly n ranks, so its per-signal row_number is
+    # global_rank - block_offset. One range shuffle + one count job
+    # replaces three (the fused plan is also the 100 TB shape: a 3n-row
+    # shuffle instead of three n-row shuffles with 3x the fixed
+    # sampling/count jobs). Exactness vs the oracle's independent
+    # row_numbers holds because blocks are disjoint and each preserves
+    # the (value, doc_id) total order.
+    stacked = (
+        sig.select(
+            "doc_id", F.lit("a_lm").alias("_s"),
+            (-F.col("mean_nll")).cast("double").alias("_v"),
+        )
+        .unionByName(
+            sig.select(
+                "doc_id", F.lit("b_gp").alias("_s"),
+                F.col("n_passed").cast("double").alias("_v"),
+            )
+        )
+        .unionByName(
+            sig.select(
+                "doc_id", F.lit("c_pr").alias("_s"),
+                F.col("pr").cast("double").alias("_v"),
+            )
+        )
     )
-    r_gp, _ = with_global_rank(
-        sig.select("doc_id", "n_passed"), ["n_passed", "doc_id"], rank_col="_r2"
+    ranked_long, total = with_global_rank(
+        stacked, ["_s", "_v", "doc_id"], rank_col="_gr"
     )
-    r_pr, _ = with_global_rank(
-        sig.select("doc_id", "pr"), ["pr", "doc_id"], rank_col="_r3"
+    n = total // 3
+    offset = (
+        F.when(F.col("_s") == "a_lm", F.lit(0))
+        .when(F.col("_s") == "b_gp", F.lit(n))
+        .otherwise(F.lit(2 * n))
+    )
+    ranks = (
+        ranked_long.withColumn("_r", F.col("_gr") - offset)
+        .groupBy("doc_id")
+        .agg(F.sum("_r").alias("_rsum"))
     )
     return (
-        sig.join(r_lm.select("doc_id", "_r1"), "doc_id")
-        .join(r_gp.select("doc_id", "_r2"), "doc_id")
-        .join(r_pr.select("doc_id", "_r3"), "doc_id")
+        sig.join(ranks, "doc_id")
         .select(
             "doc_id",
             "mean_nll",
             "n_passed",
             "pr",
-            F.round(
-                (F.col("_r1") + F.col("_r2") + F.col("_r3")) / F.lit(3.0 * n), 6
-            ).alias("quality_score"),
+            F.round(F.col("_rsum") / F.lit(3.0 * n), 6).alias("quality_score"),
         )
         .orderBy("doc_id")
     )
