@@ -132,6 +132,9 @@ HEADLINE = [
     "encode_token_ids",
     "quality_ensemble",
     "session_sequences",
+    "dup_line_signals",
+    "iqr_outliers",
+    "funnel_conversion",
 ]
 
 

@@ -131,3 +131,62 @@ def corpus_line_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def dup_line_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FineWeb-style WITHIN-document duplicate-line signals (Penedo et
+    al. 2024: the `dup_line_frac` / `dup_line_char_frac` filters that,
+    after exact dedup, were the highest-impact quality rules): per
+    document, the fraction of lines whose normalized form occurs more
+    than once inside the SAME document, and the fraction of characters
+    living on those lines. Boilerplate-heavy pages (repeated nav rows,
+    chat transcripts quoting themselves, scraped tables) score high
+    and get dropped by a threshold the caller picks.
+
+    Complements :func:`corpus_line_dedup` (corpus-WIDE multiplicity —
+    needs an aggregation) and the bigram ``repetition_scores`` (token
+    granularity): this one is per-doc only, so the whole computation
+    is ONE higher-order-function expression over the line array —
+    zero exchanges, whole-stage codegen end to end, embarrassingly
+    parallel at any corpus size. The in-array membership count is
+    O(lines^2) per doc, which is the right trade: web documents have
+    tens of lines, and the alternative (explode + two shuffles) moves
+    the whole corpus to count what each row already holds.
+
+    Both fractions compute over NORMALIZED lines (lower, collapsed
+    whitespace — the corpus_line_dedup key) so near-identical
+    boilerplate matches; char mass is the normalized line's length.
+    Returns ``(id_col, n_lines, dup_line_frac, dup_char_frac)``
+    rounded to 6dp, one row per non-NULL-text document.
+    """
+    norm = lambda l: F.trim(F.regexp_replace(F.lower(l), r"\s+", " "))  # noqa: E731
+    lines = F.transform(F.split(F.col(text_col), "\n"), norm)
+    is_dup = lambda arr: (  # noqa: E731
+        lambda l: F.size(F.filter(arr, lambda x: x == l)) > 1
+    )
+    dup_lines = F.filter(lines, is_dup(lines))
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    total_chars = chars(lines)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.size(lines).alias("n_lines"),
+            F.round(
+                F.size(dup_lines).cast("double") / F.size(lines), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(
+                    total_chars > 0,
+                    chars(dup_lines).cast("double") / total_chars,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_char_frac"),
+        )
+    )

@@ -352,3 +352,49 @@ def curriculum_shards(
     return bucketed.withColumn("pos", F.row_number().over(wp)).select(
         "shard", "pos", "bucket", *[c for c in df.columns]
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier flagging per group: rows whose
+    ``value_col`` falls outside ``[q1 - k*iqr, q3 + k*iqr]`` of their
+    group's EXACT interquartile range get ``is_outlier = true``. The
+    robust version of z-score trimming (quartiles don't move when the
+    outliers themselves get bigger) — the standard screen for
+    truncated/concatenated scrapes before length-sensitive stages
+    (packing, LM scoring) see them.
+
+    Returns every input row with ``lo`` / ``hi`` (rounded to 6dp — the
+    fence is an engine-portable constant, not a float race) and
+    ``is_outlier`` appended.
+
+    Scale: ``percentile()`` is the EXACT quantile — its aggregation
+    state is a per-group value-multiset, the right call when values
+    are low-cardinality ints (doc lengths) or groups are bounded
+    (sources). For high-cardinality doubles at 100 TB, swap in
+    ``approx_percentile(value, p, accuracy)`` — same plan shape
+    (map-side-combinable agg, tiny bounds table broadcast back), the
+    fence moves by at most the sketch error. The bounds frame is one
+    row per group, so the join back is a broadcast; the data itself
+    never shuffles.
+    """
+    v = F.col(value_col).cast("double")
+    b = (
+        df.groupBy(group_col)
+        .agg(
+            F.percentile(v, F.lit(0.25)).alias("_q1"),
+            F.percentile(v, F.lit(0.75)).alias("_q3"),
+        )
+        .select(
+            group_col,
+            F.round(F.col("_q1") - k * (F.col("_q3") - F.col("_q1")), 6).alias("lo"),
+            F.round(F.col("_q3") + k * (F.col("_q3") - F.col("_q1")), 6).alias("hi"),
+        )
+    )
+    return df.join(F.broadcast(b), group_col).withColumn(
+        "is_outlier", (v < F.col("lo")) | (v > F.col("hi"))
+    )

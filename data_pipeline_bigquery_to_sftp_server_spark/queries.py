@@ -6733,6 +6733,194 @@ LIMIT 20
 """
 
 
+def q_dup_line_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 FineWeb duplicate-line signals, ORACLE-CHECKED: per-document
+    fraction of lines (and of characters) whose normalized form occurs
+    more than once WITHIN the same document — the highest-impact
+    post-dedup quality rules in FineWeb's ablations. Documents are
+    synthesized multi-line from customer fields (the c4_line_filter
+    pattern — the documents fixture is single-line), with case/space
+    variants so the check covers the normalization too. The whole
+    computation is one higher-order-function expression per row — zero
+    exchanges, embarrassingly parallel (operators/lines.py
+    dup_line_signals)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lines as L
+
+    c = load_table(spark, sf_dir, "customer")
+    acct = (F.col("c_custkey") * 7).cast("string")
+    txt = F.concat_ws(
+        "\n",
+        F.concat(F.lit("segment "), F.col("c_mktsegment")),
+        F.concat(F.lit("acct "), acct),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("Segment   "), F.col("c_mktsegment")),
+        ).otherwise(F.concat(F.lit("name "), F.col("c_name"))),
+        F.when(
+            F.col("c_custkey") % 4 == 0, F.concat(F.lit("ACCT "), acct)
+        ).otherwise(
+            F.concat(F.lit("nation "), F.col("c_nationkey").cast("string"))
+        ),
+    )
+    d = c.select(F.col("c_custkey").alias("doc_id"), txt.alias("text"))
+    return L.dup_line_signals(d, "doc_id", "text").orderBy("doc_id")
+
+
+_ORACLE_DUP_LINE_SIGNALS = r"""
+WITH d AS (
+  SELECT c_custkey AS doc_id,
+         concat_ws(chr(10),
+           'segment ' || c_mktsegment,
+           'acct ' || CAST(c_custkey * 7 AS VARCHAR),
+           CASE WHEN c_custkey % 3 = 0 THEN 'Segment   ' || c_mktsegment
+                ELSE 'name ' || c_name END,
+           CASE WHEN c_custkey % 4 = 0 THEN 'ACCT ' || CAST(c_custkey * 7 AS VARCHAR)
+                ELSE 'nation ' || CAST(c_nationkey AS VARCHAR) END) AS text
+  FROM customer
+), t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, chr(10)),
+                        l -> trim(regexp_replace(lower(l), '\s+', ' ', 'g'))) AS lines
+  FROM d
+), m AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1) AS dups
+  FROM t
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       round(CAST(len(dups) AS DOUBLE) / len(lines), 6) AS dup_line_frac,
+       round(CASE WHEN coalesce(list_aggregate(list_transform(lines, x -> strlen(x)), 'sum'), 0) > 0
+             THEN CAST(coalesce(list_aggregate(list_transform(dups, x -> strlen(x)), 'sum'), 0) AS DOUBLE)
+                  / list_aggregate(list_transform(lines, x -> strlen(x)), 'sum')
+             ELSE 0.0 END, 6) AS dup_char_frac
+FROM m
+ORDER BY doc_id
+"""
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 Tukey-fence length outliers, ORACLE-CHECKED: documents whose
+    character count falls outside [q1 - 0.75*iqr, q3 + 0.75*iqr] of
+    their SOURCE's exact quartiles — the robust screen for truncated /
+    concatenated scrapes run before length-sensitive stages. Exact
+    percentile agg per source (bounded group count), fences broadcast
+    back, data never shuffles; approx_percentile is the documented
+    100 TB swap (operators/sampling.py iqr_outliers)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # k=0.75 (tighter than Tukey's 1.5): the synthetic lengths are
+    # near-uniform, so the classic fence flags almost nothing — the
+    # tight fence keeps the oracle check over a non-trivial row set
+    out = sampling.iqr_outliers(d, "n_chars", "source", k=0.75)
+    return (
+        out.where(F.col("is_outlier"))
+        .select("doc_id", "source", "n_chars", "lo", "hi")
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_IQR_OUTLIERS = """
+WITH b AS (
+  SELECT source,
+         round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25)
+               - 0.75 * (quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+                         - quantile_cont(CAST(n_chars AS DOUBLE), 0.25)), 6) AS lo,
+         round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+               + 0.75 * (quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+                         - quantile_cont(CAST(n_chars AS DOUBLE), 0.25)), 6) AS hi
+  FROM documents GROUP BY source
+)
+SELECT doc_id, source, n_chars, lo, hi
+FROM documents JOIN b USING (source)
+WHERE CAST(n_chars AS DOUBLE) < lo OR CAST(n_chars AS DOUBLE) > hi
+ORDER BY doc_id
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56 ordered funnel analysis, ORACLE-CHECKED: per-user
+    view -> click -> purchase progression over the events table, each
+    stage's timestamp required to be strictly AFTER the previous
+    stage's first occurrence (the product-analytics funnel semantics —
+    a purchase before the first view does not count). Output is one
+    row per stage with reached-user counts and conversion vs stage 1.
+
+    Plan: three type-filtered user-keyed min-aggregations chained by
+    join (each shuffle carries one row per surviving user; partial
+    aggs map-side-combine the event stream), then three one-row counts
+    — no windows over the raw stream, no driver-side state. At 100 TB
+    the stream is scanned once per stage with the event-type filter
+    pushed to the scan."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count("*").alias("n_users")).withColumn("stage", F.lit(1))
+    c2 = s2.agg(F.count("*").alias("n_users")).withColumn("stage", F.lit(2))
+    c3 = s3.agg(F.count("*").alias("n_users")).withColumn("stage", F.lit(3))
+    base = s1.agg(F.count("*").alias("_n1"))
+    return (
+        c1.unionByName(c2)
+        .unionByName(c3)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "stage",
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"))[
+                F.col("stage") - 1
+            ].alias("event_type"),
+            "n_users",
+            F.round(F.col("n_users").cast("double") / F.col("_n1"), 6).alias(
+                "conv_rate"
+            ),
+        )
+        .orderBy("stage")
+    )
+
+
+_ORACLE_FUNNEL_CONVERSION = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+), c AS (
+  SELECT 1 AS stage, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT stage, event_type, n_users,
+       round(CAST(n_users AS DOUBLE) / (SELECT count(*) FROM s1), 6) AS conv_rate
+FROM c ORDER BY stage
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6914,6 +7102,10 @@ QUERIES: dict[str, QueryFn] = {
     "encode_token_ids": q_encode_token_ids,
     "quality_ensemble": q_quality_ensemble,
     "session_sequences": q_session_sequences,
+    # r9 additions
+    "dup_line_signals": q_dup_line_signals,
+    "iqr_outliers": q_iqr_outliers,
+    "funnel_conversion": q_funnel_conversion,
     # r8-displaced rows (see the window notes above) — all stay
     # verify_local-green on the identical oracles
     "incremental_dedup": q_incremental_dedup,
@@ -7152,6 +7344,9 @@ ORACLES: dict[str, str] = {
     "encode_token_ids": _ORACLE_ENCODE_TOKEN_IDS,
     "quality_ensemble": _ORACLE_QUALITY_ENSEMBLE,
     "session_sequences": _ORACLE_SESSION_SEQUENCES,
+    "dup_line_signals": _ORACLE_DUP_LINE_SIGNALS,
+    "iqr_outliers": _ORACLE_IQR_OUTLIERS,
+    "funnel_conversion": _ORACLE_FUNNEL_CONVERSION,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

@@ -56,3 +56,32 @@ def test_corpus_line_dedup_removes_cross_doc_boilerplate(spark):
     got = {r.doc_id: r for r in L.corpus_line_dedup(df2).collect()}
     assert got[1].text == "first keep\nsecond keep"
     assert got[2].n_kept == 0 and got[2].text == ""
+
+
+def test_dup_line_signals_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            # normalized dups: 'a b' x2 (case/space variant) + unique 'c'
+            (1, "a b\nA  b\nc"),
+            (2, "x\ny\nz"),          # no dups
+            (3, "same\nsame\nsame"),  # all dup
+            (4, None),                # dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in L.dup_line_signals(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_lines == 3
+    assert out[1].dup_line_frac == round(2 / 3, 6)
+    # chars over normalized lines: 'a b'(3)*2 dup, total 3+3+1
+    assert out[1].dup_char_frac == round(6 / 7, 6)
+    assert out[2].dup_line_frac == 0.0 and out[2].dup_char_frac == 0.0
+    assert out[3].dup_line_frac == 1.0 and out[3].dup_char_frac == 1.0
+
+
+def test_dup_line_signals_empty_lines_no_nan(spark):
+    # all-empty lines: char total is 0 -> dup_char_frac must be 0.0,
+    # never NULL/NaN (the division guard)
+    df = spark.createDataFrame([(1, "\n\n")], "doc_id long, text string")
+    r = L.dup_line_signals(df).collect()[0]
+    assert r.n_lines == 3 and r.dup_line_frac == 1.0 and r.dup_char_frac == 0.0

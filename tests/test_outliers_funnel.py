@@ -1,0 +1,42 @@
+"""IQR outlier fences (X55) and ordered funnel conversion (X56)."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators.sampling import iqr_outliers
+
+
+def test_iqr_outliers_flags_far_points(spark):
+    rows = [(i, "a", v) for i, v in enumerate([10, 11, 12, 13, 14, 1000])]
+    rows += [(100 + i, "b", v) for i, v in enumerate([5, 5, 5, 5])]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    out = {r.id: r for r in iqr_outliers(df, "v", "grp").collect()}
+    assert out[5].is_outlier            # the 1000 in group a
+    assert not out[0].is_outlier
+    # group b: zero IQR -> fences collapse to the constant, nothing flagged
+    assert not any(out[100 + i].is_outlier for i in range(4))
+    # fences are per-group: group a's bounds differ from b's
+    assert out[0].lo != out[100].lo
+
+
+def test_iqr_outliers_exact_quartiles(spark):
+    # [1,2,3,10]: q1=1.75, q3=4.75 (linear interpolation), iqr=3 ->
+    # fences at -2.75 / 9.25 with k=1.5; 10 is out, 1..3 are in
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate([1, 2, 3, 10])], "id long, grp string, v long"
+    )
+    out = {r.id: r for r in iqr_outliers(df, "v", "grp", k=1.5).collect()}
+    assert out[0].lo == -2.75 and out[0].hi == 9.25
+    assert [out[i].is_outlier for i in range(4)] == [False, False, False, True]
+
+
+def test_funnel_requires_stage_order(spark, sf_dir):
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import (
+        q_funnel_conversion,
+    )
+
+    rows = q_funnel_conversion(spark, sf_dir).collect()
+    assert [r.stage for r in rows] == [1, 2, 3]
+    assert [r.event_type for r in rows] == ["view", "click", "purchase"]
+    # funnel counts are monotone non-increasing and stage 1 converts at 1.0
+    assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
+    assert rows[0].conv_rate == 1.0
