@@ -135,6 +135,8 @@ HEADLINE = [
     "dup_line_signals",
     "iqr_outliers",
     "funnel_conversion",
+    "embedding_covariance",
+    "pca_project",
 ]
 
 

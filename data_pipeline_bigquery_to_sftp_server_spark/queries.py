@@ -6921,6 +6921,52 @@ FROM c ORDER BY stage
 """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 distributed covariance of the embedding corpus,
+    ORACLE-CHECKED cell-for-cell against SQL covar_pop: the d x d
+    second-moment matrix computed as one Arrow pass of per-partition
+    (n, sum, X^T X) moments + a map-side-combinable sum — corpus
+    scanned once, state is d^2 regardless of corpus size (the
+    tree-aggregate shape). The PCA family's oracle-checkable face
+    (operators/pca.py covariance_matrix)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import pca
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca.covariance_matrix(e, "embedding").orderBy("i", "j")
+
+
+_ORACLE_EMBEDDING_COVARIANCE = """
+WITH x AS (
+  SELECT vec_id, u.s.i AS i, CAST(u.s.v AS DOUBLE) AS v
+  FROM embeddings,
+       unnest(list_transform(embedding, (v, k) -> struct_pack(i := k, v := v))) u(s)
+)
+SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+       round(covar_pop(a.v, b.v), 6) + 0.0 AS cov
+FROM x a JOIN x b USING (vec_id)
+GROUP BY a.i, b.i
+ORDER BY i, j
+"""
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58 PCA projection of the embedding corpus onto its top-4
+    principal axes (whitened): the standard dimensionality cut before
+    clustering / SemDeDup / ANN. Driver state is the d x d covariance
+    (asserted <= 256 dims); the projection is a broadcast-closure
+    Arrow pass, no shuffle. Rows-only by nature (eigh is not
+    SQL-expressible); the moment aggregation underneath is the
+    oracle-checked embedding_covariance, and the projection itself is
+    numpy-pinned in tests/test_pca.py (operators/pca.py
+    pca_project)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import pca
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca.pca_project(e, "embedding", "vec_id", q=4, whiten=True).orderBy(
+        "vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7106,6 +7152,8 @@ QUERIES: dict[str, QueryFn] = {
     "dup_line_signals": q_dup_line_signals,
     "iqr_outliers": q_iqr_outliers,
     "funnel_conversion": q_funnel_conversion,
+    "embedding_covariance": q_embedding_covariance,
+    "pca_project": q_pca_project,
     # r8-displaced rows (see the window notes above) — all stay
     # verify_local-green on the identical oracles
     "incremental_dedup": q_incremental_dedup,
@@ -7347,6 +7395,7 @@ ORACLES: dict[str, str] = {
     "dup_line_signals": _ORACLE_DUP_LINE_SIGNALS,
     "iqr_outliers": _ORACLE_IQR_OUTLIERS,
     "funnel_conversion": _ORACLE_FUNNEL_CONVERSION,
+    "embedding_covariance": _ORACLE_EMBEDDING_COVARIANCE,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
