@@ -137,6 +137,8 @@ HEADLINE = [
     "funnel_conversion",
     "embedding_covariance",
     "pca_project",
+    "bpe_merges",
+    "bpe_segment",
 ]
 
 

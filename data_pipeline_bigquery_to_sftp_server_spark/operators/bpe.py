@@ -1,0 +1,161 @@
+"""Byte-pair-encoding merge training as a relational program
+(SURVEY §2.11 — tokenizer construction, the step between vocabulary
+statistics (X29) and token-id encoding (X48)).
+
+Sennrich et al. 2016: repeatedly find the most frequent ADJACENT
+symbol pair across the corpus and merge it into a new symbol; the
+ordered merge list IS the tokenizer. Production trainers
+(HuggingFace/SentencePiece) run this single-machine over a word-count
+table — which is exactly why it reduces cleanly to a relational
+program: after one corpus tokenization pass, ALL state is
+vocabulary-sized (unique words x their character lengths), so a 100 TB
+corpus and a 100 MB corpus train on the same tiny symbol table; corpus
+size only affects the initial word count aggregation.
+
+Plan shape per merge round, all window partitions keyed by WORD (tens
+of rows each — no skew possible):
+
+1. pair counts: ``lead(sym)`` + groupBy(pair) weighted by word count
+   (map-side combinable);
+2. the argmax pair: ``orderBy(cnt desc, l, r).limit(1)`` =
+   TakeOrdered, broadcast back via crossJoin — NO driver collect, the
+   whole M-round train is one lazy plan;
+3. the merge: greedy leftmost-first application. Candidates are
+   positions where (sym, next) equals the top pair; overlapping
+   candidates (only possible when l = r, e.g. 'a a a a') resolve by
+   run parity — consecutive candidate positions form a run
+   (``pos - row_number`` grouping), odd-indexed members merge,
+   even-indexed are consumed by their left neighbor. That is exactly
+   the left-to-right scan every BPE implementation does, expressed as
+   two windows.
+
+Each round's symbol table is persisted: round k+1 reads round k twice
+(pair stats + merge application), and without the persist the lineage
+doubles per round — the PageRank per-iteration discipline
+(operators/graph.py).
+
+Determinism: ties on pair count break on (left, right) symbol order,
+so the merge list is a pure function of the corpus — the DuckDB
+oracle replays all M rounds (window-for-window) and must match
+row-for-row, segmentations included.
+
+Reference: no counterpart (the reference has no text processing at
+all); this is part of the LLM-pipeline surface the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+from data_pipeline_bigquery_to_sftp_server_spark.functions.text import tokenize
+
+
+def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Initial BPE state: one row per (unique word, character
+    position): ``(word, wn, pos, sym)`` with ``wn`` the corpus
+    occurrence count. Vocabulary-sized — the ONLY corpus-sized step in
+    the whole train is the count aggregation in here."""
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(tokenize(F.col(text_col))).alias("word")
+    )
+    wc = toks.groupBy("word").agg(F.count("*").alias("wn"))
+    return wc.select(
+        "word",
+        "wn",
+        F.posexplode(F.split(F.col("word"), "")).alias("pos", "sym"),
+    )
+
+
+def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE round over a ``(word, wn, pos, sym)`` table: returns
+    (top-pair frame ``(left, right, pair_count)``, merged symbol
+    table). Caller persists the new table (lineage doubles per round
+    otherwise)."""
+    w = Window.partitionBy("word").orderBy("pos")
+    withnext = syms.withColumn("_nxt", F.lead("sym").over(w))
+    pc = (
+        withnext.where(F.col("_nxt").isNotNull())
+        .groupBy("sym", "_nxt")
+        .agg(F.sum("wn").alias("pair_count"))
+    )
+    top = (
+        pc.orderBy(F.desc("pair_count"), F.asc("sym"), F.asc("_nxt"))
+        .limit(1)
+        .select(
+            F.col("sym").alias("left"),
+            F.col("_nxt").alias("right"),
+            "pair_count",
+        )
+    )
+    cand = withnext.crossJoin(F.broadcast(top)).withColumn(
+        "_cand",
+        F.coalesce(
+            (F.col("sym") == F.col("left")) & (F.col("_nxt") == F.col("right")),
+            F.lit(False),
+        ),
+    )
+    # consecutive candidate positions form a run; greedy left-to-right
+    # merges the 1st, 3rd, ... member of each run
+    wr = Window.partitionBy("word", "_cand").orderBy("pos")
+    grp = F.when(F.col("_cand"), F.col("pos") - F.row_number().over(wr))
+    staged = cand.withColumn("_grp", grp)
+    wg = Window.partitionBy("word", "_grp").orderBy("pos")
+    staged = staged.withColumn(
+        "_merge", F.col("_cand") & (F.row_number().over(wg) % 2 == 1)
+    )
+    staged = staged.withColumn(
+        "_consumed", F.lag("_merge", 1, False).over(w)
+    )
+    merged = (
+        staged.where(~F.col("_consumed"))
+        .select(
+            "word",
+            "wn",
+            F.row_number().over(w).alias("pos"),
+            F.when(
+                F.col("_merge"), F.concat(F.col("left"), F.col("right"))
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    return top, merged
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> tuple[DataFrame, DataFrame]:
+    """Train ``n_merges`` BPE rounds over the corpus. Returns
+    ``(merges, segmented)``:
+
+    - ``merges``: ``(rank, left, right, pair_count)`` — the ordered
+      merge list, rank 1 first;
+    - ``segmented``: ``(word, wn, segmentation)`` — every vocabulary
+      word as its final space-joined symbol sequence (the tokenizer's
+      view of the corpus after all merges).
+    """
+    syms = persist_tracked(word_symbol_table(df, text_col))
+    merge_frames = []
+    for k in range(1, int(n_merges) + 1):
+        top, syms = _one_merge(syms)
+        syms = persist_tracked(syms)
+        merge_frames.append(top.withColumn("rank", F.lit(k)))
+    merges = merge_frames[0]
+    for f in merge_frames[1:]:
+        merges = merges.unionByName(f)
+    segmented = (
+        syms.groupBy("word", "wn")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda x: x["sym"],
+                ),
+            ).alias("segmentation")
+        )
+    )
+    return merges.select("rank", "left", "right", "pair_count"), segmented

@@ -6967,6 +6967,112 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 BPE tokenizer training, ORACLE-CHECKED through all 6 merge
+    rounds: the ordered most-frequent-pair merge list over the
+    document corpus (Sennrich 2016). After one corpus tokenization
+    pass all state is vocabulary-sized; each round is two windows +
+    one pair-count agg + a TakeOrdered argmax broadcast back — no
+    driver collect anywhere, the whole train is one lazy plan. The
+    DuckDB oracle unrolls the identical six rounds window-for-window
+    (operators/bpe.py bpe_train)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(d, "text", n_merges=6)
+    return merges.orderBy("rank")
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59b the trained tokenizer's view of its vocabulary: every
+    corpus word as its space-joined symbol sequence after the same 6
+    merge rounds — certifies the merge APPLICATION (greedy-leftmost
+    run-parity rule included) row-for-row, not just the learned pair
+    list (operators/bpe.py bpe_train)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    _, seg = bpe.bpe_train(d, "text", n_merges=6)
+    return seg.orderBy("word")
+
+
+def _bpe_oracle_chain(n_merges: int) -> str:
+    """The shared 6-round unrolled CTE chain (the _ORACLE_PAGERANK
+    pattern): s0 is the char-exploded word-count table, s{k} the
+    symbol table after merge k, t{k} the pair chosen at round k."""
+    parts = [
+        r"""
+WITH toksb AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+), wcb AS (
+  SELECT word, count(*) AS wn FROM toksb GROUP BY word
+), s0 AS (
+  SELECT word, wn, u.s.i AS pos, u.s.v AS sym
+  FROM wcb,
+       unnest(list_transform(string_split(word, ''), (v, k) -> struct_pack(i := k, v := v))) u(s)
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f""", p{k} AS (
+  SELECT sym AS l, nxt AS r, sum(wn) AS cnt FROM (
+    SELECT word, wn, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM s{p})
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+), t{k} AS (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+), c{k} AS (
+  SELECT s.word, s.wn, s.pos, s.sym,
+         coalesce(s.sym = t.l AND
+                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
+                  false) AS cand
+  FROM s{p} s CROSS JOIN t{k} t
+), g{k} AS (
+  SELECT *, CASE WHEN cand THEN pos - row_number()
+                 OVER (PARTITION BY word, cand ORDER BY pos) END AS grp
+  FROM c{k}
+), m{k} AS (
+  SELECT *, cand AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1)
+            AS merged
+  FROM g{k}
+), d{k} AS (
+  SELECT m.*, coalesce(lag(merged) OVER (PARTITION BY word ORDER BY pos), false)
+              AS consumed,
+         t.l AS tl, t.r AS tr
+  FROM m{k} m CROSS JOIN t{k} t
+), s{k} AS (
+  SELECT word, wn, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN merged THEN tl || tr ELSE sym END AS sym
+  FROM d{k} WHERE NOT consumed
+)"""
+        )
+    return "".join(parts)
+
+
+_BPE_ROUNDS = 6
+
+_ORACLE_BPE_MERGES = (
+    _bpe_oracle_chain(_BPE_ROUNDS)
+    + "\n"
+    + "\nUNION ALL ".join(
+        f'SELECT {k} AS rank, l AS "left", r AS "right", '
+        f"CAST(cnt AS BIGINT) AS pair_count FROM t{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    + "\nORDER BY rank"
+)
+
+_ORACLE_BPE_SEGMENT = (
+    _bpe_oracle_chain(_BPE_ROUNDS)
+    + f"""
+SELECT word, wn, string_agg(sym, ' ' ORDER BY pos) AS segmentation
+FROM s{_BPE_ROUNDS} GROUP BY word, wn ORDER BY word
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7154,6 +7260,8 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion": q_funnel_conversion,
     "embedding_covariance": q_embedding_covariance,
     "pca_project": q_pca_project,
+    "bpe_merges": q_bpe_merges,
+    "bpe_segment": q_bpe_segment,
     # r8-displaced rows (see the window notes above) — all stay
     # verify_local-green on the identical oracles
     "incremental_dedup": q_incremental_dedup,
@@ -7396,6 +7504,8 @@ ORACLES: dict[str, str] = {
     "iqr_outliers": _ORACLE_IQR_OUTLIERS,
     "funnel_conversion": _ORACLE_FUNNEL_CONVERSION,
     "embedding_covariance": _ORACLE_EMBEDDING_COVARIANCE,
+    "bpe_merges": _ORACLE_BPE_MERGES,
+    "bpe_segment": _ORACLE_BPE_SEGMENT,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

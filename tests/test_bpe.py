@@ -1,0 +1,46 @@
+"""BPE merge training (X59): Sennrich example pin + greedy-run edges."""
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators.bpe import bpe_train
+
+
+def _train(spark, text, n):
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    m, s = bpe_train(df, n_merges=n)
+    merges = [(r.left, r.right) for r in m.orderBy("rank").collect()]
+    seg = {r.word: r.segmentation for r in s.collect()}
+    return merges, seg
+
+
+def test_bpe_sennrich_example(spark):
+    # the canonical corpus from Sennrich et al. 2016 (counts 5/2/6/3)
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    merges, seg = _train(spark, text, 6)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w"), ("ew", "est"),
+    ]
+    assert seg["low"] == "low"
+    assert seg["lower"] == "low e r"
+    assert seg["newest"] == "n ewest"
+    assert seg["widest"] == "w i d est"
+
+
+def test_bpe_equal_pair_greedy_run_parity(spark):
+    # 'aaaaa': the (a,a) candidates at pos 0..3 form one run; greedy
+    # left-to-right merges positions 0 and 2 -> 'aa aa a'
+    merges, seg = _train(spark, "aaaaa", 1)
+    assert merges == [("a", "a")]
+    assert seg["aaaaa"] == "aa aa a"
+
+
+def test_bpe_merged_symbol_can_merge_again(spark):
+    # round 2 must treat round 1's 'aa' as one symbol: 'aaaa' -> 'aaaa'
+    merges, seg = _train(spark, "aaaa aaaa ab", 2)
+    assert merges[0] == ("a", "a")
+    assert merges[1] == ("aa", "aa")
+    assert seg["aaaa"] == "aaaa"
+
+
+def test_bpe_tie_breaks_on_symbol_order(spark):
+    # 'xy' and 'yz' pairs both appear twice -> tie broken (l, r) asc
+    merges, _ = _train(spark, "xy xy yz yz", 1)
+    assert merges == [("x", "y")]
