@@ -6734,7 +6734,7 @@ LIMIT 20
 
 
 def q_dup_line_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X54 FineWeb duplicate-line signals, ORACLE-CHECKED: per-document
+    """X51 FineWeb duplicate-line signals, ORACLE-CHECKED: per-document
     fraction of lines (and of characters) whose normalized form occurs
     more than once WITHIN the same document — the highest-impact
     post-dedup quality rules in FineWeb's ablations. Documents are
@@ -6800,7 +6800,7 @@ ORDER BY doc_id
 
 
 def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X55 Tukey-fence length outliers, ORACLE-CHECKED: documents whose
+    """X52 Tukey-fence length outliers, ORACLE-CHECKED: documents whose
     character count falls outside [q1 - 0.75*iqr, q3 + 0.75*iqr] of
     their SOURCE's exact quartiles — the robust screen for truncated /
     concatenated scrapes run before length-sensitive stages. Exact
@@ -6840,7 +6840,7 @@ ORDER BY doc_id
 
 
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X56 ordered funnel analysis, ORACLE-CHECKED: per-user
+    """X53 ordered funnel analysis, ORACLE-CHECKED: per-user
     view -> click -> purchase progression over the events table, each
     stage's timestamp required to be strictly AFTER the previous
     stage's first occurrence (the product-analytics funnel semantics —
@@ -6922,7 +6922,7 @@ FROM c ORDER BY stage
 
 
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X57 distributed covariance of the embedding corpus,
+    """X54 distributed covariance of the embedding corpus,
     ORACLE-CHECKED cell-for-cell against SQL covar_pop: the d x d
     second-moment matrix computed as one Arrow pass of per-partition
     (n, sum, X^T X) moments + a map-side-combinable sum — corpus
@@ -6950,7 +6950,7 @@ ORDER BY i, j
 
 
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X58 PCA projection of the embedding corpus onto its top-4
+    """X55 PCA projection of the embedding corpus onto its top-4
     principal axes (whitened): the standard dimensionality cut before
     clustering / SemDeDup / ANN. Driver state is the d x d covariance
     (asserted <= 256 dims); the projection is a broadcast-closure
@@ -6968,7 +6968,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X59 BPE tokenizer training, ORACLE-CHECKED through all 6 merge
+    """X56 BPE tokenizer training, ORACLE-CHECKED through all 6 merge
     rounds: the ordered most-frequent-pair merge list over the
     document corpus (Sennrich 2016). After one corpus tokenization
     pass all state is vocabulary-sized; each round is two windows +
@@ -6984,7 +6984,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X59b the trained tokenizer's view of its vocabulary: every
+    """X56b the trained tokenizer's view of its vocabulary: every
     corpus word as its space-joined symbol sequence after the same 6
     merge rounds — certifies the merge APPLICATION (greedy-leftmost
     run-parity rule included) row-for-row, not just the learned pair
@@ -7123,13 +7123,18 @@ QUERIES: dict[str, QueryFn] = {
     # funds the MRR eval row.)
     "retrieval_mrr": q_retrieval_mrr,
     "ivf_full_probe": q_ivf_full_probe,
-    "embedding_dups_exact": q_embedding_dups_exact,
+    # (embedding_dups_exact displaced in r9 — incremental_embedding_dups
+    # replays the IDENTICAL BLAS pair scorer against the same oracle
+    # family, and the new embedding_covariance row adds the moment
+    # aggregation axis; verify_local-green. Its slot funds the
+    # covariance matrix.)
+    "embedding_covariance": q_embedding_covariance,
     "incremental_embedding_dups": q_incremental_embedding_dups,
-    # text analysis family (X) — text_stats displaced in r8:
-    # corpus_report aggregates the same token/length machinery PLUS the
-    # per-source data-card rollup, a strictly wider check; token_topk /
-    # quality_filter / gopher_rules keep the family's other axes.
-    "token_topk": q_token_topk,
+    # text analysis family (X) — token_topk displaced in r9 (its token
+    # agg machinery rides lm_scores_bigram / corpus_report in-window);
+    # dup_line_signals brings the FineWeb within-doc axis the family
+    # lacked.
+    "dup_line_signals": q_dup_line_signals,
     "corpus_report": q_corpus_report,
     "quality_filter": q_quality_filter,
     # (repetition_scores displaced late r7 — the text-quality family
@@ -7211,8 +7216,12 @@ QUERIES: dict[str, QueryFn] = {
     # foreachBatch), top_customers (ordering/top-k rides window_suite,
     # bm25_topk, cosine_topk_np) — all four verify_local-green.
     "stateful_dedup": q_stateful_dedup,
-    "pmi_collocations": q_pmi_collocations,
-    "tfidf_pairs": q_tfidf_pairs,
+    # (pmi_collocations / tfidf_pairs displaced in r9 — gram-keyed agg
+    # machinery rides lm_scores_bigram, retrieval scoring rides
+    # bm25_topk + retrieval_mrr, both in-window; verify_local-green.
+    # Their slots fund the r9 tokenizer-training and funnel rows.)
+    "bpe_merges": q_bpe_merges,
+    "funnel_conversion": q_funnel_conversion,
     # scd2_apply joins the window in r8 (the other CDC-family row; its
     # oracle INDEPENDENTLY re-derives the interval table)
     "scd2_apply": q_scd2_apply,
@@ -7254,14 +7263,17 @@ QUERIES: dict[str, QueryFn] = {
     "encode_token_ids": q_encode_token_ids,
     "quality_ensemble": q_quality_ensemble,
     "session_sequences": q_session_sequences,
-    # r9 additions
-    "dup_line_signals": q_dup_line_signals,
+    # r9 additions past the window (dup_line_signals / funnel_conversion
+    # / embedding_covariance / bpe_merges hold in-window slots above)
     "iqr_outliers": q_iqr_outliers,
-    "funnel_conversion": q_funnel_conversion,
-    "embedding_covariance": q_embedding_covariance,
     "pca_project": q_pca_project,
-    "bpe_merges": q_bpe_merges,
     "bpe_segment": q_bpe_segment,
+    # r9-displaced rows — all stay verify_local-green on the identical
+    # oracles
+    "token_topk": q_token_topk,
+    "embedding_dups_exact": q_embedding_dups_exact,
+    "pmi_collocations": q_pmi_collocations,
+    "tfidf_pairs": q_tfidf_pairs,
     # r8-displaced rows (see the window notes above) — all stay
     # verify_local-green on the identical oracles
     "incremental_dedup": q_incremental_dedup,
