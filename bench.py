@@ -139,6 +139,8 @@ HEADLINE = [
     "pca_project",
     "bpe_merges",
     "bpe_segment",
+    "semantic_dedup_pca",
+    "streaming_iqr_gate",
 ]
 
 

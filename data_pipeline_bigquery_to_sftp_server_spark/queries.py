@@ -7073,6 +7073,127 @@ FROM s{_BPE_ROUNDS} GROUP BY word, wn ORDER BY word
 )
 
 
+def q_semantic_dedup_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55+X23 — PCA-accelerated SemDeDup (rows-only: eigh + k-means
+    aren't SQL-expressible; pair recall vs the exact full-dim path is
+    pinned in test_pca): candidates are found in the WHITENED top-8
+    principal subspace (8x cheaper distance math and tighter clusters
+    than raw 64-dim), then every candidate pair is re-scored with the
+    EXACT full-dimension cosine — the reduced space only proposes,
+    the original space disposes, so precision is exact by
+    construction and only recall depends on the projection. Same
+    multi-probe k-means + connected-components chain as
+    q_semantic_dedup_clustered; the candidate threshold in reduced
+    space is deliberately loose (whitening distorts cosines — the
+    final filter restores the 0.35 contract)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import (
+        clustering,
+        pca,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    red = pca.pca_project(e, "embedding", "vec_id", q=8, whiten=False)
+    red_vec = red.select(
+        "vec_id", F.array(*[f"pc{i}" for i in range(1, 9)]).alias("embedding")
+    )
+    red_vec = persist_tracked(red_vec)
+    _, centers = clustering.kmeans_assign(red_vec, k=8, n_iter=4, seed=42)
+    probed = clustering.multi_probe_assign(red_vec, centers, n_probe=2)
+    cand = (
+        clustering.within_cluster_pairs(probed, threshold=-1.0)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact full-dim re-score: candidates are a bounded pair set, the
+    # join probes broadcast-size id lists against the corpus
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn(
+            "_cos",
+            dot(F.col("_va"), F.col("_vb"))
+            / (
+                F.sqrt(dot(F.col("_va"), F.col("_va")))
+                * F.sqrt(dot(F.col("_vb"), F.col("_vb")))
+            ),
+        )
+        .where(F.col("_cos") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    return clusters.select(
+        "keep_id",
+        "n_members",
+        F.concat_ws(",", F.col("members")).alias("members"),
+    ).orderBy("keep_id")
+
+
+def q_streaming_iqr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52+X7 composition, ORACLE-CHECKED: the Tukey length fence as a
+    screen-on-ingest streaming stage — per-source fences are
+    PRECOMPUTED from the static corpus (the bounded bounds frame), the
+    stream probes them via a stream-static broadcast join, and the
+    sink holds exactly the batch screen restricted to the streamed
+    slice. The deployment topology every static screen in this repo
+    follows (dedup X26, quality X42, decontam X17): model built
+    offline, applied on arrival."""
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    fences = (
+        sampling.iqr_outliers(d, "n_chars", "source", k=0.75)
+        .select("source", "lo", "hi")
+        .dropDuplicates(["source"])
+    )
+    path, schema = _events_stream_src(spark, sf_dir, table="documents")
+    stream = W.read_events_stream(spark, path, schema, max_files_per_trigger=4)
+    gated = (
+        stream.where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "source", "n_chars")
+        .join(F.broadcast(fences), "source")
+        .withColumn(
+            "is_outlier",
+            (F.col("n_chars").cast("double") < F.col("lo"))
+            | (F.col("n_chars").cast("double") > F.col("hi")),
+        )
+    )
+    name = f"q_iqr_stream_{uuid.uuid4().hex[:8]}"
+    q = W.run_to_memory(gated, name, output_mode="append")
+    q.stop()
+    return spark.table(name).select(
+        "doc_id", "source", "n_chars", "lo", "hi", "is_outlier"
+    )
+
+
+_ORACLE_STREAMING_IQR_GATE = """
+WITH b AS (
+  SELECT source,
+         round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25)
+               - 0.75 * (quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+                         - quantile_cont(CAST(n_chars AS DOUBLE), 0.25)), 6) AS lo,
+         round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+               + 0.75 * (quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+                         - quantile_cont(CAST(n_chars AS DOUBLE), 0.25)), 6) AS hi
+  FROM documents GROUP BY source
+)
+SELECT doc_id, source, n_chars, lo, hi,
+       (CAST(n_chars AS DOUBLE) < lo OR CAST(n_chars AS DOUBLE) > hi) AS is_outlier
+FROM documents JOIN b USING (source)
+WHERE doc_id % 4 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7268,6 +7389,8 @@ QUERIES: dict[str, QueryFn] = {
     "iqr_outliers": q_iqr_outliers,
     "pca_project": q_pca_project,
     "bpe_segment": q_bpe_segment,
+    "semantic_dedup_pca": q_semantic_dedup_pca,
+    "streaming_iqr_gate": q_streaming_iqr_gate,
     # r9-displaced rows — all stay verify_local-green on the identical
     # oracles
     "token_topk": q_token_topk,
@@ -7518,6 +7641,7 @@ ORACLES: dict[str, str] = {
     "embedding_covariance": _ORACLE_EMBEDDING_COVARIANCE,
     "bpe_merges": _ORACLE_BPE_MERGES,
     "bpe_segment": _ORACLE_BPE_SEGMENT,
+    "streaming_iqr_gate": _ORACLE_STREAMING_IQR_GATE,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
