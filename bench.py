@@ -141,6 +141,8 @@ HEADLINE = [
     "bpe_segment",
     "semantic_dedup_pca",
     "streaming_iqr_gate",
+    "bpe_encode",
+    "cohort_retention",
 ]
 
 

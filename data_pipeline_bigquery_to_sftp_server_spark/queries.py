@@ -7194,6 +7194,126 @@ WHERE doc_id % 4 = 0
 """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56c corpus encoding under the trained tokenizer,
+    ORACLE-CHECKED including sequence order: every document rendered
+    as its BPE symbol sequence — train (X56) -> per-word segmentation
+    -> broadcast vocab join against the ordered token stream ->
+    order-preserving reassembly. The full tokenizer lifecycle
+    (train/segment/encode) is now certified end-to-end; the vocab join
+    is broadcast by size (segmentation table = unique words), and
+    reassembly is the one doc-keyed shuffle (operators/bpe.py
+    bpe_train)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.functions.text import tokenize
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    _, seg = bpe.bpe_train(d, "text", n_merges=6)
+    toks = d.where(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "word")
+    )
+    joined = toks.join(F.broadcast(seg.select("word", "segmentation")), "word")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "segmentation"))),
+                    lambda x: x["segmentation"],
+                ),
+            ).alias("bpe_tokens"),
+            F.sum(
+                F.size(F.split(F.col("segmentation"), " "))
+            ).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_BPE_ENCODE = (
+    _bpe_oracle_chain(_BPE_ROUNDS)
+    + f"""
+, segf AS (
+  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS segmentation
+  FROM s{_BPE_ROUNDS} GROUP BY word
+), dtoks AS (
+  SELECT doc_id, u.s.i AS pos, u.s.v AS word
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+        FROM documents WHERE text IS NOT NULL),
+       unnest(list_transform(ws, (v, k) -> struct_pack(i := k, v := v))) u(s)
+)
+SELECT doc_id,
+       string_agg(segmentation, ' ' ORDER BY pos) AS bpe_tokens,
+       CAST(sum(len(string_split(segmentation, ' '))) AS BIGINT) AS n_bpe_tokens
+FROM dtoks JOIN segf USING (word)
+GROUP BY doc_id ORDER BY doc_id
+"""
+)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 cohort retention over events, ORACLE-CHECKED: users
+    cohorted by the Monday-truncated week of their FIRST event; for
+    every (cohort week, week offset) the count of cohort users active
+    that week and the retention rate vs the cohort size — the standard
+    product-analytics triangle, and relationally the canonical
+    two-level aggregation: per-user min (one shuffle), distinct
+    (user, week) activity (map-side combinable), broadcast cohort
+    join, final (cohort, offset) rollup. Every shuffle carries at most
+    one row per (user, active week)."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).dropDuplicates(["user_id", "wk"])
+    joined = active.join(first, "user_id").withColumn(
+        "week_offset",
+        (F.datediff(F.col("wk"), F.col("cw")) / 7).cast("int"),
+    )
+    per_cell = joined.groupBy("cw", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    size = per_cell.where(F.col("week_offset") == 0).select(
+        F.col("cw"), F.col("n_users").alias("_cohort_n")
+    )
+    return (
+        per_cell.join(size, "cw")
+        .select(
+            F.col("cw").cast("date").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            F.round(F.col("n_users").cast("double") / F.col("_cohort_n"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_ORACLE_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), joined AS (
+  SELECT a.user_id, f.cw,
+         CAST(date_diff('day', f.cw, a.wk) / 7 AS INT) AS week_offset
+  FROM active a JOIN first f USING (user_id)
+), per_cell AS (
+  SELECT cw, week_offset, count(DISTINCT user_id) AS n_users
+  FROM joined GROUP BY cw, week_offset
+)
+SELECT CAST(p.cw AS DATE) AS cohort_week, p.week_offset, p.n_users,
+       round(CAST(p.n_users AS DOUBLE) / s.n_users, 6) AS retention
+FROM per_cell p JOIN (SELECT cw, n_users FROM per_cell WHERE week_offset = 0) s
+  ON p.cw = s.cw
+ORDER BY cohort_week, week_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7391,6 +7511,8 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_segment": q_bpe_segment,
     "semantic_dedup_pca": q_semantic_dedup_pca,
     "streaming_iqr_gate": q_streaming_iqr_gate,
+    "bpe_encode": q_bpe_encode,
+    "cohort_retention": q_cohort_retention,
     # r9-displaced rows — all stay verify_local-green on the identical
     # oracles
     "token_topk": q_token_topk,
@@ -7642,6 +7764,8 @@ ORACLES: dict[str, str] = {
     "bpe_merges": _ORACLE_BPE_MERGES,
     "bpe_segment": _ORACLE_BPE_SEGMENT,
     "streaming_iqr_gate": _ORACLE_STREAMING_IQR_GATE,
+    "bpe_encode": _ORACLE_BPE_ENCODE,
+    "cohort_retention": _ORACLE_COHORT_RETENTION,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

@@ -40,3 +40,22 @@ def test_funnel_requires_stage_order(spark, sf_dir):
     # funnel counts are monotone non-increasing and stage 1 converts at 1.0
     assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
     assert rows[0].conv_rate == 1.0
+
+
+def test_cohort_retention_offsets(spark, sf_dir):
+    from data_pipeline_bigquery_to_sftp_server_spark.queries import (
+        q_cohort_retention,
+    )
+
+    rows = q_cohort_retention(spark, sf_dir).collect()
+    assert rows, "events fixture must produce cohorts"
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for cw, cells in by_cohort.items():
+        offs = [c.week_offset for c in cells]
+        assert offs == sorted(offs) and offs[0] == 0
+        base = cells[0]
+        assert base.retention == 1.0
+        # retention can never exceed the cohort size
+        assert all(c.n_users <= base.n_users for c in cells)
