@@ -229,6 +229,7 @@ def within_cluster_pairs(
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
     max_cluster_rows: int | None = 8192,
+    metric: str = "cos",
 ) -> DataFrame:
     """All exact cosine pairs (id_a < id_b, cos >= threshold) whose
     BOTH ends share a k-means cluster — the published SemDeDup shape
@@ -243,6 +244,14 @@ def within_cluster_pairs(
     recall/cost dial is k (more clusters = cheaper, lower recall),
     pinned against the global exact path in test_clustering;
     :func:`multi_probe_assign` recovers boundary pairs.
+
+    ``metric="dist"`` switches the in-cluster test to EUCLIDEAN
+    distance <= threshold on the vectors AS GIVEN (no normalization;
+    the score column holds the distance). This is the candidate gate
+    for reduced-space screening: an orthogonal projection of
+    (translated) unit-normalized vectors is contractive, so
+    d_reduced <= d_full and a gate at d_full's bound loses NO recall
+    beyond the clustering itself (see q_semantic_dedup_pca).
 
     A pathological jumbo cluster re-introduces the quadratic term AND
     materializes whole in one pandas task, so ``max_cluster_rows``
@@ -275,27 +284,37 @@ def within_cluster_pairs(
                 "ceiling explicitly if the memory budget allows."
             )
 
+    if metric not in ("cos", "dist"):
+        raise ValueError(f"within_cluster_pairs: unknown metric {metric!r}")
     id_t = assigned.schema[id_col].dataType.simpleString()
-    out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
+    score_col = "cos_sim" if metric == "cos" else "dist"
+    out_schema = f"id_a {id_t}, id_b {id_t}, {score_col} double"
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            return pd.DataFrame({"id_a": [], "id_b": [], score_col: []})
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         mat = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
-        n = np.linalg.norm(mat, axis=1)
-        n[n == 0] = np.nan
-        mat = mat / n[:, None]
-        sims = mat @ mat.T
-        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        if metric == "cos":
+            n = np.linalg.norm(mat, axis=1)
+            n[n == 0] = np.nan
+            mat = mat / n[:, None]
+            score = mat @ mat.T
+            keep = score >= threshold
+        else:
+            sq = (mat * mat).sum(axis=1)
+            d2 = sq[:, None] + sq[None, :] - 2.0 * (mat @ mat.T)
+            score = np.sqrt(np.maximum(d2, 0.0))
+            keep = score <= threshold
+        keep &= ids[:, None] < ids[None, :]
         ai, bi = np.nonzero(keep)
         return pd.DataFrame(
             {
                 "id_a": ids[ai],
                 "id_b": ids[bi],
-                "cos_sim": np.round(sims[ai, bi], 4),
+                score_col: np.round(score[ai, bi], 4),
             }
         )
 

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 _MAX_DIM = 256
 
 
-def _moments(df: DataFrame, vec_col: str) -> DataFrame:
+def _moments(df: DataFrame, vec_col: str, normalize: bool = False) -> DataFrame:
     """Aggregated corpus moments as a tiny DataFrame of
     ``(i int, j int, val double)`` rows: ``(-1,-1)`` holds n,
     ``(i,-1)`` holds sum of coordinate i, ``(i,j)`` holds
@@ -54,6 +54,10 @@ def _moments(df: DataFrame, vec_col: str) -> DataFrame:
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normalize:
+                nrm = np.linalg.norm(X, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                X = X / nrm
             d = X.shape[1]
             if d > _MAX_DIM:
                 raise ValueError(
@@ -118,13 +122,17 @@ def covariance_matrix(
 
 
 def _principal_axes(
-    df: DataFrame, vec_col: str, q: int
+    df: DataFrame, vec_col: str, q: int, normalize: bool = False
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Driver-side eigh over the aggregated d x d covariance: returns
     (mean d-vector, top-q eigenvalues desc, q x d components with the
     deterministic sign convention). The collect is d^2+d+1 rows —
     bounded by the _MAX_DIM assert in the scan, not by corpus size."""
-    rows = _moments(df, vec_col).collect()
+    rows = _moments(df, vec_col, normalize).collect()
+    if not rows:
+        raise ValueError(
+            "pca: no vectors to decompose — the input frame is empty"
+        )
     n = next(r["val"] for r in rows if r["i"] == -1)
     d = max(r["i"] for r in rows) + 1
     s = np.zeros(d)
@@ -153,6 +161,7 @@ def pca_project(
     q: int = 4,
     whiten: bool = False,
     round_dp: int = 6,
+    normalize: bool = False,
 ) -> DataFrame:
     """Project every vector onto the corpus's top-``q`` principal axes:
     returns ``(id_col, pc1..pcq)`` rounded. With ``whiten`` each axis
@@ -161,8 +170,13 @@ def pca_project(
 
     Two corpus scans total (moments, then the projection map); the
     projection is a broadcast-closure Arrow pass — (X - mu) @ W^T per
-    batch, no shuffle, no per-row Python."""
-    mu, evals, comps = _principal_axes(df, vec_col, q)
+    batch, no shuffle, no per-row Python. ``normalize`` unit-L2-scales
+    each vector INSIDE the Arrow passes before any statistics — the
+    sphere-projection pre-step reduced-space screens need; doing it
+    here (one numpy divide) instead of as a Catalyst HOF avoids an
+    O(d^2)-per-row interpreted expression re-evaluated on every
+    consumer scan."""
+    mu, evals, comps = _principal_axes(df, vec_col, q, normalize)
     W = comps / np.sqrt(np.maximum(evals, 1e-12))[:, None] if whiten else comps
     qn = len(comps)
     out_cols = [f"pc{k + 1}" for k in range(qn)]
@@ -175,6 +189,10 @@ def pca_project(
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normalize:
+                nrm = np.linalg.norm(X, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                X = X / nrm
             P = np.round((X - mu) @ W.T, round_dp)
             out = pd.DataFrame({id_col: pdf[id_col]})
             for k, c in enumerate(out_cols):

@@ -7075,17 +7075,23 @@ FROM s{_BPE_ROUNDS} GROUP BY word, wn ORDER BY word
 
 def q_semantic_dedup_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X55+X23 — PCA-accelerated SemDeDup (rows-only: eigh + k-means
-    aren't SQL-expressible; pair recall vs the exact full-dim path is
-    pinned in test_pca): candidates are found in the WHITENED top-8
-    principal subspace (8x cheaper distance math and tighter clusters
-    than raw 64-dim), then every candidate pair is re-scored with the
-    EXACT full-dimension cosine — the reduced space only proposes,
-    the original space disposes, so precision is exact by
-    construction and only recall depends on the projection. Same
-    multi-probe k-means + connected-components chain as
-    q_semantic_dedup_clustered; the candidate threshold in reduced
-    space is deliberately loose (whitening distorts cosines — the
-    final filter restores the 0.35 contract)."""
+    aren't SQL-expressible; pair recall vs the full-dim clustered path
+    is pinned in test_pca): candidates are proposed in the UNWHITENED
+    top-8 principal subspace of the UNIT-NORMALIZED corpus under a
+    Euclidean gate at the exact geometric bound — after
+    normalization, cos(a,b) >= t means d_full(a,b) <= sqrt(2-2t);
+    centering is a translation (distance-preserving) and the
+    projection is orthogonal (contractive), so d_reduced <= d_full
+    and the gate d_reduced <= sqrt(2-2t) provably drops NO true pair.
+    Every candidate is then re-scored with the EXACT full-dimension
+    cosine: the reduced space proposes, the original space disposes —
+    precision exact by construction, recall limited only by the
+    k-means partition. (A reduced-space COSINE gate is unusable:
+    centered-space cosine of true pairs spans [-0.74, 1], measured;
+    and whitening would rescale noise directions UP, breaking the
+    contraction — hence unwhitened + distance.) Same multi-probe
+    k-means + connected-components chain as
+    q_semantic_dedup_clustered."""
     from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
     from data_pipeline_bigquery_to_sftp_server_spark.operators import (
         clustering,
@@ -7093,41 +7099,51 @@ def q_semantic_dedup_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    red = pca.pca_project(e, "embedding", "vec_id", q=8, whiten=False)
+    # normalize=True: the unit-sphere pre-step happens inside the Arrow
+    # passes (one numpy divide) — as a Catalyst HOF it would be an
+    # O(d^2)-per-row interpreted expression re-run on every scan
+    red = pca.pca_project(
+        e, "embedding", "vec_id", q=8, whiten=False, normalize=True
+    )
     red_vec = red.select(
         "vec_id", F.array(*[f"pc{i}" for i in range(1, 9)]).alias("embedding")
     )
     red_vec = persist_tracked(red_vec)
     _, centers = clustering.kmeans_assign(red_vec, k=8, n_iter=4, seed=42)
     probed = clustering.multi_probe_assign(red_vec, centers, n_probe=2)
+    # the lossless gate: sqrt(2 - 2*0.35) on unit-normalized inputs
+    max_d = float((2.0 - 2.0 * 0.35) ** 0.5)
     cand = (
-        clustering.within_cluster_pairs(probed, threshold=-1.0)
+        clustering.within_cluster_pairs(probed, threshold=max_d, metric="dist")
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact full-dim re-score: candidates are a bounded pair set, the
-    # join probes broadcast-size id lists against the corpus
+    # exact full-dim re-score: candidates join their two full vectors,
+    # then one Arrow pass computes the batch of cosines (einsum — a
+    # Catalyst HOF dot here would be 64 interpreted ops per pair)
     ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
     eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn(
-            "_cos",
-            dot(F.col("_va"), F.col("_vb"))
-            / (
-                F.sqrt(dot(F.col("_va"), F.col("_va")))
-                * F.sqrt(dot(F.col("_vb"), F.col("_vb")))
-            ),
-        )
-        .where(F.col("_cos") >= 0.35)
-        .select("id_a", "id_b")
-    )
+    joined_cand = cand.join(ea, "id_a").join(eb, "id_b")
+
+    def _rescore(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            keep = cos >= 0.35
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"][keep], "id_b": pdf["id_b"][keep]}
+            )
+
+    id_t = e.schema["vec_id"].dataType.simpleString()
+    pairs = joined_cand.mapInPandas(_rescore, f"id_a {id_t}, id_b {id_t}")
     clusters = dedup.dedup_clusters(pairs)
     return clusters.select(
         "keep_id",
