@@ -23,8 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from data_pipeline_bigquery_to_sftp_server_spark.queries import (
     QUERIES,
     _events_stream_src,
+    clear_bpe_cache,
     clear_pair_cache,
     clear_stream_src_cache,
+    shared_bpe_train,
     shared_jaccard_pairs,
 )
 from data_pipeline_bigquery_to_sftp_server_spark.session import get_spark
@@ -192,6 +194,15 @@ def main() -> None:
     t0 = time.perf_counter()
     _events_stream_src(spark, sf_dir)
     timings["stream_stage_materialize"] = round(time.perf_counter() - t0, 3)
+
+    # Same rule for the BPE family's shared trained tokenizer: the
+    # 6-round train is timed once (how production pays for it), and
+    # bpe_merges / bpe_segment / bpe_encode then measure their actual
+    # cached-read + downstream-join paths.
+    clear_bpe_cache()
+    t0 = time.perf_counter()
+    shared_bpe_train(spark, sf_dir)
+    timings["bpe_train_materialize"] = round(time.perf_counter() - t0, 3)
 
     # Best of two runs per query: the second run re-executes the full
     # plan (noop sink caches nothing), so min() filters transient

@@ -29,10 +29,17 @@ of rows each — no skew possible):
    the left-to-right scan every BPE implementation does, expressed as
    two windows.
 
-Each round's symbol table is persisted: round k+1 reads round k twice
-(pair stats + merge application), and without the persist the lineage
-doubles per round — the PageRank per-iteration discipline
-(operators/graph.py).
+Each round's symbol table is LINEAGE-TRUNCATED (``localCheckpoint``),
+not merely persisted: round k+1 reads round k twice (pair stats +
+merge application), so the LOGICAL plan doubles per round — a persist
+caches execution but the driver still analyzes the full tree per
+action, and by round 6 the 2^6-subtree plan takes seconds to plan and
+renders a 64 MB explain (measured; the failure mode is driver CPU,
+not executor work). Checkpointing a VOCABULARY-sized table is cheap
+at any corpus scale; on a real cluster prefer reliable
+``checkpoint()`` with a checkpoint dir if executor loss during a
+train must be survivable (the table is rebuildable either way — one
+corpus re-aggregation).
 
 Determinism: ties on pair count break on (left, right) symbol order,
 so the merge list is a pure function of the corpus — the DuckDB
@@ -49,7 +56,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
 from data_pipeline_bigquery_to_sftp_server_spark.functions.text import tokenize
 
 
@@ -137,11 +143,14 @@ def bpe_train(
       word as its final space-joined symbol sequence (the tokenizer's
       view of the corpus after all merges).
     """
-    syms = persist_tracked(word_symbol_table(df, text_col))
+    # localCheckpoint: truncate lineage every round (see module docstring —
+    # the logical plan doubles per round otherwise). eager=True keeps
+    # each round's job tiny instead of compounding into the first action.
+    syms = word_symbol_table(df, text_col).localCheckpoint(eager=True)
     merge_frames = []
     for k in range(1, int(n_merges) + 1):
         top, syms = _one_merge(syms)
-        syms = persist_tracked(syms)
+        syms = syms.localCheckpoint(eager=True)
         merge_frames.append(top.withColumn("rank", F.lit(k)))
     merges = merge_frames[0]
     for f in merge_frames[1:]:
