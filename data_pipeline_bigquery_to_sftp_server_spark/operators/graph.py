@@ -81,7 +81,16 @@ def pagerank(
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum("_share").alias("_in"))
         )
-        ranks = persist_tracked(
+        # localCheckpoint, not persist: each round reads the previous
+        # ranks TWICE (dangling-mass agg + contribution join), so the
+        # LOGICAL plan doubles per round — persist caches execution but
+        # the driver still analyzes a 2^n_iter tree (the lineage trap
+        # connected_components already guards against; measured on the
+        # BPE trainer, r9 SCALING note). Rank state is vertex-sized,
+        # so truncation is cheap at any scale; use
+        # connected_components' reliable checkpoint_dir mode as the
+        # pattern if executor loss mid-run must be survivable.
+        ranks = (
             verts.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dm))
             .select(
@@ -93,5 +102,6 @@ def pagerank(
                     round_dp,
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
