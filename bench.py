@@ -145,6 +145,7 @@ HEADLINE = [
     "streaming_iqr_gate",
     "bpe_encode",
     "cohort_retention",
+    "incremental_covariance",
 ]
 
 

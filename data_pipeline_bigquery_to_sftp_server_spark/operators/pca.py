@@ -82,14 +82,34 @@ def _moments(df: DataFrame, vec_col: str, normalize: bool = False) -> DataFrame:
     return parts.groupBy("i", "j").agg(F.sum("val").alias("val"))
 
 
-def covariance_matrix(
-    df: DataFrame, vec_col: str = "embedding", round_dp: int = 6
+def moment_state(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The corpus's sufficient statistics for covariance/PCA as a tiny
+    (d^2+d+1)-row frame — the PERSISTABLE form (save as parquet, hold
+    across batches). Moments are ADDITIVE, which is the whole point:
+    see :func:`absorb_moments`."""
+    return _moments(df, vec_col)
+
+
+def absorb_moments(
+    state: DataFrame, batch: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Population covariance of the embedding column as a d^2-row
-    DataFrame ``(i, j, cov)`` (0-based coordinates), equal to SQL
-    ``covar_pop(x_i, x_j)`` — the oracle-checkable face of the moment
-    aggregation. cov = (S_ij - s_i s_j / n) / n."""
-    m = _moments(df, vec_col)
+    """Fold a new batch into held moment state WITHOUT rescanning the
+    corpus: (n, sum, X^T X) are additive, so absorb = union + re-sum of
+    two d^2-sized frames — the steady-state ingest tier of the PCA
+    family (the DedupState pattern: model built once, updated per
+    batch, corpus never re-read). Exactness is oracle-checked:
+    covariance derived from (state ⊕ batch) must equal covar_pop over
+    the concatenated corpus (q_incremental_covariance)."""
+    return (
+        state.unionByName(_moments(batch, vec_col))
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+    )
+
+
+def covariance_from_moments(m: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Derive the ``(i, j, cov)`` covariance frame from held moment
+    state — pure arithmetic on d^2 rows, no corpus access."""
     n = m.where((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("val").alias("_n")
     )
@@ -119,6 +139,16 @@ def covariance_matrix(
             ).alias("cov"),
         )
     )
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", round_dp: int = 6
+) -> DataFrame:
+    """Population covariance of the embedding column as a d^2-row
+    DataFrame ``(i, j, cov)`` (0-based coordinates), equal to SQL
+    ``covar_pop(x_i, x_j)`` — the oracle-checkable face of the moment
+    aggregation. cov = (S_ij - s_i s_j / n) / n."""
+    return covariance_from_moments(_moments(df, vec_col), round_dp)
 
 
 def _principal_axes(

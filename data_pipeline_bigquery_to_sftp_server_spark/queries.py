@@ -7358,6 +7358,24 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def q_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54b steady-state moment absorption, ORACLE-CHECKED for
+    exactness: covariance derived from HELD moment state (built on 90%
+    of the corpus) after absorbing the remaining 10% as an arriving
+    batch — moments are additive, so the fold is a union + re-sum of
+    two (d^2+d+1)-row frames with NO corpus rescan, and the result
+    must equal covar_pop over the full corpus cell-for-cell (the same
+    oracle as embedding_covariance). The DedupState ingest pattern
+    applied to the statistics family (operators/pca.py moment_state /
+    absorb_moments / covariance_from_moments)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import pca
+
+    e = load_table(spark, sf_dir, "embeddings")
+    held = pca.moment_state(e.where(F.col("vec_id") % 10 != 0), "embedding")
+    folded = pca.absorb_moments(held, e.where(F.col("vec_id") % 10 == 0))
+    return pca.covariance_from_moments(folded).orderBy("i", "j")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7557,6 +7575,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_iqr_gate": q_streaming_iqr_gate,
     "bpe_encode": q_bpe_encode,
     "cohort_retention": q_cohort_retention,
+    "incremental_covariance": q_incremental_covariance,
     # r9-displaced rows — all stay verify_local-green on the identical
     # oracles
     "token_topk": q_token_topk,
@@ -7810,6 +7829,7 @@ ORACLES: dict[str, str] = {
     "streaming_iqr_gate": _ORACLE_STREAMING_IQR_GATE,
     "bpe_encode": _ORACLE_BPE_ENCODE,
     "cohort_retention": _ORACLE_COHORT_RETENTION,
+    "incremental_covariance": _ORACLE_EMBEDDING_COVARIANCE,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

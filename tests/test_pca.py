@@ -108,3 +108,17 @@ def test_semantic_dedup_pca_recall_vs_exact(spark):
     recall_full = len(exact & got_full) / len(exact)
     assert recall >= recall_full, f"pca {recall:.3f} < full-dim {recall_full:.3f}"
     assert recall >= 0.75, f"recall {recall:.3f}"
+
+
+def test_absorb_moments_exact(spark):
+    """Moment absorption is exact: cov(state(A) ⊕ B) == cov(A ∪ B)."""
+    X, df = _toy(spark, n=120)
+    a = df.where("vec_id < 80")
+    b = df.where("vec_id >= 80")
+    folded = pca.covariance_from_moments(
+        pca.absorb_moments(pca.moment_state(a), b)
+    )
+    whole = pca.covariance_matrix(df)
+    got = {(r.i, r.j): r.cov for r in folded.collect()}
+    want = {(r.i, r.j): r.cov for r in whole.collect()}
+    assert got == want
