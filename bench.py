@@ -146,6 +146,7 @@ HEADLINE = [
     "bpe_encode",
     "cohort_retention",
     "incremental_covariance",
+    "kmv_distinct",
 ]
 
 

@@ -7376,6 +7376,71 @@ def q_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca.covariance_from_moments(folded).orderBy("i", "j")
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 KMV distinct-count sketch, ORACLE-CHECKED — the rare
+    approximate sketch whose whole state is engine-portable: per
+    source, the k=64 smallest md5 hashes of the text estimate the
+    distinct-document count as (k-1)/u_(k) (exact below k), next to
+    the true distinct count and the relative error. Unlike
+    HLL/theta (implementation-defined registers), KMV state is a pure
+    function of the value set, so DuckDB replays estimate AND error
+    cell-for-cell. Mergeable state (kmv_absorb) gives the family the
+    DedupState/moment-state ingest shape; pinned in test_sketch
+    (operators/sketch.py kmv_state/kmv_estimate)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sketch
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    st = sketch.kmv_state(d, "text", "source", k=64)
+    est = sketch.kmv_estimate(st, "source", k=64)
+    exact = d.groupBy("source").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_sketch",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_KMV_DISTINCT = """
+WITH dv AS (
+  SELECT DISTINCT source,
+         (('0x' || substr(md5(text || ':kmv'), 1, 12))::BIGINT)::DOUBLE
+           / 281474976710656.0 AS u
+  FROM documents WHERE text IS NOT NULL
+), ranked AS (
+  SELECT source, u, row_number() OVER (PARTITION BY source ORDER BY u ASC) AS pos
+  FROM dv
+), st AS (
+  SELECT source, pos, u FROM ranked WHERE pos <= 64
+), agg AS (
+  SELECT source, count(*) AS n_sketch, max(u) AS uk FROM st GROUP BY source
+), est AS (
+  SELECT source, CAST(n_sketch AS BIGINT) AS n_sketch,
+         round(CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                    ELSE 63.0 / uk END, 4) AS est_distinct
+  FROM agg
+), ex AS (
+  SELECT source, count(DISTINCT text) AS exact_distinct
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+)
+SELECT source, n_sketch, est_distinct, exact_distinct,
+       round(abs(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM est JOIN ex USING (source)
+ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7576,6 +7641,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_encode": q_bpe_encode,
     "cohort_retention": q_cohort_retention,
     "incremental_covariance": q_incremental_covariance,
+    "kmv_distinct": q_kmv_distinct,
     # r9-displaced rows — all stay verify_local-green on the identical
     # oracles
     "token_topk": q_token_topk,
@@ -7830,6 +7896,7 @@ ORACLES: dict[str, str] = {
     "bpe_encode": _ORACLE_BPE_ENCODE,
     "cohort_retention": _ORACLE_COHORT_RETENTION,
     "incremental_covariance": _ORACLE_EMBEDDING_COVARIANCE,
+    "kmv_distinct": _ORACLE_KMV_DISTINCT,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

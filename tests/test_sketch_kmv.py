@@ -1,0 +1,44 @@
+"""KMV distinct sketch (X61): estimate accuracy and mergeability."""
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators.sketch import (
+    kmv_absorb,
+    kmv_estimate,
+    kmv_state,
+)
+
+
+def _vals(spark, grp, n, off=0):
+    return spark.createDataFrame(
+        [(grp, f"v{off + i}") for i in range(n)], "g string, v string"
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    df = _vals(spark, "a", 40)
+    est = kmv_estimate(kmv_state(df, "v", "g", k=64), "g", k=64).collect()[0]
+    assert est.n_sketch == 40 and est.est_distinct == 40.0
+
+
+def test_kmv_estimate_within_bound(spark):
+    df = _vals(spark, "a", 5000)
+    est = kmv_estimate(kmv_state(df, "v", "g", k=64), "g", k=64).collect()[0]
+    # 1/sqrt(62) ~ 13%; allow 4 sigma for a single deterministic draw
+    assert abs(est.est_distinct - 5000) / 5000 < 0.5
+    assert est.n_sketch == 64
+
+
+def test_kmv_duplicates_collapse(spark):
+    dup = _vals(spark, "a", 30).union(_vals(spark, "a", 30))
+    est = kmv_estimate(kmv_state(dup, "v", "g", k=64), "g", k=64).collect()[0]
+    assert est.est_distinct == 30.0
+
+
+def test_kmv_absorb_equals_whole(spark):
+    a, b = _vals(spark, "a", 3000), _vals(spark, "a", 3000, off=2500)  # overlap
+    whole = a.union(b)
+    sa, sb = kmv_state(a, "v", "g", k=64), kmv_state(b, "v", "g", k=64)
+    merged = kmv_absorb(sa, sb, "g", k=64)
+    direct = kmv_state(whole, "v", "g", k=64)
+    assert sorted(r.u for r in merged.collect()) == sorted(
+        r.u for r in direct.collect()
+    )
