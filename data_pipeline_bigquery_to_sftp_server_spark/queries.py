@@ -7297,7 +7297,7 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X60 cohort retention over events, ORACLE-CHECKED: users
+    """X57 cohort retention over events, ORACLE-CHECKED: users
     cohorted by the Monday-truncated week of their FIRST event; for
     every (cohort week, week offset) the count of cohort users active
     that week and the retention rate vs the cohort size — the standard
@@ -7377,7 +7377,7 @@ def q_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X61 KMV distinct-count sketch, ORACLE-CHECKED — the rare
+    """X58 KMV distinct-count sketch, ORACLE-CHECKED — the rare
     approximate sketch whose whole state is engine-portable: per
     source, the k=64 smallest md5 hashes of the text estimate the
     distinct-document count as (k-1)/u_(k) (exact below k), next to
