@@ -147,6 +147,7 @@ HEADLINE = [
     "cohort_retention",
     "incremental_covariance",
     "kmv_distinct",
+    "pivot_report",
 ]
 
 

@@ -7441,6 +7441,44 @@ ORDER BY source
 """
 
 
+def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 pivot/unpivot round-trip, ORACLE-CHECKED: per-source document
+    counts pivoted wide over the (bounded, explicitly listed) language
+    set, then melted back to long form with zero-cells dropped — the
+    reshaping pair every reporting layer needs. The explicit pivot
+    value list matters at scale: without it Spark runs an extra
+    distinct-scan job to discover the columns, and an unbounded pivot
+    width is a driver OOM (schema is driver state). The unpivot rides
+    the SQL stack()/UNPIVOT machinery, not a union of filters."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, langs)
+    )
+    long = wide.unpivot("source", langs, "lang", "n_docs")
+    return long.where(F.col("n_docs") > 0).orderBy("source", "lang")
+
+
+_ORACLE_PIVOT_REPORT = """
+WITH wide AS (
+  SELECT source,
+         count(*) FILTER (lang = 'de') AS de,
+         count(*) FILTER (lang = 'en') AS en,
+         count(*) FILTER (lang = 'es') AS es,
+         count(*) FILTER (lang = 'fr') AS fr,
+         count(*) FILTER (lang = 'zh') AS zh
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+)
+SELECT source, lang, n_docs FROM wide
+UNPIVOT (n_docs FOR lang IN (de, en, es, fr, zh))
+WHERE n_docs > 0
+ORDER BY source, lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7642,6 +7680,7 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": q_cohort_retention,
     "incremental_covariance": q_incremental_covariance,
     "kmv_distinct": q_kmv_distinct,
+    "pivot_report": q_pivot_report,
     # r9-displaced rows — all stay verify_local-green on the identical
     # oracles
     "token_topk": q_token_topk,
@@ -7897,6 +7936,7 @@ ORACLES: dict[str, str] = {
     "cohort_retention": _ORACLE_COHORT_RETENTION,
     "incremental_covariance": _ORACLE_EMBEDDING_COVARIANCE,
     "kmv_distinct": _ORACLE_KMV_DISTINCT,
+    "pivot_report": _ORACLE_PIVOT_REPORT,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
