@@ -96,13 +96,16 @@ def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
             "pair_count",
         )
     )
-    cand = withnext.crossJoin(F.broadcast(top)).withColumn(
-        "_cand",
-        F.coalesce(
-            (F.col("sym") == F.col("left")) & (F.col("_nxt") == F.col("right")),
-            F.lit(False),
-        ),
-    )
+    # LEFT join against the (0-or-1)-row argmax, not a crossJoin: when
+    # the corpus runs out of pairs before n_merges rounds (short words,
+    # generous budget) the empty top frame must make the round a NO-OP
+    # — a crossJoin would silently wipe the symbol table and return an
+    # empty tokenizer (caught by the r9 review; pinned in test_bpe).
+    cand = withnext.join(
+        F.broadcast(top),
+        (F.col("sym") == F.col("left")) & (F.col("_nxt") == F.col("right")),
+        "left",
+    ).withColumn("_cand", F.col("left").isNotNull())
     # consecutive candidate positions form a run; greedy left-to-right
     # merges the 1st, 3rd, ... member of each run
     wr = Window.partitionBy("word", "_cand").orderBy("pos")

@@ -383,18 +383,38 @@ def iqr_outliers(
     never shuffles.
     """
     v = F.col(value_col).cast("double")
-    b = (
+    b = iqr_bounds(df, value_col, group_col, k)
+    # null-SAFE join back: a NULL group key forms its own bounds group
+    # and must keep its rows (an equi-join would silently drop them —
+    # r9 review; the docstring promises EVERY input row back). A NULL
+    # value_col yields is_outlier NULL — the caller's screen decides.
+    return df.join(
+        F.broadcast(b),
+        df[group_col].eqNullSafe(b["_g"]),
+    ).drop("_g").withColumn(
+        "is_outlier", (v < F.col("lo")) | (v > F.col("hi"))
+    )
+
+
+def iqr_bounds(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """The bounded per-group fence frame ``(group_col as _g, lo, hi)``
+    on its own — for callers that probe the fences without the corpus
+    join (the streaming gate broadcasts exactly this)."""
+    v = F.col(value_col).cast("double")
+    return (
         df.groupBy(group_col)
         .agg(
             F.percentile(v, F.lit(0.25)).alias("_q1"),
             F.percentile(v, F.lit(0.75)).alias("_q3"),
         )
         .select(
-            group_col,
+            F.col(group_col).alias("_g"),
             F.round(F.col("_q1") - k * (F.col("_q3") - F.col("_q1")), 6).alias("lo"),
             F.round(F.col("_q3") + k * (F.col("_q3") - F.col("_q1")), 6).alias("hi"),
         )
-    )
-    return df.join(F.broadcast(b), group_col).withColumn(
-        "is_outlier", (v < F.col("lo")) | (v > F.col("hi"))
     )

@@ -6825,9 +6825,11 @@ WITH d AS (
 SELECT doc_id,
        len(lines) AS n_lines,
        round(CAST(len(dups) AS DOUBLE) / len(lines), 6) AS dup_line_frac,
-       round(CASE WHEN coalesce(list_aggregate(list_transform(lines, x -> strlen(x)), 'sum'), 0) > 0
-             THEN CAST(coalesce(list_aggregate(list_transform(dups, x -> strlen(x)), 'sum'), 0) AS DOUBLE)
-                  / list_aggregate(list_transform(lines, x -> strlen(x)), 'sum')
+       -- length() = CHARACTERS (matches Spark F.length); strlen would
+       -- count BYTES and diverge on any non-ASCII line
+       round(CASE WHEN coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) > 0
+             THEN CAST(coalesce(list_aggregate(list_transform(dups, x -> length(x)), 'sum'), 0) AS DOUBLE)
+                  / list_aggregate(list_transform(lines, x -> length(x)), 'sum')
              ELSE 0.0 END, 6) AS dup_char_frac
 FROM m
 ORDER BY doc_id
@@ -6867,10 +6869,10 @@ WITH b AS (
                          - quantile_cont(CAST(n_chars AS DOUBLE), 0.25)), 6) AS hi
   FROM documents GROUP BY source
 )
-SELECT doc_id, source, n_chars, lo, hi
-FROM documents JOIN b USING (source)
-WHERE CAST(n_chars AS DOUBLE) < lo OR CAST(n_chars AS DOUBLE) > hi
-ORDER BY doc_id
+SELECT d.doc_id, d.source, d.n_chars, b.lo, b.hi
+FROM documents d JOIN b ON d.source IS NOT DISTINCT FROM b.source
+WHERE CAST(d.n_chars AS DOUBLE) < b.lo OR CAST(d.n_chars AS DOUBLE) > b.hi
+ORDER BY d.doc_id
 """
 
 
@@ -6888,13 +6890,19 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no windows over the raw stream, no driver-side state. At 100 TB
     the stream is scanned once per stage with the event-type filter
     pushed to the scan."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
     e = load_table(spark, sf_dir, "events")
-    s1 = (
+    # s1 feeds s2 + its own count + the conversion base, s2 feeds s3 +
+    # its count — persist both (one row per surviving user) so the
+    # events scan and min-aggs run once per stage, not once per
+    # consumer (the bounded-multi-consumer persist rule, r9 review)
+    s1 = persist_tracked(
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    s2 = (
+    s2 = persist_tracked(
         e.where(F.col("event_type") == "click")
         .join(s1, "user_id")
         .where(F.col("ts") > F.col("t1"))
@@ -7196,10 +7204,11 @@ def q_streaming_iqr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    fences = (
-        sampling.iqr_outliers(d, "n_chars", "source", k=0.75)
-        .select("source", "lo", "hi")
-        .dropDuplicates(["source"])
+    # the bounds aggregate directly (r9 review: deriving fences from
+    # the full corpus-join output paid a corpus-sized join + dedup
+    # shuffle to recover a frame that is one row per source)
+    fences = sampling.iqr_bounds(d, "n_chars", "source", k=0.75).withColumnRenamed(
+        "_g", "source"
     )
     path, schema = _events_stream_src(spark, sf_dir, table="documents")
     stream = W.read_events_stream(spark, path, schema, max_files_per_trigger=4)
@@ -7317,8 +7326,15 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         (F.datediff(F.col("wk"), F.col("cw")) / 7).cast("int"),
     )
-    per_cell = joined.groupBy("cw", "week_offset").agg(
-        F.countDistinct("user_id").alias("n_users")
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    # per_cell feeds the cohort-size filter AND the output join —
+    # persist the bounded (cohort x offset) frame so the events
+    # aggregation chain executes once (r9 review)
+    per_cell = persist_tracked(
+        joined.groupBy("cw", "week_offset").agg(
+            F.countDistinct("user_id").alias("n_users")
+        )
     )
     size = per_cell.where(F.col("week_offset") == 0).select(
         F.col("cw"), F.col("n_users").alias("_cohort_n")

@@ -18,3 +18,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+SF_DIR_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def sf_dir_med():
+    """The mid-scale fixture dir — for tests that need enough rows for
+    cluster structure (sf0.001's 50 embeddings can't exercise k=8
+    multi-probe k-means meaningfully)."""
+    return SF_DIR_MED

@@ -44,3 +44,12 @@ def test_bpe_tie_breaks_on_symbol_order(spark):
     # 'xy' and 'yz' pairs both appear twice -> tie broken (l, r) asc
     merges, _ = _train(spark, "xy xy yz yz", 1)
     assert merges == [("x", "y")]
+
+
+def test_bpe_exhausted_pairs_is_noop_not_wipe(spark):
+    # corpus fully merged before the budget runs out: the empty argmax
+    # round must be a no-op (r9 review: a crossJoin against the empty
+    # top frame silently wiped the symbol table)
+    merges, seg = _train(spark, "ab ab", 3)
+    assert merges == [("a", "b")]
+    assert seg == {"ab": "ab"}

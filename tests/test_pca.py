@@ -54,7 +54,7 @@ def test_pca_dim_ceiling_fails_loudly(spark):
         pca.covariance_matrix(df).collect()
 
 
-def test_semantic_dedup_pca_recall_vs_exact(spark):
+def test_semantic_dedup_pca_recall_vs_exact(spark, sf_dir_med):
     """The PCA candidate path must lose NO recall vs the full-dim
     clustered path it accelerates (both measured against brute-force
     full-dim pairs at cos >= 0.35 on the cluster co-membership
@@ -69,7 +69,7 @@ def test_semantic_dedup_pca_recall_vs_exact(spark):
     )
     from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
 
-    sf = "/root/testdata/sf0.01"
+    sf = sf_dir_med
     emb = load_table(spark, sf, "embeddings").collect()
     X = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb])
     ids = np.array([r.vec_id for r in emb])
