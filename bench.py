@@ -148,6 +148,7 @@ HEADLINE = [
     "incremental_covariance",
     "kmv_distinct",
     "pivot_report",
+    "asof_forward",
 ]
 
 

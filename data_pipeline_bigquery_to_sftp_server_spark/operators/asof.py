@@ -125,3 +125,74 @@ def range_join(
         l.join(r, on=(F.col("_bkl") == F.col("_bkr")) & cond)
         .drop("_bkl", "_bkr")
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Forward as-of join: EARLIEST right row at-or-after each left row
+    (pandas ``merge_asof(direction='forward')`` / DuckDB
+    ``ASOF LEFT JOIN ... ON l.ts <= r.ts``). Left-outer semantics;
+    ties at the exact timestamp match.
+
+    ``tolerance_s`` bounds the look-ahead: a match further than the
+    tolerance is DISCARDED (columns go NULL — merge_asof semantics),
+    which is what time-to-conversion style analyses want ("the next
+    purchase within an hour", not "the next purchase ever").
+
+    Same plan as the backward variant mirrored: union both sides, one
+    shuffle on the key, a DESC-ordered running ``last`` per key — no
+    pair explosion, per-row state is one value per carried column.
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    r_tag = (
+        right.select(
+            key,
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        )
+        .withColumn("_side", F.lit(0))
+        .withColumn("_ts", F.col("_rts"))
+    )
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # DESC scan: right rows first at equal _ts (side 0 < 1), so a left
+    # row's running last sees same-instant rights — the inclusive tie
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in right_value_cols
+        ],
+        F.last("_rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+    )
+    matched_ts = F.col(f"{right_ts}{suffix}")
+    # integer microseconds on both engines (unix_micros / epoch_us):
+    # second-truncated casts would disagree at fractional boundaries
+    in_tol = (
+        F.lit(True)
+        if tolerance_s is None
+        else F.unix_micros(matched_ts) - F.unix_micros(F.col("_ts"))
+        <= F.lit(int(tolerance_s) * 1_000_000)
+    )
+    out_cols = [c for c in left.columns] + [
+        F.when(in_tol, matched_ts).alias(f"{right_ts}{suffix}")
+    ] + [
+        F.when(in_tol, F.col(f"_f_{c}")).alias(f"{c}{suffix}")
+        for c in right_value_cols
+    ]
+    return filled.where(F.col("_side") == 1).select(*out_cols)

@@ -7495,6 +7495,53 @@ ORDER BY source, lang
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5b forward as-of join with tolerance, ORACLE-CHECKED: each
+    click matched to the user's NEXT purchase at-or-after it, but only
+    within one hour — time-to-conversion semantics (pandas
+    merge_asof(direction='forward', tolerance=...)). Same
+    union+window plan as the backward variant mirrored (one shuffle on
+    user_id, no pair explosion); the tolerance compares integer
+    microseconds on both engines (operators/asof.py
+    asof_join_forward)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof.asof_join_forward(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["purchase_value"],
+        tolerance_s=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_asof").alias("purchase_ts"),
+        F.round(F.col("purchase_value_asof"), 6).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+_ORACLE_ASOF_FORWARD = """
+SELECT l.event_id, l.user_id,
+       CASE WHEN epoch_us(r.ts) - epoch_us(l.ts) <= 3600000000
+            THEN r.ts END AS purchase_ts,
+       CASE WHEN epoch_us(r.ts) - epoch_us(l.ts) <= 3600000000
+            THEN round(r.value, 6) END AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+ORDER BY l.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7697,6 +7744,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_covariance": q_incremental_covariance,
     "kmv_distinct": q_kmv_distinct,
     "pivot_report": q_pivot_report,
+    "asof_forward": q_asof_forward,
     # r9-displaced rows — all stay verify_local-green on the identical
     # oracles
     "token_topk": q_token_topk,
@@ -7953,6 +8001,7 @@ ORACLES: dict[str, str] = {
     "incremental_covariance": _ORACLE_EMBEDDING_COVARIANCE,
     "kmv_distinct": _ORACLE_KMV_DISTINCT,
     "pivot_report": _ORACLE_PIVOT_REPORT,
+    "asof_forward": _ORACLE_ASOF_FORWARD,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

@@ -97,3 +97,45 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_asof_forward_direction_and_tolerance(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", t(10)), (2, "u", t(30)), (3, "u", t(50))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t(10), 1.0), ("u", t(35), 2.0)], "k string, ts timestamp, v double"
+    )
+    out = {
+        r.id: r
+        for r in asof_join_forward(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            right_value_cols=["v"], tolerance_s=10,
+        ).collect()
+    }
+    # id 1: same-instant right matches (inclusive tie)
+    assert out[1].v_asof == 1.0
+    # id 2: next right at t+5 within tolerance
+    assert out[2].v_asof == 2.0
+    # id 3: no right at-or-after -> NULLs
+    assert out[3].v_asof is None and out[3].ts_asof is None
+
+    # tolerance discards the far match: right at t(35) is 25s after t(10)?
+    # no — id 1 matches t(10) exactly; shrink tolerance to 0 and id 2's
+    # 5s-later match is discarded
+    out0 = {
+        r.id: r
+        for r in asof_join_forward(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            right_value_cols=["v"], tolerance_s=0,
+        ).collect()
+    }
+    assert out0[1].v_asof == 1.0 and out0[2].v_asof is None
