@@ -149,6 +149,7 @@ HEADLINE = [
     "kmv_distinct",
     "pivot_report",
     "asof_forward",
+    "bpe_encode_new",
 ]
 
 

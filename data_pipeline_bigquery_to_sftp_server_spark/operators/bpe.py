@@ -18,8 +18,8 @@ of rows each — no skew possible):
 1. pair counts: ``lead(sym)`` + groupBy(pair) weighted by word count
    (map-side combinable);
 2. the argmax pair: ``orderBy(cnt desc, l, r).limit(1)`` =
-   TakeOrdered, broadcast back via crossJoin — NO driver collect, the
-   whole M-round train is one lazy plan;
+   TakeOrdered, broadcast back via a no-op-safe left join — NO driver
+   collect, the whole M-round train is one lazy plan;
 3. the merge: greedy leftmost-first application. Candidates are
    positions where (sym, next) equals the top pair; overlapping
    candidates (only possible when l = r, e.g. 'a a a a') resolve by
@@ -75,34 +75,17 @@ def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One BPE round over a ``(word, wn, pos, sym)`` table: returns
-    (top-pair frame ``(left, right, pair_count)``, merged symbol
-    table). Caller persists the new table (lineage doubles per round
-    otherwise)."""
+def _apply_pair(syms: DataFrame, top: DataFrame) -> DataFrame:
+    """Apply ONE merge pair (a 0-or-1-row ``(left, right, ...)`` frame)
+    to a ``(word, wn, pos, sym)`` table with the greedy leftmost
+    run-parity rule. An empty ``top`` makes this a NO-OP (left join —
+    a crossJoin would wipe the table; caught by the r9 review, pinned
+    in test_bpe). Shared by training (argmax pair) and inference
+    (:func:`apply_merges`, stored pair list)."""
     w = Window.partitionBy("word").orderBy("pos")
     withnext = syms.withColumn("_nxt", F.lead("sym").over(w))
-    pc = (
-        withnext.where(F.col("_nxt").isNotNull())
-        .groupBy("sym", "_nxt")
-        .agg(F.sum("wn").alias("pair_count"))
-    )
-    top = (
-        pc.orderBy(F.desc("pair_count"), F.asc("sym"), F.asc("_nxt"))
-        .limit(1)
-        .select(
-            F.col("sym").alias("left"),
-            F.col("_nxt").alias("right"),
-            "pair_count",
-        )
-    )
-    # LEFT join against the (0-or-1)-row argmax, not a crossJoin: when
-    # the corpus runs out of pairs before n_merges rounds (short words,
-    # generous budget) the empty top frame must make the round a NO-OP
-    # — a crossJoin would silently wipe the symbol table and return an
-    # empty tokenizer (caught by the r9 review; pinned in test_bpe).
     cand = withnext.join(
-        F.broadcast(top),
+        F.broadcast(top.select("left", "right")),
         (F.col("sym") == F.col("left")) & (F.col("_nxt") == F.col("right")),
         "left",
     ).withColumn("_cand", F.col("left").isNotNull())
@@ -118,7 +101,7 @@ def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
     staged = staged.withColumn(
         "_consumed", F.lag("_merge", 1, False).over(w)
     )
-    merged = (
+    return (
         staged.where(~F.col("_consumed"))
         .select(
             "word",
@@ -131,7 +114,28 @@ def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
             .alias("sym"),
         )
     )
-    return top, merged
+
+
+def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One TRAINING round: find the argmax pair, apply it. Returns
+    (top-pair frame ``(left, right, pair_count)``, merged table)."""
+    w = Window.partitionBy("word").orderBy("pos")
+    pc = (
+        syms.withColumn("_nxt", F.lead("sym").over(w))
+        .where(F.col("_nxt").isNotNull())
+        .groupBy("sym", "_nxt")
+        .agg(F.sum("wn").alias("pair_count"))
+    )
+    top = (
+        pc.orderBy(F.desc("pair_count"), F.asc("sym"), F.asc("_nxt"))
+        .limit(1)
+        .select(
+            F.col("sym").alias("left"),
+            F.col("_nxt").alias("right"),
+            "pair_count",
+        )
+    )
+    return top, _apply_pair(syms, top)
 
 
 def bpe_train(
@@ -171,3 +175,45 @@ def bpe_train(
         )
     )
     return merges.select("rank", "left", "right", "pair_count"), segmented
+
+
+def apply_merges(
+    words: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+) -> DataFrame:
+    """Tokenizer INFERENCE: segment arbitrary (possibly unseen) words
+    under a trained merge list, applying the stored pairs in rank
+    order — the encoder half of a real BPE tokenizer (the trained
+    ``segmented`` table only covers the training vocabulary).
+
+    ``merges`` is the bpe_train output; each round broadcasts its
+    single (rank=k) pair and replays the identical greedy run-parity
+    application, localCheckpointed per round like training. Returns
+    ``(word_col, segmentation)`` for the DISTINCT input words — join
+    it back to the document stream like q_bpe_encode does with the
+    trained table.
+    """
+    wc = words.select(F.col(word_col).alias("word")).dropDuplicates(["word"])
+    syms = wc.select(
+        "word",
+        F.lit(1).alias("wn"),
+        F.posexplode(F.split(F.col("word"), "")).alias("pos", "sym"),
+    ).localCheckpoint(eager=False)
+    for k in range(1, int(n_merges) + 1):
+        pair = merges.where(F.col("rank") == k)
+        syms = _apply_pair(syms, pair).localCheckpoint(eager=False)
+    return (
+        syms.groupBy("word")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda x: x["sym"],
+                ),
+            ).alias("segmentation")
+        )
+        .withColumnRenamed("word", word_col)
+    )

@@ -7542,6 +7542,79 @@ ORDER BY l.event_id
 """
 
 
+def q_bpe_encode_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56d tokenizer INFERENCE on unseen words, ORACLE-CHECKED: the
+    corpus-trained merge list applied in rank order to words the
+    trainer never saw (customer names) — the encoder half of a real
+    BPE tokenizer; the trained segmentation table only covers the
+    training vocabulary. Same greedy run-parity application per round,
+    each pair broadcast from the stored list instead of an argmax
+    (operators/bpe.py apply_merges)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import bpe
+
+    merges, _ = shared_bpe_train(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    names = c.select(F.lower(F.col("c_name")).alias("word")).where(
+        F.col("word").isNotNull()
+    )
+    return bpe.apply_merges(names, merges, n_merges=6).orderBy("word")
+
+
+def _bpe_apply_oracle_chain(n_merges: int) -> str:
+    """Extend the train chain with apply-rounds over the unseen-word
+    table: n0 is the char-exploded name set, n{k} the state after the
+    rank-k stored pair (the identical window template, pair sourced
+    from t{k} instead of an argmax)."""
+    parts = [
+        _bpe_oracle_chain(n_merges),
+        """
+, n0 AS (
+  SELECT word, 1 AS wn, u.s.i AS pos, u.s.v AS sym
+  FROM (SELECT DISTINCT lower(c_name) AS word FROM customer
+        WHERE c_name IS NOT NULL),
+       unnest(list_transform(string_split(word, ''), (v, k) -> struct_pack(i := k, v := v))) u(s)
+)""",
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f""", nc{k} AS (
+  SELECT s.word, s.wn, s.pos, s.sym,
+         coalesce(s.sym = t.l AND
+                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
+                  false) AS cand
+  FROM n{p} s CROSS JOIN t{k} t
+), ng{k} AS (
+  SELECT *, CASE WHEN cand THEN pos - row_number()
+                 OVER (PARTITION BY word, cand ORDER BY pos) END AS grp
+  FROM nc{k}
+), nm{k} AS (
+  SELECT *, cand AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1)
+            AS merged
+  FROM ng{k}
+), nd{k} AS (
+  SELECT m.*, coalesce(lag(merged) OVER (PARTITION BY word ORDER BY pos), false)
+              AS consumed,
+         t.l AS tl, t.r AS tr
+  FROM nm{k} m CROSS JOIN t{k} t
+), n{k} AS (
+  SELECT word, wn, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN merged THEN tl || tr ELSE sym END AS sym
+  FROM nd{k} WHERE NOT consumed
+)"""
+        )
+    return "".join(parts)
+
+
+_ORACLE_BPE_ENCODE_NEW = (
+    _bpe_apply_oracle_chain(_BPE_ROUNDS)
+    + f"""
+SELECT word, string_agg(sym, ' ' ORDER BY pos) AS segmentation
+FROM n{_BPE_ROUNDS} GROUP BY word ORDER BY word
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7745,6 +7818,7 @@ QUERIES: dict[str, QueryFn] = {
     "kmv_distinct": q_kmv_distinct,
     "pivot_report": q_pivot_report,
     "asof_forward": q_asof_forward,
+    "bpe_encode_new": q_bpe_encode_new,
     # r9-displaced rows — all stay verify_local-green on the identical
     # oracles
     "token_topk": q_token_topk,
@@ -8002,6 +8076,7 @@ ORACLES: dict[str, str] = {
     "kmv_distinct": _ORACLE_KMV_DISTINCT,
     "pivot_report": _ORACLE_PIVOT_REPORT,
     "asof_forward": _ORACLE_ASOF_FORWARD,
+    "bpe_encode_new": _ORACLE_BPE_ENCODE_NEW,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,

@@ -53,3 +53,27 @@ def test_bpe_exhausted_pairs_is_noop_not_wipe(spark):
     merges, seg = _train(spark, "ab ab", 3)
     assert merges == [("a", "b")]
     assert seg == {"ab": "ab"}
+
+
+def test_apply_merges_matches_training_segmentation(spark):
+    # inference on the TRAINING vocabulary must reproduce the trained
+    # segmentations exactly (same merges, same greedy application)
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    merges, seg = bpe_train(df, n_merges=6)
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.bpe import (
+        apply_merges,
+    )
+
+    words = seg.select("word")
+    applied = {
+        r.word: r.segmentation
+        for r in apply_merges(words, merges, n_merges=6).collect()
+    }
+    trained = {r.word: r.segmentation for r in seg.collect()}
+    assert applied == trained
+    # and an UNSEEN word segments under the learned merges: 'slower'
+    # contains the trained 'lo'+'w' -> 'low' merges
+    new = spark.createDataFrame([("slowest",)], "word string")
+    out = apply_merges(new, merges, n_merges=6).collect()[0]
+    assert out.segmentation == "s low est"
