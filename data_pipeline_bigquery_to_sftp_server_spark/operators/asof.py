@@ -26,23 +26,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def asof_join_backward(
+def _asof_join(
     left: DataFrame,
     right: DataFrame,
     key: str,
     left_ts: str,
     right_ts: str,
-    right_value_cols: list[str] | None = None,
-    suffix: str = "_asof",
+    right_value_cols: list[str] | None,
+    suffix: str,
+    direction: str,
+    tolerance_s: int | None,
 ) -> DataFrame:
-    """Backward as-of join: latest right row at-or-before each left row.
+    """Shared union+window as-of core (backward = latest right
+    at-or-before, forward = earliest right at-or-after; inclusive
+    ties). ALL carried right columns ride ONE struct through a single
+    ``last(..., ignorenulls=True)`` — per-column fills would mix rows
+    whenever the nearest match holds a NULL in one column (the fill
+    skips it and grabs that column from a FARTHER row; caught by the
+    r9 review, pinned in test_asof_skew). ``tolerance_s`` discards
+    matches farther than the bound (columns go NULL — merge_asof
+    semantics), compared in integer microseconds on both engines.
 
-    Left rows with no prior right row keep NULLs (left-outer semantics,
-    matching DuckDB ``ASOF LEFT JOIN``).
-
-    Tie rule: right rows at exactly the left timestamp DO match
-    (<=, DuckDB-compatible).
-    """
+    One shuffle on the key, per-row window state is one struct —
+    no pair explosion; left-outer semantics."""
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
@@ -51,32 +57,93 @@ def asof_join_backward(
         right.select(
             key,
             F.col(right_ts).alias("_rts"),
-            *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+            *[F.col(c).alias(f"_v_{c}") for c in right_value_cols],
         )
         .withColumn("_side", F.lit(0))
         .withColumn("_ts", F.col("_rts"))
+        .withColumn(
+            "_pack",
+            F.struct(
+                F.col("_rts").alias("_rts"),
+                *[F.col(f"_v_{c}").alias(f"_v_{c}") for c in right_value_cols],
+            ),
+        )
+        .drop("_rts", *[f"_v_{c}" for c in right_value_cols])
     )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
-
-    # Right rows sort before left rows at equal _ts (side 0 < 1), so
-    # last_value(...ignoreNulls) at a left row sees same-instant rights.
+    # right rows order before left rows at equal _ts (side 0 < 1) in
+    # BOTH directions, so same-instant rights are visible — the
+    # inclusive tie rule
+    ts_order = (
+        F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    )
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in right_value_cols
-        ],
-        F.last("_rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+    filled = unioned.withColumn(
+        "_m", F.last("_pack", ignorenulls=True).over(w)
     )
-    out_cols = [c for c in left.columns] + [f"{right_ts}{suffix}"] + [
-        F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in right_value_cols
+    matched_ts = F.col("_m._rts")
+    gap_us = (
+        F.unix_micros(matched_ts) - F.unix_micros(F.col("_ts"))
+        if direction == "forward"
+        else F.unix_micros(F.col("_ts")) - F.unix_micros(matched_ts)
+    )
+    in_tol = (
+        F.lit(True)
+        if tolerance_s is None
+        else gap_us <= F.lit(int(tolerance_s) * 1_000_000)
+    )
+    out_cols = [c for c in left.columns] + [
+        F.when(in_tol, matched_ts).alias(f"{right_ts}{suffix}")
+    ] + [
+        F.when(in_tol, F.col(f"_m._v_{c}")).alias(f"{c}{suffix}")
+        for c in right_value_cols
     ]
     return filled.where(F.col("_side") == 1).select(*out_cols)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: latest right row at-or-before each left row
+    (left-outer; ties at the exact timestamp match — DuckDB
+    ``ASOF LEFT JOIN`` / pandas ``merge_asof`` semantics). Optional
+    ``tolerance_s`` discards matches older than the bound."""
+    return _asof_join(
+        left, right, key, left_ts, right_ts, right_value_cols, suffix,
+        "backward", tolerance_s,
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Forward as-of join: EARLIEST right row at-or-after each left row
+    (pandas ``merge_asof(direction='forward')`` / DuckDB
+    ``ASOF LEFT JOIN ... ON l.ts <= r.ts``); ``tolerance_s`` bounds the
+    look-ahead — time-to-conversion analyses want "the next purchase
+    within an hour", not "the next purchase ever"."""
+    return _asof_join(
+        left, right, key, left_ts, right_ts, right_value_cols, suffix,
+        "forward", tolerance_s,
+    )
 
 
 def range_join(
@@ -125,74 +192,3 @@ def range_join(
         l.join(r, on=(F.col("_bkl") == F.col("_bkr")) & cond)
         .drop("_bkl", "_bkr")
     )
-
-
-def asof_join_forward(
-    left: DataFrame,
-    right: DataFrame,
-    key: str,
-    left_ts: str,
-    right_ts: str,
-    right_value_cols: list[str] | None = None,
-    suffix: str = "_asof",
-    tolerance_s: int | None = None,
-) -> DataFrame:
-    """Forward as-of join: EARLIEST right row at-or-after each left row
-    (pandas ``merge_asof(direction='forward')`` / DuckDB
-    ``ASOF LEFT JOIN ... ON l.ts <= r.ts``). Left-outer semantics;
-    ties at the exact timestamp match.
-
-    ``tolerance_s`` bounds the look-ahead: a match further than the
-    tolerance is DISCARDED (columns go NULL — merge_asof semantics),
-    which is what time-to-conversion style analyses want ("the next
-    purchase within an hour", not "the next purchase ever").
-
-    Same plan as the backward variant mirrored: union both sides, one
-    shuffle on the key, a DESC-ordered running ``last`` per key — no
-    pair explosion, per-row state is one value per carried column.
-    """
-    right_value_cols = right_value_cols or [
-        c for c in right.columns if c not in (key, right_ts)
-    ]
-    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
-    r_tag = (
-        right.select(
-            key,
-            F.col(right_ts).alias("_rts"),
-            *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
-        )
-        .withColumn("_side", F.lit(0))
-        .withColumn("_ts", F.col("_rts"))
-    )
-    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    # DESC scan: right rows first at equal _ts (side 0 < 1), so a left
-    # row's running last sees same-instant rights — the inclusive tie
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col("_ts").desc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in right_value_cols
-        ],
-        F.last("_rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
-    )
-    matched_ts = F.col(f"{right_ts}{suffix}")
-    # integer microseconds on both engines (unix_micros / epoch_us):
-    # second-truncated casts would disagree at fractional boundaries
-    in_tol = (
-        F.lit(True)
-        if tolerance_s is None
-        else F.unix_micros(matched_ts) - F.unix_micros(F.col("_ts"))
-        <= F.lit(int(tolerance_s) * 1_000_000)
-    )
-    out_cols = [c for c in left.columns] + [
-        F.when(in_tol, matched_ts).alias(f"{right_ts}{suffix}")
-    ] + [
-        F.when(in_tol, F.col(f"_f_{c}")).alias(f"{c}{suffix}")
-        for c in right_value_cols
-    ]
-    return filled.where(F.col("_side") == 1).select(*out_cols)

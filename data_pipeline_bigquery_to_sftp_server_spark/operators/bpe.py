@@ -75,15 +75,19 @@ def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _apply_pair(syms: DataFrame, top: DataFrame) -> DataFrame:
+def _apply_pair(
+    syms: DataFrame, top: DataFrame, withnext: DataFrame | None = None
+) -> DataFrame:
     """Apply ONE merge pair (a 0-or-1-row ``(left, right, ...)`` frame)
     to a ``(word, wn, pos, sym)`` table with the greedy leftmost
     run-parity rule. An empty ``top`` makes this a NO-OP (left join —
     a crossJoin would wipe the table; caught by the r9 review, pinned
-    in test_bpe). Shared by training (argmax pair) and inference
-    (:func:`apply_merges`, stored pair list)."""
+    in test_bpe). Shared by training (argmax pair — training passes
+    its already-computed ``withnext`` so the lead window runs once per
+    round) and inference (:func:`apply_merges`, stored pair list)."""
     w = Window.partitionBy("word").orderBy("pos")
-    withnext = syms.withColumn("_nxt", F.lead("sym").over(w))
+    if withnext is None:
+        withnext = syms.withColumn("_nxt", F.lead("sym").over(w))
     cand = withnext.join(
         F.broadcast(top.select("left", "right")),
         (F.col("sym") == F.col("left")) & (F.col("_nxt") == F.col("right")),
@@ -120,9 +124,9 @@ def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
     """One TRAINING round: find the argmax pair, apply it. Returns
     (top-pair frame ``(left, right, pair_count)``, merged table)."""
     w = Window.partitionBy("word").orderBy("pos")
+    withnext = syms.withColumn("_nxt", F.lead("sym").over(w))
     pc = (
-        syms.withColumn("_nxt", F.lead("sym").over(w))
-        .where(F.col("_nxt").isNotNull())
+        withnext.where(F.col("_nxt").isNotNull())
         .groupBy("sym", "_nxt")
         .agg(F.sum("wn").alias("pair_count"))
     )
@@ -135,7 +139,22 @@ def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
             "pair_count",
         )
     )
-    return top, _apply_pair(syms, top)
+    return top, _apply_pair(syms, top, withnext=withnext)
+
+
+def _segment(syms: DataFrame, keys: list[str]) -> DataFrame:
+    """Render a symbol table back to per-word space-joined
+    segmentations, grouped by ``keys`` — the ONE place the output
+    format lives (train and inference must not diverge)."""
+    return syms.groupBy(*keys).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda x: x["sym"],
+            ),
+        ).alias("segmentation")
+    )
 
 
 def bpe_train(
@@ -162,18 +181,7 @@ def bpe_train(
     merges = merge_frames[0]
     for f in merge_frames[1:]:
         merges = merges.unionByName(f)
-    segmented = (
-        syms.groupBy("word", "wn")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
-                    lambda x: x["sym"],
-                ),
-            ).alias("segmentation")
-        )
-    )
+    segmented = _segment(syms, ["word", "wn"])
     return merges.select("rank", "left", "right", "pair_count"), segmented
 
 
@@ -204,16 +212,4 @@ def apply_merges(
     for k in range(1, int(n_merges) + 1):
         pair = merges.where(F.col("rank") == k)
         syms = _apply_pair(syms, pair).localCheckpoint(eager=False)
-    return (
-        syms.groupBy("word")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
-                    lambda x: x["sym"],
-                ),
-            ).alias("segmentation")
-        )
-        .withColumnRenamed("word", word_col)
-    )
+    return _segment(syms, ["word"]).withColumnRenamed("word", word_col)

@@ -7033,6 +7033,41 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.orderBy("word")
 
 
+def _bpe_round_sql(
+    k: int, in_tbl: str, out_tbl: str, prefix: str
+) -> str:
+    """One merge-application round as SQL CTEs (the shared template —
+    train and inference rounds must not diverge; r9 review). The pair
+    comes from t{k}; LEFT JOIN ON true (not CROSS JOIN) so an empty
+    pair frame NULL-extends and the round is a NO-OP, matching the
+    Spark side's left-join guard instead of wiping the table."""
+    c, g, m, d = (f"{prefix}{x}{k}" for x in ("c", "g", "m", "d"))
+    return f""", {c} AS (
+  SELECT s.word, s.wn, s.pos, s.sym,
+         coalesce(s.sym = t.l AND
+                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
+                  false) AS cand
+  FROM {in_tbl} s LEFT JOIN t{k} t ON true
+), {g} AS (
+  SELECT *, CASE WHEN cand THEN pos - row_number()
+                 OVER (PARTITION BY word, cand ORDER BY pos) END AS grp
+  FROM {c}
+), {m} AS (
+  SELECT *, cand AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1)
+            AS merged
+  FROM {g}
+), {d} AS (
+  SELECT m.*, coalesce(lag(merged) OVER (PARTITION BY word ORDER BY pos), false)
+              AS consumed,
+         t.l AS tl, t.r AS tr
+  FROM {m} m LEFT JOIN t{k} t ON true
+), {out_tbl} AS (
+  SELECT word, wn, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN merged THEN tl || tr ELSE sym END AS sym
+  FROM {d} WHERE NOT consumed
+)"""
+
+
 def _bpe_oracle_chain(n_merges: int) -> str:
     """The shared 6-round unrolled CTE chain (the _ORACLE_PAGERANK
     pattern): s0 is the char-exploded word-count table, s{k} the
@@ -7051,39 +7086,16 @@ WITH toksb AS (
 )"""
     ]
     for k in range(1, n_merges + 1):
-        p = k - 1
         parts.append(
             f""", p{k} AS (
   SELECT sym AS l, nxt AS r, sum(wn) AS cnt FROM (
     SELECT word, wn, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-    FROM s{p})
+    FROM s{k - 1})
   WHERE nxt IS NOT NULL GROUP BY 1, 2
 ), t{k} AS (
   SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
-), c{k} AS (
-  SELECT s.word, s.wn, s.pos, s.sym,
-         coalesce(s.sym = t.l AND
-                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
-                  false) AS cand
-  FROM s{p} s CROSS JOIN t{k} t
-), g{k} AS (
-  SELECT *, CASE WHEN cand THEN pos - row_number()
-                 OVER (PARTITION BY word, cand ORDER BY pos) END AS grp
-  FROM c{k}
-), m{k} AS (
-  SELECT *, cand AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1)
-            AS merged
-  FROM g{k}
-), d{k} AS (
-  SELECT m.*, coalesce(lag(merged) OVER (PARTITION BY word ORDER BY pos), false)
-              AS consumed,
-         t.l AS tl, t.r AS tr
-  FROM m{k} m CROSS JOIN t{k} t
-), s{k} AS (
-  SELECT word, wn, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
-         CASE WHEN merged THEN tl || tr ELSE sym END AS sym
-  FROM d{k} WHERE NOT consumed
 )"""
+            + _bpe_round_sql(k, f"s{k - 1}", f"s{k}", "")
         )
     return "".join(parts)
 
@@ -7576,33 +7588,7 @@ def _bpe_apply_oracle_chain(n_merges: int) -> str:
 )""",
     ]
     for k in range(1, n_merges + 1):
-        p = k - 1
-        parts.append(
-            f""", nc{k} AS (
-  SELECT s.word, s.wn, s.pos, s.sym,
-         coalesce(s.sym = t.l AND
-                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
-                  false) AS cand
-  FROM n{p} s CROSS JOIN t{k} t
-), ng{k} AS (
-  SELECT *, CASE WHEN cand THEN pos - row_number()
-                 OVER (PARTITION BY word, cand ORDER BY pos) END AS grp
-  FROM nc{k}
-), nm{k} AS (
-  SELECT *, cand AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1)
-            AS merged
-  FROM ng{k}
-), nd{k} AS (
-  SELECT m.*, coalesce(lag(merged) OVER (PARTITION BY word ORDER BY pos), false)
-              AS consumed,
-         t.l AS tl, t.r AS tr
-  FROM nm{k} m CROSS JOIN t{k} t
-), n{k} AS (
-  SELECT word, wn, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
-         CASE WHEN merged THEN tl || tr ELSE sym END AS sym
-  FROM nd{k} WHERE NOT consumed
-)"""
-        )
+        parts.append(_bpe_round_sql(k, f"n{k - 1}", f"n{k}", "n"))
     return "".join(parts)
 
 

@@ -128,9 +128,8 @@ def test_asof_forward_direction_and_tolerance(spark):
     # id 3: no right at-or-after -> NULLs
     assert out[3].v_asof is None and out[3].ts_asof is None
 
-    # tolerance discards the far match: right at t(35) is 25s after t(10)?
-    # no — id 1 matches t(10) exactly; shrink tolerance to 0 and id 2's
-    # 5s-later match is discarded
+    # tolerance_s=0: the exact-instant tie (id 1) still matches, and
+    # id 2's 5-seconds-later match is discarded
     out0 = {
         r.id: r
         for r in asof_join_forward(
@@ -139,3 +138,39 @@ def test_asof_forward_direction_and_tolerance(spark):
         ).collect()
     }
     assert out0[1].v_asof == 1.0 and out0[2].v_asof is None
+
+
+def test_asof_null_value_does_not_mix_rows(spark):
+    """A NULL value column on the NEAREST right row must surface as
+    NULL, not skip to a farther row's value (the r9 review's
+    struct-fill finding — ts and values must come from one row)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame([(1, "u", t(0))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", t(10), None), ("u", t(50), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    fwd = asof_join_forward(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_value_cols=["v"], tolerance_s=20,
+    ).collect()[0]
+    assert fwd.ts_asof == t(10) and fwd.v_asof is None
+
+    left_b = spark.createDataFrame(
+        [(1, "u", t(60))], "id long, k string, ts timestamp"
+    )
+    right_b = spark.createDataFrame(
+        [("u", t(5), 2.0), ("u", t(55), None)],
+        "k string, ts timestamp, v double",
+    )
+    bwd = asof_join_backward(
+        left_b, right_b, key="k", left_ts="ts", right_ts="ts",
+        right_value_cols=["v"], tolerance_s=20,
+    ).collect()[0]
+    assert bwd.ts_asof == t(55) and bwd.v_asof is None
