@@ -150,6 +150,7 @@ HEADLINE = [
     "pivot_report",
     "asof_forward",
     "bpe_encode_new",
+    "streaming_kmv",
 ]
 
 

@@ -7601,6 +7601,64 @@ FROM n{_BPE_ROUNDS} GROUP BY word ORDER BY word
 )
 
 
+def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58+§2.9 composition, ORACLE-CHECKED: the KMV distinct sketch
+    maintained ON INGEST — held state built from 90% of the corpus,
+    the remaining docs arrive as 4 micro-batches and each batch's
+    sketch is absorbed into the running state via foreachBatch (the
+    DedupState/SCD2 streaming pattern, lineage cut per batch). Because
+    kmv_absorb is exactly mergeable (merge == whole, pinned in
+    test_sketch_kmv), the streamed end-state estimate equals the
+    one-shot batch sketch — so the BATCH twin's oracle
+    (_ORACLE_KMV_DISTINCT) replays the streamed result cell-for-cell,
+    arrival order and batching notwithstanding."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sketch
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    held = d.where(F.col("doc_id") % 10 != 0)
+    arriving = d.where(F.col("doc_id") % 10 == 0)
+    src = _scratch_dir("kmv_stream_src_")
+    ckpt = _scratch_dir("kmv_stream_ckpt_")
+    arriving.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
+
+    state = {"kmv": sketch.kmv_state(held, "text", "source", k=64).localCheckpoint()}
+
+    def absorb_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        b = sketch.kmv_state(batch_df, "text", "source", k=64)
+        state["kmv"] = sketch.kmv_absorb(
+            state["kmv"], b, "source", k=64
+        ).localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = W.streaming_upsert(stream, absorb_batch, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    est = sketch.kmv_estimate(state["kmv"], "source", k=64)
+    exact = d.groupBy("source").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_sketch",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7805,6 +7863,7 @@ QUERIES: dict[str, QueryFn] = {
     "pivot_report": q_pivot_report,
     "asof_forward": q_asof_forward,
     "bpe_encode_new": q_bpe_encode_new,
+    "streaming_kmv": q_streaming_kmv,
     # r9-displaced rows — all stay verify_local-green on the identical
     # oracles
     "token_topk": q_token_topk,
@@ -8063,6 +8122,7 @@ ORACLES: dict[str, str] = {
     "pivot_report": _ORACLE_PIVOT_REPORT,
     "asof_forward": _ORACLE_ASOF_FORWARD,
     "bpe_encode_new": _ORACLE_BPE_ENCODE_NEW,
+    "streaming_kmv": _ORACLE_KMV_DISTINCT,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
