@@ -151,6 +151,7 @@ HEADLINE = [
     "asof_forward",
     "bpe_encode_new",
     "streaming_kmv",
+    "window_dist",
 ]
 
 

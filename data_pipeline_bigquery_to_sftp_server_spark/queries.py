@@ -7659,6 +7659,40 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 distribution-window coverage, ORACLE-CHECKED: percent_rank,
+    cume_dist, and ntile(4) of document length within each source —
+    the three ranking windows the suite's rank/lag/frame queries
+    didn't yet exercise. Total order inside the window (n_chars,
+    doc_id) so ranks are partition-stable; one shuffle on source."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_WINDOW_DIST = """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7864,6 +7898,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_forward": q_asof_forward,
     "bpe_encode_new": q_bpe_encode_new,
     "streaming_kmv": q_streaming_kmv,
+    "window_dist": q_window_dist,
     # r9-displaced rows — all stay verify_local-green on the identical
     # oracles
     "token_topk": q_token_topk,
@@ -8123,6 +8158,7 @@ ORACLES: dict[str, str] = {
     "asof_forward": _ORACLE_ASOF_FORWARD,
     "bpe_encode_new": _ORACLE_BPE_ENCODE_NEW,
     "streaming_kmv": _ORACLE_KMV_DISTINCT,
+    "window_dist": _ORACLE_WINDOW_DIST,
     "c4_line_filter": _ORACLE_C4_LINE_FILTER,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "lm_scores_foreign": _ORACLE_LM_SCORES_FOREIGN,
