@@ -225,16 +225,22 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    line = json.dumps(payload)
-    # Truncation-proofing (r7 verdict: the driver's tail capture clipped
-    # the head of the r7 suite line, leaving BENCH_r07.json unparseable):
-    # the same JSON is ALSO written in-tree, so suite totals survive any
-    # stdout-capture window. The printed line stays last so one-line
-    # consumers keep working.
+    line = json.dumps(payload, separators=(",", ":"))
+    # Truncation-proofing (r7/r9 verdicts: the driver's tail capture
+    # clipped the suite line both rounds, leaving BENCH_r{7,9}.json
+    # unparseable). Three layers: (1) the same JSON is written in-tree
+    # (BENCH_LOCAL.json) so totals survive any capture window; (2) the
+    # suite line is printed IMMEDIATELY on completion, before anything
+    # else can write; (3) spark.stop() runs before the FINAL print so
+    # JVM shutdown logging cannot land after it and push the line's
+    # head out of a tail-capture window — the last stdout bytes of the
+    # process are exactly one parseable JSON line.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(out_path, "w") as f:
         f.write(line + "\n")
-    print(line)
+    print(line, flush=True)
+    spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

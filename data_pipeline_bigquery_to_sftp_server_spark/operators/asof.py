@@ -77,9 +77,16 @@ def _asof_join(
     ts_order = (
         F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     )
+    # _pack as the final sort key (r9 advice): when multiple right rows
+    # share (key, timestamp), the carried struct would otherwise be
+    # partition-order-dependent — the packed struct itself is a total
+    # deterministic order among same-instant rights (left rows hold a
+    # NULL _pack, and _side already separates the sides), so every run
+    # and engine resolves equal-timestamp ties identically: the
+    # struct-largest right row wins.
     w = (
         Window.partitionBy(key)
-        .orderBy(ts_order, F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc(), F.col("_pack").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(

@@ -359,6 +359,8 @@ def iqr_outliers(
     value_col: str,
     group_col: str,
     k: float = 1.5,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Tukey-fence outlier flagging per group: rows whose
     ``value_col`` falls outside ``[q1 - k*iqr, q3 + k*iqr]`` of their
@@ -372,18 +374,17 @@ def iqr_outliers(
     fence is an engine-portable constant, not a float race) and
     ``is_outlier`` appended.
 
-    Scale: ``percentile()`` is the EXACT quantile — its aggregation
-    state is a per-group value-multiset, the right call when values
-    are low-cardinality ints (doc lengths) or groups are bounded
-    (sources). For high-cardinality doubles at 100 TB, swap in
-    ``approx_percentile(value, p, accuracy)`` — same plan shape
-    (map-side-combinable agg, tiny bounds table broadcast back), the
-    fence moves by at most the sketch error. The bounds frame is one
-    row per group, so the join back is a broadcast; the data itself
-    never shuffles.
+    Scale: ``exact=True`` (default) computes EXACT quantiles — right
+    when values are low-cardinality ints (doc lengths) or groups are
+    bounded (sources). For high-cardinality doubles at 100 TB pass
+    ``exact=False``: the ``percentile_approx`` tier of
+    :func:`iqr_bounds`, bounded sketch state per group, fence moves by
+    at most the sketch error. The bounds frame is one row per group
+    either way, so the join back is a broadcast; the data itself never
+    shuffles.
     """
     v = F.col(value_col).cast("double")
-    b = iqr_bounds(df, value_col, group_col, k)
+    b = iqr_bounds(df, value_col, group_col, k, exact=exact, accuracy=accuracy)
     # null-SAFE join back: a NULL group key forms its own bounds group
     # and must keep its rows (an equi-join would silently drop them —
     # r9 review; the docstring promises EVERY input row back). A NULL
@@ -401,17 +402,38 @@ def iqr_bounds(
     value_col: str,
     group_col: str,
     k: float = 1.5,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """The bounded per-group fence frame ``(group_col as _g, lo, hi)``
     on its own — for callers that probe the fences without the corpus
-    join (the streaming gate broadcasts exactly this)."""
+    join (the streaming gate broadcasts exactly this).
+
+    ``exact=True`` uses ``percentile()`` — exact quantiles whose
+    aggregation state is a per-group value multiset; right when values
+    are low-cardinality ints (doc lengths) or groups are bounded.
+    ``exact=False`` is the 100 TB tier: ``percentile_approx`` (a
+    KLL/GK-style quantile summary of bounded size ~``accuracy``
+    regardless of group cardinality — the map-side state no longer
+    grows with distinct values). The fence moves by at most the sketch's
+    rank error (~1/accuracy of the group mass); rows whose value sits
+    within that sliver of a fence can flip ``is_outlier`` — pinned
+    within tolerance of the exact fences in test_sampling. Same plan
+    shape either way: map-side-combinable agg, one tiny bounds frame."""
     v = F.col(value_col).cast("double")
-    return (
-        df.groupBy(group_col)
-        .agg(
+    if exact:
+        agg = [
             F.percentile(v, F.lit(0.25)).alias("_q1"),
             F.percentile(v, F.lit(0.75)).alias("_q3"),
-        )
+        ]
+    else:
+        agg = [
+            F.percentile_approx(v, F.lit(0.25), F.lit(int(accuracy))).alias("_q1"),
+            F.percentile_approx(v, F.lit(0.75), F.lit(int(accuracy))).alias("_q3"),
+        ]
+    return (
+        df.groupBy(group_col)
+        .agg(*agg)
         .select(
             F.col(group_col).alias("_g"),
             F.round(F.col("_q1") - k * (F.col("_q3") - F.col("_q1")), 6).alias("lo"),

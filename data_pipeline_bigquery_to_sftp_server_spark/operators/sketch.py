@@ -236,13 +236,52 @@ def kmv_estimate(state: DataFrame, group_col: str, k: int = 64) -> DataFrame:
     agg = state.groupBy(group_col).agg(
         F.count("*").alias("n_sketch"), F.max("u").alias("_uk")
     )
+    # _uk <= 0 guard (r9 advice): a k-th smallest hash of exactly 0 (or
+    # a caller passing a k below the state's build k) would divide by
+    # zero and emit Infinity; fall back to n_sketch — the exact-count
+    # arm, which is also the honest answer when the divisor is
+    # degenerate.
     return agg.select(
         group_col,
         "n_sketch",
         F.round(
             F.when(
-                F.col("n_sketch") < int(k), F.col("n_sketch").cast("double")
+                (F.col("n_sketch") < int(k)) | (F.col("_uk") <= 0.0),
+                F.col("n_sketch").cast("double"),
             ).otherwise((F.lit(float(k - 1))) / F.col("_uk")),
             4,
         ).alias("est_distinct"),
     )
+
+
+def save_kmv_state(
+    state: DataFrame,
+    path: str,
+    group_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> None:
+    """Write KMV state + its sketch params under ``path``/{params,state}
+    as parquet — the DedupState durability shape applied to the sketch
+    family, so a streamed sketch survives session restarts. The params
+    row is what makes later absorbs SAFE: states built with different
+    (k, salt) union into nonsense rather than failing, so the loader
+    returns the recorded params and callers absorb with those, not with
+    re-typed literals (r9 advice)."""
+    spark = state.sparkSession
+    spark.createDataFrame(
+        [(group_col, int(k), salt)], "group_col string, k int, salt string"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    state.select(group_col, "pos", "u").write.mode("overwrite").parquet(
+        f"{path}/state"
+    )
+
+
+def load_kmv_state(spark, path: str) -> tuple[DataFrame, str, int, str]:
+    """Re-open a saved KMV sketch: ``(state, group_col, k, salt)``.
+    The state comes back repartitioned on the group key (the scan loses
+    the written clustering) — absorbs after load are byte-identical to
+    a never-saved absorb chain (pinned in test_sketch)."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    state = spark.read.parquet(f"{path}/state").repartition(p.group_col)
+    return state, p.group_col, int(p.k), p.salt

@@ -7404,6 +7404,15 @@ def q_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca.covariance_from_moments(folded).orderBy("i", "j")
 
 
+# The KMV family's sketch params, hoisted so the batch query, the
+# streaming absorb's three call sites, and any future consumer CANNOT
+# drift apart (r9 advice: states built with different k/salt union into
+# nonsense, not an error). The oracle SQL below hardcodes the matching
+# ':kmv' salt and 64/63 literals — change these, change those.
+_KMV_K = 64
+_KMV_SALT = "kmv"
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X58 KMV distinct-count sketch, ORACLE-CHECKED — the rare
     approximate sketch whose whole state is engine-portable: per
@@ -7418,8 +7427,8 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_bigquery_to_sftp_server_spark.operators import sketch
 
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    st = sketch.kmv_state(d, "text", "source", k=64)
-    est = sketch.kmv_estimate(st, "source", k=64)
+    st = sketch.kmv_state(d, "text", "source", k=_KMV_K, salt=_KMV_SALT)
+    est = sketch.kmv_estimate(st, "source", k=_KMV_K)
     exact = d.groupBy("source").agg(
         F.countDistinct("text").alias("exact_distinct")
     )
@@ -7622,12 +7631,16 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("kmv_stream_ckpt_")
     arriving.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
 
-    state = {"kmv": sketch.kmv_state(held, "text", "source", k=64).localCheckpoint()}
+    state = {
+        "kmv": sketch.kmv_state(
+            held, "text", "source", k=_KMV_K, salt=_KMV_SALT
+        ).localCheckpoint()
+    }
 
     def absorb_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        b = sketch.kmv_state(batch_df, "text", "source", k=64)
+        b = sketch.kmv_state(batch_df, "text", "source", k=_KMV_K, salt=_KMV_SALT)
         state["kmv"] = sketch.kmv_absorb(
-            state["kmv"], b, "source", k=64
+            state["kmv"], b, "source", k=_KMV_K
         ).localCheckpoint()
 
     stream = (
@@ -7638,7 +7651,7 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = W.streaming_upsert(stream, absorb_batch, ckpt)
     q.processAllAvailable()
     q.stop()
-    est = sketch.kmv_estimate(state["kmv"], "source", k=64)
+    est = sketch.kmv_estimate(state["kmv"], "source", k=_KMV_K)
     exact = d.groupBy("source").agg(
         F.countDistinct("text").alias("exact_distinct")
     )

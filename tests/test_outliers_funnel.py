@@ -29,6 +29,42 @@ def test_iqr_outliers_exact_quartiles(spark):
     assert [out[i].is_outlier for i in range(4)] == [False, False, False, True]
 
 
+def test_iqr_approx_tier_matches_exact_within_tolerance(spark, sf_dir):
+    # the 100 TB tier (exact=False -> percentile_approx): fences within
+    # sketch tolerance of exact on a real distribution, and at high
+    # accuracy the outlier verdicts agree row-for-row on the fixture
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sampling import (
+        iqr_bounds,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {r._g: r for r in iqr_bounds(d, "n_chars", "source").collect()}
+    approx = {
+        r._g: r
+        for r in iqr_bounds(
+            d, "n_chars", "source", exact=False, accuracy=10_000
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for g, e in exact.items():
+        a = approx[g]
+        span = max(e.hi - e.lo, 1.0)
+        assert abs(a.lo - e.lo) <= 0.05 * span
+        assert abs(a.hi - e.hi) <= 0.05 * span
+    flags_exact = {
+        r.doc_id: r.is_outlier
+        for r in iqr_outliers(d, "n_chars", "source").collect()
+    }
+    flags_approx = {
+        r.doc_id: r.is_outlier
+        for r in iqr_outliers(
+            d, "n_chars", "source", exact=False, accuracy=10_000
+        ).collect()
+    }
+    agree = sum(flags_exact[i] == flags_approx[i] for i in flags_exact)
+    assert agree / len(flags_exact) > 0.999
+
+
 def test_funnel_requires_stage_order(spark, sf_dir):
     from data_pipeline_bigquery_to_sftp_server_spark.queries import (
         q_funnel_conversion,

@@ -4,6 +4,8 @@ from data_pipeline_bigquery_to_sftp_server_spark.operators.sketch import (
     kmv_absorb,
     kmv_estimate,
     kmv_state,
+    load_kmv_state,
+    save_kmv_state,
 )
 
 
@@ -41,4 +43,35 @@ def test_kmv_absorb_equals_whole(spark):
     direct = kmv_state(whole, "v", "g", k=64)
     assert sorted(r.u for r in merged.collect()) == sorted(
         r.u for r in direct.collect()
+    )
+
+
+def test_kmv_zero_uk_guard_falls_back_to_exact(spark):
+    # a k-th smallest hash of exactly 0 cannot happen with md5, but the
+    # estimate must not emit Infinity if it ever does (r9 advice):
+    # manual state whose max(u) is 0 falls back to n_sketch.
+    state = spark.createDataFrame(
+        [("g1", i + 1, 0.0) for i in range(64)], "g string, pos int, u double"
+    )
+    est = kmv_estimate(state, "g", k=64).collect()[0]
+    assert est.est_distinct == 64.0
+
+
+def test_kmv_save_load_roundtrip_and_absorb_parity(spark, tmp_path):
+    a, b = _vals(spark, "a", 3000), _vals(spark, "a", 3000, off=2500)
+    sa = kmv_state(a, "v", "g", k=64, salt="kmv")
+    path = str(tmp_path / "kmv_state")
+    save_kmv_state(sa, path, "g", k=64, salt="kmv")
+    loaded, group_col, k, salt = load_kmv_state(spark, path)
+    # load . save == identity (params + the full k-row state)
+    assert (group_col, k, salt) == ("g", 64, "kmv")
+    assert sorted(map(tuple, loaded.collect())) == sorted(
+        map(tuple, sa.collect())
+    )
+    # absorb-after-load == continuous absorb (the durability contract)
+    sb = kmv_state(b, "v", group_col, k=k, salt=salt)
+    after_load = kmv_absorb(loaded, sb, group_col, k=k)
+    continuous = kmv_absorb(sa, sb, "g", k=64)
+    assert sorted(r.u for r in after_load.collect()) == sorted(
+        r.u for r in continuous.collect()
     )
