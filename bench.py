@@ -152,6 +152,9 @@ HEADLINE = [
     "bpe_encode_new",
     "streaming_kmv",
     "window_dist",
+    "bpe_fast_merges",
+    "bpe_fast_deep",
+    "streaming_covariance",
 ]
 
 

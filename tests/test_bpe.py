@@ -1,11 +1,22 @@
-"""BPE merge training (X59): Sennrich example pin + greedy-run edges."""
+"""BPE merge training (X59): Sennrich example pin + greedy-run edges.
 
-from data_pipeline_bigquery_to_sftp_server_spark.operators.bpe import bpe_train
+Every training case runs through BOTH tiers: the relational oracle twin
+(bpe_train) and the vocab-scale driver-side trainer (bpe_train_fast),
+which must be row-identical at equal n_merges — that equality is what
+certifies the fast tier, since only the relational one is
+DuckDB-replayable."""
+
+import pytest
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators.bpe import (
+    bpe_train,
+    bpe_train_fast,
+)
 
 
-def _train(spark, text, n):
+def _train(spark, text, n, trainer=bpe_train):
     df = spark.createDataFrame([(1, text)], "id long, text string")
-    m, s = bpe_train(df, n_merges=n)
+    m, s = trainer(df, n_merges=n)
     merges = [(r.left, r.right) for r in m.orderBy("rank").collect()]
     seg = {r.word: r.segmentation for r in s.collect()}
     return merges, seg
@@ -53,6 +64,62 @@ def test_bpe_exhausted_pairs_is_noop_not_wipe(spark):
     merges, seg = _train(spark, "ab ab", 3)
     assert merges == [("a", "b")]
     assert seg == {"ab": "ab"}
+
+
+@pytest.mark.parametrize(
+    "text,n",
+    [
+        (" ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3), 6),
+        ("aaaaa", 1),
+        ("aaaa aaaa ab", 2),
+        ("xy xy yz yz", 1),
+        ("ab ab", 3),  # budget exceeds available merges
+    ],
+)
+def test_fast_tier_row_identical_to_relational(spark, text, n):
+    slow_m, slow_s = _train(spark, text, n)
+    fast_m, fast_s = _train(spark, text, n, trainer=bpe_train_fast)
+    assert fast_m == slow_m
+    assert fast_s == slow_s
+
+
+def test_fast_tier_pair_counts_match_relational(spark, sf_dir):
+    # full contract on real data: (rank, left, right, pair_count) rows
+    # AND the segmented vocabulary, identical at n_merges=6
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    slow_m, slow_s = bpe_train(d, n_merges=6)
+    fast_m, fast_s = bpe_train_fast(d, n_merges=6)
+    assert [tuple(r) for r in slow_m.orderBy("rank").collect()] == [
+        tuple(r) for r in fast_m.orderBy("rank").collect()
+    ]
+    assert sorted(map(tuple, slow_s.collect())) == sorted(
+        map(tuple, fast_s.collect())
+    )
+
+
+def test_fast_tier_reaches_real_merge_counts(spark, sf_dir):
+    # the point of the tier: a merge budget the relational trainer's
+    # two-jobs-per-round shape cannot reach. 512 rounds over the
+    # fixture corpus; ranks must be dense from 1 and the train must
+    # stop CLEANLY when the vocabulary is fully merged (the sf0.001
+    # synthetic vocabulary supports 89 merges — budget exhaustion is
+    # the expected production edge, not an error). Determinism pinned
+    # by a second run.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m1, _ = bpe_train_fast(d, n_merges=512)
+    rows = m1.orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) > 50  # far past the relational tier's 6-round shape
+    m2, _ = bpe_train_fast(d, n_merges=512)
+    assert [tuple(r) for r in rows] == [
+        tuple(r) for r in m2.orderBy("rank").collect()
+    ]
+
+
+def test_fast_tier_vocab_ceiling_raises(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train_fast(d, n_merges=2, max_vocab_rows=10)
 
 
 def test_apply_merges_matches_training_segmentation(spark):
