@@ -23,9 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from data_pipeline_bigquery_to_sftp_server_spark.queries import (
     QUERIES,
     _events_stream_src,
+    clear_ann_index_cache,
     clear_bpe_cache,
     clear_pair_cache,
     clear_stream_src_cache,
+    shared_ann_index,
     shared_bpe_train,
     shared_jaccard_pairs,
 )
@@ -155,6 +157,8 @@ HEADLINE = [
     "bpe_fast_merges",
     "bpe_fast_deep",
     "streaming_covariance",
+    "ivf_topk_prebuilt",
+    "lsh_topk_prebuilt",
 ]
 
 
@@ -213,6 +217,14 @@ def main() -> None:
     t0 = time.perf_counter()
     shared_bpe_train(spark, sf_dir)
     timings["bpe_train_materialize"] = round(time.perf_counter() - t0, 3)
+
+    # Same rule for the held ANN index: the one-time build (quantizer
+    # train + corpus assign/sign pass) is its own line item, and the
+    # *_prebuilt queries measure the steady-state probe path.
+    clear_ann_index_cache()
+    t0 = time.perf_counter()
+    shared_ann_index(spark, sf_dir)
+    timings["ann_index_materialize"] = round(time.perf_counter() - t0, 3)
 
     # Best of two runs per query: the second run re-executes the full
     # plan (noop sink caches nothing), so min() filters transient

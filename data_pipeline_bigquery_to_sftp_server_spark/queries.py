@@ -1214,6 +1214,70 @@ def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The ANN family's held index (r10): built once per session like the
+# jaccard pair set / trained tokenizer — the production shape (index
+# built and materialized once, queried many times). bench.py times the
+# build as its own explicit line item (`ann_index_materialize`) so the
+# *_prebuilt queries honestly measure the steady-state probe path.
+_ANN_INDEX_CACHE: dict[tuple[str, str], object] = {}
+
+
+def shared_ann_index(spark: SparkSession, sf_dir: str):
+    """The session's held AnnIndex over the embeddings corpus (params
+    chosen to match the rebuild queries: 16 planes / 8 bands / 16
+    centroids), assignment materialized."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _ANN_INDEX_CACHE.get(key)
+    if idx is None:
+        e = load_table(spark, sf_dir, "embeddings")
+        idx = similarity.build_ann_index(
+            e, dim=64, n_centroids=16, num_planes=16, bands=8
+        )
+        idx.assigned.count()  # materialize the persisted assignment
+        _ANN_INDEX_CACHE[key] = idx
+    return idx
+
+
+def clear_ann_index_cache() -> None:
+    """Release every cached ANN index."""
+    while _ANN_INDEX_CACHE:
+        _, idx = _ANN_INDEX_CACHE.popitem()
+        idx.assigned.unpersist()
+
+
+def q_ivf_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 steady-state tier (r10): IVF top-k against the session's HELD
+    AnnIndex — no quantizer train, no assignment pass; the probe joins
+    the stored bucket column directly. Rows-only like its rebuild twin
+    (approximate by construction), self-certifying recall column, and
+    pinned result-identical to the rebuild path + a loaded index copy
+    in test_ann_index (operators/similarity.py build_ann_index /
+    ivf_topk(index=))."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = shared_ann_index(spark, sf_dir)
+    approx = similarity.ivf_topk(e, queries, k=10, n_probe=6, index=idx)
+    return _ann_with_recall(approx, e, queries, k=10)
+
+
+def q_lsh_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 steady-state tier (r10), LSH side: band-slices the index's
+    STORED signatures (JVM-side slice+hash — the corpus projection
+    pass is gone); only the 5 query vectors are signatured fresh.
+    Rows-only + recall column like the rebuild twin; result equality
+    pinned in test_ann_index (operators/similarity.py
+    lsh_topk(index=))."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = shared_ann_index(spark, sf_dir)
+    approx = similarity.lsh_topk(e, queries, k=10, index=idx)
+    return _ann_with_recall(approx, e, queries, k=10)
+
+
 # ---------------------------------------------------------------------------
 # X5: text analysis
 # ---------------------------------------------------------------------------
@@ -7991,6 +8055,11 @@ QUERIES: dict[str, QueryFn] = {
     "udtf_sentences": q_udtf_sentences,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    # r10: the steady-state twins against the session's held AnnIndex
+    # (rows-only like their rebuild twins; result equality + save/load
+    # identity pinned in test_ann_index)
+    "ivf_topk_prebuilt": q_ivf_topk_prebuilt,
+    "lsh_topk_prebuilt": q_lsh_topk_prebuilt,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,

@@ -1,0 +1,113 @@
+"""Persisted ANN index (AnnIndex): prebuilt == rebuild, loaded ==
+fresh, absorb keeps full-probe exactness — the held-state contract the
+DedupState / KMV / moment families already have, applied to the one
+expensive artifact that was still rebuilt per query (r9 verdict)."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+from data_pipeline_bigquery_to_sftp_server_spark.operators import similarity
+from data_pipeline_bigquery_to_sftp_server_spark.operators.similarity import (
+    absorb_ann_index,
+    build_ann_index,
+    load_ann_index,
+    save_ann_index,
+)
+
+
+def _fixtures(spark, sf_dir, n_queries=5):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return e, q
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.vec_id, round(r.cos_sim, 9), r.rank) for r in df.collect()
+    )
+
+
+def test_prebuilt_ivf_equals_rebuild(spark, sf_dir):
+    e, q = _fixtures(spark, sf_dir)
+    idx = build_ann_index(e, dim=64, n_centroids=16, num_planes=16, bands=8)
+    fresh = similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=6)
+    pre = similarity.ivf_topk(e, q, k=10, n_probe=6, index=idx)
+    assert _rows(pre) == _rows(fresh)
+
+
+def test_prebuilt_lsh_equals_rebuild(spark, sf_dir):
+    e, q = _fixtures(spark, sf_dir)
+    idx = build_ann_index(e, dim=64, n_centroids=16, num_planes=16, bands=8)
+    fresh = similarity.lsh_topk(e, q, k=10, dim=64, num_planes=16, bands=8)
+    pre = similarity.lsh_topk(e, q, k=10, index=idx)
+    assert _rows(pre) == _rows(fresh)
+
+
+def test_loaded_index_equals_fresh(spark, sf_dir, tmp_path):
+    e, q = _fixtures(spark, sf_dir)
+    idx = build_ann_index(e, dim=64, n_centroids=16, num_planes=16, bands=8)
+    path = str(tmp_path / "ann_index")
+    save_ann_index(idx, path)
+    loaded = load_ann_index(spark, path)
+    assert (loaded.dim, loaded.num_planes, loaded.bands, loaded.seed) == (
+        idx.dim,
+        idx.num_planes,
+        idx.bands,
+        idx.seed,
+    )
+    assert loaded.planes == idx.planes
+    assert loaded.centroids == idx.centroids
+    for runner in (
+        lambda i: similarity.ivf_topk(e, q, k=10, n_probe=6, index=i),
+        lambda i: similarity.lsh_topk(e, q, k=10, index=i),
+    ):
+        assert _rows(runner(loaded)) == _rows(runner(idx))
+
+
+def test_absorb_keeps_full_probe_exact(spark, sf_dir):
+    # build on 90% of the corpus, absorb the arriving 10% under the
+    # frozen quantizer: full-probe IVF over the absorbed index must
+    # equal brute force over the GROWN corpus — bucket membership is a
+    # pure function of the model, so no retrain is needed for
+    # exactness at full probe (recall at partial probe is the dial
+    # centroid drift moves).
+    e, q = _fixtures(spark, sf_dir, n_queries=3)
+    held = e.where(F.col("vec_id") % 10 != 0)
+    arriving = e.where(F.col("vec_id") % 10 == 0)
+    idx = build_ann_index(held, dim=64, n_centroids=8, num_planes=16, bands=8)
+    grown = absorb_ann_index(idx, arriving)
+    exact = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.brute_force_topk(e, q, k=5).collect()
+    )
+    probed = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.ivf_topk(e, q, k=5, n_probe=8, index=grown).collect()
+    )
+    assert probed == exact
+    # the absorbed assignment is exactly (held + delta) under one model
+    n_grown = grown.assigned.count()
+    assert n_grown == e.count()
+
+
+def test_absorbed_delta_assignment_matches_frozen_model(spark, sf_dir):
+    # absorb == rebuild-under-frozen-model: assigning the delta through
+    # the index's own model lands on identical (_cid, _sig) rows
+    e, _ = _fixtures(spark, sf_dir)
+    held = e.where(F.col("vec_id") % 10 != 0)
+    arriving = e.where(F.col("vec_id") % 10 == 0)
+    idx = build_ann_index(held, dim=64, n_centroids=8, num_planes=16, bands=8)
+    grown = absorb_ann_index(idx, arriving, persist=False)
+    direct = similarity._assign_and_sign(
+        arriving, "vec_id", "embedding", idx.planes, idx.centroids
+    )
+    got = {
+        r.vec_id: (r._cid, tuple(r._sig))
+        for r in grown.assigned.join(
+            arriving.select("vec_id"), "vec_id", "left_semi"
+        ).collect()
+    }
+    want = {r.vec_id: (r._cid, tuple(r._sig)) for r in direct.collect()}
+    assert got == want
