@@ -54,3 +54,41 @@ def clear_operator_caches() -> None:
 
 
 atexit.register(clear_operator_caches)
+
+
+class CheckpointChain:
+    """Per-round ``localCheckpoint`` for iterative operators WITH
+    bounded block storage (r9 advice): lineage truncation keeps the
+    driver's logical plan constant-size, but the checkpointed RDD
+    blocks of every round otherwise linger until GC/ContextCleaner
+    notices — a long session running many trains accumulates them.
+    ``step()`` eagerly checkpoints the round's frame, then releases the
+    PREVIOUS round's blocks, so at most two generations are ever held.
+
+    Safety contract (why release-after-materialize is sound): a
+    localCheckpoint has NO lineage — lost blocks are unrecoverable —
+    so the previous round may only be released once nothing will read
+    it again. Eager materialization of round k consumes round k-1
+    completely; any OTHER frame derived from round k-1 (e.g. the BPE
+    trainer's per-round argmax) must itself be eagerly checkpointed
+    BEFORE the next step() call. The final step's blocks are never
+    released — the caller's result reads them.
+    """
+
+    def __init__(self) -> None:
+        self._prev = None  # py4j handle of the last round's java RDD
+
+    def step(self, df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        # Dataset.localCheckpoint wraps the materialized internal RDD in
+        # a LogicalRDD — its .rdd() is the exact persisted handle, so no
+        # getPersistentRDDs() diffing (which could misattribute
+        # concurrently-materialized cached frames).
+        handle = out._jdf.queryExecution().analyzed().rdd()
+        if self._prev is not None:
+            try:
+                self._prev.unpersist(False)
+            except Exception:
+                pass  # session shutting down — nothing to release
+        self._prev = handle
+        return out

@@ -187,14 +187,22 @@ def bpe_train(
       word as its final space-joined symbol sequence (the tokenizer's
       view of the corpus after all merges).
     """
-    # localCheckpoint: truncate lineage every round (see module docstring —
-    # the logical plan doubles per round otherwise). eager=True keeps
-    # each round's job tiny instead of compounding into the first action.
-    syms = word_symbol_table(df, text_col).localCheckpoint(eager=True)
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+
+    # CheckpointChain: truncate lineage every round (see module
+    # docstring — the logical plan doubles per round otherwise), eager
+    # so each round's job stays tiny, and the previous round's blocks
+    # are released once the new round is materialized (r9 advice: bare
+    # localCheckpoints linger until GC). ORDERING MATTERS: each round's
+    # argmax frame reads the previous symbol table, so it is eagerly
+    # checkpointed BEFORE the chain step that releases those blocks.
+    chain = CheckpointChain()
+    syms = chain.step(word_symbol_table(df, text_col))
     merge_frames = []
     for k in range(1, int(n_merges) + 1):
-        top, syms = _one_merge(syms)
-        syms = syms.localCheckpoint(eager=True)
+        top, merged = _one_merge(syms)
+        top = top.localCheckpoint(eager=True)
+        syms = chain.step(merged)
         merge_frames.append(top.withColumn("rank", F.lit(k)))
     merges = merge_frames[0]
     for f in merge_frames[1:]:
@@ -347,13 +355,21 @@ def apply_merges(
     it back to the document stream like q_bpe_encode does with the
     trained table.
     """
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+
     wc = words.select(F.col(word_col).alias("word")).dropDuplicates(["word"])
-    syms = wc.select(
-        "word",
-        F.lit(1).alias("wn"),
-        F.posexplode(F.split(F.col("word"), "")).alias("pos", "sym"),
-    ).localCheckpoint(eager=False)
+    chain = CheckpointChain()
+    syms = chain.step(
+        wc.select(
+            "word",
+            F.lit(1).alias("wn"),
+            F.posexplode(F.split(F.col("word"), "")).alias("pos", "sym"),
+        )
+    )
     for k in range(1, int(n_merges) + 1):
         pair = merges.where(F.col("rank") == k)
-        syms = _apply_pair(syms, pair).localCheckpoint(eager=False)
+        # each round reads only the previous round + the stored pair
+        # list, so the chain's release-previous-after-materialize is
+        # safe with no extra checkpoints (unlike training's argmax)
+        syms = chain.step(_apply_pair(syms, pair))
     return _segment(syms, ["word"]).withColumnRenamed("word", word_col)

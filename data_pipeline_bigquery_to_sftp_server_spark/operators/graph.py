@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+from data_pipeline_bigquery_to_sftp_server_spark.cache import (
+    CheckpointChain,
+    persist_tracked,
+)
 
 
 def pagerank(
@@ -64,6 +67,7 @@ def pagerank(
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     )
     ranks = verts.withColumn("rank", F.round(F.lit(1.0 / n), round_dp))
+    chain = CheckpointChain()
     for _ in range(int(n_iter)):
         r = ranks.join(outdeg, "node", "left")
         # dangling mass: total rank on nodes with no out-edges
@@ -81,16 +85,18 @@ def pagerank(
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum("_share").alias("_in"))
         )
-        # localCheckpoint, not persist: each round reads the previous
+        # Checkpoint chain, not persist: each round reads the previous
         # ranks TWICE (dangling-mass agg + contribution join), so the
         # LOGICAL plan doubles per round — persist caches execution but
         # the driver still analyzes a 2^n_iter tree (the lineage trap
         # connected_components already guards against; measured on the
-        # BPE trainer, r9 SCALING note). Rank state is vertex-sized,
-        # so truncation is cheap at any scale; use
+        # BPE trainer, r9 SCALING note). Rank state is vertex-sized, so
+        # truncation is cheap at any scale, and the chain releases the
+        # previous round's checkpoint blocks once the new round is
+        # materialized — long sessions stay bounded (r9 advice). Use
         # connected_components' reliable checkpoint_dir mode as the
         # pattern if executor loss mid-run must be survivable.
-        ranks = (
+        ranks = chain.step(
             verts.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dm))
             .select(
@@ -102,6 +108,5 @@ def pagerank(
                     round_dp,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -42,3 +42,27 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     pairs = [(1, 2), (2, 3), (3, 1)]
     out = {r.node: r.rank for r in graph.pagerank(_edges(spark, pairs), n_iter=4).collect()}
     assert len(set(out.values())) == 1  # perfect symmetry -> equal ranks
+
+
+def test_checkpoint_chain_releases_previous_rounds(spark):
+    # r9 advice: per-round localCheckpoints must not accumulate blocks
+    # across a long session. After a 10-iteration train, only the FINAL
+    # round's checkpoint may remain persistent from the chain (plus the
+    # operator's tracked persists, released separately).
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import (
+        clear_operator_caches,
+    )
+
+    def checkpoint_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    clear_operator_caches()
+    before = checkpoint_ids()
+    e = _edges(spark, [(i, (i + 1) % 40) for i in range(40)] + [(0, 2), (3, 7)])
+    ranks = graph.pagerank(e, n_iter=10)
+    ranks.count()
+    clear_operator_caches()  # release verts/outdeg/edges tracked persists
+    leaked = checkpoint_ids() - before
+    # one generation (the final ranks checkpoint) may legitimately remain
+    assert len(leaked) <= 1, leaked
