@@ -159,6 +159,7 @@ HEADLINE = [
     "streaming_covariance",
     "ivf_topk_prebuilt",
     "lsh_topk_prebuilt",
+    "curriculum_packing",
 ]
 
 

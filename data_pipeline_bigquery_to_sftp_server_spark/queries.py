@@ -5908,6 +5908,115 @@ ORDER BY shard, pos
 """
 
 
+def q_curriculum_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45+X10 composite, ORACLE-CHECKED end-to-end: curriculum stages
+    chained into STAGE-PURE sequence packing — the pipeline junction
+    the recipe/selection composites don't cover (a staged training run
+    packs each curriculum stage into its own bins so the loader reads
+    easy bins before hard ones):
+
+      1. per-doc unigram-LM difficulty (mean NLL, the X15 signal) cut
+         into 3 equal-population stages (the X45 machinery — global
+         rank + ntile, one shuffle);
+      2. whitespace token budgets joined on;
+      3. FFD packing into 256-token bins with packing group =
+         (stage-1)*8 + md5-shard — bins can NEVER mix stages, and each
+         stage still packs across 8 parallel groups (the 100 TB shape:
+         group count scales with executors, stage purity is free
+         because it rides the group key).
+
+    Output: (stage, bin_id, n_docs, fill, oversize) per bin, stage
+    recovered from the bin id's group bits. Every step is
+    deterministic and engine-portable, so DuckDB replays the WHOLE
+    chain — difficulty CTE, ntile staging, and the recursive-CTE FFD
+    state machine (operators/sampling.py, operators/packing.py)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import lm, packing
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
+        ntile_by_rank,
+        with_global_rank,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = lm.unigram_nll_scores(d, "doc_id", "text", smoothing=0.5).select(
+        "doc_id", "mean_nll"
+    )
+    ranked, n_rows = with_global_rank(
+        scores, ["mean_nll", "doc_id"], rank_col="_grank"
+    )
+    staged = ranked.withColumn(
+        "stage", ntile_by_rank(F.col("_grank"), n_rows, 3)
+    ).select("doc_id", "stage")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = d.select(
+        "doc_id", F.size(F.split(norm, " ")).cast("long").alias("n_tokens")
+    )
+    base = staged.join(toks, "doc_id")
+    assign = packing.pack_sequences(
+        base,
+        id_col="doc_id",
+        tokens_col="n_tokens",
+        budget=256,
+        num_groups=24,
+        group_expr=(F.col("stage") - 1) * 8 + _portable_pack_group("doc_id", 8),
+    )
+    return (
+        packing.packing_summary(assign)
+        .select(
+            (F.floor(F.shiftright("bin_id", 32) / 8) + 1)
+            .cast("int")
+            .alias("stage"),
+            "bin_id",
+            "n_docs",
+            "fill",
+            "oversize",
+        )
+        .orderBy("bin_id")
+    )
+
+
+_ORACLE_CURRICULUM_PACKING = (
+    _ffd_oracle_cte(
+        r"""
+  WITH cptoks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+    FROM documents
+  ), cpv AS (
+    SELECT t, count(*) AS n FROM cptoks GROUP BY t
+  ), cps AS (
+    SELECT sum(n) AS N, count(*) AS V FROM cpv
+  ), cpsc AS (
+    SELECT doc_id,
+           round(avg(-log2((cpv.n + 0.5) / (cps.N + 0.5 * cps.V))), 6) AS mean_nll
+    FROM cptoks JOIN cpv USING (t) CROSS JOIN cps
+    GROUP BY doc_id
+  ), cpstaged AS (
+    SELECT doc_id,
+           CAST(ntile(3) OVER (ORDER BY mean_nll ASC, doc_id ASC) AS INT) AS stage
+    FROM cpsc
+  ), cpcnt AS (
+    SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+  )
+  SELECT s.doc_id, c.n_tokens,
+         (s.stage - 1) * 8 +
+         CAST('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS grp
+  FROM cpstaged s JOIN cpcnt c USING (doc_id)
+""",
+        budget=256,
+    )
+    + """
+SELECT CAST((bin_id // 4294967296) // 8 + 1 AS INT) AS stage,
+       bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS fill,
+       max(oversize) AS oversize
+FROM assign
+GROUP BY bin_id ORDER BY bin_id
+"""
+)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X47 winnowing fingerprints, ORACLE-CHECKED row-for-row: the
     MOSS fingerprint-sparsification scheme (Schleimer et al. 2003) —
@@ -8013,6 +8122,9 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "encode_token_ids": q_encode_token_ids,
+    # r10: the curriculum->packing composite (oracle-checked; next
+    # rotation candidate)
+    "curriculum_packing": q_curriculum_packing,
     # r9 additions still past the window (the rest of the r9 family
     # rotated into slots 1-50 in r10)
     "pca_project": q_pca_project,
@@ -8261,6 +8373,7 @@ ORACLES: dict[str, str] = {
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,
+    "curriculum_packing": _ORACLE_CURRICULUM_PACKING,
     "winnow_fingerprints": _ORACLE_WINNOW_FINGERPRINTS,
     "winnow_pairs": _ORACLE_WINNOW_PAIRS,
     "encode_token_ids": _ORACLE_ENCODE_TOKEN_IDS,
