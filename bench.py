@@ -160,6 +160,7 @@ HEADLINE = [
     "ivf_topk_prebuilt",
     "lsh_topk_prebuilt",
     "curriculum_packing",
+    "bpe_encode_fast",
 ]
 
 

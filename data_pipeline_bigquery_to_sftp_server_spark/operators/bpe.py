@@ -337,6 +337,87 @@ def bpe_train_fast(
     return merges_df, segmented_df
 
 
+def encode_words_fast(
+    words: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+) -> DataFrame:
+    """Vocabulary-scale tokenizer INFERENCE — the encode half of the
+    fast tier: the rank table (vocabulary-sized, collected once — an
+    eager bounded action like every model collect in this engine)
+    ships in the closure, and each Arrow batch encodes its words with
+    the lowest-rank-present loop every production tokenizer uses: find
+    the lowest-rank pair present in the word, merge ALL its
+    occurrences greedy-leftmost, repeat. NO per-round Spark jobs, so a
+    32k-merge tokenizer encodes in one corpus pass (vs
+    :func:`apply_merges`' two jobs per round — the oracle twin, kept
+    for DuckDB replay).
+
+    Equivalence to rank-sequential application is exact, not
+    heuristic: a merge only creates adjacencies involving its own new
+    symbol, and every pair containing that symbol was learned LATER
+    (the symbol didn't exist when earlier pairs were learned) — so an
+    earlier pair can never be recreated by a later merge, and
+    "lowest rank present, fully merged, repeat" visits pairs in
+    exactly the order the round-sequential trainer applied them.
+    Pinned in test_bpe: == apply_merges at shared budgets on seen AND
+    unseen words, and == the fast trainer's own segmented table on the
+    training vocabulary at a 512-merge budget.
+
+    Returns ``(word_col, segmentation)`` for the DISTINCT input words.
+    """
+    import pandas as pd_local
+
+    mr = (
+        merges.where(F.col("rank") <= int(n_merges))
+        .select("rank", "left", "right")
+        .collect()
+    )
+    ranks = {(r["left"], r["right"]): int(r["rank"]) for r in mr}
+
+    def encode(word: str) -> str:
+        syms = list(word)
+        while len(syms) > 1:
+            best = None
+            for a, b in zip(syms, syms[1:]):
+                rk = ranks.get((a, b))
+                if rk is not None and (best is None or rk < best[0]):
+                    best = (rk, a, b)
+            if best is None:
+                break
+            _, left, right = best
+            out, i, m = [], 0, len(syms)
+            while i < m:
+                if i + 1 < m and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return " ".join(syms)
+
+    distinct = words.select(F.col(word_col).alias("word")).dropDuplicates(
+        ["word"]
+    )
+
+    def enc_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd_local.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "segmentation": [encode(w) for w in pdf["word"]],
+                }
+            )
+
+    return distinct.mapInPandas(
+        enc_batch, "word string, segmentation string"
+    ).withColumnRenamed("word", word_col)
+
+
 def apply_merges(
     words: DataFrame,
     merges: DataFrame,

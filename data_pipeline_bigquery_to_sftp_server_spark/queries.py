@@ -7858,6 +7858,26 @@ FROM n{_BPE_ROUNDS} GROUP BY word ORDER BY word
 )
 
 
+def q_bpe_encode_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56f vocabulary-scale tokenizer inference, ORACLE-CHECKED: the
+    fast encoder (lowest-rank-present loop, rank table in the closure,
+    one Arrow pass — no per-round Spark jobs) segmenting the unseen
+    customer names under the corpus-trained 6-round merge list. SAME
+    oracle as the relational apply_merges query (q_bpe_encode_new), so
+    the window certifies encoder-tier agreement the way
+    bpe_fast_merges certifies the trainers; deep-budget encode==train
+    consistency is pinned in test_bpe at 512 merges (operators/bpe.py
+    encode_words_fast)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import bpe
+
+    merges, _ = shared_bpe_train(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    names = c.select(F.lower(F.col("c_name")).alias("word")).where(
+        F.col("word").isNotNull()
+    )
+    return bpe.encode_words_fast(names, merges, n_merges=6).orderBy("word")
+
+
 def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X58+§2.9 composition, ORACLE-CHECKED: the KMV distinct sketch
     maintained ON INGEST — held state built from 90% of the corpus,
@@ -8100,6 +8120,7 @@ QUERIES: dict[str, QueryFn] = {
     # oracle is not writable; certified by the oracle-checked 6-round
     # twin above + test_bpe row-identity/determinism pins)
     "bpe_fast_deep": q_bpe_fast_deep,
+    "bpe_encode_fast": q_bpe_encode_fast,
     # r7 late additions (oracle-green via verify_local; next rotation)
     "ccnet_buckets": q_ccnet_buckets,
     "vocab_coverage": q_vocab_coverage,
@@ -8390,6 +8411,8 @@ ORACLES: dict[str, str] = {
     # the vocab-scale driver-side tier replays the SAME 6-round oracle
     # as the relational trainer — the window certifies tier agreement
     "bpe_fast_merges": _ORACLE_BPE_MERGES,
+    # ...and the fast encoder replays the relational apply_merges oracle
+    "bpe_encode_fast": _ORACLE_BPE_ENCODE_NEW,
     "bpe_segment": _ORACLE_BPE_SEGMENT,
     "streaming_iqr_gate": _ORACLE_STREAMING_IQR_GATE,
     "bpe_encode": _ORACLE_BPE_ENCODE,

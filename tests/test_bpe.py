@@ -122,6 +122,48 @@ def test_fast_tier_vocab_ceiling_raises(spark, sf_dir):
         bpe_train_fast(d, n_merges=2, max_vocab_rows=10)
 
 
+def test_encode_fast_matches_apply_merges(spark):
+    # the fast encoder's lowest-rank-present loop must equal the
+    # relational rank-sequential application on seen, unseen, and
+    # degenerate words
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.bpe import (
+        apply_merges,
+        encode_words_fast,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    merges, _ = bpe_train(df, n_merges=6)
+    words = spark.createDataFrame(
+        [("slowest",), ("low",), ("newest",), ("zzz",), ("wilder",)],
+        "word string",
+    )
+    slow = {r.word: r.segmentation for r in apply_merges(words, merges, 6).collect()}
+    fast = {
+        r.word: r.segmentation for r in encode_words_fast(words, merges, 6).collect()
+    }
+    assert fast == slow
+
+
+def test_encode_fast_deep_matches_training_segmentation(spark, sf_dir):
+    # at a deep budget the fast encoder must reproduce the fast
+    # trainer's own final segmentation of its training vocabulary —
+    # the encode/train consistency contract at budgets the relational
+    # twin cannot reach
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.bpe import (
+        encode_words_fast,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, seg = bpe_train_fast(d, n_merges=512)
+    enc = {
+        r.word: r.segmentation
+        for r in encode_words_fast(seg.select("word"), merges, 512).collect()
+    }
+    trained = {r.word: r.segmentation for r in seg.collect()}
+    assert enc == trained
+
+
 def test_apply_merges_matches_training_segmentation(spark):
     # inference on the TRAINING vocabulary must reproduce the trained
     # segmentations exactly (same merges, same greedy application)
