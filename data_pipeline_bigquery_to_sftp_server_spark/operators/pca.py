@@ -151,17 +151,22 @@ def covariance_matrix(
     return covariance_from_moments(_moments(df, vec_col), round_dp)
 
 
-def _principal_axes(
-    df: DataFrame, vec_col: str, q: int, normalize: bool = False
+def principal_axes_from_moments(
+    moments: DataFrame, q: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Driver-side eigh over the aggregated d x d covariance: returns
-    (mean d-vector, top-q eigenvalues desc, q x d components with the
-    deterministic sign convention). The collect is d^2+d+1 rows —
-    bounded by the _MAX_DIM assert in the scan, not by corpus size."""
-    rows = _moments(df, vec_col, normalize).collect()
+    """Eigendecomposition from HELD moment state — NO corpus access:
+    collect the d^2+d+1 rows (bounded by _MAX_DIM, never by corpus),
+    derive mean/covariance, eigh with the deterministic sign
+    convention. Completes the statistics family's held-state story:
+    moments are built/absorbed/streamed once (moment_state /
+    absorb_moments / the foreachBatch query), and the axes — like the
+    covariance — are pure arithmetic on that state, so steady-state
+    projection never rescans the corpus (pinned equal to the fresh-scan
+    path in test_pca)."""
+    rows = moments.collect()
     if not rows:
         raise ValueError(
-            "pca: no vectors to decompose — the input frame is empty"
+            "pca: no vectors to decompose — the moment state is empty"
         )
     n = next(r["val"] for r in rows if r["i"] == -1)
     d = max(r["i"] for r in rows) + 1
@@ -184,6 +189,14 @@ def _principal_axes(
     return mu, evals, comps * flip[:, None]
 
 
+def _principal_axes(
+    df: DataFrame, vec_col: str, q: int, normalize: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fresh-scan axes: one moment aggregation over the corpus, then
+    :func:`principal_axes_from_moments` on the result."""
+    return principal_axes_from_moments(_moments(df, vec_col, normalize), q)
+
+
 def pca_project(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -192,6 +205,7 @@ def pca_project(
     whiten: bool = False,
     round_dp: int = 6,
     normalize: bool = False,
+    moments: DataFrame | None = None,
 ) -> DataFrame:
     """Project every vector onto the corpus's top-``q`` principal axes:
     returns ``(id_col, pc1..pcq)`` rounded. With ``whiten`` each axis
@@ -205,8 +219,18 @@ def pca_project(
     sphere-projection pre-step reduced-space screens need; doing it
     here (one numpy divide) instead of as a Catalyst HOF avoids an
     O(d^2)-per-row interpreted expression re-evaluated on every
-    consumer scan."""
-    mu, evals, comps = _principal_axes(df, vec_col, q, normalize)
+    consumer scan.
+
+    ``moments=`` (a held :func:`moment_state` frame) is the
+    steady-state path: the axes derive from the state and the ONLY
+    corpus scan left is the projection itself — the AnnIndex pattern
+    for the PCA family. The caller owns consistency between the state
+    and any ``normalize`` flag (moments of normalized vectors need a
+    state built with normalize)."""
+    if moments is not None:
+        mu, evals, comps = principal_axes_from_moments(moments, q)
+    else:
+        mu, evals, comps = _principal_axes(df, vec_col, q, normalize)
     W = comps / np.sqrt(np.maximum(evals, 1e-12))[:, None] if whiten else comps
     qn = len(comps)
     out_cols = [f"pc{k + 1}" for k in range(qn)]

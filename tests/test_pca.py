@@ -122,3 +122,26 @@ def test_absorb_moments_exact(spark):
     got = {(r.i, r.j): r.cov for r in folded.collect()}
     want = {(r.i, r.j): r.cov for r in whole.collect()}
     assert got == want
+
+
+def test_projection_from_held_moments_equals_fresh(spark, sf_dir):
+    # the steady-state path: axes derived from held (even absorbed)
+    # moment state must project identically to the fresh-scan path —
+    # additivity means a 90%+10% absorbed state IS the full-corpus state
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.pca import (
+        absorb_moments,
+        moment_state,
+        pca_project,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    held = moment_state(e.where(F.col("vec_id") % 10 != 0), "embedding")
+    folded = absorb_moments(held, e.where(F.col("vec_id") % 10 == 0))
+    fresh = {r.vec_id: tuple(r)[1:] for r in pca_project(e, q=4, whiten=True).collect()}
+    state = {
+        r.vec_id: tuple(r)[1:]
+        for r in pca_project(e, q=4, whiten=True, moments=folded).collect()
+    }
+    assert state == fresh
