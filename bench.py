@@ -161,6 +161,7 @@ HEADLINE = [
     "lsh_topk_prebuilt",
     "curriculum_packing",
     "bpe_encode_fast",
+    "streaming_ann_absorb",
 ]
 
 

@@ -1278,6 +1278,61 @@ def q_lsh_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_with_recall(approx, e, queries, k=10)
 
 
+def q_streaming_ann_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4c ANN index maintained ON INGEST, ORACLE-CHECKED: held index
+    built from 90% of the corpus, the remaining vectors arrive as 4
+    micro-batches and each batch is absorbed under the frozen model
+    (assign+sign against the existing centroids/planes, lineage cut per
+    batch — the foreachBatch pattern every held state in this engine
+    uses). Because bucket membership is a pure function of the model,
+    FULL-PROBE top-k over the streamed end-state must equal exact brute
+    force over the WHOLE corpus — so the exact-cosine oracle replays the
+    streamed result cell-for-cell, batching and arrival order
+    notwithstanding (operators/similarity.py absorb_ann_index)."""
+    from dataclasses import replace as dc_replace
+
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    held = e.where(F.col("vec_id") % 10 != 0)
+    arriving = e.where(F.col("vec_id") % 10 == 0)
+    src = _scratch_dir("ann_stream_src_")
+    ckpt = _scratch_dir("ann_stream_ckpt_")
+    arriving.repartition(4, "vec_id").write.mode("overwrite").parquet(src)
+
+    idx0 = similarity.build_ann_index(
+        held, dim=64, n_centroids=16, num_planes=16, bands=8, persist=False
+    )
+    state = {"idx": dc_replace(idx0, assigned=idx0.assigned.localCheckpoint())}
+
+    def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        grown = similarity.absorb_ann_index(
+            state["idx"], batch_df, persist=False
+        )
+        state["idx"] = dc_replace(
+            grown, assigned=grown.assigned.localCheckpoint()
+        )
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = W.streaming_upsert(stream, absorb, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_topk(e, queries, k=10, n_probe=16, index=state["idx"])
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X5: text analysis
 # ---------------------------------------------------------------------------
@@ -8193,6 +8248,9 @@ QUERIES: dict[str, QueryFn] = {
     # identity pinned in test_ann_index)
     "ivf_topk_prebuilt": q_ivf_topk_prebuilt,
     "lsh_topk_prebuilt": q_lsh_topk_prebuilt,
+    # r10: screen-on-ingest index maintenance, oracle-checked (full
+    # probe over the streamed end-state == exact brute force)
+    "streaming_ann_absorb": q_streaming_ann_absorb,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -8293,6 +8351,9 @@ ORACLES: dict[str, str] = {
     "recipe_pipeline": _ORACLE_RECIPE_PIPELINE,
     "cosine_topk": _ORACLE_COSINE_TOPK,
     "cosine_topk_np": _ORACLE_COSINE_TOPK,
+    # the streamed-absorb index at full probe must equal exact brute
+    # force over the whole corpus — same oracle BY DESIGN
+    "streaming_ann_absorb": _ORACLE_COSINE_TOPK,
     # full probe == exact brute force (see q_ivf_full_probe docstring)
     "ivf_full_probe": _ORACLE_COSINE_TOPK,
     "membership_split": _ORACLE_MEMBERSHIP_SPLIT,
