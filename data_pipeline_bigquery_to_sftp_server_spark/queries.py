@@ -8071,7 +8071,11 @@ QUERIES: dict[str, QueryFn] = {
     # streaming_covariance join embedding_covariance: the moment state's
     # three deployment shapes (one-shot, batch absorb, foreachBatch
     # absorb) all replay the same covar_pop oracle.
-    "ivf_full_probe": q_ivf_full_probe,
+    # (ivf_full_probe displaced late r10 — streaming_ann_absorb holds
+    # the IDENTICAL exact-cosine oracle in-window through a strict
+    # superset of its machinery: index build + frozen-model absorb +
+    # the same full-probe ivf_topk; verify_local-green)
+    "streaming_ann_absorb": q_streaming_ann_absorb,
     "embedding_covariance": q_embedding_covariance,
     "incremental_covariance": q_incremental_covariance,
     "streaming_covariance": q_streaming_covariance,
@@ -8135,7 +8139,11 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_fast_merges": q_bpe_fast_merges,
     "bpe_segment": q_bpe_segment,
     "bpe_encode": q_bpe_encode,
-    "bpe_encode_new": q_bpe_encode_new,
+    # (bpe_encode_new displaced late r10 — bpe_encode_fast replays the
+    # IDENTICAL unseen-word oracle in-window; the relational encoder
+    # stays the tier's oracle twin, pinned in test_bpe and
+    # verify_local-green)
+    "bpe_encode_fast": q_bpe_encode_fast,
     "funnel_conversion": q_funnel_conversion,
     "scd2_apply": q_scd2_apply,
     # streaming — streaming_dedup displaced (streaming_incremental_dedup
@@ -8175,7 +8183,6 @@ QUERIES: dict[str, QueryFn] = {
     # oracle is not writable; certified by the oracle-checked 6-round
     # twin above + test_bpe row-identity/determinism pins)
     "bpe_fast_deep": q_bpe_fast_deep,
-    "bpe_encode_fast": q_bpe_encode_fast,
     # r7 late additions (oracle-green via verify_local; next rotation)
     "ccnet_buckets": q_ccnet_buckets,
     "vocab_coverage": q_vocab_coverage,
@@ -8248,9 +8255,10 @@ QUERIES: dict[str, QueryFn] = {
     # identity pinned in test_ann_index)
     "ivf_topk_prebuilt": q_ivf_topk_prebuilt,
     "lsh_topk_prebuilt": q_lsh_topk_prebuilt,
-    # r10: screen-on-ingest index maintenance, oracle-checked (full
-    # probe over the streamed end-state == exact brute force)
-    "streaming_ann_absorb": q_streaming_ann_absorb,
+    # late-r10 displaced (their identical oracles stay in-window via
+    # streaming_ann_absorb / bpe_encode_fast; both verify_local-green)
+    "ivf_full_probe": q_ivf_full_probe,
+    "bpe_encode_new": q_bpe_encode_new,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
