@@ -162,6 +162,7 @@ HEADLINE = [
     "curriculum_packing",
     "bpe_encode_fast",
     "streaming_ann_absorb",
+    "pq_topk",
 ]
 
 

@@ -1,0 +1,361 @@
+"""Product quantization for embedding search (SURVEY §2.11 X4 family —
+the MEMORY tier of ANN at 100 TB).
+
+Jégou et al. 2011 ("Product quantization for nearest neighbor
+search"): split each d-dim vector into ``m`` subvectors, k-means each
+subspace into ``ksub`` centroids (a CODEBOOK), and store every vector
+as its m centroid ids — 64-dim float32 (256 B) becomes m=8 single-byte
+codes (8 B), a 32x smaller corpus representation. Queries score
+candidates with ADC (asymmetric distance computation): one m x ksub
+lookup table of query-subvector dot products per query, then a
+candidate's approximate inner product is m table lookups — no float
+vector is touched until the exact re-rank of the top candidates.
+
+Why this matters at scale: the scan side of every ANN probe is
+bandwidth-bound; PQ cuts the bytes scanned ~30x and turns the scoring
+into integer-indexed lookups (numpy fancy indexing per Arrow batch).
+The exact re-rank then joins the ORIGINAL vectors for only the
+``rerank`` survivors per query, so precision of the returned scores is
+exact — recall is the (m, ksub, rerank) dial, pinned against brute
+force in test_pq with an exactness anchor (ksub >= corpus size makes
+every vector its own centroid, ADC degenerates to exact inner product,
+and the result must EQUAL brute force — the ivf_full_probe discipline).
+
+The index follows the engine's held-state lifecycle (AnnIndex /
+DedupState / KMV / moments): build once (codebooks train driver-side
+on a bounded deterministic sample; ONE Arrow pass encodes the corpus),
+absorb deltas under the frozen codebooks, save/load parquet.
+
+Cosine handling: vectors are L2-normalized inside the encode/score
+passes (PQ approximates the inner product, which equals cosine on the
+unit sphere); the exact re-rank computes true cosine on the raw
+vectors, so returned scores match the brute-force oracle's values.
+
+Reference: no counterpart (the reference has no vector search); part
+of the LLM-pipeline surface this engine adds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace as _dc_replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
+    ensure_parallelism,
+)
+from data_pipeline_bigquery_to_sftp_server_spark.operators.similarity import (
+    _kmeans_np,
+)
+
+
+@dataclass
+class PqIndex:
+    """Held PQ state: per-subspace codebooks (m x ksub x d/m — tiny,
+    driver/closure-sized) plus the corpus's code table ``codes``
+    (id, m small ints) — the ONLY corpus-sized artifact, ~d*4/m bytes
+    per row smaller than the raw vectors it stands in for."""
+
+    id_col: str
+    vec_col: str
+    dim: int
+    m: int
+    ksub: int
+    seed: int
+    normalize: bool
+    codebooks: list[list[list[float]]]  # m x ksub x (dim/m)
+    codes: DataFrame  # (id_col, code array<int>)
+
+
+def _sample_matrix(
+    corpus: DataFrame, id_col: str, vec_col: str, seed: int, max_train: int
+):
+    """Deterministic bounded training sample (the _train_quantizer
+    shape: hash-ordered TakeOrdered, not limit() — limit() would read
+    one shard's distribution at 100 TB)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(max_train)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq: corpus is empty — nothing to train on")
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
+def _l2_normalize(X):
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def _encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+    normalize: bool,
+) -> DataFrame:
+    """One Arrow pass: vector -> m nearest-subcentroid codes."""
+    import numpy as np
+    import pandas as pd_local
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    ds = books[0].shape[1]
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normalize:
+                X = _l2_normalize(X)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j, B in enumerate(books):
+                S = X[:, j * ds : (j + 1) * ds]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ B.T)
+                    + (B * B).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd_local.DataFrame(
+                {id_col: pdf[id_col], "code": list(codes)}
+            )
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        run, f"{id_col} {id_t}, code array<int>"
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 256,
+    seed: int = 42,
+    normalize: bool = True,
+    max_train: int = 8192,
+    persist: bool = True,
+) -> PqIndex:
+    """Train the m per-subspace codebooks on a bounded sample and
+    encode the corpus in one Arrow pass. ``dim`` must divide by ``m``
+    (asserted — silent padding would corrupt the subspace split)."""
+    if dim % m != 0:
+        raise ValueError(f"pq: dim={dim} not divisible by m={m}")
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    X = _sample_matrix(corpus, id_col, vec_col, seed, max_train)
+    if normalize:
+        X = _l2_normalize(X)
+    ds = dim // m
+    codebooks = [
+        _kmeans_np(
+            X[:, j * ds : (j + 1) * ds].copy(), min(ksub, len(X)), seed=seed + j
+        ).tolist()
+        for j in range(m)
+    ]
+    codes = _encode(corpus, id_col, vec_col, codebooks, normalize)
+    if persist:
+        codes = persist_tracked(codes)
+    return PqIndex(
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        m=m,
+        ksub=ksub,
+        seed=seed,
+        normalize=normalize,
+        codebooks=codebooks,
+        codes=codes,
+    )
+
+
+def absorb_pq_index(index: PqIndex, new: DataFrame, persist: bool = True) -> PqIndex:
+    """Encode arriving vectors under the FROZEN codebooks and append —
+    the same absorb contract as AnnIndex (codes are a pure function of
+    the codebooks, so absorb == rebuild-under-frozen-model; codebook
+    drift is the documented retrain trigger)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    delta = _encode(new, index.id_col, index.vec_col, index.codebooks, index.normalize)
+    codes = index.codes.unionByName(delta)
+    if persist:
+        codes = persist_tracked(codes)
+    return _dc_replace(index, codes=codes)
+
+
+def save_pq_index(index: PqIndex, path: str) -> None:
+    """``path``/{params,codes} parquet — the save_dedup_state shape.
+    Codebooks ride the params row as a flattened array with (m, ksub,
+    dsub) recorded for exact reshape."""
+    spark = index.codes.sparkSession
+    flat = [
+        float(v)
+        for book in index.codebooks
+        for centroid in book
+        for v in centroid
+    ]
+    spark.createDataFrame(
+        [
+            (
+                index.id_col,
+                index.vec_col,
+                index.dim,
+                index.m,
+                index.ksub,
+                index.seed,
+                index.normalize,
+                len(index.codebooks[0]),
+                flat,
+            )
+        ],
+        "id_col string, vec_col string, dim int, m int, ksub int, "
+        "seed int, normalize boolean, ksub_actual int, flat array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def load_pq_index(spark, path: str, persist: bool = True) -> PqIndex:
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    ds = int(p.dim) // int(p.m)
+    ka = int(p.ksub_actual)
+    flat = list(p.flat)
+    codebooks = [
+        [
+            flat[(j * ka + c) * ds : (j * ka + c + 1) * ds]
+            for c in range(ka)
+        ]
+        for j in range(int(p.m))
+    ]
+    codes = spark.read.parquet(f"{path}/codes")
+    if persist:
+        codes = persist_tracked(codes)
+    return PqIndex(
+        id_col=p.id_col,
+        vec_col=p.vec_col,
+        dim=int(p.dim),
+        m=int(p.m),
+        ksub=int(p.ksub),
+        seed=int(p.seed),
+        normalize=bool(p.normalize),
+        codebooks=codebooks,
+        codes=codes,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    index: PqIndex,
+    k: int = 10,
+    rerank: int = 50,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k over the code table with exact re-rank:
+
+    1. ADC scan — per Arrow batch of CODES, each query's m x ksub
+       lookup table (query subvector · codebook, built once per task
+       from the closure) turns a candidate's score into m integer
+       lookups; the batch emits only its top-``rerank`` rows per query
+       (map-side partial top-k, the brute_force_topk_np discipline), so
+       the shuffle carries candidates, never the corpus;
+    2. global top-``rerank`` per query (bounded window);
+    3. exact re-rank — join the survivors back to the RAW vectors (a
+       broadcast of |queries| x rerank ids against the corpus) and
+       compute true cosine, so returned scores are exact and equal the
+       brute-force oracle's values for every returned row.
+
+    Recall is the (m, ksub, rerank) dial (pinned in test_pq, including
+    the ksub >= corpus exactness anchor); precision of scores is 1 by
+    construction. Returns (query_id, id, cos_sim, rank).
+    """
+    import numpy as np
+    import pandas as pd_local
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.similarity import (
+        cosine,
+    )
+
+    books = [np.asarray(b, dtype=np.float64) for b in index.codebooks]
+    m, ds = len(books), books[0].shape[1]
+    q_pdf = queries.select(query_id_col, query_vec_col).toPandas()
+    q_ids = q_pdf[query_id_col].to_numpy()
+    Q = np.vstack(q_pdf[query_vec_col].to_numpy()).astype(np.float64)
+    if index.normalize:
+        Q = _l2_normalize(Q)
+    # LUTs: (nq, m, ksub) — query subvector dot every subcentroid
+    luts = np.stack(
+        [Q[:, j * ds : (j + 1) * ds] @ books[j].T for j in range(m)], axis=1
+    )
+
+    id_col = index.id_col
+    id_t = index.codes.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["code"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            # scores[c, q] = sum_j luts[q, j, codes[c, j]]
+            scores = np.zeros((len(codes), len(q_ids)))
+            for j in range(m):
+                scores += luts[:, j, :].T[codes[:, j]]  # (batch, nq)
+            top = min(rerank, len(ids))
+            part = np.argpartition(-scores, top - 1, axis=0)[:top]
+            yield pd_local.DataFrame(
+                {
+                    query_id_col: np.repeat(q_ids, top),
+                    id_col: ids[part].T.ravel(),
+                    "_adc": np.take_along_axis(scores, part, axis=0).T.ravel(),
+                }
+            )
+
+    cand = index.codes.mapInPandas(
+        adc, f"{query_id_col} {qid_t}, {id_col} {id_t}, _adc double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_adc"), F.asc(id_col))
+    survivors = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= rerank)
+        .select(query_id_col, id_col)
+    )
+    # exact re-rank on raw vectors: survivors are |queries| x rerank —
+    # the broadcast side; the corpus is semi-join-pruned, never shuffled
+    qv = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = (
+        corpus.select(id_col, index.vec_col)
+        .join(F.broadcast(survivors), id_col)
+        .join(qv, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(
+                F.col(index.vec_col).cast("array<double>"),
+                F.col(query_vec_col).cast("array<double>"),
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )

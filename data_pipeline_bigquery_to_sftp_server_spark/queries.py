@@ -1278,6 +1278,28 @@ def q_lsh_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_with_recall(approx, e, queries, k=10)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 MEMORY tier (r10): product-quantized top-k — the corpus
+    scanned as 8 one-byte codes per vector (32x fewer bytes than raw
+    float32) with ADC lookup-table scoring per Arrow batch, map-side
+    partial top-k, and an exact re-rank of the 50 survivors per query
+    so every returned score is the true cosine. Rows-only like its
+    LSH/IVF siblings (float k-means codebooks are not SQL-expressible)
+    with the family's self-certifying recall column; the exactness
+    anchor (ksub >= corpus => EQUAL to brute force), score precision,
+    absorb/save/load, and the byte-narrow code contract are pinned in
+    test_pq (operators/pq.py)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = pq.build_pq_index(e, dim=64, m=8, ksub=256)
+    approx = pq.pq_topk(e, queries, idx, k=10, rerank=50)
+    return _ann_with_recall(approx, e, queries, k=10)
+
+
 def q_streaming_ann_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4c ANN index maintained ON INGEST, ORACLE-CHECKED: held index
     built from 90% of the corpus, the remaining vectors arrive as 4
@@ -8259,6 +8281,9 @@ QUERIES: dict[str, QueryFn] = {
     # streaming_ann_absorb / bpe_encode_fast; both verify_local-green)
     "ivf_full_probe": q_ivf_full_probe,
     "bpe_encode_new": q_bpe_encode_new,
+    # r10: the PQ memory tier (rows-only + recall column, exactness
+    # anchor pinned in test_pq)
+    "pq_topk": q_pq_topk,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
