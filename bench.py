@@ -163,6 +163,7 @@ HEADLINE = [
     "bpe_encode_fast",
     "streaming_ann_absorb",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 

@@ -331,24 +331,48 @@ def pq_topk(
     cand = index.codes.mapInPandas(
         adc, f"{query_id_col} {qid_t}, {id_col} {id_t}, _adc double"
     )
+    return _exact_rerank(
+        corpus, cand, queries, index.vec_col, id_col,
+        query_id_col, query_vec_col, k, rerank,
+    )
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    cand: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+    rerank: int,
+) -> DataFrame:
+    """Shared tail of the PQ searchers: global top-``rerank`` per query
+    over the ADC candidates (bounded window), then true cosine on the
+    RAW vectors for only the survivors (|queries| x rerank rows — the
+    broadcast side; the corpus is join-pruned, never shuffled), then
+    the final top-``k``. Returned scores are exact by construction."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.similarity import (
+        cosine,
+    )
+
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_adc"), F.asc(id_col))
     survivors = (
         cand.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= rerank)
         .select(query_id_col, id_col)
     )
-    # exact re-rank on raw vectors: survivors are |queries| x rerank —
-    # the broadcast side; the corpus is semi-join-pruned, never shuffled
     qv = F.broadcast(queries.select(query_id_col, query_vec_col))
     scored = (
-        corpus.select(id_col, index.vec_col)
+        corpus.select(id_col, vec_col)
         .join(F.broadcast(survivors), id_col)
         .join(qv, query_id_col)
         .select(
             query_id_col,
             id_col,
             cosine(
-                F.col(index.vec_col).cast("array<double>"),
+                F.col(vec_col).cast("array<double>"),
                 F.col(query_vec_col).cast("array<double>"),
             ).alias("cos_sim"),
         )
@@ -358,4 +382,105 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ann_index,
+    pq_index: PqIndex,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 50,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ — the full billion-scale recipe, composed from the two
+    held states: the AnnIndex's coarse quantizer prunes the search to
+    ``n_probe`` buckets per query (candidate generation is a broadcast
+    hash join on the stored bucket column — the corpus never shuffles),
+    the PqIndex's code table scores ONLY those candidates via m
+    byte-code lookups per row, and the exact re-rank returns true
+    cosines. Bytes touched before the re-rank: the code bytes of the
+    probed buckets — both the scan-pruning (IVF) and the
+    bytes-per-row (PQ) multipliers apply, which is how FAISS-style
+    systems reach 10^9 vectors.
+
+    Both indexes must be built over the same corpus and id column
+    (asserted). Full probe + exact-capable codebooks must EQUAL brute
+    force (the double anchor, pinned in test_pq); recall at partial
+    probe is the dial.
+    """
+    import numpy as np
+    import pandas as pd_local
+
+    if ann_index.id_col != pq_index.id_col:
+        raise ValueError(
+            "ivfpq_topk: ann_index and pq_index disagree on id_col "
+            f"({ann_index.id_col!r} vs {pq_index.id_col!r})"
+        )
+    id_col = pq_index.id_col
+    books = [np.asarray(b, dtype=np.float64) for b in pq_index.codebooks]
+    m, ds = len(books), books[0].shape[1]
+    centers = np.asarray(ann_index.centroids, dtype=np.float64)
+
+    q_pdf = queries.select(query_id_col, query_vec_col).toPandas()
+    q_ids = q_pdf[query_id_col].to_numpy()
+    Q = np.vstack(q_pdf[query_vec_col].to_numpy()).astype(np.float64)
+    Qn = _l2_normalize(Q) if pq_index.normalize else Q
+    luts = np.stack(
+        [Qn[:, j * ds : (j + 1) * ds] @ books[j].T for j in range(m)], axis=1
+    )
+    qpos = {qid: i for i, qid in enumerate(q_ids)}
+
+    # probe list: n_probe nearest centroids per query by cosine —
+    # centroids are tiny, ranked driver-side (the ivf_topk shape)
+    c_norm = np.linalg.norm(centers, axis=1)
+    c_norm[c_norm == 0] = np.nan
+    probes = []
+    for i, qid in enumerate(q_ids):
+        qv = Q[i]
+        qn = np.linalg.norm(qv)
+        sims = (centers @ qv) / (c_norm * qn) if qn > 0 else np.zeros(len(centers))
+        for cid in np.argsort(-sims)[:n_probe]:
+            probes.append((qid.item() if hasattr(qid, "item") else qid, int(cid)))
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    probe_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            probes, f"{query_id_col} {qid_t}, _cid int"
+        )
+    )
+
+    pairs = (
+        ann_index.assigned.select(F.col(id_col), "_cid")
+        .join(probe_df, "_cid")
+        .join(pq_index.codes, id_col)
+        .select(query_id_col, id_col, "code")
+    )
+    id_t = pq_index.codes.schema[id_col].dataType.simpleString()
+
+    def adc_pairs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["code"].to_numpy()).astype(np.int64)
+            qi = pdf[query_id_col].map(qpos).to_numpy()
+            scores = np.zeros(len(codes))
+            for j in range(m):
+                scores += luts[qi, j, codes[:, j]]
+            yield pd_local.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col],
+                    id_col: pdf[id_col],
+                    "_adc": scores,
+                }
+            )
+
+    cand = pairs.mapInPandas(
+        adc_pairs, f"{query_id_col} {qid_t}, {id_col} {id_t}, _adc double"
+    )
+    return _exact_rerank(
+        corpus, cand, queries, pq_index.vec_col, id_col,
+        query_id_col, query_vec_col, k, rerank,
     )

@@ -1300,6 +1300,28 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_with_recall(approx, e, queries, k=10)
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 IVF-PQ (r10): the two held states composed — the session's
+    AnnIndex prunes to 4 probed buckets per query (broadcast join on
+    the stored bucket column), the PQ code table scores only those
+    candidates via byte-code lookups, exact re-rank returns true
+    cosines. Both the scan-pruning and bytes-per-row multipliers apply:
+    the FAISS-style billion-scale recipe as a pure DataFrame plan.
+    Rows-only + recall column like the family; the double anchor (full
+    probe + exact codebooks == brute force) is pinned in test_pq
+    (operators/pq.py ivfpq_topk)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = shared_ann_index(spark, sf_dir)
+    pidx = pq.build_pq_index(e, dim=64, m=8, ksub=256)
+    approx = pq.ivfpq_topk(e, queries, ann, pidx, k=10, n_probe=6, rerank=50)
+    return _ann_with_recall(approx, e, queries, k=10)
+
+
 def q_streaming_ann_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4c ANN index maintained ON INGEST, ORACLE-CHECKED: held index
     built from 90% of the corpus, the remaining vectors arrive as 4
@@ -8281,9 +8303,10 @@ QUERIES: dict[str, QueryFn] = {
     # streaming_ann_absorb / bpe_encode_fast; both verify_local-green)
     "ivf_full_probe": q_ivf_full_probe,
     "bpe_encode_new": q_bpe_encode_new,
-    # r10: the PQ memory tier (rows-only + recall column, exactness
-    # anchor pinned in test_pq)
+    # r10: the PQ memory tier + the IVF-PQ composition (rows-only +
+    # recall columns, exactness anchors pinned in test_pq)
     "pq_topk": q_pq_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,

@@ -113,3 +113,50 @@ def test_pq_codes_are_byte_narrow(spark, sf_dir):
         F.size("code").alias("m"), F.array_max("code").alias("mx")
     ).agg(F.max("m"), F.min("m"), F.max("mx")).collect()[0]
     assert stats[0] == 8 and stats[1] == 8 and stats[2] < 256
+
+
+def test_ivfpq_double_anchor_equals_brute_force(spark, sf_dir):
+    # full probe (every bucket searched) + exact-capable codebooks
+    # (ksub >= corpus, m=1) must equal brute force — both approximation
+    # dials turned off, the composition must be lossless
+    e, q = _fixtures(spark, sf_dir, n_queries=3)
+    small = e.where(F.col("vec_id") < 64)
+    ann = similarity.build_ann_index(small, dim=64, n_centroids=8)
+    pidx = pq.build_pq_index(small, dim=64, m=1, ksub=64)
+    got = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in pq.ivfpq_topk(
+            small, q, ann, pidx, k=5, n_probe=8, rerank=20
+        ).collect()
+    )
+    exact = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in similarity.brute_force_topk(small, q, k=5).collect()
+    )
+    assert got == exact
+
+
+def test_ivfpq_partial_probe_recall(spark, sf_dir):
+    e, q = _fixtures(spark, sf_dir)
+    ann = similarity.build_ann_index(e, dim=64, n_centroids=8)
+    pidx = pq.build_pq_index(e, dim=64, m=8, ksub=256)
+    approx = pq.ivfpq_topk(e, q, ann, pidx, k=10, n_probe=4, rerank=50).toPandas()
+    exact = similarity.brute_force_topk(e, q, k=10).toPandas()
+    recalls = []
+    for qid in range(5):
+        t = set(exact[exact.query_id == qid].vec_id)
+        g = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(t & g) / len(t))
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_ivfpq_rejects_mismatched_indexes(spark, sf_dir):
+    e, q = _fixtures(spark, sf_dir)
+    ann = similarity.build_ann_index(
+        e.select(F.col("vec_id").alias("other_id"), "embedding"),
+        dim=64,
+        id_col="other_id",
+    )
+    pidx = pq.build_pq_index(e, dim=64, m=8, ksub=64)
+    with pytest.raises(ValueError, match="disagree on id_col"):
+        pq.ivfpq_topk(e, q, ann, pidx)
