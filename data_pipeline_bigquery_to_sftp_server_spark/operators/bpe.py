@@ -398,8 +398,12 @@ def encode_words_fast(
             syms = out
         return " ".join(syms)
 
-    distinct = words.select(F.col(word_col).alias("word")).dropDuplicates(
-        ["word"]
+    # NULL words emit no row — parity with apply_merges, whose
+    # posexplode of a NULL split drops them silently
+    distinct = (
+        words.select(F.col(word_col).alias("word"))
+        .where(F.col("word").isNotNull())
+        .dropDuplicates(["word"])
     )
 
     def enc_batch(batches):

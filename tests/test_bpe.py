@@ -186,3 +186,20 @@ def test_apply_merges_matches_training_segmentation(spark):
     new = spark.createDataFrame([("slowest",)], "word string")
     out = apply_merges(new, merges, n_merges=6).collect()[0]
     assert out.segmentation == "s low est"
+
+
+def test_encode_fast_drops_null_words_like_relational(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.bpe import (
+        apply_merges,
+        encode_words_fast,
+    )
+
+    df = spark.createDataFrame([(1, "ab ab")], "id long, text string")
+    merges, _ = bpe_train(df, n_merges=1)
+    words = spark.createDataFrame([("ab",), (None,), ("ba",)], "word string")
+    slow = {r.word: r.segmentation for r in apply_merges(words, merges, 1).collect()}
+    fast = {
+        r.word: r.segmentation for r in encode_words_fast(words, merges, 1).collect()
+    }
+    assert fast == slow
+    assert None not in fast
