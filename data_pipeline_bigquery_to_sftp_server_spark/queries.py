@@ -1335,6 +1335,7 @@ def q_streaming_ann_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     notwithstanding (operators/similarity.py absorb_ann_index)."""
     from dataclasses import replace as dc_replace
 
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
     from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1344,18 +1345,17 @@ def q_streaming_ann_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("ann_stream_ckpt_")
     arriving.repartition(4, "vec_id").write.mode("overwrite").parquet(src)
 
+    chain = CheckpointChain()  # lineage cut + previous-batch block release
     idx0 = similarity.build_ann_index(
         held, dim=64, n_centroids=16, num_planes=16, bands=8, persist=False
     )
-    state = {"idx": dc_replace(idx0, assigned=idx0.assigned.localCheckpoint())}
+    state = {"idx": dc_replace(idx0, assigned=chain.step(idx0.assigned))}
 
     def absorb(batch_df: DataFrame, epoch_id: int) -> None:
         grown = similarity.absorb_ann_index(
             state["idx"], batch_df, persist=False
         )
-        state["idx"] = dc_replace(
-            grown, assigned=grown.assigned.localCheckpoint()
-        )
+        state["idx"] = dc_replace(grown, assigned=chain.step(grown.assigned))
 
     stream = (
         spark.readStream.schema(arriving.schema)
@@ -7742,12 +7742,15 @@ def q_streaming_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("cov_stream_ckpt_")
     arriving.repartition(4, "vec_id").write.mode("overwrite").parquet(src)
 
-    state = {"m": pca.moment_state(held, "embedding").localCheckpoint()}
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+
+    chain = CheckpointChain()  # lineage cut + previous-batch block release
+    state = {"m": chain.step(pca.moment_state(held, "embedding"))}
 
     def absorb(batch_df: DataFrame, epoch_id: int) -> None:
-        state["m"] = pca.absorb_moments(
-            state["m"], batch_df, "embedding"
-        ).localCheckpoint()
+        state["m"] = chain.step(
+            pca.absorb_moments(state["m"], batch_df, "embedding")
+        )
 
     stream = (
         spark.readStream.schema(arriving.schema)
@@ -7998,17 +8001,23 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("kmv_stream_ckpt_")
     arriving.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
 
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+
+    # chain, not bare localCheckpoint: each absorb's lineage cut also
+    # RELEASES the previous batch's checkpoint blocks, so an unbounded
+    # stream holds at most two generations of k-row-per-group state
+    chain = CheckpointChain()
     state = {
-        "kmv": sketch.kmv_state(
-            held, "text", "source", k=_KMV_K, salt=_KMV_SALT
-        ).localCheckpoint()
+        "kmv": chain.step(
+            sketch.kmv_state(held, "text", "source", k=_KMV_K, salt=_KMV_SALT)
+        )
     }
 
     def absorb_batch(batch_df: DataFrame, epoch_id: int) -> None:
         b = sketch.kmv_state(batch_df, "text", "source", k=_KMV_K, salt=_KMV_SALT)
-        state["kmv"] = sketch.kmv_absorb(
-            state["kmv"], b, "source", k=_KMV_K
-        ).localCheckpoint()
+        state["kmv"] = chain.step(
+            sketch.kmv_absorb(state["kmv"], b, "source", k=_KMV_K)
+        )
 
     stream = (
         spark.readStream.schema(arriving.schema)
