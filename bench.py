@@ -164,6 +164,7 @@ HEADLINE = [
     "streaming_ann_absorb",
     "pq_topk",
     "ivfpq_topk",
+    "semantic_decontam",
 ]
 
 

@@ -1278,6 +1278,54 @@ def q_lsh_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_with_recall(approx, e, queries, k=10)
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8b semantic decontamination, ORACLE-CHECKED: the embedding-side
+    twin of the n-gram decontaminate screen — train-set vectors whose
+    cosine against ANY eval-set vector reaches the threshold are
+    flagged (paraphrased eval leakage that exact n-gram overlap
+    misses; the screen modern pipelines run next to the lexical one).
+    Eval side is 5% of the corpus (the bounded side — screened via the
+    BLAS cross-pair scorer with the eval matrix shipped once, the
+    train side streamed through Arrow batches, never shuffled); output
+    is every train vector with its contamination flag. At 100 TB the
+    SRP-banded cross screen (X20d) substitutes for the pair step with
+    the identical downstream plan (operators/similarity.py
+    cross_near_dup_pairs_np)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    eval_set = e.where(F.col("vec_id") % 20 == 0)
+    train = e.where(F.col("vec_id") % 20 != 0)
+    pairs = similarity.cross_near_dup_pairs_np(eval_set, train, threshold=0.3)
+    contaminated = pairs.select(
+        F.col("id_corpus").alias("vec_id")
+    ).dropDuplicates(["vec_id"])
+    return (
+        train.select("vec_id")
+        .join(
+            F.broadcast(contaminated.withColumn("_c", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id", F.coalesce(F.col("_c"), F.lit(False)).alias("contaminated")
+        )
+        .orderBy("vec_id")
+    )
+
+
+_ORACLE_SEMANTIC_DECONTAM = """
+SELECT t.vec_id,
+       EXISTS (
+         SELECT 1 FROM embeddings ev
+         WHERE ev.vec_id % 20 = 0
+           AND list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                      CAST(ev.embedding AS DOUBLE[])) >= 0.3
+       ) AS contaminated
+FROM embeddings t
+WHERE t.vec_id % 20 != 0
+ORDER BY t.vec_id
+"""
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 MEMORY tier (r10): product-quantized top-k — the corpus
     scanned as 8 one-byte codes per vector (32x fewer bytes than raw
@@ -8313,9 +8361,11 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_full_probe": q_ivf_full_probe,
     "bpe_encode_new": q_bpe_encode_new,
     # r10: the PQ memory tier + the IVF-PQ composition (rows-only +
-    # recall columns, exactness anchors pinned in test_pq)
+    # recall columns, exactness anchors pinned in test_pq), and the
+    # embedding-side decontamination screen (oracle-checked)
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "semantic_decontam": q_semantic_decontam,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -8517,6 +8567,7 @@ ORACLES: dict[str, str] = {
     # key-disjoint micro-batches at one batch_ts compose to the one-shot
     # MERGE (see q_streaming_scd2) -> the batch oracle replays the stream
     "streaming_scd2": _ORACLE_SCD2_APPLY,
+    "semantic_decontam": _ORACLE_SEMANTIC_DECONTAM,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,
