@@ -72,21 +72,14 @@ class PqIndex:
 def _sample_matrix(
     corpus: DataFrame, id_col: str, vec_col: str, seed: int, max_train: int
 ):
-    """Deterministic bounded training sample (the _train_quantizer
-    shape: hash-ordered TakeOrdered, not limit() — limit() would read
-    one shard's distribution at 100 TB)."""
-    import numpy as np
-
-    rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(max_train)
-        .select(vec_col)
-        .collect()
+    """The shared deterministic bounded sample (similarity.py
+    sample_vector_matrix — ONE sampling discipline for every
+    driver-trained quantizer, IVF and PQ alike)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.similarity import (
+        sample_vector_matrix,
     )
-    if not rows:
-        raise ValueError("pq: corpus is empty — nothing to train on")
-    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+    return sample_vector_matrix(corpus, id_col, vec_col, seed, max_train)
 
 
 def _l2_normalize(X):
@@ -288,10 +281,6 @@ def pq_topk(
     import numpy as np
     import pandas as pd_local
 
-    from data_pipeline_bigquery_to_sftp_server_spark.operators.similarity import (
-        cosine,
-    )
-
     books = [np.asarray(b, dtype=np.float64) for b in index.codebooks]
     m, ds = len(books), books[0].shape[1]
     q_pdf = queries.select(query_id_col, query_vec_col).toPandas()
@@ -319,12 +308,23 @@ def pq_topk(
             for j in range(m):
                 scores += luts[:, j, :].T[codes[:, j]]  # (batch, nq)
             top = min(rerank, len(ids))
-            part = np.argpartition(-scores, top - 1, axis=0)[:top]
+            # DETERMINISTIC partial top-k: identical code words (common
+            # for near-dup vectors) tie exactly on ADC, and argpartition
+            # breaks ties by memory order — partitioning-dependent rows
+            # at the rerank boundary (r10 review). lexsort on
+            # (-score, id) matches the global window's tie-break, so
+            # the map-side cut is a pure function of the data.
+            out_ids, out_adc, out_q = [], [], []
+            for qi in range(len(q_ids)):
+                order = np.lexsort((ids, -scores[:, qi]))[:top]
+                out_ids.append(ids[order])
+                out_adc.append(scores[order, qi])
+                out_q.append(np.repeat(q_ids[qi], len(order)))
             yield pd_local.DataFrame(
                 {
-                    query_id_col: np.repeat(q_ids, top),
-                    id_col: ids[part].T.ravel(),
-                    "_adc": np.take_along_axis(scores, part, axis=0).T.ravel(),
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_ids),
+                    "_adc": np.concatenate(out_adc),
                 }
             )
 
@@ -385,6 +385,34 @@ def _exact_rerank(
     )
 
 
+def compose_ivfpq(ann_index, pq_index: PqIndex, persist: bool = True) -> DataFrame:
+    """The IVF-PQ inverted file: ONE ``(id, _cid, code)`` frame,
+    id-joined from the two held states and REPARTITIONED ON THE BUCKET
+    ID — built once per index pair (the corpus-wide join happens here,
+    at compose time), after which every query's candidate generation is
+    a broadcast probe join against this frame: bucket-pruned,
+    corpus-never-shuffles-at-query-time (the r10 review caught the
+    per-query codes join shuffling the whole table). The dedup-state
+    save/load shape applies: persist the composed frame alongside the
+    two indexes for steady-state serving."""
+    if ann_index.id_col != pq_index.id_col:
+        raise ValueError(
+            "compose_ivfpq: ann_index and pq_index disagree on id_col "
+            f"({ann_index.id_col!r} vs {pq_index.id_col!r})"
+        )
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    id_col = pq_index.id_col
+    combined = (
+        ann_index.assigned.select(F.col(id_col), "_cid")
+        .join(pq_index.codes, id_col)
+        .repartition("_cid")
+    )
+    if persist:
+        combined = persist_tracked(combined)
+    return combined
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -395,31 +423,32 @@ def ivfpq_topk(
     rerank: int = 50,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    combined: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ — the full billion-scale recipe, composed from the two
     held states: the AnnIndex's coarse quantizer prunes the search to
-    ``n_probe`` buckets per query (candidate generation is a broadcast
-    hash join on the stored bucket column — the corpus never shuffles),
-    the PqIndex's code table scores ONLY those candidates via m
-    byte-code lookups per row, and the exact re-rank returns true
-    cosines. Bytes touched before the re-rank: the code bytes of the
-    probed buckets — both the scan-pruning (IVF) and the
+    ``n_probe`` buckets per query, the PQ code table scores ONLY those
+    candidates via m byte-code lookups per row, and the exact re-rank
+    returns true cosines. Bytes touched before the re-rank: the code
+    bytes of the probed buckets — both the scan-pruning (IVF) and the
     bytes-per-row (PQ) multipliers apply, which is how FAISS-style
     systems reach 10^9 vectors.
 
-    Both indexes must be built over the same corpus and id column
-    (asserted). Full probe + exact-capable codebooks must EQUAL brute
-    force (the double anchor, pinned in test_pq); recall at partial
-    probe is the dial.
+    ``combined=`` (a held :func:`compose_ivfpq` frame) is the
+    steady-state path: candidate generation is a broadcast probe join
+    against the bucket-partitioned inverted file — no corpus-sized
+    join or shuffle per query. Without it the compose runs inline
+    (one id-join per call — fine for one-shot use, wrong for serving).
+
+    Both indexes must share the id column (asserted in compose). Full
+    probe + exact-capable codebooks must EQUAL brute force (the double
+    anchor, pinned in test_pq); recall at partial probe is the dial.
     """
     import numpy as np
     import pandas as pd_local
 
-    if ann_index.id_col != pq_index.id_col:
-        raise ValueError(
-            "ivfpq_topk: ann_index and pq_index disagree on id_col "
-            f"({ann_index.id_col!r} vs {pq_index.id_col!r})"
-        )
+    if combined is None:
+        combined = compose_ivfpq(ann_index, pq_index, persist=False)
     id_col = pq_index.id_col
     books = [np.asarray(b, dtype=np.float64) for b in pq_index.codebooks]
     m, ds = len(books), books[0].shape[1]
@@ -452,12 +481,7 @@ def ivfpq_topk(
         )
     )
 
-    pairs = (
-        ann_index.assigned.select(F.col(id_col), "_cid")
-        .join(probe_df, "_cid")
-        .join(pq_index.codes, id_col)
-        .select(query_id_col, id_col, "code")
-    )
+    pairs = combined.join(probe_df, "_cid").select(query_id_col, id_col, "code")
     id_t = pq_index.codes.schema[id_col].dataType.simpleString()
 
     def adc_pairs(batches):

@@ -435,20 +435,24 @@ class AnnIndex:
     assigned: DataFrame
 
 
-def _train_quantizer(
+def sample_vector_matrix(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    n_centroids: int,
     seed: int,
-    train_fraction: float = 1.0,
     max_train: int = 8192,
+    train_fraction: float = 1.0,
 ):
-    """The IVF coarse quantizer's bounded-sample k-means train, shared
-    by :func:`ivf_topk`'s rebuild path and :func:`build_ann_index` so
-    a prebuilt index and a fresh rebuild land on IDENTICAL centroids
-    (the equality test_ann_index pins). See ivf_topk for why the
-    sample is a deterministic hash-ordered TakeOrdered, not limit()."""
+    """Deterministic bounded vector sample as a float64 numpy matrix —
+    the ONE sampling rule every driver-trained quantizer uses (IVF
+    centroids here, PQ codebooks in pq.py), so the discipline can't
+    drift between them (r10 review). Full-fraction sampling orders by
+    a seeded hash of the id and takes the first ``max_train``:
+    Catalyst executes orderBy+limit as TakeOrdered (per-partition
+    top-k merged on the driver — no full sort shuffle), so cost is one
+    O(corpus) scan; a plain limit() would collect the first rows of
+    the first file(s) — one shard's distribution, a biased quantizer
+    at 100 TB."""
     import numpy as np
 
     if train_fraction >= 1.0:
@@ -468,10 +472,28 @@ def _train_quantizer(
         )
     if not sample_rows:
         raise ValueError(
-            "ann quantizer: corpus is empty (or the training sample is) "
-            "— cannot train. Use brute_force_topk for degenerate inputs."
+            "vector sample: corpus is empty (or the sample is) — "
+            "cannot train. Use brute_force_topk for degenerate inputs."
         )
-    X = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+    return np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+
+
+def _train_quantizer(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    train_fraction: float = 1.0,
+    max_train: int = 8192,
+):
+    """The IVF coarse quantizer's bounded-sample k-means train, shared
+    by :func:`ivf_topk`'s rebuild path and :func:`build_ann_index` so
+    a prebuilt index and a fresh rebuild land on IDENTICAL centroids
+    (the equality test_ann_index pins)."""
+    X = sample_vector_matrix(
+        corpus, id_col, vec_col, seed, max_train, train_fraction
+    )
     return _kmeans_np(X, n_centroids, n_iter=8, seed=seed)
 
 
@@ -615,6 +637,24 @@ def load_ann_index(spark, path: str, persist: bool = True) -> AnnIndex:
         centroids=[list(row) for row in p.centroids],
         assigned=assigned,
     )
+
+
+def _reject_index_param_conflict(op: str, checks) -> None:
+    """With ``index=`` the index's stored model params govern; an
+    explicitly-passed value that matches NEITHER the call default NOR
+    the index is a caller error and must fail loudly, not silently
+    lose (r10 review). ``checks`` is (name, passed, default, stored)."""
+    bad = [
+        f"{name}={passed!r} (index has {stored!r})"
+        for name, passed, default, stored in checks
+        if passed != default and passed != stored
+    ]
+    if bad:
+        raise ValueError(
+            f"{op}: param(s) conflict with the prebuilt index — "
+            + ", ".join(bad)
+            + ". Drop the param(s) or rebuild the index with them."
+        )
 
 
 def _slice_bands(
@@ -796,6 +836,18 @@ def lsh_topk(
     (pinned in test_ann_index).
     """
     if index is not None:
+        # explicitly-passed geometry params must not silently lose to
+        # the index's stored ones (r10 review: a recall-vs-bands sweep
+        # over a fixed index returns identical results with no signal)
+        _reject_index_param_conflict(
+            "lsh_topk",
+            [
+                ("dim", dim, None, index.dim),
+                ("num_planes", num_planes, 16, index.num_planes),
+                ("bands", bands, 4, index.bands),
+                ("seed", seed, 42, index.seed),
+            ],
+        )
         planes, bands = index.planes, index.bands
         c = _slice_bands(
             index.assigned.select(
@@ -890,6 +942,13 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
 
     if index is not None:
+        _reject_index_param_conflict(
+            "ivf_topk",
+            [
+                ("n_centroids", n_centroids, 16, len(index.centroids)),
+                ("seed", seed, 42, index.seed),
+            ],
+        )
         centers = np.asarray(index.centroids, dtype=np.float64)
         assigned = index.assigned.select(
             F.col(index.id_col).alias(id_col),

@@ -236,11 +236,23 @@ def kmv_estimate(state: DataFrame, group_col: str, k: int = 64) -> DataFrame:
     agg = state.groupBy(group_col).agg(
         F.count("*").alias("n_sketch"), F.max("u").alias("_uk")
     )
-    # _uk <= 0 guard (r9 advice): a k-th smallest hash of exactly 0 (or
-    # a caller passing a k below the state's build k) would divide by
-    # zero and emit Infinity; fall back to n_sketch — the exact-count
-    # arm, which is also the honest answer when the divisor is
-    # degenerate.
+    # Two guards (r9 advice + r10 review): (1) _uk <= 0 — a k-th
+    # smallest hash of exactly 0 would divide to Infinity; fall back to
+    # n_sketch, the honest exact-count arm. (2) a k SMALLER than the
+    # state's build k doesn't divide by zero — it silently BIASES the
+    # estimate ((k-1)/u_{k'} with k' > k rows kept) — so a group
+    # holding more than k rows fails loudly inside the plan instead.
+    k_ok = F.col("n_sketch") <= F.lit(int(k))
+    k_msg = F.concat(
+        F.lit("kmv_estimate: a group holds "),
+        F.col("n_sketch").cast("string"),
+        F.lit(
+            f" state rows > k={k} — the state was built with a larger k; "
+            "estimating with a smaller one biases (k-1)/u_k. Pass the "
+            "build k (save_kmv_state records it)."
+        ),
+    )
+    agg = agg.where(F.assert_true(k_ok, k_msg).isNull())
     return agg.select(
         group_col,
         "n_sketch",

@@ -1294,9 +1294,13 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     eval_set = e.where(F.col("vec_id") % 20 == 0)
     train = e.where(F.col("vec_id") % 20 != 0)
-    pairs = similarity.cross_near_dup_pairs_np(eval_set, train, threshold=0.3)
+    # sides matter: the EVAL set is the bounded `corpus` argument
+    # (collected + shipped once), the unbounded train side streams as
+    # `new` — swapped sides would collect the train corpus driver-side
+    # (caught by the r10 review; flags are symmetric, the plan is not)
+    pairs = similarity.cross_near_dup_pairs_np(train, eval_set, threshold=0.3)
     contaminated = pairs.select(
-        F.col("id_corpus").alias("vec_id")
+        F.col("id_new").alias("vec_id")
     ).dropDuplicates(["vec_id"])
     return (
         train.select("vec_id")

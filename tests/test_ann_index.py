@@ -111,3 +111,16 @@ def test_absorbed_delta_assignment_matches_frozen_model(spark, sf_dir):
     }
     want = {r.vec_id: (r._cid, tuple(r._sig)) for r in direct.collect()}
     assert got == want
+
+
+def test_index_param_conflicts_fail_loudly(spark, sf_dir):
+    import pytest
+
+    e, q = _fixtures(spark, sf_dir)
+    idx = build_ann_index(e, dim=64, n_centroids=16, num_planes=16, bands=8)
+    with pytest.raises(ValueError, match="conflict with the prebuilt index"):
+        similarity.lsh_topk(e, q, k=10, bands=16, index=idx)
+    with pytest.raises(ValueError, match="conflict with the prebuilt index"):
+        similarity.ivf_topk(e, q, k=10, n_centroids=32, index=idx)
+    # matching or defaulted params stay fine
+    similarity.lsh_topk(e, q, k=10, bands=8, index=idx).collect()

@@ -160,3 +160,24 @@ def test_ivfpq_rejects_mismatched_indexes(spark, sf_dir):
     pidx = pq.build_pq_index(e, dim=64, m=8, ksub=64)
     with pytest.raises(ValueError, match="disagree on id_col"):
         pq.ivfpq_topk(e, q, ann, pidx)
+
+
+def test_ivfpq_combined_frame_equals_inline_compose(spark, sf_dir):
+    # the steady-state inverted file (compose_ivfpq, bucket-partitioned,
+    # corpus join paid once) must answer identically to the inline path
+    e, q = _fixtures(spark, sf_dir)
+    ann = similarity.build_ann_index(e, dim=64, n_centroids=8)
+    pidx = pq.build_pq_index(e, dim=64, m=8, ksub=256)
+    combined = pq.compose_ivfpq(ann, pidx)
+    a = sorted(
+        map(tuple, pq.ivfpq_topk(e, q, ann, pidx, k=10, n_probe=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pq.ivfpq_topk(
+                e, q, ann, pidx, k=10, n_probe=4, combined=combined
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -75,3 +75,15 @@ def test_kmv_save_load_roundtrip_and_absorb_parity(spark, tmp_path):
     assert sorted(r.u for r in after_load.collect()) == sorted(
         r.u for r in continuous.collect()
     )
+
+
+def test_kmv_estimate_smaller_k_fails_loudly(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = _vals(spark, "a", 5000)
+    state = kmv_state(df, "v", "g", k=64)
+    with pytest.raises(SparkRuntimeException, match="built with a larger k"):
+        # estimating a k=64 state with k=32 would silently halve the
+        # estimate — must raise inside the plan instead (r10 review)
+        kmv_estimate(state, "g", k=32).collect()
