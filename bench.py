@@ -165,6 +165,8 @@ HEADLINE = [
     "pq_topk",
     "ivfpq_topk",
     "semantic_decontam",
+    "resample_ffill",
+    "resample_interp",
 ]
 
 

@@ -1,0 +1,188 @@
+"""Time-series regularization over an event stream (SURVEY §2.11 —
+the resample/gap-fill step feature pipelines need before any
+fixed-step model sees event data).
+
+Event tables are irregular; training features, dashboards, and
+joins-on-time want a REGULAR grid. :func:`resample_ffill` builds each
+key's hourly (or any step) spine from its own observed range,
+aggregates observations into their grid cell, and forward-fills empty
+cells from the last observed value — pandas ``resample().ffill()``
+semantics, expressed as three relational steps:
+
+1. cell aggregation: ``date_trunc`` + groupBy — map-side combinable,
+   one shuffle on (key, cell);
+2. spine: per-key ``sequence(min_cell, max_cell, step)`` exploded —
+   rows = keys x cells-in-range, the resample's intrinsic output size
+   (nothing hidden: the spine IS the result grid);
+3. fill: ``last(value, ignorenulls=True)`` over (key, cell asc) — one
+   window over the spine, never over the raw events.
+
+Scale shape: the raw event table is touched once (step 1) and reduced
+to cells before anything else; the spine/window work on the GRID,
+whose size is keys x range/step regardless of event volume — a 100 TB
+event table with 1M keys and a year of hourly cells grids to 8.8B
+rows no matter how many trillions of events fed it. Skewed keys cost
+window IO (external sort), not memory.
+
+Engine parity: the fill value is the MAX observation in a cell
+(commutative — safe under any arrival order on both engines);
+DuckDB replays the spine via generate_series and the fill via
+``last_value(... IGNORE NULLS)``.
+
+Reference: no counterpart (the reference has no time-series surface);
+part of the analytics surface this engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Regularize ``df`` to a per-``key`` grid of ``step`` cells from
+    the key's first observed cell to its last, carrying
+    ``value = max(value_col)`` per cell and forward-filling empty
+    cells; ``observed`` marks real cells. Returns
+    ``(key, cell, value, observed)``.
+
+    The first cell of every key is observed by construction (the spine
+    starts at the key's own min), so the fill never emits NULL."""
+    unit = step.split()[-1].rstrip("s")  # "1 hour" -> hour
+    cell = F.date_trunc(unit, F.col(ts_col))
+    cells = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key), cell.alias("cell"))
+        .agg(F.round(F.max(value_col), round_dp).alias("_v"))
+    )
+    spine = (
+        cells.groupBy(key)
+        .agg(F.min("cell").alias("_lo"), F.max("cell").alias("_hi"))
+        .select(
+            key,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
+            ).alias("cell"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("cell").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(cells, [key, "cell"], "left")
+        .select(
+            key,
+            "cell",
+            F.last("_v", ignorenulls=True).over(w).alias("value"),
+            F.col("_v").isNotNull().alias("observed"),
+        )
+    )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Linear-interpolation variant: empty cells take the straight line
+    between the PREVIOUS and NEXT observed cells (pandas
+    ``interpolate(method='time')`` on a regular grid); trailing cells
+    past the last observation forward-fill (no next anchor). Same
+    three-step plan as :func:`resample_ffill` plus one backward window
+    — the grid, not the events, pays for the second direction.
+
+    Determinism: anchors are the per-cell max observation, positions
+    are integer cell indexes, and the interpolation itself runs in
+    INTEGER micro-units with an integer round-half-up —
+    ``(2*numer + den) div (2*den)`` — because ``round(double, 6)`` of
+    a midpoint (which linear interpolation produces CONSTANTLY: every
+    frac=1/2 cell between two 6dp anchors is an exact decimal half)
+    disagrees between engines at the half boundary (the queries.py
+    header rule, measured on this very operator). Integer division is
+    bit-identical everywhere. Anchors must be non-negative for the
+    half-up formula (asserted in-plan). Returns
+    ``(key, cell, value, observed)``."""
+    unit = step.split()[-1].rstrip("s")
+    cell = F.date_trunc(unit, F.col(ts_col))
+    cells = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key), cell.alias("cell"))
+        .agg(F.round(F.max(value_col), round_dp).alias("_v"))
+    )
+    spine = (
+        cells.groupBy(key)
+        .agg(F.min("cell").alias("_lo"), F.max("cell").alias("_hi"))
+        .select(
+            key,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
+            ).alias("cell"),
+        )
+    )
+    grid = spine.join(cells, [key, "cell"], "left")
+    wn = Window.partitionBy(key).orderBy(F.col("cell").asc())
+    fwd = wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bwd = wn.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    rn = F.row_number().over(wn)
+    grid = (
+        grid.withColumn("_rn", rn)
+        .withColumn("_pv", F.last("_v", ignorenulls=True).over(fwd))
+        .withColumn(
+            "_prn",
+            F.last(
+                F.when(F.col("_v").isNotNull(), rn), ignorenulls=True
+            ).over(fwd),
+        )
+        .withColumn("_nv", F.first("_v", ignorenulls=True).over(bwd))
+        .withColumn(
+            "_nrn",
+            F.first(
+                F.when(F.col("_v").isNotNull(), rn), ignorenulls=True
+            ).over(bwd),
+        )
+    )
+    # integer micro-unit interpolation (see docstring): anchors are
+    # 6dp-rounded, so anchor*10^dp is integer up to float noise — one
+    # boundary-free integer round recovers it exactly; the midpoint
+    # round-half-up then happens in pure integer math, identical on
+    # every engine. Guard: negative anchors would need a different
+    # half-up formula — fail loudly rather than silently mis-round.
+    scale = 10**round_dp
+    pv6 = F.round(F.col("_pv") * scale).cast("long")
+    nv6 = F.round(F.col("_nv") * scale).cast("long")
+    pv6 = F.when(
+        F.assert_true(
+            pv6 >= 0,
+            F.lit("resample_interpolate: negative values unsupported "
+                  "(integer half-up midpoint formula assumes >= 0)"),
+        ).isNull(),
+        pv6,
+    )
+    num = pv6 * (F.col("_nrn") - F.col("_rn")) + nv6 * (
+        F.col("_rn") - F.col("_prn")
+    )
+    den = F.col("_nrn") - F.col("_prn")
+    interp_micros = (F.lit(2) * num + den).cast("long") / (F.lit(2) * den)
+    interp = F.floor(interp_micros).cast("long") / F.lit(float(scale))
+    value = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+        F.when(F.col("_nrn").isNull(), F.col("_pv")).otherwise(interp)
+    )
+    return grid.select(
+        key,
+        "cell",
+        value.alias("value"),
+        F.col("_v").isNotNull().alias("observed"),
+    )

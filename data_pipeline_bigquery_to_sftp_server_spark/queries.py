@@ -7676,6 +7676,109 @@ GROUP BY doc_id ORDER BY doc_id
 )
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 time-series regularization, ORACLE-CHECKED: each user's
+    purchase values resampled onto an hourly grid spanning their own
+    observed range, empty hours forward-filled from the last
+    observation (pandas resample().ffill() semantics). The raw events
+    reduce to grid cells FIRST (one map-side-combinable agg); the
+    spine/fill work on the grid, whose size is keys x range/step no
+    matter how many events fed it (operators/timeseries.py
+    resample_ffill)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import timeseries
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return timeseries.resample_ffill(
+        e, key="user_id", ts_col="ts", value_col="value"
+    ).orderBy("user_id", "cell")
+
+
+_ORACLE_RESAMPLE_BASE = """
+WITH cells AS (
+  SELECT user_id, date_trunc('hour', ts) AS cell, round(max(value), 6) AS v
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(cell) AS lo, max(cell) AS hi FROM cells GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS cell
+  FROM bounds
+)
+"""
+
+_ORACLE_RESAMPLE_FFILL = (
+    _ORACLE_RESAMPLE_BASE
+    + """
+SELECT s.user_id, s.cell,
+       last_value(c.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.cell
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       c.v IS NOT NULL AS observed
+FROM spine s LEFT JOIN cells c USING (user_id, cell)
+ORDER BY user_id, cell
+"""
+)
+
+
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59b linear interpolation on the same grid, ORACLE-CHECKED:
+    empty cells take the straight line between the previous and next
+    observed cells; trailing cells forward-fill (no next anchor). One
+    extra backward window over the GRID — the events are still touched
+    once (operators/timeseries.py resample_interpolate)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import timeseries
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return timeseries.resample_interpolate(
+        e, key="user_id", ts_col="ts", value_col="value"
+    ).orderBy("user_id", "cell")
+
+
+_ORACLE_RESAMPLE_INTERP = (
+    _ORACLE_RESAMPLE_BASE
+    + """
+, g1 AS (
+  SELECT s.user_id, s.cell, c.v,
+         row_number() OVER (PARTITION BY s.user_id ORDER BY s.cell) AS rn
+  FROM spine s LEFT JOIN cells c USING (user_id, cell)
+), g2 AS (
+  SELECT *,
+         last_value(v IGNORE NULLS) OVER wf AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wf AS prn,
+         first_value(v IGNORE NULLS) OVER wb AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS nrn
+  FROM g1
+  WINDOW wf AS (PARTITION BY user_id ORDER BY cell
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wb AS (PARTITION BY user_id ORDER BY cell
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+, g3 AS (
+  -- integer micro-unit interpolation with integer round-half-up —
+  -- round(double, 6) of the exact decimal halves linear interpolation
+  -- constantly produces disagrees between engines (the header rule);
+  -- (2*num + den) // (2*den) is bit-identical everywhere
+  SELECT *, CAST(round(pv * 1000000) AS BIGINT) AS pv6,
+            CAST(round(nv * 1000000) AS BIGINT) AS nv6
+  FROM g2
+)
+SELECT user_id, cell,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN nrn IS NULL THEN pv
+            ELSE CAST((2 * (pv6 * (nrn - rn) + nv6 * (rn - prn)) + (nrn - prn))
+                      // (2 * (nrn - prn)) AS DOUBLE) / 1000000.0
+       END AS value,
+       v IS NOT NULL AS observed
+FROM g3 ORDER BY user_id, cell
+"""
+)
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X57 cohort retention over events, ORACLE-CHECKED: users
     cohorted by the Monday-truncated week of their FIRST event; for
@@ -8370,6 +8473,10 @@ QUERIES: dict[str, QueryFn] = {
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "semantic_decontam": q_semantic_decontam,
+    # r10: time-series regularization (both oracle-checked; next
+    # rotation candidates)
+    "resample_ffill": q_resample_ffill,
+    "resample_interp": q_resample_interp,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -8572,6 +8679,8 @@ ORACLES: dict[str, str] = {
     # MERGE (see q_streaming_scd2) -> the batch oracle replays the stream
     "streaming_scd2": _ORACLE_SCD2_APPLY,
     "semantic_decontam": _ORACLE_SEMANTIC_DECONTAM,
+    "resample_ffill": _ORACLE_RESAMPLE_FFILL,
+    "resample_interp": _ORACLE_RESAMPLE_INTERP,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,
