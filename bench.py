@@ -167,6 +167,7 @@ HEADLINE = [
     "semantic_decontam",
     "resample_ffill",
     "resample_interp",
+    "triangle_counts",
 ]
 
 

@@ -110,3 +110,106 @@ def pagerank(
             )
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle participation over the UNDIRECTED simple
+    graph of ``edges`` (direction/duplicates/self-loops dropped):
+    returns ``(node, n_triangles)`` for every vertex of the undirected
+    edge set, zero-participation vertices included.
+
+    Algorithm (the standard scalable one — Schank/Wagner degree
+    orientation, what Cohen's MapReduce formulation and GraphX both
+    use): orient every undirected edge from its (degree, id)-smaller
+    endpoint to its larger one. The orientation is acyclic and every
+    triangle then has EXACTLY ONE vertex with two out-edges, so
+
+      wedges  = oriented ⋈ oriented on the common tail (v < w by the
+                orientation order — each wedge once);
+      closers = wedges ⋈ oriented (v, w) — each triangle found once.
+
+    Why the orientation matters at 100 TB: wedge count under degree
+    orientation is sum(outdeg²) with outdeg <= O(sqrt(edges)) per
+    vertex — a star graph's hub (degree n) generates ZERO wedges
+    because all its edges orient INTO it; the naive common-neighbor
+    join would generate n² wedges from that hub. This is the skew
+    guard, structural rather than salted. Each stage is an equi-join
+    shuffling on vertex keys; nothing is ever collected.
+
+    Engine parity: set semantics throughout (distinct canonical edges,
+    exact integer counts) — DuckDB replays the identical orientation
+    and joins row-for-row."""
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi")
+        )
+        .distinct()
+    )
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    und = persist_tracked(und)
+    deg = (
+        und.select(F.col("_lo").alias("node"))
+        .unionByName(und.select(F.col("_hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_deg"))
+    )
+    dl = deg.select(F.col("node").alias("_lo"), F.col("_deg").alias("_dlo"))
+    dh = deg.select(F.col("node").alias("_hi"), F.col("_deg").alias("_dhi"))
+    # orient by (degree, id): tail = the smaller endpoint in that order
+    oriented = persist_tracked(
+        und.join(dl, "_lo")
+        .join(dh, "_hi")
+        .select(
+            F.when(
+                (F.col("_dlo") < F.col("_dhi"))
+                | ((F.col("_dlo") == F.col("_dhi")) & (F.col("_lo") < F.col("_hi"))),
+                F.struct(F.col("_lo").alias("t"), F.col("_hi").alias("h")),
+            )
+            .otherwise(
+                F.struct(F.col("_hi").alias("t"), F.col("_lo").alias("h"))
+            )
+            .alias("_e")
+        )
+        .select(F.col("_e.t").alias("t"), F.col("_e.h").alias("h"))
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    # wedge heads ordered by the SAME (deg, id) orientation order: the
+    # closing edge, if present, is oriented v -> w exactly when v
+    # precedes w — so one (v, w) probe per wedge suffices
+    dv = deg.select(F.col("node").alias("_v"), F.col("_deg").alias("_dv"))
+    dw = deg.select(F.col("node").alias("_w"), F.col("_deg").alias("_dw"))
+    wedges = (
+        x.join(y, F.col("x.t") == F.col("y.t"))
+        .select(
+            F.col("x.t").alias("u"),
+            F.col("x.h").alias("_v"),
+            F.col("y.h").alias("_w"),
+        )
+        .join(dv, "_v")
+        .join(dw, "_w")
+        .where(
+            (F.col("_dv") < F.col("_dw"))
+            | ((F.col("_dv") == F.col("_dw")) & (F.col("_v") < F.col("_w")))
+        )
+        .select("u", F.col("_v").alias("v"), F.col("_w").alias("w"))
+    )
+    tris = wedges.join(
+        oriented,
+        (wedges.v == oriented.t) & (wedges.w == oriented.h),
+        "left_semi",
+    )
+    per_vertex = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    verts = deg.select("node")
+    return verts.join(per_vertex, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )

@@ -5449,6 +5449,69 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(e, n_iter=3).orderBy("node")
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37b per-vertex triangle counting, ORACLE-CHECKED: the
+    Schank/Wagner degree-orientation algorithm (every triangle has
+    exactly one vertex with two out-edges under the acyclic
+    (degree, id) orientation, so wedges from common tails + one
+    closing-edge semi-join find each triangle once; a hub's edges all
+    orient INTO it, so the star-skew wedge explosion is structurally
+    impossible — no salting needed). Graph: a deterministic ring chord
+    graph over doc_id % 997 (k→k+1, k→k+2, k→7k+1 mod 997) — every
+    consecutive triple closes a triangle, the affine chord adds degree
+    variety. DuckDB replays orientation, wedges, and closure
+    row-for-row (operators/graph.py triangle_counts)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import graph
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.col("doc_id") % 997
+    e = (
+        d.select(n.alias("src"), ((n + 1) % 997).alias("dst"))
+        .unionByName(d.select(n.alias("src"), ((n + 2) % 997).alias("dst")))
+        .unionByName(
+            d.select(n.alias("src"), ((n * 7 + 1) % 997).alias("dst"))
+        )
+    )
+    return graph.triangle_counts(e).orderBy("node")
+
+
+_ORACLE_TRIANGLE_COUNTS = """
+WITH raw AS (
+  SELECT doc_id % 997 AS src, (doc_id % 997 + 1) % 997 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 997, (doc_id % 997 + 2) % 997 FROM documents
+  UNION ALL
+  SELECT doc_id % 997, ((doc_id % 997) * 7 + 1) % 997 FROM documents
+), und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM raw WHERE src != dst
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT lo AS node FROM und UNION ALL SELECT hi AS node FROM und
+  ) GROUP BY node
+), o AS (
+  SELECT CASE WHEN (dl.d, u.lo) < (dh.d, u.hi) THEN u.lo ELSE u.hi END AS t,
+         CASE WHEN (dl.d, u.lo) < (dh.d, u.hi) THEN u.hi ELSE u.lo END AS h
+  FROM und u JOIN deg dl ON dl.node = u.lo JOIN deg dh ON dh.node = u.hi
+), wg AS (
+  SELECT x.t AS u, x.h AS v, y.h AS w
+  FROM o x JOIN o y ON x.t = y.t
+  JOIN deg dv ON dv.node = x.h JOIN deg dw ON dw.node = y.h
+  WHERE (dv.d, x.h) < (dw.d, y.h)
+), tri AS (
+  SELECT u, v, w FROM wg
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.t = wg.v AND o.h = wg.w)
+), parts AS (
+  SELECT unnest([u, v, w]) AS node FROM tri
+), pv AS (
+  SELECT node, count(*) AS n FROM parts GROUP BY node
+)
+SELECT d.node, CAST(coalesce(pv.n, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN pv USING (node)
+ORDER BY node
+"""
+
+
 def _pagerank_oracle(n_iter: int = 3) -> str:
     head = r"""
 WITH e AS (
@@ -8477,6 +8540,8 @@ QUERIES: dict[str, QueryFn] = {
     # rotation candidates)
     "resample_ffill": q_resample_ffill,
     "resample_interp": q_resample_interp,
+    # r10: degree-oriented triangle counting (oracle-checked)
+    "triangle_counts": q_triangle_counts,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -8681,6 +8746,7 @@ ORACLES: dict[str, str] = {
     "semantic_decontam": _ORACLE_SEMANTIC_DECONTAM,
     "resample_ffill": _ORACLE_RESAMPLE_FFILL,
     "resample_interp": _ORACLE_RESAMPLE_INTERP,
+    "triangle_counts": _ORACLE_TRIANGLE_COUNTS,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,

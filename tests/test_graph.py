@@ -66,3 +66,32 @@ def test_checkpoint_chain_releases_previous_rounds(spark):
     leaked = checkpoint_ids() - before
     # one generation (the final ranks checkpoint) may legitimately remain
     assert len(leaked) <= 1, leaked
+
+
+def test_triangle_counts_known_graphs(spark):
+    # K3: every vertex in exactly 1 triangle
+    k3 = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    assert {(r.node, r.n_triangles) for r in graph.triangle_counts(k3).collect()} == {
+        (1, 1), (2, 1), (3, 1),
+    }
+    # K4: every vertex in C(3,2)=3 triangles
+    k4 = _edges(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    )
+    assert {(r.node, r.n_triangles) for r in graph.triangle_counts(k4).collect()} == {
+        (1, 3), (2, 3), (3, 3), (4, 3),
+    }
+    # star: the degree orientation sends every edge INTO the hub -> no
+    # wedges from the hub, zero triangles (the skew-guard property)
+    star = _edges(spark, [(0, i) for i in range(1, 8)])
+    out = graph.triangle_counts(star).collect()
+    assert all(r.n_triangles == 0 for r in out) and len(out) == 8
+
+
+def test_triangle_counts_ignores_direction_duplicates_and_loops(spark):
+    e = _edges(
+        spark,
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3), (3, 4)],
+    )
+    got = {(r.node, r.n_triangles) for r in graph.triangle_counts(e).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 0)}
