@@ -168,6 +168,7 @@ HEADLINE = [
     "resample_ffill",
     "resample_interp",
     "triangle_counts",
+    "sorted_neighborhood",
 ]
 
 

@@ -1192,3 +1192,59 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= int(min_shared))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández/Stolfo) — the classic
+    entity-resolution candidate generator that complements this
+    family's set-similarity blockers (prefix filter, MinHash bands,
+    SimHash): sort the corpus by a blocking ``key`` expression and
+    emit every unordered pair within ``window`` positions. Records
+    that differ everywhere EXCEPT the sort key's neighborhood (typos
+    in a name, transposed fields) land adjacent and become candidates
+    even when they share no rare token — the failure mode pure
+    token-blocking can't see.
+
+    Plan shape (the 100 TB point): the global sort rank comes from
+    ``with_global_rank`` — range-repartition + per-partition counter +
+    broadcast offsets, NOT a single-partition window — and the
+    neighborhood join is rank-arithmetic: each row explodes its
+    ``window - 1`` forward offsets and equi-joins ``rank + offset``
+    against the ranked frame, so candidate volume is EXACTLY
+    ``(window-1) x n`` (linear, skew-free by construction — no key's
+    neighborhood is larger than anyone else's) and the join is a plain
+    hash join on an integer. Returns ``(id_a, id_b, key_a, key_b,
+    gap)`` with ``gap`` the rank distance; callers verify with their
+    own similarity (the q_sorted_neighborhood query uses edit
+    distance, engine-portable)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
+        with_global_rank,
+    )
+
+    keyed = df.select(F.col(id_col).alias("_id"), key.alias("_k"))
+    ranked, _ = with_global_rank(keyed, ["_k", "_id"], rank_col="_r")
+    probes = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_k").alias("key_a"),
+        F.explode(
+            F.sequence(F.col("_r") + 1, F.col("_r") + int(window) - 1)
+        ).alias("_r2"),
+        F.col("_r"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_k").alias("key_b"),
+        F.col("_r").alias("_r2"),
+    )
+    return probes.join(right, "_r2").select(
+        "id_a",
+        "id_b",
+        "key_a",
+        "key_b",
+        (F.col("_r2") - F.col("_r")).cast("int").alias("gap"),
+    )

@@ -5449,6 +5449,47 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(e, n_iter=3).orderBy("node")
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2f sorted-neighborhood entity resolution, ORACLE-CHECKED:
+    customers sorted by normalized name, candidate pairs within a
+    4-position neighborhood, verified by edit distance <= 2 — the
+    Hernández/Stolfo blocking that catches near-identical records
+    sharing no rare token (the case token/shingle blocking misses).
+    Candidate volume is exactly (window-1) x n by construction — the
+    skew-free blocking; rank comes from the scalable global-rank plan,
+    not a single-partition window; edit distance is the same DP
+    levenshtein on both engines (operators/dedup.py
+    sorted_neighborhood_pairs)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup as D
+
+    c = load_table(spark, sf_dir, "customer")
+    pairs = D.sorted_neighborhood_pairs(
+        c, "c_custkey", F.lower(F.col("c_name")), window=4
+    )
+    return (
+        pairs.withColumn(
+            "edit_dist", F.levenshtein("key_a", "key_b").cast("int")
+        )
+        .where(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b", "gap", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_ORACLE_SORTED_NEIGHBORHOOD = """
+WITH ranked AS (
+  SELECT c_custkey AS id, lower(c_name) AS k,
+         row_number() OVER (ORDER BY lower(c_name), c_custkey) AS r
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(b.r - a.r AS INT) AS gap,
+       CAST(levenshtein(a.k, b.k) AS INT) AS edit_dist
+FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 3
+WHERE levenshtein(a.k, b.k) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X37b per-vertex triangle counting, ORACLE-CHECKED: the
     Schank/Wagner degree-orientation algorithm (every triangle has
@@ -8540,8 +8581,10 @@ QUERIES: dict[str, QueryFn] = {
     # rotation candidates)
     "resample_ffill": q_resample_ffill,
     "resample_interp": q_resample_interp,
-    # r10: degree-oriented triangle counting (oracle-checked)
+    # r10: degree-oriented triangle counting + sorted-neighborhood ER
+    # (both oracle-checked)
     "triangle_counts": q_triangle_counts,
+    "sorted_neighborhood": q_sorted_neighborhood,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -8747,6 +8790,7 @@ ORACLES: dict[str, str] = {
     "resample_ffill": _ORACLE_RESAMPLE_FFILL,
     "resample_interp": _ORACLE_RESAMPLE_INTERP,
     "triangle_counts": _ORACLE_TRIANGLE_COUNTS,
+    "sorted_neighborhood": _ORACLE_SORTED_NEIGHBORHOOD,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,
