@@ -135,7 +135,18 @@ def resample_interpolate(
     grid = spine.join(cells, [key, "cell"], "left")
     wn = Window.partitionBy(key).orderBy(F.col("cell").asc())
     fwd = wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bwd = wn.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # the backward direction runs as a RUNNING frame over the DESC
+    # order, not a (currentRow, unboundedFollowing) frame: Spark's
+    # UnboundedFollowing frame processor rescans current..end for
+    # EVERY row — O(cells²) per key, measured 6 s per window at a
+    # 720-cell grid vs ~1 s for the running form (r10 bench catch;
+    # 48.6 s -> 2.5 s for the whole query). last(ignorenulls) over the
+    # desc running frame is exactly "nearest following observation".
+    bwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col("cell").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     rn = F.row_number().over(wn)
     grid = (
         grid.withColumn("_rn", rn)
@@ -146,11 +157,12 @@ def resample_interpolate(
                 F.when(F.col("_v").isNotNull(), rn), ignorenulls=True
             ).over(fwd),
         )
-        .withColumn("_nv", F.first("_v", ignorenulls=True).over(bwd))
+        .withColumn("_nv", F.last("_v", ignorenulls=True).over(bwd))
         .withColumn(
             "_nrn",
-            F.first(
-                F.when(F.col("_v").isNotNull(), rn), ignorenulls=True
+            F.last(
+                F.when(F.col("_v").isNotNull(), F.col("_rn")),
+                ignorenulls=True,
             ).over(bwd),
         )
     )
