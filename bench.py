@@ -169,6 +169,7 @@ HEADLINE = [
     "resample_interp",
     "triangle_counts",
     "sorted_neighborhood",
+    "streaming_resample",
 ]
 
 

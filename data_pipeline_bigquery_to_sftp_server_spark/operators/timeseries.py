@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def resample_ffill(
+def cell_aggregates(
     df: DataFrame,
     key: str,
     ts_col: str,
@@ -48,21 +48,38 @@ def resample_ffill(
     step: str = "1 hour",
     round_dp: int = 6,
 ) -> DataFrame:
-    """Regularize ``df`` to a per-``key`` grid of ``step`` cells from
-    the key's first observed cell to its last, carrying
-    ``value = max(value_col)`` per cell and forward-filling empty
-    cells; ``observed`` marks real cells. Returns
-    ``(key, cell, value, observed)``.
-
-    The first cell of every key is observed by construction (the spine
-    starts at the key's own min), so the fill never emits NULL."""
+    """The resample family's HELD STATE: ``(key, cell, _v)`` with
+    ``_v = max(value)`` per grid cell — the only corpus-sized pass, and
+    MERGEABLE (max of maxes == max of the union), so arriving batches
+    absorb by :func:`absorb_cells` without rescanning history: the
+    DedupState/KMV/moments ingest shape for time series."""
     unit = step.split()[-1].rstrip("s")  # "1 hour" -> hour
     cell = F.date_trunc(unit, F.col(ts_col))
-    cells = (
+    return (
         df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(F.col(key), cell.alias("cell"))
         .agg(F.round(F.max(value_col), round_dp).alias("_v"))
     )
+
+
+def absorb_cells(
+    state: DataFrame, batch_cells: DataFrame, key: str
+) -> DataFrame:
+    """Fold a batch's cell aggregates into held state: union + re-max —
+    exact for the union of the underlying events regardless of arrival
+    order (max is commutative/associative; the streamed end-state is
+    oracle-checked equal to the one-shot batch resample)."""
+    return (
+        state.unionByName(batch_cells)
+        .groupBy(key, "cell")
+        .agg(F.max("_v").alias("_v"))
+    )
+
+
+def regrid_ffill(cells: DataFrame, key: str, step: str = "1 hour") -> DataFrame:
+    """Spine + forward fill over a held cell frame — the grid half of
+    :func:`resample_ffill`, usable directly on absorbed/streamed state
+    (the corpus is never touched here; the grid is keys x range/step)."""
     spine = (
         cells.groupBy(key)
         .agg(F.min("cell").alias("_lo"), F.max("cell").alias("_hi"))
@@ -86,6 +103,30 @@ def resample_ffill(
             F.last("_v", ignorenulls=True).over(w).alias("value"),
             F.col("_v").isNotNull().alias("observed"),
         )
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Regularize ``df`` to a per-``key`` grid of ``step`` cells from
+    the key's first observed cell to its last, carrying
+    ``value = max(value_col)`` per cell and forward-filling empty
+    cells; ``observed`` marks real cells. Returns
+    ``(key, cell, value, observed)``.
+
+    The first cell of every key is observed by construction (the spine
+    starts at the key's own min), so the fill never emits NULL.
+    Composition of :func:`cell_aggregates` (the held, mergeable state)
+    and :func:`regrid_ffill` (the grid) — the streaming deployment
+    absorbs batches into the state and regrids on demand."""
+    return regrid_ffill(
+        cell_aggregates(df, key, ts_col, value_col, step, round_dp), key, step
     )
 
 
@@ -115,13 +156,7 @@ def resample_interpolate(
     bit-identical everywhere. Anchors must be non-negative for the
     half-up formula (asserted in-plan). Returns
     ``(key, cell, value, observed)``."""
-    unit = step.split()[-1].rstrip("s")
-    cell = F.date_trunc(unit, F.col(ts_col))
-    cells = (
-        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
-        .groupBy(F.col(key), cell.alias("cell"))
-        .agg(F.round(F.max(value_col), round_dp).alias("_v"))
-    )
+    cells = cell_aggregates(df, key, ts_col, value_col, step, round_dp)
     spine = (
         cells.groupBy(key)
         .agg(F.min("cell").alias("_lo"), F.max("cell").alias("_hi"))

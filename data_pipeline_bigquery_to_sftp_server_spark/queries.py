@@ -7883,6 +7883,55 @@ FROM g3 ORDER BY user_id, cell
 )
 
 
+def q_streaming_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59c the resample family's foreachBatch deployment,
+    ORACLE-CHECKED: held hourly cell state from 90% of the purchase
+    stream, the remaining events arrive as 4 micro-batches and each
+    batch's cell aggregates fold into the state (max of maxes — exact
+    under any arrival order; lineage cut + block release per batch via
+    the chain). The regrid of the streamed end-state must equal the
+    one-shot batch resample cell-for-cell, so the SAME oracle replays
+    it (operators/timeseries.py cell_aggregates / absorb_cells /
+    regrid_ffill)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import timeseries
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    held = e.where(F.col("event_id") % 10 != 0)
+    arriving = e.where(F.col("event_id") % 10 == 0)
+    src = _scratch_dir("resample_stream_src_")
+    ckpt = _scratch_dir("resample_stream_ckpt_")
+    arriving.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+
+    chain = CheckpointChain()
+    state = {
+        "cells": chain.step(
+            timeseries.cell_aggregates(held, "user_id", "ts", "value")
+        )
+    }
+
+    def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        b = timeseries.cell_aggregates(batch_df, "user_id", "ts", "value")
+        state["cells"] = chain.step(
+            timeseries.absorb_cells(state["cells"], b, "user_id")
+        )
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = W.streaming_upsert(stream, absorb, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    return timeseries.regrid_ffill(state["cells"], "user_id").orderBy(
+        "user_id", "cell"
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X57 cohort retention over events, ORACLE-CHECKED: users
     cohorted by the Monday-truncated week of their FIRST event; for
@@ -8581,6 +8630,7 @@ QUERIES: dict[str, QueryFn] = {
     # rotation candidates)
     "resample_ffill": q_resample_ffill,
     "resample_interp": q_resample_interp,
+    "streaming_resample": q_streaming_resample,
     # r10: degree-oriented triangle counting + sorted-neighborhood ER
     # (both oracle-checked)
     "triangle_counts": q_triangle_counts,
@@ -8789,6 +8839,9 @@ ORACLES: dict[str, str] = {
     "semantic_decontam": _ORACLE_SEMANTIC_DECONTAM,
     "resample_ffill": _ORACLE_RESAMPLE_FFILL,
     "resample_interp": _ORACLE_RESAMPLE_INTERP,
+    # streamed cell absorb must equal the one-shot resample (max of
+    # maxes) — same oracle BY DESIGN
+    "streaming_resample": _ORACLE_RESAMPLE_FFILL,
     "triangle_counts": _ORACLE_TRIANGLE_COUNTS,
     "sorted_neighborhood": _ORACLE_SORTED_NEIGHBORHOOD,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
