@@ -152,6 +152,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.8,
     seed: int = 42,
     broadcast_right: bool = False,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding, verified with
     true shingle Jaccard. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
@@ -159,9 +160,20 @@ def minhash_lsh_pairs(
     Scale shape: the only shuffles are (1) groupBy/self-join on
     (band, band_hash) — bucket keys, whose cardinality grows with corpus
     size so buckets stay small; (2) the verify join carries candidate
-    pairs only. Never materializes the O(n^2) pair space. A hot bucket
-    (e.g. boilerplate) is capped client-side via ``spark.sql.adaptive``
-    skew handling; for pathological data add a bucket-size filter.
+    pairs only. Never materializes the O(n^2) pair space.
+
+    ``max_bucket_rows`` is the pathological-corpus guard (a boilerplate
+    band shared by f docs contributes f²/2 candidates from ONE bucket —
+    quadratic in the hot key, exactly what AQE skew-splitting cannot
+    cap): buckets holding more than the cap are DROPPED before the
+    self-join (one bounded agg + a broadcast anti-join against the hot
+    bucket list — the hot list is tiny by definition). The trade is
+    recall on pairs whose ONLY collision is a boilerplate band — such
+    pairs agree on ubiquitous content, which is what the span/line
+    dedup family (X13/X36/X51) is for; near-dup docs also collide in
+    non-boilerplate bands and keep their candidacy. Off by default
+    (exactness vs the brute-force oracle); cap-drop behavior pinned in
+    test_dedup.
 
     ``broadcast_right=True`` hash-joins against a broadcast copy of the
     banded signatures instead of shuffling both sides — the right call
@@ -196,6 +208,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", "_hs", "_n", "bb.band", "bb.bh")
+
+    if max_bucket_rows is not None:
+        hot = (
+            banded.groupBy("band", "bh")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") > int(max_bucket_rows))
+            .select("band", "bh")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
 
     left = banded.alias("l")
     right = F.broadcast(banded.alias("r")) if broadcast_right else banded.alias("r")
@@ -1173,18 +1194,39 @@ def winnow_fingerprints(
 
 
 def winnow_overlap_pairs(
-    fps: DataFrame, id_col: str = "doc_id", min_shared: int = 2
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate duplicate pairs from winnowed fingerprints: unordered
     doc pairs sharing at least ``min_shared`` distinct fingerprints,
     with the shared count — the MOSS match stage. The join is keyed on
     the fingerprint VALUE over the winnowed set (~2/(w+1) of the gram
-    volume), and the count rollup is map-side-combinable; the standard
-    AllPairs caveat applies (a boilerplate fingerprint shared by f
-    docs contributes f²/2 candidates — prune ubiquitous fps upstream
-    with a df cut if the corpus has them)."""
-    a = fps.select(F.col(id_col).alias("id_a"), F.col("fp").alias("_f")).dropDuplicates()
-    b = fps.select(F.col(id_col).alias("id_b"), F.col("fp").alias("_f")).dropDuplicates()
+    volume), and the count rollup is map-side-combinable.
+
+    ``max_df`` is the boilerplate guard: a fingerprint shared by f
+    docs contributes f²/2 candidates, so fingerprints appearing in
+    more than ``max_df`` documents are dropped BEFORE the self-join
+    (one document-frequency agg — map-side-combinable — feeding a
+    filter; the tfidf_cosine_pairs max-df discipline applied to the
+    MOSS stage). The trade: a pair whose ONLY overlap is ubiquitous
+    content loses those shared counts — which is the point; distinctive
+    overlap keeps its fingerprints. Off by default (the exactness
+    contract vs the oracle); pinned in test_dedup."""
+    uniq = fps.select(F.col(id_col), F.col("fp").alias("_f")).dropDuplicates(
+        [id_col, "_f"]
+    )
+    if max_df is not None:
+        keep = (
+            uniq.groupBy("_f")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= int(max_df))
+            .select("_f")
+        )
+        uniq = uniq.join(keep, "_f", "left_semi")
+    a = uniq.select(F.col(id_col).alias("id_a"), "_f")
+    b = uniq.select(F.col(id_col).alias("id_b"), "_f")
     return (
         a.join(b, "_f")
         .where(F.col("id_a") < F.col("id_b"))

@@ -460,3 +460,51 @@ def test_winnow_fingerprints_guarantees(spark):
     pairs = {(r.id_a, r.id_b): r.n_shared
              for r in winnow_overlap_pairs(fps, min_shared=1).collect()}
     assert (2, 3) in pairs
+
+
+def test_minhash_bucket_cap_drops_hot_buckets_only(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    # 12 copies of identical boilerplate (every band is a 12-row hot
+    # bucket) + one genuine near-dup pair with distinctive text
+    boiler = [(i, "the same boilerplate footer text appears here word " * 3)
+              for i in range(12)]
+    near = [
+        (100, "a distinctive document about alpine marmots and glaciers x"),
+        (101, "a distinctive document about alpine marmots and glaciers y"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, jaccard_threshold=0.5)
+    capped = minhash_lsh_pairs(df, jaccard_threshold=0.5, max_bucket_rows=8)
+    un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cp = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in un and (100, 101) in cp  # small buckets survive
+    assert any(a < 12 and b < 12 for a, b in un)  # boilerplate pairs exist
+    assert not any(a < 12 and b < 12 for a, b in cp)  # ...and are capped away
+    assert cp <= un
+
+
+def test_winnow_pairs_max_df_prunes_ubiquitous_fps(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    shared = "one two three four five six seven eight nine ten "
+    docs = [(i, shared + f"tail number {i} distinct words here") for i in range(6)]
+    docs += [(50, "unique alpha beta gamma delta epsilon zeta eta theta run a"),
+             (51, "unique alpha beta gamma delta epsilon zeta eta theta run b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=5, window=4)
+    full = {(r.id_a, r.id_b): r.n_shared for r in winnow_overlap_pairs(fps).collect()}
+    cut = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_overlap_pairs(fps, max_df=3).collect()
+    }
+    assert (50, 51) in full and (50, 51) in cut
+    assert cut[(50, 51)] == full[(50, 51)]  # distinctive overlap untouched
+    # the 6-doc shared-prefix clique loses its ubiquitous fingerprints
+    assert not any(a < 10 and b < 10 for a, b in cut)
+    assert any(a < 10 and b < 10 for a, b in full)
