@@ -184,6 +184,7 @@ def kmv_state(
     group_col: str,
     k: int = 64,
     salt: str = "kmv",
+    two_level: bool = False,
 ) -> DataFrame:
     """Per-group KMV (k-minimum-values) sketch state: the k smallest
     value hashes as ``(group_col, pos, u)`` rows — k rows per group,
@@ -191,16 +192,39 @@ def kmv_state(
     collapse before ranking (a sketch of the distinct set by
     construction).
 
-    Scale: one distinct-projection shuffle keyed (group, hash) then a
-    rank window per group — Spark's window sort is external
-    (disk-spilling), so a hot group costs IO, not memory; the state
-    that survives is k rows/group. For billions of distincts per group
-    swap the window for a two-level partial min-k; the state contract
-    (and the oracle) stay identical."""
+    Scale tiers, IDENTICAL output (pinned in test_sketch_kmv):
+
+    - default: one distinct-projection shuffle keyed (group, hash)
+      then a rank window per group — Spark's window sort is external
+      (disk-spilling), so a hot group costs IO, not memory. Right when
+      per-group distinct cardinality is sane.
+    - ``two_level=True``: the billions-of-distincts tier — each Arrow
+      batch keeps only its LOCAL k smallest distinct hashes per group
+      (the global k smallest are each some batch's local k smallest,
+      the partial-aggregation argument), so the shuffle carries at
+      most k rows per (group, batch) instead of every distinct value;
+      the final dedup + rank runs over that bounded survivor set."""
     u = _kmv_u(F.col(value_col), salt)
-    dv = df.select(F.col(group_col), u.alias("_u")).dropDuplicates(
-        [group_col, "_u"]
-    )
+    hashed = df.select(F.col(group_col), u.alias("_u"))
+    if two_level:
+        gname = group_col
+
+        def partial(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                yield (
+                    pdf.drop_duplicates([gname, "_u"])
+                    .sort_values([gname, "_u"])
+                    .groupby(gname, sort=False)
+                    .head(int(k))
+                )
+
+        gtype = hashed.schema[group_col].dataType.simpleString()
+        hashed = hashed.mapInPandas(
+            partial, f"{group_col} {gtype}, _u double"
+        )
+    dv = hashed.dropDuplicates([group_col, "_u"])
     w = Window.partitionBy(group_col).orderBy(F.asc("_u"))
     return (
         dv.withColumn("pos", F.row_number().over(w))

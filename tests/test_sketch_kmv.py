@@ -87,3 +87,14 @@ def test_kmv_estimate_smaller_k_fails_loudly(spark):
         # estimating a k=64 state with k=32 would silently halve the
         # estimate — must raise inside the plan instead (r10 review)
         kmv_estimate(state, "g", k=32).collect()
+
+
+def test_two_level_tier_identical_to_window_tier(spark):
+    # the billions-of-distincts tier must be a pure plan change: same
+    # state rows, bit for bit, duplicates and multi-group included
+    a = _vals(spark, "a", 3000)
+    b = _vals(spark, "b", 200)
+    df = a.union(b).union(_vals(spark, "a", 500))  # overlap dups in 'a'
+    one = kmv_state(df, "v", "g", k=64)
+    two = kmv_state(df, "v", "g", k=64, two_level=True)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
