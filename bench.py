@@ -170,6 +170,8 @@ HEADLINE = [
     "triangle_counts",
     "sorted_neighborhood",
     "streaming_resample",
+    "bucketed_join",
+    "constraint_audit",
 ]
 
 

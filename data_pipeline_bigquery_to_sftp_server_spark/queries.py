@@ -8390,6 +8390,172 @@ ORDER BY doc_id
 """
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4c co-located bucketed join, ORACLE-CHECKED and PLAN-ASSERTED:
+    orders and lineitem written as managed tables bucketed 8 ways on
+    the order key (sources/files.py write_bucketed), then joined and
+    per-order aggregated with ZERO Exchange in the physical plan — the
+    100 TB answer to a fact-fact join repeated every run (pay the
+    bucketed write once, join shuffle-free forever; SURVEY §4). The
+    broadcast threshold is disabled for the probe so the assert pins
+    the sort-merge path (at real scale neither side broadcasts); the
+    grouping keys include the bucket key, so the aggregate also rides
+    the bucket clustering (partial+final fold with no exchange). The
+    no-shuffle property is asserted IN-PLAN here, not only in
+    tests/test_asof_skew.py — a regression fails the query itself."""
+    import uuid
+
+    from data_pipeline_bigquery_to_sftp_server_spark.plans import explain as _explain
+    from data_pipeline_bigquery_to_sftp_server_spark.sources import files
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    ta = f"bj_orders_{uuid.uuid4().hex[:8]}"
+    tb = f"bj_lineitem_{uuid.uuid4().hex[:8]}"
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    out_dir = _scratch_dir("bucketed_join_")
+    try:
+        files.write_bucketed(
+            o.select("o_orderkey", "o_orderpriority"), ta, "o_orderkey", buckets=8
+        )
+        files.write_bucketed(
+            li.select("o_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+            tb,
+            "o_orderkey",
+            buckets=8,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # Integer micro-unit revenue (price cents x discount hundredths
+        # = exact 1e-4-dollar units): a double sum of price*(1-disc)
+        # lands on exact half-cents, where parallel summation order
+        # flips round(x, 2) between engines. Sums of exact longs can't.
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        disc_h = F.round(F.col("l_discount") * 100).cast("long")
+        joined = (
+            spark.table(ta)
+            .join(spark.table(tb), "o_orderkey")
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(cents * (100 - disc_h)).alias("_rev_u"),
+                F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            )
+            .where(F.col("n_items") >= 6)
+            # integer round-half-up 1e-4-units -> cents, then one exact
+            # long/double division: identical on every engine
+            .withColumn("revenue", F.expr("(_rev_u * 2 + 100) div 200") / 100.0)
+            .drop("_rev_u")
+        )
+        plan = _explain.formatted_plan(joined)
+        assert "Exchange" not in plan, "bucketed join/agg must run shuffle-free"
+        # Materialize through the shuffle-free plan, then drop the
+        # tables: the returned frame must not depend on catalog state.
+        joined.write.mode("overwrite").parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+    return spark.read.parquet(out_dir).orderBy("o_orderkey")
+
+
+_ORACLE_BUCKETED_JOIN = """
+WITH g AS (
+  SELECT o_orderkey, o_orderpriority,
+         count(*) AS n_items,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_u,
+         round(sum(l_quantity), 2) AS total_qty
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority
+  HAVING count(*) >= 6
+)
+SELECT o_orderkey, o_orderpriority, n_items, total_qty,
+       CAST((rev_u * 2 + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+FROM g ORDER BY o_orderkey
+"""
+
+
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (the Deequ pattern), ORACLE-
+    CHECKED: five pipeline-gate constraints over orders — primary-key
+    uniqueness, key completeness, positive amounts, status domain
+    membership, and orphaned foreign keys against customer — reported
+    as one row per constraint with violations/checked/pass_rate. The
+    four scan-bound checks fold into ONE aggregate over a single pass
+    of the fact table (count / countDistinct / conditional sums — no
+    per-constraint rescan, which is what makes a 50-constraint audit
+    affordable at 100 TB); the referential check is a broadcast anti-
+    join count (dimension side small by definition). The 1x1 crossJoin
+    stitching the two one-row frames is a bounded contract. All
+    violation counts are exact integers; pass_rate is one exact-int
+    division, identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderkey").alias("n_key"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_key"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("bad_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
+    orphans = o.join(
+        c, o["o_custkey"] == c["c_custkey"], "left_anti"
+    ).agg(F.count("*").alias("orphans"))
+    both = agg.crossJoin(orphans)
+    long = both.select(
+        F.expr(
+            "stack(5, "
+            "'orderkey_unique', n - n_key, "
+            "'orderkey_not_null', null_key, "
+            "'totalprice_positive', bad_price, "
+            "'status_in_domain', bad_status, "
+            "'custkey_references_customer', orphans) "
+            "AS (constraint_name, violations)"
+        ),
+        F.col("n").alias("checked"),
+    )
+    return long.select(
+        "constraint_name",
+        F.col("violations").cast("bigint").alias("violations"),
+        F.col("checked").cast("bigint").alias("checked"),
+        F.round(
+            1.0 - F.col("violations") / F.col("checked").cast("double"), 6
+        ).alias("pass_rate"),
+    ).orderBy("constraint_name")
+
+
+_ORACLE_CONSTRAINT_AUDIT = """
+WITH a AS (
+  SELECT count(*) AS n,
+         count(DISTINCT o_orderkey) AS n_key,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_key,
+         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+         sum(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END)
+           AS bad_status
+  FROM orders
+), r AS (
+  SELECT count(*) AS orphans FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+), u AS (
+  SELECT 'orderkey_unique' AS constraint_name, n - n_key AS violations,
+         n AS checked FROM a
+  UNION ALL SELECT 'orderkey_not_null', null_key, n FROM a
+  UNION ALL SELECT 'totalprice_positive', bad_price, n FROM a
+  UNION ALL SELECT 'status_in_domain', bad_status, n FROM a
+  UNION ALL SELECT 'custkey_references_customer', orphans, n FROM a, r
+)
+SELECT constraint_name,
+       CAST(violations AS BIGINT) AS violations,
+       CAST(checked AS BIGINT) AS checked,
+       round(1.0 - violations / CAST(checked AS DOUBLE), 6) AS pass_rate
+FROM u ORDER BY constraint_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8635,6 +8801,10 @@ QUERIES: dict[str, QueryFn] = {
     # (both oracle-checked)
     "triangle_counts": q_triangle_counts,
     "sorted_neighborhood": q_sorted_neighborhood,
+    # r10: shuffle-free bucketed fact-fact join (plan-asserted in the
+    # query itself) + the one-pass Deequ-style constraint audit
+    "bucketed_join": q_bucketed_join,
+    "constraint_audit": q_constraint_audit,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -8844,6 +9014,8 @@ ORACLES: dict[str, str] = {
     "streaming_resample": _ORACLE_RESAMPLE_FFILL,
     "triangle_counts": _ORACLE_TRIANGLE_COUNTS,
     "sorted_neighborhood": _ORACLE_SORTED_NEIGHBORHOOD,
+    "bucketed_join": _ORACLE_BUCKETED_JOIN,
+    "constraint_audit": _ORACLE_CONSTRAINT_AUDIT,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,

@@ -141,3 +141,58 @@ def test_window_range_frame_includes_peers(spark, sf_dir):
     )
     bad = peers.where(F.col("n_sums") > 1).count()
     assert bad == 0
+
+
+def test_constraint_audit_detects_domain_violations(spark, sf_dir):
+    """The audit's status-domain check must count exactly the rows
+    outside the declared {O, F} domain; the structural checks (unique
+    key, completeness, referential) are clean on the fixtures, so any
+    nonzero there is a real regression."""
+    rows = {r.constraint_name: r for r in Q.q_constraint_audit(spark, sf_dir).collect()}
+    o = Q.load_table(spark, sf_dir, "orders")
+    expected_bad = o.where(~F.col("o_orderstatus").isin("O", "F")).count()
+    assert rows["status_in_domain"].violations == expected_bad
+    for name in ("orderkey_unique", "orderkey_not_null", "custkey_references_customer"):
+        assert rows[name].violations == 0, name
+    for r in rows.values():
+        assert 0.0 <= r.pass_rate <= 1.0
+        assert r.checked == o.count()
+
+
+def test_constraint_audit_plan_is_one_pass_plus_anti_join(spark, sf_dir):
+    """Scale shape: the four scan-bound constraints share ONE aggregate
+    over orders (no per-constraint rescan) and the referential probe is
+    a broadcast anti-join — the plan must show exactly one anti join
+    and partial aggregation, never a cartesian product."""
+    df = Q.q_constraint_audit(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin LeftAnti") == 1
+    assert explain.has_partial_aggregation(df)
+
+
+def test_bucketed_join_query_matches_shuffled_twin(spark, sf_dir):
+    """The shuffle-free bucketed path must return exactly the rows the
+    ordinary shuffled join produces (the in-query assert already pins
+    the no-Exchange property; this pins the values)."""
+    got = Q.q_bucketed_join(spark, sf_dir)
+    o = Q.load_table(spark, sf_dir, "orders")
+    li = Q.load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    twin = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(cents * (100 - disc_h)).alias("_rev_u"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .where(F.col("n_items") >= 6)
+        .withColumn("revenue", F.expr("(_rev_u * 2 + 100) div 200") / 100.0)
+        .drop("_rev_u")
+    )
+    assert got.count() == twin.count()
+    assert got.select(*sorted(got.columns)).exceptAll(
+        twin.select(*sorted(got.columns))
+    ).count() == 0
