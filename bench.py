@@ -172,6 +172,7 @@ HEADLINE = [
     "streaming_resample",
     "bucketed_join",
     "constraint_audit",
+    "kmv_set_ops",
 ]
 
 

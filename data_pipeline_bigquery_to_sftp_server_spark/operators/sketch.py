@@ -321,3 +321,74 @@ def load_kmv_state(spark, path: str) -> tuple[DataFrame, str, int, str]:
     p = spark.read.parquet(f"{path}/params").collect()[0]
     state = spark.read.parquet(f"{path}/state").repartition(p.group_col)
     return state, p.group_col, int(p.k), p.salt
+
+
+def kmv_set_estimates(
+    state: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Set-operation estimates for every PAIR of groups from their KMV
+    sketches — the classic KMV composition (Beyer et al., "On synopses
+    for distinct-value estimation under multiset operations"): the
+    merged sketch of A∪B is the k smallest distinct hashes across both
+    states (each group's k-smallest are a superset of the union's
+    k-smallest restricted to that group), so
+
+    - ``union_est``   = (k-1)/u_(k) over the merged sketch (exact when
+      the merged sketch holds the whole union, i.e. < k rows),
+    - ``jaccard_est`` = fraction of merged-sketch hashes present in
+      BOTH input sketches (the merged sketch is a uniform sample of
+      the union, so the fraction estimates |A∩B|/|A∪B|),
+    - ``inter_est``   = jaccard_est * union_est.
+
+    All arithmetic is exact-integer counts plus single IEEE divisions
+    of deterministic doubles, so a SQL engine replays every cell —
+    this stays ORACLE-CHECKABLE where HLL/theta set ops are not.
+
+    Scale: the pair frame is G^2/2 rows of k-row sketches (G = group
+    cardinality, never corpus-sized); the only corpus-sized work
+    already happened in :func:`kmv_state`. Estimates are emitted
+    UNROUNDED: every value is the same IEEE double in any engine
+    (integer ratios and (k-1)/u_k), and rounding is exactly what
+    reintroduces the half-boundary divergence the integer pipeline
+    avoids."""
+    a = state.select(F.col(group_col).alias("ga"), "u")
+    b = state.select(F.col(group_col).alias("gb"), "u")
+    pairs = (
+        a.select("ga")
+        .distinct()
+        .join(b.select("gb").distinct(), F.col("ga") < F.col("gb"))
+    )
+    ua = pairs.join(a, "ga").select(
+        "ga", "gb", "u", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    ub = pairs.join(b, "gb").select(
+        "ga", "gb", "u", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("ga", "gb", "u")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy(F.asc("u"))
+    topk = merged.withColumn("pos", F.row_number().over(w)).where(
+        F.col("pos") <= int(k)
+    )
+    agg = topk.groupBy("ga", "gb").agg(
+        F.count("*").alias("n_m"),
+        F.max("u").alias("_uk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+    )
+    union_est = F.when(
+        (F.col("n_m") < int(k)) | (F.col("_uk") <= 0.0),
+        F.col("n_m").cast("double"),
+    ).otherwise(F.lit(float(k - 1)) / F.col("_uk"))
+    jaccard = F.col("n_common").cast("double") / F.col("n_m").cast("double")
+    return agg.select(
+        "ga",
+        "gb",
+        F.col("n_m").cast("bigint").alias("n_merged"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        union_est.alias("union_est"),
+        jaccard.alias("jaccard_est"),
+        (jaccard * union_est).alias("inter_est"),
+    )

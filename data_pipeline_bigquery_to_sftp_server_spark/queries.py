@@ -8136,6 +8136,132 @@ ORDER BY source
 """
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58c KMV set-operation estimates, ORACLE-CHECKED: for every
+    pair of document sources, union / intersection / Jaccard
+    cardinality estimates composed purely from the per-source KMV
+    sketches (operators/sketch.py kmv_set_estimates — the merged
+    sketch of A∪B is the k smallest distinct hashes across both
+    states), next to the EXACT union/intersection from a distinct
+    text join. This is the corpus-overlap question ("how much does
+    source A duplicate source B?") answered from k-row sketch states
+    without rescanning either corpus — the sketches compose, so at
+    100 TB the G^2/2 pair estimates cost G^2*k rows of arithmetic,
+    not a cross-corpus join. Estimates are deterministic doubles
+    (md5-derived hashes + exact-int ratios), so DuckDB replays every
+    cell; at this fixture scale per-pair unions stay below k=64, so
+    the estimates are also provably EXACT (the self-certifying
+    err_union/err_inter columns must be zero — asserted in
+    test_sketch_kmv)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sketch
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    st = sketch.kmv_state(d, "text", "source", k=_KMV_K, salt=_KMV_SALT)
+    est = sketch.kmv_set_estimates(st, "source", k=_KMV_K)
+    dv = d.select("source", "text").distinct()
+    sizes = dv.groupBy("source").agg(F.count("*").alias("nd"))
+    inter = (
+        dv.select(F.col("source").alias("ga"), "text")
+        .join(dv.select(F.col("source").alias("gb"), "text"), "text")
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    out = (
+        est.join(inter, ["ga", "gb"], "left")
+        .na.fill({"exact_inter": 0})
+        .join(
+            sizes.select(F.col("source").alias("ga"), F.col("nd").alias("_na")),
+            "ga",
+        )
+        .join(
+            sizes.select(F.col("source").alias("gb"), F.col("nd").alias("_nb")),
+            "gb",
+        )
+        .withColumn("exact_union", F.col("_na") + F.col("_nb") - F.col("exact_inter"))
+    )
+    return out.select(
+        "ga",
+        "gb",
+        "n_merged",
+        "n_common",
+        "union_est",
+        "jaccard_est",
+        "inter_est",
+        F.col("exact_union").cast("bigint").alias("exact_union"),
+        F.col("exact_inter").cast("bigint").alias("exact_inter"),
+        (F.col("union_est") - F.col("exact_union")).alias("err_union"),
+        (F.col("inter_est") - F.col("exact_inter")).alias("err_inter"),
+    ).orderBy("ga", "gb")
+
+
+_ORACLE_KMV_SET_OPS = """
+WITH dv AS (
+  SELECT DISTINCT source, text,
+         (('0x' || substr(md5(text || ':kmv'), 1, 12))::BIGINT)::DOUBLE
+           / 281474976710656.0 AS u
+  FROM documents WHERE text IS NOT NULL
+), st AS (
+  SELECT source, u FROM (
+    SELECT source, u,
+           row_number() OVER (PARTITION BY source ORDER BY u) AS pos
+    FROM (SELECT DISTINCT source, u FROM dv)
+  ) WHERE pos <= 64
+), pairs AS (
+  SELECT a.source AS ga, b.source AS gb
+  FROM (SELECT DISTINCT source FROM st) a,
+       (SELECT DISTINCT source FROM st) b
+  WHERE a.source < b.source
+), tagged AS (
+  SELECT p.ga, p.gb, s.u,
+         max(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN st s ON s.source IN (p.ga, p.gb)
+  GROUP BY p.ga, p.gb, s.u
+), topk AS (
+  SELECT * FROM (
+    SELECT ga, gb, u, in_a, in_b,
+           row_number() OVER (PARTITION BY ga, gb ORDER BY u) AS pos
+    FROM tagged
+  ) WHERE pos <= 64
+), agg AS (
+  SELECT ga, gb, count(*) AS n_m, max(u) AS uk, sum(in_a * in_b) AS n_common
+  FROM topk GROUP BY ga, gb
+), est AS (
+  SELECT ga, gb,
+         CAST(n_m AS BIGINT) AS n_merged,
+         CAST(n_common AS BIGINT) AS n_common,
+         CASE WHEN n_m < 64 OR uk <= 0.0 THEN CAST(n_m AS DOUBLE)
+              ELSE 63.0 / uk END AS union_est,
+         CAST(n_common AS DOUBLE) / CAST(n_m AS DOUBLE) AS jaccard_est
+  FROM agg
+), sizes AS (
+  SELECT source, count(DISTINCT text) AS nd
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+), ex AS (
+  SELECT a.source AS ga, b.source AS gb, count(*) AS exact_inter
+  FROM (SELECT DISTINCT source, text FROM documents WHERE text IS NOT NULL) a
+  JOIN (SELECT DISTINCT source, text FROM documents WHERE text IS NOT NULL) b
+    ON a.text = b.text AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT e.ga, e.gb, e.n_merged, e.n_common,
+       e.union_est, e.jaccard_est,
+       e.jaccard_est * e.union_est AS inter_est,
+       CAST(sa.nd + sb.nd - coalesce(ex.exact_inter, 0) AS BIGINT)
+         AS exact_union,
+       CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter,
+       e.union_est - (sa.nd + sb.nd - coalesce(ex.exact_inter, 0))
+         AS err_union,
+       e.jaccard_est * e.union_est - coalesce(ex.exact_inter, 0) AS err_inter
+FROM est e
+LEFT JOIN ex ON ex.ga = e.ga AND ex.gb = e.gb
+JOIN sizes sa ON sa.source = e.ga
+JOIN sizes sb ON sb.source = e.gb
+ORDER BY e.ga, e.gb
+"""
+
+
 def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 pivot/unpivot round-trip, ORACLE-CHECKED: per-source document
     counts pivoted wide over the (bounded, explicitly listed) language
@@ -8805,6 +8931,9 @@ QUERIES: dict[str, QueryFn] = {
     # query itself) + the one-pass Deequ-style constraint audit
     "bucketed_join": q_bucketed_join,
     "constraint_audit": q_constraint_audit,
+    # r10: KMV set-operation estimates composed from the per-source
+    # sketch states (oracle-checked; exact below k on the fixtures)
+    "kmv_set_ops": q_kmv_set_ops,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -9016,6 +9145,7 @@ ORACLES: dict[str, str] = {
     "sorted_neighborhood": _ORACLE_SORTED_NEIGHBORHOOD,
     "bucketed_join": _ORACLE_BUCKETED_JOIN,
     "constraint_audit": _ORACLE_CONSTRAINT_AUDIT,
+    "kmv_set_ops": _ORACLE_KMV_SET_OPS,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,

@@ -98,3 +98,64 @@ def test_two_level_tier_identical_to_window_tier(spark):
     one = kmv_state(df, "v", "g", k=64)
     two = kmv_state(df, "v", "g", k=64, two_level=True)
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_kmv_set_estimates_exact_below_k(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sketch import kmv_set_estimates
+
+    # |A|=30, |B|=25, overlap 15 -> union 40 < k=64: every estimate
+    # must be EXACT (the merged sketch holds the whole union).
+    a = _vals(spark, "a", 30)
+    b = _vals(spark, "b", 25, off=15)
+    st = kmv_state(a.union(b), "v", "g", k=64)
+    row = kmv_set_estimates(st, "g", k=64).collect()[0]
+    assert (row.ga, row.gb) == ("a", "b")
+    assert row.n_merged == 40
+    assert row.n_common == 15
+    assert row.union_est == 40.0
+    assert row.inter_est == 15.0
+    assert abs(row.jaccard_est - 15 / 40) < 1e-12
+
+
+def test_kmv_set_estimates_above_k_within_bound(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sketch import kmv_set_estimates
+
+    # |A|=|B|=3000, overlap 1500 -> union 4500, jaccard 1/3; a k=256
+    # sketch pair must land within a loose 4-sigma band.
+    a = _vals(spark, "a", 3000)
+    b = _vals(spark, "b", 3000, off=1500)
+    st = kmv_state(a.union(b), "v", "g", k=256)
+    row = kmv_set_estimates(st, "g", k=256).collect()[0]
+    assert abs(row.union_est - 4500) / 4500 < 0.3
+    assert abs(row.jaccard_est - 1 / 3) < 0.15
+    assert row.n_merged == 256
+
+
+def test_kmv_set_estimates_disjoint_groups(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sketch import kmv_set_estimates
+
+    a = _vals(spark, "a", 20)
+    b = _vals(spark, "b", 20, off=1000)
+    st = kmv_state(a.union(b), "v", "g", k=64)
+    row = kmv_set_estimates(st, "g", k=64).collect()[0]
+    assert row.n_common == 0 and row.inter_est == 0.0 and row.jaccard_est == 0.0
+    assert row.union_est == 40.0
+
+
+def test_kmv_set_estimates_compose_from_absorbed_state(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sketch import kmv_set_estimates
+
+    # Set estimates computed from a state assembled via kmv_absorb must
+    # equal those from the directly-built state: mergeability composes.
+    a1, a2 = _vals(spark, "a", 40), _vals(spark, "a", 40, off=20)
+    b = _vals(spark, "b", 30, off=10)
+    direct = kmv_state(a1.union(a2).union(b), "v", "g", k=64)
+    absorbed = kmv_absorb(
+        kmv_state(a1.union(b), "v", "g", k=64),
+        kmv_state(a2, "v", "g", k=64),
+        "g",
+        k=64,
+    )
+    r1 = kmv_set_estimates(direct, "g", k=64).collect()[0]
+    r2 = kmv_set_estimates(absorbed, "g", k=64).collect()[0]
+    assert r1 == r2
