@@ -173,6 +173,7 @@ HEADLINE = [
     "bucketed_join",
     "constraint_audit",
     "kmv_set_ops",
+    "weighted_sample",
 ]
 
 

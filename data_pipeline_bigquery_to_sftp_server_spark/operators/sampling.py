@@ -440,3 +440,61 @@ def iqr_bounds(
             F.round(F.col("_q3") + k * (F.col("_q3") - F.col("_q1")), 6).alias("hi"),
         )
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    group_col: str | None = None,
+    salt: str = "wsw",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential race, the A-ES one-pass scheme): each row draws the
+    sampling family's engine-portable md5 uniform ``u`` (pure function
+    of id+salt, module docstring) and competes with key
+    ``ln(u) / weight`` — the n LARGEST keys are a weighted sample
+    without replacement (ln is a monotone transform of the classic
+    u^(1/w) race). Rows with non-positive weight never win and are
+    filtered up front.
+
+    Deterministic: no RNG state, so re-runs, repartitions, and other
+    engines agree — which is what makes a weighted sampler
+    ORACLE-CHECKABLE at all (DuckDB replays the same md5 + ln). The
+    race key itself is never emitted: ln() may legally differ in the
+    last ulp between libms, which is harmless to the selection (two
+    independent keys land within an ulp with probability ~0) but
+    would flip a value hash.
+
+    Scale: one per-group window rank — Spark's window sort is
+    external (disk-spilling), and the shuffle carries (id, weight)
+    only. For a global sample pass ``group_col=None``: a single
+    ordered partition is the honest cost of one global top-n; prefer
+    a group key at 100 TB (per-source / per-shard quotas), which is
+    also the statistically saner design."""
+    from pyspark.sql.window import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**48))
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    keep = [group_col] if group_col else []
+    part = [F.col(group_col)] if group_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(F.desc("_key"), F.col(id_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= int(n))
+        .select(*keep, id_col, weight_col, "sample_rank")
+    )

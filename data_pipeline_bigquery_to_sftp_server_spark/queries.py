@@ -8516,6 +8516,44 @@ ORDER BY doc_id
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 weighted sampling without replacement, ORACLE-CHECKED: the
+    top-10 documents per source under an Efraimidis-Spirakis
+    exponential race keyed by document length (operators/sampling.py
+    weighted_sample_wor) — the quality-weighted corpus downsampler a
+    training-data pipeline runs when it wants long documents
+    overrepresented WITHOUT replacement and WITHOUT an RNG (the race
+    key is a pure function of doc_id+salt, so the sample is
+    reproducible across runs, partitionings, and engines — DuckDB
+    replays the identical md5 + ln race). One window rank per source;
+    the shuffle carries (id, weight) only."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample_wor(
+        d, "doc_id", "n_chars", n=10, group_col="source", salt="wsw"
+    ).orderBy("source", "sample_rank")
+
+
+_ORACLE_WEIGHTED_SAMPLE = """
+WITH u AS (
+  SELECT source, doc_id, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsw'), 1, 12))::BIGINT)::DOUBLE
+            / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS race_key
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY race_key DESC, doc_id) AS INT)
+           AS sample_rank
+  FROM u
+)
+SELECT source, doc_id, n_chars, sample_rank
+FROM r WHERE sample_rank <= 10
+ORDER BY source, sample_rank
+"""
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4c co-located bucketed join, ORACLE-CHECKED and PLAN-ASSERTED:
     orders and lineitem written as managed tables bucketed 8 ways on
@@ -8934,6 +8972,9 @@ QUERIES: dict[str, QueryFn] = {
     # r10: KMV set-operation estimates composed from the per-source
     # sketch states (oracle-checked; exact below k on the fixtures)
     "kmv_set_ops": q_kmv_set_ops,
+    # r10: deterministic weighted sampling without replacement (A-ES
+    # exponential race; oracle-checked)
+    "weighted_sample": q_weighted_sample,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -9146,6 +9187,7 @@ ORACLES: dict[str, str] = {
     "bucketed_join": _ORACLE_BUCKETED_JOIN,
     "constraint_audit": _ORACLE_CONSTRAINT_AUDIT,
     "kmv_set_ops": _ORACLE_KMV_SET_OPS,
+    "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,

@@ -259,3 +259,47 @@ def test_curriculum_shards_layout(spark):
     ranked = sorted(rows, key=lambda t: (t[1], t[0]))
     easy = {i for i, _ in ranked[:40]}
     assert set(by_bucket[1]) == easy
+
+
+def test_weighted_sample_wor_is_deterministic_and_replacement_free(spark, sf_dir):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sampling import weighted_sample_wor
+    from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = weighted_sample_wor(d, "doc_id", "n_chars", n=10, group_col="source")
+    s2 = weighted_sample_wor(
+        d.repartition(7), "doc_id", "n_chars", n=10, group_col="source"
+    )
+    r1 = sorted((r.source, r.doc_id, r.sample_rank) for r in s1.collect())
+    r2 = sorted((r.source, r.doc_id, r.sample_rank) for r in s2.collect())
+    assert r1 == r2, "sample must be a pure function of (id, salt)"
+    ids = [r[1] for r in r1]
+    assert len(ids) == len(set(ids)), "without replacement: no id twice"
+    per_group = {}
+    for src, _, _ in r1:
+        per_group[src] = per_group.get(src, 0) + 1
+    assert all(v == 10 for v in per_group.values())
+
+
+def test_weighted_sample_wor_biases_toward_heavy_weights(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sampling import weighted_sample_wor
+
+    # 100 heavy rows (w=100) among 900 light rows (w=1): a weighted
+    # race must select mostly heavy rows in a 100-row sample (expected
+    # heavy share ~0.9+; deterministic given the salt, so assert a
+    # comfortable floor rather than a distribution).
+    rows = [(i, 100 if i < 100 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    got = weighted_sample_wor(df, "id", "w", n=100)
+    heavy = sum(1 for r in got.collect() if r.id < 100)
+    assert heavy > 60
+
+
+def test_weighted_sample_wor_drops_nonpositive_weights(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sampling import weighted_sample_wor
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10), (4, 1)], "id long, w int"
+    )
+    got = {r.id for r in weighted_sample_wor(df, "id", "w", n=10).collect()}
+    assert got == {3, 4}
