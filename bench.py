@@ -174,6 +174,7 @@ HEADLINE = [
     "constraint_audit",
     "kmv_set_ops",
     "weighted_sample",
+    "rolling_anomaly",
 ]
 
 

@@ -8554,6 +8554,102 @@ ORDER BY source, sample_rank
 """
 
 
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 rolling z-score anomaly detection, ORACLE-CHECKED for
+    bit-exactness: daily revenue scored against the trailing-7-day
+    mean/std, flagging |z| > 2 — the monitoring query every ingest
+    pipeline runs over its own throughput. The variance is computed
+    from EXACT integer window sums (cents, cents^2 in decimal(38) —
+    DuckDB's window sums promote to HUGEINT, so both engines hold the
+    identical integers), then ONE division and ONE sqrt produce std:
+    every emitted double is the same IEEE value in any engine, so
+    nothing needs rounding — which is the only fully-safe parity
+    (memory: round(double, N) flips at half boundaries).
+
+    Scale: the corpus-sized work is the partial+final day aggregation;
+    the windowed frame is calendar-bounded (365 rows/year NO MATTER
+    the corpus size), so the single ordered window partition is a
+    few-KB sort, not a data-sized one. The cents ceiling (daily <=
+    2e9 so cents^2 fits a long before the decimal promotion) is
+    asserted in-plan; past it, pre-scale to whole dollars."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(cents).alias("_c"))
+    ceiling_ok = F.col("_c") <= F.lit(2_000_000_000)
+    daily = daily.where(
+        F.assert_true(
+            ceiling_ok,
+            F.lit(
+                "rolling_anomaly: daily cents beyond the long-squarable "
+                "ceiling — pre-scale to whole dollars at this corpus size"
+            ),
+        ).isNull()
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    s1 = F.sum("_c").over(w).cast("decimal(38,0)")
+    s2 = F.sum((F.col("_c") * F.col("_c")).cast("decimal(38,0)")).over(w)
+    cnt = F.count("_c").over(w)
+    scored = daily.select(
+        "day",
+        "_c",
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+        cnt.alias("_n"),
+    ).where(F.col("_n") == 7)
+    varnum = (F.lit(7).cast("decimal(38,0)") * F.col("_s2")
+              - F.col("_s1") * F.col("_s1"))
+    mean = F.col("_s1").cast("double") / 7.0
+    std = F.sqrt(varnum.cast("double") / 42.0)
+    z = F.when(
+        varnum > 0, (F.col("_c").cast("double") - mean) / std
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        scored.withColumn("z", z)
+        .select(
+            "day",
+            (F.col("_c") / 100.0).alias("revenue"),
+            (F.col("_s1").cast("double") / 700.0).alias("mean_7d"),
+            "z",
+            (F.abs(F.col("z")) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+_ORACLE_ROLLING_ANOMALY = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+), win AS (
+  SELECT day, c,
+         sum(c) OVER w AS s1,
+         sum(c * c) OVER w AS s2,
+         count(c) OVER w AS n
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), full7 AS (
+  SELECT day, c, s1, s2, 7 * s2 - s1 * s1 AS varnum
+  FROM win WHERE n = 7
+), scored AS (
+  SELECT day, c, s1,
+         CASE WHEN varnum > 0
+              THEN (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
+                   / sqrt(CAST(varnum AS DOUBLE) / 42.0)
+              ELSE NULL END AS z
+  FROM full7
+)
+SELECT day,
+       c / 100.0 AS revenue,
+       CAST(s1 AS DOUBLE) / 700.0 AS mean_7d,
+       z,
+       abs(z) > 2.0 AS is_anomaly
+FROM scored ORDER BY day
+"""
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4c co-located bucketed join, ORACLE-CHECKED and PLAN-ASSERTED:
     orders and lineitem written as managed tables bucketed 8 ways on
@@ -8975,6 +9071,9 @@ QUERIES: dict[str, QueryFn] = {
     # r10: deterministic weighted sampling without replacement (A-ES
     # exponential race; oracle-checked)
     "weighted_sample": q_weighted_sample,
+    # r10: rolling z-score throughput anomaly gate (bit-exact window
+    # variance from integer sums; oracle-checked)
+    "rolling_anomaly": q_rolling_anomaly,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -9188,6 +9287,7 @@ ORACLES: dict[str, str] = {
     "constraint_audit": _ORACLE_CONSTRAINT_AUDIT,
     "kmv_set_ops": _ORACLE_KMV_SET_OPS,
     "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
+    "rolling_anomaly": _ORACLE_ROLLING_ANOMALY,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,

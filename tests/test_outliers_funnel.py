@@ -95,3 +95,42 @@ def test_cohort_retention_offsets(spark, sf_dir):
         assert base.retention == 1.0
         # retention can never exceed the cohort size
         assert all(c.n_users <= base.n_users for c in cells)
+
+
+def test_rolling_anomaly_matches_numpy_recompute(spark, sf_dir):
+    """The trailing-7-day z must equal a literal numpy recompute from
+    the emitted revenue series (exact-integer window sums -> one
+    division + one sqrt, so equality is exact, not approximate)."""
+    import math
+
+    from data_pipeline_bigquery_to_sftp_server_spark import queries as Q
+
+    rows = Q.q_rolling_anomaly(spark, sf_dir).collect()
+    cents = [int(round(r.revenue * 100)) for r in rows]
+    # rebuild the full daily series (the first 7 days were filtered):
+    o = Q.load_table(spark, sf_dir, "orders")
+    from pyspark.sql import functions as F
+
+    daily = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"))
+        .orderBy("day")
+        .collect()
+    )
+    series = [(r.day, r.c) for r in daily]
+    byday = {r.day: r for r in rows}
+    n_checked = 0
+    for i in range(7, len(series)):
+        day, c = series[i]
+        trail = [v for _, v in series[i - 7 : i]]
+        s1, s2 = sum(trail), sum(v * v for v in trail)
+        varnum = 7 * s2 - s1 * s1
+        r = byday[day]
+        if varnum > 0:
+            z = (float(c) - float(s1) / 7.0) / math.sqrt(float(varnum) / 42.0)
+            assert r.z == z, (day, r.z, z)
+            assert r.is_anomaly == (abs(z) > 2.0)
+            n_checked += 1
+        else:
+            assert r.z is None
+    assert n_checked > 1000
