@@ -175,6 +175,7 @@ HEADLINE = [
     "kmv_set_ops",
     "weighted_sample",
     "rolling_anomaly",
+    "schema_evolution",
 ]
 
 

@@ -8554,6 +8554,53 @@ ORDER BY source, sample_rank
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 schema-evolution read, ORACLE-CHECKED: an ingest directory
+    whose later batches ADDED a column (batch 1 writes documents
+    without ``lang``; batch 2 includes it) is read back as ONE frame
+    via parquet mergeSchema — early-batch rows surface NULL for the
+    late column, no rewrite of old files, which is how a 100 TB
+    append-only lake evolves (schema-on-read; the alternative —
+    rewriting history — is a full-corpus pass). The per-source report
+    then counts rows, lang coverage, and distinct langs over the
+    merged frame; the oracle replays the batch split arithmetically
+    from the original table. Footprint-stable: mergeSchema unions
+    FOOTERS (per-file metadata), not data."""
+    d = load_table(spark, sf_dir, "documents")
+    root = _scratch_dir("schema_evo_")
+    d.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "source"
+    ).write.mode("overwrite").parquet(f"{root}/batch=1")
+    d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "source", "lang"
+    ).write.mode("overwrite").parquet(f"{root}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/batch=1", f"{root}/batch=2"
+    )
+    assert "lang" in merged.columns, "mergeSchema must surface the late column"
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("lang").alias("n_with_lang"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_SCHEMA_EVOLUTION = """
+SELECT source,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 AND lang IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lang,
+       count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X60 rolling z-score anomaly detection, ORACLE-CHECKED for
     bit-exactness: daily revenue scored against the trailing-7-day
@@ -9074,6 +9121,9 @@ QUERIES: dict[str, QueryFn] = {
     # r10: rolling z-score throughput anomaly gate (bit-exact window
     # variance from integer sums; oracle-checked)
     "rolling_anomaly": q_rolling_anomaly,
+    # r10: schema-on-read evolution (late-added column via mergeSchema;
+    # oracle-checked)
+    "schema_evolution": q_schema_evolution,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -9288,6 +9338,7 @@ ORACLES: dict[str, str] = {
     "kmv_set_ops": _ORACLE_KMV_SET_OPS,
     "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
     "rolling_anomaly": _ORACLE_ROLLING_ANOMALY,
+    "schema_evolution": _ORACLE_SCHEMA_EVOLUTION,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,

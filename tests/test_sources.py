@@ -150,3 +150,26 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n_files = files.compact_parquet(spark, src, dst, target_rows_per_file=500)
     assert n_files == 2
     assert spark.read.parquet(dst).count() == 1000
+
+
+def test_schema_evolution_merged_read_nulls_early_batches(spark, sf_dir):
+    """mergeSchema must surface the late-added column with NULLs for
+    files written before it existed, without touching old files."""
+    from data_pipeline_bigquery_to_sftp_server_spark import queries as Q
+    from pyspark.sql import functions as F
+
+    out = {r.source: r for r in Q.q_schema_evolution(spark, sf_dir).collect()}
+    d = Q.load_table(spark, sf_dir, "documents")
+    per_src = {
+        r.source: (r.n, r.n_odd)
+        for r in d.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("doc_id") % 2 == 1).cast("int")).alias("n_odd"),
+        )
+        .collect()
+    }
+    assert set(out) == set(per_src)
+    for src, (n, n_odd) in per_src.items():
+        assert out[src].n_rows == n
+        assert out[src].n_with_lang == n_odd, "early-batch rows must be NULL"
