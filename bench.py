@@ -176,6 +176,8 @@ HEADLINE = [
     "weighted_sample",
     "rolling_anomaly",
     "schema_evolution",
+    "hist_quantiles",
+    "streaming_hist",
 ]
 
 

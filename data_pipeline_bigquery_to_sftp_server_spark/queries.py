@@ -8554,6 +8554,165 @@ ORDER BY source, sample_rank
 """
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 mergeable histogram quantiles, ORACLE-CHECKED cell-for-cell:
+    per-event-type p25/p50/p75/p95 estimated from the integer-bucket
+    histogram state (operators/hist.py — the quantile member of the
+    held-state family), published NEXT TO the exact type-1 order
+    statistic and the realized error. The sketch path touches the
+    corpus once (one count agg) and then does arithmetic on
+    (groups x buckets) rows; the exact twin's per-group sort is the
+    toy-scale anchor that certifies the estimate, not the scale path.
+    Every emitted double is exact-int arithmetic plus two mirrored
+    IEEE divisions, so DuckDB replays est AND err bit-for-bit —
+    the oracle-checkability t-digest/KLL state can never offer."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import hist
+
+    ev = load_table(spark, sf_dir, "events")
+    st = hist.hist_state(ev, "value", "event_type")
+    est = hist.hist_quantiles(st, "event_type", ps=[25, 50, 75, 95]).withColumn(
+        "t", F.expr("(p * n_total + 99) div 100")
+    )
+    wn = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = (
+        ev.where(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("_et"),
+            F.col("value").alias("exact_q"),
+            F.row_number().over(wn).alias("rn"),
+        )
+    )
+    joined = est.join(
+        ranked,
+        (est["event_type"] == ranked["_et"]) & (est["t"] == ranked["rn"]),
+    )
+    return joined.select(
+        "event_type",
+        "p",
+        "est",
+        "exact_q",
+        (F.col("est") - F.col("exact_q")).alias("err"),
+        "n_total",
+    ).orderBy("event_type", "p")
+
+
+_ORACLE_HIST_QUANTILES = """
+WITH m AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS mm
+  FROM events WHERE value IS NOT NULL
+), st AS (
+  SELECT event_type, mm // 5000000 AS bucket, count(*) AS n
+  FROM m GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM st
+), tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total FROM st GROUP BY 1
+), tgt AS (
+  SELECT event_type, n_total, p, (p * n_total + 99) // 100 AS t
+  FROM tot, (SELECT unnest([25, 50, 75, 95]) AS p)
+), hit AS (
+  SELECT g.event_type, g.p, g.n_total, g.t, c.bucket, c.n,
+         c.cum - c.n AS cum_before
+  FROM tgt g JOIN cum c ON c.event_type = g.event_type
+  WHERE c.cum - c.n < g.t AND g.t <= c.cum
+), ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+)
+SELECT h.event_type, CAST(h.p AS INT) AS p,
+       (CAST(h.bucket AS DOUBLE) * 5000000.0
+        + 5000000.0 * CAST(h.t - h.cum_before AS DOUBLE)
+          / CAST(h.n AS DOUBLE)) / 1000000.0 AS est,
+       r.value AS exact_q,
+       (CAST(h.bucket AS DOUBLE) * 5000000.0
+        + 5000000.0 * CAST(h.t - h.cum_before AS DOUBLE)
+          / CAST(h.n AS DOUBLE)) / 1000000.0 - r.value AS err,
+       h.n_total
+FROM hit h JOIN ranked r ON r.event_type = h.event_type AND r.rn = h.t
+ORDER BY h.event_type, h.p
+"""
+
+
+def q_streaming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61b the histogram family's foreachBatch deployment, ORACLE-
+    CHECKED: held state built from 90% of events, the rest arrives as
+    4 micro-batches, each absorbed into the running (group, bucket, n)
+    state (hist_absorb — counts are exact longs, so absorb is a union
+    + re-sum; lineage cut per batch via CheckpointChain). The streamed
+    end-state quantiles must equal the one-shot batch build over the
+    FULL corpus cell-for-cell — the same mergeability argument as the
+    KMV/moment streaming rows, now for the quantile state."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import hist
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    held = ev.where(F.col("event_id") % 10 != 0)
+    arriving = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    src = _scratch_dir("hist_stream_src_")
+    ckpt = _scratch_dir("hist_stream_ckpt_")
+    arriving.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+
+    chain = CheckpointChain()
+    state = {"h": chain.step(hist.hist_state(held, "value", "event_type"))}
+
+    def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        state["h"] = chain.step(
+            hist.hist_absorb(
+                state["h"], hist.hist_state(batch_df, "value", "event_type"),
+                "event_type",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = W.streaming_upsert(stream, absorb, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    return hist.hist_quantiles(state["h"], "event_type").orderBy(
+        "event_type", "p"
+    )
+
+
+_ORACLE_STREAMING_HIST = """
+WITH m AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS mm
+  FROM events WHERE value IS NOT NULL
+), st AS (
+  SELECT event_type, mm // 5000000 AS bucket, count(*) AS n
+  FROM m GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM st
+), tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total FROM st GROUP BY 1
+), tgt AS (
+  SELECT event_type, n_total, p, (p * n_total + 99) // 100 AS t
+  FROM tot, (SELECT unnest([25, 50, 75, 95]) AS p)
+)
+SELECT g.event_type, CAST(g.p AS INT) AS p,
+       (CAST(c.bucket AS DOUBLE) * 5000000.0
+        + 5000000.0 * CAST(g.t - (c.cum - c.n) AS DOUBLE)
+          / CAST(c.n AS DOUBLE)) / 1000000.0 AS est,
+       g.n_total
+FROM tgt g JOIN cum c ON c.event_type = g.event_type
+WHERE c.cum - c.n < g.t AND g.t <= c.cum
+ORDER BY g.event_type, g.p
+"""
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 schema-evolution read, ORACLE-CHECKED: an ingest directory
     whose later batches ADDED a column (batch 1 writes documents
@@ -9124,6 +9283,10 @@ QUERIES: dict[str, QueryFn] = {
     # r10: schema-on-read evolution (late-added column via mergeSchema;
     # oracle-checked)
     "schema_evolution": q_schema_evolution,
+    # r10: the quantile member of the held-state family (integer-bucket
+    # histogram sketch; batch + foreachBatch absorb, both oracle-checked)
+    "hist_quantiles": q_hist_quantiles,
+    "streaming_hist": q_streaming_hist,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -9339,6 +9502,8 @@ ORACLES: dict[str, str] = {
     "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
     "rolling_anomaly": _ORACLE_ROLLING_ANOMALY,
     "schema_evolution": _ORACLE_SCHEMA_EVOLUTION,
+    "hist_quantiles": _ORACLE_HIST_QUANTILES,
+    "streaming_hist": _ORACLE_STREAMING_HIST,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
     "curriculum_shards": _ORACLE_CURRICULUM_SHARDS,

@@ -1,0 +1,83 @@
+"""Mergeable histogram quantile sketch (X61): state mergeability,
+durability, error bound vs the exact order statistic, and the signed-
+domain guard."""
+
+import pytest
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators.hist import (
+    DEFAULT_UNIT,
+    DEFAULT_WIDTH,
+    hist_absorb,
+    hist_quantiles,
+    hist_state,
+    load_hist_state,
+    save_hist_state,
+)
+
+
+def _ev(spark, sf_dir):
+    from data_pipeline_bigquery_to_sftp_server_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def _cells(df):
+    return sorted((r[0], r[1], r[2]) for r in df.collect())
+
+
+def test_hist_absorb_equals_direct_build(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    a = ev.where(F.col("event_id") % 3 == 0)
+    b = ev.where(F.col("event_id") % 3 != 0)
+    direct = hist_state(ev, "value", "event_type")
+    merged = hist_absorb(
+        hist_state(a, "value", "event_type"),
+        hist_state(b, "value", "event_type"),
+        "event_type",
+    )
+    assert _cells(direct) == _cells(merged)
+
+
+def test_hist_quantile_error_bounded_by_bucket_width(spark, sf_dir):
+    from data_pipeline_bigquery_to_sftp_server_spark import queries as Q
+
+    rows = Q.q_hist_quantiles(spark, sf_dir).collect()
+    bound = DEFAULT_WIDTH / DEFAULT_UNIT
+    assert len(rows) == 20  # 5 event types x 4 percentiles
+    for r in rows:
+        assert abs(r.err) <= bound, (r.event_type, r.p, r.err)
+        assert r.est >= 0.0
+
+
+def test_hist_save_load_roundtrip_and_absorb_parity(spark, sf_dir, tmp_path):
+    ev = _ev(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    held = ev.where(F.col("event_id") % 2 == 0)
+    late = ev.where(F.col("event_id") % 2 == 1)
+    st = hist_state(held, "value", "event_type")
+    save_hist_state(st, str(tmp_path / "h"), "value", "event_type")
+    loaded, vcol, gcol, unit, width = load_hist_state(spark, str(tmp_path / "h"))
+    assert (vcol, gcol, unit, width) == (
+        "value",
+        "event_type",
+        DEFAULT_UNIT,
+        DEFAULT_WIDTH,
+    )
+    assert _cells(loaded) == _cells(st)
+    cont = hist_absorb(st, hist_state(late, "value", gcol), gcol)
+    after_load = hist_absorb(loaded, hist_state(late, "value", gcol), gcol)
+    assert _cells(cont) == _cells(after_load)
+    q1 = sorted(map(tuple, hist_quantiles(cont, gcol).collect()))
+    q2 = sorted(map(tuple, hist_quantiles(after_load, gcol).collect()))
+    assert q1 == q2
+
+
+def test_hist_state_rejects_negative_metrics(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([("a", -1.5), ("a", 2.0)], "g string, v double")
+    with pytest.raises(SparkRuntimeException, match="negative micro-units"):
+        hist_state(df, "v", "g").collect()
