@@ -177,6 +177,7 @@ HEADLINE = [
     "rolling_anomaly",
     "schema_evolution",
     "hist_quantiles",
+    "hist_drift",
     "streaming_hist",
 ]
 

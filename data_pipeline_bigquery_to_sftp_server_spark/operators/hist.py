@@ -170,3 +170,62 @@ def load_hist_state(
     p = spark.read.parquet(f"{path}/params").collect()[0]
     state = spark.read.parquet(f"{path}/state").repartition(p.group_col)
     return state, p.value_col, p.group_col, int(p.unit), int(p.width)
+
+
+def hist_drift(
+    state_a: DataFrame, state_b: DataFrame, group_col: str
+) -> DataFrame:
+    """Distribution-drift metric between two histogram states (the
+    snapshot-monitoring question: "did this metric's distribution move
+    between corpus versions?"): per-group TOTAL VARIATION DISTANCE
+
+        TVD = (1/2) * sum_i |p_i - q_i|
+            = sum_i |n_a_i * Nb - n_b_i * Na|  /  (2 * Na * Nb)
+
+    The numerator is an EXACT integer sum (cross-multiplied counts, no
+    per-bucket division), so unlike PSI/KL — whose ln() terms differ in
+    the last ulp between libms and whose float sums are order-dependent
+    — TVD from integer histograms is ORACLE-CHECKABLE: one final
+    division of exact integers, identical in any engine. Also emitted:
+    the worst bucket's deviation (same integer construction) and both
+    totals. Cost: one outer-merge of two (groups x buckets) frames —
+    state-sized, never corpus-sized. Counts are held in decimal(38)
+    for the cross products (DuckDB's HUGEINT promotion, mirrored), so
+    billion-row snapshots don't overflow."""
+    a = state_a.select(group_col, "bucket", F.col("n").alias("na"))
+    b = state_b.select(group_col, "bucket", F.col("n").alias("nb"))
+    cells = (
+        a.join(b, [group_col, "bucket"], "full_outer")
+        .na.fill({"na": 0, "nb": 0})
+    )
+    tot = cells.groupBy(group_col).agg(
+        F.sum("na").alias("n_a"), F.sum("nb").alias("n_b")
+    )
+    j = cells.join(tot, group_col)
+    dev = F.abs(
+        F.col("na").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)")
+        - F.col("nb").cast("decimal(38,0)") * F.col("n_a").cast("decimal(38,0)")
+    )
+    agg = j.groupBy(group_col).agg(
+        F.sum(dev).alias("_s"),
+        F.max(dev).alias("_mx"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    den = (
+        F.lit(2).cast("decimal(38,0)")
+        * F.col("n_a").cast("decimal(38,0)")
+        * F.col("n_b").cast("decimal(38,0)")
+    )
+    den_half = (
+        F.col("n_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)")
+    )
+    return agg.select(
+        group_col,
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.col("_s").cast("double") / den.cast("double")).alias("tvd"),
+        (F.col("_mx").cast("double") / den_half.cast("double")).alias(
+            "max_bucket_dev"
+        ),
+    )

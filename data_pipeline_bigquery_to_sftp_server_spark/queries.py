@@ -8137,7 +8137,7 @@ ORDER BY source
 
 
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X58c KMV set-operation estimates, ORACLE-CHECKED: for every
+    """X58d KMV set-operation estimates, ORACLE-CHECKED: for every
     pair of document sources, union / intersection / Jaccard
     cardinality estimates composed purely from the per-source KMV
     sketches (operators/sketch.py kmv_set_estimates — the merged
@@ -8517,7 +8517,7 @@ ORDER BY doc_id
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X59 weighted sampling without replacement, ORACLE-CHECKED: the
+    """X60 weighted sampling without replacement, ORACLE-CHECKED: the
     top-10 documents per source under an Efraimidis-Spirakis
     exponential race keyed by document length (operators/sampling.py
     weighted_sample_wor) — the quality-weighted corpus downsampler a
@@ -8555,7 +8555,7 @@ ORDER BY source, sample_rank
 
 
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X61 mergeable histogram quantiles, ORACLE-CHECKED cell-for-cell:
+    """X64 mergeable histogram quantiles, ORACLE-CHECKED cell-for-cell:
     per-event-type p25/p50/p75/p95 estimated from the integer-bucket
     histogram state (operators/hist.py — the quantile member of the
     held-state family), published NEXT TO the exact type-1 order
@@ -8639,7 +8639,7 @@ ORDER BY h.event_type, h.p
 
 
 def q_streaming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X61b the histogram family's foreachBatch deployment, ORACLE-
+    """X64b the histogram family's foreachBatch deployment, ORACLE-
     CHECKED: held state built from 90% of events, the rest arrives as
     4 micro-batches, each absorbed into the running (group, bucket, n)
     state (hist_absorb — counts are exact longs, so absorb is a union
@@ -8713,6 +8713,61 @@ ORDER BY g.event_type, g.p
 """
 
 
+def q_hist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64c distribution-drift monitoring from histogram states,
+    ORACLE-CHECKED: per-event-type total variation distance between
+    the value distribution of the first half of the month and the
+    second (operators/hist.py hist_drift) — the snapshot-to-snapshot
+    "did this metric move?" gate, answered from two (groups x buckets)
+    states WITHOUT rescanning either snapshot. TVD's numerator is an
+    exact integer sum of cross-multiplied counts (unlike PSI/KL, whose
+    ln() terms are libm-divergent and float-sum order-dependent), so
+    one final division makes every cell engine-identical."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import hist
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    early = hist.hist_state(ev.where(F.col("ts") < cut), "value", "event_type")
+    late = hist.hist_state(ev.where(F.col("ts") >= cut), "value", "event_type")
+    return hist.hist_drift(early, late, "event_type").orderBy("event_type")
+
+
+_ORACLE_HIST_DRIFT = """
+WITH m AS (
+  SELECT event_type, ts,
+         CAST(round(value * 1000000) AS BIGINT) // 5000000 AS bucket
+  FROM events WHERE value IS NOT NULL
+), a AS (
+  SELECT event_type, bucket, count(*) AS na FROM m
+  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2
+), b AS (
+  SELECT event_type, bucket, count(*) AS nb FROM m
+  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2
+), cells AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         coalesce(a.bucket, b.bucket) AS bucket,
+         coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+  FROM a FULL OUTER JOIN b
+    ON a.event_type = b.event_type AND a.bucket = b.bucket
+), tot AS (
+  SELECT event_type, sum(na) AS n_a, sum(nb) AS n_b
+  FROM cells GROUP BY 1
+), dev AS (
+  SELECT c.event_type,
+         abs(c.na * t.n_b - c.nb * t.n_a) AS d,
+         t.n_a, t.n_b
+  FROM cells c JOIN tot t ON t.event_type = c.event_type
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(sum(d) AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE) AS tvd,
+       CAST(max(d) AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS max_bucket_dev
+FROM dev GROUP BY event_type, n_a, n_b
+ORDER BY event_type
+"""
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 schema-evolution read, ORACLE-CHECKED: an ingest directory
     whose later batches ADDED a column (batch 1 writes documents
@@ -8761,7 +8816,7 @@ ORDER BY source
 
 
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X60 rolling z-score anomaly detection, ORACLE-CHECKED for
+    """X61 rolling z-score anomaly detection, ORACLE-CHECKED for
     bit-exactness: daily revenue scored against the trailing-7-day
     mean/std, flagging |z| > 2 — the monitoring query every ingest
     pipeline runs over its own throughput. The variance is computed
@@ -9040,12 +9095,14 @@ FROM u ORDER BY constraint_name
 QUERIES: dict[str, QueryFn] = {
     # -- slots 1-50: driver correctness window ------------------------
     # r10 rotation: the 14 r9-family queries that never had an official
-    # CORRECTNESS row move in (r9 verdict next-round #2), plus the two
-    # r10 additions (bpe_fast_merges, streaming_covariance). Sixteen
-    # long-stable driver-green rows move past slot 50 — each with the
-    # in-window coverage noted inline, and ALL displaced rows stay
-    # verify_local-green on their identical oracles (re-checked this
-    # round).
+    # CORRECTNESS row move in (r9 verdict next-round #2), plus the r10
+    # additions (bpe_fast_merges, streaming_covariance, and the late-r10
+    # batch: bucketed_join, constraint_audit, kmv_set_ops,
+    # weighted_sample, rolling_anomaly, schema_evolution, hist_quantiles,
+    # streaming_hist). Long-stable driver-green rows move past slot 50 —
+    # each with the in-window coverage noted inline, and ALL displaced
+    # rows stay verify_local-green on their identical oracles
+    # (re-checked this round).
     # flagship + reference sync flow
     "curation_pipeline": q_curation_pipeline,
     "sync_pipeline": q_sync_pipeline,
@@ -9053,9 +9110,11 @@ QUERIES: dict[str, QueryFn] = {
     # (curation_pipeline runs the identical pair→cluster dedup
     # in-window), remove_dup_spans (official r8–r9; within-doc
     # duplication axis keeps dup_line_signals in-window), bloom_screen
-    # (stateful_dedup's in-window row holds the Bloom membership tier).
-    "dedup_exact": q_dedup_exact,
-    "jaccard_pairs": q_jaccard_pairs,
+    # (stateful_dedup's in-window row holds the Bloom membership tier);
+    # late r10: dedup_exact + jaccard_pairs (official r2–r9, the two
+    # longest-tenured dedup rows — curation_pipeline consumes the
+    # IDENTICAL pair build and runs the same exact-dedup machinery
+    # in-window; both verify_local-green).
     "semantic_dedup": q_semantic_dedup,
     "pack_sequences": q_pack_sequences,
     # similarity / statistics family — retrieval_mrr displaced (official
@@ -9080,28 +9139,46 @@ QUERIES: dict[str, QueryFn] = {
     # official rows move to the state-inspectable KMV pair below).
     "dup_line_signals": q_dup_line_signals,
     "quality_ensemble": q_quality_ensemble,
-    "gopher_rules": q_gopher_rules,
+    # (gopher_rules displaced late r10 — official r5–r9; the same
+    # rationale that displaced quality_filter: quality_ensemble stacks
+    # the identical rule battery in-window; verify_local-green)
     "iqr_outliers": q_iqr_outliers,
+    "rolling_anomaly": q_rolling_anomaly,
     "kmv_distinct": q_kmv_distinct,
+    "kmv_set_ops": q_kmv_set_ops,
+    "hist_quantiles": q_hist_quantiles,
+    "weighted_sample": q_weighted_sample,
+    "constraint_audit": q_constraint_audit,
     # multimodal (X)
     "media_features": q_media_features,
-    # sources / sinks
+    # sources / sinks (schema_evolution adds the append-only-lake
+    # mergeSchema read the source family lacked)
     "sql_cte": q_sql_cte,
+    "schema_evolution": q_schema_evolution,
     # aggregation + reshaping (pivot_report brings the A7 pivot/unpivot
-    # round-trip the window lacked)
-    "pricing_summary": q_pricing_summary,
+    # round-trip the window lacked; pricing_summary displaced late r10 —
+    # official r1–r9, the registry's longest-tenured row — the A6–A9
+    # grouped-agg surface stays official via bucketed_join's
+    # partial+final fold and the rollup/cube/grouping-sets family stays
+    # verify_local-green)
     "pivot_report": q_pivot_report,
     # joins — snapshot_diff displaced (scd2_apply keeps CDC in-window);
     # asof_forward adds the forward/tolerance direction next to the
     # backward asof_join row
-    "star_join": q_star_join,
+    # (star_join + salted_join displaced late r10 — official r1–r9 and
+    # r3–r9; bucketed_join brings the join family's shuffle-free tier
+    # in-window with the broadcast star shape still exercised by
+    # sync_pipeline/ingest_pipeline, and skew salting stays pinned in
+    # test_asof_skew; both verify_local-green)
+    "bucketed_join": q_bucketed_join,
     "asof_join": q_asof_join,
     "asof_forward": q_asof_forward,
     "ingest_pipeline": q_ingest_pipeline,
-    "salted_join": q_salted_join,
-    # windows — window_dist adds the distribution windows
-    # (percent_rank/cume_dist/ntile) next to window_suite
-    "window_suite": q_window_suite,
+    # windows — window_dist holds the distribution windows; window_suite
+    # displaced late r10 (official r1–r9; rank/lag/frame coverage stays
+    # verify_local-green via window_rank / window_lag_running /
+    # window_range_frame, and rolling_anomaly's trailing frame is
+    # in-window)
     "window_dist": q_window_dist,
     # UDF / UDAF / UDTF surface (§2.10 — udaf_geomean holds it)
     "udaf_geomean": q_udaf_geomean,
@@ -9143,7 +9220,12 @@ QUERIES: dict[str, QueryFn] = {
     # keeps dedup-on-stream); the family gains the held-state absorb
     # rows: KMV sketch, IQR gate, covariance moments (above)
     "streaming_tumbling": q_streaming_tumbling,
-    "streaming_session": q_streaming_session,
+    # (streaming_session displaced late r10 — official r4–r9; session
+    # semantics stay official via session_sequences' batch twin and
+    # streaming_stateful's custom state row; verify_local-green.
+    # streaming_hist joins the held-state absorb rows: the quantile
+    # sketch maintained on ingest.)
+    "streaming_hist": q_streaming_hist,
     "streaming_join": q_streaming_join,
     "streaming_upsert": q_streaming_upsert,
     "streaming_stateful": q_streaming_stateful,
@@ -9155,6 +9237,18 @@ QUERIES: dict[str, QueryFn] = {
     # official rounds before displacement, all verify_local-green on
     # the identical oracles (see the window notes above for which
     # in-window row covers each family's machinery)
+    # hist_drift is brand-new past-window: the in-window family rows
+    # (hist_quantiles, streaming_hist) exercise the identical state
+    # build; drift itself is verify_local-green on its oracle
+    "hist_drift": q_hist_drift,
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "gopher_rules": q_gopher_rules,
+    "pricing_summary": q_pricing_summary,
+    "star_join": q_star_join,
+    "salted_join": q_salted_join,
+    "window_suite": q_window_suite,
+    "streaming_session": q_streaming_session,
     "dedup_clusters": q_dedup_clusters,
     "remove_dup_spans": q_remove_dup_spans,
     "bloom_screen": q_bloom_screen,
@@ -9267,26 +9361,6 @@ QUERIES: dict[str, QueryFn] = {
     # (both oracle-checked)
     "triangle_counts": q_triangle_counts,
     "sorted_neighborhood": q_sorted_neighborhood,
-    # r10: shuffle-free bucketed fact-fact join (plan-asserted in the
-    # query itself) + the one-pass Deequ-style constraint audit
-    "bucketed_join": q_bucketed_join,
-    "constraint_audit": q_constraint_audit,
-    # r10: KMV set-operation estimates composed from the per-source
-    # sketch states (oracle-checked; exact below k on the fixtures)
-    "kmv_set_ops": q_kmv_set_ops,
-    # r10: deterministic weighted sampling without replacement (A-ES
-    # exponential race; oracle-checked)
-    "weighted_sample": q_weighted_sample,
-    # r10: rolling z-score throughput anomaly gate (bit-exact window
-    # variance from integer sums; oracle-checked)
-    "rolling_anomaly": q_rolling_anomaly,
-    # r10: schema-on-read evolution (late-added column via mergeSchema;
-    # oracle-checked)
-    "schema_evolution": q_schema_evolution,
-    # r10: the quantile member of the held-state family (integer-bucket
-    # histogram sketch; batch + foreachBatch absorb, both oracle-checked)
-    "hist_quantiles": q_hist_quantiles,
-    "streaming_hist": q_streaming_hist,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -9503,6 +9577,7 @@ ORACLES: dict[str, str] = {
     "rolling_anomaly": _ORACLE_ROLLING_ANOMALY,
     "schema_evolution": _ORACLE_SCHEMA_EVOLUTION,
     "hist_quantiles": _ORACLE_HIST_QUANTILES,
+    "hist_drift": _ORACLE_HIST_DRIFT,
     "streaming_hist": _ORACLE_STREAMING_HIST,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,

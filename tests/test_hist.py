@@ -1,4 +1,4 @@
-"""Mergeable histogram quantile sketch (X61): state mergeability,
+"""Mergeable histogram quantile sketch (X64): state mergeability,
 durability, error bound vs the exact order statistic, and the signed-
 domain guard."""
 
@@ -81,3 +81,42 @@ def test_hist_state_rejects_negative_metrics(spark):
     df = spark.createDataFrame([("a", -1.5), ("a", 2.0)], "g string, v double")
     with pytest.raises(SparkRuntimeException, match="negative micro-units"):
         hist_state(df, "v", "g").collect()
+
+
+def test_hist_drift_identical_states_is_zero(spark, sf_dir):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.hist import hist_drift
+
+    ev = _ev(spark, sf_dir)
+    st = hist_state(ev, "value", "event_type")
+    for r in hist_drift(st, st, "event_type").collect():
+        assert r.tvd == 0.0 and r.max_bucket_dev == 0.0
+        assert r.n_a == r.n_b
+
+
+def test_hist_drift_disjoint_supports_is_one(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.hist import hist_drift
+
+    lo = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3)], "g string, v double"
+    )
+    hi = spark.createDataFrame(
+        [("g", float(v)) for v in (100, 200, 300)], "g string, v double"
+    )
+    a = hist_state(lo, "v", "g")
+    b = hist_state(hi, "v", "g")
+    row = hist_drift(a, b, "g").collect()[0]
+    assert row.tvd == 1.0
+
+
+def test_hist_drift_is_symmetric_and_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.hist import hist_drift
+
+    ev = _ev(spark, sf_dir)
+    a = hist_state(ev.where(F.col("event_id") % 3 == 0), "value", "event_type")
+    b = hist_state(ev.where(F.col("event_id") % 3 != 0), "value", "event_type")
+    ab = {r.event_type: r.tvd for r in hist_drift(a, b, "event_type").collect()}
+    ba = {r.event_type: r.tvd for r in hist_drift(b, a, "event_type").collect()}
+    assert ab == ba
+    assert all(0.0 <= v <= 1.0 for v in ab.values())
