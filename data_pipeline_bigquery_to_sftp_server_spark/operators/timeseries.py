@@ -233,3 +233,68 @@ def resample_interpolate(
         value.alias("value"),
         F.col("_v").isNotNull().alias("observed"),
     )
+
+
+def rolling_active(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Sliding-window distinct count over a day grid — the DAU/WAU/MAU
+    family (``active(d)`` = distinct keys with any event in the
+    window_days ending at d, inclusive).  The naive relational form is
+    a per-day self-join or a range-frame ``collect_set`` window — both
+    quadratic in the window.  This is the linear COVERED-DAY expansion:
+
+    1. reduce events to distinct ``(key, day)`` marks — the only
+       corpus-sized pass, one map-side-combinable shuffle;
+    2. each mark covers report days ``day .. day+window_days-1``
+       (``explode(sequence(...))`` — a bounded x``window_days`` blowup
+       of the MARK table, never of the raw events);
+    3. dedup ``(key, report_day)`` and count per day — a key whose
+       events hit several days of one window still counts once.
+
+    Days inside the observed range with no covered activity surface as
+    0 via a ``sequence(min_day, max_day)`` spine (one-row bounds
+    broadcast), and coverage past the last observed day is clipped —
+    the output is exactly one row per day of the observed range.
+
+    Scale shape: everything downstream of step 1 is sized by
+    keys x active-days x window_days regardless of event volume; the
+    count shuffle is keyed (day), a few thousand groups — at 100 TB
+    the cost is the one distinct over (key, day), which is the
+    irreducible information content of the metric.  All-integer
+    output: engine-exact (DuckDB replays via generate_series).
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    day = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    marks = (
+        df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(day.alias("day"), F.col(key_col).alias("_k"))
+        .dropDuplicates(["day", "_k"])
+    )
+    bounds = marks.agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    covered = (
+        marks.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), window_days - 1)
+                )
+            ).alias("day"),
+            "_k",
+        )
+        .dropDuplicates(["day", "_k"])
+        .groupBy("day")
+        .agg(F.count("*").alias("_n"))
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("day")
+    )
+    return (
+        spine.join(covered, "day", "left")
+        .select("day", F.coalesce(F.col("_n"), F.lit(0)).alias("active"))
+    )

@@ -9077,6 +9077,56 @@ FROM u ORDER BY constraint_name
 """
 
 
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 sliding-window distinct counts (DAU/WAU), ORACLE-CHECKED:
+    per day of the observed range, the distinct users active that day
+    and within the trailing 7 days — the activity dashboard every
+    event pipeline ships.  The quadratic forms (per-day self-join, or
+    a range-frame collect_set window) are replaced by the linear
+    covered-day expansion: distinct (user, day) marks -> each mark
+    explodes to the <=7 report days it covers -> dedup + count
+    (operators/timeseries.py rolling_active).  Zero-activity days
+    surface as 0 via the day spine; all-integer output, so DuckDB
+    replays cell-for-cell via generate_series."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    dau = timeseries.rolling_active(ev, "ts", "user_id", window_days=1)
+    wau = timeseries.rolling_active(ev, "ts", "user_id", window_days=7)
+    return (
+        dau.withColumnRenamed("active", "dau")
+        .join(wau.withColumnRenamed("active", "wau"), "day")
+        .orderBy("day")
+    )
+
+
+_ORACLE_ROLLING_ACTIVE = """
+WITH marks AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), b AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM marks
+), spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+), cov AS (
+  SELECT DISTINCT m.day + CAST(t.i AS INTEGER) AS day, m.user_id
+  FROM marks m, generate_series(0, 6) t(i)
+), wau AS (
+  SELECT day, count(*) AS wau FROM cov GROUP BY day
+), dau AS (
+  SELECT day, count(*) AS dau FROM marks GROUP BY day
+)
+SELECT s.day,
+       CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
+       CAST(coalesce(w.wau, 0) AS BIGINT) AS wau
+FROM spine s
+LEFT JOIN dau d ON d.day = s.day
+LEFT JOIN wau w ON w.day = s.day
+ORDER BY s.day
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9241,6 +9291,10 @@ QUERIES: dict[str, QueryFn] = {
     # (hist_quantiles, streaming_hist) exercise the identical state
     # build; drift itself is verify_local-green on its oracle
     "hist_drift": q_hist_drift,
+    # rolling_active is brand-new past-window (late r10): the window's
+    # analytics rows (cohort_retention, funnel_conversion) cover the
+    # event-analytics family; verify_local-green on its oracle
+    "rolling_active": q_rolling_active,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "gopher_rules": q_gopher_rules,
@@ -9578,6 +9632,7 @@ ORACLES: dict[str, str] = {
     "schema_evolution": _ORACLE_SCHEMA_EVOLUTION,
     "hist_quantiles": _ORACLE_HIST_QUANTILES,
     "hist_drift": _ORACLE_HIST_DRIFT,
+    "rolling_active": _ORACLE_ROLLING_ACTIVE,
     "streaming_hist": _ORACLE_STREAMING_HIST,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,

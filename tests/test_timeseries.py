@@ -94,3 +94,47 @@ def test_null_ts_and_value_rows_are_ignored(spark):
     )
     rows = resample_ffill(df, "k", "ts", "value").collect()
     assert len(rows) == 2  # the NULL rows neither extend nor fill the grid
+
+
+def _days(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, 12, 0)) for u, d in rows],
+        "user_id long, ts timestamp",
+    )
+
+
+def test_rolling_active_window_one_is_daily_distinct(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.timeseries import (
+        rolling_active,
+    )
+
+    df = _days(spark, [(1, 1), (2, 1), (1, 1), (1, 3), (3, 3)])
+    out = {r.day.day: r.active for r in rolling_active(df, "ts", "user_id", 1).collect()}
+    # day 2 has no events but sits inside the range -> explicit 0
+    assert out == {1: 2, 2: 0, 3: 2}
+
+
+def test_rolling_active_window_counts_trailing_days_once(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.timeseries import (
+        rolling_active,
+    )
+
+    # user 1 active on days 1 and 2 -> one count in every window that
+    # covers either; user 2 only day 1; user 3 only day 4
+    df = _days(spark, [(1, 1), (1, 2), (2, 1), (3, 4)])
+    out = {r.day.day: r.active for r in rolling_active(df, "ts", "user_id", 3).collect()}
+    # window(d) = distinct users with events in [d-2, d]
+    assert out == {1: 2, 2: 2, 3: 2, 4: 2}
+    # day 3: users 1 (day 2) and 2 (day 1); day 4: users 1 (day 2) and 3
+
+
+def test_rolling_active_clips_to_observed_range_and_validates(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.timeseries import (
+        rolling_active,
+    )
+
+    df = _days(spark, [(1, 1), (2, 5)])
+    days = sorted(r.day.day for r in rolling_active(df, "ts", "user_id", 7).collect())
+    assert days == [1, 2, 3, 4, 5]  # coverage past day 5 clipped
+    with pytest.raises(ValueError):
+        rolling_active(df, "ts", "user_id", 0)
