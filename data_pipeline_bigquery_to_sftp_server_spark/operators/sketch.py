@@ -392,3 +392,162 @@ def kmv_set_estimates(
         jaccard.alias("jaccard_est"),
         (jaccard * union_est).alias("inter_est"),
     )
+
+
+# --- HyperLogLog distinct-count sketch --------------------------------------
+
+_HLL_BITS = 48  # md5-prefix hash domain, shared with the KMV family
+
+
+def hll_linear_count_table(m: int) -> dict[int, float]:
+    """The linear-counting correction ``z -> round(m * ln(m / z), 4)``
+    for every possible zero-register count, PRECOMPUTED driver-side.
+    ln() is libm and therefore engine-divergent in the last ulp; with
+    only m-1 possible arguments the correction is a finite lookup, so
+    both the Spark plan and the DuckDB oracle embed the SAME literals
+    and the branch is bit-identical by construction — the trick that
+    makes an HLL estimate oracle-checkable at all."""
+    import math
+
+    return {z: round(m * math.log(m / z), 4) for z in range(1, m)}
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_state(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HyperLogLog register state: ``(group_col, bucket, r)``
+    with ``r`` the max rank (position of the first set bit of the
+    hash's upper 48-p bits, 1-based; all-zero upper bits rank 48-p+1)
+    over every value landing in the bucket — at most ``m = 2**p`` rows
+    per group, MERGEABLE by :func:`hll_absorb` (max of maxes).
+
+    vs KMV (:func:`kmv_state`): HLL state is smaller (m registers vs
+    k hashes) and needs NO distinct before aggregating — register max
+    is duplicate-insensitive, so this is one straight partial+final max
+    agg over the raw rows, the cheapest possible shuffle shape (the
+    KMV build pays a distinct-projection first). The price is a
+    lookup-table correction at low cardinality (see
+    :func:`hll_estimate`) instead of KMV's exact-below-k arm.
+
+    Engine-portable by construction: bucket = low p hash bits, rank =
+    first '1' of the zero-padded binary string of the upper bits —
+    integer/string ops only, identical in Spark and DuckDB (classic
+    HLL implementations disagree on hash + register packing, which is
+    why HLL sketches are normally NOT oracle-checkable)."""
+    m = 1 << p
+    wbits = _HLL_BITS - p
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(value_col).cast("string"), F.lit(":" + salt))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.shiftright(h, p)
+    pos = F.instr(F.lpad(F.bin(w), wbits, "0"), "1")
+    rho = F.when(pos == 0, F.lit(wbits + 1)).otherwise(pos)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col),
+            (h % F.lit(m)).alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("_rho").alias("r"))
+    )
+
+
+def hll_absorb(
+    state_a: DataFrame, state_b: DataFrame, group_col: str
+) -> DataFrame:
+    """Merge two HLL states: union + per-bucket max — exact for the
+    union of the underlying value sets regardless of arrival order or
+    batching (max is commutative/associative), the same mergeability
+    contract as the KMV/moment/histogram states."""
+    return (
+        state_a.select(group_col, "bucket", "r")
+        .unionByName(state_b.select(group_col, "bucket", "r"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(state: DataFrame, group_col: str, p: int = 6) -> DataFrame:
+    """Distinct-count estimate from HLL register state, all-exact
+    arithmetic until one final division: the harmonic-mean indicator
+    ``sum(2^-r)`` is computed as the INTEGER ``S = sum(2^(maxr - r))``
+    (each term a power of two <= 2^maxr; float summation of 2^-r terms
+    is order-dependent once exponents spread past the mantissa, integer
+    summation never is), then ``raw = alpha * m^2 * 2^maxr / S`` is a
+    single IEEE division of engine-identical operands. Low-range
+    branch (raw <= 2.5m with empty registers) applies the precomputed
+    :func:`hll_linear_count_table` literal — see there for why a
+    lookup, not ln(). Returns ``(group_col, n_buckets, zeros,
+    est_distinct)``; relative error ~ 1.04/sqrt(m) (~13% at p=6).
+    Large-range (2^32) correction is irrelevant in a 48-bit hash
+    domain below ~10^12 distincts and omitted."""
+    m = 1 << p
+    maxr = _HLL_BITS - p + 1
+    c = _hll_alpha(m) * float(m) * float(m) * float(1 << maxr)
+    lc = hll_linear_count_table(m)
+    agg = state.groupBy(group_col).agg(
+        F.count("*").alias("_nb"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {maxr} - r)")).alias(
+            "_sp"
+        ),
+    )
+    zeros = (F.lit(m) - F.col("_nb")).cast("long")
+    s_total = F.col("_sp") + zeros * F.lit(1 << maxr).cast("long")
+    raw = F.lit(c) / s_total.cast("double")
+    lc_map = F.create_map(
+        *[F.lit(x) for z, v in sorted(lc.items()) for x in (z, v)]
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), lc_map[zeros.cast("int")]
+    ).otherwise(F.round(raw, 4))
+    return agg.select(
+        group_col,
+        F.col("_nb").cast("long").alias("n_buckets"),
+        zeros.alias("zeros"),
+        est.alias("est_distinct"),
+    )
+
+
+def save_hll_state(
+    state: DataFrame, path: str, group_col: str, p: int = 6, salt: str = "hll"
+) -> None:
+    """Persist HLL state + sketch params (the KMV durability shape,
+    :func:`save_kmv_state`): absorbing states built with different
+    (p, salt) is nonsense, so the loader hands back the recorded
+    params for callers to reuse."""
+    spark = state.sparkSession
+    spark.createDataFrame(
+        [(group_col, int(p), salt)], "group_col string, p int, salt string"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    state.select(group_col, "bucket", "r").write.mode("overwrite").parquet(
+        f"{path}/state"
+    )
+
+
+def load_hll_state(spark, path: str) -> tuple[DataFrame, str, int, str]:
+    """Re-open a saved HLL sketch: ``(state, group_col, p, salt)``."""
+    row = spark.read.parquet(f"{path}/params").collect()[0]
+    state = spark.read.parquet(f"{path}/state").repartition(row.group_col)
+    return state, row.group_col, int(row.p), row.salt

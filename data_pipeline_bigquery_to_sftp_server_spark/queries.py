@@ -9127,6 +9127,115 @@ ORDER BY s.day
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58c HyperLogLog distinct-count sketch, ORACLE-CHECKED — the
+    KMV pair's register-based sibling (operators/sketch.py hll_state /
+    hll_estimate): per source, 64 registers estimate the distinct
+    document count, next to the true count and relative error. HLL
+    estimates are normally NOT oracle-checkable (implementation-defined
+    hash/register packing + libm ln in the low-range branch); this one
+    is, via (a) integer-exact register ranks from md5-prefix bit
+    strings, (b) the harmonic sum kept integer until one final
+    division, (c) the linear-counting correction embedded as the SAME
+    precomputed literal table in both engines. State is mergeable
+    (hll_absorb, pinned in test_sketch_hll) and needs no distinct
+    before aggregating — the cheapest sketch build shape."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sketch
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # two cardinality regimes so BOTH estimator arms are oracle-checked:
+    # distinct texts per source is 25 at every SF (linear-counting arm);
+    # distinct doc_ids per lang grows with SF (raw harmonic arm)
+    lo = d.select(F.concat(F.lit("source:"), F.col("source")).alias("grp"),
+                  F.col("text").alias("_v"))
+    hi = d.select(F.concat(F.lit("lang:"), F.col("lang")).alias("grp"),
+                  F.col("doc_id").alias("_v"))
+    both = lo.unionByName(hi.select("grp", F.col("_v").cast("string").alias("_v")))
+    st = sketch.hll_state(both, "_v", "grp", p=6, salt="hll")
+    est = sketch.hll_estimate(st, "grp", p=6)
+    exact = both.groupBy("grp").agg(
+        F.countDistinct("_v").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            "grp",
+            "n_buckets",
+            "zeros",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _build_hll_oracle() -> str:
+    """The DuckDB replay of q_hll_distinct, assembled from the SAME
+    constants the Spark plan embeds (hll_linear_count_table + the
+    alpha*m^2*2^maxr literal) so the two engines cannot drift."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sketch
+
+    m, p = 64, 6
+    maxr = 48 - p + 1
+    c = repr(0.709 * float(m) * float(m) * float(1 << maxr))
+    lc = sketch.hll_linear_count_table(m)
+    case = "CASE zeros " + " ".join(
+        f"WHEN {z} THEN {v!r}" for z, v in sorted(lc.items())
+    ) + " END"
+    return f"""
+WITH vals AS (
+  SELECT 'source:' || source AS grp, text AS v
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT 'lang:' || lang AS grp, CAST(doc_id AS VARCHAR) AS v
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT grp,
+         ('0x' || substr(md5(v || ':hll'), 1, 12))::BIGINT AS hv
+  FROM vals
+), br AS (
+  SELECT grp, hv & {m - 1} AS bucket,
+         CASE WHEN strpos(lpad(bin(hv >> {p}), {maxr - 1}, '0'), '1') = 0
+              THEN {maxr}
+              ELSE strpos(lpad(bin(hv >> {p}), {maxr - 1}, '0'), '1')
+         END AS rho
+  FROM h
+), reg AS (
+  SELECT grp, bucket, max(rho) AS r FROM br GROUP BY 1, 2
+), agg AS (
+  SELECT grp, count(*) AS nb,
+         sum(1::BIGINT << ({maxr} - r)) AS sp
+  FROM reg GROUP BY 1
+), est0 AS (
+  SELECT grp, CAST(nb AS BIGINT) AS n_buckets,
+         CAST({m} - nb AS BIGINT) AS zeros,
+         {c} / CAST(sp + ({m} - nb) * (1::BIGINT << {maxr}) AS DOUBLE) AS raw
+  FROM agg
+), est AS (
+  SELECT grp, n_buckets, zeros,
+         CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+              THEN {case}
+              ELSE round(raw, 4) END AS est_distinct
+  FROM est0
+), ex AS (
+  SELECT grp, count(DISTINCT v) AS exact_distinct
+  FROM vals GROUP BY grp
+)
+SELECT grp, n_buckets, zeros, est_distinct, exact_distinct,
+       round(abs(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM est JOIN ex USING (grp)
+ORDER BY grp
+"""
+
+
+_ORACLE_HLL_DISTINCT = _build_hll_oracle()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9295,6 +9404,10 @@ QUERIES: dict[str, QueryFn] = {
     # analytics rows (cohort_retention, funnel_conversion) cover the
     # event-analytics family; verify_local-green on its oracle
     "rolling_active": q_rolling_active,
+    # hll_distinct is brand-new past-window (late r10): the in-window
+    # sketch rows (kmv_distinct, kmv_set_ops, streaming_kmv) hold the
+    # mergeable-distinct-sketch family; verify_local-green on its oracle
+    "hll_distinct": q_hll_distinct,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "gopher_rules": q_gopher_rules,
@@ -9633,6 +9746,7 @@ ORACLES: dict[str, str] = {
     "hist_quantiles": _ORACLE_HIST_QUANTILES,
     "hist_drift": _ORACLE_HIST_DRIFT,
     "rolling_active": _ORACLE_ROLLING_ACTIVE,
+    "hll_distinct": _ORACLE_HLL_DISTINCT,
     "streaming_hist": _ORACLE_STREAMING_HIST,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
