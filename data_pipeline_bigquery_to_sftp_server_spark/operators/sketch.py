@@ -551,3 +551,108 @@ def load_hll_state(spark, path: str) -> tuple[DataFrame, str, int, str]:
     row = spark.read.parquet(f"{path}/params").collect()[0]
     state = spark.read.parquet(f"{path}/state").repartition(row.group_col)
     return state, row.group_col, int(row.p), row.salt
+
+
+# --- count-min sketch --------------------------------------------------------
+
+
+def _cms_cell(col: Column, d: int, width: int, salt: str) -> Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit(f":{salt}:{d}"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(int(width))
+
+
+def cms_state(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of a value stream: ``(d, w, cnt)`` — ``depth``
+    pairwise-independent-ish hash rows x ``width`` counters, built in
+    ONE corpus scan (each input row explodes to its depth cells via an
+    in-row array, then a partial+final count agg whose shuffle carries
+    at most depth x width rows per partition — the map-side combine
+    collapses the blowup immediately). State is depth x width rows
+    TOTAL regardless of corpus size or value cardinality, and
+    MERGEABLE by :func:`cms_absorb` (counters are additive), so the
+    held-state ingest lifecycle applies.
+
+    vs the exact heavy-hitter pass (:func:`heavy_hitters`): that one
+    answers "which tokens are frequent" exactly under a capacity
+    assertion; CMS answers "how often does THIS value occur" for any
+    later probe without having kept per-value state — one-sided error
+    (est >= true; est <= true + e/width * N with prob 1 - e^-depth).
+    All-integer state and estimates: engine-exact, so the sketch is
+    fully ORACLE-CHECKABLE including its overestimates."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cms_cell(F.col(value_col), d, width, salt).alias("w"),
+                )
+                for d in range(int(depth))
+            ]
+        )
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(cells.alias("_c"))
+        .groupBy(F.col("_c.d").alias("d"), F.col("_c.w").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_absorb(state_a: DataFrame, state_b: DataFrame) -> DataFrame:
+    """Merge two CMS states built with identical (depth, width, salt):
+    per-cell counter sum — exact mergeability (the combined state
+    equals the one-shot state of the concatenated streams)."""
+    return (
+        state_a.select("d", "w", "cnt")
+        .unionByName(state_b.select("d", "w", "cnt"))
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    state: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for a probe set: each probe hashes to
+    its depth cells, the (broadcast — the state is depth x width rows
+    by construction) state supplies the counters, and the estimate is
+    the MIN over the probe's cells (absent cell => 0). Returns
+    ``(value_col, est_count)``; est_count >= the true count always."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cms_cell(F.col(value_col), d, width, salt).alias("w"),
+                )
+                for d in range(int(depth))
+            ]
+        )
+    )
+    probe_cells = (
+        probes.where(F.col(value_col).isNotNull())
+        .dropDuplicates([value_col])
+        .select(F.col(value_col), cells.alias("_c"))
+        .select(value_col, F.col("_c.d").alias("d"), F.col("_c.w").alias("w"))
+    )
+    joined = probe_cells.join(F.broadcast(state), ["d", "w"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+    )

@@ -9236,6 +9236,73 @@ ORDER BY grp
 _ORACLE_HLL_DISTINCT = _build_hll_oracle()
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11b count-min sketch point frequencies, ORACLE-CHECKED
+    INCLUDING its overestimates (operators/sketch.py cms_state /
+    cms_lookup): token occurrence counts from a depth=3 x width=16
+    counter matrix — deliberately undersized against the ~31-token
+    vocabulary so hash collisions happen and the one-sided error is
+    VISIBLE — next to exact counts and the (always >= 0) overestimate.
+    All-integer state and estimates, so DuckDB replays every counter
+    and every collision cell-for-cell. Complements heavy_hitters
+    (exact "which values are frequent" under a capacity assert) with
+    "how often does THIS value occur" from bounded held state; counters
+    are additive, so the state is mergeable (cms_absorb, pinned in
+    test_sketch_cms)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.tokenize(F.col("text"))).alias("token"))
+    st = sketch.cms_state(toks, "token", depth=3, width=16, salt="cms")
+    probes = toks.dropDuplicates(["token"])
+    est = sketch.cms_lookup(st, probes, "token", depth=3, width=16, salt="cms")
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    return (
+        est.join(exact, "token")
+        .select(
+            "token",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy("token")
+    )
+
+
+_ORACLE_CMS_COUNTS = r"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+), ds AS (
+  SELECT unnest([0, 1, 2]) AS d
+), cells AS (
+  SELECT ds.d,
+         ('0x' || substr(md5(token || ':cms:' || CAST(ds.d AS VARCHAR)), 1, 12))::BIGINT % 16 AS w,
+         count(*) AS cnt
+  FROM toks, ds GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT token FROM toks
+), pc AS (
+  SELECT token, ds.d,
+         ('0x' || substr(md5(token || ':cms:' || CAST(ds.d AS VARCHAR)), 1, 12))::BIGINT % 16 AS w
+  FROM probes, ds
+), est AS (
+  SELECT token, min(coalesce(cnt, 0)) AS est_count
+  FROM pc LEFT JOIN cells USING (d, w) GROUP BY token
+), ex AS (
+  SELECT token, count(*) AS exact_count FROM toks GROUP BY token
+)
+SELECT token,
+       CAST(est_count AS BIGINT) AS est_count,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(est_count - exact_count AS BIGINT) AS overestimate
+FROM est JOIN ex USING (token)
+ORDER BY token
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9408,6 +9475,9 @@ QUERIES: dict[str, QueryFn] = {
     # sketch rows (kmv_distinct, kmv_set_ops, streaming_kmv) hold the
     # mergeable-distinct-sketch family; verify_local-green on its oracle
     "hll_distinct": q_hll_distinct,
+    # cms_counts is brand-new past-window (late r10): in-window sketch
+    # coverage as above; verify_local-green on its oracle
+    "cms_counts": q_cms_counts,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "gopher_rules": q_gopher_rules,
@@ -9747,6 +9817,7 @@ ORACLES: dict[str, str] = {
     "hist_drift": _ORACLE_HIST_DRIFT,
     "rolling_active": _ORACLE_ROLLING_ACTIVE,
     "hll_distinct": _ORACLE_HLL_DISTINCT,
+    "cms_counts": _ORACLE_CMS_COUNTS,
     "streaming_hist": _ORACLE_STREAMING_HIST,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
