@@ -9303,6 +9303,125 @@ ORDER BY token
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 z-order (Morton) layout quality, ORACLE-CHECKED
+    (operators/layout.py): events are laid into 32 equal buckets two
+    ways — z-ordered on (day-of-month, user-bucket) vs linearly sorted
+    on user-bucket alone — and each layout reports, from per-bucket
+    min/max statistics ONLY (exactly what parquet footers give a
+    scan planner), how many buckets and rows a day-range predicate and
+    a user-range predicate would each have to read. The z-order rows
+    show both predicates pruning; the linear layout prunes only its
+    own sort key and reads every bucket for the day predicate — the
+    data-skipping argument for multi-dimension clustering, stated as
+    integers an oracle replays exactly. Bucket assignment is the
+    deterministic global-rank twin of the production
+    repartitionByRange write path (zorder_write, pinned in
+    test_layout)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import layout
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
+        with_global_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    maxu = ev.agg(F.max("user_id").alias("_mu"))
+    d = ev.crossJoin(F.broadcast(maxu)).select(
+        "event_id",
+        (F.dayofmonth("ts") - 1).cast("long").alias("day0"),
+        F.expr("user_id * 32 div (_mu + 1)").cast("long").alias("ub"),
+    )
+    zb = layout.zorder_buckets(
+        d, ["day0", "ub"], "event_id", bits=5, n_buckets=32
+    ).select(F.lit("zorder").alias("layout"), "bucket", "day0", "ub")
+    ranked, n_total = with_global_rank(d, ["ub", "event_id"])
+    lb = ranked.select(
+        F.lit("linear_user").alias("layout"),
+        F.expr(f"(grank - 1) * 32 div {n_total}").cast("long").alias("bucket"),
+        "day0",
+        "ub",
+    )
+    st = (
+        zb.unionByName(lb)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min("day0").alias("_d0"),
+            F.max("day0").alias("_d1"),
+            F.min("ub").alias("_u0"),
+            F.max("ub").alias("_u1"),
+        )
+    )
+    day_hit = (F.col("_d1") >= 10) & (F.col("_d0") <= 16)
+    user_hit = (F.col("_u1") >= 8) & (F.col("_u0") <= 23)
+    return (
+        st.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(day_hit, 1).otherwise(0)).alias("day_pred_buckets"),
+            F.sum(F.when(day_hit, F.col("_n")).otherwise(0)).alias(
+                "day_pred_rows"
+            ),
+            F.sum(F.when(user_hit, 1).otherwise(0)).alias(
+                "user_pred_buckets"
+            ),
+            F.sum(F.when(user_hit, F.col("_n")).otherwise(0)).alias(
+                "user_pred_rows"
+            ),
+        )
+        .orderBy("layout")
+    )
+
+
+_ORACLE_ZORDER_LAYOUT = """
+WITH base AS (
+  SELECT event_id,
+         CAST(date_part('day', ts) - 1 AS BIGINT) AS day0,
+         CAST(user_id * 32 // ((SELECT max(user_id) FROM events
+                                WHERE ts IS NOT NULL AND user_id IS NOT NULL) + 1)
+              AS BIGINT) AS ub
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), z AS (
+  SELECT event_id, day0, ub,
+         (((day0 >> 0) & 1) << 0) + (((ub >> 0) & 1) << 1) +
+         (((day0 >> 1) & 1) << 2) + (((ub >> 1) & 1) << 3) +
+         (((day0 >> 2) & 1) << 4) + (((ub >> 2) & 1) << 5) +
+         (((day0 >> 3) & 1) << 6) + (((ub >> 3) & 1) << 7) +
+         (((day0 >> 4) & 1) << 8) + (((ub >> 4) & 1) << 9) AS zkey
+  FROM base
+), n AS (
+  SELECT count(*) AS n FROM base
+), lay AS (
+  SELECT 'zorder' AS layout,
+         (row_number() OVER (ORDER BY zkey, event_id) - 1) * 32 // n.n AS bucket,
+         day0, ub
+  FROM z, n
+  UNION ALL
+  SELECT 'linear_user' AS layout,
+         (row_number() OVER (ORDER BY ub, event_id) - 1) * 32 // n.n AS bucket,
+         day0, ub
+  FROM base, n
+), st AS (
+  SELECT layout, bucket, count(*) AS n_rows,
+         min(day0) AS d0, max(day0) AS d1,
+         min(ub) AS u0, max(ub) AS u1
+  FROM lay GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN d1 >= 10 AND d0 <= 16 THEN 1 ELSE 0 END) AS BIGINT)
+         AS day_pred_buckets,
+       CAST(sum(CASE WHEN d1 >= 10 AND d0 <= 16 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS day_pred_rows,
+       CAST(sum(CASE WHEN u1 >= 8 AND u0 <= 23 THEN 1 ELSE 0 END) AS BIGINT)
+         AS user_pred_buckets,
+       CAST(sum(CASE WHEN u1 >= 8 AND u0 <= 23 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS user_pred_rows
+FROM st GROUP BY layout ORDER BY layout
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9478,6 +9597,9 @@ QUERIES: dict[str, QueryFn] = {
     # cms_counts is brand-new past-window (late r10): in-window sketch
     # coverage as above; verify_local-green on its oracle
     "cms_counts": q_cms_counts,
+    # zorder_layout is brand-new past-window (late r10): bucketed_join
+    # holds the in-window physical-layout row; verify_local-green
+    "zorder_layout": q_zorder_layout,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "gopher_rules": q_gopher_rules,
@@ -9818,6 +9940,7 @@ ORACLES: dict[str, str] = {
     "rolling_active": _ORACLE_ROLLING_ACTIVE,
     "hll_distinct": _ORACLE_HLL_DISTINCT,
     "cms_counts": _ORACLE_CMS_COUNTS,
+    "zorder_layout": _ORACLE_ZORDER_LAYOUT,
     "streaming_hist": _ORACLE_STREAMING_HIST,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
