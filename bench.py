@@ -179,6 +179,10 @@ HEADLINE = [
     "hist_quantiles",
     "hist_drift",
     "streaming_hist",
+    "rolling_active",
+    "hll_distinct",
+    "cms_counts",
+    "zorder_layout",
 ]
 
 
