@@ -9422,6 +9422,75 @@ FROM st GROUP BY layout ORDER BY layout
 """
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 one-pass table profiler, ORACLE-CHECKED
+    (operators/profile.py): per column of ``orders`` — n_rows, null
+    count, exact distinct count, and type-appropriate min/max (doubles
+    for numerics, epoch micros for timestamps, binary-collation
+    strings) — from ONE dynamically-built aggregate over one scan (the
+    F16 plan-from-schema discipline). The exact distinct counts ride
+    one EXPAND shuffle; profile_table(exact=False) is the in-code
+    100 TB swap to approx_count_distinct (pinned within rsd in
+    test_profile)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile.profile_table(o).orderBy("col_name")
+
+
+_ORACLE_PROFILE_TABLE = """
+WITH a AS (SELECT count(*) AS n_rows FROM orders)
+SELECT 'o_custkey' AS col_name, 'bigint' AS dtype, a.n_rows,
+       (SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS n_nulls,
+       (SELECT count(DISTINCT o_custkey) FROM orders) AS n_distinct,
+       (SELECT round(CAST(min(o_custkey) AS DOUBLE), 6) FROM orders) AS min_num,
+       (SELECT round(CAST(max(o_custkey) AS DOUBLE), 6) FROM orders) AS max_num,
+       NULL AS min_str, NULL AS max_str
+FROM a
+UNION ALL
+SELECT 'o_orderdate', 'timestamp_ntz', a.n_rows,
+       (SELECT CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT count(DISTINCT o_orderdate) FROM orders),
+       (SELECT CAST(epoch_us(min(o_orderdate)) AS DOUBLE) FROM orders),
+       (SELECT CAST(epoch_us(max(o_orderdate)) AS DOUBLE) FROM orders),
+       NULL, NULL
+FROM a
+UNION ALL
+SELECT 'o_orderkey', 'bigint', a.n_rows,
+       (SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT count(DISTINCT o_orderkey) FROM orders),
+       (SELECT round(CAST(min(o_orderkey) AS DOUBLE), 6) FROM orders),
+       (SELECT round(CAST(max(o_orderkey) AS DOUBLE), 6) FROM orders),
+       NULL, NULL
+FROM a
+UNION ALL
+SELECT 'o_orderpriority', 'string', a.n_rows,
+       (SELECT CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT count(DISTINCT o_orderpriority) FROM orders),
+       NULL, NULL,
+       (SELECT min(o_orderpriority) FROM orders),
+       (SELECT max(o_orderpriority) FROM orders)
+FROM a
+UNION ALL
+SELECT 'o_orderstatus', 'string', a.n_rows,
+       (SELECT CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT count(DISTINCT o_orderstatus) FROM orders),
+       NULL, NULL,
+       (SELECT min(o_orderstatus) FROM orders),
+       (SELECT max(o_orderstatus) FROM orders)
+FROM a
+UNION ALL
+SELECT 'o_totalprice', 'double', a.n_rows,
+       (SELECT CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT count(DISTINCT o_totalprice) FROM orders),
+       (SELECT round(min(o_totalprice), 6) FROM orders),
+       (SELECT round(max(o_totalprice), 6) FROM orders),
+       NULL, NULL
+FROM a
+ORDER BY col_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9600,6 +9669,9 @@ QUERIES: dict[str, QueryFn] = {
     # zorder_layout is brand-new past-window (late r10): bucketed_join
     # holds the in-window physical-layout row; verify_local-green
     "zorder_layout": q_zorder_layout,
+    # profile_table is brand-new past-window (late r10): constraint_audit
+    # holds the in-window data-quality row; verify_local-green
+    "profile_table": q_profile_table,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "gopher_rules": q_gopher_rules,
@@ -9941,6 +10013,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct": _ORACLE_HLL_DISTINCT,
     "cms_counts": _ORACLE_CMS_COUNTS,
     "zorder_layout": _ORACLE_ZORDER_LAYOUT,
+    "profile_table": _ORACLE_PROFILE_TABLE,
     "streaming_hist": _ORACLE_STREAMING_HIST,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
