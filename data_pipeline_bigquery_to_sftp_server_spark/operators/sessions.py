@@ -76,3 +76,64 @@ def session_sequences(
         )
         .select(user_col, "sess_id", "n_events", "seq")
     )
+
+
+def sequence_pattern(
+    events: DataFrame,
+    pattern: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex matching over each key's ordered
+    event sequence. Event types compress to their first character, the
+    per-user character string is assembled in (ts, tiebreak) order
+    (same one-shuffle collect as :func:`session_sequences`), and the
+    pattern runs ONCE per user against that compact string — Spark has
+    no MATCH_RECOGNIZE; this is the relational reduction: pattern
+    evaluation becomes a scalar regex over a per-key aggregate, fully
+    codegen'd, with non-overlapping left-to-right matches standing in
+    for ONE ROW PER MATCH + SKIP PAST LAST ROW semantics.
+
+    Returns ``(user_col, n_events, n_matches, converted, first_path,
+    path_len)``. Scale shape: one shuffle keyed by user; per-user
+    state is that user's events (sequence length bounds memory, not
+    corpus size); the regex never leaves the JVM. Both engines use
+    leftmost, non-overlapping match scanning, so n_matches and
+    first_path replay exactly."""
+    w_ok = (
+        F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col),
+                        F.col(order_tiebreak),
+                        F.substring(F.col(type_col), 1, 1).alias("_ch"),
+                    )
+                )
+            ),
+            lambda s: s["_ch"],
+        ),
+    )
+    agg = (
+        ensure_parallelism(events.where(w_ok))
+        .groupBy(user_col)
+        .agg(F.count("*").alias("n_events"), seq.alias("_seq"))
+    )
+    n_matches = F.size(F.regexp_extract_all(F.col("_seq"), F.lit(pattern), F.lit(0)))
+    first = F.regexp_extract(F.col("_seq"), pattern, 0)
+    return agg.select(
+        user_col,
+        "n_events",
+        n_matches.cast("long").alias("n_matches"),
+        (n_matches > 0).cast("long").alias("converted"),
+        first.alias("first_path"),
+        F.length(first).cast("long").alias("path_len"),
+    )

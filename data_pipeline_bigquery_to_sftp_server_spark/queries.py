@@ -9491,6 +9491,43 @@ ORDER BY col_name
 """
 
 
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 MATCH_RECOGNIZE-lite event-pattern matching, ORACLE-CHECKED
+    (operators/sessions.py sequence_pattern): per user, how many times
+    the browse-to-buy pattern view(view|click)*purchase occurs in
+    their ordered event stream, whether they ever converted, and the
+    first matched path. The sequence compresses to one char per event
+    and the pattern runs once per user — Spark's missing
+    MATCH_RECOGNIZE reduced to a per-key scalar regex; DuckDB replays
+    via string_agg(ORDER BY) + regexp_extract_all."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.sequence_pattern(ev, "v[vc]*p").orderBy("user_id")
+
+
+_ORACLE_SEQUENCE_PATTERN = """
+WITH e AS (
+  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ch
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+), s AS (
+  SELECT user_id, count(*) AS n_events,
+         string_agg(ch, '' ORDER BY ts, event_id) AS seq
+  FROM e GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT) AS n_matches,
+       CAST(CASE WHEN len(regexp_extract_all(seq, 'v[vc]*p')) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS converted,
+       coalesce(regexp_extract(seq, 'v[vc]*p'), '') AS first_path,
+       CAST(length(coalesce(regexp_extract(seq, 'v[vc]*p'), '')) AS BIGINT)
+         AS path_len
+FROM s ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9672,6 +9709,9 @@ QUERIES: dict[str, QueryFn] = {
     # profile_table is brand-new past-window (late r10): constraint_audit
     # holds the in-window data-quality row; verify_local-green
     "profile_table": q_profile_table,
+    # sequence_pattern is brand-new past-window (late r10):
+    # session_sequences holds the in-window ordered-sequence row
+    "sequence_pattern": q_sequence_pattern,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "gopher_rules": q_gopher_rules,
@@ -10014,6 +10054,7 @@ ORACLES: dict[str, str] = {
     "cms_counts": _ORACLE_CMS_COUNTS,
     "zorder_layout": _ORACLE_ZORDER_LAYOUT,
     "profile_table": _ORACLE_PROFILE_TABLE,
+    "sequence_pattern": _ORACLE_SEQUENCE_PATTERN,
     "streaming_hist": _ORACLE_STREAMING_HIST,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,

@@ -134,3 +134,32 @@ def test_rolling_anomaly_matches_numpy_recompute(spark, sf_dir):
         else:
             assert r.z is None
     assert n_checked > 1000
+
+
+def test_sequence_pattern_counts_nonoverlapping_matches(spark):
+    import datetime as dt
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sessions import (
+        sequence_pattern,
+    )
+
+    def ev(uid, i, t):
+        return (i, dt.datetime(2024, 1, 1, 0, i), uid, t)
+
+    rows = [
+        # user 1: v c p | v p  -> two matches of v[vc]*p
+        ev(1, 0, "view"), ev(1, 1, "click"), ev(1, 2, "purchase"),
+        ev(1, 3, "view"), ev(1, 4, "purchase"),
+        # user 2: p v c  -> purchase BEFORE any view: no match
+        ev(2, 0, "purchase"), ev(2, 1, "view"), ev(2, 2, "click"),
+        # user 3: error events only
+        ev(3, 0, "error"), ev(3, 1, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.user_id: r for r in sequence_pattern(df, "v[vc]*p").collect()}
+    assert (out[1].n_matches, out[1].converted, out[1].first_path) == (2, 1, "vcp")
+    assert (out[2].n_matches, out[2].converted, out[2].first_path) == (0, 0, "")
+    assert out[3].n_matches == 0 and out[3].n_events == 2
+    assert out[1].path_len == 3
