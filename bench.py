@@ -183,6 +183,8 @@ HEADLINE = [
     "hll_distinct",
     "cms_counts",
     "zorder_layout",
+    "profile_table",
+    "sequence_pattern",
 ]
 
 
