@@ -185,6 +185,7 @@ HEADLINE = [
     "zorder_layout",
     "profile_table",
     "sequence_pattern",
+    "streaming_hll",
 ]
 
 

@@ -9146,11 +9146,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two cardinality regimes so BOTH estimator arms are oracle-checked:
     # distinct texts per source is 25 at every SF (linear-counting arm);
     # distinct doc_ids per lang grows with SF (raw harmonic arm)
-    lo = d.select(F.concat(F.lit("source:"), F.col("source")).alias("grp"),
-                  F.col("text").alias("_v"))
-    hi = d.select(F.concat(F.lit("lang:"), F.col("lang")).alias("grp"),
-                  F.col("doc_id").alias("_v"))
-    both = lo.unionByName(hi.select("grp", F.col("_v").cast("string").alias("_v")))
+    both = _hll_two_regime(d)
     st = sketch.hll_state(both, "_v", "grp", p=6, salt="hll")
     est = sketch.hll_estimate(st, "grp", p=6)
     exact = both.groupBy("grp").agg(
@@ -9528,6 +9524,87 @@ FROM s ORDER BY user_id
 """
 
 
+def _hll_two_regime(d: DataFrame) -> DataFrame:
+    """The (grp, _v) projection shared by the batch and streaming HLL
+    queries: low-cardinality texts per source + high-cardinality
+    doc_ids per lang, so both estimator arms stay exercised."""
+    lo = d.select(
+        F.concat(F.lit("source:"), F.col("source")).alias("grp"),
+        F.col("text").alias("_v"),
+    )
+    hi = d.select(
+        F.concat(F.lit("lang:"), F.col("lang")).alias("grp"),
+        F.col("doc_id").cast("string").alias("_v"),
+    )
+    return lo.unionByName(hi)
+
+
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58e+§2.9 composition, ORACLE-CHECKED: the HyperLogLog sketch
+    maintained ON INGEST — held registers built from 90% of the
+    corpus, the remaining docs arrive as 4 micro-batches, each batch's
+    registers folded in via foreachBatch (per-bucket max; lineage cut
+    + previous-generation release through CheckpointChain). Register
+    max is exactly mergeable (merge == whole, pinned in
+    test_sketch_hll), so the streamed end-state equals the one-shot
+    batch sketch and the BATCH twin's oracle (_ORACLE_HLL_DISTINCT)
+    replays the streamed result cell-for-cell regardless of arrival
+    order or batching."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sketch
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    held = d.where(F.col("doc_id") % 10 != 0)
+    arriving = d.where(F.col("doc_id") % 10 == 0)
+    src = _scratch_dir("hll_stream_src_")
+    ckpt = _scratch_dir("hll_stream_ckpt_")
+    arriving.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
+
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+
+    chain = CheckpointChain()
+    state = {
+        "hll": chain.step(
+            sketch.hll_state(_hll_two_regime(held), "_v", "grp", p=6, salt="hll")
+        )
+    }
+
+    def absorb_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        b = sketch.hll_state(
+            _hll_two_regime(batch_df), "_v", "grp", p=6, salt="hll"
+        )
+        state["hll"] = chain.step(sketch.hll_absorb(state["hll"], b, "grp"))
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = W.streaming_upsert(stream, absorb_batch, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    est = sketch.hll_estimate(state["hll"], "grp", p=6)
+    exact = _hll_two_regime(d).groupBy("grp").agg(
+        F.countDistinct("_v").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            "grp",
+            "n_buckets",
+            "zeros",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("grp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9712,6 +9789,10 @@ QUERIES: dict[str, QueryFn] = {
     # sequence_pattern is brand-new past-window (late r10):
     # session_sequences holds the in-window ordered-sequence row
     "sequence_pattern": q_sequence_pattern,
+    # streaming_hll is brand-new past-window (late r10): streaming_kmv
+    # holds the in-window streamed-sketch row with the identical
+    # foreachBatch absorb machinery
+    "streaming_hll": q_streaming_hll,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "gopher_rules": q_gopher_rules,
@@ -10055,6 +10136,7 @@ ORACLES: dict[str, str] = {
     "zorder_layout": _ORACLE_ZORDER_LAYOUT,
     "profile_table": _ORACLE_PROFILE_TABLE,
     "sequence_pattern": _ORACLE_SEQUENCE_PATTERN,
+    "streaming_hll": _ORACLE_HLL_DISTINCT,
     "streaming_hist": _ORACLE_STREAMING_HIST,
     "priority_dedup": _ORACLE_PRIORITY_DEDUP,
     "contrastive_triplets": _ORACLE_CONTRASTIVE_TRIPLETS,
