@@ -186,6 +186,17 @@ HEADLINE = [
     "profile_table",
     "sequence_pattern",
     "streaming_hll",
+    "skyline_customers",
+    "target_encode",
+    "impute_missing",
+    "pit_join",
+    "attribution",
+    "bfs_reachability",
+    "ivm_aggregate",
+    "streaming_ivm",
+    "entity_resolution",
+    "k_anonymity",
+    "quantile_calibration",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Feature-engineering transforms for training-data pipelines —
+category encodings computed as relational aggregates (the step the
+reference's transform stage performs row-by-row in pandas,
+main.py:270-320, re-expressed as distributed SQL).
+
+:func:`target_encode` is smoothed mean-target (a.k.a. James-Stein /
+"bayesian" target) encoding:
+
+    te(c) = (pos_c + m * prior) / (n_c + m),   prior = pos / n
+
+One partial-aggregated groupBy builds the per-category counts; the
+global prior is a one-row aggregate broadcast via crossJoin — no
+driver collect, no second scan.  All inputs to the float expression
+are exact integer counts and the expression tree is written
+identically in Spark and the DuckDB oracle, so the unrounded doubles
+are bit-identical across engines (the KMV-jaccard determinism rule).
+
+:func:`impute_group_mean` fills NULLs in a numeric column with the
+per-group mean computed over integer micro-units (cents), the exact
+arithmetic discipline of timeseries.py — the imputed value is ONE
+division of two exact integers, deterministic on every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode(
+    df: DataFrame, category: str, target: Column, m: float = 10.0
+) -> DataFrame:
+    """Per-category smoothed target encoding.  ``target`` must be an
+    integer 0/1 column expression.  Returns one row per category:
+    ``(category, n_rows, n_pos, prior, te)`` with ``prior``/``te``
+    unrounded doubles (bit-stable; see module docstring)."""
+    overall = df.agg(
+        F.sum(target).alias("_gpos"), F.count(F.lit(1)).alias("_gn")
+    )
+    stats = df.groupBy(category).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(target).alias("n_pos")
+    )
+    prior = F.col("_gpos") / F.col("_gn")
+    return stats.crossJoin(F.broadcast(overall)).select(
+        category,
+        "n_rows",
+        "n_pos",
+        prior.alias("prior"),
+        (
+            (F.col("n_pos") + F.lit(float(m)) * prior)
+            / (F.col("n_rows") + F.lit(float(m)))
+        ).alias("te"),
+    )
+
+
+def impute_group_mean(
+    df: DataFrame, group: str, value: str, out: str | None = None
+) -> DataFrame:
+    """Fill NULL ``value`` rows with the group's mean of the non-NULL
+    rows, computed exactly: sum of cents (long) over count, one
+    division.  Groups that are entirely NULL stay NULL.  Adds column
+    ``out`` (default ``value + '_filled'``) as a double of cents/100.
+    Zero extra scans beyond one groupBy + one broadcast join (group
+    cardinality bounded)."""
+    out = out or f"{value}_filled"
+    cents = F.round(F.col(value) * 100).cast("long")
+    means = df.groupBy(group).agg(
+        F.sum(cents).alias("_sum_c"),
+        F.count(value).alias("_n_v"),
+    )
+    fill = F.col("_sum_c") / F.col("_n_v") / F.lit(100.0)
+    return (
+        df.join(F.broadcast(means), on=group, how="left")
+        .withColumn(
+            out,
+            F.when(F.col(value).isNotNull(), F.col(value).cast("double"))
+            .when(F.col("_n_v") > 0, fill)
+            .otherwise(F.lit(None).cast("double")),
+        )
+        .drop("_sum_c", "_n_v")
+    )

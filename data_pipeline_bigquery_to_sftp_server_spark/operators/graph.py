@@ -213,3 +213,62 @@ def triangle_counts(
         "node",
         F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
     )
+
+
+def bfs_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Breadth-first reachability: every node reachable from ``seeds``
+    within ``max_hops`` directed edge traversals, with its exact BFS
+    distance ``min_hops`` — the recursive-CTE query class (Spark has no
+    WITH RECURSIVE; the DuckDB oracle replays this with one).
+
+    Frontier algorithm, one round per hop:
+        frontier_{h} = distinct(frontier_{h-1} ⋈ edges) ∖ visited
+        visited      = visited ∪ frontier_{h}
+    The anti-join against ``visited`` keeps every round's work
+    proportional to the NEW layer, not the whole reachable set, and
+    guarantees ``min_hops`` is the first (= minimum) hop at which a
+    node appears.  Each round is two key-shuffles (join + distinct);
+    the early exit fires when a layer comes back empty, so dense
+    graphs stop as soon as they saturate.
+
+    Lineage discipline: both the frontier and the accumulated visited
+    set are eagerly localCheckpointed per round through TWO
+    CheckpointChains — the frontier is materialized FIRST (the
+    cache.py contract: a frame derived from generation k-1 must be
+    checkpointed before the chain releases k-1), so the driver plan
+    stays constant-size at any hop count and at most two generations
+    of blocks are ever held per chain.
+    """
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+
+    visited_chain = CheckpointChain()
+    frontier_chain = CheckpointChain()
+    start = seeds.select(F.col(node)).distinct().select(
+        node, F.lit(0).cast("int").alias("min_hops")
+    )
+    visited = visited_chain.step(start)
+    frontier = visited
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier[node] == e["_src"])
+            .select(F.col("_dst").alias(node))
+            .distinct()
+            .join(visited.select(node), node, "left_anti")
+            .select(node, F.lit(hop).cast("int").alias("min_hops"))
+        )
+        # materialize the new layer BEFORE the visited chain releases
+        # the generation it was computed from
+        nxt = frontier_chain.step(nxt)
+        if nxt.rdd.isEmpty():
+            break
+        visited = visited_chain.step(visited.unionByName(nxt))
+        frontier = nxt
+    return visited

@@ -307,3 +307,44 @@ def scd2_apply(
     return closed_rows.select(key, *cols, "valid_from", "valid_to").unionByName(
         keep_open
     ).unionByName(close_out).unionByName(fresh)
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks the dimension
+    VERSION that was valid at the fact's timestamp — the read side of
+    the SCD2 interval table :func:`scd2_apply` maintains (the reference
+    overwrites its dimension in place, main.py:349-363, so every fact
+    silently reads TODAY's attributes; interval versioning makes the
+    historical join answerable).
+
+    Match condition: equal ``key`` AND ``valid_from <= ts < valid_to``
+    (NULL ``valid_to`` = still open).  Because intervals per key are
+    non-overlapping by SCD2 construction, each fact matches at most one
+    version — the join cannot fan out.
+
+    Plan shape: ONE equi-join on the key (hash-partitioned both sides)
+    with the interval predicate evaluated as a post-join filter inside
+    the same stage — never a range/theta join, because the key equality
+    already co-locates the handful of versions per key with their
+    facts.  Interval columns and ``ts_col`` must share a comparable
+    type (ISO ``yyyy-MM-dd`` strings compare correctly
+    lexicographically).
+    """
+    d = dim.select(
+        F.col(key).alias("_pit_key"),
+        *[c for c in dim.columns if c != key],
+    )
+    cond = (
+        (facts[ts_col] >= d[valid_from])
+        & (d[valid_to].isNull() | (facts[ts_col] < d[valid_to]))
+        & (facts[key] == d["_pit_key"])
+    )
+    return facts.join(d, cond, how).drop("_pit_key")

@@ -137,3 +137,95 @@ def sequence_pattern(
         first.alias("first_path"),
         F.length(first).cast("long").alias("path_len"),
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution: every conversion event is
+    linked to the touch events (``touch_types``) that preceded it since
+    the user's previous conversion, with first-touch / last-touch flags
+    and the exact linear-model weight as an integer rational
+    ``(weight_num=1, weight_den=n_touches)`` — emitted as integers, not
+    a float share, so any downstream rollup stays order-independent and
+    oracle-exact.
+
+    Mechanics: one window pass per user ordered by (ts, id) assigns
+    every event the count of conversions STRICTLY before it — all
+    touches between conversion k and k+1, and conversion k+1 itself,
+    share attribution group k.  Touches and conversions split from that
+    one windowed frame and re-join on (user, group): one user-keyed
+    shuffle for the window, one (user, group) equi-join, no theta join,
+    no fan-out (each group has exactly one conversion).  Conversions
+    with zero preceding touches and trailing touches never followed by
+    a conversion drop out (inner join).
+
+    Output: (user, conv_event_id, conv_value, touch_event_id,
+    touch_type, touch_rank, n_touches, is_first, is_last, weight_num,
+    weight_den) — one row per (conversion, touch).
+    """
+    e = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isin(conversion_type, *touch_types)
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    is_conv = (F.col(type_col) == conversion_type).cast("long")
+    grouped = e.withColumn(
+        "_grp",
+        F.coalesce(
+            F.sum(is_conv).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    convs = grouped.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user"),
+        F.col("_grp"),
+        F.col(id_col).alias("conv_event_id"),
+        F.col("value").alias("conv_value"),
+    )
+    tw = Window.partitionBy(user_col, "_grp").orderBy(ts_col, id_col)
+    touches = (
+        grouped.where(F.col(type_col) != conversion_type)
+        .withColumn("touch_rank", F.row_number().over(tw))
+        .withColumn(
+            "n_touches",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(user_col, "_grp")
+            ),
+        )
+        .select(
+            F.col(user_col).alias("user"),
+            F.col("_grp"),
+            F.col(id_col).alias("touch_event_id"),
+            F.col(type_col).alias("touch_type"),
+            "touch_rank",
+            "n_touches",
+        )
+    )
+    return (
+        convs.join(touches, ["user", "_grp"])
+        .select(
+            "user",
+            "conv_event_id",
+            "conv_value",
+            "touch_event_id",
+            "touch_type",
+            "touch_rank",
+            "n_touches",
+            (F.col("touch_rank") == 1).cast("long").alias("is_first"),
+            (F.col("touch_rank") == F.col("n_touches"))
+            .cast("long")
+            .alias("is_last"),
+            F.lit(1).alias("weight_num"),
+            F.col("n_touches").alias("weight_den"),
+        )
+    )

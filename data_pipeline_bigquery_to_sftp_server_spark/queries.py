@@ -9605,6 +9605,624 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 2-D Pareto frontier (skyline), ORACLE-CHECKED
+    (operators/frontier.py): customers not dominated on
+    (order count, lifetime spend) — the "best tradeoff" report a naive
+    engine writes as a correlated NOT EXISTS all-pairs scan (the
+    DuckDB oracle does exactly that); here it is the sort-scan
+    reduction: collapse to one max-spend row per distinct order count,
+    one window pass over that COLLAPSED frame, broadcast the surviving
+    keys back. Spend is exact integer cents so dominance is
+    engine-portable."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import frontier
+
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.where(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_cents"
+            ),
+        )
+    )
+    return frontier.skyline_2d(per, "n_orders", "spend_cents").orderBy(
+        F.col("n_orders").desc(), "o_custkey"
+    )
+
+
+_ORACLE_SKYLINE_CUSTOMERS = """
+WITH s AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+)
+SELECT a.o_custkey, CAST(a.n_orders AS BIGINT) AS n_orders, a.spend_cents
+FROM s a
+WHERE NOT EXISTS (
+  SELECT 1 FROM s b
+  WHERE b.n_orders >= a.n_orders AND b.spend_cents >= a.spend_cents
+    AND (b.n_orders > a.n_orders OR b.spend_cents > a.spend_cents))
+ORDER BY n_orders DESC, o_custkey
+"""
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 smoothed target encoding, ORACLE-CHECKED
+    (operators/features.py): per-supplier smoothed return rate
+    te = (pos + m*prior)/(n + m) — the category-feature transform a
+    training pipeline runs before model fitting. One grouped count agg
+    + a one-row broadcast prior; the float expression tree is written
+    identically in both engines over exact integer counts, so the
+    unrounded doubles hash-match bit-for-bit."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import features
+
+    li = load_table(spark, sf_dir, "lineitem")
+    target = (F.col("l_returnflag") == "R").cast("long")
+    return features.target_encode(li, "l_suppkey", target, m=25.0).orderBy(
+        "l_suppkey"
+    )
+
+
+_ORACLE_TARGET_ENCODE = """
+WITH g AS (
+  SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS gpos,
+         count(*) AS gn
+  FROM lineitem
+), s AS (
+  SELECT l_suppkey, count(*) AS n_rows,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, CAST(n_rows AS BIGINT) AS n_rows, n_pos,
+       (gpos / gn) AS prior,
+       (n_pos + 25.0 * (gpos / gn)) / (n_rows + 25.0) AS te
+FROM s CROSS JOIN g
+ORDER BY l_suppkey
+"""
+
+
+def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71b group-mean NULL imputation, ORACLE-CHECKED
+    (operators/features.py impute_group_mean): every 13th event's value
+    is knocked out deterministically, then refilled with its event
+    type's mean over exact integer cents — ONE division of two exact
+    integers per group, broadcast back. The standard feature-cleaning
+    step before training; non-NULL rows pass through bit-identical."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import features
+
+    ev = load_table(spark, sf_dir, "events")
+    holey = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    out = features.impute_group_mean(holey, "event_type", "value")
+    return out.select(
+        "event_id", "event_type", "value", "value_filled"
+    ).orderBy("event_id")
+
+
+_ORACLE_IMPUTE_MISSING = """
+WITH h AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+         count(value) AS n_v
+  FROM h GROUP BY event_type
+)
+SELECT h.event_id, h.event_type, h.value,
+       CASE WHEN h.value IS NOT NULL THEN h.value
+            WHEN m.n_v > 0 THEN (m.sum_c / m.n_v) / 100.0
+            ELSE NULL END AS value_filled
+FROM h JOIN m USING (event_type)
+ORDER BY event_id
+"""
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 point-in-time join, ORACLE-CHECKED (operators/merge.py
+    pit_join): facts pick the dimension VERSION valid at the fact's
+    own timestamp — the read side of the SCD2 interval table
+    (q_scd2_apply writes it; this reads it). Customers' segment
+    changes on 1998-01-01 (every 3rd moves), and each order's revenue
+    is attributed to the segment the customer was in ON THE ORDER
+    DATE. One key equi-join with the interval predicate as an
+    in-stage filter — never a range join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit("1998-01-01").alias("valid_to"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.lit("1998-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    facts = o.withColumn(
+        "order_day", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    j = merge.pit_join(facts, dim, "o_custkey", "order_day")
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_cents"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+_ORACLE_PIT_JOIN = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         '1995-01-01' AS valid_from, '1998-01-01' AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END,
+         '1998-01-01', NULL
+  FROM customer
+)
+SELECT d.segment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS spend_cents
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND strftime(o.o_orderdate, '%Y-%m-%d') >= d.valid_from
+ AND (d.valid_to IS NULL OR strftime(o.o_orderdate, '%Y-%m-%d') < d.valid_to)
+GROUP BY d.segment
+ORDER BY d.segment
+"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 multi-touch attribution, ORACLE-CHECKED
+    (operators/sessions.py attribution): every purchase linked to the
+    view/click touches since the user's previous purchase, with
+    first/last-touch flags and the linear weight as the exact integer
+    rational (1, n_touches) — integers, never a float share, so
+    downstream rollups stay order-independent. One user-keyed window
+    pass + one (user, group) equi-join."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.attribution(ev).orderBy(
+        "user", "conv_event_id", "touch_rank"
+    )
+
+
+_ORACLE_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type, value
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ('purchase', 'view', 'click')
+), g AS (
+  SELECT *,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+  FROM e
+), t AS (
+  SELECT user_id, grp, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id, grp
+                            ORDER BY ts, event_id) AS touch_rank,
+         count(*) OVER (PARTITION BY user_id, grp) AS n_touches
+  FROM g WHERE event_type != 'purchase'
+), c AS (
+  SELECT user_id, grp, event_id AS conv_event_id, value AS conv_value
+  FROM g WHERE event_type = 'purchase'
+)
+SELECT c.user_id AS user, c.conv_event_id, c.conv_value,
+       t.event_id AS touch_event_id, t.event_type AS touch_type,
+       CAST(t.touch_rank AS INT) AS touch_rank,
+       CAST(t.n_touches AS BIGINT) AS n_touches,
+       CAST(CASE WHEN t.touch_rank = 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_first,
+       CAST(CASE WHEN t.touch_rank = t.n_touches THEN 1 ELSE 0 END AS BIGINT)
+         AS is_last,
+       CAST(1 AS INT) AS weight_num,
+       CAST(t.n_touches AS BIGINT) AS weight_den
+FROM c JOIN t ON c.user_id = t.user_id AND c.grp = t.grp
+ORDER BY "user", conv_event_id, touch_rank
+"""
+
+
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 k-hop BFS reachability, ORACLE-CHECKED (operators/graph.py
+    bfs_reachability): the recursive-query class — every node of the
+    bipartite part<->supplier graph (edges = distinct lineitem pairs,
+    both directions) reachable within 3 hops of the seed parts
+    (partkey % 200 == 0), with its exact BFS distance. Spark has no
+    WITH RECURSIVE; the frontier loop (layer-joins + anti-join against
+    visited, per-round lineage truncation) IS the engine's recursive
+    CTE, and the DuckDB oracle replays it with a real one."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pe = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    edges = pe.unionByName(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        li.where(F.col("l_partkey") % 200 == 0)
+        .select(F.concat(F.lit("p:"), F.col("l_partkey")).alias("node"))
+        .distinct()
+    )
+    out = graph.bfs_reachability(edges, seeds, max_hops=3)
+    return out.select(
+        "node", F.col("min_hops").cast("long").alias("min_hops")
+    ).orderBy("min_hops", "node")
+
+
+_ORACLE_BFS_REACHABILITY = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT 's:' || l_suppkey, 'p:' || l_partkey FROM lineitem
+), walk(node, hop) AS (
+  SELECT DISTINCT 'p:' || l_partkey, 0 FROM lineitem WHERE l_partkey % 200 = 0
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hop < 3
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS min_hops
+FROM walk GROUP BY node
+ORDER BY min_hops, node
+"""
+
+
+def _ivm_delta(o: DataFrame) -> DataFrame:
+    """The deterministic CDC batch shared by the batch and streaming
+    IVM queries (and re-derived independently by their oracle): every
+    11th order deleted, every 7th (surviving) repriced +100 (modeled
+    as D(old)+I(new)), every 13th cloned as a brand-new '0-NEW' order."""
+    dels = o.where(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        "o_orderpriority",
+        F.col("o_totalprice").alias("amount"),
+    )
+    upd = o.where(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 11 != 0)
+    )
+    upd_old = upd.select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        "o_orderpriority",
+        F.col("o_totalprice").alias("amount"),
+    )
+    upd_new = upd.select(
+        "o_orderkey",
+        F.lit("I").alias("op"),
+        "o_orderpriority",
+        (F.col("o_totalprice") + 100).alias("amount"),
+    )
+    ins = o.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("0-NEW").alias("o_orderpriority"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    return (
+        dels.unionByName(upd_old).unionByName(upd_new).unionByName(ins)
+    )
+
+
+def q_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 incremental view maintenance, ORACLE-CHECKED
+    (operators/ivm.py): a per-priority (count, exact-cents-sum) view
+    maintained by folding a CDC delta (deletes + repricing updates +
+    inserts) into the held state — state-sized work, never a base
+    recompute. Absorption is pure integer arithmetic, so the oracle is
+    the FULL RECOMPUTE over the independently-constructed post-delta
+    table: incremental == recompute, exactly."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import ivm
+
+    o = load_table(spark, sf_dir, "orders")
+    state = ivm.agg_state(o, ["o_orderpriority"], "o_totalprice")
+    d = ivm.delta_group(_ivm_delta(o), ["o_orderpriority"], "amount")
+    return ivm.absorb_delta(state, d, ["o_orderpriority"]).orderBy(
+        "o_orderpriority"
+    )
+
+
+_ORACLE_IVM_AGGREGATE = """
+WITH post AS (
+  SELECT o_orderpriority AS prio,
+         CAST(round(CASE WHEN o_orderkey % 7 = 0
+                         THEN (o_totalprice + 100) * 100
+                         ELSE o_totalprice * 100 END) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 11 != 0
+  UNION ALL
+  SELECT '0-NEW', CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT prio AS o_orderpriority, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM post GROUP BY prio
+ORDER BY prio
+"""
+
+
+def q_streaming_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + X74 composition, ORACLE-CHECKED: the maintained view ON
+    INGEST — the same CDC delta arrives as 4 key-partitioned parquet
+    files fed one per micro-batch; each batch's net effect folds into
+    the held state via foreachBatch (lineage cut + block release per
+    batch through CheckpointChain). Integer absorption is exactly
+    mergeable in any batching, so the streamed end-state replays the
+    batch twin's full-recompute oracle cell-for-cell."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import ivm
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    o = load_table(spark, sf_dir, "orders")
+    delta = _ivm_delta(o)
+    src = _scratch_dir("ivm_stream_src_")
+    ckpt = _scratch_dir("ivm_stream_ckpt_")
+    delta.repartition(4, "o_orderkey").write.mode("overwrite").parquet(src)
+
+    chain = CheckpointChain()
+    state = {
+        "view": chain.step(
+            ivm.agg_state(o, ["o_orderpriority"], "o_totalprice")
+        )
+    }
+
+    def absorb_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        d = ivm.delta_group(batch_df, ["o_orderpriority"], "amount")
+        state["view"] = chain.step(
+            ivm.absorb_delta(state["view"], d, ["o_orderpriority"])
+        )
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = W.streaming_upsert(stream, absorb_batch, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    return state["view"].orderBy("o_orderpriority")
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75 entity-resolution composite, ORACLE-CHECKED: the full
+    record-linkage pipeline — sorted-neighborhood blocking (X2f) ->
+    edit-distance match verify -> connected-component entity
+    clustering (X2d machinery) -> every record assigned an entity id
+    (min member id), unmatched records their own singleton entity.
+    Records are the part-name VOCABULARY (the fuzzy_name_pairs
+    collapse-then-compare discipline: the name vocabulary stays
+    bounded when the table is huge) plus two deterministic typo
+    variants per name (last char dropped; 'x' appended on even ids) —
+    injected known-duplicates the pipeline must re-unify, the standard
+    ER evaluation setup. Typo clusters have diameter <= 2, so the
+    min-label CC rounds are constant at ANY scale (the customer-name
+    digit-chain pathology — consecutive ids at edit distance 1
+    chaining into one diameter-n component — is exactly what the
+    vocabulary collapse avoids). Oracle composes the same two proven
+    idioms: neighborhood CTE + recursive transitive closure."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup as D
+
+    p = load_table(spark, sf_dir, "part")
+    base = (
+        p.groupBy(F.lower(F.col("p_name")).alias("name"))
+        .agg(F.min("p_partkey").alias("rec_id"))
+        .select("rec_id", "name")
+    )
+    records = base.unionByName(
+        base.select(
+            (F.col("rec_id") + 1000000).alias("rec_id"),
+            F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        )
+    ).unionByName(
+        base.where(F.col("rec_id") % 2 == 0).select(
+            (F.col("rec_id") + 2000000).alias("rec_id"),
+            F.concat(F.col("name"), F.lit("x")).alias("name"),
+        )
+    )
+    pairs = D.sorted_neighborhood_pairs(
+        records, "rec_id", F.col("name"), window=4
+    )
+    matched = (
+        pairs.withColumn("edit_dist", F.levenshtein("key_a", "key_b"))
+        .where(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b")
+    )
+    clusters = D.dedup_clusters(matched)
+    cluster_rows = clusters.select(
+        F.col("keep_id").alias("entity_id"),
+        F.col("n_members").alias("n_records"),
+        F.concat_ws(",", F.col("members")).alias("members"),
+    )
+    matched_nodes = (
+        matched.select(F.col("id_a").alias("node"))
+        .unionByName(matched.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    singles = records.join(
+        matched_nodes, records["rec_id"] == matched_nodes["node"], "left_anti"
+    ).select(
+        F.col("rec_id").alias("entity_id"),
+        F.lit(1).cast("long").alias("n_records"),
+        F.col("rec_id").cast("string").alias("members"),
+    )
+    return cluster_rows.unionByName(singles).orderBy("entity_id")
+
+
+_ORACLE_ENTITY_RESOLUTION = """
+WITH RECURSIVE recs AS (
+  SELECT min(p_partkey) AS rec_id, lower(p_name) AS name
+  FROM part GROUP BY lower(p_name)
+), records AS (
+  SELECT rec_id, name FROM recs
+  UNION ALL
+  SELECT rec_id + 1000000, substr(name, 1, length(name) - 1) FROM recs
+  UNION ALL
+  SELECT rec_id + 2000000, name || 'x' FROM recs WHERE rec_id % 2 = 0
+), ranked AS (
+  SELECT rec_id AS id, name AS k,
+         row_number() OVER (ORDER BY name, rec_id) AS r
+  FROM records
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 3
+  WHERE levenshtein(a.k, b.k) <= 2
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labels AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+), clusters AS (
+  SELECT component AS entity_id, count(*) AS n_records,
+         array_to_string(list_sort(list(node)), ',') AS members
+  FROM labels GROUP BY component
+)
+SELECT entity_id, CAST(n_records AS BIGINT) AS n_records, members
+FROM clusters
+UNION ALL
+SELECT c.rec_id, 1, CAST(c.rec_id AS VARCHAR)
+FROM records c
+WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.node = c.rec_id)
+ORDER BY entity_id
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76 k-anonymity audit + one-step generalization,
+    ORACLE-CHECKED: the privacy gate a training-data pipeline runs
+    beside PII redaction (X9) — quasi-identifier groups
+    (nation, segment) are counted; groups meeting k=8 publish at
+    nation level, violating groups generalize nation -> region
+    (the standard generalization-hierarchy step) and are recounted.
+    Two grouped counts plus broadcast dimension joins — no row-level
+    shuffle beyond the aggregates."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    k = 8
+    cn = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    g1 = cn.groupBy("n_name", "r_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    ok = g1.where(F.col("n_records") >= k).select(
+        F.lit("nation").alias("level"),
+        F.col("n_name").alias("qi_key"),
+        "c_mktsegment",
+        "n_records",
+        F.lit(1).cast("long").alias("meets_k"),
+    )
+    regen = (
+        g1.where(F.col("n_records") < k)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(F.sum("n_records").alias("n_records"))
+        .select(
+            F.lit("region").alias("level"),
+            F.col("r_name").alias("qi_key"),
+            "c_mktsegment",
+            "n_records",
+            (F.col("n_records") >= k).cast("long").alias("meets_k"),
+        )
+    )
+    return ok.unionByName(regen).orderBy("level", "qi_key", "c_mktsegment")
+
+
+_ORACLE_K_ANONYMITY = """
+WITH g1 AS (
+  SELECT n.n_name, r.r_name, c.c_mktsegment, count(*) AS n_records
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name, c.c_mktsegment
+)
+SELECT 'nation' AS level, n_name AS qi_key, c_mktsegment,
+       CAST(n_records AS BIGINT) AS n_records, CAST(1 AS BIGINT) AS meets_k
+FROM g1 WHERE n_records >= 8
+UNION ALL
+SELECT 'region', r_name, c_mktsegment,
+       CAST(sum(n_records) AS BIGINT),
+       CAST(CASE WHEN sum(n_records) >= 8 THEN 1 ELSE 0 END AS BIGINT)
+FROM g1 WHERE n_records < 8
+GROUP BY r_name, c_mktsegment
+ORDER BY level, qi_key, c_mktsegment
+"""
+
+
+def q_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 cross-source score calibration, ORACLE-CHECKED: quality
+    scores from different sources aren't comparable on raw value (one
+    crawl's length distribution differs from another's); rank-based
+    quantile normalization maps each doc to its within-source
+    percentile, bucketed to deciles — the mixing prerequisite before
+    a corpus-wide quality cut. percent_rank is tie-stable (equal
+    scores share a rank), so the decile assignment is engine-portable;
+    one window shuffle per source partition."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    pr = F.percent_rank().over(w)
+    dec = F.least(F.floor(pr * 10), F.lit(9)).cast("long")
+    return (
+        d.where(F.col("n_chars").isNotNull())
+        .select("source", dec.alias("decile"), "n_chars")
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+_ORACLE_QUANTILE_CALIBRATION = """
+WITH p AS (
+  SELECT source, n_chars,
+         percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT source, CAST(least(floor(pr * 10), 9) AS BIGINT) AS decile,
+       count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM p GROUP BY source, decile
+ORDER BY source, decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9977,6 +10595,19 @@ QUERIES: dict[str, QueryFn] = {
     "quota_sample": q_quota_sample,
     "mixture_upsample": q_mixture_upsample,
     "lm_scores": q_lm_scores,
+    # -- late-r10 additions (oracle-checked; rotated into the window
+    #    next round per the treadmill) --------------------------------
+    "skyline_customers": q_skyline_customers,
+    "target_encode": q_target_encode,
+    "impute_missing": q_impute_missing,
+    "pit_join": q_pit_join,
+    "attribution": q_attribution,
+    "bfs_reachability": q_bfs_reachability,
+    "ivm_aggregate": q_ivm_aggregate,
+    "streaming_ivm": q_streaming_ivm,
+    "entity_resolution": q_entity_resolution,
+    "k_anonymity": q_k_anonymity,
+    "quantile_calibration": q_quantile_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -10192,4 +10823,17 @@ ORACLES: dict[str, str] = {
     "streaming_session": _ORACLE_STREAMING_SESSION,
     # html_clean: rows-only (python HTMLParser UDF semantics aren't
     # SQL-expressible) — covered by pytest instead.
+    "skyline_customers": _ORACLE_SKYLINE_CUSTOMERS,
+    "target_encode": _ORACLE_TARGET_ENCODE,
+    "impute_missing": _ORACLE_IMPUTE_MISSING,
+    "pit_join": _ORACLE_PIT_JOIN,
+    "attribution": _ORACLE_ATTRIBUTION,
+    "bfs_reachability": _ORACLE_BFS_REACHABILITY,
+    "ivm_aggregate": _ORACLE_IVM_AGGREGATE,
+    # exact integer mergeability: the streamed end-state replays the
+    # batch twin's full-recompute oracle in any batching
+    "streaming_ivm": _ORACLE_IVM_AGGREGATE,
+    "entity_resolution": _ORACLE_ENTITY_RESOLUTION,
+    "k_anonymity": _ORACLE_K_ANONYMITY,
+    "quantile_calibration": _ORACLE_QUANTILE_CALIBRATION,
 }

@@ -95,3 +95,64 @@ def test_triangle_counts_ignores_direction_duplicates_and_loops(spark):
     )
     got = {(r.node, r.n_triangles) for r in graph.triangle_counts(e).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 0)}
+
+
+# -- bfs_reachability -------------------------------------------------
+
+
+def _bfs_rows(df):
+    return {(r["node"], r["min_hops"]) for r in df.collect()}
+
+
+def test_bfs_layers_and_min_distance(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.graph import (
+        bfs_reachability,
+    )
+
+    # a -> b -> c -> d, plus a shortcut a -> c: c is hop 1, not 2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = _bfs_rows(bfs_reachability(edges, seeds, max_hops=3))
+    assert out == {("a", 0), ("b", 1), ("c", 1), ("d", 2)}
+
+
+def test_bfs_hop_cap(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.graph import (
+        bfs_reachability,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = _bfs_rows(bfs_reachability(edges, seeds, max_hops=2))
+    assert out == {("a", 0), ("b", 1), ("c", 2)}
+
+
+def test_bfs_early_exit_on_saturation_and_cycles(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.graph import (
+        bfs_reachability,
+    )
+
+    # 2-cycle saturates at hop 1; max_hops=10 must not loop or revisit
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = _bfs_rows(bfs_reachability(edges, seeds, max_hops=10))
+    assert out == {("a", 0), ("b", 1)}
+
+
+def test_bfs_multi_seed_takes_nearest(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.graph import (
+        bfs_reachability,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("x", "y"), ("s", "y")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("s",)], "node string")
+    out = _bfs_rows(bfs_reachability(edges, seeds, max_hops=5))
+    assert out == {("a", 0), ("s", 0), ("x", 1), ("y", 1)}

@@ -225,3 +225,70 @@ def test_key_only_snapshots_degrade_to_membership(spark):
     out = M.scd2_apply(current, upd, "k", batch_ts="2020-01-01")
     rows = {(r.k, r.valid_from, r.valid_to) for r in out.collect()}
     assert rows == {(1, "2019-01-01", None), (2, "2020-01-01", None)}
+
+
+# -- pit_join ---------------------------------------------------------
+
+
+def test_pit_join_picks_version_valid_at_fact_time(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import pit_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "OLD", "2020-01-01", "2021-01-01"),
+            (1, "NEW", "2021-01-01", None),
+            (2, "ONLY", "2020-06-01", None),
+        ],
+        "k long, attr string, valid_from string, valid_to string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2020-05-05"),  # inside OLD
+            (101, 1, "2021-01-01"),  # boundary: valid_from inclusive -> NEW
+            (102, 1, "2020-12-31"),  # last day of OLD (valid_to exclusive)
+            (103, 2, "2020-05-05"),  # before dim 2 opens: no match
+        ],
+        "fid long, k long, day string",
+    )
+    out = {r["fid"]: r["attr"] for r in pit_join(facts, dim, "k", "day").collect()}
+    assert out == {100: "OLD", 101: "NEW", 102: "OLD"}
+
+
+def test_pit_join_left_keeps_unmatched_facts(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import pit_join
+
+    dim = spark.createDataFrame(
+        [(1, "A", "2020-01-01", None)],
+        "k long, attr string, valid_from string, valid_to string",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, "2019-01-01"), (101, 1, "2020-06-06")],
+        "fid long, k long, day string",
+    )
+    out = {
+        r["fid"]: r["attr"]
+        for r in pit_join(facts, dim, "k", "day", how="left").collect()
+    }
+    assert out == {100: None, 101: "A"}
+
+
+def test_pit_join_never_fans_out(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import pit_join
+
+    # non-overlapping versions: every fact matches at most once
+    dim = spark.createDataFrame(
+        [
+            (1, "V1", "2020-01-01", "2020-07-01"),
+            (1, "V2", "2020-07-01", "2021-01-01"),
+            (1, "V3", "2021-01-01", None),
+        ],
+        "k long, attr string, valid_from string, valid_to string",
+    )
+    facts = spark.createDataFrame(
+        [(i, 1, f"202{y}-0{m}-15") for i, (y, m) in
+         enumerate([(0, 3), (0, 8), (1, 2), (1, 9)])],
+        "fid long, k long, day string",
+    )
+    out = pit_join(facts, dim, "k", "day")
+    assert out.count() == facts.count()
+    assert out.select("fid").distinct().count() == facts.count()
