@@ -197,6 +197,10 @@ HEADLINE = [
     "entity_resolution",
     "k_anonymity",
     "quantile_calibration",
+    "event_transitions",
+    "rfm_segments",
+    "scd3_apply",
+    "surrogate_keys",
 ]
 
 

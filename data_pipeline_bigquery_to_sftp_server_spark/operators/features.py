@@ -79,3 +79,38 @@ def impute_group_mean(
         )
         .drop("_sum_c", "_n_v")
     )
+
+
+def rank_quantile_score(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    q: int,
+    out: str,
+) -> DataFrame:
+    """Tie-stable q-quantile score (1..q) of ``value_col`` across the
+    WHOLE frame — percent_rank semantics (equal values share a score)
+    without the single-partition ``Window.orderBy`` scale trap: the
+    global rank comes from the range-repartitioned
+    :func:`~...relational.with_global_rank` plan under the
+    (value, id) total order, collapsed to rank() semantics by taking
+    the per-value MIN rank (= 1 + count of strictly-smaller rows),
+    then percent_rank = (rank-1)/(n-1) and score =
+    floor(pr*q) capped at q-1, plus 1.  Three bounded shuffles per
+    call (range sort + distinct-value agg + value equi-join back);
+    the division is one double op over exact longs, so the DuckDB
+    ``percent_rank()`` window replays the scores bit-for-bit."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
+        with_global_rank,
+    )
+
+    ranked, n = with_global_rank(df, [value_col, id_col], rank_col="_grk")
+    tie = ranked.groupBy(F.col(value_col).alias("_tv")).agg(
+        F.min("_grk").alias("_trank")
+    )
+    pr = (F.col("_trank") - F.lit(1)) / F.lit(float(max(n - 1, 1)))
+    scored = df.join(tie, df[value_col] == tie["_tv"]).withColumn(
+        out,
+        (F.least(F.floor(pr * q), F.lit(q - 1)) + 1).cast("long"),
+    )
+    return scored.drop("_tv", "_trank")

@@ -348,3 +348,55 @@ def pit_join(
         & (facts[key] == d["_pit_key"])
     )
     return facts.join(d, cond, how).drop("_pit_key")
+
+
+def scd3_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    track_col: str,
+    prev_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 3 MERGE: one level of history IN
+    PLACE — when an update changes ``track_col``, the old value moves
+    to ``prev_col`` and the new value takes its place; unchanged keys
+    pass through; brand-new keys arrive with a NULL previous value.
+    The middle ground between the reference's overwrite MERGE (SCD1,
+    main.py:349-363 — history lost) and :func:`scd2_apply` (full
+    interval history): bounded width, no interval bookkeeping, answers
+    "what was it just before".
+
+    Plan: ONE full-outer key join, three coalesce/when branches — the
+    same single-shuffle shape as :func:`upsert_full_outer`. Contract:
+    ``updates`` carries at most one row per key.
+    """
+    prev_col = prev_col or f"prev_{track_col}"
+    u = updates.select(
+        key,
+        F.lit(1).alias("_has_upd"),
+        F.col(track_col).alias("_u_val"),
+    )
+    j = current.join(u, key, "full_outer")
+    has_cur = F.col(track_col).isNotNull() | F.col(prev_col).isNotNull()
+    # presence marker: an all-NULL current row can't occur (track_col
+    # NOT NULL by dimension contract); _has_upd marks the update side
+    is_new = F.col("_has_upd").isNotNull() & ~has_cur
+    changed = (
+        F.col("_has_upd").isNotNull()
+        & has_cur
+        & ~F.col("_u_val").eqNullSafe(F.col(track_col))
+    )
+    passthrough = [
+        c for c in current.columns if c not in (key, track_col, prev_col)
+    ]
+    return j.select(
+        key,
+        *passthrough,
+        F.when(changed | is_new, F.col("_u_val"))
+        .otherwise(F.col(track_col))
+        .alias(track_col),
+        F.when(changed, F.col(track_col))
+        .when(is_new, F.lit(None).cast(current.schema[track_col].dataType))
+        .otherwise(F.col(prev_col))
+        .alias(prev_col),
+    )

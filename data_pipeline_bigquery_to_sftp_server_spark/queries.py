@@ -10223,6 +10223,222 @@ ORDER BY source, decile
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78 Markov transition estimation, ORACLE-CHECKED: the
+    first-order event-type transition matrix over per-user ordered
+    streams — counts of consecutive (from, to) pairs and the estimated
+    transition probability count/row-total (ONE division of two exact
+    longs, engine-portable). The behavioral-sequence statistic next to
+    X69's pattern matching; one user-keyed window pass + one grouped
+    count, with the row totals as a partition window over the tiny
+    (|types|²) count frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        total.alias("from_total"),
+        (F.col("n") / total).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+_ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+       n / sum(n) OVER (PARTITION BY from_type) AS p
+FROM counts ORDER BY from_type, to_type
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79 RFM segmentation, ORACLE-CHECKED: customers scored 1-5 on
+    Recency (latest order date), Frequency (order count), Monetary
+    (exact cents spend) via tie-stable quantile scores (percent_rank
+    semantics — never ntile, whose tie assignment is
+    row-order-dependent across engines), rolled up to one row per
+    (r, f, m) cell with customer count and total spend. The global
+    ranks come from the range-repartitioned with_global_rank plan
+    (features.py rank_quantile_score), NOT a single-partition
+    Window.orderBy — three bounded-shuffle scoring passes over the
+    per-customer aggregate frame, then a grouped count."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import features
+
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.where(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("_freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "_cents"
+            ),
+        )
+    )
+
+    scored = features.rank_quantile_score(per, "_last", "o_custkey", 5, "r_score")
+    scored = features.rank_quantile_score(scored, "_freq", "o_custkey", 5, "f_score")
+    scored = features.rank_quantile_score(scored, "_cents", "o_custkey", 5, "m_score")
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_cents").alias("spend_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_ORACLE_RFM_SEGMENTS = """
+WITH per AS (
+  SELECT o_custkey, max(o_orderdate) AS last_o, count(*) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+), scored AS (
+  SELECT cents,
+         CAST(least(floor(percent_rank() OVER (ORDER BY last_o) * 5), 4)
+              + 1 AS BIGINT) AS r_score,
+         CAST(least(floor(percent_rank() OVER (ORDER BY freq) * 5), 4)
+              + 1 AS BIGINT) AS f_score,
+         CAST(least(floor(percent_rank() OVER (ORDER BY cents) * 5), 4)
+              + 1 AS BIGINT) AS m_score
+  FROM per
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS spend_cents
+FROM scored GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+def q_scd3_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 SCD type 3 MERGE, ORACLE-CHECKED (operators/merge.py
+    scd3_apply): one level of in-place history — changed keys' old
+    segment moves to prev_segment, new value takes its place;
+    unchanged keys pass through; new keys arrive with NULL previous.
+    Same deterministic update batch as the SCD2 query (every 3rd
+    customer moves, every 100th key is new), oracle independently
+    re-derived branch by branch. One full-outer key join — the
+    upsert_full_outer shuffle shape, no intervals."""
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.lit(None).cast("string").alias("prev_mktsegment"),
+    )
+    upd = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    ).unionByName(
+        c.where(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit("BUILDING").alias("c_mktsegment"),
+        )
+    )
+    out = merge.scd3_apply(
+        current, upd, "c_custkey", "c_mktsegment", prev_col="prev_mktsegment"
+    )
+    return out.orderBy("c_custkey")
+
+
+_ORACLE_SCD3_APPLY = """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 3 = 0 THEN 'MOVED'
+            ELSE c_mktsegment END AS c_mktsegment,
+       CASE WHEN c_custkey % 3 = 0 AND c_mktsegment != 'MOVED'
+            THEN c_mktsegment ELSE NULL END AS prev_mktsegment
+FROM customer
+UNION ALL
+SELECT c_custkey + 1000000, NULL, 'BUILDING', NULL
+FROM customer WHERE c_custkey % 100 = 0
+ORDER BY c_custkey
+"""
+
+
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 data-vault hash keys + change detection, ORACLE-CHECKED:
+    hub keys as md5 of the business key and satellite HASHDIFFs as md5
+    over the pipe-joined tracked attributes — the warehouse-modeling
+    idiom that turns "did anything change?" into one string equality
+    instead of N column compares (and makes keys join-portable across
+    systems without sequence coordination). The query hashes the
+    current snapshot and the deterministically perturbed one (every
+    3rd segment moves) and emits the keys whose hashdiff changed —
+    pure map-side hashing + one key equi-join."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def hashed(df):
+        return df.select(
+            "c_custkey",
+            F.md5(F.col("c_custkey").cast("string")).alias("hub_hash"),
+            F.md5(
+                F.concat_ws("|", F.col("c_name"), F.col("c_mktsegment"))
+            ).alias("hashdiff"),
+        )
+
+    cur = hashed(c)
+    new = hashed(
+        c.withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+    ).select(
+        "c_custkey",
+        F.col("hashdiff").alias("new_hashdiff"),
+    )
+    return (
+        cur.join(new, "c_custkey")
+        .where(F.col("hashdiff") != F.col("new_hashdiff"))
+        .select("c_custkey", "hub_hash", "hashdiff", "new_hashdiff")
+        .orderBy("c_custkey")
+    )
+
+
+_ORACLE_SURROGATE_KEYS = """
+WITH cur AS (
+  SELECT c_custkey,
+         md5(CAST(c_custkey AS VARCHAR)) AS hub_hash,
+         md5(c_name || '|' || c_mktsegment) AS hashdiff,
+         md5(c_name || '|' ||
+             CASE WHEN c_custkey % 3 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END) AS new_hashdiff
+  FROM customer
+)
+SELECT c_custkey, hub_hash, hashdiff, new_hashdiff
+FROM cur WHERE hashdiff != new_hashdiff
+ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10608,6 +10824,10 @@ QUERIES: dict[str, QueryFn] = {
     "entity_resolution": q_entity_resolution,
     "k_anonymity": q_k_anonymity,
     "quantile_calibration": q_quantile_calibration,
+    "event_transitions": q_event_transitions,
+    "rfm_segments": q_rfm_segments,
+    "scd3_apply": q_scd3_apply,
+    "surrogate_keys": q_surrogate_keys,
 }
 
 ORACLES: dict[str, str] = {
@@ -10836,4 +11056,8 @@ ORACLES: dict[str, str] = {
     "entity_resolution": _ORACLE_ENTITY_RESOLUTION,
     "k_anonymity": _ORACLE_K_ANONYMITY,
     "quantile_calibration": _ORACLE_QUANTILE_CALIBRATION,
+    "event_transitions": _ORACLE_EVENT_TRANSITIONS,
+    "rfm_segments": _ORACLE_RFM_SEGMENTS,
+    "scd3_apply": _ORACLE_SCD3_APPLY,
+    "surrogate_keys": _ORACLE_SURROGATE_KEYS,
 }

@@ -58,3 +58,45 @@ def test_impute_exact_cents_mean(spark):
     )
     out = {r["id"]: r for r in impute_group_mean(df, "grp", "v").collect()}
     assert out[3]["v_filled"] == (1 + 2) / 2 / 100.0
+
+
+def test_rank_quantile_score_percent_rank_semantics(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.features import (
+        rank_quantile_score,
+    )
+
+    # values 1..10 unique -> quintiles of two each
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "id long, v double"
+    )
+    out = {
+        r["id"]: r["s"]
+        for r in rank_quantile_score(df, "v", "id", 5, "s").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4, 9: 5, 10: 5}
+
+
+def test_rank_quantile_score_ties_share_score(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.features import (
+        rank_quantile_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, 9.0)], "id long, v double"
+    )
+    out = {
+        r["id"]: r["s"]
+        for r in rank_quantile_score(df, "v", "id", 4, "s").collect()
+    }
+    assert out[1] == out[2] == out[3]
+    assert out[4] == 4
+
+
+def test_rank_quantile_score_single_row(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.features import (
+        rank_quantile_score,
+    )
+
+    df = spark.createDataFrame([(1, 3.0)], "id long, v double")
+    (r,) = rank_quantile_score(df, "v", "id", 5, "s").collect()
+    assert r["s"] == 1

@@ -292,3 +292,52 @@ def test_pit_join_never_fans_out(spark):
     out = pit_join(facts, dim, "k", "day")
     assert out.count() == facts.count()
     assert out.select("fid").distinct().count() == facts.count()
+
+
+# -- scd3_apply -------------------------------------------------------
+
+
+def _scd3(spark, cur, upd):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import scd3_apply
+
+    cur_df = spark.createDataFrame(
+        cur, "k long, attr string, seg string, prev_seg string"
+    )
+    upd_df = spark.createDataFrame(upd, "k long, seg string")
+    return {
+        r["k"]: (r["attr"], r["seg"], r["prev_seg"])
+        for r in scd3_apply(cur_df, upd_df, "k", "seg", prev_col="prev_seg").collect()
+    }
+
+
+def test_scd3_change_moves_old_value_to_prev(spark):
+    out = _scd3(
+        spark,
+        [(1, "a", "OLD", None)],
+        [(1, "NEW")],
+    )
+    assert out == {1: ("a", "NEW", "OLD")}
+
+
+def test_scd3_unchanged_and_absent_pass_through(spark):
+    out = _scd3(
+        spark,
+        [(1, "a", "X", "W"), (2, "b", "Y", None)],
+        [(1, "X")],  # same value: no-op; key 2 has no update row
+    )
+    assert out == {1: ("a", "X", "W"), 2: ("b", "Y", None)}
+
+
+def test_scd3_second_change_overwrites_prev(spark):
+    # type 3 keeps only ONE level of history
+    out = _scd3(
+        spark,
+        [(1, "a", "V2", "V1")],
+        [(1, "V3")],
+    )
+    assert out == {1: ("a", "V3", "V2")}
+
+
+def test_scd3_new_key_has_null_prev(spark):
+    out = _scd3(spark, [(1, "a", "X", None)], [(9, "FRESH")])
+    assert out[9] == (None, "FRESH", None)
