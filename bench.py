@@ -201,6 +201,7 @@ HEADLINE = [
     "rfm_segments",
     "scd3_apply",
     "surrogate_keys",
+    "fk_integrity",
 ]
 
 

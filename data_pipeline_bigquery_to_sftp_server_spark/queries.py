@@ -10439,6 +10439,89 @@ ORDER BY c_custkey
 """
 
 
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 referential-integrity audit, ORACLE-CHECKED: orphan
+    foreign-key scan across the star schema — for each declared
+    relationship, total child rows, rows whose FK has no parent, and
+    distinct orphan keys (lineitem->orders is seeded with orphans by
+    construction at every SF: the fixture's orderkeys are sparse). The
+    cross-table completion of the single-table constraint audit
+    (q_constraint_audit); each relationship is ONE broadcast/hash
+    anti-join + a count — no row ever leaves its scan partition except
+    into the aggregate."""
+    rels = [
+        ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("customer.c_nationkey->nation.n_nationkey", "customer",
+         "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for rel, child_t, fk, parent_t, pk in rels:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t)
+        orphans = child.join(
+            parent, child[fk] == parent[pk], "left_anti"
+        )
+        row = orphans.agg(
+            F.count(F.lit(1)).alias("n_orphans"),
+            F.countDistinct(fk).alias("n_orphan_keys"),
+        ).crossJoin(
+            child.agg(F.count(F.lit(1)).alias("n_rows"))
+        ).select(
+            F.lit(rel).alias("relationship"),
+            "n_rows",
+            "n_orphans",
+            "n_orphan_keys",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relationship")
+
+
+_ORACLE_FK_INTEGRITY = """
+SELECT 'customer.c_nationkey->nation.n_nationkey' AS relationship,
+       (SELECT count(*) FROM customer) AS n_rows,
+       (SELECT count(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM nation n
+                           WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans,
+       (SELECT count(DISTINCT c_nationkey) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM nation n
+                           WHERE n.n_nationkey = c.c_nationkey))
+         AS n_orphan_keys
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT count(DISTINCT l_orderkey) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem.l_partkey->part.p_partkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM part p
+                           WHERE p.p_partkey = l.l_partkey)),
+       (SELECT count(DISTINCT l_partkey) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM part p
+                           WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'orders.o_custkey->customer.c_custkey',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)),
+       (SELECT count(DISTINCT o_custkey) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+ORDER BY relationship
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10828,6 +10911,7 @@ QUERIES: dict[str, QueryFn] = {
     "rfm_segments": q_rfm_segments,
     "scd3_apply": q_scd3_apply,
     "surrogate_keys": q_surrogate_keys,
+    "fk_integrity": q_fk_integrity,
 }
 
 ORACLES: dict[str, str] = {
@@ -11060,4 +11144,5 @@ ORACLES: dict[str, str] = {
     "rfm_segments": _ORACLE_RFM_SEGMENTS,
     "scd3_apply": _ORACLE_SCD3_APPLY,
     "surrogate_keys": _ORACLE_SURROGATE_KEYS,
+    "fk_integrity": _ORACLE_FK_INTEGRITY,
 }
