@@ -202,6 +202,7 @@ HEADLINE = [
     "scd3_apply",
     "surrogate_keys",
     "fk_integrity",
+    "shortest_paths",
 ]
 
 

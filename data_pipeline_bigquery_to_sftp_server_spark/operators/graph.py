@@ -272,3 +272,70 @@ def bfs_reachability(
         visited = visited_chain.step(visited.unionByName(nxt))
         frontier = nxt
     return visited
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """Hop-bounded single-source(-set) shortest paths over integer
+    edge weights — Bellman-Ford relaxation, the weighted upgrade of
+    :func:`bfs_reachability`: after round k, ``min_dist`` is EXACTLY
+    the cheapest path using at most k edges (the textbook invariant),
+    so the hop bound is a semantic contract the recursive-CTE oracle
+    can replay, not a convergence heuristic.
+
+    Per round: one (src-keyed) join of the current distance frame
+    against the edges + one dst-keyed min-aggregation — two bounded
+    shuffles, distance frame is vertex-sized.  Rounds ride ONE
+    CheckpointChain (the new frame is materialized by step() before
+    the previous round's blocks are released — nothing else reads the
+    old frame; the fixpoint probe deliberately compares scalar
+    (count, sum) stats across rounds instead of joining back to the
+    released frame).  Early exit when a round improves nothing:
+    sound, because relaxation is MONOTONE — per node the distance
+    only ever decreases and nodes are only ever added, so the
+    (count, sum-of-distances) pair changes iff ANY node changed, and
+    a fixpoint at round k < max_hops already equals every later
+    round.  Integer weights keep distances exact longs on every
+    engine."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+
+    chain = CheckpointChain()
+    dist = chain.step(
+        seeds.select(F.col(node)).distinct().select(
+            node, F.lit(0).cast("long").alias("min_dist")
+        )
+    )
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight).cast("long").alias("_w"),
+    )
+    stats = dist.agg(
+        F.count(F.lit(1)).alias("c"), F.sum("min_dist").alias("s")
+    ).first()
+    prev = (stats["c"], stats["s"])
+    for _ in range(max_hops):
+        cands = dist.join(e, dist[node] == e["_src"]).select(
+            F.col("_dst").alias(node),
+            (F.col("min_dist") + F.col("_w")).alias("min_dist"),
+        )
+        dist = chain.step(
+            dist.unionByName(cands)
+            .groupBy(node)
+            .agg(F.min("min_dist").alias("min_dist"))
+        )
+        stats = dist.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("min_dist").alias("s")
+        ).first()
+        cur = (stats["c"], stats["s"])
+        if cur == prev:
+            break
+        prev = cur
+    return dist

@@ -8830,27 +8830,31 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus-sized work is the partial+final day aggregation;
     the windowed frame is calendar-bounded (365 rows/year NO MATTER
     the corpus size), so the single ordered window partition is a
-    few-KB sort, not a data-sized one. The cents ceiling (daily <=
-    2e9 so cents^2 fits a long before the decimal promotion) is
-    asserted in-plan; past it, pre-scale to whole dollars."""
+    few-KB sort, not a data-sized one. The square is taken in
+    decimal(19)·decimal(19) -> decimal(38) (never in long — daily
+    cents pass 2e9 already at sf0.1, where a long square would
+    overflow; DuckDB mirrors with a HUGEINT square), so the only
+    remaining ceiling is the LONG daily-sum path itself, asserted at
+    1e15 cents/day ($10T/day — beyond any revenue stream)."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     daily = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
     ).agg(F.sum(cents).alias("_c"))
-    ceiling_ok = F.col("_c") <= F.lit(2_000_000_000)
+    ceiling_ok = F.col("_c") <= F.lit(1_000_000_000_000_000)
     daily = daily.where(
         F.assert_true(
             ceiling_ok,
             F.lit(
-                "rolling_anomaly: daily cents beyond the long-squarable "
+                "rolling_anomaly: daily cents beyond the long-sum "
                 "ceiling — pre-scale to whole dollars at this corpus size"
             ),
         ).isNull()
     )
     w = Window.orderBy("day").rowsBetween(-7, -1)
+    c_dec = F.col("_c").cast("decimal(19,0)")
     s1 = F.sum("_c").over(w).cast("decimal(38,0)")
-    s2 = F.sum((F.col("_c") * F.col("_c")).cast("decimal(38,0)")).over(w)
+    s2 = F.sum(c_dec * c_dec).over(w)
     cnt = F.count("_c").over(w)
     scored = daily.select(
         "day",
@@ -8887,7 +8891,7 @@ WITH daily AS (
 ), win AS (
   SELECT day, c,
          sum(c) OVER w AS s1,
-         sum(c * c) OVER w AS s2,
+         sum(CAST(c AS HUGEINT) * c) OVER w AS s2,
          count(c) OVER w AS n
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
@@ -10522,6 +10526,69 @@ ORDER BY relationship
 """
 
 
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82 weighted shortest paths, ORACLE-CHECKED (operators/graph.py
+    shortest_paths): hop-bounded Bellman-Ford over the deterministic
+    ring-chord graph (the triangle-count graph with integer weights
+    derived from the endpoints) from four spread seed nodes — the
+    weighted member of the recursive-query class next to X73's BFS.
+    After k rounds min_dist is EXACTLY the cheapest <=k-edge path
+    (the Bellman-Ford invariant), which is what the DuckDB recursive
+    CTE enumerates; integer weights keep every distance an exact
+    long."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import graph
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.col("doc_id") % 997
+    e = (
+        d.select(
+            n.alias("src"),
+            ((n + 1) % 997).alias("dst"),
+            (n % 5 + 1).alias("w"),
+        )
+        .unionByName(
+            d.select(
+                n.alias("src"),
+                ((n + 2) % 997).alias("dst"),
+                (n % 7 + 2).alias("w"),
+            )
+        )
+        .unionByName(
+            d.select(
+                n.alias("src"),
+                ((n * 7 + 1) % 997).alias("dst"),
+                (n % 9 + 3).alias("w"),
+            )
+        )
+        .distinct()
+    )
+    seeds = d.select(n.alias("node")).where(n % 331 == 0).distinct()
+    out = graph.shortest_paths(e, seeds, max_hops=6)
+    return out.orderBy("node")
+
+
+_ORACLE_SHORTEST_PATHS = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT doc_id % 997 AS n FROM documents
+), e AS (
+  SELECT n AS src, (n + 1) % 997 AS dst, n % 5 + 1 AS w FROM nodes
+  UNION
+  SELECT n, (n + 2) % 997, n % 7 + 2 FROM nodes
+  UNION
+  SELECT n, (n * 7 + 1) % 997, n % 9 + 3 FROM nodes
+), walk(node, dist, hop) AS (
+  SELECT n, CAST(0 AS BIGINT), 0 FROM nodes WHERE n % 331 = 0
+  UNION
+  SELECT e.dst, w.dist + e.w, w.hop + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hop < 6
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS min_dist
+FROM walk GROUP BY node
+ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10912,6 +10979,7 @@ QUERIES: dict[str, QueryFn] = {
     "scd3_apply": q_scd3_apply,
     "surrogate_keys": q_surrogate_keys,
     "fk_integrity": q_fk_integrity,
+    "shortest_paths": q_shortest_paths,
 }
 
 ORACLES: dict[str, str] = {
@@ -11145,4 +11213,5 @@ ORACLES: dict[str, str] = {
     "scd3_apply": _ORACLE_SCD3_APPLY,
     "surrogate_keys": _ORACLE_SURROGATE_KEYS,
     "fk_integrity": _ORACLE_FK_INTEGRITY,
+    "shortest_paths": _ORACLE_SHORTEST_PATHS,
 }

@@ -156,3 +156,67 @@ def test_bfs_multi_seed_takes_nearest(spark):
     seeds = spark.createDataFrame([("a",), ("s",)], "node string")
     out = _bfs_rows(bfs_reachability(edges, seeds, max_hops=5))
     assert out == {("a", 0), ("s", 0), ("x", 1), ("y", 1)}
+
+
+# -- shortest_paths ---------------------------------------------------
+
+
+def _sp_rows(df):
+    return {(r["node"], r["min_dist"]) for r in df.collect()}
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    # direct a->c costs 10; a->b->c costs 3: Bellman-Ford must relax twice
+    edges = spark.createDataFrame(
+        [("a", "c", 10), ("a", "b", 1), ("b", "c", 2)],
+        "src string, dst string, w int",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = _sp_rows(shortest_paths(edges, seeds, max_hops=5))
+    assert out == {("a", 0), ("b", 1), ("c", 3)}
+
+
+def test_sssp_hop_bound_is_semantic(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    # with max_hops=1 the direct edge wins even though 2 hops are cheaper
+    edges = spark.createDataFrame(
+        [("a", "c", 10), ("a", "b", 1), ("b", "c", 2)],
+        "src string, dst string, w int",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = _sp_rows(shortest_paths(edges, seeds, max_hops=1))
+    assert out == {("a", 0), ("b", 1), ("c", 10)}
+
+
+def test_sssp_early_exit_on_cycle(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    # positive-weight 2-cycle: fixpoint after 1 round, huge bound is safe
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w int"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = _sp_rows(shortest_paths(edges, seeds, max_hops=50))
+    assert out == {("a", 0), ("b", 1)}
+
+
+def test_sssp_multi_seed_min(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "x", 9), ("s", "x", 2)], "src string, dst string, w int"
+    )
+    seeds = spark.createDataFrame([("a",), ("s",)], "node string")
+    out = _sp_rows(shortest_paths(edges, seeds, max_hops=3))
+    assert out == {("a", 0), ("s", 0), ("x", 2)}
