@@ -255,7 +255,12 @@ def bfs_reachability(
     )
     visited = visited_chain.step(start)
     frontier = visited
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # every round joins the same edge set — materialize it once (the
+    # pagerank verts/outdeg discipline) instead of re-running the
+    # upstream scan/distinct per hop
+    e = persist_tracked(
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    )
     for hop in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier[node] == e["_src"])
@@ -312,10 +317,13 @@ def shortest_paths(
             node, F.lit(0).cast("long").alias("min_dist")
         )
     )
-    e = edges.select(
-        F.col(src).alias("_src"),
-        F.col(dst).alias("_dst"),
-        F.col(weight).cast("long").alias("_w"),
+    # materialize the weighted edge set once across relaxation rounds
+    e = persist_tracked(
+        edges.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(weight).cast("long").alias("_w"),
+        )
     )
     stats = dist.agg(
         F.count(F.lit(1)).alias("c"), F.sum("min_dist").alias("s")

@@ -78,3 +78,17 @@ def absorb_delta(state: DataFrame, delta_grouped: DataFrame, keys: list[str]) ->
         ).alias("sum_cents"),
     )
     return merged.where(F.col("n_rows") > 0)
+
+
+def save_state(state: DataFrame, path: str) -> None:
+    """Persist the maintained view state (the held-state lifecycle
+    every expensive artifact follows — dedup_state, KMV, moments, ANN
+    index): the state is plain rows, so parquet IS the serialization,
+    and a reloaded state absorbs deltas indistinguishably from the
+    in-session one (pinned in test_ivm)."""
+    state.write.mode("overwrite").parquet(path)
+
+
+def load_state(spark, path: str) -> DataFrame:
+    """Reload a saved view state for further absorption or serving."""
+    return spark.read.parquet(path)

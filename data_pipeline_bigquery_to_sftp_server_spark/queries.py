@@ -10288,10 +10288,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (features.py rank_quantile_score), NOT a single-partition
     Window.orderBy — three bounded-shuffle scoring passes over the
     per-customer aggregate frame, then a grouped count."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
     from data_pipeline_bigquery_to_sftp_server_spark.operators import features
 
     o = load_table(spark, sf_dir, "orders")
-    per = (
+    # persisted once: all three scoring passes (two plan branches each)
+    # read this per-customer aggregate instead of re-scanning orders
+    per = persist_tracked(
         o.where(F.col("o_custkey").isNotNull())
         .groupBy("o_custkey")
         .agg(

@@ -84,3 +84,23 @@ def test_unknown_op_tag_raises(spark):
     )
     with pytest.raises(Exception, match="unknown CDC op tag"):
         delta_group(delta, ["k"], "amt").collect()
+
+
+def test_state_survives_save_load(spark, tmp_path):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.ivm import (
+        load_state,
+        save_state,
+    )
+
+    s = agg_state(_base(spark), ["k"], "amt")
+    p = str(tmp_path / "ivm_state")
+    save_state(s, p)
+    back = load_state(spark, p)
+    assert _state_rows(back) == _state_rows(s)
+    # absorb after reload == continuous absorb
+    delta = spark.createDataFrame(
+        [("I", "a", 1.00), ("D", "b", 4.00)], "op string, k string, amt double"
+    )
+    cont = absorb_delta(s, delta_group(delta, ["k"], "amt"), ["k"])
+    resumed = absorb_delta(back, delta_group(delta, ["k"], "amt"), ["k"])
+    assert _state_rows(resumed) == _state_rows(cont)
