@@ -203,6 +203,7 @@ HEADLINE = [
     "surrogate_keys",
     "fk_integrity",
     "shortest_paths",
+    "revenue_trend",
 ]
 
 

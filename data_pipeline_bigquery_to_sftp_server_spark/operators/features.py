@@ -114,3 +114,53 @@ def rank_quantile_score(
         (F.least(F.floor(pr * q), F.lit(q - 1)) + 1).cast("long"),
     )
     return scored.drop("_tv", "_trank")
+
+
+def grouped_ols(
+    df: DataFrame, group_cols: list[str], x: str, y: str
+) -> DataFrame:
+    """Per-group closed-form least-squares line fit of integer ``y``
+    on integer ``x`` — the trend statistic (revenue trajectory per
+    segment, quality drift per source) computed as ONE grouped
+    aggregation of exact sums, never an iterative solver:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r² = num² / (den · (n·Σy² − (Σy)²))
+
+    The five sums ride decimal(19)→decimal(38) products (the
+    rolling_anomaly overflow discipline — never a long square), so
+    numerator and denominator are EXACT integers on every engine and
+    each emitted statistic is a fixed tree of IEEE ops over them —
+    the DuckDB HUGEINT mirror replays slope/intercept/r² bit-for-bit.
+    Groups with a degenerate x spread (den = 0) emit NULLs."""
+    xd = F.col(x).cast("decimal(19,0)")
+    yd = F.col(y).cast("decimal(19,0)")
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(yd * yd).alias("_syy"),
+    )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    num = (n_dec * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den = (n_dec * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    deny = (n_dec * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    slope = F.when(den > 0, num / den)
+    intercept = F.when(
+        den > 0,
+        (F.col("_sy").cast("double") - (num / den) * F.col("_sx").cast("double"))
+        / F.col("n").cast("double"),
+    )
+    r2 = F.when((den > 0) & (deny > 0), (num * num) / (den * deny))
+    return g.select(
+        *group_cols,
+        "n",
+        F.col("_sx").cast("long").alias("sum_x"),
+        F.col("_sy").cast("long").alias("sum_y"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

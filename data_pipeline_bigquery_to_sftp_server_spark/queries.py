@@ -10592,6 +10592,64 @@ ORDER BY node
 """
 
 
+def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 grouped OLS trend fit, ORACLE-CHECKED
+    (operators/features.py grouped_ols): per-priority least-squares
+    line of monthly revenue (exact cents) on month index — slope,
+    intercept and r² from ONE grouped aggregation of exact
+    decimal-sum statistics (closed form, never an iterative solver;
+    the rolling_anomaly no-long-squares discipline). Every emitted
+    float is a fixed IEEE tree over exact integers, replayed by the
+    DuckDB HUGEINT mirror bit-for-bit."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import features
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("x"),
+    ).agg(F.sum(cents).alias("y"))
+    return features.grouped_ols(
+        monthly, ["o_orderpriority"], "x", "y"
+    ).orderBy("o_orderpriority")
+
+
+_ORACLE_REVENUE_TREND = """
+WITH m AS (
+  SELECT o_orderpriority,
+         (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+), g AS (
+  SELECT o_orderpriority, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM m GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN (CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+FROM g ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10983,6 +11041,7 @@ QUERIES: dict[str, QueryFn] = {
     "surrogate_keys": q_surrogate_keys,
     "fk_integrity": q_fk_integrity,
     "shortest_paths": q_shortest_paths,
+    "revenue_trend": q_revenue_trend,
 }
 
 ORACLES: dict[str, str] = {
@@ -11217,4 +11276,5 @@ ORACLES: dict[str, str] = {
     "surrogate_keys": _ORACLE_SURROGATE_KEYS,
     "fk_integrity": _ORACLE_FK_INTEGRITY,
     "shortest_paths": _ORACLE_SHORTEST_PATHS,
+    "revenue_trend": _ORACLE_REVENUE_TREND,
 }

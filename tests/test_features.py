@@ -100,3 +100,49 @@ def test_rank_quantile_score_single_row(spark):
     df = spark.createDataFrame([(1, 3.0)], "id long, v double")
     (r,) = rank_quantile_score(df, "v", "id", 5, "s").collect()
     assert r["s"] == 1
+
+
+def test_grouped_ols_matches_numpy(spark):
+    import numpy as np
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.features import (
+        grouped_ols,
+    )
+
+    xs = [0, 1, 2, 3, 4]
+    ys = [10, 12, 15, 15, 20]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "grp string, x long, y long"
+    )
+    (r,) = grouped_ols(df, ["grp"], "x", "y").collect()
+    slope_np, icept_np = np.polyfit(xs, ys, 1)
+    assert abs(r["slope"] - slope_np) < 1e-9
+    assert abs(r["intercept"] - icept_np) < 1e-9
+    corr = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r["r2"] - corr * corr) < 1e-9
+    assert (r["n"], r["sum_x"], r["sum_y"]) == (5, 10, 72)
+
+
+def test_grouped_ols_degenerate_x_is_null(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.features import (
+        grouped_ols,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 3, 1), ("g", 3, 9)], "grp string, x long, y long"
+    )
+    (r,) = grouped_ols(df, ["grp"], "x", "y").collect()
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+
+
+def test_grouped_ols_exact_line(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.features import (
+        grouped_ols,
+    )
+
+    # y = 7x + 3 exactly: slope/intercept exact, r2 == 1.0
+    df = spark.createDataFrame(
+        [("g", x, 7 * x + 3) for x in range(6)], "grp string, x long, y long"
+    )
+    (r,) = grouped_ols(df, ["grp"], "x", "y").collect()
+    assert r["slope"] == 7.0 and r["intercept"] == 3.0 and r["r2"] == 1.0
