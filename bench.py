@@ -204,6 +204,7 @@ HEADLINE = [
     "fk_integrity",
     "shortest_paths",
     "revenue_trend",
+    "streaming_transitions",
 ]
 
 

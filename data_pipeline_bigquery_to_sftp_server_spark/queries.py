@@ -10237,6 +10237,14 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, with the row totals as a partition window over the tiny
     (|types|²) count frame."""
     ev = load_table(spark, sf_dir, "events")
+    counts = _transition_counts(ev)
+    return _transition_report(counts)
+
+
+def _transition_counts(ev: DataFrame) -> DataFrame:
+    """(from_type, to_type, n) consecutive-pair counts per user order —
+    the mergeable state the batch report and the streaming absorb
+    share (counts over disjoint user sets add exactly)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
@@ -10246,9 +10254,12 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("to_type").isNotNull())
     )
-    counts = pairs.groupBy("from_type", "to_type").agg(
+    return pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def _transition_report(counts: DataFrame) -> DataFrame:
     total = F.sum("n").over(Window.partitionBy("from_type"))
     return counts.select(
         "from_type",
@@ -10650,6 +10661,49 @@ FROM g ORDER BY o_orderpriority
 """
 
 
+def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + X78 composition, ORACLE-CHECKED: the Markov transition
+    state maintained ON INGEST — held pair counts built from 90% of
+    users, the rest arriving as 4 USER-PARTITIONED parquet files fed
+    one per micro-batch (hash-partitioning by user keeps every user's
+    whole ordered stream inside one batch, so the per-batch lead()
+    window sees complete sequences and no cross-batch pair is ever
+    lost). Pair counts over disjoint user sets add exactly, so the
+    streamed end-state replays the BATCH twin's oracle
+    (_ORACLE_EVENT_TRANSITIONS) cell-for-cell in any arrival order."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    held = ev.where(F.col("user_id") % 10 != 0)
+    arriving = ev.where(F.col("user_id") % 10 == 0)
+    src = _scratch_dir("transitions_stream_src_")
+    ckpt = _scratch_dir("transitions_stream_ckpt_")
+    arriving.repartition(4, "user_id").write.mode("overwrite").parquet(src)
+
+    chain = CheckpointChain()
+    state = {"counts": chain.step(_transition_counts(held))}
+
+    def absorb_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        b = _transition_counts(batch_df)
+        state["counts"] = chain.step(
+            state["counts"]
+            .unionByName(b)
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = W.streaming_upsert(stream, absorb_batch, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    return _transition_report(state["counts"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11042,6 +11096,7 @@ QUERIES: dict[str, QueryFn] = {
     "fk_integrity": q_fk_integrity,
     "shortest_paths": q_shortest_paths,
     "revenue_trend": q_revenue_trend,
+    "streaming_transitions": q_streaming_transitions,
 }
 
 ORACLES: dict[str, str] = {
@@ -11277,4 +11332,7 @@ ORACLES: dict[str, str] = {
     "fk_integrity": _ORACLE_FK_INTEGRITY,
     "shortest_paths": _ORACLE_SHORTEST_PATHS,
     "revenue_trend": _ORACLE_REVENUE_TREND,
+    # user-complete batches + exact count mergeability: the streamed
+    # end-state replays the batch twin's oracle in any batching
+    "streaming_transitions": _ORACLE_EVENT_TRANSITIONS,
 }
