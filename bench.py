@@ -205,6 +205,7 @@ HEADLINE = [
     "shortest_paths",
     "revenue_trend",
     "streaming_transitions",
+    "python_datasource",
 ]
 
 

@@ -10704,6 +10704,56 @@ def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _transition_report(state["counts"])
 
 
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 Python Data Source plugin, ORACLE-CHECKED
+    (sources/pysource.py): the reference's paginated API scan as a
+    REGISTERED Spark source — ``spark.read.format("rest_pages")`` with
+    one input partition per page, so page fetches parallelize across
+    executors and the planner sees a real scan node (the Spark 4
+    ``pyspark.sql.datasource`` API; the idiomatic endpoint of the
+    S2/S3 rest.py evolution). The hermetic record generator is a pure
+    function of (row id, salt), so the DuckDB oracle regenerates the
+    pages with generate_series."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        RestPagesDataSource,
+    )
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("rest_pages")
+        .option("n_rows", 5000)
+        .option("page_size", 250)
+        .option("seed_salt", 3)
+        .load()
+    )
+    return (
+        df.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("priority").alias("sum_priority"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("status")
+    )
+
+
+_ORACLE_PYTHON_DATASOURCE = """
+WITH r AS (
+  SELECT i AS id,
+         CASE (i + 3) % 3 WHEN 0 THEN 'open' WHEN 1 THEN 'pending'
+              ELSE 'closed' END AS status,
+         (i * 7 + 3) % 5 + 1 AS priority
+  FROM generate_series(0, 4999) t(i)
+)
+SELECT status, count(*) AS n,
+       CAST(sum(priority) AS BIGINT) AS sum_priority,
+       CAST(min(id) AS BIGINT) AS min_id,
+       CAST(max(id) AS BIGINT) AS max_id
+FROM r GROUP BY status ORDER BY status
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11097,6 +11147,7 @@ QUERIES: dict[str, QueryFn] = {
     "shortest_paths": q_shortest_paths,
     "revenue_trend": q_revenue_trend,
     "streaming_transitions": q_streaming_transitions,
+    "python_datasource": q_python_datasource,
 }
 
 ORACLES: dict[str, str] = {
@@ -11335,4 +11386,5 @@ ORACLES: dict[str, str] = {
     # user-complete batches + exact count mergeability: the streamed
     # end-state replays the batch twin's oracle in any batching
     "streaming_transitions": _ORACLE_EVENT_TRANSITIONS,
+    "python_datasource": _ORACLE_PYTHON_DATASOURCE,
 }

@@ -173,3 +173,39 @@ def test_schema_evolution_merged_read_nulls_early_batches(spark, sf_dir):
     for src, (n, n_odd) in per_src.items():
         assert out[src].n_rows == n
         assert out[src].n_with_lang == n_odd, "early-batch rows must be NULL"
+
+
+# -- Python Data Source plugin (sources/pysource.py) -------------------
+
+
+def test_python_datasource_pages_and_rows(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        RestPagesDataSource,
+        _record,
+    )
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("rest_pages")
+        .option("n_rows", 10)
+        .option("page_size", 3)
+        .option("seed_salt", 1)
+        .load()
+    )
+    # one partition per page: ceil(10/3) = 4 parallel "page GETs"
+    assert df.rdd.getNumPartitions() == 4
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {_record(i, 1) for i in range(10)}
+
+
+def test_python_datasource_defaults_and_schema(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        RestPagesDataSource,
+    )
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = spark.read.format("rest_pages").option("n_rows", 5).load()
+    assert [f.name for f in df.schema.fields] == [
+        "id", "title", "status", "priority",
+    ]
+    assert df.count() == 5
