@@ -206,6 +206,7 @@ HEADLINE = [
     "revenue_trend",
     "streaming_transitions",
     "python_datasource",
+    "media_dedup",
 ]
 
 

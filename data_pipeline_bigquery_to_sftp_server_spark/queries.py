@@ -10754,6 +10754,60 @@ FROM r GROUP BY status ORDER BY status
 """
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6+X1 composition, ORACLE-CHECKED: exact multimodal dedup —
+    identical binary payloads (re-crawled images, re-encoded copies)
+    found by grouping on the payload digest computed INSIDE the
+    Arrow-batched decode stage, keeping the minimum media id per
+    group. The dedup family applied through the binary-column path:
+    one mapInPandas pass + one digest-keyed count — the digest (32
+    bytes) shuffles, the payload never does. The fixture's texts are
+    all unique, so every 5th payload is re-ingested under a new id
+    (the re-crawl simulation, same injected-duplicate discipline as
+    the ER query) — the dedup must find exactly those."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def mediaify(df, id_offset):
+        return df.select(
+            (F.col("doc_id") + id_offset).alias("media_id"),
+            F.lit("doc").alias("kind"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+
+    media = mediaify(d, 0).unionByName(
+        mediaify(d.where(F.col("doc_id") % 5 == 0), 1_000_000)
+    )
+    feats = multimodal.extract_features(media, dim=8, algo="sha256")
+    return (
+        feats.groupBy("digest")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("keep_id")
+    )
+
+
+_ORACLE_MEDIA_DEDUP = """
+WITH f AS (
+  SELECT doc_id AS media_id, sha256(text) AS digest FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, sha256(text) FROM documents WHERE doc_id % 5 = 0
+)
+SELECT digest, CAST(min(media_id) AS BIGINT) AS keep_id,
+       count(*) AS n_copies
+FROM f GROUP BY digest HAVING count(*) > 1
+ORDER BY keep_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11148,6 +11202,7 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_trend": q_revenue_trend,
     "streaming_transitions": q_streaming_transitions,
     "python_datasource": q_python_datasource,
+    "media_dedup": q_media_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -11387,4 +11442,5 @@ ORACLES: dict[str, str] = {
     # end-state replays the batch twin's oracle in any batching
     "streaming_transitions": _ORACLE_EVENT_TRANSITIONS,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
+    "media_dedup": _ORACLE_MEDIA_DEDUP,
 }
