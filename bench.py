@@ -207,6 +207,7 @@ HEADLINE = [
     "streaming_transitions",
     "python_datasource",
     "media_dedup",
+    "spatial_join",
 ]
 
 

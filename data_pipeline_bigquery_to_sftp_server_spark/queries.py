@@ -10808,6 +10808,53 @@ ORDER BY keep_id
 """
 
 
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85 spatial distance join, ORACLE-CHECKED
+    (operators/spatial.py): all point pairs within Euclidean distance
+    50 over a deterministic planar scatter of the documents (modular
+    affine coordinates) — the fixed-radius near-neighbor join, grid-
+    bucketed so candidates co-locate by cell instead of the O(n²)
+    cross join the DuckDB oracle runs. Exact integer squared-distance
+    predicate: no sqrt, no libm, every pair and distance replayed
+    bit-for-bit."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import spatial
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def coord(salt):
+        # the sketch family's engine-portable uniform: md5-prefix int
+        # (an affine lattice has NO close pairs — a scatter needs a hash)
+        h = F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
+        )
+        return F.conv(h, 16, 10).cast("long") % 10000
+
+    pts = d.select(
+        F.col("doc_id").alias("id"),
+        coord(":px").alias("x"),
+        coord(":py").alias("y"),
+    )
+    return spatial.grid_distance_join(pts, max_dist=50).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_ORACLE_SPATIAL_JOIN = """
+WITH p AS (
+  SELECT doc_id AS id,
+         ('0x' || substr(md5(doc_id || ':px'), 1, 8))::BIGINT % 10000 AS x,
+         ('0x' || substr(md5(doc_id || ':py'), 1, 8))::BIGINT % 10000 AS y
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11203,6 +11250,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_transitions": q_streaming_transitions,
     "python_datasource": q_python_datasource,
     "media_dedup": q_media_dedup,
+    "spatial_join": q_spatial_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -11443,4 +11491,5 @@ ORACLES: dict[str, str] = {
     "streaming_transitions": _ORACLE_EVENT_TRANSITIONS,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
+    "spatial_join": _ORACLE_SPATIAL_JOIN,
 }
