@@ -99,7 +99,10 @@ def rank_quantile_score(
     floor(pr*q) capped at q-1, plus 1.  Three bounded shuffles per
     call (range sort + distinct-value agg + value equi-join back);
     the division is one double op over exact longs, so the DuckDB
-    ``percent_rank()`` window replays the scores bit-for-bit."""
+    ``percent_rank()`` window replays the scores bit-for-bit.
+    Contract: ``value_col`` must be non-NULL (the value equi-join
+    back would silently drop NULL rows) — aggregate outputs, the
+    intended inputs, always are."""
     from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
         with_global_rank,
     )
