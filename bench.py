@@ -208,6 +208,7 @@ HEADLINE = [
     "python_datasource",
     "media_dedup",
     "spatial_join",
+    "table_reconcile",
 ]
 
 

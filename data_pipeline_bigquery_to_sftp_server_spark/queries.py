@@ -10855,6 +10855,97 @@ ORDER BY id_a, id_b
 """
 
 
+def q_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 checksum table reconciliation, ORACLE-CHECKED
+    (operators/reconcile.py): replica B of the orders table drifted —
+    every 101st order repriced, every 103rd lost, every 107th key
+    present only in B — and the reconciler finds exactly those rows by
+    exchanging 64 bucket checksums then drilling ONLY the differing
+    buckets (the Merkle anti-entropy pattern; near-identical 100 TB
+    replicas reconcile by touching almost nothing twice). Money rides
+    integer cents inside the row hash; the oracle replays the same
+    summary-then-drill plan, so both engines agree by construction."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import reconcile
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = o.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+    b = (
+        a.where(F.col("o_orderkey") % 103 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("cents") + 10000
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            a.where(F.col("o_orderkey") % 107 == 0).select(
+                (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+                "o_orderpriority",
+                "cents",
+            )
+        )
+    )
+    out = reconcile.reconcile_tables(
+        a, b, "o_orderkey", ["o_orderpriority", "cents"], n_buckets=64
+    )
+    return out.orderBy("o_orderkey")
+
+
+_ORACLE_TABLE_RECONCILE = """
+WITH a AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 101 = 0 THEN cents + 10000
+              ELSE cents END AS cents
+  FROM a WHERE o_orderkey % 103 != 0
+  UNION ALL
+  SELECT o_orderkey + 20000000, o_orderpriority, cents
+  FROM a WHERE o_orderkey % 107 = 0
+), sa AS (
+  SELECT o_orderkey AS rk, o_orderkey % 64 AS bucket,
+         ('0x' || substr(md5(o_orderkey || '|' || o_orderpriority
+                             || '|' || cents), 1, 12))::BIGINT AS rhash
+  FROM a
+), sb AS (
+  SELECT o_orderkey AS rk, o_orderkey % 64 AS bucket,
+         ('0x' || substr(md5(o_orderkey || '|' || o_orderpriority
+                             || '|' || cents), 1, 12))::BIGINT AS rhash
+  FROM b
+), ga AS (
+  SELECT bucket, CAST(sum(rhash) AS BIGINT) AS ha, count(*) AS na
+  FROM sa GROUP BY bucket
+), gb AS (
+  SELECT bucket, CAST(sum(rhash) AS BIGINT) AS hb, count(*) AS nb
+  FROM sb GROUP BY bucket
+), suspects AS (
+  SELECT coalesce(ga.bucket, gb.bucket) AS bucket
+  FROM ga FULL OUTER JOIN gb ON ga.bucket = gb.bucket
+  WHERE NOT (ha IS NOT DISTINCT FROM hb AND na IS NOT DISTINCT FROM nb)
+), da AS (
+  SELECT sa.* FROM sa JOIN suspects USING (bucket)
+), db AS (
+  SELECT sb.* FROM sb JOIN suspects USING (bucket)
+)
+SELECT coalesce(da.bucket, db.bucket) AS bucket,
+       coalesce(da.rk, db.rk) AS o_orderkey,
+       CASE WHEN db.rk IS NULL THEN 'missing_b'
+            WHEN da.rk IS NULL THEN 'missing_a'
+            WHEN da.rhash != db.rhash THEN 'changed' END AS status
+FROM da FULL OUTER JOIN db ON da.rk = db.rk
+WHERE (CASE WHEN db.rk IS NULL THEN 'missing_b'
+            WHEN da.rk IS NULL THEN 'missing_a'
+            WHEN da.rhash != db.rhash THEN 'changed' END) IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11251,6 +11342,7 @@ QUERIES: dict[str, QueryFn] = {
     "python_datasource": q_python_datasource,
     "media_dedup": q_media_dedup,
     "spatial_join": q_spatial_join,
+    "table_reconcile": q_table_reconcile,
 }
 
 ORACLES: dict[str, str] = {
@@ -11492,4 +11584,5 @@ ORACLES: dict[str, str] = {
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,
+    "table_reconcile": _ORACLE_TABLE_RECONCILE,
 }

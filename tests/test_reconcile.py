@@ -1,0 +1,32 @@
+"""Checksum table reconciliation — operators/reconcile.py."""
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators.reconcile import (
+    reconcile_tables,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, attr string, cents long")
+
+
+def test_reconcile_classifies_all_three_statuses(spark):
+    a = _mk(spark, [(1, "x", 100), (2, "y", 200), (3, "z", 300)])
+    b = _mk(spark, [(1, "x", 100), (2, "y", 999), (4, "new", 50)])
+    out = {
+        r["k"]: r["status"]
+        for r in reconcile_tables(a, b, "k", ["attr", "cents"], 8).collect()
+    }
+    assert out == {2: "changed", 3: "missing_b", 4: "missing_a"}
+
+
+def test_reconcile_identical_tables_empty(spark):
+    a = _mk(spark, [(i, "x", i * 10) for i in range(50)])
+    b = _mk(spark, [(i, "x", i * 10) for i in range(50)])
+    assert reconcile_tables(a, b, "k", ["attr", "cents"], 8).count() == 0
+
+
+def test_reconcile_bucket_column_is_key_mod(spark):
+    a = _mk(spark, [(13, "x", 1)])
+    b = _mk(spark, [(13, "x", 2)])
+    (r,) = reconcile_tables(a, b, "k", ["attr", "cents"], 8).collect()
+    assert r["bucket"] == 13 % 8 and r["status"] == "changed"
