@@ -209,6 +209,7 @@ HEADLINE = [
     "media_dedup",
     "spatial_join",
     "table_reconcile",
+    "benford_audit",
 ]
 
 

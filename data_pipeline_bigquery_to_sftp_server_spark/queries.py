@@ -10946,6 +10946,80 @@ ORDER BY o_orderkey
 """
 
 
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 Benford first-digit audit, ORACLE-CHECKED: the fraud/
+    fabrication screen auditors run over money columns — observed
+    first-digit shares of the order amounts against Benford's
+    log10(1+1/d) expectation. The first digit comes from the CENTS
+    STRING (never log10 of a double — libm diverges across engines);
+    shares are one division of exact longs; the expected values are
+    shortest-round-trip double literals embedded identically in both
+    engines, so observed, expected, and deviation all hash-match.
+    One grouped count over a scan; the share window runs on the
+    9-row digit frame."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digits = (
+        o.where(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.lit(None).cast("double")
+    for dig, exp_p in _BENFORD.items():
+        expected = F.when(F.col("digit") == dig, F.lit(exp_p)).otherwise(
+            expected
+        )
+    return (
+        digits.select(
+            "digit",
+            "n",
+            (F.col("n") / total).alias("observed"),
+            expected.alias("expected"),
+            ((F.col("n") / total) - expected).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+_ORACLE_BENFORD_AUDIT = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+), e(digit, expected) AS (
+  VALUES (1, 0.3010299956639812), (2, 0.17609125905568124),
+         (3, 0.12493873660829992), (4, 0.09691001300805642),
+         (5, 0.07918124604762482), (6, 0.06694678963061322),
+         (7, 0.05799194697768673), (8, 0.05115252244738129),
+         (9, 0.04575749056067514)
+)
+SELECT d.digit, CAST(d.n AS BIGINT) AS n,
+       d.n / sum(d.n) OVER () AS observed,
+       e.expected,
+       (d.n / sum(d.n) OVER ()) - e.expected AS deviation
+FROM d JOIN e ON d.digit = e.digit
+ORDER BY d.digit
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11343,6 +11417,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_dedup": q_media_dedup,
     "spatial_join": q_spatial_join,
     "table_reconcile": q_table_reconcile,
+    "benford_audit": q_benford_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -11585,4 +11660,5 @@ ORACLES: dict[str, str] = {
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,
     "table_reconcile": _ORACLE_TABLE_RECONCILE,
+    "benford_audit": _ORACLE_BENFORD_AUDIT,
 }
