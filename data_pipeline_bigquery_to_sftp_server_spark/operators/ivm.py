@@ -20,6 +20,12 @@ EXACTLY, not approximately, which is what lets the DuckDB oracle
 replay the incrementally-maintained view as one full-recompute SQL and
 the streaming foreachBatch deployment reuse the batch oracle verbatim.
 
+Deployment caveat: foreachBatch is at-least-once, and an ADDITIVE
+absorb is NOT replay-idempotent (a re-delivered batch double-counts —
+unlike register-max sketch merges).  Streaming callers must gate the
+absorb on ``epoch_id`` (see q_streaming_ivm) or persist a last-applied
+epoch alongside the saved state.
+
 Plan shape: the delta is grouped/summed BEFORE it touches the state
 (partial aggregation on the small side), then one full-outer join on
 the group keys — state-sized, never base-table-sized.  Groups whose

@@ -35,12 +35,20 @@ def row_signature(
     """(key, bucket, rhash): 48-bit md5-prefix row hash over the
     pipe-joined key+columns (callers pass integer/string columns —
     encode money as cents upstream; raw doubles stringify differently
-    across engines)."""
+    across engines).  The bucket is a 16-bit md5 prefix of the KEY
+    STRING mod n_buckets — never ``key % n`` (string/UUID primary
+    keys, the common replica case, would cast-error under ANSI or,
+    worse, NULL-bucket silently under lax mode)."""
     joined = F.concat_ws("|", F.col(key), *[F.col(c) for c in cols])
     rhash = F.conv(F.substring(F.md5(joined), 1, 12), 16, 10).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
     return df.select(
         F.col(key).alias("_rk"),
-        (F.col(key) % n_buckets).alias("bucket"),
+        bucket.alias("bucket"),
         rhash.alias("_rhash"),
     )
 

@@ -147,6 +147,7 @@ def attribution(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Multi-touch conversion attribution: every conversion event is
     linked to the touch events (``touch_types``) that preceded it since
@@ -190,7 +191,7 @@ def attribution(
         F.col(user_col).alias("user"),
         F.col("_grp"),
         F.col(id_col).alias("conv_event_id"),
-        F.col("value").alias("conv_value"),
+        F.col(value_col).alias("conv_value"),
     )
     tw = Window.partitionBy(user_col, "_grp").orderBy(ts_col, id_col)
     touches = (

@@ -9995,10 +9995,17 @@ def q_streaming_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = {
         "view": chain.step(
             ivm.agg_state(o, ["o_orderpriority"], "o_totalprice")
-        )
+        ),
+        "epochs": set(),
     }
 
     def absorb_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: an ADDITIVE absorb replayed
+        # after a restart would double-count (unlike the register-max
+        # HLL absorb, which is replay-idempotent) — gate on epoch_id
+        if epoch_id in state["epochs"]:
+            return
+        state["epochs"].add(epoch_id)
         d = ivm.delta_group(batch_df, ["o_orderpriority"], "amount")
         state["view"] = chain.step(
             ivm.absorb_delta(state["view"], d, ["o_orderpriority"])
@@ -10464,9 +10471,12 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct orphan keys (lineitem->orders is seeded with orphans by
     construction at every SF: the fixture's orderkeys are sparse). The
     cross-table completion of the single-table constraint audit
-    (q_constraint_audit); each relationship is ONE broadcast/hash
-    anti-join + a count — no row ever leaves its scan partition except
-    into the aggregate."""
+    (q_constraint_audit); each relationship is ONE child scan — a
+    left join against the distinct-parent-key marker frame feeds a
+    single conditional aggregation producing total, orphan, and
+    distinct-orphan counts together (the merge_counts one-scan
+    discipline; the previous anti-join + separate total-count form
+    scanned every child twice)."""
     rels = [
         ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
          "customer", "c_custkey"),
@@ -10480,15 +10490,20 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for rel, child_t, fk, parent_t, pk in rels:
         child = load_table(spark, sf_dir, child_t)
-        parent = load_table(spark, sf_dir, parent_t)
-        orphans = child.join(
-            parent, child[fk] == parent[pk], "left_anti"
+        parent_keys = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(pk).alias("_pk"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
         )
-        row = orphans.agg(
-            F.count(F.lit(1)).alias("n_orphans"),
-            F.countDistinct(fk).alias("n_orphan_keys"),
-        ).crossJoin(
-            child.agg(F.count(F.lit(1)).alias("n_rows"))
+        j = child.join(parent_keys, child[fk] == parent_keys["_pk"], "left")
+        is_orphan = F.col("_hit").isNull()
+        row = j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(is_orphan.cast("long")).alias("n_orphans"),
+            F.countDistinct(F.when(is_orphan, F.col(fk))).alias(
+                "n_orphan_keys"
+            ),
         ).select(
             F.lit(rel).alias("relationship"),
             "n_rows",
@@ -10682,9 +10697,14 @@ def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving.repartition(4, "user_id").write.mode("overwrite").parquet(src)
 
     chain = CheckpointChain()
-    state = {"counts": chain.step(_transition_counts(held))}
+    state = {"counts": chain.step(_transition_counts(held)), "epochs": set()}
 
     def absorb_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # additive counts: at-least-once re-delivery must not replay
+        # (see q_streaming_ivm) — gate on epoch_id
+        if epoch_id in state["epochs"]:
+            return
+        state["epochs"].add(epoch_id)
         b = _transition_counts(batch_df)
         state["counts"] = chain.step(
             state["counts"]
@@ -10909,12 +10929,16 @@ WITH a AS (
   SELECT o_orderkey + 20000000, o_orderpriority, cents
   FROM a WHERE o_orderkey % 107 = 0
 ), sa AS (
-  SELECT o_orderkey AS rk, o_orderkey % 64 AS bucket,
+  SELECT o_orderkey AS rk,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+           % 64 AS bucket,
          ('0x' || substr(md5(o_orderkey || '|' || o_orderpriority
                              || '|' || cents), 1, 12))::BIGINT AS rhash
   FROM a
 ), sb AS (
-  SELECT o_orderkey AS rk, o_orderkey % 64 AS bucket,
+  SELECT o_orderkey AS rk,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+           % 64 AS bucket,
          ('0x' || substr(md5(o_orderkey || '|' || o_orderpriority
                              || '|' || cents), 1, 12))::BIGINT AS rhash
   FROM b

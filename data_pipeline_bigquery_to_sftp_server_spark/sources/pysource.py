@@ -72,7 +72,10 @@ class RestPagesReader(DataSourceReader):
             pages.append(PagePartition(page, start, end))
             page += 1
             start = end
-        return pages
+        # an empty endpoint must still yield ONE (empty) partition:
+        # returning [] makes Spark fall back to a single None partition
+        # and read(None) would crash instead of producing zero rows
+        return pages or [PagePartition(1, 0, 0)]
 
     def read(self, partition: PagePartition) -> Iterator[tuple]:
         # one "HTTP page GET" per partition — executor-side, parallel

@@ -25,8 +25,25 @@ def test_reconcile_identical_tables_empty(spark):
     assert reconcile_tables(a, b, "k", ["attr", "cents"], 8).count() == 0
 
 
-def test_reconcile_bucket_column_is_key_mod(spark):
+def test_reconcile_bucket_is_md5_prefix_of_key(spark):
+    import hashlib
+
     a = _mk(spark, [(13, "x", 1)])
     b = _mk(spark, [(13, "x", 2)])
     (r,) = reconcile_tables(a, b, "k", ["attr", "cents"], 8).collect()
-    assert r["bucket"] == 13 % 8 and r["status"] == "changed"
+    want = int(hashlib.md5(b"13").hexdigest()[:4], 16) % 8
+    assert r["bucket"] == want and r["status"] == "changed"
+
+
+def test_reconcile_string_keys(spark):
+    # replica primary keys are routinely strings/UUIDs — key % n would
+    # cast-error (ANSI) or silently NULL-bucket (lax); hashing must not
+    a = spark.createDataFrame(
+        [("u-1", 1), ("u-2", 2)], "k string, cents long"
+    )
+    b = spark.createDataFrame(
+        [("u-1", 1), ("u-2", 99)], "k string, cents long"
+    )
+    out = {r["k"]: r["status"] for r in
+           reconcile_tables(a, b, "k", ["cents"], 8).collect()}
+    assert out == {"u-2": "changed"}

@@ -209,3 +209,14 @@ def test_python_datasource_defaults_and_schema(spark):
         "id", "title", "status", "priority",
     ]
     assert df.count() == 5
+
+
+def test_python_datasource_empty_source_yields_zero_rows(spark):
+    # an empty API result must be an empty frame, not a crashed scan
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        RestPagesDataSource,
+    )
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = spark.read.format("rest_pages").option("n_rows", 0).load()
+    assert df.count() == 0
