@@ -210,6 +210,7 @@ HEADLINE = [
     "spatial_join",
     "table_reconcile",
     "benford_audit",
+    "streaming_reconcile",
 ]
 
 

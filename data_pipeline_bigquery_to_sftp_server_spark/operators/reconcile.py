@@ -65,15 +65,56 @@ def reconcile_tables(
     'missing_b'} — computed via the summary-then-drill plan above."""
     sa = row_signature(a, key, cols, n_buckets)
     sb = row_signature(b, key, cols, n_buckets)
+    suspects = summary_diff(bucket_summary(sa), bucket_summary(sb))
+    return drill(sa, sb, suspects, key)
 
-    def summary(s: DataFrame, hs: str, ns: str) -> DataFrame:
-        return s.groupBy("bucket").agg(
-            F.sum("_rhash").alias(hs), F.count(F.lit(1)).alias(ns)
-        )
-    ga = summary(sa, "_ha", "_na")
-    gb = summary(sb, "_hb", "_nb")
-    suspects = (
-        ga.join(gb, "bucket", "full_outer")
+
+def bucket_summary(sig: DataFrame) -> DataFrame:
+    """The held reconciliation state: one (bucket, hash sum, count)
+    row per bucket over a :func:`row_signature` frame.  ADDITIVE over
+    disjoint row sets (sum and count both add), so an append-only
+    replica maintains it incrementally via :func:`absorb_summary` —
+    reconciliation then starts from ~64 held rows, never a fresh
+    full-table hash scan.  Additive ⇒ NOT replay-idempotent: streaming
+    absorbs must gate on epoch_id (the ivm.py caveat)."""
+    return sig.groupBy("bucket").agg(
+        F.sum("_rhash").alias("hsum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def absorb_summary(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold an appended batch's :func:`bucket_summary` into the held
+    state: full-outer on bucket, coalesced adds — exactly equal to a
+    one-shot summary over the union (pinned in test_reconcile)."""
+    d = delta.select(
+        "bucket",
+        F.col("hsum").alias("_dh"),
+        F.col("n").alias("_dn"),
+    )
+    return state.join(d, "bucket", "full_outer").select(
+        "bucket",
+        (
+            F.coalesce(F.col("hsum"), F.lit(0))
+            + F.coalesce(F.col("_dh"), F.lit(0))
+        ).alias("hsum"),
+        (
+            F.coalesce(F.col("n"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias("n"),
+    )
+
+
+def summary_diff(ga: DataFrame, gb: DataFrame) -> DataFrame:
+    """Buckets whose (hash sum, count) pair differs between the two
+    summaries — the only buckets the drill re-scans."""
+    a = ga.select(
+        "bucket", F.col("hsum").alias("_ha"), F.col("n").alias("_na")
+    )
+    b = gb.select(
+        "bucket", F.col("hsum").alias("_hb"), F.col("n").alias("_nb")
+    )
+    return (
+        a.join(b, "bucket", "full_outer")
         .where(
             ~(
                 F.col("_ha").eqNullSafe(F.col("_hb"))
@@ -82,6 +123,12 @@ def reconcile_tables(
         )
         .select("bucket")
     )
+
+
+def drill(
+    sa: DataFrame, sb: DataFrame, suspects: DataFrame, key: str
+) -> DataFrame:
+    """Row-level classification within the suspect buckets only."""
     da = sa.join(F.broadcast(suspects), "bucket", "left_semi")
     db = sb.join(F.broadcast(suspects), "bucket", "left_semi").select(
         F.col("_rk").alias("_rkb"),

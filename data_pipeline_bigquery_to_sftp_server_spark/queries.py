@@ -10887,6 +10887,18 @@ def q_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary-then-drill plan, so both engines agree by construction."""
     from data_pipeline_bigquery_to_sftp_server_spark.operators import reconcile
 
+    a, b = _reconcile_replicas(spark, sf_dir)
+    out = reconcile.reconcile_tables(
+        a, b, "o_orderkey", ["o_orderpriority", "cents"], n_buckets=64
+    )
+    return out.orderBy("o_orderkey")
+
+
+def _reconcile_replicas(spark: SparkSession, sf_dir: str):
+    """Replica A (orders as key/priority/cents) and the
+    deterministically drifted replica B shared by the batch and
+    streaming reconciliation queries (and re-derived by their
+    oracle)."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     a = o.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
@@ -10909,10 +10921,60 @@ def q_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    out = reconcile.reconcile_tables(
-        a, b, "o_orderkey", ["o_orderpriority", "cents"], n_buckets=64
+    return a, b
+
+
+def q_streaming_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + X86 composition, ORACLE-CHECKED: replica A's
+    reconciliation summary maintained ON INGEST — the held 64-row
+    bucket state is built from 90% of A, the rest arrives as 4 parquet
+    files absorbed per micro-batch (epoch-gated: the summary is
+    ADDITIVE, so an at-least-once re-delivery must not replay), and
+    reconciling against drifted replica B then starts from the HELD
+    state: suspects come from the streamed summary, the drill scans
+    only those buckets. Additivity over disjoint rows makes the
+    streamed summary equal the one-shot scan, so the batch twin's
+    oracle replays the row-level diff cell-for-cell."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import reconcile as R
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    a, b = _reconcile_replicas(spark, sf_dir)
+    key, cols = "o_orderkey", ["o_orderpriority", "cents"]
+    held = a.where(F.col(key) % 10 != 0)
+    arriving = a.where(F.col(key) % 10 == 0)
+    src = _scratch_dir("reconcile_stream_src_")
+    ckpt = _scratch_dir("reconcile_stream_ckpt_")
+    arriving.repartition(4, key).write.mode("overwrite").parquet(src)
+
+    chain = CheckpointChain()
+    state = {
+        "sum": chain.step(
+            R.bucket_summary(R.row_signature(held, key, cols, 64))
+        ),
+        "epochs": set(),
+    }
+
+    def absorb_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in state["epochs"]:
+            return
+        state["epochs"].add(epoch_id)
+        d = R.bucket_summary(R.row_signature(batch_df, key, cols, 64))
+        state["sum"] = chain.step(R.absorb_summary(state["sum"], d))
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
     )
-    return out.orderBy("o_orderkey")
+    q = W.streaming_upsert(stream, absorb_batch, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    sa = R.row_signature(a, key, cols, 64)
+    sb = R.row_signature(b, key, cols, 64)
+    suspects = R.summary_diff(state["sum"], R.bucket_summary(sb))
+    return R.drill(sa, sb, suspects, key).orderBy(key)
 
 
 _ORACLE_TABLE_RECONCILE = """
@@ -11442,6 +11504,7 @@ QUERIES: dict[str, QueryFn] = {
     "spatial_join": q_spatial_join,
     "table_reconcile": q_table_reconcile,
     "benford_audit": q_benford_audit,
+    "streaming_reconcile": q_streaming_reconcile,
 }
 
 ORACLES: dict[str, str] = {
@@ -11685,4 +11748,7 @@ ORACLES: dict[str, str] = {
     "spatial_join": _ORACLE_SPATIAL_JOIN,
     "table_reconcile": _ORACLE_TABLE_RECONCILE,
     "benford_audit": _ORACLE_BENFORD_AUDIT,
+    # additive summary over disjoint rows: the streamed held state
+    # equals the one-shot scan, so the batch oracle replays the drill
+    "streaming_reconcile": _ORACLE_TABLE_RECONCILE,
 }

@@ -47,3 +47,22 @@ def test_reconcile_string_keys(spark):
     out = {r["k"]: r["status"] for r in
            reconcile_tables(a, b, "k", ["cents"], 8).collect()}
     assert out == {"u-2": "changed"}
+
+
+def test_absorb_summary_equals_one_shot(spark):
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.reconcile import (
+        absorb_summary,
+        bucket_summary,
+        row_signature,
+    )
+
+    full = _mk(spark, [(i, "x", i * 3) for i in range(40)])
+    part1 = full.where("k < 25")
+    part2 = full.where("k >= 25")
+    one_shot = bucket_summary(row_signature(full, "k", ["attr", "cents"], 8))
+    streamed = absorb_summary(
+        bucket_summary(row_signature(part1, "k", ["attr", "cents"], 8)),
+        bucket_summary(row_signature(part2, "k", ["attr", "cents"], 8)),
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert rows(streamed) == rows(one_shot)
