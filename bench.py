@@ -211,6 +211,7 @@ HEADLINE = [
     "table_reconcile",
     "benford_audit",
     "streaming_reconcile",
+    "basket_rules",
 ]
 
 

@@ -11106,6 +11106,93 @@ ORDER BY d.digit
 """
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 association-rule mining (support/confidence/lift),
+    ORACLE-CHECKED: which event types co-occur within a user's
+    history — the market-basket statistic over (user, type) presence
+    sets. One distinct-pair self-join keyed on the user (baskets are
+    type-set sized, never event-count sized), counts broadcast back;
+    support/confidence/lift are single fixed IEEE expressions over
+    exact longs, hash-matched unrounded. Both rule directions are
+    emitted (confidence is asymmetric)."""
+    ev = load_table(spark, sf_dir, "events")
+    present = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    totals = present.agg(
+        F.countDistinct("user_id").alias("_n_users")
+    )
+    per_type = present.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    a = present.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("ante")
+    )
+    b = present.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("cons")
+    )
+    pair_counts = (
+        a.join(b, "u")
+        .where(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = per_type.select(
+        F.col("event_type").alias("ante"), F.col("n_t").alias("n_a")
+    )
+    nb = per_type.select(
+        F.col("event_type").alias("cons"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(na), "ante")
+        .join(F.broadcast(nb), "cons")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "ante",
+            "cons",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab") / F.col("_n_users")).alias("support"),
+            (F.col("n_ab") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("_n_users"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy("ante", "cons")
+    )
+
+
+_ORACLE_BASKET_RULES = """
+WITH present AS (
+  SELECT DISTINCT user_id, event_type
+  FROM events WHERE user_id IS NOT NULL
+), totals AS (
+  SELECT count(DISTINCT user_id) AS n_users FROM present
+), per_type AS (
+  SELECT event_type, count(*) AS n_t FROM present GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS n_ab
+  FROM present a JOIN present b
+    ON a.user_id = b.user_id AND a.event_type != b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ante, p.cons, CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(na.n_t AS BIGINT) AS n_a, CAST(nb.n_t AS BIGINT) AS n_b,
+       p.n_ab / t.n_users AS support,
+       p.n_ab / na.n_t AS confidence,
+       (p.n_ab * t.n_users) / (na.n_t * nb.n_t) AS lift
+FROM pairs p
+JOIN per_type na ON na.event_type = p.ante
+JOIN per_type nb ON nb.event_type = p.cons
+CROSS JOIN totals t
+ORDER BY p.ante, p.cons
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11505,6 +11592,7 @@ QUERIES: dict[str, QueryFn] = {
     "table_reconcile": q_table_reconcile,
     "benford_audit": q_benford_audit,
     "streaming_reconcile": q_streaming_reconcile,
+    "basket_rules": q_basket_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -11751,4 +11839,5 @@ ORACLES: dict[str, str] = {
     # additive summary over disjoint rows: the streamed held state
     # equals the one-shot scan, so the batch oracle replays the drill
     "streaming_reconcile": _ORACLE_TABLE_RECONCILE,
+    "basket_rules": _ORACLE_BASKET_RULES,
 }
