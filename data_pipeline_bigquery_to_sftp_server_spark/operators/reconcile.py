@@ -29,17 +29,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _field_enc(col: str):
+    """Injective NULL-safe field encoding: ``#<len>:<value>`` with NULL
+    as the distinct marker ``#N``.  Length-prefixing (not a delimiter)
+    makes the row encoding collision-free for values containing any
+    delimiter, and NULL never equals a real value — ``concat_ws`` would
+    silently SKIP NULLs, making (NULL,'x') hash equal to ('x',NULL)
+    (r10 advice).  Mirrored verbatim in the DuckDB oracles."""
+    s = F.col(col).cast("string")
+    return F.when(s.isNull(), F.lit("#N")).otherwise(
+        F.concat(F.lit("#"), F.length(s).cast("string"), F.lit(":"), s)
+    )
+
+
 def row_signature(
     df: DataFrame, key: str, cols: list[str], n_buckets: int = 64
 ) -> DataFrame:
     """(key, bucket, rhash): 48-bit md5-prefix row hash over the
-    pipe-joined key+columns (callers pass integer/string columns —
-    encode money as cents upstream; raw doubles stringify differently
-    across engines).  The bucket is a 16-bit md5 prefix of the KEY
-    STRING mod n_buckets — never ``key % n`` (string/UUID primary
-    keys, the common replica case, would cast-error under ANSI or,
-    worse, NULL-bucket silently under lax mode)."""
-    joined = F.concat_ws("|", F.col(key), *[F.col(c) for c in cols])
+    length-prefixed NULL-safe encoding of key+columns (callers pass
+    integer/string columns — encode money as cents upstream; raw
+    doubles stringify differently across engines).  The bucket is a
+    16-bit md5 prefix of the KEY STRING mod n_buckets — never
+    ``key % n`` (string/UUID primary keys, the common replica case,
+    would cast-error under ANSI or, worse, NULL-bucket silently under
+    lax mode)."""
+    joined = F.concat(_field_enc(key), *[_field_enc(c) for c in cols])
     rhash = F.conv(F.substring(F.md5(joined), 1, 12), 16, 10).cast("long")
     bucket = (
         F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10)

@@ -222,8 +222,15 @@ def resample_interpolate(
         F.col("_rn") - F.col("_prn")
     )
     den = F.col("_nrn") - F.col("_prn")
-    interp_micros = (F.lit(2) * num + den).cast("long") / (F.lit(2) * den)
-    interp = F.floor(interp_micros).cast("long") / F.lit(float(scale))
+    # true INTEGER division (SQL `div` / IntegralDivide), not
+    # float-divide + floor: the float quotient loses ulps once
+    # 2*num+den nears 2^53, so floor(float) can be off by one where
+    # integer div is exact (r10 advice) — this is the docstring's
+    # claimed arithmetic, literally, and it matches the DuckDB
+    # oracle's `//` bit-for-bit at any magnitude.
+    interp = F.call_function(
+        "div", (F.lit(2) * num + den).cast("long"), (F.lit(2) * den).cast("long")
+    ) / F.lit(float(scale))
     value = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
         F.when(F.col("_nrn").isNull(), F.col("_pv")).otherwise(interp)
     )

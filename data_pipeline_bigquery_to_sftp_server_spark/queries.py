@@ -1401,9 +1401,18 @@ def q_streaming_ann_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx0 = similarity.build_ann_index(
         held, dim=64, n_centroids=16, num_planes=16, bands=8, persist=False
     )
-    state = {"idx": dc_replace(idx0, assigned=chain.step(idx0.assigned))}
+    state = {
+        "idx": dc_replace(idx0, assigned=chain.step(idx0.assigned)),
+        "epochs": set(),
+    }
 
     def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        # the absorb APPENDS assigned rows — NOT replay-idempotent, so an
+        # at-least-once redelivery would duplicate code rows; gate on
+        # epoch_id (the q_streaming_ivm pattern, mandatory per ivm.py)
+        if epoch_id in state["epochs"]:
+            return
+        state["epochs"].add(epoch_id)
         grown = similarity.absorb_ann_index(
             state["idx"], batch_df, persist=False
         )
@@ -8053,9 +8062,17 @@ def q_streaming_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
 
     chain = CheckpointChain()  # lineage cut + previous-batch block release
-    state = {"m": chain.step(pca.moment_state(held, "embedding"))}
+    state = {
+        "m": chain.step(pca.moment_state(held, "embedding")),
+        "epochs": set(),
+    }
 
     def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        # moments are ADDITIVE — a replayed micro-batch would
+        # double-count; gate on epoch_id (the q_streaming_ivm pattern)
+        if epoch_id in state["epochs"]:
+            return
+        state["epochs"].add(epoch_id)
         state["m"] = chain.step(
             pca.absorb_moments(state["m"], batch_df, "embedding")
         )
@@ -8661,9 +8678,17 @@ def q_streaming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving.repartition(4, "event_id").write.mode("overwrite").parquet(src)
 
     chain = CheckpointChain()
-    state = {"h": chain.step(hist.hist_state(held, "value", "event_type"))}
+    state = {
+        "h": chain.step(hist.hist_state(held, "value", "event_type")),
+        "epochs": set(),
+    }
 
     def absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        # bucket counts are ADDITIVE — a replayed micro-batch would
+        # double-count; gate on epoch_id (the q_streaming_ivm pattern)
+        if epoch_id in state["epochs"]:
+            return
+        state["epochs"].add(epoch_id)
         state["h"] = chain.step(
             hist.hist_absorb(
                 state["h"], hist.hist_state(batch_df, "value", "event_type"),
@@ -10991,18 +11016,26 @@ WITH a AS (
   SELECT o_orderkey + 20000000, o_orderpriority, cents
   FROM a WHERE o_orderkey % 107 = 0
 ), sa AS (
+  -- mirror row_signature's injective NULL-safe field encoding:
+  -- '#'||len||':'||value per field (NULL would encode as '#N')
   SELECT o_orderkey AS rk,
          ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
            % 64 AS bucket,
-         ('0x' || substr(md5(o_orderkey || '|' || o_orderpriority
-                             || '|' || cents), 1, 12))::BIGINT AS rhash
+         ('0x' || substr(md5(
+            '#' || length(CAST(o_orderkey AS VARCHAR)) || ':' || o_orderkey
+            || '#' || length(o_orderpriority) || ':' || o_orderpriority
+            || '#' || length(CAST(cents AS VARCHAR)) || ':' || cents
+         ), 1, 12))::BIGINT AS rhash
   FROM a
 ), sb AS (
   SELECT o_orderkey AS rk,
          ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
            % 64 AS bucket,
-         ('0x' || substr(md5(o_orderkey || '|' || o_orderpriority
-                             || '|' || cents), 1, 12))::BIGINT AS rhash
+         ('0x' || substr(md5(
+            '#' || length(CAST(o_orderkey AS VARCHAR)) || ':' || o_orderkey
+            || '#' || length(o_orderpriority) || ':' || o_orderpriority
+            || '#' || length(CAST(cents AS VARCHAR)) || ':' || cents
+         ), 1, 12))::BIGINT AS rhash
   FROM b
 ), ga AS (
   SELECT bucket, CAST(sum(rhash) AS BIGINT) AS ha, count(*) AS na

@@ -49,6 +49,29 @@ def test_reconcile_string_keys(spark):
     assert out == {"u-2": "changed"}
 
 
+def test_reconcile_null_shift_detected(spark):
+    # (NULL,'x') vs ('x',NULL) — concat_ws would SKIP the NULL and hash
+    # both rows identically, hiding a real change (r10 advice); the
+    # length-prefixed '#N' encoding must classify the row as changed
+    av = spark.createDataFrame([(1, None, "x"), (2, "y", "y")],
+                               "k long, c1 string, c2 string")
+    bv = spark.createDataFrame([(1, "x", None), (2, "y", "y")],
+                               "k long, c1 string, c2 string")
+    out = {r["k"]: r["status"] for r in
+           reconcile_tables(av, bv, "k", ["c1", "c2"], 8).collect()}
+    assert out == {1: "changed"}
+
+
+def test_field_encoding_injective_on_delimiters(spark):
+    # values containing the old '|' delimiter must not merge fields:
+    # ('a|b','c') vs ('a','b|c') are different rows
+    a = spark.createDataFrame([(1, "a|b", "c")], "k long, c1 string, c2 string")
+    b = spark.createDataFrame([(1, "a", "b|c")], "k long, c1 string, c2 string")
+    out = {r["k"]: r["status"] for r in
+           reconcile_tables(a, b, "k", ["c1", "c2"], 8).collect()}
+    assert out == {1: "changed"}
+
+
 def test_absorb_summary_equals_one_shot(spark):
     from data_pipeline_bigquery_to_sftp_server_spark.operators.reconcile import (
         absorb_summary,
