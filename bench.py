@@ -294,21 +294,33 @@ def main() -> None:
         "sf": sf,
     }
     line = json.dumps(payload, separators=(",", ":"))
-    # Truncation-proofing (r7/r9 verdicts: the driver's tail capture
-    # clipped the suite line both rounds, leaving BENCH_r{7,9}.json
-    # unparseable). Three layers: (1) the same JSON is written in-tree
-    # (BENCH_LOCAL.json) so totals survive any capture window; (2) the
-    # suite line is printed IMMEDIATELY on completion, before anything
-    # else can write; (3) spark.stop() runs before the FINAL print so
-    # JVM shutdown logging cannot land after it and push the line's
-    # head out of a tail-capture window — the last stdout bytes of the
-    # process are exactly one parseable JSON line.
+    # Truncation-proofing (r7/r9/r10 verdicts: the driver's tail capture
+    # clipped the full suite line THREE rounds running — at ~180 line
+    # items the per-query dict alone is ~4.3 KB, larger than the capture
+    # window, so printing it first AND last cannot help). The fix per
+    # the r10 verdict: the LAST stdout line is a SHORT summary —
+    # {"metric","value","unit","sf","n_queries"} only, a few dozen
+    # bytes that survive any tail window — while the full per-query
+    # payload goes to BENCH_LOCAL.json (committed in-tree) and to an
+    # EARLIER stdout line for humans running it interactively.
+    # spark.stop() runs before the final print so JVM shutdown logging
+    # cannot land after it.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(out_path, "w") as f:
         f.write(line + "\n")
     print(line, flush=True)
+    summary = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+        },
+        separators=(",", ":"),
+    )
     spark.stop()
-    print(line, flush=True)
+    print(summary, flush=True)
 
 
 if __name__ == "__main__":

@@ -11243,54 +11243,103 @@ ORDER BY p.ante, p.cons
 # tools/verify_local.py and tests/.
 QUERIES: dict[str, QueryFn] = {
     # -- slots 1-50: driver correctness window ------------------------
-    # r10 rotation: the 14 r9-family queries that never had an official
-    # CORRECTNESS row move in (r9 verdict next-round #2), plus the r10
-    # additions (bpe_fast_merges, streaming_covariance, and the late-r10
-    # batch: bucketed_join, constraint_audit, kmv_set_ops,
-    # weighted_sample, rolling_anomaly, schema_evolution, hist_quantiles,
-    # streaming_hist). Long-stable driver-green rows move past slot 50 —
-    # each with the in-window coverage noted inline, and ALL displaced
-    # rows stay verify_local-green on their identical oracles
-    # (re-checked this round).
-    # flagship + reference sync flow
+    # r11 rotation (r10 verdict next-round #1, the standing treadmill):
+    # the official artifact has never attested the r10-late batch, so
+    # ALL 42 r10 rows that lacked a CORRECTNESS row move in, plus the 8
+    # OLDEST never-attested rows (r7/r8 vintage: ccnet_buckets ..
+    # priority_dedup). Every displaced row below was driver-green in
+    # CORRECTNESS_r10 (50/50, fifth consecutive all-green round) and
+    # stays verify_local-green on its identical oracle — the in-window
+    # machinery coverage for each displaced family is noted at the
+    # past-window block.
+    # r10-late analytics batch (skyline..basket_rules, queries.py
+    # ~9600-11100): recursive-query class (BFS / shortest paths), ER,
+    # RFM, SCD3/PIT, IVM, reconciliation, spatial, Benford, baskets,
+    # governance (k-anonymity / fk integrity / surrogate keys)
+    "skyline_customers": q_skyline_customers,
+    "target_encode": q_target_encode,
+    "impute_missing": q_impute_missing,
+    "pit_join": q_pit_join,
+    "attribution": q_attribution,
+    "bfs_reachability": q_bfs_reachability,
+    "ivm_aggregate": q_ivm_aggregate,
+    "streaming_ivm": q_streaming_ivm,
+    "entity_resolution": q_entity_resolution,
+    "k_anonymity": q_k_anonymity,
+    "quantile_calibration": q_quantile_calibration,
+    "event_transitions": q_event_transitions,
+    "rfm_segments": q_rfm_segments,
+    "scd3_apply": q_scd3_apply,
+    "surrogate_keys": q_surrogate_keys,
+    "fk_integrity": q_fk_integrity,
+    "shortest_paths": q_shortest_paths,
+    "revenue_trend": q_revenue_trend,
+    "streaming_transitions": q_streaming_transitions,
+    "python_datasource": q_python_datasource,
+    "media_dedup": q_media_dedup,
+    "spatial_join": q_spatial_join,
+    "table_reconcile": q_table_reconcile,
+    "benford_audit": q_benford_audit,
+    "streaming_reconcile": q_streaming_reconcile,
+    "basket_rules": q_basket_rules,
+    # mid-r10 sketch / layout / profiling rows
+    "hist_drift": q_hist_drift,
+    "rolling_active": q_rolling_active,
+    "hll_distinct": q_hll_distinct,
+    "cms_counts": q_cms_counts,
+    "zorder_layout": q_zorder_layout,
+    "profile_table": q_profile_table,
+    "sequence_pattern": q_sequence_pattern,
+    "streaming_hll": q_streaming_hll,
+    # r10 time-series regularization, graph, decontam, composites
+    "semantic_decontam": q_semantic_decontam,
+    "resample_ffill": q_resample_ffill,
+    "resample_interp": q_resample_interp,
+    "streaming_resample": q_streaming_resample,
+    "triangle_counts": q_triangle_counts,
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "curriculum_packing": q_curriculum_packing,
+    "bpe_encode_new": q_bpe_encode_new,
+    # oldest never-attested rows (r7/r8 additions, oracle-green via
+    # verify_local since their round; the treadmill finally reaches them)
+    "ccnet_buckets": q_ccnet_buckets,
+    "vocab_coverage": q_vocab_coverage,
+    "temperature_sample": q_temperature_sample,
+    "shuffle_shards": q_shuffle_shards,
+    "streaming_quality_gate": q_streaming_quality_gate,
+    "hard_negatives": q_hard_negatives,
+    "streaming_scd2": q_streaming_scd2,
+    "priority_dedup": q_priority_dedup,
+    # -- slots 51+: verified via verify_local -------------------------
+    # The ENTIRE r10 official window moves past the slot line this
+    # round (all 50 driver-green in CORRECTNESS_r10; every oracle
+    # unchanged). In-window machinery coverage for the displaced
+    # families: exact/near-dup dedup rides entity_resolution +
+    # sorted_neighborhood (blocked pair build + CC) and media_dedup;
+    # held-state absorbs ride streaming_ivm / streaming_reconcile /
+    # streaming_resample / streaming_hll / streaming_transitions (the
+    # same epoch-gated foreachBatch shape as covariance/hist/kmv);
+    # the sketch family rides hll_distinct + cms_counts + hist_drift;
+    # joins ride pit_join (key equi-join interval filter) +
+    # spatial_join (grid equi-join); windows ride rolling_active +
+    # sequence_pattern; aggregation rides rfm_segments /
+    # revenue_trend / benford_audit / basket_rules; the tokenizer
+    # lifecycle keeps bpe_encode_new in-window with the relational
+    # encoder twin displaced; streaming MERGE rides streaming_scd2;
+    # sampling rides temperature_sample + shuffle_shards; retrieval
+    # rides hard_negatives; quality gates ride
+    # streaming_quality_gate + profile_table + k_anonymity.
     "curation_pipeline": q_curation_pipeline,
     "sync_pipeline": q_sync_pipeline,
-    # dedup family (X) — r10 displacements: dedup_clusters
-    # (curation_pipeline runs the identical pair→cluster dedup
-    # in-window), remove_dup_spans (official r8–r9; within-doc
-    # duplication axis keeps dup_line_signals in-window), bloom_screen
-    # (stateful_dedup's in-window row holds the Bloom membership tier);
-    # late r10: dedup_exact + jaccard_pairs (official r2–r9, the two
-    # longest-tenured dedup rows — curation_pipeline consumes the
-    # IDENTICAL pair build and runs the same exact-dedup machinery
-    # in-window; both verify_local-green).
     "semantic_dedup": q_semantic_dedup,
     "pack_sequences": q_pack_sequences,
-    # similarity / statistics family — retrieval_mrr displaced (official
-    # r8–r9; bm25_topk + ivf_full_probe keep retrieval scoring and the
-    # exact-ANN anchor in-window). incremental_covariance +
-    # streaming_covariance join embedding_covariance: the moment state's
-    # three deployment shapes (one-shot, batch absorb, foreachBatch
-    # absorb) all replay the same covar_pop oracle.
-    # (ivf_full_probe displaced late r10 — streaming_ann_absorb holds
-    # the IDENTICAL exact-cosine oracle in-window through a strict
-    # superset of its machinery: index build + frozen-model absorb +
-    # the same full-probe ivf_topk; verify_local-green)
     "streaming_ann_absorb": q_streaming_ann_absorb,
     "embedding_covariance": q_embedding_covariance,
     "incremental_covariance": q_incremental_covariance,
     "streaming_covariance": q_streaming_covariance,
     "incremental_embedding_dups": q_incremental_embedding_dups,
-    # text analysis / quality family — quality_filter displaced
-    # (quality_ensemble stacks the same score battery in-window);
-    # corpus_report displaced (official r9; agg surface rides
-    # pricing_summary); heavy_hitters displaced (the sketch family's
-    # official rows move to the state-inspectable KMV pair below).
     "dup_line_signals": q_dup_line_signals,
     "quality_ensemble": q_quality_ensemble,
-    # (gopher_rules displaced late r10 — official r5–r9; the same
-    # rationale that displaced quality_filter: quality_ensemble stacks
-    # the identical rule battery in-window; verify_local-green)
     "iqr_outliers": q_iqr_outliers,
     "rolling_anomaly": q_rolling_anomaly,
     "kmv_distinct": q_kmv_distinct,
@@ -11298,82 +11347,31 @@ QUERIES: dict[str, QueryFn] = {
     "hist_quantiles": q_hist_quantiles,
     "weighted_sample": q_weighted_sample,
     "constraint_audit": q_constraint_audit,
-    # multimodal (X)
     "media_features": q_media_features,
-    # sources / sinks (schema_evolution adds the append-only-lake
-    # mergeSchema read the source family lacked)
     "sql_cte": q_sql_cte,
     "schema_evolution": q_schema_evolution,
-    # aggregation + reshaping (pivot_report brings the A7 pivot/unpivot
-    # round-trip the window lacked; pricing_summary displaced late r10 —
-    # official r1–r9, the registry's longest-tenured row — the A6–A9
-    # grouped-agg surface stays official via bucketed_join's
-    # partial+final fold and the rollup/cube/grouping-sets family stays
-    # verify_local-green)
     "pivot_report": q_pivot_report,
-    # joins — snapshot_diff displaced (scd2_apply keeps CDC in-window);
-    # asof_forward adds the forward/tolerance direction next to the
-    # backward asof_join row
-    # (star_join + salted_join displaced late r10 — official r1–r9 and
-    # r3–r9; bucketed_join brings the join family's shuffle-free tier
-    # in-window with the broadcast star shape still exercised by
-    # sync_pipeline/ingest_pipeline, and skew salting stays pinned in
-    # test_asof_skew; both verify_local-green)
     "bucketed_join": q_bucketed_join,
     "asof_join": q_asof_join,
     "asof_forward": q_asof_forward,
     "ingest_pipeline": q_ingest_pipeline,
-    # windows — window_dist holds the distribution windows; window_suite
-    # displaced late r10 (official r1–r9; rank/lag/frame coverage stays
-    # verify_local-green via window_rank / window_lag_running /
-    # window_range_frame, and rolling_anomaly's trailing frame is
-    # in-window)
     "window_dist": q_window_dist,
-    # UDF / UDAF / UDTF surface (§2.10 — udaf_geomean holds it)
     "udaf_geomean": q_udaf_geomean,
-    # LLM hygiene / retrieval — decontaminate + pii_redaction displaced
-    # in r10 as the longest-tenured official X rows (green r5–r9);
-    # chunk_documents displaced (document reshaping rides
-    # session_sequences + sync_pipeline's 44-field transform)
     "bm25_topk": q_bm25_topk,
     "session_sequences": q_session_sequences,
     "cohort_retention": q_cohort_retention,
-    # selection / packing — importance_resample displaced
-    # (selection_pipeline RUNS DSIR in-window); assemble_bins displaced
-    # (pack_sequences produces the same FFD bins end-to-end);
-    # recipe_pipeline displaced (curation/ingest/selection keep the
-    # composite axis, three strong)
     "selection_pipeline": q_selection_pipeline,
-    # LM / classifier family
     "lm_scores_bigram": q_lm_scores_bigram,
     "nb_classify": q_nb_classify,
     "stateful_dedup": q_stateful_dedup,
-    # tokenizer family — the full r9 lifecycle earns official rows
-    # (train already in r9; segment/encode/encode-new join), plus the
-    # r10 vocab-scale fast tier replayed against the SAME 6-round
-    # oracle as the relational trainer — the window itself certifies
-    # tier agreement. pagerank displaced (official r8–r9, lineage
-    # discipline pinned in test_graph).
     "bpe_merges": q_bpe_merges,
     "bpe_fast_merges": q_bpe_fast_merges,
     "bpe_segment": q_bpe_segment,
     "bpe_encode": q_bpe_encode,
-    # (bpe_encode_new displaced late r10 — bpe_encode_fast replays the
-    # IDENTICAL unseen-word oracle in-window; the relational encoder
-    # stays the tier's oracle twin, pinned in test_bpe and
-    # verify_local-green)
     "bpe_encode_fast": q_bpe_encode_fast,
     "funnel_conversion": q_funnel_conversion,
     "scd2_apply": q_scd2_apply,
-    # streaming — streaming_dedup displaced (streaming_incremental_dedup
-    # keeps dedup-on-stream); the family gains the held-state absorb
-    # rows: KMV sketch, IQR gate, covariance moments (above)
     "streaming_tumbling": q_streaming_tumbling,
-    # (streaming_session displaced late r10 — official r4–r9; session
-    # semantics stay official via session_sequences' batch twin and
-    # streaming_stateful's custom state row; verify_local-green.
-    # streaming_hist joins the held-state absorb rows: the quantile
-    # sketch maintained on ingest.)
     "streaming_hist": q_streaming_hist,
     "streaming_join": q_streaming_join,
     "streaming_upsert": q_streaming_upsert,
@@ -11381,39 +11379,8 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "streaming_kmv": q_streaming_kmv,
     "streaming_iqr_gate": q_streaming_iqr_gate,
-    # -- slots 51+: variants + remainder (verified via verify_local) --
-    # r10-displaced rows — every one driver-green for >= 2 consecutive
-    # official rounds before displacement, all verify_local-green on
-    # the identical oracles (see the window notes above for which
-    # in-window row covers each family's machinery)
-    # hist_drift is brand-new past-window: the in-window family rows
-    # (hist_quantiles, streaming_hist) exercise the identical state
-    # build; drift itself is verify_local-green on its oracle
-    "hist_drift": q_hist_drift,
-    # rolling_active is brand-new past-window (late r10): the window's
-    # analytics rows (cohort_retention, funnel_conversion) cover the
-    # event-analytics family; verify_local-green on its oracle
-    "rolling_active": q_rolling_active,
-    # hll_distinct is brand-new past-window (late r10): the in-window
-    # sketch rows (kmv_distinct, kmv_set_ops, streaming_kmv) hold the
-    # mergeable-distinct-sketch family; verify_local-green on its oracle
-    "hll_distinct": q_hll_distinct,
-    # cms_counts is brand-new past-window (late r10): in-window sketch
-    # coverage as above; verify_local-green on its oracle
-    "cms_counts": q_cms_counts,
-    # zorder_layout is brand-new past-window (late r10): bucketed_join
-    # holds the in-window physical-layout row; verify_local-green
-    "zorder_layout": q_zorder_layout,
-    # profile_table is brand-new past-window (late r10): constraint_audit
-    # holds the in-window data-quality row; verify_local-green
-    "profile_table": q_profile_table,
-    # sequence_pattern is brand-new past-window (late r10):
-    # session_sequences holds the in-window ordered-sequence row
-    "sequence_pattern": q_sequence_pattern,
-    # streaming_hll is brand-new past-window (late r10): streaming_kmv
-    # holds the in-window streamed-sketch row with the identical
-    # foreachBatch absorb machinery
-    "streaming_hll": q_streaming_hll,
+    # previously displaced rows (r7-r10 rotations) — all remain
+    # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "gopher_rules": q_gopher_rules,
@@ -11438,48 +11405,20 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank": q_pagerank,
     "decontaminate": q_decontaminate,
     "pii_redaction": q_pii_redaction,
-    # r10 additions past the window: the deep-budget tier of the fast
-    # trainer (rows-only BY CONSTRUCTION — a 1,024-round unrolled CTE
-    # oracle is not writable; certified by the oracle-checked 6-round
-    # twin above + test_bpe row-identity/determinism pins)
     "bpe_fast_deep": q_bpe_fast_deep,
-    # r7 late additions (oracle-green via verify_local; next rotation)
-    "ccnet_buckets": q_ccnet_buckets,
-    "vocab_coverage": q_vocab_coverage,
-    "temperature_sample": q_temperature_sample,
-    "shuffle_shards": q_shuffle_shards,
-    "streaming_quality_gate": q_streaming_quality_gate,
-    "hard_negatives": q_hard_negatives,
-    # r8: the ANN tier of the hard-negative / MRR pair (rows-only,
-    # self-certifying recall/agreement columns; full-probe equality
-    # pinned in test_retrieval)
     "hard_negatives_ann": q_hard_negatives_ann,
     "retrieval_mrr_ann": q_retrieval_mrr_ann,
-    # r8: SCD2 screen-on-ingest (oracle-checked against the batch twin)
-    "streaming_scd2": q_streaming_scd2,
-    # r8: cross-source priority dedup, contrastive triplet assembly,
-    # curriculum shards (all oracle-checked; next rotation candidates)
-    "priority_dedup": q_priority_dedup,
     "contrastive_triplets": q_contrastive_triplets,
     "curriculum_shards": q_curriculum_shards,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "encode_token_ids": q_encode_token_ids,
-    # r10: the curriculum->packing composite (oracle-checked; next
-    # rotation candidate)
-    "curriculum_packing": q_curriculum_packing,
-    # r9 additions still past the window (the rest of the r9 family
-    # rotated into slots 1-50 in r10)
     "pca_project": q_pca_project,
     "semantic_dedup_pca": q_semantic_dedup_pca,
-    # r9-displaced rows — all stay verify_local-green on the identical
-    # oracles
     "token_topk": q_token_topk,
     "embedding_dups_exact": q_embedding_dups_exact,
     "pmi_collocations": q_pmi_collocations,
     "tfidf_pairs": q_tfidf_pairs,
-    # r8-displaced rows (see the window notes above) — all stay
-    # verify_local-green on the identical oracles
     "incremental_dedup": q_incremental_dedup,
     "cosine_topk_np": q_cosine_topk_np,
     "text_stats": q_text_stats,
@@ -11494,12 +11433,10 @@ QUERIES: dict[str, QueryFn] = {
     "line_dedup": q_line_dedup,
     "cluster_documents": q_cluster_documents,
     "semantic_dedup_clustered": q_semantic_dedup_clustered,
-    # r7-displaced rows (see the window notes above)
     "count_distinct": q_count_distinct,
     "grouping_sets_sql": q_grouping_sets_sql,
     "merge_upsert": q_merge_upsert,
     "top_customers": q_top_customers,
-    # earlier-displaced relational rows (see the dedup-family note)
     "distinct_keys": q_distinct_keys,
     "anti_join": q_anti_join,
     "semi_join": q_semi_join,
@@ -11510,30 +11447,11 @@ QUERIES: dict[str, QueryFn] = {
     "udtf_sentences": q_udtf_sentences,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
-    # r10: the steady-state twins against the session's held AnnIndex
-    # (rows-only like their rebuild twins; result equality + save/load
-    # identity pinned in test_ann_index)
     "ivf_topk_prebuilt": q_ivf_topk_prebuilt,
     "lsh_topk_prebuilt": q_lsh_topk_prebuilt,
-    # late-r10 displaced (their identical oracles stay in-window via
-    # streaming_ann_absorb / bpe_encode_fast; both verify_local-green)
     "ivf_full_probe": q_ivf_full_probe,
-    "bpe_encode_new": q_bpe_encode_new,
-    # r10: the PQ memory tier + the IVF-PQ composition (rows-only +
-    # recall columns, exactness anchors pinned in test_pq), and the
-    # embedding-side decontamination screen (oracle-checked)
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
-    "semantic_decontam": q_semantic_decontam,
-    # r10: time-series regularization (both oracle-checked; next
-    # rotation candidates)
-    "resample_ffill": q_resample_ffill,
-    "resample_interp": q_resample_interp,
-    "streaming_resample": q_streaming_resample,
-    # r10: degree-oriented triangle counting + sorted-neighborhood ER
-    # (both oracle-checked)
-    "triangle_counts": q_triangle_counts,
-    "sorted_neighborhood": q_sorted_neighborhood,
     "regex_extract": q_regex_extract,
     "csv_roundtrip": q_csv_roundtrip,
     "epoch_dates": q_epoch_dates,
@@ -11598,34 +11516,6 @@ QUERIES: dict[str, QueryFn] = {
     "quota_sample": q_quota_sample,
     "mixture_upsample": q_mixture_upsample,
     "lm_scores": q_lm_scores,
-    # -- late-r10 additions (oracle-checked; rotated into the window
-    #    next round per the treadmill) --------------------------------
-    "skyline_customers": q_skyline_customers,
-    "target_encode": q_target_encode,
-    "impute_missing": q_impute_missing,
-    "pit_join": q_pit_join,
-    "attribution": q_attribution,
-    "bfs_reachability": q_bfs_reachability,
-    "ivm_aggregate": q_ivm_aggregate,
-    "streaming_ivm": q_streaming_ivm,
-    "entity_resolution": q_entity_resolution,
-    "k_anonymity": q_k_anonymity,
-    "quantile_calibration": q_quantile_calibration,
-    "event_transitions": q_event_transitions,
-    "rfm_segments": q_rfm_segments,
-    "scd3_apply": q_scd3_apply,
-    "surrogate_keys": q_surrogate_keys,
-    "fk_integrity": q_fk_integrity,
-    "shortest_paths": q_shortest_paths,
-    "revenue_trend": q_revenue_trend,
-    "streaming_transitions": q_streaming_transitions,
-    "python_datasource": q_python_datasource,
-    "media_dedup": q_media_dedup,
-    "spatial_join": q_spatial_join,
-    "table_reconcile": q_table_reconcile,
-    "benford_audit": q_benford_audit,
-    "streaming_reconcile": q_streaming_reconcile,
-    "basket_rules": q_basket_rules,
 }
 
 ORACLES: dict[str, str] = {
