@@ -212,6 +212,7 @@ HEADLINE = [
     "benford_audit",
     "streaming_reconcile",
     "basket_rules",
+    "streaming_transitions_state",
 ]
 
 

@@ -10749,6 +10749,90 @@ def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _transition_report(state["counts"])
 
 
+def q_streaming_transitions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + X78 general tier (r10 verdict #4), ORACLE-CHECKED: Markov
+    transitions over a stream whose producer CANNOT control file
+    layout — the time-rolled log. The arriving files are contiguous
+    (ts, event_id) ranges (ntile over the global event order — what a
+    log roller produces), so every user's sequence is split ACROSS
+    micro-batches; the per-batch window of q_streaming_transitions
+    would drop every cross-batch pair here. Instead, an
+    applyInPandasWithState operator carries last-event-type per user in
+    GroupState (streaming/stateful.py transitions_stateful) and emits
+    the boundary-spanning pair when its second half arrives. The
+    streamed pair multiset must equal the batch lead() twin — the SAME
+    oracle as q_event_transitions, now with zero layout preconditions.
+
+    Scale: state is one short string per user (checkpointed by the
+    GroupState store, restart-safe via Spark's commit log — no epoch
+    gate needed); each micro-batch shuffles once on user_id; the
+    emitted rows are pair-sized. Delivery order is pinned by explicit
+    mtimes on the staged files (FileStreamSource delivers oldest
+    first) — in production the log roller's naming/rotation gives the
+    same guarantee."""
+    import os as _os
+
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import stateful as ST
+    from data_pipeline_bigquery_to_sftp_server_spark.streaming import windows as W
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+    # stage 4 time-contiguous files — the log-roller fixture. The
+    # single-partition ntile window is STAGING-ONLY (builds the test
+    # stream; production files arrive already rolled) and bounded here.
+    tiled = ev.withColumn(
+        "_tile", F.ntile(4).over(Window.orderBy("ts_us", "event_id"))
+    )
+    src = _scratch_dir("transitions_state_src_")
+    ckpt = _scratch_dir("transitions_state_ckpt_")
+    tmp = _scratch_dir("transitions_state_tmp_")
+    for k in range(1, 5):
+        part_dir = f"{tmp}/t{k}"
+        tiled.where(F.col("_tile") == k).drop("_tile").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part_dir)
+        (part_file,) = [
+            f for f in _os.listdir(part_dir) if f.endswith(".parquet")
+        ]
+        dst = f"{src}/{k:02d}.parquet"
+        _os.rename(f"{part_dir}/{part_file}", dst)
+        # distinct ascending mtimes pin FileStreamSource delivery order
+        _os.utime(dst, (1_700_000_000 + 60 * k, 1_700_000_000 + 60 * k))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    import uuid as _uuid
+
+    name = f"q_transitions_state_{_uuid.uuid4().hex[:8]}"
+    q = (
+        ST.transitions_stateful(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    counts = (
+        spark.table(name)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _transition_report(counts)
+
+
 def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 Python Data Source plugin, ORACLE-CHECKED
     (sources/pysource.py): the reference's paginated API scan as a
@@ -11379,6 +11463,11 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "streaming_kmv": q_streaming_kmv,
     "streaming_iqr_gate": q_streaming_iqr_gate,
+    # r11 additions (oracle-checked; r12 rotation candidates) --------
+    # the carried-state general tier of the transition family: exact
+    # WITHOUT the producer-controls-file-layout precondition the
+    # in-window streaming_transitions row requires
+    "streaming_transitions_state": q_streaming_transitions_state,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -11754,6 +11843,10 @@ ORACLES: dict[str, str] = {
     # user-complete batches + exact count mergeability: the streamed
     # end-state replays the batch twin's oracle in any batching
     "streaming_transitions": _ORACLE_EVENT_TRANSITIONS,
+    # the carried-state tier is exact under ADVERSARIAL interleaving
+    # (users split mid-sequence across batches) — same oracle, zero
+    # layout preconditions
+    "streaming_transitions_state": _ORACLE_EVENT_TRANSITIONS,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,

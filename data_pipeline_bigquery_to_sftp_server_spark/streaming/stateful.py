@@ -65,3 +65,70 @@ def errors_since_purchase(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Carried ordered-sequence state (r10 verdict #4): the general tier for
+# the Markov-transition family. q_streaming_transitions is exact only
+# because its producer hash-partitions arriving files BY USER, so each
+# micro-batch holds complete per-user sequences. A producer that can't
+# control file layout (the common case: a time-ordered event log rolled
+# into files by arrival window) splits a user's sequence ACROSS
+# micro-batches — the per-batch lead() window then silently drops every
+# cross-batch pair. This operator carries the last event type per user
+# in GroupState, so the pair that spans a batch boundary is emitted
+# when its second half arrives.
+#
+# Exactness contract: batches must arrive in per-user event order
+# (true for a time-rolled log: file k holds a contiguous (ts, event_id)
+# range and files are delivered oldest-first); within a batch the
+# operator sorts by (ts_us, event_id) itself. State is ONE short string
+# per user — bounded by user cardinality, checkpointed by the GroupState
+# machinery, so the operator is fault-tolerant and restart-safe without
+# an epoch gate (GroupState replays are handled by Spark's own commit
+# log, unlike the hand-held foreachBatch absorbs).
+# ---------------------------------------------------------------------------
+
+TRANSITION_OUTPUT_SCHEMA = "user_id long, from_type string, to_type string"
+TRANSITION_STATE_SCHEMA = "last_type string"
+
+
+def _emit_transitions(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit one row per consecutive (from_type, to_type) pair in the
+    user's event order, stitching across micro-batches via the carried
+    last event type."""
+    (last_type,) = state.get if state.exists else (None,)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        batch = batch.sort_values(["ts_us", "event_id"])
+        types = batch["event_type"].tolist()
+        seq = ([last_type] if last_type is not None else []) + types
+        state.update((types[-1],))
+        if len(seq) >= 2:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "from_type": seq[:-1],
+                    "to_type": seq[1:],
+                }
+            )
+    elif last_type is not None:
+        state.update((last_type,))
+
+
+def transitions_stateful(events: DataFrame) -> DataFrame:
+    """Apply the carried-state transition extractor to a *streaming*
+    DataFrame of ``(user_id long, event_id long, event_type string,
+    ts_us long)``. Use outputMode('append'); the sink accumulates one
+    row per transition pair, batch boundaries notwithstanding."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _emit_transitions,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

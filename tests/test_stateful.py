@@ -39,6 +39,64 @@ def test_errors_since_purchase_state(spark, tmp_path):
         q.stop()
 
 
+def test_transitions_stateful_spans_batch_boundaries(spark, tmp_path):
+    """The carried-state tier's exactness claim (r10 verdict #4):
+    a user whose sequence is split ACROSS micro-batches must still
+    yield every consecutive pair — including the pairs that span the
+    batch boundary, which a per-batch lead() window drops."""
+    import os
+
+    src = str(tmp_path / "tiles")
+    os.makedirs(src)
+    # user 1: a->b->c->d split one-event-per-file; user 2: x->y split
+    # 2/1 across files; user 3 entirely in the last file
+    tiles = [
+        [(1, 1, "a", 100), (2, 10, "x", 110)],
+        [(1, 2, "b", 200), (2, 11, "x", 210)],
+        [(1, 3, "c", 300), (2, 12, "y", 310)],
+        [(1, 4, "d", 400), (3, 20, "q", 410), (3, 21, "q", 420)],
+    ]
+    schema = "user_id long, event_id long, event_type string, ts_us long"
+    for k, rows in enumerate(tiles):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        part = str(tmp_path / f"p{k}")
+        df.write.mode("overwrite").parquet(part)
+        (f,) = [x for x in os.listdir(part) if x.endswith(".parquet")]
+        dst = f"{src}/{k:02d}.parquet"
+        os.rename(f"{part}/{f}", dst)
+        os.utime(dst, (1_700_000_000 + 60 * k,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"trans_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful.transitions_stateful(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.from_type, r.to_type)
+            for r in spark.table(name).collect()
+        )
+    finally:
+        q.stop()
+    # every pair is cross-batch for user 1; user 2 has one in-batch
+    # and one cross-batch pair; user 3 is one in-batch pair
+    assert got == [
+        (1, "a", "b"), (1, "b", "c"), (1, "c", "d"),
+        (2, "x", "x"), (2, "x", "y"),
+        (3, "q", "q"),
+    ]
+
+
 def test_pandas_udaf_grouped_agg(spark):
     """UDAF surface (SURVEY §2.10): grouped-agg pandas UDF — geometric
     mean, not expressible with builtins, vectorized via Arrow."""
