@@ -213,6 +213,7 @@ HEADLINE = [
     "streaming_reconcile",
     "basket_rules",
     "streaming_transitions_state",
+    "cc_star",
 ]
 
 

@@ -830,6 +830,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    general: bool = False,
 ) -> DataFrame:
     """Cluster a near-dup pair graph into components: returns
     ``(node, component)`` where ``component`` is the minimum node id
@@ -842,6 +843,13 @@ def connected_components(
     are shallow (duplicates of duplicates), so this converges in a
     handful of rounds where a generic graph might need log-n
     star-contraction.
+
+    ``general=True`` is the documented swap for graphs whose diameter
+    ISN'T bounded (long chains — the serially-correlated-key pathology
+    the ER docstring names): it dispatches to
+    :func:`connected_components_star`, which converges in O(log n)
+    rounds on any shape and returns the identical contract (pinned
+    equal on fixtures in test_dedup).
 
     Scale: each round is one shuffle of (edge endpoint, label) — the
     label frontier never exceeds |edges| + |nodes| rows and carries two
@@ -883,6 +891,9 @@ def connected_components(
       result is no longer needed.
     """
     from pyspark.sql import Observation
+
+    if general:
+        return connected_components_star(pairs, src, dst, max_iter=max(max_iter, 50))
 
     spark = pairs.sparkSession
     scoped_dir = None
@@ -1000,6 +1011,133 @@ def connected_components(
             spark.sparkContext.setCheckpointDir(
                 prev_dir.get() if prev_dir.isDefined() else None
             )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the GENERAL tier next to min-label
+    propagation (:func:`connected_components`): min-label needs
+    diameter rounds (fine for shallow near-dup clusters, fatal for a
+    long chain — the serially-correlated-key pathology the ER
+    docstring names), star contraction converges in O(log n) rounds on
+    ANY graph shape because each round at least halves the height of
+    every non-star component. Returns the identical ``(node,
+    component)`` contract, component = the minimum reachable node id
+    (pinned equal to min-label in test_dedup).
+
+    One round is two phases over the current edge multiset E:
+
+    - **large-star**: per node u, every strictly-larger neighbor
+      re-points to m(u) = min(N(u) ∪ {u}) — ``(v, m(u)) for v ∈ N(u),
+      v > u``;
+    - **small-star**: orient each edge large→small, then per node u
+      all (smaller) neighbors and u itself re-point to the minimum —
+      ``(v, m) for v ∈ N⁻(u) ∪ {u}, v ≠ m``.
+
+    Both phases preserve connectivity and only ever lower endpoints
+    toward the component minimum; the fixpoint is exactly one star per
+    component centered at its minimum. Scale shape: each phase is one
+    node-keyed aggregate (map-side combinable min) + one node-keyed
+    equi-join + distinct — edge-multiset-sized shuffles, AQE-splittable
+    on skewed hubs, per-round lineage truncation via CheckpointChain.
+    Convergence is detected from (edge count, xxhash64 edge-set sum)
+    riding the checkpoint materialization as an Observation — one job
+    per phase, no extra counting pass. Raises past ``max_iter`` like
+    the min-label tier (partial contraction is a wrong answer); the
+    returned frame carries ``cc_rounds`` for tests."""
+    from pyspark.sql import Observation
+
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import CheckpointChain
+
+    chain = CheckpointChain()
+    edges = chain.step(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    orig_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    orig_nodes = orig_nodes.localCheckpoint(eager=True)
+
+    def _observe(df: DataFrame, tag: str):
+        obs = Observation(tag)
+        out = chain.step(
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+                ).alias("h"),
+            )
+        )
+        return out, obs
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("_m")
+        )
+        return (
+            bidir.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = directed.groupBy("u").agg(F.min("v").alias("_m"))
+        leaves = (
+            directed.join(mins, "u")
+            .where(F.col("v") != F.col("_m"))
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        )
+        centers = mins.select("u", F.col("_m").alias("v"))
+        return leaves.unionByName(centers).distinct()
+
+    sig = None
+    converged = False
+    rounds = 0
+    for i in range(max_iter):
+        rounds = i + 1
+        edges, _ = _observe(_large_star(edges), f"ccs_l_{i}")
+        edges, obs = _observe(_small_star(edges), f"ccs_s_{i}")
+        new_sig = (obs.get["n"], obs.get["h"])
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"max_iter={max_iter} rounds — raise max_iter; partial "
+            "contraction assigns wrong components."
+        )
+    # fixpoint = one star per component, center = minimum: every
+    # non-center node is a leaf (u -> center), centers label themselves
+    labels = orig_nodes.join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("_c")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce(F.col("_c"), F.col("node")).alias("component")
+    )
+    labels.cc_rounds = rounds
+    return labels
 
 
 def dedup_clusters(

@@ -10833,6 +10833,81 @@ def q_streaming_transitions_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return _transition_report(counts)
 
 
+def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2g general-tier connected components (r10 verdict #5),
+    ORACLE-CHECKED: star contraction (Kiveris large-star/small-star,
+    operators/dedup.py connected_components_star) over a graph built to
+    exhibit BOTH pathologies at once — a 400-node chain (diameter 400:
+    min-label propagation raises at any sane budget; this is the
+    serially-correlated-key shape the ER docstring names) unioned with
+    ~100 shallow star clusters (custkey -> synthetic hub). The general
+    tier converges in O(log n) rounds regardless (~12 here), and the
+    DuckDB recursive-CTE transitive closure replays the component
+    rollup exactly (the chain is fixture-bounded at 400 so the oracle's
+    quadratic closure stays 80k rows — the Spark side needs no such
+    bound).
+
+    Scale: each contraction round is two node-keyed min-aggregates +
+    equi-joins over the edge multiset — no step depends on diameter,
+    the structural property that makes CC safe on arbitrary graphs at
+    100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    # chain staging: the 400 smallest orderkeys linked in rank order —
+    # the single-partition lead() window is FIXTURE STAGING over 400
+    # rows, bounded by construction
+    keys = o.select("o_orderkey").orderBy("o_orderkey").limit(400)
+    w = Window.orderBy("o_orderkey")
+    # offset into an id space disjoint from custkeys/hubs so the chain
+    # stays its own (diameter-400) component instead of bridging stars
+    chain_edges = (
+        keys.select(
+            (F.col("o_orderkey") + 10_000_000).alias("id_a"),
+            (F.lead("o_orderkey").over(w) + 10_000_000).alias("id_b"),
+        )
+        .where(F.col("id_b").isNotNull())
+    )
+    c = load_table(spark, sf_dir, "customer")
+    star_edges = c.select(
+        F.col("c_custkey").alias("id_a"),
+        (F.lit(2_000_000) + F.col("c_custkey") % 97).alias("id_b"),
+    )
+    edges = chain_edges.unionByName(star_edges)
+    labels = dedup.connected_components(edges, general=True)
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("component")
+    )
+
+
+_ORACLE_CC_STAR = """
+WITH RECURSIVE ch AS (
+  SELECT k, row_number() OVER (ORDER BY k) AS rn
+  FROM (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 400)
+), chain AS (
+  SELECT a.k + 10000000 AS id_a, b.k + 10000000 AS id_b
+  FROM ch a JOIN ch b ON b.rn = a.rn + 1
+), stars AS (
+  SELECT c_custkey AS id_a, 2000000 + c_custkey % 97 AS id_b FROM customer
+), e0 AS (
+  SELECT id_a, id_b FROM chain UNION SELECT id_a, id_b FROM stars
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM e0 UNION SELECT id_b, id_a FROM e0
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labels AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT component, count(*) AS n_nodes, CAST(max(node) AS BIGINT) AS max_node
+FROM labels GROUP BY component ORDER BY component
+"""
+
+
 def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 Python Data Source plugin, ORACLE-CHECKED
     (sources/pysource.py): the reference's paginated API scan as a
@@ -11468,6 +11543,10 @@ QUERIES: dict[str, QueryFn] = {
     # WITHOUT the producer-controls-file-layout precondition the
     # in-window streaming_transitions row requires
     "streaming_transitions_state": q_streaming_transitions_state,
+    # general-tier CC: O(log n) star contraction on the long-chain
+    # graph min-label cannot finish (entity_resolution holds the
+    # in-window CC row via the vocabulary-collapsed match graph)
+    "cc_star": q_cc_star,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -11847,6 +11926,7 @@ ORACLES: dict[str, str] = {
     # (users split mid-sequence across batches) — same oracle, zero
     # layout preconditions
     "streaming_transitions_state": _ORACLE_EVENT_TRANSITIONS,
+    "cc_star": _ORACLE_CC_STAR,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,

@@ -91,6 +91,49 @@ def test_connected_components_chain_transitivity(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_star_contraction_equals_min_label(spark, sf_dir):
+    """The general tier must return the identical (node, component)
+    frame as min-label propagation — on the mixed fixture graph AND on
+    real near-dup pairs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 1)],
+        "id_a long, id_b long",
+    )
+    a = {(r.node, r.component)
+         for r in dedup.connected_components(pairs).collect()}
+    b = {(r.node, r.component)
+         for r in dedup.connected_components(pairs, general=True).collect()}
+    assert a == b
+
+    d = load_table(spark, sf_dir, "documents")
+    real = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", ngram=1, threshold=0.5, broadcast_right=True
+    )
+    a = {(r.node, r.component)
+         for r in dedup.connected_components(real).collect()}
+    b = {(r.node, r.component)
+         for r in dedup.connected_components_star(real).collect()}
+    assert a == b
+
+
+def test_star_contraction_logn_on_long_chain(spark):
+    """The capability min-label lacks (r10 verdict #5): a 10k-node
+    chain has diameter 10k, so min-label cannot converge in any sane
+    budget — star contraction must finish in O(log n) rounds and label
+    every node with the chain's minimum."""
+    import pytest
+
+    n = 10_000
+    chain = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=20)
+    labels = dedup.connected_components_star(chain, max_iter=40)
+    rows = labels.collect()
+    assert labels.cc_rounds <= 25  # log2(10k) ~ 13.3 plus slack
+    assert len(rows) == n
+    assert all(r.component == 0 for r in rows)
+
+
 def test_dedup_clusters_matches_union_find(spark, sf_dir):
     """Distributed label propagation over real near-dup pairs must equal
     a driver-side union-find on the same (collected) pair set."""
