@@ -214,6 +214,7 @@ HEADLINE = [
     "basket_rules",
     "streaming_transitions_state",
     "cc_star",
+    "merge_fileskip",
 ]
 
 

@@ -161,6 +161,123 @@ def upsert_partitioned(
     )
 
 
+def range_layout_write(
+    df: DataFrame, key: str, path: str, n_buckets: int = 16
+) -> None:
+    """Lay a table out as ``n_buckets`` contiguous KEY-RANGE buckets
+    (hive directories ``_kr=<b>/``) plus a min/max manifest — the
+    plain-parquet analogue of the per-file key statistics a lakehouse
+    transaction log keeps, and the layout :func:`upsert_fileskip`
+    prunes against. Bucket assignment is the deterministic global-rank
+    math zorder_buckets uses (``(rank-1) * n div N`` over the
+    range-repartitioned exact rank — no single-partition window), so an
+    oracle can replay the cutpoints exactly. The manifest
+    (``_kr, min_key, max_key, n_rows`` — n_buckets rows) lives under
+    ``<path>/_manifest``; the leading underscore keeps Spark's parquet
+    reader from treating it as data. ``key`` must be unique (the MERGE
+    key contract)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
+        with_global_rank,
+    )
+
+    ranked, n_total = with_global_rank(df, [key])
+    laid = ranked.withColumn(
+        "_kr",
+        F.expr(f"(grank - 1) * {int(n_buckets)} div {int(n_total)}").cast(
+            "long"
+        ),
+    ).drop("grank")
+    laid.write.mode("overwrite").partitionBy("_kr").parquet(path)
+    written = df.sparkSession.read.parquet(path)
+    (
+        written.groupBy("_kr")
+        .agg(
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_manifest")
+    )
+
+
+def assign_range_bucket(
+    rows: DataFrame, manifest: DataFrame, key: str
+) -> DataFrame:
+    """Each row's key-range bucket under the manifest's cutpoints: the
+    greatest bucket whose ``min_key <= key``, clamped to bucket 0 below
+    the table minimum (new smallest key) — so every existing key maps
+    to its stored bucket and every new key to the bucket whose range it
+    extends. One broadcast inequality join against the n_buckets-row
+    manifest + a per-key max: bounded fanout, no shuffle of the big
+    side beyond the key aggregate."""
+    cut = F.broadcast(manifest.select("_kr", "min_key"))
+    return (
+        rows.join(cut, rows[key] >= cut["min_key"], "left")
+        .groupBy(*rows.columns)
+        .agg(F.max("_kr").alias("_kr"))
+        .withColumn("_kr", F.coalesce(F.col("_kr"), F.lit(0)))
+    )
+
+
+def upsert_fileskip(
+    spark: SparkSession, target_path: str, staging: DataFrame, key: str
+) -> DataFrame:
+    """MERGE that touches ONLY the key-range buckets the staging batch
+    intersects — the file-skipping tier (r10 verdict #6): z-order/
+    min-max statistics (the manifest :func:`range_layout_write` keeps)
+    composed with the partition-pruned upsert. At 100 TB this is the
+    difference between rewriting ~2 of 10,000 range files for a
+    contiguous CDC batch and rewriting the table; it is exactly the
+    pruning a Delta/Iceberg MERGE gets from its file-statistics log,
+    expressed on plain parquet.
+
+    Plan: (1) assign each staging key a bucket from the broadcast
+    manifest (greatest ``min_key <= key``, new-high keys extend the
+    last bucket); (2) read ONLY the touched bucket directories (the
+    ``isin`` filter is partition pruning — untouched directories are
+    never opened, asserted file-level in test_merge); (3) anti+union
+    per :func:`upsert_anti_union`; (4) dynamic-partition-overwrite
+    write rewrites only the touched directories; (5) refresh the
+    manifest rows for touched buckets (n_buckets-row frame). Same
+    durability contract as :func:`upsert_partitioned`; idempotent on
+    the key, pinned by re-apply in tests. Returns the merged view of
+    the touched buckets with ``touched_buckets`` attached."""
+    manifest = spark.read.parquet(f"{target_path}/_manifest")
+    assigned = assign_range_bucket(staging, manifest, key)
+    touched = sorted(
+        r[0] for r in assigned.select("_kr").distinct().collect()
+    )
+    target = spark.read.parquet(target_path).where(F.col("_kr").isin(touched))
+    merged = upsert_anti_union(
+        target, assigned.select(*target.columns), key
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("_kr").parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    new_manifest = (
+        manifest.where(~F.col("_kr").isin(touched))
+        .unionByName(
+            merged.groupBy("_kr").agg(
+                F.min(key).alias("min_key"),
+                F.max(key).alias("max_key"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{target_path}/_manifest"
+    )
+    out = spark.read.parquet(target_path).where(F.col("_kr").isin(touched))
+    out.touched_buckets = touched
+    return out
+
+
 def merge_counts(target: DataFrame, staging: DataFrame, key: str) -> DataFrame:
     """The reference's post-merge report (inserted vs updated tallies,
     main.py:323-329, 365) as ONE lazy plan: a left join against the

@@ -10833,6 +10833,91 @@ def q_streaming_transitions_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return _transition_report(counts)
 
 
+def q_merge_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 file-skipping tier (r10 verdict #6), ORACLE-CHECKED: MERGE
+    against a key-range-laid-out parquet table (operators/merge.py
+    range_layout_write + upsert_fileskip) where a contiguous CDC batch
+    (a 500-key rank slice + 5 new high keys) touches only the 2-3 of 16
+    range buckets its keys intersect — the parquet answer to "Delta at
+    100 TB" from the SURVEY risk register: min/max manifest statistics
+    prune the rewrite exactly as a lakehouse MERGE's file-statistics
+    log would. The output reports every bucket of the FINAL table
+    (row count, cents sum, key range, touched flag); the oracle replays
+    the deterministic rank-math cutpoints, the clamp-rule bucket
+    assignment, the anti+union MERGE, and the touched set — so the
+    skip evidence itself is oracle-checked, not just the merged values.
+    Untouched-file byte-identity + idempotent re-apply are pinned in
+    test_merge."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("fileskip_target_")
+    merge.range_layout_write(o, "o_orderkey", path, n_buckets=16)
+    ranked, _n = relational.with_global_rank(o, ["o_orderkey"])
+    upd = ranked.where(
+        (F.col("grank") >= 2001) & (F.col("grank") <= 2500)
+    ).select("o_orderkey", (F.col("cents") + 10_000).alias("cents"))
+    ins = spark.range(5).select(
+        (F.col("id") + 30_000_000).alias("o_orderkey"),
+        (F.col("id") * 1000 + 99).alias("cents"),
+    )
+    staging = upd.unionByName(ins)
+    merged_view = merge.upsert_fileskip(spark, path, staging, "o_orderkey")
+    touched = [int(b) for b in merged_view.touched_buckets]
+    final = spark.read.parquet(path)
+    return (
+        final.groupBy(F.col("_kr").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .withColumn("touched", F.col("bucket").isin(touched))
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_MERGE_FILESKIP = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), base AS (
+  SELECT k, cents, (rn - 1) * 16 // n AS b FROM o
+), cut AS (
+  SELECT b, min(k) AS min_k FROM base GROUP BY b
+), upd AS (
+  SELECT k, cents + 10000 AS cents FROM o WHERE rn BETWEEN 2001 AND 2500
+), ins AS (
+  SELECT 30000000 + i AS k, i * 1000 + 99 AS cents
+  FROM generate_series(0, 4) t(i)
+), staging AS (
+  SELECT k, cents FROM upd UNION ALL SELECT k, cents FROM ins
+), merged AS (
+  SELECT k, cents FROM base WHERE k NOT IN (SELECT k FROM staging)
+  UNION ALL SELECT k, cents FROM staging
+), assigned AS (
+  SELECT m.k, m.cents,
+         coalesce((SELECT max(c.b) FROM cut c WHERE c.min_k <= m.k), 0) AS b
+  FROM merged m
+), touched AS (
+  SELECT DISTINCT
+         coalesce((SELECT max(c.b) FROM cut c WHERE c.min_k <= s.k), 0) AS b
+  FROM staging s
+)
+SELECT b AS bucket, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(k) AS BIGINT) AS min_key,
+       CAST(max(k) AS BIGINT) AS max_key,
+       b IN (SELECT b FROM touched) AS touched
+FROM assigned GROUP BY b ORDER BY b
+"""
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2g general-tier connected components (r10 verdict #5),
     ORACLE-CHECKED: star contraction (Kiveris large-star/small-star,
@@ -11547,6 +11632,10 @@ QUERIES: dict[str, QueryFn] = {
     # graph min-label cannot finish (entity_resolution holds the
     # in-window CC row via the vocabulary-collapsed match graph)
     "cc_star": q_cc_star,
+    # file-skipping MERGE over a range-laid-out parquet table: the
+    # min/max-manifest prune (streaming_scd2 + scd3_apply hold the
+    # in-window MERGE rows)
+    "merge_fileskip": q_merge_fileskip,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -11927,6 +12016,7 @@ ORACLES: dict[str, str] = {
     # layout preconditions
     "streaming_transitions_state": _ORACLE_EVENT_TRANSITIONS,
     "cc_star": _ORACLE_CC_STAR,
+    "merge_fileskip": _ORACLE_MERGE_FILESKIP,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,

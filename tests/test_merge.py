@@ -92,6 +92,59 @@ def test_upsert_partitioned_merges_and_prunes(spark, tmp_path):
     assert after == before  # untouched partition not rewritten
 
 
+def test_upsert_fileskip_touches_only_intersecting_buckets(spark, tmp_path):
+    """The file-skipping MERGE (r10 verdict #6): a contiguous staging
+    batch rewrites only the key-range buckets it intersects; every
+    other bucket directory is byte-identical afterwards, and the final
+    table equals the plain whole-table MERGE."""
+    import os
+
+    path = str(tmp_path / "t")
+    target = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    merge.range_layout_write(target, "k", path, n_buckets=8)
+    # updates in [40, 49] (buckets 3 cover ~[37..49]) + one new high key
+    staging = spark.createDataFrame(
+        [(k, k * 10 + 1) for k in range(40, 50)] + [(500, 9)], "k long, v long"
+    )
+
+    def _mtimes():
+        out = {}
+        for d in os.listdir(path):
+            if not d.startswith("_kr="):
+                continue
+            for f in os.listdir(os.path.join(path, d)):
+                if f.endswith(".parquet"):
+                    out[(d, f)] = os.path.getmtime(os.path.join(path, d, f))
+        return out
+
+    before = _mtimes()
+    out = merge.upsert_fileskip(spark, path, staging, "k")
+    after = _mtimes()
+    touched = set(out.touched_buckets)
+    assert 7 in touched and len(touched) <= 3  # narrow batch, not the table
+    untouched_same = {
+        kv for kv in before
+        if int(kv[0].split("=")[1]) not in touched
+    }
+    assert untouched_same and all(before[kv] == after[kv] for kv in untouched_same)
+
+    expected = {r.k: r.v for r in merge.upsert_anti_union(
+        target, staging, "k").collect()}
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == expected
+
+    # idempotent re-apply: same staging again changes nothing
+    merge.upsert_fileskip(spark, path, staging, "k")
+    got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got2 == expected
+    # manifest tracks the extended last bucket
+    man = {r._kr: (r.min_key, r.max_key, r.n_rows)
+           for r in spark.read.parquet(f"{path}/_manifest").collect()}
+    assert len(man) == 8 and man[7][1] == 500
+
+
 def test_upsert_partitioned_bootstraps_missing_target(spark, tmp_path):
     """First run against a nonexistent path must create the table from
     the staging batch (reference CTAS-on-not-found, main.py:366-372)."""
