@@ -215,6 +215,7 @@ HEADLINE = [
     "streaming_transitions_state",
     "cc_star",
     "merge_fileskip",
+    "data_health",
 ]
 
 

@@ -76,6 +76,50 @@ def hist_state(
     )
 
 
+def derive_hist_width(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    unit: int = DEFAULT_UNIT,
+    buckets_per_iqr: int = 16,
+) -> int:
+    """Auto-derive the bucket width from the data's spread — the
+    documented accuracy tier for HEAVY-TAILED metrics (r10 verdict #7).
+
+    Fixed-width buckets bound the quantile error by the bucket width,
+    which is useless when the distribution is Zipf-like: a 5-unit
+    bucket over a metric whose p25..p95 all live below 1.0 puts the
+    entire body in bucket 0 and every mid quantile interpolates to the
+    same smeared estimate (realized error ~ the bucket width, measured
+    on the Zipf fixture in test_hist). The fix is Freedman-Diaconis in
+    spirit: width = IQR/buckets_per_iqr, so the distribution BODY
+    spans ~2*buckets_per_iqr buckets and mid-quantile error is bounded
+    by IQR/buckets_per_iqr regardless of the tail's reach.
+
+    One approx-percentile aggregate per group (the same
+    approx-at-scale swap as iqr_outliers' exact=False tier — width
+    derivation needs spread, not exactness), then the MIN width across
+    groups so the narrowest group keeps resolution; one bounded
+    one-row collect. Tail buckets stay sparse-but-present (state rows
+    exist only for OCCUPIED buckets, so a 1000x tail adds at most its
+    own occupied-bucket count, not 1000x rows). Returns an int width
+    in micro-units (>= 1) to pass to :func:`hist_state`."""
+    q = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.percentile_approx(value_col, [0.25, 0.75]).alias("_q"))
+        .select(
+            (
+                (F.element_at("_q", 2) - F.element_at("_q", 1))
+                * float(int(unit))
+                / float(int(buckets_per_iqr))
+            ).alias("_w")
+        )
+    )
+    (row,) = q.agg(F.min("_w").alias("w")).collect()
+    return max(1, int(row.w))
+
+
 def hist_absorb(state_a: DataFrame, state_b: DataFrame, group_col: str) -> DataFrame:
     """Merge two histogram states: union + re-sum. Counts are exact
     longs, so absorb is associative/commutative — the streamed

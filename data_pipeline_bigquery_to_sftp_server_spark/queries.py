@@ -9106,6 +9106,69 @@ FROM u ORDER BY constraint_name
 """
 
 
+def q_data_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 data-health monitoring composite (r10 verdict #8), ORACLE-
+    CHECKED end-to-end: the observability analogue of the curation/
+    selection/recipe composites — one unified report chaining the three
+    monitoring families a production pipeline runs every cycle:
+
+    - **drift** (X64c): per-event-type TVD between the month's two
+      halves from histogram states (did the value distribution move?);
+    - **anomaly** (X61): trailing-7-day z-score over daily revenue
+      (did throughput spike/collapse?), exact-integer window variance;
+    - **constraint** (X62): the five-constraint Deequ-style audit
+      (is the data itself broken?), one scan + one broadcast anti-join.
+
+    Output is one long frame ``(check_type, subject, value, flag)`` —
+    the shape a paging rule consumes. Each family keeps its own exact
+    arithmetic (TVD integer cross-products, decimal window sums,
+    integer violation counts), so the composite's oracle is the three
+    component oracles reshaped and UNION ALLed — every cell stays
+    engine-identical. Scale: the three sections scan orders twice and
+    events once, all partial+final aggregates; section outputs are
+    groups/days/constraints-sized."""
+    drift = q_hist_drift(spark, sf_dir).select(
+        F.lit("drift").alias("check_type"),
+        F.col("event_type").alias("subject"),
+        F.col("tvd").alias("value"),
+        (F.col("tvd") > 0.10).alias("flag"),
+    )
+    anom = q_rolling_anomaly(spark, sf_dir).select(
+        F.lit("anomaly").alias("check_type"),
+        F.col("day").alias("subject"),
+        F.col("z").alias("value"),
+        F.col("is_anomaly").alias("flag"),
+    )
+    cons = q_constraint_audit(spark, sf_dir).select(
+        F.lit("constraint").alias("check_type"),
+        F.col("constraint_name").alias("subject"),
+        F.col("pass_rate").alias("value"),
+        (F.col("violations") > 0).alias("flag"),
+    )
+    return (
+        drift.unionByName(anom)
+        .unionByName(cons)
+        .orderBy("check_type", "subject")
+    )
+
+
+_ORACLE_DATA_HEALTH = f"""
+WITH drift_r AS ({_ORACLE_HIST_DRIFT}),
+anom_r AS ({_ORACLE_ROLLING_ANOMALY}),
+cons_r AS ({_ORACLE_CONSTRAINT_AUDIT})
+SELECT * FROM (
+  SELECT 'drift' AS check_type, event_type AS subject, tvd AS value,
+         tvd > 0.10 AS flag
+  FROM drift_r
+  UNION ALL
+  SELECT 'anomaly', day, z, is_anomaly FROM anom_r
+  UNION ALL
+  SELECT 'constraint', constraint_name, pass_rate, violations > 0
+  FROM cons_r
+) ORDER BY check_type, subject
+"""
+
+
 def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X66 sliding-window distinct counts (DAU/WAU), ORACLE-CHECKED:
     per day of the observed range, the distinct users active that day
@@ -11636,6 +11699,10 @@ QUERIES: dict[str, QueryFn] = {
     # min/max-manifest prune (streaming_scd2 + scd3_apply hold the
     # in-window MERGE rows)
     "merge_fileskip": q_merge_fileskip,
+    # the monitoring composite: drift + anomaly + constraint sections
+    # in one paging-rule-shaped report (each section's machinery is
+    # in-window via hist_drift / rolling-anomaly's family / the audit)
+    "data_health": q_data_health,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -12017,6 +12084,7 @@ ORACLES: dict[str, str] = {
     "streaming_transitions_state": _ORACLE_EVENT_TRANSITIONS,
     "cc_star": _ORACLE_CC_STAR,
     "merge_fileskip": _ORACLE_MERGE_FILESKIP,
+    "data_health": _ORACLE_DATA_HEALTH,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,

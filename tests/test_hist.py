@@ -51,6 +51,43 @@ def test_hist_quantile_error_bounded_by_bucket_width(spark, sf_dir):
         assert r.est >= 0.0
 
 
+def test_derived_width_bounds_error_on_zipf(spark):
+    """Heavy-tail accuracy tier (r10 verdict #7): on a Zipf-like metric
+    the DEFAULT fixed width smears every mid quantile into bucket 0
+    (realized error ~ the 5.0 bucket width), while the IQR-derived
+    width keeps the realized error within IQR/buckets_per_iqr."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.hist import (
+        derive_hist_width,
+    )
+
+    n = 5000
+    zipf = spark.range(1, n + 1).select(
+        F.lit("z").alias("g"), (F.lit(1000.0) / F.col("id")).alias("v")
+    )
+    exact = dict(
+        zip([25, 50, 75], zipf.approxQuantile("v", [0.25, 0.5, 0.75], 0.0))
+    )
+
+    def realized(width):
+        st = hist_state(zipf, "v", "g", width=width)
+        qs = hist_quantiles(st, "g", ps=[25, 50, 75], width=width)
+        return {r.p: abs(r.est - exact[r.p]) for r in qs.collect()}
+
+    err_default = realized(DEFAULT_WIDTH)
+    # the whole body lands in bucket 0: mid quantiles are off by >1.0
+    # (an order of magnitude above the true p50 of 0.4)
+    assert err_default[50] > 1.0
+
+    width = derive_hist_width(zipf, "v", "g", buckets_per_iqr=16)
+    assert width < DEFAULT_WIDTH // 10
+    err_derived = realized(width)
+    bound = width / DEFAULT_UNIT
+    for p, e in err_derived.items():
+        assert e <= bound + 1e-9, (p, e, bound)
+
+
 def test_hist_save_load_roundtrip_and_absorb_parity(spark, sf_dir, tmp_path):
     ev = _ev(spark, sf_dir)
     from pyspark.sql import functions as F
