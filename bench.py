@@ -216,6 +216,7 @@ HEADLINE = [
     "cc_star",
     "merge_fileskip",
     "data_health",
+    "rrf_fusion",
 ]
 
 

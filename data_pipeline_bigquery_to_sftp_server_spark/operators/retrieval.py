@@ -23,7 +23,7 @@ corpus scan total.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
@@ -179,6 +179,113 @@ def tfidf_doc_pairs(
         .join(nb_, "id_b")
         .where(cos >= F.lit(float(threshold)))
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+def tfidf_query_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Top-k documents by TF-IDF cosine against a bag-of-terms query —
+    the vector-space scorer next to BM25 (a genuinely different
+    ranking: document-length-normalized cosine vs BM25's saturating
+    tf), and the second input :func:`rrf_fuse` needs. Same weighting
+    and ``max_df`` cut as :func:`tfidf_doc_pairs` (``w = tf *
+    log2(N/df)``, the cut applied to weights AND norms); the query
+    vector is ``idf(t)`` per term (tf_q = 1). Returns
+    ``(id_col, tfidf_cos)`` rounded to 6dp before ranking.
+
+    Plan: one corpus tokenize -> (doc, token, tf) aggregate (persisted
+    — the norm branch and the query-dot branch both read it); the
+    query side is |terms| rows, broadcast; per-doc norm is a doc-keyed
+    rollup. One corpus-sized shuffle on the token key, like BM25."""
+    from data_pipeline_bigquery_to_sftp_server_spark.cache import persist_tracked
+
+    if not query_terms:
+        raise ValueError("tfidf_query_topk: query_terms must be non-empty")
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("_t")
+    )
+    tf = toks.groupBy("_id", "_t").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    n_docs = tf.agg(F.count_distinct("_id").alias("_nd"))
+    weighted = persist_tracked(
+        tf.join(dfreq, "_t")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("_df") <= F.lit(float(max_df_frac)) * F.col("_nd"))
+        .select(
+            "_id",
+            "_t",
+            (F.col("_tf") * F.log2(F.col("_nd") / F.col("_df"))).alias("_w"),
+        )
+    )
+    norms = weighted.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
+    )
+    qv = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .where(
+            F.col("_t").isin(list(query_terms))
+            & (F.col("_df") <= F.lit(float(max_df_frac)) * F.col("_nd"))
+        )
+        .select("_t", F.log2(F.col("_nd") / F.col("_df")).alias("_qw"))
+    )
+    qnorm = qv.agg(F.sqrt(F.sum(F.col("_qw") * F.col("_qw"))).alias("_qn"))
+    dots = (
+        weighted.join(F.broadcast(qv), "_t")
+        .groupBy("_id")
+        .agg(F.sum(F.col("_w") * F.col("_qw")).alias("_dot"))
+    )
+    cos = F.col("_dot") / (F.col("_norm") * F.col("_qn"))
+    return (
+        dots.join(norms, "_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(F.col("_id").alias(id_col), F.round(cos, 6).alias("tfidf_cos"))
+        .orderBy(F.desc("tfidf_cos"), id_col)
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    systems: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k: int = 25,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke's RRF) over N ranked
+    systems: ``rrf(d) = sum_i 1/(c + rank_i(d))``, with a document
+    absent from a system contributing 0 — the standard hybrid-retrieval
+    combiner (lexical + semantic hard-negative mining runs exactly
+    this). Each input is ``(top-k frame, score column)``; ranks are
+    row_number over ``(score desc, id)`` — the frames are top-k-bounded
+    by contract, so the single-partition rank windows are k-row sorts,
+    never data-sized. The RRF terms are small-integer rationals summed
+    in a FIXED left-to-right tree, so the emitted doubles are
+    engine-identical unrounded. Returns
+    ``(id_col, rank_0.., rank_{n-1}, rrf)`` top-k by (rrf desc, id)."""
+    from functools import reduce as _reduce
+
+    ranked = []
+    for i, (df, score_col) in enumerate(systems):
+        w = Window.orderBy(F.desc(score_col), id_col)
+        ranked.append(
+            df.select(id_col, F.row_number().over(w).alias(f"rank_{i}"))
+        )
+    joined = _reduce(lambda a, b: a.join(b, id_col, "full_outer"), ranked)
+    rrf = None
+    for i in range(len(ranked)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        rrf = term if rrf is None else rrf + term
+    return (
+        joined.withColumn("rrf", rrf)
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(k)
     )
 
 

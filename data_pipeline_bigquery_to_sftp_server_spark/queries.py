@@ -2937,6 +2937,99 @@ FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25
 """
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 hybrid-retrieval rank fusion (r11), ORACLE-CHECKED:
+    reciprocal-rank fusion of two genuinely different rankers for the
+    same 3-term query — BM25 (saturating tf, Robertson idf) and TF-IDF
+    cosine (length-normalized vector space) — the combiner hybrid
+    retrieval and hard-negative mining pipelines run over lexical +
+    semantic lists. Both systems' top-50 lists rank by 6dp-rounded
+    scores with id tiebreaks (engine-portable order), and the RRF
+    terms 1/(60+rank) are small-integer rationals summed in a fixed
+    tree, so the fused scores hash-match UNROUNDED. Scale: each ranker
+    is one corpus-pass + token-keyed shuffle; the fusion itself is a
+    full-outer join of two 50-row frames (operators/retrieval.py
+    rrf_fuse, tfidf_query_topk)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import retrieval
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = ["join", "filter", "merge"]
+    bm = retrieval.bm25_topk(d, terms, k=50)
+    tq = retrieval.tfidf_query_topk(d, terms, k=50)
+    fused = retrieval.rrf_fuse([(bm, "bm25"), (tq, "tfidf_cos")], k=25)
+    return fused.select(
+        "doc_id",
+        F.col("rank_0").cast("int").alias("rank_bm25"),
+        F.col("rank_1").cast("int").alias("rank_tfidf"),
+        "rrf",
+    )
+
+
+_ORACLE_RRF_FUSION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks
+  WHERE t IN ('join', 'filter', 'merge') GROUP BY doc_id, t
+), dfq AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY t
+), sc AS (
+  SELECT tf.doc_id,
+         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS w
+  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+), bmr AS (
+  SELECT doc_id, round(sum(w), 6) AS bm25
+  FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50
+), tfa AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t
+), dfa AS (
+  SELECT t, count(*) AS df FROM tfa GROUP BY t
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tfa
+), wtab AS (
+  SELECT doc_id, t, tf * log2(CAST(n AS DOUBLE) / df) AS w
+  FROM tfa JOIN dfa USING (t) CROSS JOIN nd
+  WHERE df <= 0.5 * n
+), norms AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wtab GROUP BY doc_id
+), qv AS (
+  SELECT t, log2(CAST(n AS DOUBLE) / df) AS qw
+  FROM dfa CROSS JOIN nd
+  WHERE t IN ('join', 'filter', 'merge') AND df <= 0.5 * n
+), qn AS (
+  SELECT sqrt(sum(qw * qw)) AS qnorm FROM qv
+), cosr AS (
+  SELECT d.doc_id,
+         round(d.dot / (norms.nrm * qn.qnorm), 6) AS tfidf_cos
+  FROM (
+    SELECT doc_id, sum(w * qw) AS dot
+    FROM wtab JOIN qv USING (t) GROUP BY doc_id
+  ) d JOIN norms USING (doc_id) CROSS JOIN qn
+  ORDER BY tfidf_cos DESC, doc_id LIMIT 50
+), ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bmr
+), rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tfidf_cos DESC, doc_id) AS r
+  FROM cosr
+)
+SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+       CAST(ra.r AS INTEGER) AS rank_bm25,
+       CAST(rb.r AS INTEGER) AS rank_tfidf,
+       coalesce(1.0 / (60.0 + ra.r), 0.0)
+       + coalesce(1.0 / (60.0 + rb.r), 0.0) AS rrf
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 25
+"""
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24 collocation mining, ORACLE-CHECKED: top-100 adjacent token
     pairs by corpus-level pointwise mutual information (min bigram
@@ -11703,6 +11796,9 @@ QUERIES: dict[str, QueryFn] = {
     # in one paging-rule-shaped report (each section's machinery is
     # in-window via hist_drift / rolling-anomaly's family / the audit)
     "data_health": q_data_health,
+    # hybrid-retrieval rank fusion: BM25 + TF-IDF cosine through RRF
+    # (hard_negatives holds the in-window retrieval-mining row)
+    "rrf_fusion": q_rrf_fusion,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -12085,6 +12181,7 @@ ORACLES: dict[str, str] = {
     "cc_star": _ORACLE_CC_STAR,
     "merge_fileskip": _ORACLE_MERGE_FILESKIP,
     "data_health": _ORACLE_DATA_HEALTH,
+    "rrf_fusion": _ORACLE_RRF_FUSION,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,

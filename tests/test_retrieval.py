@@ -233,3 +233,51 @@ def test_contrastive_triplets_shape_and_degenerate_anchor(spark):
         for r in rs:
             assert labs[r.pos_id] == labs[qid] and labs[r.neg_id] != labs[qid]
             assert r.pos_id != qid
+
+
+def test_rrf_fuse_combines_and_handles_absence(spark):
+    """RRF semantics: a doc in both systems outranks docs in one;
+    absence contributes exactly 0; ranks come from (score desc, id)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, s1 double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.95), (4, 0.5)], "doc_id long, s2 double"
+    )
+    rows = {r.doc_id: r for r in
+            rrf_fuse([(a, "s1"), (b, "s2")], k=10).collect()}
+    # doc 2: rank 2 in a, rank 1 in b
+    assert abs(rows[2].rrf - (1 / 62 + 1 / 61)) < 1e-12
+    assert rows[1].rrf == 1 / 61 and rows[1].rank_1 is None
+    assert rows[4].rrf == 1 / 62 and rows[4].rank_0 is None
+    order = sorted(rows.values(), key=lambda r: (-r.rrf, r.doc_id))
+    assert [r.doc_id for r in order][0] == 2
+
+
+def test_tfidf_query_topk_prefers_rare_term_docs(spark):
+    """A doc matching the RARE query term outscores one matching the
+    common term (idf weighting), and max_df drops ubiquitous terms."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.retrieval import (
+        tfidf_query_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra stripes pattern"),
+            (2, "common word soup common word"),
+            (3, "common filler text here"),
+            (4, "another common doc entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'zebra' df=1 (rare), 'common' df=3 of 4 docs -> dropped by max_df=0.5
+    out = tfidf_query_topk(docs, ["zebra", "common"], k=4)
+    rows = out.collect()
+    assert rows[0].doc_id == 1
+    assert all(r.doc_id == 1 for r in rows)  # 'common' cut: only doc 1 scores
