@@ -217,6 +217,7 @@ HEADLINE = [
     "merge_fileskip",
     "data_health",
     "rrf_fusion",
+    "time_travel",
 ]
 
 

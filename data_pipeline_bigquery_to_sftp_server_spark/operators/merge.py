@@ -278,6 +278,199 @@ def upsert_fileskip(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Versioned layout + time travel (J1e): the snapshot half of the
+# lakehouse story on plain parquet. Where upsert_fileskip REWRITES the
+# touched bucket directories (current-version-only, like a compacting
+# store), the versioned tier never overwrites: each MERGE writes the
+# touched buckets as NEW generation directories and commits a new
+# immutable manifest version mapping every bucket to its live
+# generation — exactly Iceberg/Delta's snapshot mechanism in
+# miniature. Any retained version stays readable (time travel), the
+# commit point is one small manifest write, and storage growth is
+# bounded by touched-bucket churn until vacuum_versions drops
+# generations no retained manifest references.
+# ---------------------------------------------------------------------------
+
+
+def _list_versions(spark: SparkSession, manifest_root: str) -> list[int]:
+    jvm = spark.sparkContext._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(manifest_root)
+    fs = jp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jp):
+        return []
+    out = []
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def versioned_layout_write(
+    df: DataFrame, key: str, path: str, n_buckets: int = 16
+) -> None:
+    """Bootstrap a versioned key-range table: every bucket at
+    generation 0, manifest version 0. Layout: data under
+    ``<path>/data/_kr=<b>/_gen=<g>/``, manifests under
+    ``<path>/_manifest/v=<n>/`` with rows
+    ``(_kr, gen, min_key, max_key, n_rows)``."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
+        with_global_rank,
+    )
+
+    ranked, n_total = with_global_rank(df, [key])
+    laid = (
+        ranked.withColumn(
+            "_kr",
+            F.expr(f"(grank - 1) * {int(n_buckets)} div {int(n_total)}").cast(
+                "long"
+            ),
+        )
+        .drop("grank")
+        .withColumn("_gen", F.lit(0).cast("long"))
+    )
+    laid.write.mode("overwrite").partitionBy("_kr", "_gen").parquet(
+        f"{path}/data"
+    )
+    spark = df.sparkSession
+    written = spark.read.option("basePath", f"{path}/data").parquet(
+        f"{path}/data"
+    )
+    (
+        written.groupBy("_kr")
+        .agg(
+            F.first("_gen").alias("gen"),
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_manifest/v=0")
+    )
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the table exactly as manifest ``version``
+    committed it (default: latest). One parquet read over the live
+    (bucket, generation) directories the manifest lists — dead
+    generations are never opened, so reading v0 after 100 merges costs
+    the same as reading v0 on day one."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"no manifest versions under {path}")
+    v = versions[-1] if version is None else int(version)
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
+    dirs = [
+        f"{path}/data/_kr={r._kr}/_gen={r.gen}" for r in manifest.collect()
+    ]
+    return spark.read.option("basePath", f"{path}/data").parquet(*dirs)
+
+
+def upsert_versioned(
+    spark: SparkSession, target_path: str, staging: DataFrame, key: str
+) -> DataFrame:
+    """Snapshot-isolated file-skipping MERGE: reads the latest
+    manifest, merges ONLY the touched buckets, writes them as new
+    generation directories (append — nothing is overwritten), and
+    commits manifest version N+1. Readers at version <= N are
+    untouched mid-flight and forever after (time travel); the new
+    version becomes visible atomically with its manifest write — the
+    plain-parquet miniature of a lakehouse snapshot commit. Returns
+    the merged view of the touched buckets with ``version`` and
+    ``touched_buckets`` attached."""
+    versions = _list_versions(spark, f"{target_path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(
+            f"upsert_versioned: no table at {target_path} — bootstrap with "
+            "versioned_layout_write"
+        )
+    v = versions[-1]
+    manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
+    assigned = assign_range_bucket(staging, manifest, key)
+    touched = sorted(
+        r[0] for r in assigned.select("_kr").distinct().collect()
+    )
+    live = {r._kr: r.gen for r in manifest.collect()}
+    dirs = [
+        f"{target_path}/data/_kr={b}/_gen={live[b]}" for b in touched
+    ]
+    target = spark.read.option("basePath", f"{target_path}/data").parquet(
+        *dirs
+    )
+    merged = (
+        upsert_anti_union(
+            target.drop("_gen"), assigned.select(*target.drop("_gen").columns), key
+        )
+        .withColumn("_gen", F.lit(v + 1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("append").partitionBy("_kr", "_gen").parquet(
+        f"{target_path}/data"
+    )
+    new_manifest = (
+        manifest.where(~F.col("_kr").isin(touched))
+        .unionByName(
+            merged.groupBy("_kr").agg(
+                F.first("_gen").alias("gen"),
+                F.min(key).alias("min_key"),
+                F.max(key).alias("max_key"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{target_path}/_manifest/v={v + 1}"
+    )
+    out = merged.drop("_gen")
+    out.version = v + 1
+    out.touched_buckets = touched
+    return out
+
+
+def vacuum_versions(
+    spark: SparkSession, path: str, keep_last: int = 2
+) -> list[str]:
+    """Drop generation directories no RETAINED manifest references
+    (retention = the last ``keep_last`` versions), then the expired
+    manifests themselves — the storage-reclamation half of the
+    snapshot contract. Returns the deleted directory paths."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    keep = versions[-int(keep_last):]
+    live: set[tuple[int, int]] = set()
+    for v in keep:
+        for r in spark.read.parquet(f"{path}/_manifest/v={v}").collect():
+            live.add((r._kr, r.gen))
+    jvm = spark.sparkContext._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    deleted: list[str] = []
+    for bdir in fs.listStatus(root):
+        bname = bdir.getPath().getName()
+        if not bname.startswith("_kr="):
+            continue  # _SUCCESS markers etc.
+        b = int(bname.split("=")[1])
+        for gdir in fs.listStatus(bdir.getPath()):
+            gname = gdir.getPath().getName()
+            if not gname.startswith("_gen="):
+                continue
+            g = int(gname.split("=")[1])
+            if (b, g) not in live:
+                fs.delete(gdir.getPath(), True)
+                deleted.append(gdir.getPath().toString())
+    for v in versions[: -int(keep_last)]:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest/v={v}"), True
+        )
+    return deleted
+
+
 def merge_counts(target: DataFrame, staging: DataFrame, key: str) -> DataFrame:
     """The reference's post-merge report (inserted vs updated tallies,
     main.py:323-329, 365) as ONE lazy plan: a left join against the

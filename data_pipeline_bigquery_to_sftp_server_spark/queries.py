@@ -11074,6 +11074,74 @@ FROM assigned GROUP BY b ORDER BY b
 """
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1e snapshot isolation + time travel on plain parquet (r11),
+    ORACLE-CHECKED: the versioned key-range layout (operators/merge.py
+    versioned_layout_write / upsert_versioned / read_version) applies
+    the same CDC batch as q_merge_fileskip, but by writing the touched
+    buckets as NEW generation directories and committing manifest v1 —
+    v0 stays byte-untouched and readable forever (the Iceberg/Delta
+    snapshot mechanism in miniature; vacuum_versions is the reclaim
+    half, pinned in test_merge). The report reads BOTH versions through
+    their manifests and aggregates each: the oracle replays v0 as the
+    raw table and v1 as the anti+union MERGE, so time travel itself is
+    what's being value-checked. Reading v0 after the merge costs the
+    same as before it — dead generations are never opened."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("timetravel_")
+    merge.versioned_layout_write(o, "o_orderkey", path, n_buckets=16)
+    ranked, _n = relational.with_global_rank(o, ["o_orderkey"])
+    upd = ranked.where(
+        (F.col("grank") >= 2001) & (F.col("grank") <= 2500)
+    ).select("o_orderkey", (F.col("cents") + 10_000).alias("cents"))
+    ins = spark.range(5).select(
+        (F.col("id") + 30_000_000).alias("o_orderkey"),
+        (F.col("id") * 1000 + 99).alias("cents"),
+    )
+    merge.upsert_versioned(spark, path, upd.unionByName(ins), "o_orderkey")
+
+    def report(v: int) -> DataFrame:
+        t = merge.read_version(spark, path, v)
+        return t.agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+
+    return report(0).unionByName(report(1)).orderBy("version")
+
+
+_ORACLE_TIME_TRAVEL = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders
+), staging AS (
+  SELECT k, cents + 10000 AS cents FROM o WHERE rn BETWEEN 2001 AND 2500
+  UNION ALL
+  SELECT 30000000 + i, i * 1000 + 99 FROM generate_series(0, 4) t(i)
+), merged AS (
+  SELECT k, cents FROM o WHERE k NOT IN (SELECT k FROM staging)
+  UNION ALL SELECT k, cents FROM staging
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+FROM o
+UNION ALL
+SELECT 1, count(*), CAST(sum(cents) AS BIGINT),
+       CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
+FROM merged
+ORDER BY version
+"""
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2g general-tier connected components (r10 verdict #5),
     ORACLE-CHECKED: star contraction (Kiveris large-star/small-star,
@@ -11799,6 +11867,9 @@ QUERIES: dict[str, QueryFn] = {
     # hybrid-retrieval rank fusion: BM25 + TF-IDF cosine through RRF
     # (hard_negatives holds the in-window retrieval-mining row)
     "rrf_fusion": q_rrf_fusion,
+    # snapshot isolation + time travel: versioned manifests over the
+    # key-range layout (the non-destructive sibling of merge_fileskip)
+    "time_travel": q_time_travel,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -12182,6 +12253,7 @@ ORACLES: dict[str, str] = {
     "merge_fileskip": _ORACLE_MERGE_FILESKIP,
     "data_health": _ORACLE_DATA_HEALTH,
     "rrf_fusion": _ORACLE_RRF_FUSION,
+    "time_travel": _ORACLE_TIME_TRAVEL,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,

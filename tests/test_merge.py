@@ -394,3 +394,52 @@ def test_scd3_second_change_overwrites_prev(spark):
 def test_scd3_new_key_has_null_prev(spark):
     out = _scd3(spark, [(1, "a", "X", None)], [(9, "FRESH")])
     assert out[9] == (None, "FRESH", None)
+
+
+def test_versioned_upsert_time_travel_and_vacuum(spark, tmp_path):
+    """Snapshot tier (J1e): every version stays readable after later
+    merges; only touched buckets gain generations; vacuum drops dead
+    generations without breaking retained versions."""
+    import os
+
+    path = str(tmp_path / "vt")
+    t0 = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    merge.versioned_layout_write(t0, "k", path, n_buckets=8)
+
+    s1 = spark.createDataFrame(
+        [(k, k * 10 + 1) for k in range(40, 50)], "k long, v long"
+    )
+    out1 = merge.upsert_versioned(spark, path, s1, "k")
+    assert out1.version == 1
+    s2 = spark.createDataFrame([(45, 999), (200, 5)], "k long, v long")
+    out2 = merge.upsert_versioned(spark, path, s2, "k")
+    assert out2.version == 2
+
+    v0 = {r.k: r.v for r in merge.read_version(spark, path, 0).collect()}
+    assert v0 == {k: k * 10 for k in range(100)}
+    v1 = {r.k: r.v for r in merge.read_version(spark, path, 1).collect()}
+    assert v1[45] == 451 and 200 not in v1
+    v2 = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert v2[45] == 999 and v2[200] == 5 and v2[0] == 0
+
+    # untouched buckets never grew generations
+    gens = {
+        d: sorted(os.listdir(os.path.join(path, "data", d)))
+        for d in os.listdir(os.path.join(path, "data"))
+        if d.startswith("_kr=")
+    }
+    assert gens["_kr=0"] == ["_gen=0"]
+    assert len(gens["_kr=3"]) >= 2
+
+    # vacuum keeping the last 2 versions: v0's manifest goes, v1/v2
+    # stay readable; a dead generation disappears only if NO retained
+    # manifest references it
+    merge.vacuum_versions(spark, path, keep_last=2)
+    v1b = {r.k: r.v for r in merge.read_version(spark, path, 1).collect()}
+    assert v1b == v1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge.read_version(spark, path, 0)
