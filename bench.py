@@ -218,6 +218,7 @@ HEADLINE = [
     "data_health",
     "rrf_fusion",
     "time_travel",
+    "version_diff",
 ]
 
 

@@ -11142,6 +11142,53 @@ ORDER BY version
 """
 
 
+def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1e+J9 composition (r11), ORACLE-CHECKED: the change data feed
+    between two committed table versions — Delta's CDF on plain
+    parquet. Two time-travel reads through their manifests (only live
+    generation directories open) feed snapshot_diff's one full-outer
+    key join; the emitted (key, op, values) rows are exactly the CDC
+    log a downstream consumer replays. The oracle reconstructs the
+    staging batch relationally, so every update/insert row is
+    value-checked. Unchanged rows are filtered ENGINE-SIDE (the CDF
+    contract: emit changes, not the table)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("versiondiff_")
+    merge.versioned_layout_write(o, "o_orderkey", path, n_buckets=16)
+    ranked, _n = relational.with_global_rank(o, ["o_orderkey"])
+    upd = ranked.where(
+        (F.col("grank") >= 2001) & (F.col("grank") <= 2500)
+    ).select("o_orderkey", (F.col("cents") + 10_000).alias("cents"))
+    ins = spark.range(5).select(
+        (F.col("id") + 30_000_000).alias("o_orderkey"),
+        (F.col("id") * 1000 + 99).alias("cents"),
+    )
+    merge.upsert_versioned(spark, path, upd.unionByName(ins), "o_orderkey")
+    v0 = merge.read_version(spark, path, 0).select("o_orderkey", "cents")
+    v1 = merge.read_version(spark, path, 1).select("o_orderkey", "cents")
+    cdf = merge.snapshot_diff(v0, v1, "o_orderkey", compare_cols=["cents"])
+    return cdf.where(F.col("op") != "unchanged").orderBy("o_orderkey")
+
+
+_ORACLE_VERSION_DIFF = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders
+)
+SELECT k AS o_orderkey, 'update' AS op, cents + 10000 AS cents
+FROM o WHERE rn BETWEEN 2001 AND 2500
+UNION ALL
+SELECT 30000000 + i, 'insert', i * 1000 + 99
+FROM generate_series(0, 4) t(i)
+ORDER BY o_orderkey
+"""
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2g general-tier connected components (r10 verdict #5),
     ORACLE-CHECKED: star contraction (Kiveris large-star/small-star,
@@ -11870,6 +11917,8 @@ QUERIES: dict[str, QueryFn] = {
     # snapshot isolation + time travel: versioned manifests over the
     # key-range layout (the non-destructive sibling of merge_fileskip)
     "time_travel": q_time_travel,
+    # CDF between committed versions: time travel x snapshot_diff
+    "version_diff": q_version_diff,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -12254,6 +12303,7 @@ ORACLES: dict[str, str] = {
     "data_health": _ORACLE_DATA_HEALTH,
     "rrf_fusion": _ORACLE_RRF_FUSION,
     "time_travel": _ORACLE_TIME_TRAVEL,
+    "version_diff": _ORACLE_VERSION_DIFF,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,
