@@ -132,3 +132,63 @@ def transitions_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transitions_stateful_tws(events: DataFrame) -> DataFrame:
+    """The Spark-4 ``transformWithStateInPandas`` deployment of the
+    same operator — the state-v2 engine (RocksDB store, typed
+    ValueState, timers, schema evolution on state). ENVIRONMENTAL
+    GATE: the TWS Python runner requires ``google.protobuf``, which
+    this container lacks (verified: the runner crashes with
+    ImportError at init) — the multimodal-codec convention applies:
+    the gate raises with the exact dependency, and the
+    applyInPandasWithState tier above is the tested default with
+    identical semantics. On a cluster with protobuf installed this
+    body is the drop-in upgrade (same sort + stitch logic via a
+    ``StatefulProcessor`` holding one ValueState('last_type'))."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf in the "
+            "Python workers (absent in this container); use "
+            "transitions_stateful (applyInPandasWithState) — identical "
+            "semantics, tested here"
+        ) from e
+    import pandas as pd  # local: only reached when the gate passes
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TransitionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last", "last_type string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last = self._last.get()[0] if self._last.exists() else None
+            batch = pd.concat(list(rows), ignore_index=True)
+            if not len(batch):
+                return
+            batch = batch.sort_values(["ts_us", "event_id"])
+            types = batch["event_type"].tolist()
+            seq = ([last] if last is not None else []) + types
+            self._last.update((types[-1],))
+            if len(seq) >= 2:
+                yield pd.DataFrame(
+                    {
+                        "user_id": key[0],
+                        "from_type": seq[:-1],
+                        "to_type": seq[1:],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _TransitionProcessor(),
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

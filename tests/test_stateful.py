@@ -113,3 +113,21 @@ def test_pandas_udaf_grouped_agg(spark):
     got = {r.g: r.gm for r in df.groupBy("g").agg(geo_mean("v").alias("gm")).collect()}
     assert abs(got["a"] - 10.0) < 1e-9
     assert abs(got["b"] - 6.0) < 1e-9
+
+
+def test_transitions_tws_gate_names_the_missing_dependency(spark):
+    """The transformWithState tier is environmentally gated (no
+    google.protobuf in this container): the gate must raise the
+    documented NotImplementedError naming the dependency and the
+    tested fallback — never crash inside the streaming runner."""
+    import pytest
+
+    schema = "user_id long, event_id long, event_type string, ts_us long"
+    df = spark.createDataFrame([], schema)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        pytest.skip("protobuf present — gate open, TWS path available")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="applyInPandasWithState"):
+        stateful.transitions_stateful_tws(df)
