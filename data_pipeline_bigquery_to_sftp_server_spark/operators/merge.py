@@ -434,6 +434,47 @@ def upsert_versioned(
     return out
 
 
+def compact_table(
+    spark: SparkSession, path: str, key: str
+) -> DataFrame:
+    """Small-file compaction for the versioned table: rewrite every
+    LIVE bucket as one fresh generation and commit a new manifest
+    version — contents identical (pinned in test_merge), but each
+    bucket's live data is now one contiguous generation directory, so
+    scans stop paying per-file open cost accumulated by merge churn.
+    The OPTIMIZE half of the lakehouse maintenance pair
+    (vacuum_versions is the other); old generations remain readable
+    through their manifests until vacuumed. Returns the new manifest
+    frame with ``version`` attached."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"no table at {path}")
+    v = versions[-1]
+    manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
+    live = spark.read.option("basePath", f"{path}/data").parquet(
+        *[f"{path}/data/_kr={r._kr}/_gen={r.gen}" for r in manifest.collect()]
+    )
+    compacted = (
+        live.drop("_gen")
+        .withColumn("_gen", F.lit(v + 1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    compacted.write.mode("append").partitionBy("_kr", "_gen").parquet(
+        f"{path}/data"
+    )
+    new_manifest = compacted.groupBy("_kr").agg(
+        F.first("_gen").alias("gen"),
+        F.min(key).alias("min_key"),
+        F.max(key).alias("max_key"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).localCheckpoint(eager=True)
+    new_manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_manifest/v={v + 1}"
+    )
+    new_manifest.version = v + 1
+    return new_manifest
+
+
 def vacuum_versions(
     spark: SparkSession, path: str, keep_last: int = 2
 ) -> list[str]:

@@ -443,3 +443,41 @@ def test_versioned_upsert_time_travel_and_vacuum(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         merge.read_version(spark, path, 0)
+
+
+def test_compact_table_preserves_contents_and_collapses_generations(spark, tmp_path):
+    """OPTIMIZE half of the maintenance pair: after merge churn,
+    compaction rewrites live buckets as one fresh generation with
+    contents identical; vacuum then leaves one generation per bucket."""
+    import os
+
+    path = str(tmp_path / "ct")
+    t0 = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    merge.versioned_layout_write(t0, "k", path, n_buckets=4)
+    merge.upsert_versioned(
+        spark, path,
+        spark.createDataFrame([(5, 99), (20, 98)], "k long, v long"), "k")
+    merge.upsert_versioned(
+        spark, path,
+        spark.createDataFrame([(6, 97), (100, 1)], "k long, v long"), "k")
+    before = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+
+    man = merge.compact_table(spark, path, "k")
+    assert man.version == 3
+    after = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert after == before
+    # prior versions still readable until vacuumed
+    assert {r.k: r.v for r in merge.read_version(spark, path, 0).collect()} \
+        == {k: k * 2 for k in range(60)}
+
+    merge.vacuum_versions(spark, path, keep_last=1)
+    gens = {
+        d: [g for g in os.listdir(os.path.join(path, "data", d))
+            if g.startswith("_gen=")]
+        for d in os.listdir(os.path.join(path, "data"))
+        if d.startswith("_kr=")
+    }
+    assert all(len(g) == 1 for g in gens.values()), gens
+    assert {r.k: r.v for r in merge.read_version(spark, path).collect()} == before
