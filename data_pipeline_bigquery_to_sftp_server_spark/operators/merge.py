@@ -307,6 +307,28 @@ def _list_versions(spark: SparkSession, manifest_root: str) -> list[int]:
     return sorted(out)
 
 
+def _clean_uncommitted_generation(
+    spark: SparkSession, path: str, buckets: list, gen: int
+) -> None:
+    """Delete generation directories a CRASHED prior attempt may have
+    left: the commit point is the manifest write, so data under a
+    generation no manifest references is garbage — and because the
+    data write is mode('append'), a retry would otherwise append INTO
+    that garbage and duplicate rows. Called before every generation
+    write (upsert_versioned / compact_table); bounded FS work
+    (touched buckets only)."""
+    jvm = spark.sparkContext._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    for b in buckets:
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/data/_kr={b}/_gen={gen}"
+        )
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def versioned_layout_write(
     df: DataFrame, key: str, path: str, n_buckets: int = 16
 ) -> None:
@@ -410,6 +432,7 @@ def upsert_versioned(
         .withColumn("_gen", F.lit(v + 1).cast("long"))
         .localCheckpoint(eager=True)
     )
+    _clean_uncommitted_generation(spark, target_path, touched, v + 1)
     merged.write.mode("append").partitionBy("_kr", "_gen").parquet(
         f"{target_path}/data"
     )
@@ -458,6 +481,9 @@ def compact_table(
         live.drop("_gen")
         .withColumn("_gen", F.lit(v + 1).cast("long"))
         .localCheckpoint(eager=True)
+    )
+    _clean_uncommitted_generation(
+        spark, path, [r._kr for r in manifest.select("_kr").collect()], v + 1
     )
     compacted.write.mode("append").partitionBy("_kr", "_gen").parquet(
         f"{path}/data"

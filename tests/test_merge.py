@@ -481,3 +481,31 @@ def test_compact_table_preserves_contents_and_collapses_generations(spark, tmp_p
     }
     assert all(len(g) == 1 for g in gens.values()), gens
     assert {r.k: r.v for r in merge.read_version(spark, path).collect()} == before
+
+
+def test_versioned_retry_after_crash_does_not_duplicate(spark, tmp_path):
+    """Crash-retry contract: data written for gen v+1 WITHOUT its
+    manifest commit is garbage a retry must clean, not append into —
+    otherwise the append-mode write duplicates every merged row."""
+    path = str(tmp_path / "cr")
+    t0 = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    merge.versioned_layout_write(t0, "k", path, n_buckets=4)
+    staging = spark.createDataFrame([(10, 1), (11, 2)], "k long, v long")
+    # simulate the crashed attempt: the generation data lands, the
+    # manifest write never happens
+    garbage = (
+        spark.read.option("basePath", f"{path}/data").parquet(f"{path}/data")
+        .where("_kr = 1").drop("_gen")
+        .withColumn("_gen", F.lit(1).cast("long"))
+    )
+    garbage.write.mode("append").partitionBy("_kr", "_gen").parquet(
+        f"{path}/data"
+    )
+    out = merge.upsert_versioned(spark, path, staging, "k")
+    assert out.version == 1
+    got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    expected = {k: k * 3 for k in range(40)} | {10: 1, 11: 2}
+    assert got == expected
+    assert merge.read_version(spark, path).count() == 40
