@@ -218,3 +218,72 @@ def test_chunking_covers_every_token_once_per_window(spark, counts):
             covered |= set(range(start, start + r.chunk_tokens))
             assert r.chunk_tokens == min(n_eff - start, size)
         assert covered == set(range(n_eff)), (i, n)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_star_contraction_matches_union_find(spark, edges):
+    """connected_components_star on arbitrary random graphs (self-loops,
+    duplicates, multi-component, chains) must equal a driver union-find."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import dedup
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    pairs = spark.createDataFrame(clean, "id_a long, id_b long")
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in clean:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(alphabet="ab|#:N", max_size=4)),
+            st.one_of(st.none(), st.text(alphabet="ab|#:N", max_size=4)),
+        ),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_row_signature_encoding_injective(spark, rows):
+    """Distinct (c1, c2) tuples — including NULL-vs-value shifts and
+    values containing the encoding's own delimiter characters — must
+    produce distinct row hashes (md5 collisions aside)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.reconcile import (
+        row_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(i, c1, c2) for i, (c1, c2) in enumerate(rows)],
+        "k long, c1 string, c2 string",
+    ).withColumn("k", F.lit(0))  # same key: hash differs only via c1, c2
+    hashes = [
+        r._rhash for r in row_signature(df, "k", ["c1", "c2"], 4).collect()
+    ]
+    assert len(set(hashes)) == len(rows)
