@@ -219,6 +219,7 @@ HEADLINE = [
     "rrf_fusion",
     "time_travel",
     "version_diff",
+    "retrieval_ndcg",
 ]
 
 

@@ -5346,6 +5346,149 @@ ORDER BY query_id
 """
 
 
+# nDCG discount tables, computed ONCE in driver Python and embedded as
+# shortest-round-trip literals in BOTH engines (the Benford/constant
+# convention: never call log2 in-engine — libm last-ulp divergence):
+# _NDCG_DISC[r] = 1/log2(r+1); _NDCG_IDCG[m] = sum of the first m
+# discounts (the ideal DCG when m relevant docs are available).
+_NDCG_K = 10
+_NDCG_DISC = {r: 1.0 / __import__("math").log2(r + 1) for r in range(1, _NDCG_K + 1)}
+_NDCG_IDCG = {0: 0.0}
+for _r in range(1, _NDCG_K + 1):
+    _NDCG_IDCG[_r] = _NDCG_IDCG[_r - 1] + _NDCG_DISC[_r]
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91 graded retrieval eval (r11), ORACLE-CHECKED: nDCG@10 per
+    anchor over exact cosine ranking with binary same-label relevance —
+    the position-sensitive metric next to MRR (which only sees the
+    FIRST hit; nDCG scores the whole top-k ordering, the standard
+    embedding-benchmark harness). DCG discounts 1/log2(r+1) and the
+    ideal-DCG prefix sums are module-level Python literals injected
+    into BOTH engines — no in-engine log2, so the only float work is
+    a short sum of identical doubles, 6dp-rounded on both sides. The
+    ideal normalizer uses min(k, R) with R = the anchor's total
+    same-label corpus count (self excluded) — exact, not top-k-local.
+    Same broadcast-anchors/one-scan plan as MRR."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.scale import (
+        ensure_parallelism,
+    )
+
+    corpus = ensure_parallelism(e.select("vec_id", "embedding", "label"))
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "label",
+            F.round(
+                similarity.cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("query_vec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    top = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= _NDCG_K
+    )
+    disc = F.lit(0.0)
+    for r in range(_NDCG_K, 0, -1):
+        disc = F.when(F.col("rnk") == r, F.lit(_NDCG_DISC[r])).otherwise(disc)
+    rel = (F.col("label") == F.col("query_label")).cast("int")
+    per_anchor = top.groupBy("query_id").agg(
+        F.sum(rel).cast("int").alias("n_rel_at_k"),
+        F.round(F.sum(rel * disc), 6).alias("dcg"),
+    )
+    # R = total same-label corpus docs per anchor (self excluded):
+    # label counts are a tiny grouped frame, broadcast onto anchors
+    label_counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("_lc"))
+    rtot = anchors.join(
+        F.broadcast(label_counts),
+        anchors["query_label"] == label_counts["label"],
+    ).select("query_id", (F.col("_lc") - 1).alias("_R"))
+    idcg = F.lit(0.0)
+    for m in range(_NDCG_K, 0, -1):
+        idcg = F.when(
+            F.least(F.lit(_NDCG_K), F.col("_R")) == m, F.lit(_NDCG_IDCG[m])
+        ).otherwise(idcg)
+    return (
+        per_anchor.join(rtot, "query_id")
+        .select(
+            "query_id",
+            "n_rel_at_k",
+            "dcg",
+            F.round(idcg, 6).alias("idcg"),
+            F.when(idcg > 0, F.round(F.col("dcg") / idcg, 6))
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ORACLE_RETRIEVAL_NDCG = (
+    r"""
+WITH a AS (
+  SELECT vec_id AS query_id, embedding AS query_vec, label AS query_label
+  FROM embeddings WHERE vec_id % 50 = 0
+), ranked AS (
+  SELECT a.query_id, a.query_label, e.label,
+         row_number() OVER (
+           PARTITION BY a.query_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(a.query_vec AS DOUBLE[])), 6) DESC,
+                    e.vec_id ASC) AS rnk
+  FROM embeddings e CROSS JOIN a
+  WHERE e.vec_id <> a.query_id
+), top AS (
+  SELECT query_id, query_label, label, rnk,
+         CASE rnk """
+    + " ".join(
+        f"WHEN {r} THEN {_NDCG_DISC[r]!r}" for r in range(1, _NDCG_K + 1)
+    )
+    + r""" END AS disc
+  FROM ranked WHERE rnk <= 10
+), per_anchor AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN label = query_label THEN 1 ELSE 0 END) AS INT)
+           AS n_rel_at_k,
+         round(sum(CASE WHEN label = query_label THEN disc ELSE 0.0 END), 6)
+           AS dcg
+  FROM top GROUP BY query_id
+), lc AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY label
+), rtot AS (
+  SELECT a.query_id,
+         CASE least(10, lc.n - 1) """
+    + " ".join(
+        f"WHEN {m} THEN {_NDCG_IDCG[m]!r}" for m in range(1, _NDCG_K + 1)
+    )
+    + r""" ELSE 0.0 END AS idcg_raw
+  FROM a JOIN lc ON lc.label = a.query_label
+)
+SELECT p.query_id, p.n_rel_at_k, p.dcg,
+       round(r.idcg_raw, 6) AS idcg,
+       CASE WHEN r.idcg_raw > 0 THEN round(p.dcg / r.idcg_raw, 6)
+            ELSE 0.0 END AS ndcg
+FROM per_anchor p JOIN rtot r USING (query_id)
+ORDER BY query_id
+"""
+)
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X39 hard-negative mining for contrastive training,
     ORACLE-CHECKED: for each anchor (vec_id % 50 == 0), the top-5 most
@@ -11919,6 +12062,8 @@ QUERIES: dict[str, QueryFn] = {
     "time_travel": q_time_travel,
     # CDF between committed versions: time travel x snapshot_diff
     "version_diff": q_version_diff,
+    # graded retrieval eval: nDCG@10 next to MRR (literal discounts)
+    "retrieval_ndcg": q_retrieval_ndcg,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -12304,6 +12449,7 @@ ORACLES: dict[str, str] = {
     "rrf_fusion": _ORACLE_RRF_FUSION,
     "time_travel": _ORACLE_TIME_TRAVEL,
     "version_diff": _ORACLE_VERSION_DIFF,
+    "retrieval_ndcg": _ORACLE_RETRIEVAL_NDCG,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,
