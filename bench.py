@@ -220,6 +220,7 @@ HEADLINE = [
     "time_travel",
     "version_diff",
     "retrieval_ndcg",
+    "l_diversity",
 ]
 
 

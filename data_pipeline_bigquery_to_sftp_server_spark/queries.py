@@ -10517,6 +10517,72 @@ ORDER BY level, qi_key, c_mktsegment
 """
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76b l-diversity + disclosure-risk audit (r11), ORACLE-CHECKED:
+    k-anonymity's necessary-but-insufficient gap — a QI group can meet
+    k while every member shares the SAME sensitive value, disclosing
+    it to anyone who can place a person in the group. Per
+    (nation, segment) QI group over a banded sensitive attribute
+    (account-balance band = cents div 200000 — integer division, the
+    hist.py bucketing discipline): the distinct-sensitive-value count
+    (distinct l-diversity, meets l=3), and the max single-value share
+    (the re-identification adversary's best guess probability — the
+    t-closeness-lite disclosure number). Two grouped counts + one
+    division of exact longs; group space is |nations|x|segments|."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ldiv = 3
+    cn = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    # shift: acctbal can be negative and div truncates toward zero in
+    # Spark but floors in SQL — shift into the positive domain first
+    # (the hist_state signed-domain rule)
+    band = F.expr("(cents + 200000000) div 200000")
+    per_sens = (
+        cn.select("n_name", "c_mktsegment", cents.alias("cents"))
+        .withColumn("band", band)
+        .groupBy("n_name", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    return (
+        per_sens.groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.sum("_nb").cast("bigint").alias("n_records"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sensitive"),
+            F.max("_nb").cast("bigint").alias("_mx"),
+        )
+        .select(
+            "n_name",
+            "c_mktsegment",
+            "n_records",
+            "n_sensitive",
+            (F.col("_mx") / F.col("n_records")).alias("max_share"),
+            (F.col("n_sensitive") >= ldiv).alias("meets_l"),
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+_ORACLE_L_DIVERSITY = """
+WITH b AS (
+  SELECT n.n_name, c.c_mktsegment,
+         (CAST(round(c.c_acctbal * 100) AS BIGINT) + 200000000) // 200000
+           AS band
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+), per_sens AS (
+  SELECT n_name, c_mktsegment, band, count(*) AS nb
+  FROM b GROUP BY n_name, c_mktsegment, band
+)
+SELECT n_name, c_mktsegment,
+       CAST(sum(nb) AS BIGINT) AS n_records,
+       CAST(count(*) AS BIGINT) AS n_sensitive,
+       CAST(max(nb) AS BIGINT) / CAST(sum(nb) AS BIGINT) AS max_share,
+       count(*) >= 3 AS meets_l
+FROM per_sens GROUP BY n_name, c_mktsegment
+ORDER BY n_name, c_mktsegment
+"""
+
+
 def q_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X77 cross-source score calibration, ORACLE-CHECKED: quality
     scores from different sources aren't comparable on raw value (one
@@ -12064,6 +12130,8 @@ QUERIES: dict[str, QueryFn] = {
     "version_diff": q_version_diff,
     # graded retrieval eval: nDCG@10 next to MRR (literal discounts)
     "retrieval_ndcg": q_retrieval_ndcg,
+    # l-diversity + disclosure risk: the audit k-anonymity can't see
+    "l_diversity": q_l_diversity,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -12450,6 +12518,7 @@ ORACLES: dict[str, str] = {
     "time_travel": _ORACLE_TIME_TRAVEL,
     "version_diff": _ORACLE_VERSION_DIFF,
     "retrieval_ndcg": _ORACLE_RETRIEVAL_NDCG,
+    "l_diversity": _ORACLE_L_DIVERSITY,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,
