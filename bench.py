@@ -221,6 +221,7 @@ HEADLINE = [
     "version_diff",
     "retrieval_ndcg",
     "l_diversity",
+    "readability",
 ]
 
 

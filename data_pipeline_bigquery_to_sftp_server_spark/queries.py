@@ -2747,6 +2747,66 @@ FROM m
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5d readability scoring (r11), ORACLE-CHECKED: Flesch reading
+    ease per document from three INTEGER counts — words (whitespace
+    tokens), sentences (terminal-punctuation runs, floored at 1), and
+    syllables (vowel-group count; groups never span whitespace, so one
+    regexp_count over the whole text equals the per-word sum — no
+    explode, no shuffle, the whole query is a map-side projection).
+    The formula's constants are literals in both engines and the score
+    is a fixed linear tree over two exact-integer divisions, so the
+    6dp-rounded doubles hash-match. The quality-battery member that
+    ranks documents by sentence complexity rather than composition
+    ratios (X31/X5's axis)."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_words = F.size(text.tokenize(F.col("text"))).cast("long")
+    n_sent = F.greatest(
+        F.lit(1).cast("long"), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    )
+    n_syll = F.regexp_count(low, F.lit("[aeiouy]+")).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+            F.round(flesch, 6).alias("flesch"),
+        )
+        .where(F.col("n_words") > 0)
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_READABILITY = r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+              AS BIGINT) AS n_words,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             6) AS flesch
+FROM m WHERE n_words > 0
+ORDER BY doc_id
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 document fingerprinting: xxhash64 of canonical text as the
     dedup-join key; output is the per-fingerprint group profile
@@ -12132,6 +12192,8 @@ QUERIES: dict[str, QueryFn] = {
     "retrieval_ndcg": q_retrieval_ndcg,
     # l-diversity + disclosure risk: the audit k-anonymity can't see
     "l_diversity": q_l_diversity,
+    # Flesch readability: the sentence-complexity quality axis
+    "readability": q_readability,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -12519,6 +12581,7 @@ ORACLES: dict[str, str] = {
     "version_diff": _ORACLE_VERSION_DIFF,
     "retrieval_ndcg": _ORACLE_RETRIEVAL_NDCG,
     "l_diversity": _ORACLE_L_DIVERSITY,
+    "readability": _ORACLE_READABILITY,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,
