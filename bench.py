@@ -222,6 +222,7 @@ HEADLINE = [
     "retrieval_ndcg",
     "l_diversity",
     "readability",
+    "interval_join",
 ]
 
 

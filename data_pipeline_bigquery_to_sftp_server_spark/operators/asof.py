@@ -199,3 +199,65 @@ def range_join(
         l.join(r, on=(F.col("_bkl") == F.col("_bkr")) & cond)
         .drop("_bkl", "_bkr")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    cell_days: int = 7,
+) -> DataFrame:
+    """J14 interval-INTERVAL overlap join (r11): all (a, b) pairs whose
+    DATE intervals overlap — ``a_start <= b_end AND b_start <= a_end``
+    (inclusive; the schedule-conflict / concurrent-session /
+    exposure-window join). The temporal sibling of the spatial grid
+    join: a bare inequality-pair condition plans as a nested-loop
+    cross product, so BOTH sides explode into the ``cell_days``-grid
+    cells their interval covers and candidates co-locate under ONE
+    cell-keyed equi-join. Two overlapping intervals share at least one
+    covered cell, and the ``cell = greatest(cell_a, cell_b_start?)``
+    dedup rule — keep only the pair's FIRST shared cell, i.e. the cell
+    of ``greatest(a_start, b_start)`` — emits each qualifying pair
+    exactly once with NO distinct pass (the spatial_join cell-delta
+    argument, 1-D). Exact predicate re-checked in-stage on the real
+    dates; fanout is bounded by interval length / cell_days per side;
+    hot cells are ordinary join skew (AQE-splittable)."""
+    day_a_s = F.datediff(F.col(a_start), F.lit("1970-01-01").cast("date"))
+    day_a_e = F.datediff(F.col(a_end), F.lit("1970-01-01").cast("date"))
+    day_b_s = F.datediff(F.col(b_start), F.lit("1970-01-01").cast("date"))
+    day_b_e = F.datediff(F.col(b_end), F.lit("1970-01-01").cast("date"))
+    cd = int(cell_days)
+    ac = a.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.call_function("div", day_a_s, F.lit(cd)),
+                F.call_function("div", day_a_e, F.lit(cd)),
+            )
+        ),
+    ).withColumn("_as_day", day_a_s)
+    bc = b.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.call_function("div", day_b_s, F.lit(cd)),
+                F.call_function("div", day_b_e, F.lit(cd)),
+            )
+        ),
+    ).withColumn("_bs_day", day_b_s)
+    overlap = (F.col(a_start) <= F.col(b_end)) & (
+        F.col(b_start) <= F.col(a_end)
+    )
+    # first-shared-cell rule: the overlap starts at max(starts); emit
+    # the pair only from that cell
+    first_cell = F.call_function(
+        "div", F.greatest(F.col("_as_day"), F.col("_bs_day")), F.lit(cd)
+    )
+    return (
+        ac.join(bc, "_cell")
+        .where(overlap & (F.col("_cell") == first_cell))
+        .drop("_cell", "_as_day", "_bs_day")
+    )

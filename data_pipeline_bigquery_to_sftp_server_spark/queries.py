@@ -11343,6 +11343,73 @@ FROM assigned GROUP BY b ORDER BY b
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 interval-overlap join (r11), ORACLE-CHECKED: every
+    (shipment window, order week) pair that overlaps — lineitem's
+    ship→receipt interval against a 7-day order exposure window
+    (the schedule-conflict / exposure join class; operators/asof.py
+    interval_overlap_join). Both interval sets explode into weekly
+    grid cells and candidates co-locate under ONE cell-keyed
+    equi-join; the first-shared-cell rule emits each qualifying pair
+    exactly once with no distinct pass, and the exact date predicate
+    runs in-stage — never the BroadcastNestedLoop a bare
+    inequality-pair plans as (the oracle runs exactly that quadratic
+    form). overlap_days is inclusive integer date arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    # the fixture carries no receipt date — synthesize a deterministic
+    # transit time (1..20 days by line number), mirrored in the oracle
+    a = li.where(F.col("l_orderkey") % 199 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.date_add(
+            F.col("l_shipdate"), (F.lit(1) + F.col("l_linenumber") % 20).cast("int")
+        ).alias("l_receiptdate"),
+    )
+    b = o.where(F.col("o_orderkey") % 211 == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("o_start"),
+        F.date_add(F.col("o_orderdate"), 7).alias("o_end"),
+    )
+    joined = asof.interval_overlap_join(
+        a, b, "l_shipdate", "l_receiptdate", "o_start", "o_end", cell_days=7
+    )
+    overlap_days = (
+        F.datediff(
+            F.least(F.col("l_receiptdate"), F.col("o_end")),
+            F.greatest(F.col("l_shipdate"), F.col("o_start")),
+        )
+        + 1
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderkey",
+        overlap_days.cast("int").alias("overlap_days"),
+    ).orderBy("l_orderkey", "l_linenumber", "o_orderkey")
+
+
+_ORACLE_INTERVAL_JOIN = """
+WITH l AS (
+  SELECT l_orderkey, l_linenumber, l_shipdate,
+         l_shipdate + to_days(CAST(1 + l_linenumber % 20 AS INTEGER))
+           AS l_receiptdate
+  FROM lineitem WHERE l_orderkey % 199 = 0
+)
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey,
+       CAST(date_diff('day',
+                      greatest(l.l_shipdate, o.o_orderdate),
+                      least(l.l_receiptdate, o.o_orderdate + INTERVAL 7 DAY))
+            + 1 AS INTEGER) AS overlap_days
+FROM l
+JOIN (SELECT * FROM orders WHERE o_orderkey % 211 = 0) o
+  ON l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+ AND o.o_orderdate <= l.l_receiptdate
+ORDER BY l_orderkey, l_linenumber, o_orderkey
+"""
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1e snapshot isolation + time travel on plain parquet (r11),
     ORACLE-CHECKED: the versioned key-range layout (operators/merge.py
@@ -12194,6 +12261,8 @@ QUERIES: dict[str, QueryFn] = {
     "l_diversity": q_l_diversity,
     # Flesch readability: the sentence-complexity quality axis
     "readability": q_readability,
+    # interval-interval overlap join: the temporal grid-join sibling
+    "interval_join": q_interval_join,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -12582,6 +12651,7 @@ ORACLES: dict[str, str] = {
     "retrieval_ndcg": _ORACLE_RETRIEVAL_NDCG,
     "l_diversity": _ORACLE_L_DIVERSITY,
     "readability": _ORACLE_READABILITY,
+    "interval_join": _ORACLE_INTERVAL_JOIN,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,

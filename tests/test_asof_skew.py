@@ -174,3 +174,46 @@ def test_asof_null_value_does_not_mix_rows(spark):
         right_value_cols=["v"], tolerance_s=20,
     ).collect()[0]
     assert bwd.ts_asof == t(55) and bwd.v_asof is None
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Grid-celled interval join == the quadratic predicate join, with
+    boundary-touching overlaps, multi-cell-spanning intervals, and
+    exactly-once emission (no distinct pass)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "2024-01-03"),
+            (2, "2024-01-10", "2024-02-20"),   # spans many 7d cells
+            (3, "2024-03-01", "2024-03-01"),   # single-day interval
+        ],
+        "aid long, s string, e string",
+    ).select("aid", F.col("s").cast("date").alias("a_s"), F.col("e").cast("date").alias("a_e"))
+    b = spark.createDataFrame(
+        [
+            (10, "2024-01-03", "2024-01-05"),  # touches a1's end exactly
+            (11, "2024-01-15", "2024-01-16"),  # inside a2
+            (12, "2024-02-18", "2024-03-01"),  # overlaps a2 tail AND a3
+            (13, "2023-12-01", "2023-12-31"),  # no overlap with anything
+        ],
+        "bid long, s string, e string",
+    ).select("bid", F.col("s").cast("date").alias("b_s"), F.col("e").cast("date").alias("b_e"))
+
+    got = sorted(
+        (r.aid, r.bid)
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", cell_days=7
+        ).collect()
+    )
+    brute = sorted(
+        (r.aid, r.bid)
+        for r in a.crossJoin(b)
+        .where((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .collect()
+    )
+    assert got == brute == [(1, 10), (2, 11), (2, 12), (3, 12)]
+    # exactly-once: multi-cell-sharing pair (2, 12) appears once
+    assert len(got) == len(set(got))
