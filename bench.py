@@ -223,6 +223,7 @@ HEADLINE = [
     "l_diversity",
     "readability",
     "interval_join",
+    "winsorize",
 ]
 
 

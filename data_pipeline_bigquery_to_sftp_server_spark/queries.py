@@ -10684,6 +10684,89 @@ ORDER BY source, decile
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 grouped winsorization (r11), ORACLE-CHECKED: per-source
+    clipping of n_chars at the exact [p5, p95] type-1 quantiles — the
+    outlier-robust feature-prep step next to the IQR fence (X52 drops
+    outliers; winsorization KEEPS the row at the boundary value, the
+    right call when sample size matters). Quantiles are positional:
+    rank values under the (value, doc_id) total order, pick the value
+    at rank ceil(p*n/100) with pure integer math ((p*n + 99) div 100)
+    — the tie-stable engine-portable selection (never quantile_cont,
+    whose interpolation differs at half boundaries). Report per
+    source: bounds, clip counts, and exact-integer means before/after
+    (one double division each). One partitioned window + two grouped
+    aggregates."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("v"),
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    t05 = F.expr("(5 * n + 99) div 100")
+    t95 = F.expr("(95 * n + 99) div 100")
+    bounds = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("rnk") == t05, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("rnk") == t95, F.col("v"))).alias("hi"),
+    )
+    clipped = ranked.join(F.broadcast(bounds), "source").select(
+        "source",
+        "v",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v"))).alias("_w"),
+        (F.col("v") < F.col("lo")).cast("int").alias("_cl"),
+        (F.col("v") > F.col("hi")).cast("int").alias("_ch"),
+        "lo",
+        "hi",
+    )
+    return (
+        clipped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.sum("_cl").cast("bigint").alias("n_clipped_low"),
+            F.sum("_ch").cast("bigint").alias("n_clipped_high"),
+            (F.sum("v") / F.count(F.lit(1))).alias("mean_before"),
+            (F.sum("_w") / F.count(F.lit(1))).alias("mean_after"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_WINSORIZE = """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS rnk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents WHERE n_chars IS NOT NULL
+), bounds AS (
+  SELECT source,
+         min(CASE WHEN rnk = (5 * n + 99) // 100 THEN v END) AS lo,
+         min(CASE WHEN rnk = (95 * n + 99) // 100 THEN v END) AS hi
+  FROM ranked GROUP BY source
+), c AS (
+  SELECT r.source, r.v,
+         greatest(b.lo, least(b.hi, r.v)) AS w,
+         CASE WHEN r.v < b.lo THEN 1 ELSE 0 END AS cl,
+         CASE WHEN r.v > b.hi THEN 1 ELSE 0 END AS ch,
+         b.lo, b.hi
+  FROM ranked r JOIN bounds b USING (source)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(min(lo) AS BIGINT) AS lo, CAST(min(hi) AS BIGINT) AS hi,
+       CAST(sum(cl) AS BIGINT) AS n_clipped_low,
+       CAST(sum(ch) AS BIGINT) AS n_clipped_high,
+       CAST(sum(v) AS BIGINT) / count(*) AS mean_before,
+       CAST(sum(w) AS BIGINT) / count(*) AS mean_after
+FROM c GROUP BY source ORDER BY source
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X78 Markov transition estimation, ORACLE-CHECKED: the
     first-order event-type transition matrix over per-user ordered
@@ -12263,6 +12346,8 @@ QUERIES: dict[str, QueryFn] = {
     "readability": q_readability,
     # interval-interval overlap join: the temporal grid-join sibling
     "interval_join": q_interval_join,
+    # grouped winsorization: exact positional-quantile clipping
+    "winsorize": q_winsorize,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -12652,6 +12737,7 @@ ORACLES: dict[str, str] = {
     "l_diversity": _ORACLE_L_DIVERSITY,
     "readability": _ORACLE_READABILITY,
     "interval_join": _ORACLE_INTERVAL_JOIN,
+    "winsorize": _ORACLE_WINSORIZE,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,

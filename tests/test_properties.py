@@ -287,3 +287,49 @@ def test_row_signature_encoding_injective(spark, rows):
         r._rhash for r in row_signature(df, "k", ["c1", "c2"], 4).collect()
     ]
     assert len(set(hashes)) == len(rows)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    a_iv=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 40)),
+        min_size=1, max_size=10,
+    ),
+    b_iv=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 40)),
+        min_size=1, max_size=10,
+    ),
+)
+def test_interval_overlap_join_matches_bruteforce_random(spark, a_iv, b_iv):
+    """Random interval sets (arbitrary lengths incl. multi-cell spans
+    and touching boundaries): the grid-celled join must equal the
+    quadratic predicate join with each pair exactly once."""
+    import datetime
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    d0 = datetime.date(2024, 1, 1)
+
+    def mk(rows, pre):
+        data = [
+            (i, d0 + datetime.timedelta(days=s), d0 + datetime.timedelta(days=s + ln))
+            for i, (s, ln) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, f"{pre}id long, {pre}s date, {pre}e date"
+        )
+
+    a, b = mk(a_iv, "a"), mk(b_iv, "b")
+    got = sorted(
+        (r.aid, r.bid)
+        for r in interval_overlap_join(a, b, "as", "ae", "bs", "be", cell_days=7).collect()
+    )
+    brute = sorted(
+        (r.aid, r.bid)
+        for r in a.crossJoin(b)
+        .where((F.col("as") <= F.col("be")) & (F.col("bs") <= F.col("ae")))
+        .collect()
+    )
+    assert got == brute and len(got) == len(set(got))
