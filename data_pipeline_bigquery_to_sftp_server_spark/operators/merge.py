@@ -508,6 +508,10 @@ def vacuum_versions(
     (retention = the last ``keep_last`` versions), then the expired
     manifests themselves — the storage-reclamation half of the
     snapshot contract. Returns the deleted directory paths."""
+    if int(keep_last) < 1:
+        # keep_last=0 would compute an EMPTY live set and delete every
+        # generation — the table itself. Retention must keep >= 1.
+        raise ValueError("vacuum_versions: keep_last must be >= 1")
     versions = _list_versions(spark, f"{path}/_manifest")
     keep = versions[-int(keep_last):]
     live: set[tuple[int, int]] = set()

@@ -509,3 +509,17 @@ def test_versioned_retry_after_crash_does_not_duplicate(spark, tmp_path):
     expected = {k: k * 3 for k in range(40)} | {10: 1, 11: 2}
     assert got == expected
     assert merge.read_version(spark, path).count() == 40
+
+
+def test_vacuum_rejects_zero_retention(spark, tmp_path):
+    """keep_last=0 would delete every live generation — the guard must
+    refuse rather than destroy the table."""
+    import pytest
+
+    path = str(tmp_path / "vg")
+    merge.versioned_layout_write(
+        spark.range(10).selectExpr("id AS k", "id AS v"), "k", path, 4
+    )
+    with pytest.raises(ValueError, match="keep_last"):
+        merge.vacuum_versions(spark, path, keep_last=0)
+    assert merge.read_version(spark, path).count() == 10
