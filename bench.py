@@ -224,6 +224,7 @@ HEADLINE = [
     "readability",
     "interval_join",
     "winsorize",
+    "robust_zscore",
 ]
 
 

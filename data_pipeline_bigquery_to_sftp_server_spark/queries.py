@@ -10767,6 +10767,115 @@ FROM c GROUP BY source ORDER BY source
 """
 
 
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 median/MAD outlier scoring (r11), ORACLE-CHECKED: the
+    Iglewicz-Hoberg modified z-score 0.6745*(v - median)/MAD per
+    document, flagged at |z| > 3.5 — the robust sibling of the IQR
+    fence (X52) and the rolling mean/std z (X61): median and MAD are
+    50%-breakdown estimators, so a heavy tail cannot drag its own
+    fence the way it drags a mean/std. Both statistics are EXACT
+    positional quantiles (rank ceil(n/2) under a total order — the
+    winsorize discipline; MAD ranks the integer |v - med| deviations
+    in a second pass), the 0.6745 consistency constant is a literal in
+    both engines, and each z is one fixed float tree over exact longs.
+    Output: per-source summary (median, MAD, outlier count) — two
+    partitioned window passes + grouped aggregates, no UDF."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    )
+    w1 = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("v"),
+        F.row_number().over(w1).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    tmed = F.expr("(50 * n + 99) div 100")
+    med = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("rnk") == tmed, F.col("v"))).alias("med")
+    )
+    dev = ranked.join(F.broadcast(med), "source").select(
+        "source",
+        "doc_id",
+        "v",
+        "med",
+        F.abs(F.col("v") - F.col("med")).alias("_ad"),
+    )
+    w2 = Window.partitionBy("source").orderBy("_ad", "doc_id")
+    dev_ranked = dev.select(
+        "*",
+        F.row_number().over(w2).alias("rnk2"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    mad = dev_ranked.groupBy("source").agg(
+        F.min(
+            F.when(F.col("rnk2") == F.expr("(50 * n + 99) div 100"), F.col("_ad"))
+        ).alias("mad")
+    )
+    z = F.lit(0.6745) * (F.col("v") - F.col("med")).cast("double") / F.col(
+        "mad"
+    ).cast("double")
+    scored = dev.join(F.broadcast(mad), "source").select(
+        "source",
+        "med",
+        "mad",
+        F.when(F.col("mad") > 0, F.abs(z) > 3.5)
+        .otherwise(F.lit(False))
+        .alias("_is_out"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first("med").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(F.col("_is_out").cast("int")).cast("bigint").alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_ROBUST_ZSCORE = """
+WITH ranked AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS rnk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents WHERE n_chars IS NOT NULL
+), med AS (
+  SELECT source, min(CASE WHEN rnk = (50 * n + 99) // 100 THEN v END) AS med
+  FROM ranked GROUP BY source
+), dev AS (
+  SELECT r.source, r.doc_id, r.v, m.med, abs(r.v - m.med) AS ad
+  FROM ranked r JOIN med m USING (source)
+), dev_ranked AS (
+  SELECT source, doc_id, v, med, ad,
+         row_number() OVER (PARTITION BY source ORDER BY ad, doc_id) AS rnk2,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM dev
+), mad AS (
+  SELECT source,
+         min(CASE WHEN rnk2 = (50 * n + 99) // 100 THEN ad END) AS mad
+  FROM dev_ranked GROUP BY source
+), scored AS (
+  SELECT d.source, d.med, m.mad,
+         CASE WHEN m.mad > 0
+              THEN abs(0.6745 * CAST(d.v - d.med AS DOUBLE)
+                       / CAST(m.mad AS DOUBLE)) > 3.5
+              ELSE FALSE END AS is_out
+  FROM dev d JOIN mad m USING (source)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(min(med) AS BIGINT) AS median,
+       CAST(min(mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X78 Markov transition estimation, ORACLE-CHECKED: the
     first-order event-type transition matrix over per-user ordered
@@ -12348,6 +12457,8 @@ QUERIES: dict[str, QueryFn] = {
     "interval_join": q_interval_join,
     # grouped winsorization: exact positional-quantile clipping
     "winsorize": q_winsorize,
+    # median/MAD modified z: the 50%-breakdown outlier fence
+    "robust_zscore": q_robust_zscore,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -12738,6 +12849,7 @@ ORACLES: dict[str, str] = {
     "readability": _ORACLE_READABILITY,
     "interval_join": _ORACLE_INTERVAL_JOIN,
     "winsorize": _ORACLE_WINSORIZE,
+    "robust_zscore": _ORACLE_ROBUST_ZSCORE,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,
