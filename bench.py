@@ -225,6 +225,7 @@ HEADLINE = [
     "interval_join",
     "winsorize",
     "robust_zscore",
+    "stratified_sample",
 ]
 
 

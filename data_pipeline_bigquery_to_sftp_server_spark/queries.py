@@ -10767,6 +10767,103 @@ FROM c GROUP BY source ORDER BY source
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94 stratified sampling with exact proportional allocation
+    (r11), ORACLE-CHECKED: a 200-doc eval budget split across source
+    strata by largest-remainder (Hamilton) apportionment — base_h =
+    (budget*N_h) div N, the leftover seats to the largest integer
+    remainders budget*N_h - base_h*N (ties by source name) — ALL
+    integer arithmetic, so the allocation is engine-exact where
+    floor-of-float shares would wobble at seat boundaries. The draw
+    inside each stratum takes the allocation's smallest md5(doc_id)
+    hashes (the weighted_sample reproducible-race discipline), so both
+    engines select the identical documents. Output: one row per
+    stratum (population, exact allocation, drawn count, min drawn id)
+    — the eval-set constructor for proportional corpus audits. Scale:
+    one grouped count, seat math on the |strata|-row frame, one
+    partitioned top-k window for the draw."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    budget = 200
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_pop"))
+    totals = counts.agg(F.sum("n_pop").alias("n_total"))
+    seats = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_pop",
+        F.expr(f"({budget} * n_pop) div n_total").alias("_base"),
+        (F.lit(budget) * F.col("n_pop")
+         - F.expr(f"({budget} * n_pop) div n_total") * F.col("n_total")
+         ).alias("_rem"),
+        "n_total",
+    )
+    leftover = F.lit(budget) - F.sum("_base").over(
+        Window.partitionBy(F.lit(1))
+    )
+    wr = Window.partitionBy(F.lit(1)).orderBy(F.desc("_rem"), F.asc("source"))
+    alloc = seats.select(
+        "source",
+        "n_pop",
+        (
+            F.col("_base")
+            + (F.row_number().over(wr) <= leftover).cast("long")
+        ).alias("alloc"),
+    )
+    wd = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    drawn = (
+        d.select("source", "doc_id")
+        .withColumn("_r", F.row_number().over(wd))
+        .join(F.broadcast(alloc), "source")
+        .where(F.col("_r") <= F.col("alloc"))
+    )
+    return (
+        drawn.groupBy("source")
+        .agg(
+            F.first("n_pop").alias("n_pop"),
+            F.first("alloc").cast("bigint").alias("alloc"),
+            F.count(F.lit(1)).alias("n_drawn"),
+            F.min("doc_id").alias("min_drawn_id"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_STRATIFIED_SAMPLE = """
+WITH counts AS (
+  SELECT source, count(*) AS n_pop FROM documents
+  WHERE doc_id IS NOT NULL GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_pop) AS BIGINT) AS n_total FROM counts
+), seats AS (
+  SELECT source, n_pop,
+         (200 * n_pop) // n_total AS base,
+         200 * n_pop - ((200 * n_pop) // n_total) * n_total AS rem
+  FROM counts CROSS JOIN tot
+), alloc AS (
+  SELECT source, n_pop,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                          <= 200 - (SELECT sum(base) FROM seats)
+                     THEN 1 ELSE 0 END AS alloc
+  FROM seats
+), ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS r
+  FROM documents WHERE doc_id IS NOT NULL
+), drawn AS (
+  SELECT r.source, r.doc_id, a.n_pop, a.alloc
+  FROM ranked r JOIN alloc a USING (source)
+  WHERE r.r <= a.alloc
+)
+SELECT source, CAST(min(n_pop) AS BIGINT) AS n_pop,
+       CAST(min(alloc) AS BIGINT) AS alloc,
+       count(*) AS n_drawn,
+       CAST(min(doc_id) AS BIGINT) AS min_drawn_id
+FROM drawn GROUP BY source ORDER BY source
+"""
+
+
 def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X93 median/MAD outlier scoring (r11), ORACLE-CHECKED: the
     Iglewicz-Hoberg modified z-score 0.6745*(v - median)/MAD per
@@ -12459,6 +12556,8 @@ QUERIES: dict[str, QueryFn] = {
     "winsorize": q_winsorize,
     # median/MAD modified z: the 50%-breakdown outlier fence
     "robust_zscore": q_robust_zscore,
+    # Hamilton-apportioned stratified sampling: integer-exact seats
+    "stratified_sample": q_stratified_sample,
     # previously displaced rows (r7-r10 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
@@ -12850,6 +12949,7 @@ ORACLES: dict[str, str] = {
     "interval_join": _ORACLE_INTERVAL_JOIN,
     "winsorize": _ORACLE_WINSORIZE,
     "robust_zscore": _ORACLE_ROBUST_ZSCORE,
+    "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "python_datasource": _ORACLE_PYTHON_DATASOURCE,
     "media_dedup": _ORACLE_MEDIA_DEDUP,
     "spatial_join": _ORACLE_SPATIAL_JOIN,
