@@ -12383,19 +12383,89 @@ ORDER BY p.ante, p.cons
 # tools/verify_local.py and tests/.
 QUERIES: dict[str, QueryFn] = {
     # -- slots 1-50: driver correctness window ------------------------
-    # r11 rotation (r10 verdict next-round #1, the standing treadmill):
-    # the official artifact has never attested the r10-late batch, so
-    # ALL 42 r10 rows that lacked a CORRECTNESS row move in, plus the 8
-    # OLDEST never-attested rows (r7/r8 vintage: ccnet_buckets ..
-    # priority_dedup). Every displaced row below was driver-green in
-    # CORRECTNESS_r10 (50/50, fifth consecutive all-green round) and
-    # stays verify_local-green on its identical oracle — the in-window
-    # machinery coverage for each displaced family is noted at the
-    # past-window block.
-    # r10-late analytics batch (skyline..basket_rules, queries.py
-    # ~9600-11100): recursive-query class (BFS / shortest paths), ER,
-    # RFM, SCD3/PIT, IVM, reconciliation, spatial, Benford, baskets,
-    # governance (k-anonymity / fk integrity / surrogate keys)
+    # r12 rotation (r11 verdict next-round #1): the 52 oracled queries
+    # that have never had a driver CORRECTNESS row move in — all 52
+    # were verified green by the r11 judge under the identical DuckDB
+    # harness (tools/verify_local.py, three batches, 52/52).  Window =
+    # 14 r11-new + 20 mid-list + 16 TPC-H/streaming-deployment rows;
+    # promo_share and disjunctive_rev (filtered single-table aggregates
+    # whose machinery rides small_qty_revenue / returned_items) queue
+    # for r13 so the never-attested backlog empties next round.
+    # r11 additions: lakehouse snapshots/CDF, carried-state streaming,
+    # star-contraction CC, retrieval fusion/eval, robust stats
+    "streaming_transitions_state": q_streaming_transitions_state,
+    "cc_star": q_cc_star,
+    "merge_fileskip": q_merge_fileskip,
+    "time_travel": q_time_travel,
+    "version_diff": q_version_diff,
+    "data_health": q_data_health,
+    "rrf_fusion": q_rrf_fusion,
+    "retrieval_ndcg": q_retrieval_ndcg,
+    "l_diversity": q_l_diversity,
+    "readability": q_readability,
+    "interval_join": q_interval_join,
+    "winsorize": q_winsorize,
+    "robust_zscore": q_robust_zscore,
+    "stratified_sample": q_stratified_sample,
+    # never-attested mid-list rows (r7-r10 vintage)
+    "membership_split": q_membership_split,
+    "c4_line_filter": q_c4_line_filter,
+    "line_dedup": q_line_dedup,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_pairs": q_winnow_pairs,
+    "encode_token_ids": q_encode_token_ids,
+    "contrastive_triplets": q_contrastive_triplets,
+    "curriculum_shards": q_curriculum_shards,
+    "scalar_subquery": q_scalar_subquery,
+    "decimal_agg": q_decimal_agg,
+    "orc_roundtrip": q_orc_roundtrip,
+    "variant_extract": q_variant_extract,
+    "lang_id": q_lang_id,
+    "media_frames": q_media_frames,
+    "mixture_upsample": q_mixture_upsample,
+    "quota_sample": q_quota_sample,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "partitioned_prune": q_partitioned_prune,
+    "date_arithmetic": q_date_arithmetic,
+    "array_hof": q_array_hof,
+    # never-attested TPC-H reports + streaming deployments
+    "streaming_pii": q_streaming_pii,
+    "streaming_decontam": q_streaming_decontam,
+    "streaming_classify": q_streaming_classify,
+    "media_resize": q_media_resize,
+    "lm_scores": q_lm_scores,
+    "fingerprints": q_fingerprints,
+    "quality_scores": q_quality_scores,
+    "order_priority_check": q_order_priority_check,
+    "volume_shipping": q_volume_shipping,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "sales_opportunity": q_sales_opportunity,
+    "returned_items": q_returned_items,
+    "exists_subquery": q_exists_subquery,
+    "priority_case_counts": q_priority_case_counts,
+    # -- slots 51+: verified via verify_local -------------------------
+    # The ENTIRE r11 official window moves past the slot line (all 50
+    # driver-green in CORRECTNESS_r11, sixth consecutive all-green
+    # round; every oracle unchanged).  In-window machinery coverage
+    # for the displaced families: MERGE rides merge_fileskip +
+    # time_travel + version_diff (strictly stronger than the scd3 /
+    # streaming_scd2 forms displaced); CC/dedup rides cc_star (the
+    # general tier of entity_resolution's min-label CC) and line_dedup
+    # + winnow_pairs; sketches/monitoring ride data_health (TVD drift +
+    # rolling-z + constraint audit = hist_drift + rolling_active +
+    # constraint machinery in one report); retrieval rides rrf_fusion +
+    # retrieval_ndcg (supersets of hard_negatives' scoring); streaming
+    # rides streaming_transitions_state / _pii / _decontam / _classify
+    # (the same epoch-gated foreachBatch + GroupState shapes); windows
+    # ride winsorize / robust_zscore / stratified_sample (partitioned
+    # rank math); joins ride interval_join (grid co-location) +
+    # scalar/exists_subquery; governance rides l_diversity (the
+    # k_anonymity superset); sampling rides quota_sample +
+    # mixture_upsample + stratified_sample; formats ride orc_roundtrip
+    # + variant_extract + partitioned_prune; text/quality rides
+    # readability + quality_scores + lang_id + c4_line_filter.
     "skyline_customers": q_skyline_customers,
     "target_encode": q_target_encode,
     "impute_missing": q_impute_missing,
@@ -12422,7 +12492,6 @@ QUERIES: dict[str, QueryFn] = {
     "benford_audit": q_benford_audit,
     "streaming_reconcile": q_streaming_reconcile,
     "basket_rules": q_basket_rules,
-    # mid-r10 sketch / layout / profiling rows
     "hist_drift": q_hist_drift,
     "rolling_active": q_rolling_active,
     "hll_distinct": q_hll_distinct,
@@ -12431,7 +12500,6 @@ QUERIES: dict[str, QueryFn] = {
     "profile_table": q_profile_table,
     "sequence_pattern": q_sequence_pattern,
     "streaming_hll": q_streaming_hll,
-    # r10 time-series regularization, graph, decontam, composites
     "semantic_decontam": q_semantic_decontam,
     "resample_ffill": q_resample_ffill,
     "resample_interp": q_resample_interp,
@@ -12440,8 +12508,6 @@ QUERIES: dict[str, QueryFn] = {
     "sorted_neighborhood": q_sorted_neighborhood,
     "curriculum_packing": q_curriculum_packing,
     "bpe_encode_new": q_bpe_encode_new,
-    # oldest never-attested rows (r7/r8 additions, oracle-green via
-    # verify_local since their round; the treadmill finally reaches them)
     "ccnet_buckets": q_ccnet_buckets,
     "vocab_coverage": q_vocab_coverage,
     "temperature_sample": q_temperature_sample,
@@ -12450,25 +12516,11 @@ QUERIES: dict[str, QueryFn] = {
     "hard_negatives": q_hard_negatives,
     "streaming_scd2": q_streaming_scd2,
     "priority_dedup": q_priority_dedup,
-    # -- slots 51+: verified via verify_local -------------------------
-    # The ENTIRE r10 official window moves past the slot line this
-    # round (all 50 driver-green in CORRECTNESS_r10; every oracle
-    # unchanged). In-window machinery coverage for the displaced
-    # families: exact/near-dup dedup rides entity_resolution +
-    # sorted_neighborhood (blocked pair build + CC) and media_dedup;
-    # held-state absorbs ride streaming_ivm / streaming_reconcile /
-    # streaming_resample / streaming_hll / streaming_transitions (the
-    # same epoch-gated foreachBatch shape as covariance/hist/kmv);
-    # the sketch family rides hll_distinct + cms_counts + hist_drift;
-    # joins ride pit_join (key equi-join interval filter) +
-    # spatial_join (grid equi-join); windows ride rolling_active +
-    # sequence_pattern; aggregation rides rfm_segments /
-    # revenue_trend / benford_audit / basket_rules; the tokenizer
-    # lifecycle keeps bpe_encode_new in-window with the relational
-    # encoder twin displaced; streaming MERGE rides streaming_scd2;
-    # sampling rides temperature_sample + shuffle_shards; retrieval
-    # rides hard_negatives; quality gates ride
-    # streaming_quality_gate + profile_table + k_anonymity.
+    # r13 rotation queue: the last 2 never-driver-attested rows
+    "promo_share": q_promo_share,
+    "disjunctive_rev": q_disjunctive_rev,
+    # previously displaced rows (r7-r11 rotations) — all remain
+    # verify_local-green; see git history for their official rounds
     "curation_pipeline": q_curation_pipeline,
     "sync_pipeline": q_sync_pipeline,
     "semantic_dedup": q_semantic_dedup,
@@ -12519,47 +12571,6 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "streaming_kmv": q_streaming_kmv,
     "streaming_iqr_gate": q_streaming_iqr_gate,
-    # r11 additions (oracle-checked; r12 rotation candidates) --------
-    # the carried-state general tier of the transition family: exact
-    # WITHOUT the producer-controls-file-layout precondition the
-    # in-window streaming_transitions row requires
-    "streaming_transitions_state": q_streaming_transitions_state,
-    # general-tier CC: O(log n) star contraction on the long-chain
-    # graph min-label cannot finish (entity_resolution holds the
-    # in-window CC row via the vocabulary-collapsed match graph)
-    "cc_star": q_cc_star,
-    # file-skipping MERGE over a range-laid-out parquet table: the
-    # min/max-manifest prune (streaming_scd2 + scd3_apply hold the
-    # in-window MERGE rows)
-    "merge_fileskip": q_merge_fileskip,
-    # the monitoring composite: drift + anomaly + constraint sections
-    # in one paging-rule-shaped report (each section's machinery is
-    # in-window via hist_drift / rolling-anomaly's family / the audit)
-    "data_health": q_data_health,
-    # hybrid-retrieval rank fusion: BM25 + TF-IDF cosine through RRF
-    # (hard_negatives holds the in-window retrieval-mining row)
-    "rrf_fusion": q_rrf_fusion,
-    # snapshot isolation + time travel: versioned manifests over the
-    # key-range layout (the non-destructive sibling of merge_fileskip)
-    "time_travel": q_time_travel,
-    # CDF between committed versions: time travel x snapshot_diff
-    "version_diff": q_version_diff,
-    # graded retrieval eval: nDCG@10 next to MRR (literal discounts)
-    "retrieval_ndcg": q_retrieval_ndcg,
-    # l-diversity + disclosure risk: the audit k-anonymity can't see
-    "l_diversity": q_l_diversity,
-    # Flesch readability: the sentence-complexity quality axis
-    "readability": q_readability,
-    # interval-interval overlap join: the temporal grid-join sibling
-    "interval_join": q_interval_join,
-    # grouped winsorization: exact positional-quantile clipping
-    "winsorize": q_winsorize,
-    # median/MAD modified z: the 50%-breakdown outlier fence
-    "robust_zscore": q_robust_zscore,
-    # Hamilton-apportioned stratified sampling: integer-exact seats
-    "stratified_sample": q_stratified_sample,
-    # previously displaced rows (r7-r10 rotations) — all remain
-    # verify_local-green; see git history for their official rounds
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "gopher_rules": q_gopher_rules,
@@ -12587,11 +12598,6 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_fast_deep": q_bpe_fast_deep,
     "hard_negatives_ann": q_hard_negatives_ann,
     "retrieval_mrr_ann": q_retrieval_mrr_ann,
-    "contrastive_triplets": q_contrastive_triplets,
-    "curriculum_shards": q_curriculum_shards,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "winnow_pairs": q_winnow_pairs,
-    "encode_token_ids": q_encode_token_ids,
     "pca_project": q_pca_project,
     "semantic_dedup_pca": q_semantic_dedup_pca,
     "token_topk": q_token_topk,
@@ -12608,8 +12614,6 @@ QUERIES: dict[str, QueryFn] = {
     "lm_scores_foreign": q_lm_scores_foreign,
     "range_join": q_range_join,
     "repetition_scores": q_repetition_scores,
-    "c4_line_filter": q_c4_line_filter,
-    "line_dedup": q_line_dedup,
     "cluster_documents": q_cluster_documents,
     "semantic_dedup_clustered": q_semantic_dedup_clustered,
     "count_distinct": q_count_distinct,
@@ -12639,13 +12643,7 @@ QUERIES: dict[str, QueryFn] = {
     "big_orders": q_big_orders,
     "market_share": q_market_share,
     "window_range_frame": q_window_range_frame,
-    "membership_split": q_membership_split,
     "simhash_near_pairs": q_simhash_near_pairs,
-    "streaming_pii": q_streaming_pii,
-    "streaming_decontam": q_streaming_decontam,
-    "streaming_classify": q_streaming_classify,
-    "media_frames": q_media_frames,
-    "media_resize": q_media_resize,
     "rollup": q_rollup,
     "cube": q_cube,
     "window_rank": q_window_rank,
@@ -12669,32 +12667,7 @@ QUERIES: dict[str, QueryFn] = {
     "percentiles": q_percentiles,
     "ratio_report": q_ratio_report,
     "posexplode": q_posexplode,
-    "scalar_subquery": q_scalar_subquery,
-    "exists_subquery": q_exists_subquery,
-    "priority_case_counts": q_priority_case_counts,
-    "promo_share": q_promo_share,
-    "disjunctive_rev": q_disjunctive_rev,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "partitioned_prune": q_partitioned_prune,
-    "date_arithmetic": q_date_arithmetic,
-    "array_hof": q_array_hof,
     "html_clean": q_html_clean,
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
-    "fingerprints": q_fingerprints,
-    "order_priority_check": q_order_priority_check,
-    "volume_shipping": q_volume_shipping,
-    "customer_distribution": q_customer_distribution,
-    "top_supplier": q_top_supplier,
-    "small_qty_revenue": q_small_qty_revenue,
-    "sales_opportunity": q_sales_opportunity,
-    "decimal_agg": q_decimal_agg,
-    "returned_items": q_returned_items,
-    "orc_roundtrip": q_orc_roundtrip,
-    "variant_extract": q_variant_extract,
-    "quota_sample": q_quota_sample,
-    "mixture_upsample": q_mixture_upsample,
-    "lm_scores": q_lm_scores,
 }
 
 ORACLES: dict[str, str] = {
