@@ -523,3 +523,237 @@ def test_vacuum_rejects_zero_retention(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_last"):
         merge.vacuum_versions(spark, path, keep_last=0)
     assert merge.read_version(spark, path).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# r12: merge-on-read deletion vectors, optimistic concurrency,
+# per-column manifest statistics (r11 verdict #3/#4/#5)
+# ---------------------------------------------------------------------------
+
+
+def _data_tree(path):
+    """{relative data file -> size} for every parquet part under
+    <path>/data — the byte-identity evidence for MOR commits."""
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(os.path.join(path, "data")):
+        for f in files:
+            if f.startswith("part-"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, path)] = os.path.getsize(p)
+    return out
+
+
+def test_mor_upsert_matches_cow_and_rewrites_nothing(spark, tmp_path):
+    """The DV tier's read-back equals the copy-on-write path on the
+    same CDC batch, while every PRE-EXISTING data file stays byte-for-
+    byte in place and the new generation holds only the staging rows."""
+    t0 = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    staging = spark.createDataFrame(
+        [(k, k * 10 + 1) for k in range(40, 50)] + [(200, 5)],
+        "k long, v long",
+    )
+
+    cow = str(tmp_path / "cow")
+    merge.versioned_layout_write(t0, "k", cow, n_buckets=8)
+    merge.upsert_versioned(spark, cow, staging, "k")
+
+    mor = str(tmp_path / "mor")
+    merge.versioned_layout_write(t0, "k", mor, n_buckets=8)
+    before = _data_tree(mor)
+    out = merge.upsert_versioned_dv(spark, mor, staging, "k")
+    assert out.version == 1
+    after = _data_tree(mor)
+
+    # pre-existing files byte-identical, new files only at _gen=1
+    assert {f: s for f, s in after.items() if "_gen=1" not in f} == before
+    new_rows = (
+        spark.read.option("basePath", f"{mor}/data")
+        .parquet(f"{mor}/data")
+        .where("_gen = 1")
+        .count()
+    )
+    assert new_rows == staging.count()
+
+    got_mor = {r.k: r.v for r in merge.read_version(spark, mor).collect()}
+    got_cow = {r.k: r.v for r in merge.read_version(spark, cow).collect()}
+    expected = {k: k * 10 for k in range(100)}
+    expected.update({k: k * 10 + 1 for k in range(40, 50)})
+    expected[200] = 5
+    assert got_mor == expected == got_cow
+    # v0 untouched through its manifest
+    assert {
+        r.k: r.v for r in merge.read_version(spark, mor, 0).collect()
+    } == {k: k * 10 for k in range(100)}
+
+
+def test_delete_versioned_touches_zero_data_files(spark, tmp_path):
+    """A pure DELETE commits only a deletion vector + manifest: the
+    data tree is IDENTICAL before and after, the deleted keys vanish
+    from the new version, and time travel still serves them."""
+    path = str(tmp_path / "dv_del")
+    t0 = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    merge.versioned_layout_write(t0, "k", path, n_buckets=4)
+    before = _data_tree(path)
+    v = merge.delete_versioned(
+        spark, path, spark.createDataFrame([(5,), (20,), (999,)], "k long"),
+        "k",
+    )
+    assert v == 1
+    assert _data_tree(path) == before  # zero data files written
+    live = {r.k for r in merge.read_version(spark, path).collect()}
+    assert live == set(range(60)) - {5, 20}
+    assert {r.k for r in merge.read_version(spark, path, 0).collect()} == set(
+        range(60)
+    )
+
+
+def test_mor_reapply_and_double_update_resolve_to_latest(spark, tmp_path):
+    """Replaying the same MOR batch yields identical live contents
+    (idempotent re-apply), and a second update of the same key keeps
+    only the newest copy."""
+    path = str(tmp_path / "dv_re")
+    merge.versioned_layout_write(
+        spark.range(30).selectExpr("id AS k", "id AS v"), "k", path, 4
+    )
+    s = spark.createDataFrame([(7, 100), (8, 101)], "k long, v long")
+    merge.upsert_versioned_dv(spark, path, s, "k")
+    one = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    merge.upsert_versioned_dv(spark, path, s, "k")  # replayed batch
+    two = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert one == two
+    merge.upsert_versioned_dv(
+        spark, path, spark.createDataFrame([(7, 777)], "k long, v long"), "k"
+    )
+    three = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert three[7] == 777 and three[8] == 101
+
+
+def test_compact_folds_deletion_vectors(spark, tmp_path):
+    """compact_table resets merge-on-read debt: contents equal the
+    pre-compact live view, the compacted version carries NO DV file,
+    and a COW upsert after MOR history reads through the DV."""
+    import os
+
+    path = str(tmp_path / "dv_ct")
+    merge.versioned_layout_write(
+        spark.range(40).selectExpr("id AS k", "id * 3 AS v"), "k", path, 4
+    )
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(3, 1), (35, 2)], "k long, v long"), "k")
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(10,)], "k long"), "k")
+    before = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    man = merge.compact_table(spark, path, "k")
+    assert man.version == 3
+    assert not os.path.exists(os.path.join(path, "_dv", "v=3"))
+    after = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert after == before
+
+    # COW upsert on top of MOR history resolves stale copies first
+    path2 = str(tmp_path / "dv_cow")
+    merge.versioned_layout_write(
+        spark.range(40).selectExpr("id AS k", "id * 3 AS v"), "k", path2, 4
+    )
+    merge.upsert_versioned_dv(
+        spark, path2,
+        spark.createDataFrame([(3, 1)], "k long, v long"), "k")
+    merge.upsert_versioned(
+        spark, path2,
+        spark.createDataFrame([(4, 2)], "k long, v long"), "k")
+    got = {r.k: r.v for r in merge.read_version(spark, path2).collect()}
+    exp = {k: k * 3 for k in range(40)} | {3: 1, 4: 2}
+    assert got == exp
+
+
+def test_concurrent_commit_loser_raises_before_writing(spark, tmp_path):
+    """Two writers racing for the same version: the second raises
+    ConcurrentWriteError at the intent gate, BEFORE writing any data;
+    rollback_inflight clears a dead holder and the takeover commit
+    then succeeds on a clean tree."""
+    import pytest
+
+    path = str(tmp_path / "occ")
+    merge.versioned_layout_write(
+        spark.range(20).selectExpr("id AS k", "id AS v"), "k", path, 4
+    )
+    # writer A acquires the v=1 intent and "crashes" mid-commit
+    merge._begin_commit(spark, path, 1, "A")
+    before = _data_tree(path)
+    s = spark.createDataFrame([(1, 99)], "k long, v long")
+    with pytest.raises(merge.ConcurrentWriteError, match="held by"):
+        merge.upsert_versioned(spark, path, s, "k", writer="B")
+    assert _data_tree(path) == before  # loser wrote nothing
+
+    # same-writer re-entry is allowed (crash retry by A itself)
+    out = merge.upsert_versioned(spark, path, s, "k", writer="A")
+    assert out.version == 1
+
+    # a dead holder on v=2 blocks B until rolled back
+    merge._begin_commit(spark, path, 2, "A")
+    with pytest.raises(merge.ConcurrentWriteError):
+        merge.upsert_with_retry(spark, path, s, "k", writer="B", attempts=2)
+    assert merge.rollback_inflight(spark, path) == [2]
+    out2 = merge.upsert_with_retry(
+        spark, path,
+        spark.createDataFrame([(2, 88)], "k long, v long"), "k", writer="B")
+    assert out2.version == 2
+    got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert got[1] == 99 and got[2] == 88  # rebase kept A's committed write
+
+
+def test_commit_meta_is_the_replay_ledger(spark, tmp_path):
+    """commit_meta (e.g. a streaming epoch id) is readable back from
+    committed versions only — the exactly-once check a foreachBatch
+    absorb performs before committing an epoch."""
+    path = str(tmp_path / "meta")
+    merge.versioned_layout_write(
+        spark.range(10).selectExpr("id AS k", "id AS v"), "k", path, 2
+    )
+    merge.upsert_versioned(
+        spark, path,
+        spark.createDataFrame([(1, 5)], "k long, v long"), "k",
+        commit_meta="epoch:0")
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(2, 6)], "k long, v long"), "k",
+        commit_meta="epoch:1")
+    assert merge.committed_metas(spark, path) == {"epoch:0": 1, "epoch:1": 2}
+    # an uncommitted intent's meta never appears
+    merge._begin_commit(spark, path, 3, "Z")
+    merge._write_commit_meta(spark, path, 3, "epoch:2")
+    assert "epoch:2" not in merge.committed_metas(spark, path)
+
+
+def test_read_version_pruned_skips_dirs_on_non_key_stats(spark, tmp_path):
+    """Per-column manifest statistics prune (bucket, generation)
+    directories for a NON-key predicate; a column without statistics
+    degrades to a full read with identical results."""
+    path = str(tmp_path / "prune")
+    # v DESCENDS as k ascends: a v-range prunes buckets even though it
+    # is anti-correlated with the layout key
+    t0 = spark.range(80).select(
+        F.col("id").alias("k"), ((79 - F.col("id")) * 10).alias("v")
+    )
+    merge.versioned_layout_write(t0, "k", path, n_buckets=8, stats_cols=["v"])
+    out = merge.read_version_pruned(spark, path, "v", 0, 95)
+    assert out.dirs_read < out.dirs_total == 8
+    assert {r.k for r in out.collect()} == set(range(70, 80))
+    # key pruning via key=
+    outk = merge.read_version_pruned(spark, path, "k", 0, 9, key="k")
+    assert outk.dirs_read < outk.dirs_total
+    assert {r.k for r in outk.collect()} == set(range(10))
+    # stats survive an upsert; DV applies inside the pruned read
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(78, 15)], "k long, v long"), "k")
+    out2 = merge.read_version_pruned(spark, path, "v", 0, 95)
+    got = {r.k: r.v for r in out2.collect()}
+    assert got[78] == 15 and set(got) == set(range(70, 80))
+    assert out2.dirs_read < out2.dirs_total
