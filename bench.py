@@ -226,6 +226,9 @@ HEADLINE = [
     "winsorize",
     "robust_zscore",
     "stratified_sample",
+    "merge_dv",
+    "column_prune",
+    "streaming_versioned",
 ]
 
 

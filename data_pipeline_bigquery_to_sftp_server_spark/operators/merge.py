@@ -892,6 +892,35 @@ def delete_versioned(
     return v + 1
 
 
+def versioned_absorb(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    key: str,
+    epoch_id: int,
+    writer: str = "stream",
+    mor: bool = True,
+) -> DataFrame | None:
+    """foreachBatch absorb into the versioned table with epoch <->
+    version idempotence (r11 verdict #7): the epoch id rides the
+    commit as ``commit_meta``, and a REDELIVERED epoch (checkpoint
+    restart replay) finds itself in committed_metas and returns None
+    without committing — the manifest is the commit log, so
+    at-least-once delivery upgrades to exactly-once table semantics.
+    This is the streaming form of the reference's staging+MERGE sync
+    loop (main.py:391-471) with the durability its thread-looped
+    BigQuery MERGE delegated to the warehouse. Default tier is
+    merge-on-read (per-epoch CDC batches are exactly the small-commit
+    case DVs price correctly); pass ``mor=False`` for copy-on-write."""
+    meta = f"epoch:{int(epoch_id)}"
+    if meta in committed_metas(spark, target_path):
+        return None
+    op = upsert_versioned_dv if mor else upsert_versioned
+    return op(
+        spark, target_path, batch, key, writer=writer, commit_meta=meta
+    )
+
+
 def upsert_with_retry(
     spark: SparkSession,
     target_path: str,

@@ -33,13 +33,23 @@ def _track_errors(
     max n_seen per key IS the final state (micro-batch emission order
     need not be tracked by the consumer)."""
     n_errors, n_seen = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        for _, row in pdf.sort_values("ts").iterrows():
-            n_seen += 1
-            if row["event_type"] == "purchase":
-                n_errors = 0
-            elif row["event_type"] == "error":
-                n_errors += 1
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        # vectorized segment form (r11 verdict #6 — no per-row Python):
+        # a purchase resets the counter, so the batch's contribution is
+        # the error count AFTER its last purchase; with no purchase the
+        # whole batch's errors add to the carried count. Stable ts sort
+        # keeps delivery order on timestamp ties, matching the
+        # row-at-a-time form this replaces.
+        batch = batch.sort_values("ts", kind="stable")
+        n_seen += len(batch)
+        is_purchase = (batch["event_type"] == "purchase").to_numpy()
+        is_error = (batch["event_type"] == "error").to_numpy()
+        if is_purchase.any():
+            last_p = len(is_purchase) - 1 - int(is_purchase[::-1].argmax())
+            n_errors = int(is_error[last_p + 1 :].sum())
+        else:
+            n_errors += int(is_error.sum())
     state.update((n_errors, n_seen))
     yield pd.DataFrame(
         {

@@ -757,3 +757,23 @@ def test_read_version_pruned_skips_dirs_on_non_key_stats(spark, tmp_path):
     got = {r.k: r.v for r in out2.collect()}
     assert got[78] == 15 and set(got) == set(range(70, 80))
     assert out2.dirs_read < out2.dirs_total
+
+
+def test_versioned_absorb_skips_redelivered_epoch(spark, tmp_path):
+    """Forced epoch redelivery (checkpoint-restart replay): the second
+    delivery of an already-committed epoch returns None, commits no
+    version, and the table equals applying each epoch exactly once."""
+    path = str(tmp_path / "absorb")
+    merge.versioned_layout_write(
+        spark.range(20).selectExpr("id AS k", "id AS v"), "k", path, 4
+    )
+    b0 = spark.createDataFrame([(1, 100), (21, 7)], "k long, v long")
+    b1 = spark.createDataFrame([(2, 200)], "k long, v long")
+    assert merge.versioned_absorb(spark, path, b0, "k", 0).version == 1
+    assert merge.versioned_absorb(spark, path, b0, "k", 0) is None  # replay
+    assert merge.versioned_absorb(spark, path, b1, "k", 1).version == 2
+    assert merge.versioned_absorb(spark, path, b0, "k", 0) is None  # late replay
+    assert merge._list_versions(spark, f"{path}/_manifest") == [0, 1, 2]
+    got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    exp = {k: k for k in range(20)} | {1: 100, 21: 7, 2: 200}
+    assert got == exp
