@@ -229,6 +229,7 @@ HEADLINE = [
     "merge_dv",
     "column_prune",
     "streaming_versioned",
+    "versioned_evolve",
 ]
 
 

@@ -616,7 +616,11 @@ def read_version(
     dirs = [
         f"{path}/data/_kr={r._kr}/_gen={r.gen}" for r in manifest.collect()
     ]
-    data = spark.read.option("basePath", f"{path}/data").parquet(*dirs)
+    data = (
+        spark.read.option("basePath", f"{path}/data")
+        .option("mergeSchema", "true")  # generations may carry evolved columns
+        .parquet(*dirs)
+    )
     # merge-on-read: resolve this version's deletion vector, if any
     return _apply_dv(data, _read_dv(spark, path, v))
 
@@ -668,7 +672,11 @@ def read_version_pruned(
         out.dirs_total = len(rows)
         return out
     dirs = [f"{path}/data/_kr={r._kr}/_gen={r.gen}" for r in live]
-    data = spark.read.option("basePath", f"{path}/data").parquet(*dirs)
+    data = (
+        spark.read.option("basePath", f"{path}/data")
+        .option("mergeSchema", "true")
+        .parquet(*dirs)
+    )
     out = _apply_dv(data, _read_dv(spark, path, v)).where(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )
@@ -724,16 +732,25 @@ def upsert_versioned(
         if r._kr in set(touched)
     ]
     target = _apply_dv(
-        spark.read.option("basePath", f"{target_path}/data").parquet(*dirs),
+        spark.read.option("basePath", f"{target_path}/data")
+        .option("mergeSchema", "true")
+        .parquet(*dirs),
         _read_dv(spark, target_path, v),
     )
     # conflict gate BEFORE any write: the loser must not contaminate
     # the winner's generation directories
     _begin_commit(spark, target_path, v + 1, writer)
+    # anti+union with allowMissingColumns: staging may CARRY new columns
+    # (schema evolution — untouched rows get NULL) or OMIT evolved ones
+    # (NULL for the fresh copies); the union resolves both by name, so
+    # the versioned table evolves like a lakehouse ADD COLUMN and time
+    # travel returns each version's own schema (old manifests list only
+    # pre-evolution directories).
+    untouched = target.drop("_gen").join(
+        assigned.select(key), key, "left_anti"
+    )
     merged = (
-        upsert_anti_union(
-            target.drop("_gen"), assigned.select(*target.drop("_gen").columns), key
-        )
+        untouched.unionByName(assigned, allowMissingColumns=True)
         .withColumn("_gen", F.lit(v + 1).cast("long"))
         .localCheckpoint(eager=True)
     )
@@ -832,8 +849,17 @@ def upsert_versioned_dv(
     dv_state.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_dv/v={v + 1}"
     )
+    # a staging batch may omit a declared stats column (or carry new
+    # ones — schema evolution); pad for the manifest aggregate only,
+    # the data files stay exactly what staging carried
+    stats_src = fresh
+    for c in stats_cols:
+        if c not in stats_src.columns:
+            stats_src = stats_src.withColumn(
+                c, F.lit(None).cast(manifest.schema[f"min_{c}"].dataType)
+            )
     new_manifest = manifest.unionByName(
-        fresh.groupBy("_kr").agg(*_manifest_agg(key, stats_cols))
+        stats_src.groupBy("_kr").agg(*_manifest_agg(key, stats_cols))
     ).localCheckpoint(eager=True)
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
@@ -1003,7 +1029,15 @@ def vacuum_versions(
     """Drop generation directories no RETAINED manifest references
     (retention = the last ``keep_last`` versions), then the expired
     manifests themselves — the storage-reclamation half of the
-    snapshot contract. Returns the deleted directory paths."""
+    snapshot contract. Returns the deleted directory paths.
+
+    Concurrent-writer safety (r12): an IN-FLIGHT commit's fresh
+    generation (gen > latest committed version, or any version holding
+    a begin intent) is not referenced by any committed manifest — the
+    live-set rule alone would vacuum the writer's data out from under
+    its commit. Those generations are explicitly spared; they become
+    vacuumable only after their version commits (normal retention) or
+    is rolled back (rollback_inflight deletes them itself)."""
     if int(keep_last) < 1:
         # keep_last=0 would compute an EMPTY live set and delete every
         # generation — the table itself. Retention must keep >= 1.
@@ -1014,6 +1048,16 @@ def vacuum_versions(
     for v in keep:
         for r in spark.read.parquet(f"{path}/_manifest/v={v}").collect():
             live.add((r._kr, r.gen))
+    latest = versions[-1] if versions else -1
+    jvm0, fs0, mroot = _fs(spark, f"{path}/_manifest")
+    inflight: set[int] = set()
+    if fs0.exists(mroot):
+        for st in fs0.listStatus(mroot):
+            name = st.getPath().getName()
+            if name.startswith("v=") and name.endswith(".begin"):
+                v = int(name[2:-6])
+                if v not in versions:
+                    inflight.add(v)
     jvm = spark.sparkContext._jvm
     root = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -1028,6 +1072,8 @@ def vacuum_versions(
             if not gname.startswith("_gen="):
                 continue
             g = int(gname.split("=")[1])
+            if g > latest or g in inflight:
+                continue  # an in-flight commit's data: not ours to drop
             if (b, g) not in live:
                 fs.delete(gdir.getPath(), True)
                 deleted.append(gdir.getPath().toString())

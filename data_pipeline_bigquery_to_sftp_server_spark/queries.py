@@ -12060,6 +12060,88 @@ def q_streaming_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.read_version(spark, path).select(*o.columns)
 
 
+def q_versioned_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1h schema evolution on the versioned layout (r12),
+    ORACLE-CHECKED: a merge-on-read batch CARRYING A NEW COLUMN
+    evolves the table the way a lakehouse ADD COLUMN does — new
+    generation files hold the column, read_version merges schemas so
+    pre-evolution rows read NULL, and time travel returns each
+    version's OWN schema (v0's manifest lists only pre-evolution
+    directories, so the column simply isn't there). The report
+    aggregates both versions including the column's presence,
+    non-NULL count, and sum — the oracle replays the evolved MERGE
+    with NULL for untouched rows, so evolution semantics are
+    value-checked. The omit-direction (a later batch missing an
+    evolved column writes NULL fresh copies, MERGE's
+    update-all-columns arm) is pinned in test_merge
+    (operators/merge.py: mergeSchema reads + allowMissingColumns
+    union)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("evolve_")
+    merge.versioned_layout_write(o, "o_orderkey", path, n_buckets=16)
+    ranked, _n = relational.with_global_rank(o, ["o_orderkey"])
+    staged = ranked.where(
+        (F.col("grank") >= 2001) & (F.col("grank") <= 2100)
+    ).select(
+        "o_orderkey",
+        (F.col("cents") + 10_000).alias("cents"),
+        (F.col("o_orderkey") % 7).alias("flag"),
+    )
+    merge.upsert_versioned_dv(spark, path, staged, "o_orderkey")
+
+    def report(v: int) -> DataFrame:
+        t = merge.read_version(spark, path, v)
+        if "flag" in t.columns:
+            return t.agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+                F.lit(True).alias("has_flag"),
+                F.count("flag").alias("n_flag"),
+                F.coalesce(F.sum("flag"), F.lit(0)).alias("sum_flag"),
+            )
+        return t.agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.lit(False).alias("has_flag"),
+            F.lit(0).cast("long").alias("n_flag"),
+            F.lit(0).cast("long").alias("sum_flag"),
+        )
+
+    return report(0).unionByName(report(1)).orderBy("version")
+
+
+_ORACLE_VERSIONED_EVOLVE = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders
+), staged AS (
+  SELECT k, cents + 10000 AS cents, k % 7 AS flag
+  FROM o WHERE rn BETWEEN 2001 AND 2100
+), merged AS (
+  SELECT k, cents, NULL AS flag FROM o
+  WHERE k NOT IN (SELECT k FROM staged)
+  UNION ALL SELECT k, cents, flag FROM staged
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       false AS has_flag, CAST(0 AS BIGINT) AS n_flag,
+       CAST(0 AS BIGINT) AS sum_flag
+FROM o
+UNION ALL
+SELECT 1, count(*), CAST(sum(cents) AS BIGINT),
+       true, count(flag), CAST(coalesce(sum(flag), 0) AS BIGINT)
+FROM merged
+ORDER BY version
+"""
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2g general-tier connected components (r10 verdict #5),
     ORACLE-CHECKED: star contraction (Kiveris large-star/small-star,
@@ -12770,6 +12852,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_dv": q_merge_dv,
     "column_prune": q_column_prune,
     "streaming_versioned": q_streaming_versioned,
+    "versioned_evolve": q_versioned_evolve,
     # previously displaced rows (r7-r11 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "curation_pipeline": q_curation_pipeline,
@@ -13166,6 +13249,7 @@ ORACLES: dict[str, str] = {
     "merge_dv": _ORACLE_MERGE_DV,
     "column_prune": _ORACLE_COLUMN_PRUNE,
     "streaming_versioned": _ORACLE_MERGE_UPSERT,
+    "versioned_evolve": _ORACLE_VERSIONED_EVOLVE,
     "data_health": _ORACLE_DATA_HEALTH,
     "rrf_fusion": _ORACLE_RRF_FUSION,
     "time_travel": _ORACLE_TIME_TRAVEL,

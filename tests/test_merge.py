@@ -777,3 +777,111 @@ def test_versioned_absorb_skips_redelivered_epoch(spark, tmp_path):
     got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
     exp = {k: k for k in range(20)} | {1: 100, 21: 7, 2: 200}
     assert got == exp
+
+
+def test_versioned_schema_evolution(spark, tmp_path):
+    """Lakehouse ADD COLUMN on the versioned layout: a staging batch
+    carrying a NEW column evolves the table (old rows read NULL), a
+    later batch OMITTING an evolved column writes NULL fresh copies
+    (MERGE's update-all-columns arm), and time travel returns each
+    version's OWN schema — pre-evolution manifests list only
+    pre-evolution directories."""
+    path = str(tmp_path / "evolve")
+    merge.versioned_layout_write(
+        spark.range(30).selectExpr("id AS k", "id * 2 AS v"), "k", path, 4
+    )
+    # v1 (merge-on-read): new column arrives
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(3, 100, "x"), (31, 7, "y")],
+                              "k long, v long, tag string"), "k")
+    t1 = merge.read_version(spark, path)
+    assert "tag" in t1.columns
+    got = {r.k: (r.v, r.tag) for r in t1.collect()}
+    assert got[3] == (100, "x") and got[31] == (7, "y")
+    assert got[0] == (0, None)  # old rows read NULL for the new column
+    # v2 (copy-on-write): batch omits the evolved column
+    merge.upsert_versioned(
+        spark, path,
+        spark.createDataFrame([(4, 200)], "k long, v long"), "k")
+    t2 = {r.k: (r.v, r.tag) for r in merge.read_version(spark, path).collect()}
+    assert t2[4] == (200, None)   # staging wins all columns: absent -> NULL
+    assert t2[3] == (100, "x")    # untouched evolved rows keep their value
+    # time travel: v0's schema predates the column
+    assert "tag" not in merge.read_version(spark, path, 0).columns
+
+
+def test_two_threads_racing_commits_both_land_via_retry(spark, tmp_path):
+    """REAL interleaving (not simulated markers): two threads race
+    upsert_with_retry against the same table. The intent-file CAS
+    serializes them — whoever loses a version rebases onto the
+    winner's committed state — so both batches land, on consecutive
+    versions, with last-writer-wins-per-key semantics intact."""
+    import threading
+
+    path = str(tmp_path / "race")
+    merge.versioned_layout_write(
+        spark.range(50).selectExpr("id AS k", "id AS v"), "k", path, 4
+    )
+    batches = {
+        "A": spark.createDataFrame([(1, 101), (40, 140)], "k long, v long"),
+        "B": spark.createDataFrame([(2, 202), (41, 241)], "k long, v long"),
+    }
+    results: dict[str, int] = {}
+    errors: dict[str, Exception] = {}
+
+    def work(name: str) -> None:
+        try:
+            out = merge.upsert_with_retry(
+                spark, path, batches[name], "k", writer=name, attempts=8
+            )
+            results[name] = out.version
+        except Exception as e:  # pragma: no cover - failure detail
+            errors[name] = e
+
+    threads = [threading.Thread(target=work, args=(n,)) for n in batches]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(results.values()) == [1, 2]
+    got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    exp = {k: k for k in range(50)} | {1: 101, 40: 140, 2: 202, 41: 241}
+    assert got == exp
+
+
+def test_vacuum_spares_inflight_generation(spark, tmp_path):
+    """Vacuum during another writer's in-flight commit must not delete
+    the fresh generation no committed manifest references yet — the
+    commit completes afterward and reads back intact."""
+    path = str(tmp_path / "vac_if")
+    merge.versioned_layout_write(
+        spark.range(20).selectExpr("id AS k", "id AS v"), "k", path, 4
+    )
+    merge.upsert_versioned(
+        spark, path, spark.createDataFrame([(1, 9)], "k long, v long"), "k"
+    )
+    # writer W holds v=2 and has written its generation, not its manifest
+    merge._begin_commit(spark, path, 2, "W")
+    staged = (
+        spark.read.option("basePath", f"{path}/data")
+        .parquet(f"{path}/data/_kr=0/_gen=0")
+        .drop("_gen")
+        .withColumn("_gen", F.lit(2).cast("long"))
+    )
+    staged.write.mode("append").partitionBy("_kr", "_gen").parquet(
+        f"{path}/data"
+    )
+    import os
+
+    deleted = merge.vacuum_versions(spark, path, keep_last=1)
+    assert all("_gen=2" not in d for d in deleted)
+    assert os.path.exists(os.path.join(path, "data", "_kr=0", "_gen=2"))
+    # W's retry completes on the intact tree
+    out = merge.upsert_versioned(
+        spark, path, spark.createDataFrame([(2, 8)], "k long, v long"), "k",
+        writer="W")
+    assert out.version == 2
+    got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert got[1] == 9 and got[2] == 8 and got[0] == 0
