@@ -209,16 +209,33 @@ def assign_range_bucket(
     greatest bucket whose ``min_key <= key``, clamped to bucket 0 below
     the table minimum (new smallest key) — so every existing key maps
     to its stored bucket and every new key to the bucket whose range it
-    extends. One broadcast inequality join against the n_buckets-row
-    manifest + a per-key max: bounded fanout, no shuffle of the big
-    side beyond the key aggregate."""
-    cut = F.broadcast(manifest.select("_kr", "min_key"))
-    return (
-        rows.join(cut, rows[key] >= cut["min_key"], "left")
-        .groupBy(*rows.columns)
-        .agg(F.max("_kr").alias("_kr"))
-        .withColumn("_kr", F.coalesce(F.col("_kr"), F.lit(0)))
+    extends.
+
+    Plan (r12): the cutpoints frame gains each bucket's EXCLUSIVE upper
+    bound via lead() — bounded single-partition window over the
+    n_buckets-row manifest, never the data — so the broadcast interval
+    join ``min_key <= key < next_min`` matches each row EXACTLY ONCE.
+    No fanout, no aggregation, and in particular no full-width
+    ``groupBy(*rows.columns)`` shuffle of the staging batch (the r11
+    form's hidden cost on wide tables): assignment is one map-side
+    broadcast-join stage."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("min_key")  # manifest-sized: n_buckets rows
+    cut = F.broadcast(
+        manifest.select("_kr", "min_key").withColumn(
+            "next_min", F.lead("min_key").over(w)
+        )
     )
+    joined = rows.join(
+        cut,
+        (rows[key] >= cut["min_key"])
+        & (cut["next_min"].isNull() | (rows[key] < cut["next_min"])),
+        "left",
+    )
+    return joined.withColumn(
+        "_kr", F.coalesce(F.col("_kr"), F.lit(0))
+    ).drop("min_key", "next_min")
 
 
 def upsert_fileskip(
