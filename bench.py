@@ -230,6 +230,7 @@ HEADLINE = [
     "column_prune",
     "streaming_versioned",
     "versioned_evolve",
+    "merge_sync",
 ]
 
 

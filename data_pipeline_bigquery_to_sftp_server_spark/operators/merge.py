@@ -1107,6 +1107,38 @@ def vacuum_versions(
     return deleted
 
 
+def merge_scoped_sync(
+    target: DataFrame,
+    staging: DataFrame,
+    key: str,
+    scope,
+) -> DataFrame:
+    """The third MERGE arm the reference's upsert (main.py:349-358)
+    never had: ``WHEN NOT MATCHED BY SOURCE THEN DELETE``, scoped.
+    Within ``scope`` (a boolean Column over target rows) the target
+    becomes EXACTLY ``staging`` — staged keys insert/update as usual,
+    and in-scope target keys ABSENT from staging are deleted; rows
+    outside the scope pass through untouched. This is snapshot-sync
+    semantics (Delta/Iceberg's not-matched-by-source delete with a
+    scope predicate): the producer hands a complete snapshot of one
+    slice (a month, a partition, a source), and the table converges to
+    it without touching any other slice.
+
+    Contract: every staging row must itself satisfy ``scope`` (the
+    slice it replaces); an out-of-scope staging row would duplicate
+    against the passed-through target row rather than raise. A NULL
+    scope evaluation counts as out-of-scope (kept).
+
+    Plan: one filter pass over the target (the scope predicate pushes
+    to the scan; at 100 TB scope is a partition predicate and the
+    out-of-scope side is partition-pruned pass-through that never
+    rewrites) + the staging union. No join at all — strictly cheaper
+    than the matched/not-matched arms because scoped sync doesn't need
+    key membership."""
+    kept = target.where(~F.coalesce(scope, F.lit(False)))
+    return kept.unionByName(staging.select(*target.columns))
+
+
 def merge_counts(target: DataFrame, staging: DataFrame, key: str) -> DataFrame:
     """The reference's post-merge report (inserted vs updated tallies,
     main.py:323-329, 365) as ONE lazy plan: a left join against the

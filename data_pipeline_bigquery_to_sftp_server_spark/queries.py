@@ -12060,6 +12060,58 @@ def q_streaming_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.read_version(spark, path).select(*o.columns)
 
 
+def q_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1i scoped snapshot-sync MERGE (r12), ORACLE-CHECKED: the third
+    MERGE arm — ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` under a
+    scope predicate (operators/merge.py merge_scoped_sync). The
+    producer hands a complete snapshot of 1995-Q1 orders (every 5th
+    key gone, every 3rd repriced +50.00 exact, every 97th cloned to a
+    new +200M key); the table converges to that snapshot INSIDE the
+    scope and passes through untouched outside it. No join at all:
+    scoped sync needs no key membership — one scope filter over the
+    target (a partition predicate at scale, so the pass-through side
+    is partition-pruned) plus the staging union. The oracle replays
+    the slice replacement relationally."""
+    o = load_table(spark, sf_dir, "orders")
+    scope = (F.col("o_orderdate") >= F.lit("1995-01-01")) & (
+        F.col("o_orderdate") < F.lit("1995-04-01")
+    )
+    inscope = o.where(scope)
+    survivors = inscope.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(50.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    clones = inscope.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(200_000_000)
+    )
+    staging = survivors.unionByName(clones)
+    return merge.merge_scoped_sync(o, staging, "o_orderkey", scope)
+
+
+_ORACLE_MERGE_SYNC = """
+WITH inscope AS (
+  SELECT * FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-04-01'
+)
+SELECT * FROM orders
+WHERE NOT (o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1995-04-01')
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 50.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM inscope WHERE o_orderkey % 5 != 0
+UNION ALL
+SELECT o_orderkey + 200000000, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM inscope WHERE o_orderkey % 97 = 0
+"""
+
+
 def q_versioned_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1h schema evolution on the versioned layout (r12),
     ORACLE-CHECKED: a merge-on-read batch CARRYING A NEW COLUMN
@@ -12853,6 +12905,7 @@ QUERIES: dict[str, QueryFn] = {
     "column_prune": q_column_prune,
     "streaming_versioned": q_streaming_versioned,
     "versioned_evolve": q_versioned_evolve,
+    "merge_sync": q_merge_sync,
     # previously displaced rows (r7-r11 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "curation_pipeline": q_curation_pipeline,
@@ -13250,6 +13303,7 @@ ORACLES: dict[str, str] = {
     "column_prune": _ORACLE_COLUMN_PRUNE,
     "streaming_versioned": _ORACLE_MERGE_UPSERT,
     "versioned_evolve": _ORACLE_VERSIONED_EVOLVE,
+    "merge_sync": _ORACLE_MERGE_SYNC,
     "data_health": _ORACLE_DATA_HEALTH,
     "rrf_fusion": _ORACLE_RRF_FUSION,
     "time_travel": _ORACLE_TIME_TRAVEL,

@@ -885,3 +885,28 @@ def test_vacuum_spares_inflight_generation(spark, tmp_path):
     assert out.version == 2
     got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
     assert got[1] == 9 and got[2] == 8 and got[0] == 0
+
+
+def test_merge_scoped_sync_deletes_missing_in_scope_only(spark):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE, scoped: in-scope keys
+    absent from staging vanish, staged keys insert/update, out-of-scope
+    rows (including NULL scope evaluations) pass through untouched."""
+    target = spark.createDataFrame(
+        [(1, "in", 10.0), (2, "in", 20.0), (3, "out", 30.0), (4, None, 40.0)],
+        "id int, zone string, val double",
+    )
+    staging = spark.createDataFrame(
+        [(2, "in", 99.0), (5, "in", 50.0)], "id int, zone string, val double"
+    )
+    out = merge.merge_scoped_sync(
+        target, staging, "id", F.col("zone") == "in"
+    )
+    got = {r.id: (r.zone, r.val) for r in out.collect()}
+    # 1 deleted (in-scope, not in staging); 2 updated; 5 inserted;
+    # 3 out-of-scope kept; 4 NULL-scope kept
+    assert got == {
+        2: ("in", 99.0),
+        5: ("in", 50.0),
+        3: ("out", 30.0),
+        4: (None, 40.0),
+    }
