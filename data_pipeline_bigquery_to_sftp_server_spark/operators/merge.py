@@ -779,19 +779,16 @@ def upsert_versioned(
     # their superseded generations; untouched buckets' entries carry
     dv = _read_dv(spark, target_path, v)
     if dv is not None:
-        new_dv = dv.where(~F.col("_kr").isin(touched)).localCheckpoint(
-            eager=True
-        )
+        # no checkpoint: reads _dv/v=N, writes _dv/v=N+1 — tiny frame,
+        # disjoint paths (the fileskip manifest refresh, which DOES
+        # overwrite its own read path, keeps its checkpoint)
+        new_dv = dv.where(~F.col("_kr").isin(touched))
         if new_dv.limit(1).count():
             new_dv.coalesce(1).write.mode("overwrite").parquet(
                 f"{target_path}/_dv/v={v + 1}"
             )
-    new_manifest = (
-        manifest.where(~F.col("_kr").isin(touched))
-        .unionByName(
-            merged.groupBy("_kr").agg(*_manifest_agg(key, stats_cols))
-        )
-        .localCheckpoint(eager=True)
+    new_manifest = manifest.where(~F.col("_kr").isin(touched)).unionByName(
+        merged.groupBy("_kr").agg(*_manifest_agg(key, stats_cols))
     )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
@@ -862,7 +859,7 @@ def upsert_versioned_dv(
         else old_dv.join(dv_new.select(key), key, "left_anti").unionByName(
             dv_new
         )
-    ).localCheckpoint(eager=True)
+    )
     dv_state.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_dv/v={v + 1}"
     )
@@ -877,7 +874,7 @@ def upsert_versioned_dv(
             )
     new_manifest = manifest.unionByName(
         stats_src.groupBy("_kr").agg(*_manifest_agg(key, stats_cols))
-    ).localCheckpoint(eager=True)
+    )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
     )
@@ -922,7 +919,7 @@ def delete_versioned(
         else old_dv.join(dv_new.select(key), key, "left_anti").unionByName(
             dv_new
         )
-    ).localCheckpoint(eager=True)
+    )
     dv_state.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_dv/v={v + 1}"
     )
@@ -1032,7 +1029,7 @@ def compact_table(
     )
     new_manifest = compacted.groupBy("_kr").agg(
         *_manifest_agg(key, stats_cols)
-    ).localCheckpoint(eager=True)
+    )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_manifest/v={v + 1}"
     )
