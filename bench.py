@@ -231,6 +231,7 @@ HEADLINE = [
     "streaming_versioned",
     "versioned_evolve",
     "merge_sync",
+    "versioned_zorder",
 ]
 
 

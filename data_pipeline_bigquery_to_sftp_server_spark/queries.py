@@ -12060,6 +12060,106 @@ def q_streaming_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.read_version(spark, path).select(*o.columns)
 
 
+def q_versioned_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1g x X67 composition (r12), ORACLE-CHECKED: Delta's
+    ``OPTIMIZE ZORDER BY`` + statistics skipping rebuilt on the
+    versioned layout — events are laid out on a Morton key over
+    (day-of-month, user-bucket) as the table's UNIQUE layout key
+    (z-major: ``z * 2^44 + event_id``), with BOTH dimensions declared
+    as manifest stats columns. Because each key-range bucket then
+    holds a small hyper-rectangle of the dim space,
+    read_version_pruned skips directories for range predicates on
+    EITHER dimension — the multi-dim generalization the r11 verdict
+    asked per-column stats for. The report runs both predicates
+    through actual pruned reads and carries dirs_read/dirs_total; the
+    oracle replays the bit interleave, the rank-math buckets, the
+    per-bucket min/max, and the hit counts, so the pruning evidence is
+    value-checked end-to-end (operators/layout.py zorder_key +
+    operators/merge.py versioned_layout_write/read_version_pruned).
+    The single-dim layout's failure on the other dimension is the
+    in-registry q_zorder_layout row."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import layout
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    maxu = ev.agg(F.max("user_id").alias("_mu"))
+    d = ev.crossJoin(F.broadcast(maxu)).select(
+        "event_id",
+        (F.dayofmonth("ts") - 1).cast("long").alias("day0"),
+        F.expr("user_id * 32 div (_mu + 1)").cast("long").alias("ub"),
+    )
+    z = layout.zorder_key([F.col("day0"), F.col("ub")], bits=5)
+    t = d.withColumn(
+        "zk", (z * F.lit(2**44) + F.col("event_id")).cast("long")
+    )
+    path = _scratch_dir("verzorder_")
+    merge.versioned_layout_write(
+        t, "zk", path, n_buckets=32, stats_cols=["day0", "ub"]
+    )
+
+    def report(tag: str, col: str, lo: int, hi: int) -> DataFrame:
+        pruned = merge.read_version_pruned(spark, path, col, lo, hi)
+        return pruned.agg(
+            F.lit(tag).alias("predicate"),
+            F.lit(int(pruned.dirs_read)).cast("int").alias("dirs_read"),
+            F.lit(int(pruned.dirs_total)).cast("int").alias("dirs_total"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+
+    return (
+        report("day0_10_16", "day0", 10, 16)
+        .unionByName(report("ub_8_23", "ub", 8, 23))
+        .orderBy("predicate")
+    )
+
+
+_ORACLE_VERSIONED_ZORDER = """
+WITH base AS (
+  SELECT event_id,
+         CAST(date_part('day', ts) - 1 AS BIGINT) AS day0,
+         CAST(user_id * 32 // ((SELECT max(user_id) FROM events
+                                WHERE ts IS NOT NULL AND user_id IS NOT NULL) + 1)
+              AS BIGINT) AS ub
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), z AS (
+  SELECT event_id, day0, ub,
+         (((day0 >> 0) & 1) << 0) + (((ub >> 0) & 1) << 1) +
+         (((day0 >> 1) & 1) << 2) + (((ub >> 1) & 1) << 3) +
+         (((day0 >> 2) & 1) << 4) + (((ub >> 2) & 1) << 5) +
+         (((day0 >> 3) & 1) << 6) + (((ub >> 3) & 1) << 7) +
+         (((day0 >> 4) & 1) << 8) + (((ub >> 4) & 1) << 9) AS zkey
+  FROM base
+), n AS (
+  SELECT count(*) AS n FROM base
+), b AS (
+  SELECT event_id, day0, ub,
+         (row_number() OVER (ORDER BY zkey, event_id) - 1) * 32 // n.n
+           AS bucket
+  FROM z, n
+), st AS (
+  SELECT bucket, min(day0) AS d0, max(day0) AS d1,
+         min(ub) AS u0, max(ub) AS u1
+  FROM b GROUP BY bucket
+)
+SELECT 'day0_10_16' AS predicate,
+       CAST((SELECT count(*) FROM st WHERE d1 >= 10 AND d0 <= 16)
+            AS INTEGER) AS dirs_read,
+       32 AS dirs_total,
+       count(*) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids
+FROM b WHERE day0 BETWEEN 10 AND 16
+UNION ALL
+SELECT 'ub_8_23',
+       CAST((SELECT count(*) FROM st WHERE u1 >= 8 AND u0 <= 23)
+            AS INTEGER),
+       32, count(*), CAST(sum(event_id) AS BIGINT)
+FROM b WHERE ub BETWEEN 8 AND 23
+ORDER BY predicate
+"""
+
+
 def q_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1i scoped snapshot-sync MERGE (r12), ORACLE-CHECKED: the third
     MERGE arm — ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` under a
@@ -12906,6 +13006,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_versioned": q_streaming_versioned,
     "versioned_evolve": q_versioned_evolve,
     "merge_sync": q_merge_sync,
+    "versioned_zorder": q_versioned_zorder,
     # previously displaced rows (r7-r11 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "curation_pipeline": q_curation_pipeline,
@@ -13304,6 +13405,7 @@ ORACLES: dict[str, str] = {
     "streaming_versioned": _ORACLE_MERGE_UPSERT,
     "versioned_evolve": _ORACLE_VERSIONED_EVOLVE,
     "merge_sync": _ORACLE_MERGE_SYNC,
+    "versioned_zorder": _ORACLE_VERSIONED_ZORDER,
     "data_health": _ORACLE_DATA_HEALTH,
     "rrf_fusion": _ORACLE_RRF_FUSION,
     "time_travel": _ORACLE_TIME_TRAVEL,
