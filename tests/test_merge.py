@@ -910,3 +910,79 @@ def test_merge_scoped_sync_deletes_missing_in_scope_only(spark):
         3: ("out", 30.0),
         4: (None, 40.0),
     }
+
+
+def test_versioned_model_long_mixed_sequence(spark, tmp_path):
+    """Model-based end-to-end check of the whole lakehouse tier: a
+    mixed sequence of MOR upserts, pure deletes, COW upserts, schema
+    evolution, compaction, and vacuum runs against a dict model of
+    every committed version; after EVERY commit, every retained
+    version must read back exactly as its model — time travel,
+    deletion vectors, evolution NULLs, and DV folding all at once."""
+    path = str(tmp_path / "model")
+    t0 = {k: (k * 7, None) for k in range(50)}  # k -> (v, tag)
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(k, v) for k, (v, _) in t0.items()], "k long, v long"
+        ),
+        "k", path, n_buckets=4,
+    )
+    models = {0: dict(t0)}  # version -> {k: (v, tag)}
+
+    def check_all():
+        retained = merge._list_versions(spark, f"{path}/_manifest")
+        for v in retained:
+            if v not in models:
+                continue
+            t = merge.read_version(spark, path, v)
+            if "tag" in t.columns:
+                got = {r.k: (r.v, r.tag) for r in t.collect()}
+            else:
+                got = {r.k: (r.v, None) for r in t.collect()}
+            assert got == models[v], f"version {v} diverged"
+
+    def mor(batch):  # batch: {k: (v, tag)} with tag possibly absent
+        rows = [(k, v, tag) for k, (v, tag) in batch.items()]
+        df = spark.createDataFrame(rows, "k long, v long, tag string")
+        out = merge.upsert_versioned_dv(spark, path, df, "k")
+        m = dict(models[max(models)])
+        m.update(batch)
+        models[out.version] = m
+        check_all()
+
+    def cow(batch):  # plain (k, v) — evolution's omit direction
+        df = spark.createDataFrame(
+            [(k, v) for k, (v, _) in batch.items()], "k long, v long"
+        )
+        out = merge.upsert_versioned(spark, path, df, "k")
+        m = dict(models[max(models)])
+        m.update({k: (v, None) for k, (v, _) in batch.items()})
+        models[out.version] = m
+        check_all()
+
+    def dele(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        v = merge.delete_versioned(spark, path, df, "k")
+        m = dict(models[max(models)])
+        for k in keys:
+            m.pop(k, None)
+        models[v] = m
+        check_all()
+
+    mor({3: (300, "a"), 17: (1700, "b"), 60: (6000, "c")})   # v1 + evolve
+    dele([5, 6, 60])                                          # v2
+    cow({7: (777, None), 61: (6100, None)})                   # v3
+    mor({3: (301, "a2"), 8: (808, None)})                     # v4
+    man = merge.compact_table(spark, path, "k")               # v5
+    models[man.version] = dict(models[max(models)])
+    check_all()
+    dele([0, 49])                                             # v6
+    mor({0: (1, "back")})                                     # v7
+    merge.vacuum_versions(spark, path, keep_last=3)           # drops <= v4
+    for v in list(models):
+        if v < 5:
+            del models[v]
+    check_all()
+    # final content sanity against the model
+    final = models[max(models)]
+    assert final[0] == (1, "back") and 49 not in final and final[3] == (301, "a2")
