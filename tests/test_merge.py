@@ -986,3 +986,82 @@ def test_versioned_model_long_mixed_sequence(spark, tmp_path):
     # final content sanity against the model
     final = models[max(models)]
     assert final[0] == (1, "back") and 49 not in final and final[3] == (301, "a2")
+
+
+def test_pruned_read_with_null_stats_degrades_not_crashes(spark, tmp_path):
+    """r12 advice: a DV upsert whose staging batch omits a declared
+    stats column records NULL min/max for its (bucket, generation)
+    manifest row; a later pruned read on that column must treat NULL
+    stats as 'cannot prune' (keep the directory, let the in-stage
+    filter drop its rows) instead of raising TypeError."""
+    base = spark.createDataFrame(
+        [(i, i * 10, i * 100) for i in range(1, 41)], "k long, v long, s long"
+    )
+    path = str(tmp_path / "nullstats")
+    merge.versioned_layout_write(base, "k", path, n_buckets=4, stats_cols=["s"])
+    # staging OMITS the stats column s -> NULL stats for the new gen
+    staged = spark.createDataFrame([(5, 555), (6, 666)], "k long, v long")
+    merge.upsert_versioned_dv(spark, path, staged, "k")
+    got = merge.read_version_pruned(spark, path, "s", 500, 700)
+    rows = {(r.k, r.s) for r in got.select("k", "s").collect()}
+    # the DV superseded k=5,6's originals (their fresh copies have
+    # NULL s), so only k=7 qualifies for 500 <= s <= 700
+    assert rows == {(7, 700)}
+    # the NULL-stats directory was kept (cannot prune), not skipped
+    assert got.dirs_read >= 2
+
+
+def test_default_writers_are_unique_per_call(spark, tmp_path):
+    """r12 advice: two default-writer commits must never share an id —
+    a shared default would let a stale writer pass the same-writer
+    re-entry gate and garbage-collect a committed generation. Pin:
+    a default-writer commit leaves a begin marker a SECOND default
+    writer cannot re-enter (distinct ids), and sequential default
+    commits still succeed (each acquires a fresh version)."""
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    path = str(tmp_path / "uniqw")
+    merge.versioned_layout_write(base, "k", path, n_buckets=1)
+    s1 = spark.createDataFrame([(1, 11)], "k long, v long")
+    s2 = spark.createDataFrame([(2, 22)], "k long, v long")
+    merge.upsert_versioned(spark, path, s1, "k")  # default writer, v1
+    merge.upsert_versioned_dv(spark, path, s2, "k")  # default writer, v2
+    got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert got == {1: 11, 2: 22}
+    # simulate a crashed default-writer holder on v3: a fresh default
+    # writer must refuse (ConcurrentWriteError), not silently re-enter
+    merge._begin_commit(spark, path, 3, merge._unique_writer())
+    import pytest as _pytest
+
+    with _pytest.raises(merge.ConcurrentWriteError):
+        merge.upsert_versioned(spark, path, s1, "k")
+
+
+def test_commit_meta_written_before_manifest_visibility(spark, tmp_path):
+    """r12 advice: the epoch meta must be durable BEFORE the manifest
+    commit point, so there is no crash window where a committed
+    version lacks its ledger entry (which would let a replayed epoch
+    double-commit). Pin both halves: (a) a committed version's meta is
+    visible; (b) a meta written for an UNCOMMITTED version (crash
+    after meta, before manifest) is invisible to committed_metas, so
+    the ledger never lies."""
+    base = spark.createDataFrame([(1, 10)], "k long, v long")
+    path = str(tmp_path / "metafirst")
+    merge.versioned_layout_write(base, "k", path, n_buckets=1)
+    s = spark.createDataFrame([(1, 11)], "k long, v long")
+    merge.upsert_versioned_dv(spark, path, s, "k", commit_meta="epoch:0")
+    assert merge.committed_metas(spark, path) == {"epoch:0": 1}
+    # crash-window simulation: meta for v=2 exists, manifest does not
+    merge._write_commit_meta(spark, path, 2, "epoch:1")
+    assert "epoch:1" not in merge.committed_metas(spark, path)
+
+
+def test_upsert_with_retry_rejects_nonpositive_attempts(spark, tmp_path):
+    """r12 advice: attempts<=0 used to `raise None`; must ValueError."""
+    import pytest as _pytest
+
+    base = spark.createDataFrame([(1, 10)], "k long, v long")
+    path = str(tmp_path / "attempts")
+    merge.versioned_layout_write(base, "k", path, n_buckets=1)
+    s = spark.createDataFrame([(1, 11)], "k long, v long")
+    with _pytest.raises(ValueError, match="attempts"):
+        merge.upsert_with_retry(spark, path, s, "k", writer="w", attempts=0)
