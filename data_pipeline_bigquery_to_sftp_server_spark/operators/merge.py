@@ -1159,6 +1159,64 @@ def vacuum_versions(
     return deleted
 
 
+def restore_version(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    writer: str | None = None,
+    commit_meta: str | None = None,
+) -> int:
+    """RESTORE — rollback-as-a-new-commit (r12 verdict #3, the undo
+    Delta/Iceberg ship): re-commit ``version``'s manifest and deletion
+    vector verbatim as the NEXT version, through the same
+    _begin_commit gate every writer uses, so concurrency and vacuum
+    semantics hold unchanged. Nothing is copied or rewritten but the
+    tiny manifest (and DV, if any): generations are immutable and the
+    manifest is the only pointer, so "the table as of v_old" and "the
+    latest table" can reference the same directories.
+
+    Properties that fall out of commit-is-a-manifest:
+    - the bad version stays fully time-travelable (RESTORE hides it
+      from the default read, it doesn't erase history — VACUUM does);
+    - re-restoring is idempotent in content (each run commits another
+      identical version);
+    - vacuum-after-restore is safe WITHOUT new rules: the restored
+      manifest is the latest, so retention keeps it and its referenced
+      generations are in the live set — the "bad" intermediate
+      version's private generations become reclaimable naturally.
+    The reference's failure recovery re-runs the whole sync and
+    re-MERGEs (main.py:366-384 retry loop); here a bad MERGE is undone
+    in O(manifest) regardless of table size. Returns the new version."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"restore_version: no table at {path}")
+    v_new = versions[-1] + 1
+    version = int(version)
+    if version not in versions:
+        raise ValueError(
+            f"restore_version: version {version} not in {versions} "
+            "(already vacuumed, or never committed)"
+        )
+    _begin_commit(spark, path, v_new, writer or _unique_writer())
+    jvm, fs, _ = _fs(spark, path)
+    # DV state is part of the snapshot: restore it alongside (absence
+    # of a DV at the restored version means absence at the new one —
+    # a stale _dv/v=v_new from a rolled-back attempt must not leak in)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_dv/v={v_new}")):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_dv/v={v_new}"), True)
+    dv = _read_dv(spark, path, version)
+    if dv is not None:
+        dv.coalesce(1).write.mode("overwrite").parquet(f"{path}/_dv/v={v_new}")
+    # meta before the manifest commit point — see upsert_versioned
+    if commit_meta is not None:
+        _write_commit_meta(spark, path, v_new, commit_meta)
+    # reads v=<version>, writes v=<v_new>: disjoint paths, no checkpoint
+    spark.read.parquet(f"{path}/_manifest/v={version}").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/_manifest/v={v_new}")
+    return v_new
+
+
 def merge_scoped_sync(
     target: DataFrame,
     staging: DataFrame,

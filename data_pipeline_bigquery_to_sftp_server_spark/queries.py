@@ -12294,6 +12294,107 @@ ORDER BY version
 """
 
 
+def q_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1j RESTORE — rollback-as-commit (r12 verdict #3),
+    ORACLE-CHECKED: a good merge-on-read MERGE (v1, which also leaves
+    a deletion vector so the restore must carry DV state), then a bad
+    copy-on-write MERGE that poisons 100 rows (v2), then
+    ``restore_version(path, 1)`` re-commits v1's manifest+DV as v3 in
+    O(manifest) — no data is copied; the latest read and the v1 read
+    reference the same immutable generation directories
+    (operators/merge.py restore_version). The report aggregates the
+    LATEST table per bucket next to the still-time-travelable bad
+    version's sums, plus the version count — so the oracle
+    value-checks all three restore properties at once: latest == v1,
+    the bad version remains readable, and the restore is a real
+    ledgered commit (n_versions = 4, not a manifest overwrite). The
+    reference's recovery story is re-running the whole sync
+    (main.py:366-384); here undo is O(manifest) at any table size.
+    Idempotent re-restore and vacuum-after-restore are pinned in
+    test_merge."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("restore_")
+    merge.versioned_layout_write(o, "o_orderkey", path, n_buckets=16)
+    ranked, _n = relational.with_global_rank(o, ["o_orderkey"])
+    good = (
+        ranked.where((F.col("grank") >= 101) & (F.col("grank") <= 200))
+        .select("o_orderkey", (F.col("cents") + 5000).alias("cents"))
+        .unionByName(
+            spark.range(5).select(
+                (F.col("id") + 40_000_000).alias("o_orderkey"),
+                (F.col("id") * 77).alias("cents"),
+            )
+        )
+    )
+    merge.upsert_versioned_dv(spark, path, good, "o_orderkey")  # v1: good
+    bad = ranked.where(
+        (F.col("grank") >= 301) & (F.col("grank") <= 400)
+    ).select("o_orderkey", F.lit(-1).cast("long").alias("cents"))
+    merge.upsert_versioned(spark, path, bad, "o_orderkey")  # v2: bad
+    merge.restore_version(spark, path, 1)  # v3: undo in O(manifest)
+    n_versions = len(merge._list_versions(spark, f"{path}/_manifest"))
+    latest = merge.read_version(spark, path)
+    bad_view = merge.read_version(spark, path, 2)
+    lat_b = latest.groupBy(F.col("_kr").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    bad_b = bad_view.groupBy(F.col("_kr").alias("bucket")).agg(
+        F.sum("cents").alias("sum_cents_bad")
+    )
+    return (
+        lat_b.join(bad_b, "bucket")
+        .withColumn("n_versions", F.lit(int(n_versions)))
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_RESTORE_TABLE = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), base AS (
+  SELECT k, cents, (rn - 1) * 16 // n AS b FROM o
+), cut AS (
+  SELECT b, min(k) AS min_k FROM base GROUP BY b
+), good AS (
+  SELECT k, cents + 5000 AS cents FROM o WHERE rn BETWEEN 101 AND 200
+  UNION ALL
+  SELECT 40000000 + i, i * 77 FROM generate_series(0, 4) t(i)
+), gask AS (
+  SELECT g.k, g.cents,
+         coalesce((SELECT max(c.b) FROM cut c WHERE c.min_k <= g.k), 0) AS b
+  FROM good g
+), v1 AS (
+  SELECT k, cents, b FROM base WHERE k NOT IN (SELECT k FROM good)
+  UNION ALL SELECT k, cents, b FROM gask
+), bad AS (
+  SELECT k FROM o WHERE rn BETWEEN 301 AND 400
+), v2 AS (
+  SELECT k,
+         CASE WHEN k IN (SELECT k FROM bad) THEN -1 ELSE cents END AS cents,
+         b
+  FROM v1
+)
+SELECT l.b AS bucket, l.n_live, l.sum_cents, w.sum_cents_bad,
+       4 AS n_versions
+FROM (
+  SELECT b, count(*) AS n_live, CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM v1 GROUP BY b
+) l
+JOIN (
+  SELECT b, CAST(sum(cents) AS BIGINT) AS sum_cents_bad FROM v2 GROUP BY b
+) w ON w.b = l.b
+ORDER BY bucket
+"""
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2g general-tier connected components (r10 verdict #5),
     ORACLE-CHECKED: star contraction (Kiveris large-star/small-star,
@@ -13007,6 +13108,7 @@ QUERIES: dict[str, QueryFn] = {
     "versioned_evolve": q_versioned_evolve,
     "merge_sync": q_merge_sync,
     "versioned_zorder": q_versioned_zorder,
+    "restore_table": q_restore_table,
     # previously displaced rows (r7-r11 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "curation_pipeline": q_curation_pipeline,
@@ -13406,6 +13508,7 @@ ORACLES: dict[str, str] = {
     "versioned_evolve": _ORACLE_VERSIONED_EVOLVE,
     "merge_sync": _ORACLE_MERGE_SYNC,
     "versioned_zorder": _ORACLE_VERSIONED_ZORDER,
+    "restore_table": _ORACLE_RESTORE_TABLE,
     "data_health": _ORACLE_DATA_HEALTH,
     "rrf_fusion": _ORACLE_RRF_FUSION,
     "time_travel": _ORACLE_TIME_TRAVEL,
