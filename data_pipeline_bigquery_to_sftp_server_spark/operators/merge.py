@@ -65,6 +65,134 @@ def upsert_full_outer(target: DataFrame, staging: DataFrame, key: str) -> DataFr
     return joined.select(*cols)
 
 
+def _arm_code(
+    matched, not_matched, has_t, has_s
+):
+    """Shared arm-resolution column for the conditional MERGE family:
+    classify every joined row (aliases ``t`` = target, ``s`` =
+    staging) to the FIRST arm whose condition holds, in declaration
+    order — exactly Delta/ANSI MERGE precedence. Codes: ``m<i>`` =
+    i-th matched arm, ``i<j>`` = j-th not-matched arm, ``noop`` =
+    matched (or target-only) with no arm fired (row passes through /
+    no-op commit), ``skip`` = not-matched staging row no insert arm
+    claimed (row dropped)."""
+    both = has_t & has_s
+    chain = None
+    for i, arm in enumerate(matched):
+        cond = arm[0]
+        c = both & (F.expr(cond) if cond is not None else F.lit(True))
+        chain = (F.when if chain is None else chain.when)(c, F.lit(f"m{i}"))
+    # has_t catch-all: matched-but-unclaimed AND target-only rows both
+    # pass through unchanged
+    chain = (F.when if chain is None else chain.when)(has_t, F.lit("noop"))
+    for j, arm in enumerate(not_matched):
+        cond = arm[0]
+        c = F.expr(cond) if cond is not None else F.lit(True)
+        # rows reaching here are staging-only: the has_t catch-all
+        # above absorbed every row with a target side
+        chain = chain.when(c, F.lit(f"i{j}"))
+    return chain.otherwise(F.lit("skip"))
+
+
+def _arm_actions(matched, not_matched):
+    """(update_arms, delete_codes, insert_codes): update_arms maps the
+    arm code to its SET-column subset (None = all staging columns)."""
+    update_arms: dict[str, list[str] | None] = {}
+    delete_codes: list[str] = []
+    for i, arm in enumerate(matched):
+        action = arm[1]
+        if action == "update":
+            update_arms[f"m{i}"] = list(arm[2]) if len(arm) > 2 and arm[2] is not None else None
+        elif action == "delete":
+            delete_codes.append(f"m{i}")
+        else:
+            raise ValueError(f"merge_arms: unknown matched action {action!r}")
+    insert_codes = []
+    for j, arm in enumerate(not_matched):
+        if arm[1] != "insert":
+            raise ValueError(
+                f"merge_arms: unknown not_matched action {arm[1]!r}"
+            )
+        insert_codes.append(f"i{j}")
+    return update_arms, delete_codes, insert_codes
+
+
+def merge_arms(
+    target: DataFrame,
+    staging: DataFrame,
+    key: str,
+    matched=(),
+    not_matched=(),
+) -> DataFrame:
+    """Conditional multi-arm MERGE (r12 verdict #5) — the general
+    Delta/ANSI MERGE surface the reference's update-all upsert
+    (main.py:349-358) is the no-condition special case of::
+
+        MERGE INTO target t USING staging s ON t.key = s.key
+        WHEN MATCHED AND <cond> THEN DELETE
+        WHEN MATCHED AND <cond> THEN UPDATE SET <subset>
+        WHEN NOT MATCHED AND <cond> THEN INSERT
+
+    ``matched`` is a sequence of ``(cond, 'update', cols)`` /
+    ``(cond, 'delete')`` arms, ``not_matched`` of ``(cond, 'insert')``
+    arms; conditions are SQL strings over aliases ``t`` and ``s``
+    (``None`` = unconditional), resolved FIRST-MATCH-WINS in
+    declaration order. A matched row no arm claims passes through
+    unchanged; a not-matched staging row no arm claims is dropped;
+    target rows absent from staging always pass through (the
+    not-matched-by-source arm is merge_scoped_sync). Update arms may
+    SET a column subset — unnamed columns keep their target values.
+
+    Plan: ONE full-outer join on the key (identical shape to
+    upsert_full_outer — broadcast when staging is small, shuffle
+    hash/SMJ otherwise; Catalyst sees plain CASE expressions), then a
+    filter dropping delete/skip rows. No second pass, no per-arm scan:
+    at 100 TB the cost is exactly the upsert's, however many arms.
+    Keys must be non-NULL on both sides (MERGE equality semantics).
+    """
+    update_arms, delete_codes, insert_codes = _arm_actions(
+        matched, not_matched
+    )
+    t = target.alias("t")
+    s = staging.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    has_t = F.col(f"t.{key}").isNotNull()
+    has_s = F.col(f"s.{key}").isNotNull()
+    arm = _arm_code(matched, not_matched, has_t, has_s).alias("_arm")
+    drop_codes = set(delete_codes) | {"skip"}
+    out_cols = []
+    s_cols = set(staging.columns)
+    for c in target.columns:
+        chain = None
+        for code, cols in update_arms.items():
+            takes = cols is None or c in cols
+            if takes and c in s_cols:
+                v = F.col(f"s.{c}")
+            else:
+                v = F.col(f"t.{c}")
+            chain = (F.when if chain is None else chain.when)(
+                F.col("_arm") == code, v
+            )
+        for code in insert_codes:
+            v = (
+                F.col(f"s.{c}")
+                if c in s_cols
+                else F.lit(None).cast(target.schema[c].dataType)
+            )
+            chain = (F.when if chain is None else chain.when)(
+                F.col("_arm") == code, v
+            )
+        val = F.col(f"t.{c}") if chain is None else chain.otherwise(
+            F.col(f"t.{c}")
+        )
+        out_cols.append(val.alias(c))
+    return (
+        joined.withColumn("_arm", arm)
+        .where(~F.col("_arm").isin(list(drop_codes)))
+        .select(*out_cols)
+    )
+
+
 def upsert_partitioned(
     spark: SparkSession,
     target_path: str,
@@ -973,6 +1101,162 @@ def delete_versioned(
         f"{target_path}/_manifest/v={v + 1}"
     )
     return v + 1
+
+
+def merge_arms_versioned_dv(
+    spark: SparkSession,
+    target_path: str,
+    staging: DataFrame,
+    key: str,
+    matched=(),
+    not_matched=(),
+    writer: str | None = None,
+    commit_meta: str | None = None,
+) -> DataFrame:
+    """Conditional multi-arm MERGE committed merge-on-read (r12
+    verdict #5, DV tier): same arm surface as merge_arms, but against
+    the versioned table, priced like upsert_versioned_dv — the commit
+    writes ONLY the rows update/insert arms produce as the new
+    generation, plus one DV entry per claimed key. A conditional
+    DELETE arm therefore commits ZERO data files for its keys (pure DV
+    entries, the delete_versioned mechanism), and a batch whose arms
+    all resolve to delete/no-op commits no data files at all. Matched
+    rows no arm claims are true no-ops: no copy, no DV entry — their
+    live generation simply carries.
+
+    Only staging keys can be claimed by any arm (MERGE joins on the
+    key), so the read side is the touched buckets' live rows — the
+    same bounded scan the plain DV upsert does; conditions see the
+    FULL target row (every column, any generation) because the live
+    read is DV-resolved and schema-merged. Returns the fresh-copy
+    frame with ``version``, ``touched_buckets``, and per-action counts
+    ``n_updated`` / ``n_deleted`` / ``n_inserted`` attached."""
+    update_arms, delete_codes, insert_codes = _arm_actions(
+        matched, not_matched
+    )
+    versions = _list_versions(spark, f"{target_path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(
+            f"merge_arms_versioned_dv: no table at {target_path} — "
+            "bootstrap with versioned_layout_write"
+        )
+    v = versions[-1]
+    manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
+    stats_cols = _stats_cols_of(manifest)
+    assigned = assign_range_bucket(staging, _cutpoints(manifest), key)
+    touched = sorted(
+        r[0] for r in assigned.select("_kr").distinct().collect()
+    )
+    dirs = [
+        f"{target_path}/data/_kr={r._kr}/_gen={r.gen}"
+        for r in manifest.collect()
+        if r._kr in set(touched)
+    ]
+    live = _apply_dv(
+        spark.read.option("basePath", f"{target_path}/data")
+        .option("mergeSchema", "true")
+        .parquet(*dirs),
+        _read_dv(spark, target_path, v),
+    ).drop("_gen", "_kr")
+    table_cols = live.columns
+    t = live.alias("t")
+    s = assigned.alias("s")
+    # right join: every staging key (matched or not); target-only rows
+    # never enter — they are no-ops by construction in the DV tier
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "right")
+    has_t = F.col(f"t.{key}").isNotNull()
+    classified = joined.withColumn(
+        # right join: the staging side is always present
+        "_arm", _arm_code(matched, not_matched, has_t, F.lit(True))
+    )
+    s_cols = set(staging.columns)
+    out_cols = [F.col("s._kr").alias("_kr"), F.col("_arm")]
+    for c in table_cols:
+        chain = None
+        for code, cols in update_arms.items():
+            takes = cols is None or c in cols
+            v_col = (
+                F.col(f"s.{c}")
+                if (takes and c in s_cols)
+                else F.col(f"t.{c}")
+            )
+            chain = (F.when if chain is None else chain.when)(
+                F.col("_arm") == code, v_col
+            )
+        for code in insert_codes:
+            v_col = (
+                F.col(f"s.{c}")
+                if c in s_cols
+                else F.lit(None).cast(live.schema[c].dataType)
+            )
+            chain = (F.when if chain is None else chain.when)(
+                F.col("_arm") == code, v_col
+            )
+        val = (
+            F.col(f"t.{c}") if chain is None else chain.otherwise(F.col(f"t.{c}"))
+        )
+        out_cols.append(val.alias(c))
+    resolved = classified.select(*out_cols).localCheckpoint(eager=True)
+    counts = {
+        r._arm: r.n
+        for r in resolved.groupBy("_arm").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_updated = sum(counts.get(c, 0) for c in update_arms)
+    n_deleted = sum(counts.get(c, 0) for c in delete_codes)
+    n_inserted = sum(counts.get(c, 0) for c in insert_codes)
+    _begin_commit(spark, target_path, v + 1, writer or _unique_writer())
+    fresh = resolved.where(
+        F.col("_arm").isin(list(update_arms) + insert_codes)
+    ).drop("_arm").withColumn("_gen", F.lit(v + 1).cast("long"))
+    wrote_data = (n_updated + n_inserted) > 0
+    if wrote_data:
+        _clean_uncommitted_generation(spark, target_path, touched, v + 1)
+        fresh.write.mode("append").partitionBy("_kr", "_gen").parquet(
+            f"{target_path}/data"
+        )
+    # DV entries for every CLAIMED key: updates+inserts point at their
+    # fresh copy, deletes point at a generation holding no copy.
+    # noop (matched, unclaimed) and skip (not-matched, unclaimed) rows
+    # get NO entry — their state is untouched by this commit.
+    claimed = resolved.where(~F.col("_arm").isin(["noop", "skip"])).select(
+        "_kr", key, F.lit(v + 1).cast("long").alias("live_gen")
+    )
+    old_dv = _read_dv(spark, target_path, v)
+    dv_state = (
+        claimed
+        if old_dv is None
+        else old_dv.join(claimed.select(key), key, "left_anti").unionByName(
+            claimed
+        )
+    )
+    dv_state.coalesce(1).write.mode("overwrite").parquet(
+        f"{target_path}/_dv/v={v + 1}"
+    )
+    if wrote_data:
+        stats_src = fresh
+        for c in stats_cols:
+            if c not in stats_src.columns:
+                stats_src = stats_src.withColumn(
+                    c, F.lit(None).cast(manifest.schema[f"min_{c}"].dataType)
+                )
+        new_manifest = manifest.unionByName(
+            stats_src.groupBy("_kr").agg(*_manifest_agg(key, stats_cols))
+        )
+    else:
+        new_manifest = manifest  # zero-data-file commit: carry forward
+    # meta before the manifest commit point — see upsert_versioned
+    if commit_meta is not None:
+        _write_commit_meta(spark, target_path, v + 1, commit_meta)
+    new_manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{target_path}/_manifest/v={v + 1}"
+    )
+    out = fresh.drop("_gen")
+    out.version = v + 1
+    out.touched_buckets = touched
+    out.n_updated = int(n_updated)
+    out.n_deleted = int(n_deleted)
+    out.n_inserted = int(n_inserted)
+    return out
 
 
 def versioned_absorb(

@@ -12395,6 +12395,226 @@ ORDER BY bucket
 """
 
 
+def q_merge_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1l conditional multi-arm MERGE (r12 verdict #5),
+    ORACLE-CHECKED: the general Delta/ANSI MERGE surface —
+    ``WHEN MATCHED AND <cond> THEN DELETE / UPDATE SET <subset> /
+    UPDATE SET * , WHEN NOT MATCHED AND <cond> THEN INSERT`` — of
+    which the reference's update-all upsert (main.py:349-358) is the
+    no-condition special case (operators/merge.py merge_arms). A CDC
+    batch carries an op column: 'D' rows delete, 'U' rows update —
+    but open orders (t.ostatus = 'O') take ONLY the repriced cents
+    (SET-subset, their status untouched) while the second U-arm
+    rewrites closed orders entirely; 'I' rows insert only when
+    priced >= 0 (the negative ones drop). First-match-wins precedence
+    across four arms, one full-outer join however many arms — DuckDB
+    replays it as a CASE-classified full outer, cell for cell."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("ostatus"),
+    )
+    ranked, _n = relational.with_global_rank(o, ["o_orderkey"])
+    dels = ranked.where(
+        (F.col("grank") >= 1001) & (F.col("grank") <= 1100)
+    ).select("o_orderkey", "cents", "ostatus", F.lit("D").alias("op"))
+    upds = ranked.where(
+        (F.col("grank") >= 2001) & (F.col("grank") <= 2200)
+    ).select(
+        "o_orderkey",
+        (F.col("cents") + 7777).alias("cents"),
+        F.lit("X").alias("ostatus"),
+        F.lit("U").alias("op"),
+    )
+    ins = spark.range(10).select(
+        (F.col("id") + 50_000_000).alias("o_orderkey"),
+        (F.col("id") * 11 - 22).alias("cents"),
+        F.lit("X").alias("ostatus"),
+        F.lit("I").alias("op"),
+    )
+    staging = dels.unionByName(upds).unionByName(ins)
+    return merge.merge_arms(
+        o,
+        staging,
+        "o_orderkey",
+        matched=[
+            ("s.op = 'D'", "delete"),
+            ("s.op = 'U' AND t.ostatus = 'O'", "update", ["cents"]),
+            ("s.op = 'U'", "update", None),
+        ],
+        not_matched=[("s.op = 'I' AND s.cents >= 0", "insert")],
+    )
+
+
+_ORACLE_MERGE_ARMS = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus AS ostatus,
+         row_number() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders
+), s AS (
+  SELECT k, cents, ostatus, 'D' AS op FROM o WHERE rn BETWEEN 1001 AND 1100
+  UNION ALL
+  SELECT k, cents + 7777, 'X', 'U' FROM o WHERE rn BETWEEN 2001 AND 2200
+  UNION ALL
+  SELECT 50000000 + i, i * 11 - 22, 'X', 'I' FROM generate_series(0, 9) t(i)
+), j AS (
+  SELECT t.k AS tk, t.cents AS tc, t.ostatus AS ts,
+         s.k AS sk, s.cents AS sc, s.ostatus AS ss, s.op
+  FROM o t FULL OUTER JOIN s ON t.k = s.k
+), cls AS (
+  SELECT *,
+         CASE
+           WHEN tk IS NOT NULL AND sk IS NOT NULL AND op = 'D' THEN 'm0'
+           WHEN tk IS NOT NULL AND sk IS NOT NULL AND op = 'U'
+                AND ts = 'O' THEN 'm1'
+           WHEN tk IS NOT NULL AND sk IS NOT NULL AND op = 'U' THEN 'm2'
+           WHEN tk IS NOT NULL THEN 'noop'
+           WHEN op = 'I' AND sc >= 0 THEN 'i0'
+           ELSE 'skip'
+         END AS arm
+  FROM j
+)
+SELECT coalesce(tk, sk) AS o_orderkey,
+       CASE WHEN arm IN ('m1', 'm2', 'i0') THEN sc ELSE tc END AS cents,
+       CASE WHEN arm IN ('m2', 'i0') THEN ss ELSE ts END AS ostatus
+FROM cls
+WHERE arm NOT IN ('m0', 'skip')
+"""
+
+
+def q_merge_arms_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1l on the versioned table, merge-on-read pricing
+    (r12 verdict #5 "DV-tier twin"), ORACLE-CHECKED: the same arm
+    surface committed through merge_arms_versioned_dv — the delete
+    arm's keys become pure deletion-vector entries (zero data files),
+    update/insert arms write ONLY their fresh copies as the new
+    generation, matched-but-unclaimed 'N' rows and cond-failing
+    inserts touch nothing at all. The report is the q_merge_dv
+    evidence shape: per bucket, the LIVE table (n_live, sum_cents)
+    against the PHYSICAL file population (n_physical) and the DV
+    entry count (n_dv) — so the oracle value-checks both the merge
+    semantics and the merge-on-read pricing claim (physical = base +
+    updates + inserts only; DV = claimed keys only)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("armsdv_")
+    merge.versioned_layout_write(o, "o_orderkey", path, n_buckets=16)
+    ranked, _n = relational.with_global_rank(o, ["o_orderkey"])
+    dels = ranked.where(
+        (F.col("grank") >= 1001) & (F.col("grank") <= 1050)
+    ).select("o_orderkey", "cents", F.lit("D").alias("op"))
+    upds = ranked.where(
+        (F.col("grank") >= 2001) & (F.col("grank") <= 2100)
+    ).select(
+        "o_orderkey", (F.col("cents") + 10_000).alias("cents"),
+        F.lit("U").alias("op"),
+    )
+    noops = ranked.where(
+        (F.col("grank") >= 3001) & (F.col("grank") <= 3050)
+    ).select("o_orderkey", "cents", F.lit("N").alias("op"))
+    ins = spark.range(8).select(
+        (F.col("id") + 30_000_000).alias("o_orderkey"),
+        (F.col("id") * 1000 - 2000).alias("cents"),  # 2 negative: skip
+        F.lit("I").alias("op"),
+    )
+    staging = dels.unionByName(upds).unionByName(noops).unionByName(ins)
+    merge.merge_arms_versioned_dv(
+        spark, path, staging, "o_orderkey",
+        matched=[("s.op = 'D'", "delete"), ("s.op = 'U'", "update", None)],
+        not_matched=[("s.op = 'I' AND s.cents >= 0", "insert")],
+    )
+    live = merge.read_version(spark, path)
+    physical = spark.read.option("basePath", f"{path}/data").parquet(
+        f"{path}/data"
+    )
+    dv = spark.read.parquet(f"{path}/_dv/v=1")
+    live_b = live.groupBy(F.col("_kr").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    phys_b = physical.groupBy(F.col("_kr").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_physical")
+    )
+    dv_b = dv.groupBy(F.col("_kr").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_dv")
+    )
+    return (
+        live_b.join(phys_b, "bucket", "full_outer")
+        .join(dv_b, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_live", F.lit(0)).alias("n_live"),
+            F.coalesce("sum_cents", F.lit(0)).alias("sum_cents"),
+            F.coalesce("n_physical", F.lit(0)).alias("n_physical"),
+            F.coalesce("n_dv", F.lit(0)).alias("n_dv"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_MERGE_ARMS_DV = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), base AS (
+  SELECT k, cents, (rn - 1) * 16 // n AS b FROM o
+), cut AS (
+  SELECT b, min(k) AS min_k FROM base GROUP BY b
+), dels AS (
+  SELECT k FROM o WHERE rn BETWEEN 1001 AND 1050
+), upds AS (
+  SELECT k, cents + 10000 AS cents FROM o WHERE rn BETWEEN 2001 AND 2100
+), ins AS (
+  SELECT 30000000 + i AS k, i * 1000 - 2000 AS cents
+  FROM generate_series(0, 7) t(i)
+  WHERE i * 1000 - 2000 >= 0
+), fresh AS (
+  SELECT k, cents FROM upds UNION ALL SELECT k, cents FROM ins
+), fassigned AS (
+  SELECT f.k, f.cents,
+         coalesce((SELECT max(c.b) FROM cut c WHERE c.min_k <= f.k), 0) AS b
+  FROM fresh f
+), live AS (
+  SELECT k, cents, b FROM base
+  WHERE k NOT IN (SELECT k FROM dels) AND k NOT IN (SELECT k FROM fresh)
+  UNION ALL SELECT k, cents, b FROM fassigned
+), phys AS (
+  SELECT b FROM base UNION ALL SELECT b FROM fassigned
+), dvk AS (
+  SELECT d.k,
+         coalesce((SELECT max(c.b) FROM cut c WHERE c.min_k <= d.k), 0) AS b
+  FROM dels d
+  UNION ALL SELECT k, b FROM fassigned
+), buckets AS (
+  SELECT DISTINCT b FROM phys
+)
+SELECT bk.b AS bucket,
+       coalesce(lv.n_live, 0) AS n_live,
+       coalesce(lv.sum_cents, 0) AS sum_cents,
+       coalesce(ph.n_physical, 0) AS n_physical,
+       coalesce(dv.n_dv, 0) AS n_dv
+FROM buckets bk
+LEFT JOIN (
+  SELECT b, count(*) AS n_live, CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM live GROUP BY b
+) lv ON lv.b = bk.b
+LEFT JOIN (
+  SELECT b, count(*) AS n_physical FROM phys GROUP BY b
+) ph ON ph.b = bk.b
+LEFT JOIN (
+  SELECT b, count(*) AS n_dv FROM dvk GROUP BY b
+) dv ON dv.b = bk.b
+ORDER BY bucket
+"""
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2g general-tier connected components (r10 verdict #5),
     ORACLE-CHECKED: star contraction (Kiveris large-star/small-star,
@@ -13109,6 +13329,8 @@ QUERIES: dict[str, QueryFn] = {
     "merge_sync": q_merge_sync,
     "versioned_zorder": q_versioned_zorder,
     "restore_table": q_restore_table,
+    "merge_arms": q_merge_arms,
+    "merge_arms_dv": q_merge_arms_dv,
     # previously displaced rows (r7-r11 rotations) — all remain
     # verify_local-green; see git history for their official rounds
     "curation_pipeline": q_curation_pipeline,
@@ -13509,6 +13731,8 @@ ORACLES: dict[str, str] = {
     "merge_sync": _ORACLE_MERGE_SYNC,
     "versioned_zorder": _ORACLE_VERSIONED_ZORDER,
     "restore_table": _ORACLE_RESTORE_TABLE,
+    "merge_arms": _ORACLE_MERGE_ARMS,
+    "merge_arms_dv": _ORACLE_MERGE_ARMS_DV,
     "data_health": _ORACLE_DATA_HEALTH,
     "rrf_fusion": _ORACLE_RRF_FUSION,
     "time_travel": _ORACLE_TIME_TRAVEL,

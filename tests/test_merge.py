@@ -1133,3 +1133,136 @@ def test_restore_version_carries_deletion_vector(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not in"):
         merge.restore_version(spark, path, 1)
+
+
+def _arms_fixture(spark):
+    target = spark.createDataFrame(
+        [(1, 10, "keep"), (2, 20, "upd"), (3, 30, "del"), (4, 40, "subset"),
+         (5, 50, "noop")],
+        "k long, v long, tag string",
+    )
+    staging = spark.createDataFrame(
+        [(2, 200, "s-upd"), (3, 300, "s-del"), (4, 400, "s-subset"),
+         (5, 500, "s-unclaimed"), (6, 600, "s-new"), (7, 700, "s-skip")],
+        "k long, v long, tag string",
+    )
+    matched = [
+        ("s.tag = 's-del'", "delete"),
+        ("t.tag = 'subset'", "update", ["v"]),       # SET v only
+        ("s.v >= 200 AND s.v <= 499", "update", None),  # catch: all cols
+    ]
+    not_matched = [("s.v = 600", "insert")]
+    return target, staging, matched, not_matched
+
+
+def test_merge_arms_precedence_subsets_and_noops(spark):
+    """Conditional MERGE (r12 verdict #5): first-match-wins precedence,
+    SET-subset updates, matched-but-unclaimed pass-through,
+    not-matched-but-unclaimed dropped, target-only pass-through."""
+    target, staging, matched, not_matched = _arms_fixture(spark)
+    out = {
+        r.k: (r.v, r.tag)
+        for r in merge.merge_arms(
+            target, staging, "k", matched, not_matched
+        ).collect()
+    }
+    assert out == {
+        1: (10, "keep"),        # target-only: untouched
+        2: (200, "s-upd"),      # third arm: update all columns
+        # 3 deleted by first arm (precedence: delete fires before the
+        # catch-all update even though both conditions hold)
+        4: (400, "subset"),     # second arm: SET v only, tag kept
+        5: (50, "noop"),        # matched, no arm claims: pass-through
+        6: (600, "s-new"),      # insert arm
+        # 7 dropped: not matched, insert cond false
+    }
+
+
+def test_merge_arms_unconditional_equals_upsert(spark):
+    target, staging = make(spark)
+    a = as_map(merge.upsert_anti_union(target, staging, "id"))
+    b = as_map(
+        merge.merge_arms(
+            target, staging, "id",
+            matched=[(None, "update", None)],
+            not_matched=[(None, "insert")],
+        )
+    )
+    assert a == b
+
+
+def test_merge_arms_empty_arms_is_passthrough(spark):
+    target, staging = make(spark)
+    got = as_map(merge.merge_arms(target, staging, "id"))
+    assert got == as_map(target)
+
+
+def test_merge_arms_versioned_dv_matches_batch_and_prices_mor(spark, tmp_path):
+    """The DV-tier twin must produce the same table as the batch-tier
+    merge_arms, while committing ONLY fresh copies (update+insert
+    rows) as data files — the delete arm's keys ride pure DV entries."""
+    import os
+
+    target, staging, matched, not_matched = _arms_fixture(spark)
+    path = str(tmp_path / "arms_dv")
+    merge.versioned_layout_write(target, "k", path, n_buckets=2)
+    out = merge.merge_arms_versioned_dv(
+        spark, path, staging, "k", matched, not_matched
+    )
+    assert (out.n_updated, out.n_deleted, out.n_inserted) == (2, 1, 1)
+    want = {
+        (r.k, r.v, r.tag)
+        for r in merge.merge_arms(
+            target, staging, "k", matched, not_matched
+        ).collect()
+    }
+    got = {
+        (r.k, r.v, r.tag)
+        for r in merge.read_version(spark, path).select("k", "v", "tag").collect()
+    }
+    assert got == want
+    # the new generation holds exactly updated+inserted copies
+    gen1 = spark.read.option("basePath", f"{path}/data").parquet(
+        *[
+            f"{path}/data/_kr={b}/_gen=1"
+            for b in (0, 1)
+            if os.path.isdir(f"{path}/data/_kr={b}/_gen=1")
+        ]
+    )
+    assert {r.k for r in gen1.select("k").collect()} == {2, 4, 6}
+    # time travel: v0 still serves the pre-merge table
+    v0 = {r.k: r.v for r in merge.read_version(spark, path, 0).collect()}
+    assert v0 == {1: 10, 2: 20, 3: 30, 4: 40, 5: 50}
+
+
+def test_merge_arms_versioned_dv_all_delete_commits_zero_data_files(spark, tmp_path):
+    """A batch whose arms all resolve to delete/no-op commits no data
+    files at all: no _gen=1 directory exists anywhere, yet the deleted
+    keys vanish from the new version."""
+    import os
+
+    target = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 9)], "k long, v long"
+    )
+    path = str(tmp_path / "arms_del")
+    merge.versioned_layout_write(target, "k", path, n_buckets=2)
+    staging = spark.createDataFrame(
+        [(2, 0), (5, 0), (99, 0)], "k long, v long"
+    )
+    out = merge.merge_arms_versioned_dv(
+        spark, path, staging, "k",
+        matched=[("t.v >= 20", "delete")],  # 2 and 5 qualify
+        not_matched=(),                      # 99 skips
+    )
+    assert (out.n_updated, out.n_deleted, out.n_inserted) == (0, 2, 0)
+    assert not any(
+        "_gen=1" in d
+        for b in os.listdir(f"{path}/data")
+        if b.startswith("_kr=")
+        for d in os.listdir(f"{path}/data/{b}")
+    )
+    got = {r.k for r in merge.read_version(spark, path).collect()}
+    assert got == {1, 3, 4, 6, 7, 8}
+    # DV has entries ONLY for the claimed (deleted) keys — 99 skipped
+    dv = {r.k for r in spark.read.parquet(f"{path}/_dv/v=1").collect()}
+    assert dv == {2, 5}
