@@ -658,6 +658,133 @@ def _stats_cols_of(manifest: DataFrame) -> list[str]:
     ]
 
 
+_BLOOM_HASHES = 6
+_BLOOM_SEED = 1042
+
+
+def _point_cols_of(manifest: DataFrame) -> list[str]:
+    """Recover the point-predicate (Bloom) column set from a manifest's
+    schema, the way _stats_cols_of recovers the min/max set: every
+    ``bloom_<c>`` binary column declared at bootstrap is maintained by
+    every later commit."""
+    return [c[6:] for c in manifest.columns if c.startswith("bloom_")]
+
+
+def _bloom_bits_of(manifest: DataFrame, point_cols: list[str]) -> int:
+    """The table's Bloom width (bits), recovered from any committed
+    bitmap's byte length — fixed per table at bootstrap."""
+    for c in point_cols:
+        r = (
+            manifest.where(F.col(f"bloom_{c}").isNotNull())
+            .select(F.octet_length(f"bloom_{c}").alias("n"))
+            .first()
+        )
+        if r is not None:
+            return int(r.n) * 8
+    raise ValueError("no committed Bloom bitmap to recover num_bits from")
+
+
+def _bloom_rows(
+    df: DataFrame, point_cols, num_bits: int
+) -> DataFrame | None:
+    """Per-bucket packed Bloom bitmaps over each point column of the
+    generation being committed (r12 verdict #4: the manifest's
+    point-predicate skipping index — range stats can't serve equality
+    probes on high-cardinality non-layout columns, the reference's own
+    ``_id`` lookup shape, main.py:179-194). Position hashing is
+    JVM-side ``pmod(xxhash64(col, seed_i), num_bits)`` (the bloom.py
+    machinery); bit-packing is one Arrow-batched applyInPandas per
+    bucket. NULL values set no bits — an equality probe never matches
+    NULL, and a staging batch that OMITS the column yields the empty
+    bitmap, which correctly prunes every probe of that directory."""
+    point_cols = list(point_cols)
+    if not point_cols:
+        return None
+    import numpy as np
+    import pandas as pd
+
+    cols = [F.col("_kr")]
+    for c in point_cols:
+        src = F.col(c) if c in df.columns else F.lit(None).cast("long")
+        for i in range(_BLOOM_HASHES):
+            cols.append(
+                F.when(
+                    src.isNotNull(),
+                    F.pmod(
+                        F.xxhash64(src, F.lit(_BLOOM_SEED + i)),
+                        F.lit(num_bits),
+                    ),
+                )
+                .cast("long")
+                .alias(f"_p_{c}_{i}")
+            )
+    pos = df.select(*cols)
+    nbytes = num_bits // 8
+
+    def build(key, pdf):
+        out = {"_kr": [key[0]]}
+        for c in point_cols:
+            bm = np.zeros(nbytes, dtype=np.uint8)
+            parts = [
+                pdf[f"_p_{c}_{i}"].dropna().to_numpy(dtype=np.int64)
+                for i in range(_BLOOM_HASHES)
+            ]
+            p = np.concatenate(parts) if parts else np.empty(0, np.int64)
+            if len(p):
+                np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+            out[f"bloom_{c}"] = [bm.tobytes()]
+        return pd.DataFrame(out)
+
+    schema = "_kr long, " + ", ".join(
+        f"bloom_{c} binary" for c in point_cols
+    )
+    return pos.groupBy("_kr").applyInPandas(build, schema)
+
+
+def _with_bloom(
+    manifest_rows: DataFrame, data: DataFrame, point_cols, num_bits: int
+) -> DataFrame:
+    """Attach the committed generation's per-bucket Bloom bitmaps to
+    its manifest rows (no-op when the table declares no point_cols)."""
+    bl = _bloom_rows(data, point_cols, num_bits)
+    if bl is None:
+        return manifest_rows
+    return manifest_rows.join(bl, "_kr", "left")
+
+
+def _bloom_probe_positions(
+    spark: SparkSession, value, dtype, num_bits: int
+) -> list[int]:
+    """The probe value's k bit positions, computed through the SAME
+    JVM xxhash64 the write side used (one 1-row job): Python must not
+    re-implement the hash, it must ASK it."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(
+                    F.xxhash64(
+                        F.lit(value).cast(dtype), F.lit(_BLOOM_SEED + i)
+                    ),
+                    F.lit(num_bits),
+                ).alias(f"p{i}")
+                for i in range(_BLOOM_HASHES)
+            ]
+        )
+        .first()
+    )
+    return [int(row[f"p{i}"]) for i in range(_BLOOM_HASHES)]
+
+
+def _bloom_hit(bitmap: bytes | bytearray | None, positions: list[int]) -> bool:
+    """All-k-bits-set test; a NULL bitmap means 'cannot prune' (a
+    commit that predates the column or skipped maintenance) — keep."""
+    if bitmap is None:
+        return True
+    bm = bytes(bitmap)
+    return all(bm[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
 def _cutpoints(manifest: DataFrame) -> DataFrame:
     """Bucket-assignment cutpoints from a (possibly multi-generation)
     manifest: one row per bucket with the bucket's smallest stored key
@@ -703,6 +830,8 @@ def versioned_layout_write(
     path: str,
     n_buckets: int = 16,
     stats_cols: tuple[str, ...] | list[str] = (),
+    point_cols: tuple[str, ...] | list[str] = (),
+    bloom_bits: int = 1 << 21,
 ) -> None:
     """Bootstrap a versioned key-range table: every bucket at
     generation 0, manifest version 0. Layout: data under
@@ -734,13 +863,13 @@ def versioned_layout_write(
     written = spark.read.option("basePath", f"{path}/data").parquet(
         f"{path}/data"
     )
-    (
-        written.groupBy("_kr")
-        .agg(*_manifest_agg(key, stats_cols))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/_manifest/v=0")
+    rows = _with_bloom(
+        written.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
+        written,
+        point_cols,
+        bloom_bits,
     )
+    rows.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest/v=0")
 
 
 def read_version(
@@ -856,6 +985,83 @@ def _unique_writer() -> str:
     return f"w-{uuid4().hex}"
 
 
+def read_version_point(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Bloom-pruned POINT lookup (r12 verdict #4 — completes the
+    skipping family): rows with ``col = value``, opening ONLY the
+    (bucket, generation) directories whose manifest Bloom bitmap for
+    ``col`` claims possible membership. Range statistics can't serve
+    an equality probe on a high-cardinality NON-layout column — the
+    reference's own ``_id`` lookup shape (main.py:179-194) — because
+    every directory's [min, max] straddles a uniformly-drawn id; the
+    per-(bucket, generation) bitmap prunes exactly those directories.
+
+    Guarantees: no false negatives (every directory truly holding the
+    value is opened — Bloom's one-sided error), and the exact
+    in-stage equality filter removes any false positive's rows, so
+    the RESULT is exact regardless of FPR; only ``dirs_read`` carries
+    the (write-side-tunable) noise. A directory with a NULL bitmap
+    (committed before the column was declared) degrades to 'cannot
+    prune'. The version's deletion vector applies after the scan as in
+    read_version. Attaches ``dirs_read``/``dirs_total``.
+
+    Scale: the probe is k=6 JVM xxhash64 calls (one 1-row job — the
+    probe must ask the SAME hash the write side used) plus a
+    driver-side bit test over the collected manifest (bounded:
+    n_buckets x generations rows); at 10 bits/key the bitmaps add
+    ~1.25 bytes per row to the commit log. The probed column's type is
+    taken from the live schema so the literal hashes identically to
+    the stored column."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"no manifest versions under {path}")
+    v = versions[-1] if version is None else int(version)
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
+    rows = manifest.collect()
+    bcol = f"bloom_{col}"
+    all_dirs = [f"{path}/data/_kr={r._kr}/_gen={r.gen}" for r in rows]
+    if bcol in manifest.columns:
+        # the column's Spark type, from the live footer schema — the
+        # literal must hash exactly as the stored column did
+        full = (
+            spark.read.option("basePath", f"{path}/data")
+            .option("mergeSchema", "true")
+            .parquet(*all_dirs)
+        )
+        dtype = full.schema[col].dataType
+        num_bits = _bloom_bits_of(manifest, [col])
+        positions = _bloom_probe_positions(spark, value, dtype, num_bits)
+        live = [r for r in rows if _bloom_hit(r[bcol], positions)]
+    else:
+        live = list(rows)  # no bitmap for col: cannot prune
+    if not live:
+        out = read_version(spark, path, v).where(F.lit(False)).where(
+            F.col(col) == F.lit(value)
+        )
+        out.dirs_read = 0
+        out.dirs_total = len(rows)
+        return out
+    dirs = [f"{path}/data/_kr={r._kr}/_gen={r.gen}" for r in live]
+    data = (
+        spark.read.option("basePath", f"{path}/data")
+        .option("mergeSchema", "true")
+        .parquet(*dirs)
+    )
+    out = _apply_dv(data, _read_dv(spark, path, v)).where(
+        F.col(col) == F.lit(value)
+    )
+    out.dirs_read = len(live)
+    out.dirs_total = len(rows)
+    return out
+
+
 def upsert_versioned(
     spark: SparkSession,
     target_path: str,
@@ -895,6 +1101,8 @@ def upsert_versioned(
     v = versions[-1]
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
     stats_cols = _stats_cols_of(manifest)
+    point_cols = _point_cols_of(manifest)
+    bloom_bits = _bloom_bits_of(manifest, point_cols) if point_cols else 0
     assigned = assign_range_bucket(staging, _cutpoints(manifest), key)
     touched = sorted(
         r[0] for r in assigned.select("_kr").distinct().collect()
@@ -946,7 +1154,10 @@ def upsert_versioned(
                 f"{target_path}/_dv/v={v + 1}"
             )
     new_manifest = manifest.where(~F.col("_kr").isin(touched)).unionByName(
-        merged.groupBy("_kr").agg(*_manifest_agg(key, stats_cols))
+        _with_bloom(
+            merged.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
+            merged, point_cols, bloom_bits,
+        )
     )
     # meta BEFORE the manifest commit point (r12 advice): a crash
     # between manifest-_SUCCESS and a later meta write would leave a
@@ -1003,6 +1214,8 @@ def upsert_versioned_dv(
     v = versions[-1]
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
     stats_cols = _stats_cols_of(manifest)
+    point_cols = _point_cols_of(manifest)
+    bloom_bits = _bloom_bits_of(manifest, point_cols) if point_cols else 0
     assigned = assign_range_bucket(staging, _cutpoints(manifest), key)
     touched = sorted(
         r[0] for r in assigned.select("_kr").distinct().collect()
@@ -1040,7 +1253,10 @@ def upsert_versioned_dv(
                 c, F.lit(None).cast(manifest.schema[f"min_{c}"].dataType)
             )
     new_manifest = manifest.unionByName(
-        stats_src.groupBy("_kr").agg(*_manifest_agg(key, stats_cols))
+        _with_bloom(
+            stats_src.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
+            stats_src, point_cols, bloom_bits,
+        )
     )
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
@@ -1239,8 +1455,14 @@ def merge_arms_versioned_dv(
                 stats_src = stats_src.withColumn(
                     c, F.lit(None).cast(manifest.schema[f"min_{c}"].dataType)
                 )
+        point_cols = _point_cols_of(manifest)
         new_manifest = manifest.unionByName(
-            stats_src.groupBy("_kr").agg(*_manifest_agg(key, stats_cols))
+            _with_bloom(
+                stats_src.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
+                stats_src,
+                point_cols,
+                _bloom_bits_of(manifest, point_cols) if point_cols else 0,
+            )
         )
     else:
         new_manifest = manifest  # zero-data-file commit: carry forward
@@ -1366,8 +1588,12 @@ def compact_table(
     compacted.write.mode("append").partitionBy("_kr", "_gen").parquet(
         f"{path}/data"
     )
-    new_manifest = compacted.groupBy("_kr").agg(
-        *_manifest_agg(key, stats_cols)
+    point_cols = _point_cols_of(manifest)
+    new_manifest = _with_bloom(
+        compacted.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
+        compacted,
+        point_cols,
+        _bloom_bits_of(manifest, point_cols) if point_cols else 0,
     )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_manifest/v={v + 1}"

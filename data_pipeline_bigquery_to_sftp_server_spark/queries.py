@@ -12395,6 +12395,124 @@ ORDER BY bucket
 """
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1k manifest-Bloom point-predicate skipping (r12 verdict #4),
+    ORACLE-CHECKED: equality probes on a high-cardinality NON-layout
+    column — the reference's own ``_id`` lookup shape
+    (main.py:179-194) — served by per-(bucket, generation) Bloom
+    bitmaps riding the commit log (operators/merge.py _bloom_rows /
+    read_version_point). Range stats are useless here BY CONSTRUCTION:
+    ``uid = (k * 2654435761) % 100000007`` (Knuth multiplicative)
+    spreads every bucket's uids across the whole domain, so every
+    directory's [min, max] straddles every probe; the bitmaps still
+    prune to the directories truly holding the value. Four probes
+    cover the matrix — a base-table hit, a hit in a DV-committed fresh
+    generation, a SUPERSEDED uid (bitmaps honestly report its old
+    directory, the deletion vector then yields zero rows — physical
+    presence vs liveness made visible), and an absent value (prunes
+    everything). dirs_read/dirs_total ride as evidence columns the
+    oracle replays as exact containing-directory counts: Bloom's
+    one-sided error means dirs_read = truth + FPR-noise, and at the
+    committed width (2^21 bits vs ~10^3-10^4 rows/directory, k=6) the
+    noise term is < 1e-9 per probe — at larger fills size
+    ``bloom_bits`` at ~10 bits/key, the standard 1% curve. The exact
+    in-stage equality filter makes the ROWS exact at any FPR."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(100000007)).alias(
+            "uid"
+        ),
+    )
+    path = _scratch_dir("pointlk_")
+    merge.versioned_layout_write(
+        o, "o_orderkey", path, n_buckets=16, point_cols=["uid"]
+    )
+    ranked, _n = relational.with_global_rank(o, ["o_orderkey"])
+    upd = ranked.where(
+        (F.col("grank") >= 5001) & (F.col("grank") <= 5040)
+    ).select(
+        "o_orderkey",
+        (F.col("cents") + 999).alias("cents"),
+        (F.col("uid") + 200_000_000).alias("uid"),
+    )
+    merge.upsert_versioned_dv(spark, path, upd, "o_orderkey")
+    r100 = ranked.where(F.col("grank") == 100).select("uid").first()
+    r5010 = ranked.where(F.col("grank") == 5010).select("uid").first()
+    probes = [
+        ("absent", 999_999_999_999),
+        ("base_hit", int(r100.uid)),
+        ("fresh_hit", int(r5010.uid) + 200_000_000),
+        ("superseded", int(r5010.uid)),
+    ]
+    parts = []
+    for name, u in probes:
+        d = merge.read_version_point(spark, path, "uid", u)
+        parts.append(
+            d.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum("cents"), F.lit(0))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .withColumn("probe", F.lit(name))
+            .withColumn("dirs_read", F.lit(int(d.dirs_read)))
+            .withColumn("dirs_total", F.lit(int(d.dirs_total)))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "probe", "n_rows", "sum_cents", "dirs_read", "dirs_total"
+    ).orderBy("probe")
+
+
+_ORACLE_POINT_LOOKUP = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         (o_orderkey * 2654435761) % 100000007 AS uid,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), base AS (
+  SELECT k, cents, uid, (rn - 1) * 16 // n AS b FROM o
+), cut AS (
+  SELECT b, min(k) AS min_k FROM base GROUP BY b
+), upd AS (
+  SELECT k, cents + 999 AS cents, uid + 200000000 AS uid
+  FROM o WHERE rn BETWEEN 5001 AND 5040
+), uassigned AS (
+  SELECT u.k, u.cents, u.uid,
+         coalesce((SELECT max(c.b) FROM cut c WHERE c.min_k <= u.k), 0) AS b
+  FROM upd u
+), live AS (
+  SELECT k, cents, uid FROM base WHERE k NOT IN (SELECT k FROM upd)
+  UNION ALL SELECT k, cents, uid FROM uassigned
+), nfresh AS (
+  SELECT count(DISTINCT b) AS nb FROM uassigned
+), probes AS (
+  SELECT 'absent' AS probe, CAST(999999999999 AS BIGINT) AS u
+  UNION ALL
+  SELECT 'base_hit', (SELECT uid FROM o WHERE rn = 100)
+  UNION ALL
+  SELECT 'fresh_hit', (SELECT uid + 200000000 FROM o WHERE rn = 5010)
+  UNION ALL
+  SELECT 'superseded', (SELECT uid FROM o WHERE rn = 5010)
+)
+SELECT p.probe,
+       (SELECT count(*) FROM live l WHERE l.uid = p.u) AS n_rows,
+       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT)
+        FROM live l WHERE l.uid = p.u) AS sum_cents,
+       CAST((SELECT count(DISTINCT b) FROM base WHERE uid = p.u)
+            + (SELECT count(DISTINCT b) FROM uassigned WHERE uid = p.u)
+            AS INTEGER) AS dirs_read,
+       CAST(16 + nf.nb AS INTEGER) AS dirs_total
+FROM probes p, nfresh nf
+ORDER BY probe
+"""
+
+
 def q_merge_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1l conditional multi-arm MERGE (r12 verdict #5),
     ORACLE-CHECKED: the general Delta/ANSI MERGE surface —
@@ -13329,6 +13447,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_sync": q_merge_sync,
     "versioned_zorder": q_versioned_zorder,
     "restore_table": q_restore_table,
+    "point_lookup": q_point_lookup,
     "merge_arms": q_merge_arms,
     "merge_arms_dv": q_merge_arms_dv,
     # previously displaced rows (r7-r11 rotations) — all remain
@@ -13731,6 +13850,7 @@ ORACLES: dict[str, str] = {
     "merge_sync": _ORACLE_MERGE_SYNC,
     "versioned_zorder": _ORACLE_VERSIONED_ZORDER,
     "restore_table": _ORACLE_RESTORE_TABLE,
+    "point_lookup": _ORACLE_POINT_LOOKUP,
     "merge_arms": _ORACLE_MERGE_ARMS,
     "merge_arms_dv": _ORACLE_MERGE_ARMS_DV,
     "data_health": _ORACLE_DATA_HEALTH,

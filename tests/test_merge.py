@@ -1266,3 +1266,57 @@ def test_merge_arms_versioned_dv_all_delete_commits_zero_data_files(spark, tmp_p
     # DV has entries ONLY for the claimed (deleted) keys — 99 skipped
     dv = {r.k for r in spark.read.parquet(f"{path}/_dv/v=1").collect()}
     assert dv == {2, 5}
+
+
+def test_read_version_point_prunes_on_bloom_and_stays_exact(spark, tmp_path):
+    """Bloom point skipping (r12 verdict #4): equality probes on a
+    high-cardinality NON-layout column open only bitmap-hit
+    directories. Pins: exact result; the true directory is always
+    opened (no false negatives); an absent value prunes everything;
+    maintenance across DV commits (including a batch that OMITS the
+    column -> empty bitmap) and compaction (bitmap rebuilt)."""
+    base = spark.createDataFrame(
+        [(i, i * 7919 % 100_000, i * 10) for i in range(1, 201)],
+        "k long, uid long, v long",
+    )
+    path = str(tmp_path / "bloompt")
+    merge.versioned_layout_write(
+        base, "k", path, n_buckets=8, point_cols=["uid"], bloom_bits=1 << 16
+    )
+    # v0 probe: one bucket holds uid of k=42
+    want_uid = 42 * 7919 % 100_000
+    got = merge.read_version_point(spark, path, "uid", want_uid)
+    assert {(r.k, r.uid) for r in got.select("k", "uid").collect()} == {(42, want_uid)}
+    assert got.dirs_read < got.dirs_total  # actual skipping happened
+    assert got.dirs_read >= 1
+    # absent value: every directory prunes (tiny FPR at this fill)
+    got2 = merge.read_version_point(spark, path, "uid", 99_999_999)
+    assert got2.count() == 0 and got2.dirs_read <= 1
+    # v1: DV upsert CARRYING the column moves k=42 to a new uid
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(42, 123_456, 420)], "k long, uid long, v long"),
+        "k",
+    )
+    got3 = merge.read_version_point(spark, path, "uid", 123_456)
+    assert {(r.k, r.uid) for r in got3.select("k", "uid").collect()} == {(42, 123_456)}
+    # the superseded copy's directory may still bloom-hit the OLD uid,
+    # but the DV resolves it away: exact result, old uid gone
+    assert merge.read_version_point(spark, path, "uid", want_uid).count() == 0
+    # v2: a batch OMITTING uid -> empty bitmap for its directory; a
+    # probe for any uid never opens it, and results stay exact
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(7, 77)], "k long, v long"), "k",
+    )
+    got4 = merge.read_version_point(spark, path, "uid", 7 * 7919 % 100_000)
+    assert got4.count() == 0  # k=7's fresh copy has NULL uid
+    # v3: compaction folds DVs and REBUILDS bitmaps over live rows
+    merge.compact_table(spark, path, "k")
+    got5 = merge.read_version_point(spark, path, "uid", 123_456)
+    assert {(r.k, r.uid) for r in got5.select("k", "uid").collect()} == {(42, 123_456)}
+    assert got5.dirs_read < got5.dirs_total
+    # a column with no bitmap degrades to read-everything, never lies
+    got6 = merge.read_version_point(spark, path, "v", 420)
+    assert {r.k for r in got6.collect()} == {42}
+    assert got6.dirs_read == got6.dirs_total
