@@ -12395,6 +12395,120 @@ ORDER BY bucket
 """
 
 
+def q_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1m file-size-aware OPTIMIZE (r12 verdict #7), ORACLE-CHECKED:
+    three tiny merge-on-read commits plus a pure-DV delete leave one
+    bucket holding a stack of small generation directories;
+    compact_small_generations bin-packs every bucket's sub-threshold
+    generations into one fresh generation and commits — generations at
+    or above the target are never rewritten (operators/merge.py
+    compact_small_generations). The report is the per-bucket LIVE
+    table after packing next to the carried-forward deletion-vector
+    census and the version count, so the oracle value-checks the three
+    claims that matter: contents identical (packing is pure layout),
+    the DV carries verbatim (dead keys stay dead without their copies
+    being rewritten), and the pack is a real ledgered commit
+    (n_versions = 6). The >= 3-directory reduction is asserted
+    in-plan (byte sizes aren't relational facts, so the threshold
+    split rides an engine assert; the CONTENT is what the oracle
+    replays). Vacuum-reclaim of packed inputs is pinned in
+    test_merge."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("binpack_")
+    merge.versioned_layout_write(o, "o_orderkey", path, n_buckets=16)
+    ranked, _n = relational.with_global_rank(o, ["o_orderkey"])
+    for i, lo in enumerate((2001, 2041, 2081)):
+        upd = ranked.where(
+            (F.col("grank") >= lo) & (F.col("grank") <= lo + 39)
+        ).select(
+            "o_orderkey",
+            (F.col("cents") + 1000 * (i + 1)).alias("cents"),
+        )
+        merge.upsert_versioned_dv(spark, path, upd, "o_orderkey")
+    dels = ranked.where(
+        (F.col("grank") >= 1001) & (F.col("grank") <= 1020)
+    ).select("o_orderkey")
+    merge.delete_versioned(spark, path, dels, "o_orderkey")  # v4
+    out = merge.compact_small_generations(
+        spark, path, "o_orderkey", min_file_bytes=16 << 10
+    )
+    # the three tiny generations always sit under 16 KiB together in
+    # one bucket: packing MUST have coalesced them
+    assert out.version == 5 and out.n_packed_dirs >= 3, (
+        out.version,
+        out.n_packed_dirs,
+    )
+    live = merge.read_version(spark, path)
+    dv = spark.read.parquet(f"{path}/_dv/v=5")
+    live_b = live.groupBy(F.col("_kr").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    dv_b = dv.groupBy(F.col("_kr").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_dv")
+    )
+    return (
+        live_b.join(dv_b, "bucket", "left")
+        .select(
+            "bucket",
+            "n_live",
+            "sum_cents",
+            F.coalesce("n_dv", F.lit(0)).alias("n_dv"),
+            F.lit(6).alias("n_versions"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_COMPACT_BINPACK = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), base AS (
+  SELECT k, cents, (rn - 1) * 16 // n AS b FROM o
+), cut AS (
+  SELECT b, min(k) AS min_k FROM base GROUP BY b
+), upd AS (
+  SELECT k, cents + 1000 AS cents FROM o WHERE rn BETWEEN 2001 AND 2040
+  UNION ALL
+  SELECT k, cents + 2000 FROM o WHERE rn BETWEEN 2041 AND 2080
+  UNION ALL
+  SELECT k, cents + 3000 FROM o WHERE rn BETWEEN 2081 AND 2120
+), dels AS (
+  SELECT k FROM o WHERE rn BETWEEN 1001 AND 1020
+), uassigned AS (
+  SELECT u.k, u.cents,
+         coalesce((SELECT max(c.b) FROM cut c WHERE c.min_k <= u.k), 0) AS b
+  FROM upd u
+), live AS (
+  SELECT k, cents, b FROM base
+  WHERE k NOT IN (SELECT k FROM dels) AND k NOT IN (SELECT k FROM upd)
+  UNION ALL SELECT k, cents, b FROM uassigned
+), dvk AS (
+  SELECT d.k,
+         coalesce((SELECT max(c.b) FROM cut c WHERE c.min_k <= d.k), 0) AS b
+  FROM dels d
+  UNION ALL SELECT k, b FROM uassigned
+)
+SELECT lv.b AS bucket, lv.n_live, lv.sum_cents,
+       coalesce(dv.n_dv, 0) AS n_dv, 6 AS n_versions
+FROM (
+  SELECT b, count(*) AS n_live, CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM live GROUP BY b
+) lv
+LEFT JOIN (
+  SELECT b, count(*) AS n_dv FROM dvk GROUP BY b
+) dv ON dv.b = lv.b
+ORDER BY bucket
+"""
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1k manifest-Bloom point-predicate skipping (r12 verdict #4),
     ORACLE-CHECKED: equality probes on a high-cardinality NON-layout
@@ -13448,6 +13562,7 @@ QUERIES: dict[str, QueryFn] = {
     "versioned_zorder": q_versioned_zorder,
     "restore_table": q_restore_table,
     "point_lookup": q_point_lookup,
+    "compact_binpack": q_compact_binpack,
     "merge_arms": q_merge_arms,
     "merge_arms_dv": q_merge_arms_dv,
     # previously displaced rows (r7-r11 rotations) — all remain
@@ -13851,6 +13966,7 @@ ORACLES: dict[str, str] = {
     "versioned_zorder": _ORACLE_VERSIONED_ZORDER,
     "restore_table": _ORACLE_RESTORE_TABLE,
     "point_lookup": _ORACLE_POINT_LOOKUP,
+    "compact_binpack": _ORACLE_COMPACT_BINPACK,
     "merge_arms": _ORACLE_MERGE_ARMS,
     "merge_arms_dv": _ORACLE_MERGE_ARMS_DV,
     "data_health": _ORACLE_DATA_HEALTH,

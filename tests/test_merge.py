@@ -1320,3 +1320,67 @@ def test_read_version_point_prunes_on_bloom_and_stays_exact(spark, tmp_path):
     got6 = merge.read_version_point(spark, path, "v", 420)
     assert {r.k for r in got6.collect()} == {42}
     assert got6.dirs_read == got6.dirs_total
+
+
+def test_compact_small_generations_binpacks_and_preserves_contents(spark, tmp_path):
+    """Bin-packing OPTIMIZE (r12 verdict #7): after N tiny DV commits a
+    bucket holds N small generation dirs; packing coalesces them (and
+    only them) into one fresh generation. Pins: contents byte-identical
+    before/after; dir-count reduction; untouched buckets keep their
+    generation; DV carries forward (dead copies stay dead, fresh
+    copies live); vacuum reclaims the packed inputs; a table with
+    nothing to pack returns without committing."""
+    import os
+
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 201)], "k long, v long"
+    )
+    path = str(tmp_path / "binpack")
+    merge.versioned_layout_write(base, "k", path, n_buckets=2)
+    # nothing to pack yet: one generation per bucket
+    out0 = merge.compact_small_generations(spark, path, "k", 10 << 20)
+    assert out0.n_packed_dirs == 0 and out0.version == 0
+    assert merge._list_versions(spark, f"{path}/_manifest") == [0]
+    # three tiny DV commits into bucket 0's key space, incl. a delete
+    for lo in (1, 11, 21):
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame(
+                [(k, k * 10 + 1) for k in range(lo, lo + 5)], "k long, v long"
+            ),
+            "k",
+        )
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(3,)], "k long"), "k"
+    )  # v4: pure DV
+    before = sorted(
+        (r.k, r.v) for r in merge.read_version(spark, path).collect()
+    )
+
+    def gens(b):
+        return sorted(
+            d for d in os.listdir(f"{path}/data/_kr={b}")
+            if d.startswith("_gen=")
+        )
+
+    assert len(gens(0)) == 4  # base + three small generations
+    out = merge.compact_small_generations(spark, path, "k", 10 << 20)
+    # base dirs here are tiny too, so they pack as well: bucket 0
+    # collapses 4 -> 1, bucket 1 has only one (small) gen -> untouched
+    assert out.version == 5 and out.n_packed_dirs == 4 and out.n_new_dirs == 1
+    after = sorted(
+        (r.k, r.v) for r in merge.read_version(spark, path).collect()
+    )
+    assert after == before and all(kv[0] != 3 for kv in after)
+    # the new manifest references one generation for bucket 0 (the
+    # packed inputs stay ON DISK for older versions until vacuumed)
+    man = spark.read.parquet(f"{path}/_manifest/v=5").collect()
+    assert sorted(r.gen for r in man if r._kr == 0) == [5]
+    assert len([r for r in man if r._kr == 1]) == 1
+    # vacuum to the packed tip: inputs reclaimed, table intact
+    deleted = merge.vacuum_versions(spark, path, keep_last=1)
+    assert any("_kr=0/_gen=0" in d for d in deleted)
+    assert gens(0) == ["_gen=5"] and len(gens(1)) == 1
+    assert sorted(
+        (r.k, r.v) for r in merge.read_version(spark, path).collect()
+    ) == before
