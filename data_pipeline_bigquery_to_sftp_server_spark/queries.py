@@ -13416,16 +13416,85 @@ ORDER BY p.ante, p.cons
 # tools/verify_local.py and tests/.
 QUERIES: dict[str, QueryFn] = {
     # -- slots 1-50: driver correctness window ------------------------
-    # r12 rotation (r11 verdict next-round #1): the 52 oracled queries
-    # that have never had a driver CORRECTNESS row move in — all 52
-    # were verified green by the r11 judge under the identical DuckDB
-    # harness (tools/verify_local.py, three batches, 52/52).  Window =
-    # 14 r11-new + 20 mid-list + 16 TPC-H/streaming-deployment rows;
-    # promo_share and disjunctive_rev (filtered single-table aggregates
-    # whose machinery rides small_qty_revenue / returned_items) queue
-    # for r13 so the never-attested backlog empties next round.
-    # r11 additions: lakehouse snapshots/CDF, carried-state streaming,
-    # star-contraction CC, retrieval fusion/eval, robust stats
+    # r13 rotation (r12 verdict next-round #1): first the 8 oracled
+    # queries that had never had a driver CORRECTNESS row (all were
+    # verify_local-green under the identical DuckDB harness in r12's
+    # judge session) — after this round the never-attested backlog is
+    # EMPTY and rotation simply re-covers the oldest-attested cohort.
+    # Then the 5 r13 additions (RESTORE, Bloom point skipping,
+    # conditional multi-arm MERGE batch+DV tiers, bin-packing
+    # OPTIMIZE), then the oldest-attested rows: the 19 whose latest
+    # attestation is r2, then the r3-r6 vintage. Displaced r12-window
+    # rows move past the slot line with machinery coverage retained
+    # in-window: lakehouse commits ride merge_dv/column_prune/
+    # versioned_* + the five r13 rows (strictly stronger than the
+    # displaced time_travel/version_diff/merge_fileskip forms),
+    # streaming rides streaming_versioned (epoch-ledgered foreachBatch,
+    # the same shape as the displaced streaming_pii/_decontam/
+    # _classify screens), CC/dedup ride the in-window exact family
+    # (distinct_keys/count_distinct/hash_split) plus slots 51+ checked
+    # by tools/verify_local.py, windows ride window_rank/
+    # window_lag_running/window_range_frame, TPC-H reports ride
+    # big_orders/market_share/shipping_priority/forecast_revenue.
+    "promo_share": q_promo_share,
+    "disjunctive_rev": q_disjunctive_rev,
+    "merge_dv": q_merge_dv,
+    "column_prune": q_column_prune,
+    "streaming_versioned": q_streaming_versioned,
+    "versioned_evolve": q_versioned_evolve,
+    "merge_sync": q_merge_sync,
+    "versioned_zorder": q_versioned_zorder,
+    # r13 additions (verdict #3/#4/#5/#7)
+    "restore_table": q_restore_table,
+    "point_lookup": q_point_lookup,
+    "merge_arms": q_merge_arms,
+    "merge_arms_dv": q_merge_arms_dv,
+    "compact_binpack": q_compact_binpack,
+    # oldest-attested cohort: latest driver attestation r2
+    "cosine_topk": q_cosine_topk,
+    "cube": q_cube,
+    "forecast_revenue": q_forecast_revenue,
+    "hourly_rollup": q_hourly_rollup,
+    "intersect": q_intersect,
+    "json_extract": q_json_extract,
+    "lang_markers": q_lang_markers,
+    "merge_counts": q_merge_counts,
+    "merge_upsert_outer": q_merge_upsert_outer,
+    "percentiles": q_percentiles,
+    "pivot": q_pivot,
+    "posexplode": q_posexplode,
+    "ratio_report": q_ratio_report,
+    "rollup": q_rollup,
+    "sessionize": q_sessionize,
+    "shipping_priority": q_shipping_priority,
+    "unpivot": q_unpivot,
+    "window_lag_running": q_window_lag_running,
+    "window_rank": q_window_rank,
+    # latest attestation r3-r6
+    "window_range_frame": q_window_range_frame,
+    "big_orders": q_big_orders,
+    "bool_defaults": q_bool_defaults,
+    "epoch_dates": q_epoch_dates,
+    "json_roundtrip": q_json_roundtrip,
+    "market_share": q_market_share,
+    "clean_text": q_clean_text,
+    "csv_roundtrip": q_csv_roundtrip,
+    "grouped_counts": q_grouped_counts,
+    "regex_extract": q_regex_extract,
+    "udtf_sentences": q_udtf_sentences,
+    "anti_join": q_anti_join,
+    "count_distinct": q_count_distinct,
+    "distinct_keys": q_distinct_keys,
+    "grouping_sets_sql": q_grouping_sets_sql,
+    "hash_split": q_hash_split,
+    "lm_scores_foreign": q_lm_scores_foreign,
+    "merge_upsert": q_merge_upsert,
+    # -- slots 51+: verified via verify_local -------------------------
+    # The ENTIRE r12 official window moves past the slot line (all 50
+    # driver-green in CORRECTNESS_r12, seventh consecutive all-green
+    # round; every oracle unchanged), followed by the rest of the
+    # registry in its prior order. All remain oracle-checked by
+    # tools/verify_local.py and tests/.
     "streaming_transitions_state": q_streaming_transitions_state,
     "cc_star": q_cc_star,
     "merge_fileskip": q_merge_fileskip,
@@ -13440,7 +13509,6 @@ QUERIES: dict[str, QueryFn] = {
     "winsorize": q_winsorize,
     "robust_zscore": q_robust_zscore,
     "stratified_sample": q_stratified_sample,
-    # never-attested mid-list rows (r7-r10 vintage)
     "membership_split": q_membership_split,
     "c4_line_filter": q_c4_line_filter,
     "line_dedup": q_line_dedup,
@@ -13461,7 +13529,6 @@ QUERIES: dict[str, QueryFn] = {
     "partitioned_prune": q_partitioned_prune,
     "date_arithmetic": q_date_arithmetic,
     "array_hof": q_array_hof,
-    # never-attested TPC-H reports + streaming deployments
     "streaming_pii": q_streaming_pii,
     "streaming_decontam": q_streaming_decontam,
     "streaming_classify": q_streaming_classify,
@@ -13478,27 +13545,6 @@ QUERIES: dict[str, QueryFn] = {
     "returned_items": q_returned_items,
     "exists_subquery": q_exists_subquery,
     "priority_case_counts": q_priority_case_counts,
-    # -- slots 51+: verified via verify_local -------------------------
-    # The ENTIRE r11 official window moves past the slot line (all 50
-    # driver-green in CORRECTNESS_r11, sixth consecutive all-green
-    # round; every oracle unchanged).  In-window machinery coverage
-    # for the displaced families: MERGE rides merge_fileskip +
-    # time_travel + version_diff (strictly stronger than the scd3 /
-    # streaming_scd2 forms displaced); CC/dedup rides cc_star (the
-    # general tier of entity_resolution's min-label CC) and line_dedup
-    # + winnow_pairs; sketches/monitoring ride data_health (TVD drift +
-    # rolling-z + constraint audit = hist_drift + rolling_active +
-    # constraint machinery in one report); retrieval rides rrf_fusion +
-    # retrieval_ndcg (supersets of hard_negatives' scoring); streaming
-    # rides streaming_transitions_state / _pii / _decontam / _classify
-    # (the same epoch-gated foreachBatch + GroupState shapes); windows
-    # ride winsorize / robust_zscore / stratified_sample (partitioned
-    # rank math); joins ride interval_join (grid co-location) +
-    # scalar/exists_subquery; governance rides l_diversity (the
-    # k_anonymity superset); sampling rides quota_sample +
-    # mixture_upsample + stratified_sample; formats ride orc_roundtrip
-    # + variant_extract + partitioned_prune; text/quality rides
-    # readability + quality_scores + lang_id + c4_line_filter.
     "skyline_customers": q_skyline_customers,
     "target_encode": q_target_encode,
     "impute_missing": q_impute_missing,
@@ -13549,24 +13595,6 @@ QUERIES: dict[str, QueryFn] = {
     "hard_negatives": q_hard_negatives,
     "streaming_scd2": q_streaming_scd2,
     "priority_dedup": q_priority_dedup,
-    # r13 rotation queue: the last 2 never-driver-attested rows, then
-    # the r12 additions (merge-on-read DV commits, per-column stats
-    # pruning, the epoch-ledgered streaming table sink)
-    "promo_share": q_promo_share,
-    "disjunctive_rev": q_disjunctive_rev,
-    "merge_dv": q_merge_dv,
-    "column_prune": q_column_prune,
-    "streaming_versioned": q_streaming_versioned,
-    "versioned_evolve": q_versioned_evolve,
-    "merge_sync": q_merge_sync,
-    "versioned_zorder": q_versioned_zorder,
-    "restore_table": q_restore_table,
-    "point_lookup": q_point_lookup,
-    "compact_binpack": q_compact_binpack,
-    "merge_arms": q_merge_arms,
-    "merge_arms_dv": q_merge_arms_dv,
-    # previously displaced rows (r7-r11 rotations) — all remain
-    # verify_local-green; see git history for their official rounds
     "curation_pipeline": q_curation_pipeline,
     "sync_pipeline": q_sync_pipeline,
     "semantic_dedup": q_semantic_dedup,
@@ -13655,25 +13683,15 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "dup_ngram_spans": q_dup_ngram_spans,
     "streaming_sliding": q_streaming_sliding,
-    "hash_split": q_hash_split,
     "mixture_sample": q_mixture_sample,
-    "lm_scores_foreign": q_lm_scores_foreign,
     "range_join": q_range_join,
     "repetition_scores": q_repetition_scores,
     "cluster_documents": q_cluster_documents,
     "semantic_dedup_clustered": q_semantic_dedup_clustered,
-    "count_distinct": q_count_distinct,
-    "grouping_sets_sql": q_grouping_sets_sql,
-    "merge_upsert": q_merge_upsert,
     "top_customers": q_top_customers,
-    "distinct_keys": q_distinct_keys,
-    "anti_join": q_anti_join,
     "semi_join": q_semi_join,
     "paginate": q_paginate,
     "set_ops": q_set_ops,
-    "clean_text": q_clean_text,
-    "grouped_counts": q_grouped_counts,
-    "udtf_sentences": q_udtf_sentences,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_prebuilt": q_ivf_topk_prebuilt,
@@ -13681,38 +13699,11 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_full_probe": q_ivf_full_probe,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
-    "regex_extract": q_regex_extract,
-    "csv_roundtrip": q_csv_roundtrip,
-    "epoch_dates": q_epoch_dates,
-    "bool_defaults": q_bool_defaults,
-    "json_roundtrip": q_json_roundtrip,
-    "big_orders": q_big_orders,
-    "market_share": q_market_share,
-    "window_range_frame": q_window_range_frame,
     "simhash_near_pairs": q_simhash_near_pairs,
-    "rollup": q_rollup,
-    "cube": q_cube,
-    "window_rank": q_window_rank,
-    "window_lag_running": q_window_lag_running,
-    "intersect": q_intersect,
-    "json_extract": q_json_extract,
-    "merge_upsert_outer": q_merge_upsert_outer,
-    "merge_counts": q_merge_counts,
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
-    "cosine_topk": q_cosine_topk,
     "embedding_dups": q_embedding_dups,
     "incremental_embedding_dups_banded": q_incremental_embedding_dups_banded,
-    "lang_markers": q_lang_markers,
-    "sessionize": q_sessionize,
-    "hourly_rollup": q_hourly_rollup,
-    "pivot": q_pivot,
-    "shipping_priority": q_shipping_priority,
-    "forecast_revenue": q_forecast_revenue,
-    "unpivot": q_unpivot,
-    "percentiles": q_percentiles,
-    "ratio_report": q_ratio_report,
-    "posexplode": q_posexplode,
     "html_clean": q_html_clean,
 }
 
