@@ -232,6 +232,12 @@ HEADLINE = [
     "versioned_evolve",
     "merge_sync",
     "versioned_zorder",
+    # r13: lakehouse maintenance + conditional MERGE surface
+    "restore_table",
+    "point_lookup",
+    "merge_arms",
+    "merge_arms_dv",
+    "compact_binpack",
 ]
 
 

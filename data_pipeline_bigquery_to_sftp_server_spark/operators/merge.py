@@ -1028,14 +1028,20 @@ def read_version_point(
     bcol = f"bloom_{col}"
     all_dirs = [f"{path}/data/_kr={r._kr}/_gen={r.gen}" for r in rows]
     if bcol in manifest.columns:
-        # the column's Spark type, from the live footer schema — the
-        # literal must hash exactly as the stored column did
-        full = (
-            spark.read.option("basePath", f"{path}/data")
-            .option("mergeSchema", "true")
-            .parquet(*all_dirs)
-        )
-        dtype = full.schema[col].dataType
+        # the column's Spark type, from a live footer schema — the
+        # literal must hash exactly as the stored column did. Probe
+        # one directory at a time (newest first: evolution adds
+        # columns going forward) instead of a footer sweep over every
+        # directory — the lookup's planning cost must not scale with
+        # generation count.
+        dtype = None
+        for d in sorted(all_dirs, reverse=True):
+            sch = spark.read.option("basePath", f"{path}/data").parquet(d).schema
+            if col in sch.names:
+                dtype = sch[col].dataType
+                break
+        if dtype is None:
+            raise ValueError(f"read_version_point: no directory carries {col!r}")
         num_bits = _bloom_bits_of(manifest, [col])
         positions = _bloom_probe_positions(spark, value, dtype, num_bits)
         live = [r for r in rows if _bloom_hit(r[bcol], positions)]

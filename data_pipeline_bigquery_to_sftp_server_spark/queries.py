@@ -12419,8 +12419,11 @@ def q_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _scratch_dir("binpack_")
     merge.versioned_layout_write(o, "o_orderkey", path, n_buckets=16)
-    ranked, _n = relational.with_global_rank(o, ["o_orderkey"])
-    for i, lo in enumerate((2001, 2041, 2081)):
+    ranked, n_total = relational.with_global_rank(o, ["o_orderkey"])
+    # rank-derived, scale-independent bands: three 40-row DV batches
+    # past the midpoint, a 20-row delete band past the quarter point
+    mid, quarter = n_total // 2, n_total // 4
+    for i, lo in enumerate((mid + 1, mid + 41, mid + 81)):
         upd = ranked.where(
             (F.col("grank") >= lo) & (F.col("grank") <= lo + 39)
         ).select(
@@ -12429,7 +12432,7 @@ def q_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merge.upsert_versioned_dv(spark, path, upd, "o_orderkey")
     dels = ranked.where(
-        (F.col("grank") >= 1001) & (F.col("grank") <= 1020)
+        (F.col("grank") >= quarter + 1) & (F.col("grank") <= quarter + 20)
     ).select("o_orderkey")
     merge.delete_versioned(spark, path, dels, "o_orderkey")  # v4
     out = merge.compact_small_generations(
@@ -12475,13 +12478,16 @@ WITH o AS (
 ), cut AS (
   SELECT b, min(k) AS min_k FROM base GROUP BY b
 ), upd AS (
-  SELECT k, cents + 1000 AS cents FROM o WHERE rn BETWEEN 2001 AND 2040
+  SELECT k, cents + 1000 AS cents FROM o
+  WHERE rn > n // 2 AND rn <= n // 2 + 40
   UNION ALL
-  SELECT k, cents + 2000 FROM o WHERE rn BETWEEN 2041 AND 2080
+  SELECT k, cents + 2000 FROM o
+  WHERE rn > n // 2 + 40 AND rn <= n // 2 + 80
   UNION ALL
-  SELECT k, cents + 3000 FROM o WHERE rn BETWEEN 2081 AND 2120
+  SELECT k, cents + 3000 FROM o
+  WHERE rn > n // 2 + 80 AND rn <= n // 2 + 120
 ), dels AS (
-  SELECT k FROM o WHERE rn BETWEEN 1001 AND 1020
+  SELECT k FROM o WHERE rn > n // 4 AND rn <= n // 4 + 20
 ), uassigned AS (
   SELECT u.k, u.cents,
          coalesce((SELECT max(c.b) FROM cut c WHERE c.min_k <= u.k), 0) AS b
@@ -12542,22 +12548,31 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge.versioned_layout_write(
         o, "o_orderkey", path, n_buckets=16, point_cols=["uid"]
     )
-    ranked, _n = relational.with_global_rank(o, ["o_orderkey"])
+    ranked, n_total = relational.with_global_rank(o, ["o_orderkey"])
+    # rank-derived, scale-independent bands (the column_prune rule):
+    # the DV batch is the 40 ranks past the midpoint, the anchors sit
+    # at n/10 (untouched base key) and midpoint+10 (updated key)
+    lo = n_total // 2
     upd = ranked.where(
-        (F.col("grank") >= 5001) & (F.col("grank") <= 5040)
+        (F.col("grank") >= lo + 1) & (F.col("grank") <= lo + 40)
     ).select(
         "o_orderkey",
         (F.col("cents") + 999).alias("cents"),
         (F.col("uid") + 200_000_000).alias("uid"),
     )
     merge.upsert_versioned_dv(spark, path, upd, "o_orderkey")
-    r100 = ranked.where(F.col("grank") == 100).select("uid").first()
-    r5010 = ranked.where(F.col("grank") == 5010).select("uid").first()
+    a_base, a_fresh = n_total // 10, lo + 10
+    anchors = {
+        r.grank: int(r.uid)
+        for r in ranked.where(F.col("grank").isin(a_base, a_fresh))
+        .select("grank", "uid")
+        .collect()
+    }
     probes = [
         ("absent", 999_999_999_999),
-        ("base_hit", int(r100.uid)),
-        ("fresh_hit", int(r5010.uid) + 200_000_000),
-        ("superseded", int(r5010.uid)),
+        ("base_hit", anchors[a_base]),
+        ("fresh_hit", anchors[a_fresh] + 200_000_000),
+        ("superseded", anchors[a_fresh]),
     ]
     parts = []
     for name, u in probes:
@@ -12595,7 +12610,7 @@ WITH o AS (
   SELECT b, min(k) AS min_k FROM base GROUP BY b
 ), upd AS (
   SELECT k, cents + 999 AS cents, uid + 200000000 AS uid
-  FROM o WHERE rn BETWEEN 5001 AND 5040
+  FROM o WHERE rn > n // 2 AND rn <= n // 2 + 40
 ), uassigned AS (
   SELECT u.k, u.cents, u.uid,
          coalesce((SELECT max(c.b) FROM cut c WHERE c.min_k <= u.k), 0) AS b
@@ -12608,11 +12623,11 @@ WITH o AS (
 ), probes AS (
   SELECT 'absent' AS probe, CAST(999999999999 AS BIGINT) AS u
   UNION ALL
-  SELECT 'base_hit', (SELECT uid FROM o WHERE rn = 100)
+  SELECT 'base_hit', (SELECT uid FROM o WHERE rn = n // 10)
   UNION ALL
-  SELECT 'fresh_hit', (SELECT uid + 200000000 FROM o WHERE rn = 5010)
+  SELECT 'fresh_hit', (SELECT uid + 200000000 FROM o WHERE rn = n // 2 + 10)
   UNION ALL
-  SELECT 'superseded', (SELECT uid FROM o WHERE rn = 5010)
+  SELECT 'superseded', (SELECT uid FROM o WHERE rn = n // 2 + 10)
 )
 SELECT p.probe,
        (SELECT count(*) FROM live l WHERE l.uid = p.u) AS n_rows,
