@@ -237,6 +237,8 @@ HEADLINE = [
     "point_lookup",
     "merge_arms",
     "merge_arms_dv",
+    "merge_arms_sync",
+    "table_history",
     "compact_binpack",
 ]
 

@@ -66,37 +66,48 @@ def upsert_full_outer(target: DataFrame, staging: DataFrame, key: str) -> DataFr
 
 
 def _arm_code(
-    matched, not_matched, has_t, has_s
+    matched, not_matched, has_t, has_s, not_matched_by_source=()
 ):
     """Shared arm-resolution column for the conditional MERGE family:
     classify every joined row (aliases ``t`` = target, ``s`` =
     staging) to the FIRST arm whose condition holds, in declaration
-    order — exactly Delta/ANSI MERGE precedence. Codes: ``m<i>`` =
-    i-th matched arm, ``i<j>`` = j-th not-matched arm, ``noop`` =
-    matched (or target-only) with no arm fired (row passes through /
-    no-op commit), ``skip`` = not-matched staging row no insert arm
-    claimed (row dropped)."""
+    order — exactly Delta/ANSI MERGE precedence (the three arm
+    families are disjoint by row class, so ordering only matters
+    within a family). Codes: ``m<i>`` = i-th matched arm, ``i<j>`` =
+    j-th not-matched arm, ``b<l>`` = l-th not-matched-by-source arm
+    (target-only rows), ``noop`` = row in some class with no arm fired
+    (passes through / no-op commit), ``skip`` = not-matched staging
+    row no insert arm claimed (row dropped)."""
     both = has_t & has_s
     chain = None
     for i, arm in enumerate(matched):
         cond = arm[0]
         c = both & (F.expr(cond) if cond is not None else F.lit(True))
         chain = (F.when if chain is None else chain.when)(c, F.lit(f"m{i}"))
-    # has_t catch-all: matched-but-unclaimed AND target-only rows both
-    # pass through unchanged
-    chain = (F.when if chain is None else chain.when)(has_t, F.lit("noop"))
+    # matched-but-unclaimed rows pass through unchanged
+    chain = (F.when if chain is None else chain.when)(both, F.lit("noop"))
+    for l, arm in enumerate(not_matched_by_source):
+        cond = arm[0]
+        # rows reaching here with a target side are target-only: the
+        # `both` catch-all above absorbed every matched row
+        c = has_t & (F.expr(cond) if cond is not None else F.lit(True))
+        chain = chain.when(c, F.lit(f"b{l}"))
+    # target-only unclaimed rows pass through unchanged
+    chain = chain.when(has_t, F.lit("noop"))
     for j, arm in enumerate(not_matched):
         cond = arm[0]
         c = F.expr(cond) if cond is not None else F.lit(True)
-        # rows reaching here are staging-only: the has_t catch-all
-        # above absorbed every row with a target side
+        # rows reaching here are staging-only
         chain = chain.when(c, F.lit(f"i{j}"))
     return chain.otherwise(F.lit("skip"))
 
 
-def _arm_actions(matched, not_matched):
-    """(update_arms, delete_codes, insert_codes): update_arms maps the
-    arm code to its SET-column subset (None = all staging columns)."""
+def _arm_actions(matched, not_matched, not_matched_by_source=()):
+    """(update_arms, delete_codes, insert_codes, bs_update_arms):
+    update_arms maps the arm code to its SET-column subset (None = all
+    staging columns); bs_update_arms maps not-matched-by-source update
+    codes to their {col: sql-expr-over-t} SET dict (the staging side
+    is all-NULL for these rows, so SET values are expressions)."""
     update_arms: dict[str, list[str] | None] = {}
     delete_codes: list[str] = []
     for i, arm in enumerate(matched):
@@ -114,7 +125,24 @@ def _arm_actions(matched, not_matched):
                 f"merge_arms: unknown not_matched action {arm[1]!r}"
             )
         insert_codes.append(f"i{j}")
-    return update_arms, delete_codes, insert_codes
+    bs_update_arms: dict[str, dict[str, str]] = {}
+    for l, arm in enumerate(not_matched_by_source):
+        action = arm[1]
+        if action == "delete":
+            delete_codes.append(f"b{l}")
+        elif action == "update":
+            if len(arm) < 3 or not isinstance(arm[2], dict):
+                raise ValueError(
+                    "merge_arms: a not_matched_by_source update arm "
+                    "needs a {col: sql_expr} SET dict (its staging "
+                    "side is all-NULL, so values are expressions)"
+                )
+            bs_update_arms[f"b{l}"] = dict(arm[2])
+        else:
+            raise ValueError(
+                f"merge_arms: unknown not_matched_by_source action {action!r}"
+            )
+    return update_arms, delete_codes, insert_codes, bs_update_arms
 
 
 def merge_arms(
@@ -123,6 +151,7 @@ def merge_arms(
     key: str,
     matched=(),
     not_matched=(),
+    not_matched_by_source=(),
 ) -> DataFrame:
     """Conditional multi-arm MERGE (r12 verdict #5) — the general
     Delta/ANSI MERGE surface the reference's update-all upsert
@@ -135,13 +164,17 @@ def merge_arms(
 
     ``matched`` is a sequence of ``(cond, 'update', cols)`` /
     ``(cond, 'delete')`` arms, ``not_matched`` of ``(cond, 'insert')``
-    arms; conditions are SQL strings over aliases ``t`` and ``s``
-    (``None`` = unconditional), resolved FIRST-MATCH-WINS in
-    declaration order. A matched row no arm claims passes through
-    unchanged; a not-matched staging row no arm claims is dropped;
-    target rows absent from staging always pass through (the
-    not-matched-by-source arm is merge_scoped_sync). Update arms may
-    SET a column subset — unnamed columns keep their target values.
+    arms, ``not_matched_by_source`` of ``(cond, 'delete')`` /
+    ``(cond, 'update', {col: sql_expr})`` arms over TARGET-ONLY rows
+    (Delta's WHEN NOT MATCHED BY SOURCE — their staging side is
+    all-NULL, so update SETs are expressions over ``t``; the
+    unconditional scoped-snapshot special case that needs NO join at
+    all is merge_scoped_sync). Conditions are SQL strings over aliases
+    ``t`` and ``s`` (``None`` = unconditional), resolved
+    FIRST-MATCH-WINS within each family. A row of any class no arm
+    claims passes through unchanged, except not-matched staging rows,
+    which drop. Update arms may SET a column subset — unnamed columns
+    keep their target values.
 
     Plan: ONE full-outer join on the key (identical shape to
     upsert_full_outer — broadcast when staging is small, shuffle
@@ -150,15 +183,17 @@ def merge_arms(
     at 100 TB the cost is exactly the upsert's, however many arms.
     Keys must be non-NULL on both sides (MERGE equality semantics).
     """
-    update_arms, delete_codes, insert_codes = _arm_actions(
-        matched, not_matched
+    update_arms, delete_codes, insert_codes, bs_update_arms = _arm_actions(
+        matched, not_matched, not_matched_by_source
     )
     t = target.alias("t")
     s = staging.alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
     has_t = F.col(f"t.{key}").isNotNull()
     has_s = F.col(f"s.{key}").isNotNull()
-    arm = _arm_code(matched, not_matched, has_t, has_s).alias("_arm")
+    arm = _arm_code(
+        matched, not_matched, has_t, has_s, not_matched_by_source
+    ).alias("_arm")
     drop_codes = set(delete_codes) | {"skip"}
     out_cols = []
     s_cols = set(staging.columns)
@@ -179,6 +214,11 @@ def merge_arms(
                 if c in s_cols
                 else F.lit(None).cast(target.schema[c].dataType)
             )
+            chain = (F.when if chain is None else chain.when)(
+                F.col("_arm") == code, v
+            )
+        for code, sets in bs_update_arms.items():
+            v = F.expr(sets[c]) if c in sets else F.col(f"t.{c}")
             chain = (F.when if chain is None else chain.when)(
                 F.col("_arm") == code, v
             )
@@ -1352,8 +1392,15 @@ def merge_arms_versioned_dv(
     FULL target row (every column, any generation) because the live
     read is DV-resolved and schema-merged. Returns the fresh-copy
     frame with ``version``, ``touched_buckets``, and per-action counts
-    ``n_updated`` / ``n_deleted`` / ``n_inserted`` attached."""
-    update_arms, delete_codes, insert_codes = _arm_actions(
+    ``n_updated`` / ``n_deleted`` / ``n_inserted`` attached.
+
+    NOT-MATCHED-BY-SOURCE arms are deliberately absent from this tier:
+    they classify target rows ABSENT from staging, which breaks the
+    touched-buckets-only read contract that makes the DV commit
+    O(|staging|) — use merge_arms over read_version (full-scan price,
+    like Delta pays), or merge_scoped_sync when the arm is an
+    unconditional scoped snapshot sync."""
+    update_arms, delete_codes, insert_codes, _bs = _arm_actions(
         matched, not_matched
     )
     versions = _list_versions(spark, f"{target_path}/_manifest")
@@ -1779,6 +1826,52 @@ def vacuum_versions(
             if fs.exists(p):
                 fs.delete(p, True)
     return deleted
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY for the versioned table: one row per COMMITTED
+    version — ``version``, ``n_dirs`` (live (bucket, generation)
+    directories its manifest references), ``physical_rows`` (sum of
+    manifest row counts — the files' population, not the DV-resolved
+    live count), ``has_dv`` (a deletion vector rides the version), and
+    ``meta`` (the commit's ledger string, e.g. a streaming epoch).
+    The audit surface Delta exposes as DESCRIBE HISTORY: every number
+    comes from the commit log alone — no data file is opened, so the
+    call costs O(versions x manifest rows) regardless of table size.
+    ALL manifests are read in ONE scan (explicit version-directory
+    list under a basePath, yielding the ``v`` partition column) and
+    reduced by one grouped aggregate; DV presence is a driver FS
+    probe per version and meta strings come from committed_metas."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"table_history: no table at {path}")
+    mroot = f"{path}/_manifest"
+    scan = spark.read.option("basePath", mroot).parquet(
+        *[f"{mroot}/v={v}" for v in versions]
+    )
+    per_v = {
+        int(r.v): (int(r.n_dirs), int(r.physical_rows))
+        for r in scan.groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n_dirs"),
+            F.sum("n_rows").alias("physical_rows"),
+        )
+        .collect()
+    }
+    metas = {v: m for m, v in committed_metas(spark, path).items()}
+    jvm, fs, _ = _fs(spark, path)
+    rows = []
+    for v in versions:
+        has_dv = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/_dv/v={v}")
+        )
+        nd, pr = per_v[v]
+        rows.append((int(v), nd, pr, bool(has_dv), metas.get(v)))
+    return spark.createDataFrame(
+        rows,
+        "version int, n_dirs bigint, physical_rows bigint, "
+        "has_dv boolean, meta string",
+    ).orderBy("version")
 
 
 def restore_version(

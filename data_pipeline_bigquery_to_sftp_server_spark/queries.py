@@ -12862,6 +12862,167 @@ ORDER BY bucket
 """
 
 
+def q_merge_arms_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1l WHEN NOT MATCHED BY SOURCE arms (r13), ORACLE-CHECKED: the
+    last Delta MERGE arm family — conditional actions on TARGET rows
+    absent from staging. A producer hands the current snapshot of one
+    rank slice (every 7th key gone, every 3rd repriced); the MERGE
+    updates matched rows from the snapshot, then, within the slice,
+    retires vanished OPEN orders (conditional DELETE) and archives the
+    other vanished rows (expression UPDATE SET ostatus='Z' — the
+    staging side is all-NULL for these rows, so SETs are expressions
+    over t), while everything outside the slice passes through
+    untouched because no arm's slice predicate claims it. Still ONE
+    full-outer join + CASE — the unconditional no-join special case is
+    merge_scoped_sync (q_merge_sync); DuckDB replays the classified
+    full outer cell for cell (operators/merge.py merge_arms,
+    not_matched_by_source)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("ostatus"),
+    )
+    ranked, n_total = relational.with_global_rank(o, ["o_orderkey"])
+    lo_r, hi_r = n_total // 3 + 1, n_total // 3 + 200
+    slice_df = ranked.where(
+        (F.col("grank") >= lo_r) & (F.col("grank") <= hi_r)
+    )
+    b = slice_df.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    lo_k, hi_k = int(b.lo), int(b.hi)
+    staging = slice_df.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("cents") + 333
+        ).otherwise(F.col("cents")).alias("cents"),
+        "ostatus",
+    )
+    in_slice = f"t.o_orderkey >= {lo_k} AND t.o_orderkey <= {hi_k}"
+    return merge.merge_arms(
+        o,
+        staging,
+        "o_orderkey",
+        matched=[(None, "update", None)],
+        not_matched_by_source=[
+            (f"{in_slice} AND t.ostatus = 'O'", "delete"),
+            (in_slice, "update", {"ostatus": "'Z'"}),
+        ],
+    )
+
+
+_ORACLE_MERGE_ARMS_SYNC = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus AS ostatus,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), sl AS (
+  SELECT * FROM o WHERE rn > n // 3 AND rn <= n // 3 + 200
+), staging AS (
+  SELECT k,
+         CASE WHEN k % 3 = 0 THEN cents + 333 ELSE cents END AS cents,
+         ostatus
+  FROM sl WHERE k % 7 != 0
+), bounds AS (
+  SELECT min(k) AS lo, max(k) AS hi FROM sl
+)
+SELECT t.k AS o_orderkey,
+       coalesce(s.cents, t.cents) AS cents,
+       CASE WHEN s.k IS NOT NULL THEN s.ostatus
+            WHEN t.k >= b.lo AND t.k <= b.hi THEN 'Z'
+            ELSE t.ostatus END AS ostatus
+FROM o t
+LEFT JOIN staging s ON s.k = t.k
+CROSS JOIN bounds b
+WHERE NOT (s.k IS NULL AND t.k >= b.lo AND t.k <= b.hi
+           AND t.ostatus = 'O')
+"""
+
+
+def q_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1e x audit surface (r13), ORACLE-CHECKED: DESCRIBE HISTORY —
+    the commit ledger as a queryable frame. A known five-commit
+    sequence (bootstrap, merge-on-read upsert, pure-DV delete,
+    copy-on-write update in a DISJOINT bucket region, RESTORE of v1)
+    is read back ENTIRELY from the commit log: per version, the live
+    directory count, the physical file population, DV presence, and
+    the commit-meta string; no data file is opened
+    (operators/merge.py table_history — one scan over all manifests
+    via the version partition column). Every cell is replayable from
+    the commit sequence arithmetic: the DV upsert adds its staged rows
+    and fresh-bucket directories; the delete and the disjoint-region
+    COW rewrite change NEITHER count (DV writes no files; a rewrite of
+    untouched-by-DV buckets preserves its rows 1:1 and swaps one
+    generation directory per bucket); the restore returns to v1's
+    exact pointer set — which is the claim RESTORE makes, here
+    value-checked through the ledger."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("history_")
+    merge.versioned_layout_write(o, "o_orderkey", path, n_buckets=16)
+    ranked, n_total = relational.with_global_rank(o, ["o_orderkey"])
+    mid, quarter, threeq = n_total // 2, n_total // 4, 3 * n_total // 4
+    upd = ranked.where(
+        (F.col("grank") >= mid + 1) & (F.col("grank") <= mid + 40)
+    ).select("o_orderkey", (F.col("cents") + 10).alias("cents"))
+    merge.upsert_versioned_dv(
+        spark, path, upd, "o_orderkey", commit_meta="dv-upsert"
+    )  # v1
+    dels = ranked.where(
+        (F.col("grank") >= quarter + 1) & (F.col("grank") <= quarter + 20)
+    ).select("o_orderkey")
+    merge.delete_versioned(
+        spark, path, dels, "o_orderkey", commit_meta="delete"
+    )  # v2
+    cow = ranked.where(
+        (F.col("grank") >= threeq + 1) & (F.col("grank") <= threeq + 40)
+    ).select("o_orderkey", (F.col("cents") + 5).alias("cents"))
+    merge.upsert_versioned(
+        spark, path, cow, "o_orderkey", commit_meta="cow-update"
+    )  # v3
+    merge.restore_version(spark, path, 1, commit_meta="restore")  # v4
+    return merge.table_history(spark, path)
+
+
+_ORACLE_TABLE_HISTORY = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), base AS (
+  SELECT k, (rn - 1) * 16 // n AS b FROM o
+), cut AS (
+  SELECT b, min(k) AS min_k FROM base GROUP BY b
+), s1 AS (
+  SELECT k FROM o WHERE rn > n // 2 AND rn <= n // 2 + 40
+), nf1 AS (
+  SELECT count(DISTINCT coalesce(
+           (SELECT max(c.b) FROM cut c WHERE c.min_k <= s.k), 0)) AS nb
+  FROM s1 s
+), tot AS (
+  SELECT count(*) AS n FROM o
+)
+SELECT CAST(v.version AS INTEGER) AS version,
+       CAST(CASE WHEN v.version = 0 THEN 16 ELSE 16 + nf1.nb END
+            AS BIGINT) AS n_dirs,
+       CAST(CASE WHEN v.version = 0 THEN tot.n ELSE tot.n + 40 END
+            AS BIGINT) AS physical_rows,
+       v.version > 0 AS has_dv,
+       CASE v.version WHEN 1 THEN 'dv-upsert' WHEN 2 THEN 'delete'
+                      WHEN 3 THEN 'cow-update' WHEN 4 THEN 'restore'
+       END AS meta
+FROM (SELECT unnest(ARRAY[0, 1, 2, 3, 4]) AS version) v
+CROSS JOIN nf1 CROSS JOIN tot
+ORDER BY version
+"""
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2g general-tier connected components (r10 verdict #5),
     ORACLE-CHECKED: star contraction (Kiveris large-star/small-star,
@@ -13464,6 +13625,8 @@ QUERIES: dict[str, QueryFn] = {
     "point_lookup": q_point_lookup,
     "merge_arms": q_merge_arms,
     "merge_arms_dv": q_merge_arms_dv,
+    "merge_arms_sync": q_merge_arms_sync,
+    "table_history": q_table_history,
     "compact_binpack": q_compact_binpack,
     # oldest-attested cohort: latest driver attestation r2
     "cosine_topk": q_cosine_topk,
@@ -13501,10 +13664,12 @@ QUERIES: dict[str, QueryFn] = {
     "count_distinct": q_count_distinct,
     "distinct_keys": q_distinct_keys,
     "grouping_sets_sql": q_grouping_sets_sql,
-    "hash_split": q_hash_split,
-    "lm_scores_foreign": q_lm_scores_foreign,
     "merge_upsert": q_merge_upsert,
     # -- slots 51+: verified via verify_local -------------------------
+    # hash_split / lm_scores_foreign (attested r6) displaced by the two
+    # late-r13 additions above; both remain verify_local-green.
+    "hash_split": q_hash_split,
+    "lm_scores_foreign": q_lm_scores_foreign,
     # The ENTIRE r12 official window moves past the slot line (all 50
     # driver-green in CORRECTNESS_r12, seventh consecutive all-green
     # round; every oracle unchanged), followed by the rest of the
@@ -13975,6 +14140,8 @@ ORACLES: dict[str, str] = {
     "compact_binpack": _ORACLE_COMPACT_BINPACK,
     "merge_arms": _ORACLE_MERGE_ARMS,
     "merge_arms_dv": _ORACLE_MERGE_ARMS_DV,
+    "merge_arms_sync": _ORACLE_MERGE_ARMS_SYNC,
+    "table_history": _ORACLE_TABLE_HISTORY,
     "data_health": _ORACLE_DATA_HEALTH,
     "rrf_fusion": _ORACLE_RRF_FUSION,
     "time_travel": _ORACLE_TIME_TRAVEL,

@@ -1384,3 +1384,52 @@ def test_compact_small_generations_binpacks_and_preserves_contents(spark, tmp_pa
     assert sorted(
         (r.k, r.v) for r in merge.read_version(spark, path).collect()
     ) == before
+
+
+def test_merge_arms_not_matched_by_source(spark):
+    """WHEN NOT MATCHED BY SOURCE arms (r13): target-only rows can be
+    conditionally deleted or updated with expression SETs; unclaimed
+    target-only rows still pass through; the other two arm families
+    are unaffected."""
+    target = spark.createDataFrame(
+        [(1, 10, "stale"), (2, 20, "fresh"), (3, 30, "stale"), (4, 40, "x")],
+        "k long, v long, tag string",
+    )
+    staging = spark.createDataFrame([(4, 400, "x")], "k long, v long, tag string")
+    out = {
+        r.k: (r.v, r.tag)
+        for r in merge.merge_arms(
+            target, staging, "k",
+            matched=[(None, "update", None)],
+            not_matched_by_source=[
+                ("t.tag = 'stale' AND t.v >= 30", "delete"),
+                ("t.tag = 'stale'", "update", {"tag": "'retired'", "v": "t.v + 1"}),
+            ],
+        ).collect()
+    }
+    assert out == {
+        1: (11, "retired"),  # stale, v<30: second arm's expression SET
+        2: (20, "fresh"),    # target-only, unclaimed: pass-through
+        # 3 deleted: stale and v>=30 (first arm wins)
+        4: (400, "x"),       # matched: update-all
+    }
+    # precedence is within-family: swapping arm order changes the claim
+    out2 = {
+        r.k
+        for r in merge.merge_arms(
+            target, staging, "k",
+            not_matched_by_source=[
+                ("t.tag = 'stale'", "update", {"tag": "'retired'"}),
+                ("t.tag = 'stale' AND t.v >= 30", "delete"),
+            ],
+        ).collect()
+    }
+    assert out2 == {1, 2, 3, 4}  # update arm claims both stales first
+    # a non-dict SET payload is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SET dict"):
+        merge.merge_arms(
+            target, staging, "k",
+            not_matched_by_source=[(None, "update", ["v"])],
+        )
