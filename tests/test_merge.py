@@ -1433,3 +1433,77 @@ def test_merge_arms_not_matched_by_source(spark):
             target, staging, "k",
             not_matched_by_source=[(None, "update", ["v"])],
         )
+
+
+def test_versioned_model_with_r13_ops(spark, tmp_path):
+    """Model-based sequence extended with the r13 operators: RESTORE,
+    bin-packing compaction, and conditional multi-arm DV MERGE run
+    interleaved with MOR/COW/delete against the same dict model;
+    after every commit, every retained version reads back exactly as
+    its model — rollback, packing, and arm pricing compose with time
+    travel, DVs, and vacuum."""
+    path = str(tmp_path / "model13")
+    t0 = {k: k * 7 for k in range(60)}
+    merge.versioned_layout_write(
+        spark.createDataFrame(list(t0.items()), "k long, v long"),
+        "k", path, n_buckets=4,
+    )
+    models = {0: dict(t0)}
+
+    def check_all():
+        for v in merge._list_versions(spark, f"{path}/_manifest"):
+            if v not in models:
+                continue
+            got = {r.k: r.v for r in merge.read_version(spark, path, v).collect()}
+            assert got == models[v], f"version {v} diverged"
+
+    def mor(batch):
+        out = merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame(list(batch.items()), "k long, v long"), "k",
+        )
+        m = dict(models[max(models)]); m.update(batch)
+        models[out.version] = m; check_all()
+
+    def dele(keys):
+        v = merge.delete_versioned(
+            spark, path, spark.createDataFrame([(k,) for k in keys], "k long"), "k"
+        )
+        m = dict(models[max(models)])
+        for k in keys: m.pop(k, None)
+        models[v] = m; check_all()
+
+    mor({3: 333, 70: 7000})                                   # v1
+    mor({10: 100, 11: 110})                                   # v2
+    dele([20, 21])                                            # v3
+    # arms: delete evens >= 400, bump odds by 1, insert new 80
+    staging = spark.createDataFrame(
+        [(40, 0), (41, 0), (3, 0), (80, 800)], "k long, nv long"
+    )
+    out = merge.merge_arms_versioned_dv(
+        spark, path, staging, "k",
+        matched=[
+            ("t.v >= 280 AND t.v % 2 = 0", "delete"),
+            (None, "update", []),  # claim the rest, SET nothing (v kept)
+        ],
+        not_matched=[(None, "insert")],
+    )
+    m = dict(models[max(models)])
+    # t.v: k=40 -> 280 (even, >=280: delete), k=41 -> 287 (odd: update
+    # no-op), k=3 -> 333 (odd: update no-op), k=80 new -> insert with
+    # v NULL (staging lacks v)
+    del m[40]; m[80] = None
+    models[out.version] = m; check_all()                      # v4
+    assert (out.n_deleted, out.n_updated, out.n_inserted) == (1, 2, 1)
+    v5 = merge.restore_version(spark, path, 2)                # undo v3+v4
+    models[v5] = dict(models[2]); check_all()
+    man = merge.compact_small_generations(spark, path, "k", 10 << 20)  # v6
+    models[man.version] = dict(models[max(models)]); check_all()
+    mor({0: 1})                                               # v7
+    merge.vacuum_versions(spark, path, keep_last=3)
+    for v in list(models):
+        if v < 5:
+            del models[v]
+    check_all()
+    final = models[max(models)]
+    assert final[0] == 1 and 20 in final and 40 in final and 80 not in final

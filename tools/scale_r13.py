@@ -31,6 +31,8 @@ DEFAULT = [
     "point_lookup",
     "merge_arms",
     "merge_arms_dv",
+    "merge_arms_sync",
+    "table_history",
     "compact_binpack",
 ]
 SF_DIRS = [
