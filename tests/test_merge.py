@@ -1507,3 +1507,55 @@ def test_versioned_model_with_r13_ops(spark, tmp_path):
     check_all()
     final = models[max(models)]
     assert final[0] == 1 and 20 in final and 40 in final and 80 not in final
+
+
+def test_r13_committers_crash_reentry_and_races(spark, tmp_path):
+    """The r13 committers run the same commit protocol as the r12
+    ones: a crashed same-writer attempt re-enters idempotently without
+    duplicating rows (the _clean_uncommitted_generation path), a
+    racing second writer fails BEFORE writing, and rollback_inflight
+    clears a dead holder so a new writer can proceed."""
+    import pytest as _pytest
+
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 21)], "k long, v long"
+    )
+    path = str(tmp_path / "crash13")
+    merge.versioned_layout_write(base, "k", path, n_buckets=2)
+    staging = spark.createDataFrame([(2, 0), (3, 0)], "k long, v long")
+    arms = dict(
+        matched=[("t.v >= 30", "delete"), (None, "update", None)],
+        not_matched=[(None, "insert")],
+    )
+    # simulate writer A crashing mid-commit on v1: intent + partial gen
+    merge._begin_commit(spark, path, 1, "A")
+    spark.createDataFrame([(2, 999)], "k long, v long").withColumn(
+        "_kr", F.lit(0).cast("long")
+    ).withColumn("_gen", F.lit(1).cast("long")).write.mode(
+        "append"
+    ).partitionBy("_kr", "_gen").parquet(f"{path}/data")
+    # a different writer must refuse before writing anything
+    with _pytest.raises(merge.ConcurrentWriteError):
+        merge.merge_arms_versioned_dv(spark, path, staging, "k", writer="B", **arms)
+    with _pytest.raises(merge.ConcurrentWriteError):
+        merge.restore_version(spark, path, 0, writer="B")
+    # (compact_small_generations with nothing to pack never reaches the
+    # commit gate — its conflict behavior is the same _begin_commit and
+    # is exercised via restore/arms here.)
+    # Same-writer re-entry for arms: A retries its own v1 and must not
+    # absorb the crashed partial generation.
+    out = merge.merge_arms_versioned_dv(spark, path, staging, "k", writer="A", **arms)
+    assert out.version == 1
+    got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    # k=2 (v=20 < 30): update-all from staging -> 0; k=3 (v=30): deleted
+    assert got[2] == 0 and 3 not in got and got[4] == 40 and len(got) == 19
+    # dead-holder takeover: B crashes holding v2, rollback clears it
+    merge._begin_commit(spark, path, 2, "B-dead")
+    with _pytest.raises(merge.ConcurrentWriteError):
+        merge.restore_version(spark, path, 0, writer="C")
+    assert merge.rollback_inflight(spark, path) == [2]
+    v2 = merge.restore_version(spark, path, 0, writer="C")
+    assert v2 == 2
+    assert {r.k: r.v for r in merge.read_version(spark, path).collect()} == {
+        r.k: r.v for r in base.collect()
+    }
