@@ -239,6 +239,7 @@ HEADLINE = [
     "merge_arms_dv",
     "merge_arms_sync",
     "table_history",
+    "streaming_cdf",
     "compact_binpack",
 ]
 

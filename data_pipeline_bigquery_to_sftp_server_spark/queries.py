@@ -13023,6 +13023,89 @@ ORDER BY version
 """
 
 
+def q_streaming_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95b streaming CDF SOURCE over the versioned table (r13),
+    ORACLE-CHECKED: ``spark.readStream.format("versioned_cdf")`` —
+    the read half of the lakehouse streaming story whose write half is
+    q_streaming_versioned's epoch-ledgered sink. The commit log IS the
+    change log: changed keys at version v are the DV entries with
+    ``live_gen == v`` (fresh copy present -> upsert row, absent ->
+    delete row), so merge-on-read commits stream out exactly their
+    logical changes while structural commits are silent by
+    construction — the final compact_table here emits NOTHING even
+    though it rewrites every bucket, which is the property that makes
+    the feed consumable (a downstream replica applying it converges to
+    read_version without ever seeing layout churn). Offsets are
+    manifest versions; replay reads immutable history
+    (sources/pysource.py VersionedCdfDataSource; checkpoint-restart
+    dedup pinned in test_merge). The oracle replays the upsert and
+    delete batches with their version tags."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("cdfsrc_")
+    out = _scratch_dir("cdfsrc_out_")
+    ckpt = _scratch_dir("cdfsrc_ckpt_")
+    merge.versioned_layout_write(o, "o_orderkey", path, n_buckets=16)
+    ranked, n_total = relational.with_global_rank(o, ["o_orderkey"])
+    mid, quarter = n_total // 2, n_total // 4
+    upd = (
+        ranked.where((F.col("grank") >= mid + 1) & (F.col("grank") <= mid + 40))
+        .select("o_orderkey", (F.col("cents") + 999).alias("cents"))
+        .unionByName(
+            spark.range(5).select(
+                (F.col("id") + 60_000_000).alias("o_orderkey"),
+                (F.col("id") * 13).alias("cents"),
+            )
+        )
+    )
+    merge.upsert_versioned_dv(spark, path, upd, "o_orderkey")  # v1
+    dels = ranked.where(
+        (F.col("grank") >= quarter + 1) & (F.col("grank") <= quarter + 20)
+    ).select("o_orderkey")
+    merge.delete_versioned(spark, path, dels, "o_orderkey")  # v2
+    merge.compact_table(spark, path, "o_orderkey")  # v3: silent
+    register_versioned_cdf(spark)
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", path)
+        .option("key", "o_orderkey")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out).orderBy("_version", "o_orderkey")
+
+
+_ORACLE_STREAMING_CDF = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT k AS o_orderkey, cents + 999 AS cents,
+       'upsert' AS _op, CAST(1 AS BIGINT) AS _version
+FROM o WHERE rn > n // 2 AND rn <= n // 2 + 40
+UNION ALL
+SELECT 60000000 + i, i * 13, 'upsert', 1 FROM generate_series(0, 4) t(i)
+UNION ALL
+SELECT k, NULL, 'delete', 2
+FROM o WHERE rn > n // 4 AND rn <= n // 4 + 20
+ORDER BY _version, o_orderkey
+"""
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2g general-tier connected components (r10 verdict #5),
     ORACLE-CHECKED: star contraction (Kiveris large-star/small-star,
@@ -13627,6 +13710,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_arms_dv": q_merge_arms_dv,
     "merge_arms_sync": q_merge_arms_sync,
     "table_history": q_table_history,
+    "streaming_cdf": q_streaming_cdf,
     "compact_binpack": q_compact_binpack,
     # oldest-attested cohort: latest driver attestation r2
     "cosine_topk": q_cosine_topk,
@@ -13662,14 +13746,15 @@ QUERIES: dict[str, QueryFn] = {
     "udtf_sentences": q_udtf_sentences,
     "anti_join": q_anti_join,
     "count_distinct": q_count_distinct,
-    "distinct_keys": q_distinct_keys,
     "grouping_sets_sql": q_grouping_sets_sql,
     "merge_upsert": q_merge_upsert,
     # -- slots 51+: verified via verify_local -------------------------
-    # hash_split / lm_scores_foreign (attested r6) displaced by the two
-    # late-r13 additions above; both remain verify_local-green.
+    # hash_split / lm_scores_foreign / distinct_keys (attested r6)
+    # displaced by the three late-r13 additions above; all remain
+    # verify_local-green.
     "hash_split": q_hash_split,
     "lm_scores_foreign": q_lm_scores_foreign,
+    "distinct_keys": q_distinct_keys,
     # The ENTIRE r12 official window moves past the slot line (all 50
     # driver-green in CORRECTNESS_r12, seventh consecutive all-green
     # round; every oracle unchanged), followed by the rest of the
@@ -14142,6 +14227,7 @@ ORACLES: dict[str, str] = {
     "merge_arms_dv": _ORACLE_MERGE_ARMS_DV,
     "merge_arms_sync": _ORACLE_MERGE_ARMS_SYNC,
     "table_history": _ORACLE_TABLE_HISTORY,
+    "streaming_cdf": _ORACLE_STREAMING_CDF,
     "data_health": _ORACLE_DATA_HEALTH,
     "rrf_fusion": _ORACLE_RRF_FUSION,
     "time_travel": _ORACLE_TIME_TRAVEL,

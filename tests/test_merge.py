@@ -1559,3 +1559,76 @@ def test_r13_committers_crash_reentry_and_races(spark, tmp_path):
     assert {r.k: r.v for r in merge.read_version(spark, path).collect()} == {
         r.k: r.v for r in base.collect()
     }
+
+
+def test_versioned_cdf_stream_source(spark, tmp_path):
+    """Streaming CDF SOURCE over the versioned table (r13): the commit
+    log is the change log — MOR commits stream out as upsert/delete
+    rows tagged with their version, structural commits (compaction)
+    are silent, and a checkpoint restart resumes from the committed
+    offset without duplicating history (offsets are manifest versions;
+    history is immutable so replay is deterministic)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    path = str(tmp_path / "cdf")
+    out = str(tmp_path / "cdf_out")
+    ckpt = str(tmp_path / "cdf_ckpt")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 41)], "k long, v long"
+    )
+    merge.versioned_layout_write(base, "k", path, n_buckets=2)
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(3, 333), (99, 990)], "k long, v long"), "k",
+    )  # v1: two upserts (one new key)
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(5,)], "k long"), "k"
+    )  # v2: one delete
+    register_versioned_cdf(spark)
+
+    def start():
+        return (
+            spark.readStream.format("versioned_cdf")
+            .option("path", path)
+            .option("key", "k")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.k, r.v, r._op, r._version)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (3, 333, "upsert", 1),
+        (99, 990, "upsert", 1),
+        (5, None, "delete", 2),
+    }
+    # more commits while the stream is DOWN: a conditional-arm commit
+    # (v3) and a full compaction (v4 — structural, must be silent)
+    merge.merge_arms_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(3, 0), (7, 700)], "k long, v long"), "k",
+        matched=[("t.v >= 300", "delete"), (None, "update", None)],
+        not_matched=[(None, "insert")],
+    )  # v3: k=3 (v=333) deleted, k=7 updated to 700
+    merge.compact_table(spark, path, "k")  # v4: silent
+    q2 = start()  # restart from the checkpoint: resumes after v2
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = {
+        (r.k, r.v, r._op, r._version)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == got | {
+        (3, None, "delete", 3),
+        (7, 700, "upsert", 3),
+    }
