@@ -240,6 +240,7 @@ HEADLINE = [
     "merge_arms_sync",
     "table_history",
     "streaming_cdf",
+    "table_replication",
     "compact_binpack",
 ]
 
