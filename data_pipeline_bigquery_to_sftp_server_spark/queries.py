@@ -13137,7 +13137,7 @@ def q_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _scratch_dir("repl_src_")
     dst = _scratch_dir("repl_dst_")
     ckpt = _scratch_dir("repl_ckpt_")
-    merge.versioned_layout_write(o, "o_orderkey", src, n_buckets=16)
+    merge.versioned_layout_write(o, "o_orderkey", src, n_buckets=8)
     ranked, n_total = relational.with_global_rank(o, ["o_orderkey"])
     mid, quarter = n_total // 2, n_total // 4
     upd = (
@@ -13169,7 +13169,7 @@ def q_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replica bootstrap from the source's INITIAL snapshot only
     merge.versioned_layout_write(
         merge.read_version(spark, src, 0).select("o_orderkey", "cents"),
-        "o_orderkey", dst, n_buckets=16,
+        "o_orderkey", dst, n_buckets=8,
     )
     register_versioned_cdf(spark)
 
@@ -13178,8 +13178,10 @@ def q_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_v: dict = {}
         for r in rows:
             by_v.setdefault(r._version, []).append(r)
+        # one ledger read per delivered batch: replay protection is
+        # against REDELIVERY (restart), not between a batch's versions
+        meta_done = merge.committed_metas(spark, dst)
         for v in sorted(by_v):
-            meta_done = merge.committed_metas(spark, dst)
             ups = [
                 (r.o_orderkey, r.cents)
                 for r in by_v[v]
@@ -13243,7 +13245,7 @@ WITH o AS (
          count(*) OVER () AS n
   FROM orders
 ), base AS (
-  SELECT k, cents, (rn - 1) * 16 // n AS b FROM o
+  SELECT k, cents, (rn - 1) * 8 // n AS b FROM o
 ), cut AS (
   SELECT b, min(k) AS min_k FROM base GROUP BY b
 ), upd AS (
