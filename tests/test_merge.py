@@ -1632,3 +1632,58 @@ def test_versioned_cdf_stream_source(spark, tmp_path):
         (3, None, "delete", 3),
         (7, 700, "upsert", 3),
     }
+
+
+def test_versioned_cdf_schema_evolution_and_starting_version(spark, tmp_path):
+    """CDF source corners: (a) schema evolution — the source sniffs the
+    NEWEST generation's footer, so an evolved column appears in the
+    feed schema and pre-evolution change rows carry NULL for it;
+    (b) starting_version skips history before the given offset."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    path = str(tmp_path / "cdfe")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 11)], "k long, v long"
+    )
+    merge.versioned_layout_write(base, "k", path, n_buckets=2)
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(2, 22)], "k long, v long"), "k",
+    )  # v1: pre-evolution upsert
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(3, 33, 7)], "k long, v long, flag long"), "k",
+    )  # v2: evolving upsert carries a NEW column
+    register_versioned_cdf(spark)
+
+    def drain(**opts):
+        out = str(tmp_path / f"out_{len(opts)}_{opts.get('starting_version', 'x')}")
+        ckpt = out + "_ckpt"
+        reader = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", path)
+            .option("key", "k")
+        )
+        for k_, v_ in opts.items():
+            reader = reader.option(k_, v_)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(out)
+
+    full = drain()
+    assert "flag" in full.columns
+    got = {(r.k, r.v, r.flag, r._op, r._version) for r in full.collect()}
+    # the v1 change predates the column: flag reads NULL
+    assert got == {(2, 22, None, "upsert", 1), (3, 33, 7, "upsert", 2)}
+    # starting_version=1: history through v1 skipped
+    late = drain(starting_version=1)
+    assert {(r.k, r._version) for r in late.collect()} == {(3, 2)}
