@@ -241,6 +241,7 @@ HEADLINE = [
     "table_history",
     "streaming_cdf",
     "table_replication",
+    "rebucket",
     "compact_binpack",
 ]
 

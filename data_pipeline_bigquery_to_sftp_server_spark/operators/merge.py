@@ -1761,6 +1761,76 @@ def compact_small_generations(
     return new_manifest
 
 
+def rebucket_table(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    n_buckets: int,
+    writer: str | None = None,
+) -> DataFrame:
+    """Partition evolution (Iceberg's headline trick, rebuilt on the
+    versioned layout): re-commit the LIVE table under a NEW bucket
+    count as one version — the cure for a table whose original
+    n_buckets stopped matching its size (every bucket outgrew executor
+    memory, or merge churn concentrated in one hot range). Because
+    bucket assignment is derived PER VERSION from that version's
+    manifest (assign_range_bucket reads _cutpoints of the manifest it
+    merges against), old versions keep reading — and merging — under
+    their own layout; nothing about the (bucket, generation)
+    addressing is global, so the evolution needs no table-wide
+    invariant beyond the commit protocol it already rides. Like
+    compact_table this folds deletion vectors in (the rewrite is
+    DV-resolved, so the new version starts with zero merge-on-read
+    debt) and declared stats/Bloom columns are recomputed for the new
+    directories. The rewrite is one range-repartition global sort —
+    the same O(table) price any re-layout costs; old generations stay
+    until vacuumed. Returns the new manifest with ``version``
+    attached."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"no table at {path}")
+    v = versions[-1]
+    manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
+    stats_cols = _stats_cols_of(manifest)
+    point_cols = _point_cols_of(manifest)
+    bloom_bits = _bloom_bits_of(manifest, point_cols) if point_cols else 0
+    live = read_version(spark, path, v).drop("_gen", "_kr")
+    _begin_commit(spark, path, v + 1, writer or _unique_writer())
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
+        with_global_rank,
+    )
+
+    ranked, n_total = with_global_rank(live, [key])
+    fresh = (
+        ranked.withColumn(
+            "_kr",
+            F.expr(f"(grank - 1) * {int(n_buckets)} div {int(n_total)}").cast(
+                "long"
+            ),
+        )
+        .drop("grank")
+        .withColumn("_gen", F.lit(v + 1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    _clean_uncommitted_generation(
+        spark, path, list(range(int(n_buckets))), v + 1
+    )
+    fresh.write.mode("append").partitionBy("_kr", "_gen").parquet(
+        f"{path}/data"
+    )
+    new_manifest = _with_bloom(
+        fresh.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
+        fresh,
+        point_cols,
+        bloom_bits,
+    )
+    new_manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_manifest/v={v + 1}"
+    )
+    new_manifest.version = v + 1
+    return new_manifest
+
+
 def vacuum_versions(
     spark: SparkSession, path: str, keep_last: int = 2
 ) -> list[str]:

@@ -13281,6 +13281,92 @@ ORDER BY bucket
 """
 
 
+def q_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1o partition evolution (r13), ORACLE-CHECKED: the table
+    bootstraps at 4 key-range buckets, takes a merge-on-read upsert
+    (with inserts) and a pure-DV delete, then rebucket_table
+    re-commits the LIVE table under 16 buckets as version 3 — the
+    Iceberg partition-evolution move, priced as one global re-sort and
+    folding DV debt to zero on the way (operators/merge.py
+    rebucket_table). Old versions keep reading under their own layout
+    (bucket assignment derives per-version from that version's
+    manifest — nothing about addressing is table-global), pinned in
+    test_merge along with post-evolution merges landing under the new
+    cutpoints. The report is the per-NEW-bucket live census plus the
+    version count; the oracle replays the new layout from first
+    principles — rank the live rows, assign (rank-1)*16//n — so the
+    evolution's content-preservation AND its new bucket geometry are
+    both value-checked."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("rebucket_")
+    merge.versioned_layout_write(o, "o_orderkey", path, n_buckets=4)
+    ranked, n_total = relational.with_global_rank(o, ["o_orderkey"])
+    mid, quarter = n_total // 2, n_total // 4
+    upd = (
+        ranked.where((F.col("grank") >= mid + 1) & (F.col("grank") <= mid + 40))
+        .select("o_orderkey", (F.col("cents") + 999).alias("cents"))
+        .unionByName(
+            spark.range(5).select(
+                (F.col("id") + 80_000_000).alias("o_orderkey"),
+                (F.col("id") * 19).alias("cents"),
+            )
+        )
+    )
+    merge.upsert_versioned_dv(spark, path, upd, "o_orderkey")  # v1
+    dels = ranked.where(
+        (F.col("grank") >= quarter + 1) & (F.col("grank") <= quarter + 20)
+    ).select("o_orderkey")
+    merge.delete_versioned(spark, path, dels, "o_orderkey")  # v2
+    merge.rebucket_table(spark, path, "o_orderkey", n_buckets=16)  # v3
+    n_versions = len(merge._list_versions(spark, f"{path}/_manifest"))
+    return (
+        merge.read_version(spark, path)
+        .groupBy(F.col("_kr").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn("n_versions", F.lit(int(n_versions)))
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_REBUCKET = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), upd AS (
+  SELECT k, cents + 999 AS cents FROM o
+  WHERE rn > n // 2 AND rn <= n // 2 + 40
+  UNION ALL
+  SELECT 80000000 + i, i * 19 FROM generate_series(0, 4) t(i)
+), dels AS (
+  SELECT k FROM o WHERE rn > n // 4 AND rn <= n // 4 + 20
+), live AS (
+  SELECT k, cents FROM o
+  WHERE k NOT IN (SELECT k FROM upd) AND k NOT IN (SELECT k FROM dels)
+  UNION ALL SELECT k, cents FROM upd
+), relaid AS (
+  SELECT k, cents,
+         (row_number() OVER (ORDER BY k) - 1) * 16
+           // (count(*) OVER ()) AS b
+  FROM live
+)
+SELECT b AS bucket, count(*) AS n_live,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       4 AS n_versions
+FROM relaid
+GROUP BY b
+ORDER BY bucket
+"""
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2g general-tier connected components (r10 verdict #5),
     ORACLE-CHECKED: star contraction (Kiveris large-star/small-star,
@@ -13887,6 +13973,7 @@ QUERIES: dict[str, QueryFn] = {
     "table_history": q_table_history,
     "streaming_cdf": q_streaming_cdf,
     "table_replication": q_table_replication,
+    "rebucket": q_rebucket,
     "compact_binpack": q_compact_binpack,
     # oldest-attested cohort: latest driver attestation r2
     "cosine_topk": q_cosine_topk,
@@ -13921,16 +14008,16 @@ QUERIES: dict[str, QueryFn] = {
     "regex_extract": q_regex_extract,
     "udtf_sentences": q_udtf_sentences,
     "anti_join": q_anti_join,
-    "grouping_sets_sql": q_grouping_sets_sql,
     "merge_upsert": q_merge_upsert,
     # -- slots 51+: verified via verify_local -------------------------
-    # hash_split / lm_scores_foreign / distinct_keys / count_distinct
-    # (attested r6) displaced by the four late-r13 additions above;
-    # all remain verify_local-green.
+    # hash_split / lm_scores_foreign / distinct_keys / count_distinct /
+    # grouping_sets_sql (attested r6) displaced by the five late-r13
+    # additions above; all remain verify_local-green.
     "hash_split": q_hash_split,
     "lm_scores_foreign": q_lm_scores_foreign,
     "distinct_keys": q_distinct_keys,
     "count_distinct": q_count_distinct,
+    "grouping_sets_sql": q_grouping_sets_sql,
     # The ENTIRE r12 official window moves past the slot line (all 50
     # driver-green in CORRECTNESS_r12, seventh consecutive all-green
     # round; every oracle unchanged), followed by the rest of the
@@ -14405,6 +14492,7 @@ ORACLES: dict[str, str] = {
     "table_history": _ORACLE_TABLE_HISTORY,
     "streaming_cdf": _ORACLE_STREAMING_CDF,
     "table_replication": _ORACLE_TABLE_REPLICATION,
+    "rebucket": _ORACLE_REBUCKET,
     "data_health": _ORACLE_DATA_HEALTH,
     "rrf_fusion": _ORACLE_RRF_FUSION,
     "time_travel": _ORACLE_TIME_TRAVEL,

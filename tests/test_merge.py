@@ -1687,3 +1687,49 @@ def test_versioned_cdf_schema_evolution_and_starting_version(spark, tmp_path):
     # starting_version=1: history through v1 skipped
     late = drain(starting_version=1)
     assert {(r.k, r._version) for r in late.collect()} == {(3, 2)}
+
+
+def test_rebucket_table_partition_evolution(spark, tmp_path):
+    """Partition evolution: re-commit the live table under a new
+    bucket count. Pins: contents identical; the new manifest has
+    exactly n_buckets directories; DV debt folds to zero; OLD versions
+    still read AND the next merge against the new version assigns
+    buckets under the NEW layout; vacuum reclaims the old layout."""
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 101)], "k long, v long"
+    )
+    path = str(tmp_path / "rebucket")
+    merge.versioned_layout_write(base, "k", path, n_buckets=2)
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(5, 55), (200, 2000)], "k long, v long"), "k",
+    )  # v1 (DV debt)
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(9,)], "k long"), "k"
+    )  # v2
+    before = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    man = merge.rebucket_table(spark, path, "k", n_buckets=8)  # v3
+    assert man.version == 3
+    rows = spark.read.parquet(f"{path}/_manifest/v=3").collect()
+    assert sorted({r._kr for r in rows}) == list(range(8))
+    assert all(r.gen == 3 for r in rows)
+    after = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert after == before
+    # DV folded: no _dv file rides v3
+    import os
+
+    assert not os.path.isdir(f"{path}/_dv/v=3")
+    # old version reads under the OLD layout
+    v1 = {r.k: r.v for r in merge.read_version(spark, path, 1).collect()}
+    assert v1[9] == 90 and v1[5] == 55
+    # next merge assigns under the NEW cutpoints and lands in one of
+    # the 8 buckets' key ranges
+    out = merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(50, 500)], "k long, v long"), "k",
+    )
+    assert out.version == 4 and len(out.touched_buckets) == 1
+    got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert got[50] == 500
+    merge.vacuum_versions(spark, path, keep_last=2)
+    assert {r.k: r.v for r in merge.read_version(spark, path).collect()} == got
