@@ -1733,3 +1733,127 @@ def test_rebucket_table_partition_evolution(spark, tmp_path):
     assert got[50] == 500
     merge.vacuum_versions(spark, path, keep_last=2)
     assert {r.k: r.v for r in merge.read_version(spark, path).collect()} == got
+
+
+def test_hypothesis_random_committer_sequences(spark, tmp_path):
+    """Property-based capstone over the whole versioned-table tier:
+    hypothesis drives random sequences of ALL committers (MOR/COW
+    upserts, deletes, conditional arms, RESTORE, bin-packing, full
+    compaction, partition evolution, vacuum) against a dict model;
+    after every commit, every retained version must read back exactly
+    as its model. Catches cross-operator interactions no hand-written
+    sequence thought of."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31),
+        ops=st.lists(
+            st.sampled_from(
+                ["mor", "cow", "delete", "arms", "restore",
+                 "binpack", "compact", "rebucket", "vacuum"]
+            ),
+            min_size=4,
+            max_size=7,
+        ),
+    )
+    def run(seed: int, ops: list) -> None:
+        counter["n"] += 1
+        rng = random.Random(seed)
+        path = str(tmp_path / f"hyp{counter['n']}")
+        base = {k: k * 7 for k in range(40)}
+        merge.versioned_layout_write(
+            spark.createDataFrame(list(base.items()), "k long, v long"),
+            "k", path, n_buckets=4,
+        )
+        models = {0: dict(base)}
+
+        def latest_model():
+            return dict(models[max(models)])
+
+        def check_all():
+            for v in merge._list_versions(spark, f"{path}/_manifest"):
+                if v not in models:
+                    continue
+                got = {
+                    r.k: r.v
+                    for r in merge.read_version(spark, path, v).collect()
+                }
+                assert got == models[v], f"version {v} diverged after {ops}"
+
+        for op in ops:
+            m = latest_model()
+            if op in ("mor", "cow"):
+                batch = {
+                    rng.randrange(80): rng.randrange(10_000)
+                    for _ in range(rng.randint(1, 6))
+                }
+                df = spark.createDataFrame(list(batch.items()), "k long, v long")
+                fn = merge.upsert_versioned_dv if op == "mor" else merge.upsert_versioned
+                out = fn(spark, path, df, "k")
+                m.update(batch)
+                models[out.version] = m
+            elif op == "delete":
+                keys = [rng.randrange(80) for _ in range(rng.randint(1, 4))]
+                v = merge.delete_versioned(
+                    spark, path,
+                    spark.createDataFrame([(k,) for k in keys], "k long"), "k",
+                )
+                for k in keys:
+                    m.pop(k, None)
+                models[v] = m
+            elif op == "arms":
+                staged = [
+                    (rng.randrange(80), rng.randrange(-50, 10_000),
+                     rng.choice("DUI"))
+                    for _ in range(rng.randint(1, 6))
+                ]
+                # staging must be key-unique (MERGE contract)
+                staged = list({s[0]: s for s in staged}.values())
+                out = merge.merge_arms_versioned_dv(
+                    spark, path,
+                    spark.createDataFrame(staged, "k long, v long, op string"),
+                    "k",
+                    matched=[("s.op = 'D'", "delete"),
+                             ("s.op = 'U'", "update", None)],
+                    not_matched=[("s.op = 'I' AND s.v >= 0", "insert")],
+                )
+                for k, nv, sop in staged:
+                    if k in m:
+                        if sop == "D":
+                            del m[k]
+                        elif sop == "U":
+                            m[k] = nv
+                        # 'I' on a matched key: no arm claims it — noop
+                    elif sop == "I" and nv >= 0:
+                        m[k] = nv
+                models[out.version] = m
+            elif op == "restore":
+                retained = merge._list_versions(spark, f"{path}/_manifest")
+                target = rng.choice([v for v in retained if v in models])
+                v = merge.restore_version(spark, path, target)
+                models[v] = dict(models[target])
+            elif op == "binpack":
+                man = merge.compact_small_generations(spark, path, "k", 10 << 20)
+                if man.n_packed_dirs:
+                    models[man.version] = m
+            elif op == "compact":
+                man = merge.compact_table(spark, path, "k")
+                models[man.version] = m
+            elif op == "rebucket":
+                man = merge.rebucket_table(spark, path, "k", rng.choice([2, 3, 8]))
+                models[man.version] = m
+            elif op == "vacuum":
+                merge.vacuum_versions(spark, path, keep_last=rng.randint(1, 3))
+            check_all()
+
+    run()
