@@ -1,0 +1,196 @@
+"""Write-time CHECK constraints for the versioned table (Delta's
+``ALTER TABLE ADD CONSTRAINT`` / DLT expectations, rebuilt on the
+plain-parquet commit log).
+
+The reference pipeline has no write-side gate at all — a malformed
+ticket row flows straight into the BigQuery MERGE (main.py:349-358)
+and is discovered, if ever, by a downstream report. Lakehouse engines
+put the gate at the commit: a constraint is table metadata, every
+writer enforces it, and a batch that violates it either fails the
+commit (Delta CHECK) or routes the bad rows aside (DLT ``expect ...
+ON VIOLATION``). Both modes are provided here.
+
+Semantics follow the SQL standard for CHECK: a row violates a
+constraint only when the expression evaluates to FALSE — UNKNOWN
+(NULL) passes, so ``o_totalprice > 0`` admits a NULL price and the
+user writes ``o_totalprice IS NOT NULL AND o_totalprice > 0`` to
+reject it, exactly as in Delta.
+
+Scale: the gate is one map-side filter over the STAGING BATCH only
+(never the table) — zero shuffle, O(|batch|), fused into the batch's
+existing scan by whole-stage codegen. Tables without a constraints
+file short-circuit at one driver FS probe per commit, so unconstrained
+commits pay nothing.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_FILE = "_constraints.json"
+
+
+class ConstraintViolation(ValueError):
+    """A staging batch violated table CHECK constraints in mode='error'.
+    Carries per-constraint violation counts for the error report."""
+
+    def __init__(self, path: str, counts: dict[str, int]):
+        self.path = path
+        self.counts = dict(counts)
+        detail = ", ".join(f"{k}: {v} rows" for k, v in sorted(counts.items()))
+        super().__init__(
+            f"constraint violation writing to {path} ({detail}); "
+            "fix the batch, drop the constraint, or commit through "
+            "quarantine mode (upsert_versioned_checked)"
+        )
+
+
+def set_constraints(
+    spark: SparkSession, path: str, constraints: dict[str, str]
+) -> None:
+    """Declare (or replace) the table's CHECK constraints: a name ->
+    SQL-boolean-expression map stored as table metadata at
+    ``<path>/_manifest/_constraints.json``. Metadata-only — no data
+    file is read or validated retroactively (Delta validates existing
+    data on ADD CONSTRAINT; here historical versions predate the
+    constraint by design and the gate applies to FUTURE commits).
+    An empty dict clears all constraints."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest/{_FILE}")
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(dict(constraints), sort_keys=True), "utf-8"))
+    out.close()
+
+
+def get_constraints(spark: SparkSession, path: str) -> dict[str, str]:
+    """The table's declared constraints ({} when none): one driver FS
+    probe + one small JSON read."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest/{_FILE}")
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return {}
+    stream = fs.open(p)
+    raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def with_violation(df: DataFrame, constraints: dict[str, str]) -> DataFrame:
+    """Attach ``_violation``: the name of the FIRST constraint (in
+    sorted-name order, so classification is deterministic) the row
+    violates, NULL for a clean row. Violation = expression IS FALSE;
+    NULL/UNKNOWN passes (SQL-standard CHECK). Pure column expressions
+    — Catalyst folds the whole chain into the batch's scan stage."""
+    chain = None
+    for name in sorted(constraints):
+        cond = ~F.coalesce(F.expr(constraints[name]), F.lit(True))
+        chain = (F.when if chain is None else chain.when)(cond, F.lit(name))
+    return df.withColumn(
+        "_violation", F.lit(None).cast("string") if chain is None else chain
+    )
+
+
+def split_on_constraints(
+    df: DataFrame, constraints: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) halves of a batch: quarantined rows carry
+    the ``_violation`` column naming the constraint they broke."""
+    marked = with_violation(df, constraints)
+    return (
+        marked.where(F.col("_violation").isNull()).drop("_violation"),
+        marked.where(F.col("_violation").isNotNull()),
+    )
+
+
+def check_batch(
+    spark: SparkSession, path: str, batch: DataFrame
+) -> dict[str, str]:
+    """The enforce gate every versioned committer calls: load the
+    table's constraints (one FS probe — free when none are declared),
+    and raise ConstraintViolation with per-constraint counts if any
+    batch row violates one. The scan is a single map-side aggregate
+    over the batch; the common clean-batch case costs one pass and
+    allocates nothing extra. Returns the constraint dict so callers
+    can reuse it. A constraint referencing a column the batch omits
+    fails loudly (analysis error) — schema enforcement, as in Delta,
+    rather than silently skipping the check."""
+    constraints = get_constraints(spark, path)
+    if not constraints:
+        return constraints
+    counts = {
+        r._violation: r.n
+        for r in with_violation(batch, constraints)
+        .where(F.col("_violation").isNotNull())
+        .groupBy("_violation")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if counts:
+        raise ConstraintViolation(path, counts)
+    return constraints
+
+
+def upsert_versioned_checked(
+    spark: SparkSession,
+    target_path: str,
+    staging: DataFrame,
+    key: str,
+    mode: str = "error",
+    writer: str | None = None,
+    commit_meta: str | None = None,
+) -> DataFrame:
+    """Constraint-aware MERGE: the DLT ``expect ... ON VIOLATION`` pair
+    on top of upsert_versioned. mode='error' commits nothing when any
+    staging row violates a constraint (the plain committers already
+    enforce this — the explicit wrapper just names the intent);
+    mode='quarantine' routes violating rows to the table's quarantine
+    ledger ``<path>/_quarantine/v=<version>/`` (with their
+    ``_violation`` name) and commits the clean remainder — the commit
+    and its quarantine share the version number, so the audit trail
+    lines up with DESCRIBE HISTORY. Returns the committed frame with
+    ``n_quarantined`` attached (0 in error mode)."""
+    if mode not in ("error", "quarantine"):
+        raise ValueError(f"mode must be 'error' or 'quarantine', got {mode!r}")
+    constraints = get_constraints(spark, target_path)
+    if mode == "error" or not constraints:
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+            upsert_versioned,
+        )
+
+        out = upsert_versioned(
+            spark, target_path, staging, key,
+            writer=writer, commit_meta=commit_meta,
+        )
+        out.n_quarantined = 0
+        return out
+    clean, bad = split_on_constraints(staging, constraints)
+    # checkpoint both halves: the committer must not re-evaluate the
+    # classification after the quarantine write (one scan, two sinks)
+    bad = bad.localCheckpoint(eager=True)
+    n_bad = bad.count()
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+        upsert_versioned,
+    )
+
+    out = upsert_versioned(
+        spark, target_path, clean, key, writer=writer, commit_meta=commit_meta
+    )
+    if n_bad:
+        bad.coalesce(1).write.mode("overwrite").parquet(
+            f"{target_path}/_quarantine/v={out.version}"
+        )
+    out.n_quarantined = int(n_bad)
+    return out
+
+
+def read_quarantine(
+    spark: SparkSession, path: str, version: int
+) -> DataFrame:
+    """The rows quarantined by the commit at ``version`` (empty-safe:
+    raises FileNotFoundError if that commit quarantined nothing)."""
+    return spark.read.parquet(f"{path}/_quarantine/v={version}")

@@ -864,6 +864,44 @@ def _apply_dv(data: DataFrame, dv: DataFrame | None) -> DataFrame:
     )
 
 
+def _gen_root(path: str, r) -> str:
+    """Data root a manifest row's generation lives under: the table's
+    own ``<path>/data`` unless the row carries a non-NULL ``ext``
+    column — a shallow clone (clone_table) referencing another table's
+    committed generation in place. Tables never cloned have no ``ext``
+    column at all, so every pre-clone manifest resolves locally with
+    zero schema change."""
+    ext = r["ext"] if "ext" in (r.__fields__ or []) else None
+    return ext if ext else f"{path}/data"
+
+
+def _gen_dir(path: str, r) -> str:
+    """Directory of one manifest row's (bucket, generation), ext-aware."""
+    return f"{_gen_root(path, r)}/_kr={r._kr}/_gen={r.gen}"
+
+
+def _read_gen_dirs(spark: SparkSession, path: str, rows) -> DataFrame:
+    """Scan the generation directories of the given manifest rows.
+    Rows are grouped by data root so each group keeps a basePath that
+    is a true prefix (partition-column recovery needs it); a shallow
+    clone's mixed local+external manifest reads as the by-name union
+    of its roots, with allowMissingColumns bridging schema evolution
+    that happened on only one side of the clone point."""
+    groups: dict[str, list[str]] = {}
+    for r in rows:
+        groups.setdefault(_gen_root(path, r), []).append(_gen_dir(path, r))
+    parts = [
+        spark.read.option("basePath", root)
+        .option("mergeSchema", "true")
+        .parquet(*sorted(dirs))
+        for root, dirs in sorted(groups.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def versioned_layout_write(
     df: DataFrame,
     key: str,
@@ -927,14 +965,7 @@ def read_version(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
-    dirs = [
-        f"{path}/data/_kr={r._kr}/_gen={r.gen}" for r in manifest.collect()
-    ]
-    data = (
-        spark.read.option("basePath", f"{path}/data")
-        .option("mergeSchema", "true")  # generations may carry evolved columns
-        .parquet(*dirs)
-    )
+    data = _read_gen_dirs(spark, path, manifest.collect())
     # merge-on-read: resolve this version's deletion vector, if any
     return _apply_dv(data, _read_dv(spark, path, v))
 
@@ -995,12 +1026,7 @@ def read_version_pruned(
         out.dirs_read = 0
         out.dirs_total = len(rows)
         return out
-    dirs = [f"{path}/data/_kr={r._kr}/_gen={r.gen}" for r in live]
-    data = (
-        spark.read.option("basePath", f"{path}/data")
-        .option("mergeSchema", "true")
-        .parquet(*dirs)
-    )
+    data = _read_gen_dirs(spark, path, live)
     out = _apply_dv(data, _read_dv(spark, path, v)).where(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )
@@ -1066,7 +1092,7 @@ def read_version_point(
     manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
     rows = manifest.collect()
     bcol = f"bloom_{col}"
-    all_dirs = [f"{path}/data/_kr={r._kr}/_gen={r.gen}" for r in rows]
+    all_dirs = [_gen_dir(path, r) for r in rows]
     if bcol in manifest.columns:
         # the column's Spark type, from a live footer schema — the
         # literal must hash exactly as the stored column did. Probe
@@ -1076,7 +1102,9 @@ def read_version_point(
         # generation count.
         dtype = None
         for d in sorted(all_dirs, reverse=True):
-            sch = spark.read.option("basePath", f"{path}/data").parquet(d).schema
+            # no basePath: only the footer's column type is wanted, and
+            # a clone's external directory has no common prefix anyway
+            sch = spark.read.parquet(d).schema
             if col in sch.names:
                 dtype = sch[col].dataType
                 break
@@ -1094,12 +1122,7 @@ def read_version_point(
         out.dirs_read = 0
         out.dirs_total = len(rows)
         return out
-    dirs = [f"{path}/data/_kr={r._kr}/_gen={r.gen}" for r in live]
-    data = (
-        spark.read.option("basePath", f"{path}/data")
-        .option("mergeSchema", "true")
-        .parquet(*dirs)
-    )
+    data = _read_gen_dirs(spark, path, live)
     out = _apply_dv(data, _read_dv(spark, path, v)).where(
         F.col(col) == F.lit(value)
     )
@@ -1145,6 +1168,14 @@ def upsert_versioned(
             "versioned_layout_write"
         )
     v = versions[-1]
+    # CHECK-constraint gate (constraints.py): a violating batch fails
+    # here, before the intent marker, before any write — one FS probe
+    # when the table declares no constraints
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.constraints import (
+        check_batch,
+    )
+
+    check_batch(spark, target_path, staging)
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
     stats_cols = _stats_cols_of(manifest)
     point_cols = _point_cols_of(manifest)
@@ -1153,17 +1184,33 @@ def upsert_versioned(
     touched = sorted(
         r[0] for r in assigned.select("_kr").distinct().collect()
     )
+    if not touched:
+        # empty staging: a zero-data no-op commit (manifest and DV
+        # carry forward verbatim) rather than a crash — quarantine
+        # mode can legitimately strip a batch to nothing
+        _begin_commit(spark, target_path, v + 1, writer)
+        dv = _read_dv(spark, target_path, v)
+        if dv is not None:
+            dv.coalesce(1).write.mode("overwrite").parquet(
+                f"{target_path}/_dv/v={v + 1}"
+            )
+        if commit_meta is not None:
+            _write_commit_meta(spark, target_path, v + 1, commit_meta)
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            f"{target_path}/_manifest/v={v + 1}"
+        )
+        out = assigned.drop("_kr")
+        out.version = v + 1
+        out.touched_buckets = []
+        return out
     # every live generation of the touched buckets (merge-on-read
     # history included), resolved through the version's DV
-    dirs = [
-        f"{target_path}/data/_kr={r._kr}/_gen={r.gen}"
-        for r in manifest.collect()
-        if r._kr in set(touched)
-    ]
     target = _apply_dv(
-        spark.read.option("basePath", f"{target_path}/data")
-        .option("mergeSchema", "true")
-        .parquet(*dirs),
+        _read_gen_dirs(
+            spark,
+            target_path,
+            [r for r in manifest.collect() if r._kr in set(touched)],
+        ),
         _read_dv(spark, target_path, v),
     )
     # conflict gate BEFORE any write: the loser must not contaminate
@@ -1199,11 +1246,14 @@ def upsert_versioned(
             new_dv.coalesce(1).write.mode("overwrite").parquet(
                 f"{target_path}/_dv/v={v + 1}"
             )
+    # allowMissingColumns: rewritten buckets' rows carry no `ext` (they
+    # are local now), a clone's untouched rows keep theirs
     new_manifest = manifest.where(~F.col("_kr").isin(touched)).unionByName(
         _with_bloom(
             merged.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
             merged, point_cols, bloom_bits,
-        )
+        ),
+        allowMissingColumns=True,
     )
     # meta BEFORE the manifest commit point (r12 advice): a crash
     # between manifest-_SUCCESS and a later meta write would leave a
@@ -1258,6 +1308,12 @@ def upsert_versioned_dv(
             "with versioned_layout_write"
         )
     v = versions[-1]
+    # CHECK-constraint gate — see upsert_versioned
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.constraints import (
+        check_batch,
+    )
+
+    check_batch(spark, target_path, staging)
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
     stats_cols = _stats_cols_of(manifest)
     point_cols = _point_cols_of(manifest)
@@ -1302,7 +1358,8 @@ def upsert_versioned_dv(
         _with_bloom(
             stats_src.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
             stats_src, point_cols, bloom_bits,
-        )
+        ),
+        allowMissingColumns=True,  # clones: old rows may carry `ext`
     )
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
@@ -1416,15 +1473,12 @@ def merge_arms_versioned_dv(
     touched = sorted(
         r[0] for r in assigned.select("_kr").distinct().collect()
     )
-    dirs = [
-        f"{target_path}/data/_kr={r._kr}/_gen={r.gen}"
-        for r in manifest.collect()
-        if r._kr in set(touched)
-    ]
     live = _apply_dv(
-        spark.read.option("basePath", f"{target_path}/data")
-        .option("mergeSchema", "true")
-        .parquet(*dirs),
+        _read_gen_dirs(
+            spark,
+            target_path,
+            [r for r in manifest.collect() if r._kr in set(touched)],
+        ),
         _read_dv(spark, target_path, v),
     ).drop("_gen", "_kr")
     table_cols = live.columns
@@ -1466,6 +1520,18 @@ def merge_arms_versioned_dv(
         )
         out_cols.append(val.alias(c))
     resolved = classified.select(*out_cols).localCheckpoint(eager=True)
+    # CHECK-constraint gate, on the rows the arms WRITE (an update arm
+    # taking a column subset can violate even when staging passes) —
+    # before the intent marker, before any write
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.constraints import (
+        check_batch,
+    )
+
+    check_batch(
+        spark,
+        target_path,
+        resolved.where(F.col("_arm").isin(list(update_arms) + insert_codes)),
+    )
     counts = {
         r._arm: r.n
         for r in resolved.groupBy("_arm").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -1515,7 +1581,8 @@ def merge_arms_versioned_dv(
                 stats_src,
                 point_cols,
                 _bloom_bits_of(manifest, point_cols) if point_cols else 0,
-            )
+            ),
+            allowMissingColumns=True,  # clones: old rows may carry `ext`
         )
     else:
         new_manifest = manifest  # zero-data-file commit: carry forward
@@ -1695,11 +1762,15 @@ def compact_small_generations(
     from collections import defaultdict
 
     small: dict[int, list[int]] = defaultdict(list)
+    by_gen: dict[tuple[int, int], object] = {}
     for r in rows:
-        p = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/data/_kr={r._kr}/_gen={r.gen}"
-        )
-        if fs.getContentSummary(p).getLength() < int(min_file_bytes):
+        by_gen[(r._kr, r.gen)] = r
+        # ext-aware: a shallow clone's external generations size (and
+        # pack — materializing them locally) exactly like local ones
+        d = _gen_dir(path, r)
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        fs_d = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs_d.getContentSummary(p).getLength() < int(min_file_bytes):
             small[r._kr].append(r.gen)
     packed = {b: sorted(gs) for b, gs in small.items() if len(gs) >= 2}
     if not packed:
@@ -1708,16 +1779,13 @@ def compact_small_generations(
         manifest.n_new_dirs = 0
         return manifest
     _begin_commit(spark, path, v + 1, writer or _unique_writer())
-    dirs = [
-        f"{path}/data/_kr={b}/_gen={g}"
-        for b, gs in packed.items()
-        for g in gs
-    ]
     dv = _read_dv(spark, path, v)
     data = _apply_dv(
-        spark.read.option("basePath", f"{path}/data")
-        .option("mergeSchema", "true")
-        .parquet(*dirs),
+        _read_gen_dirs(
+            spark,
+            path,
+            [by_gen[(b, g)] for b, gs in packed.items() for g in gs],
+        ),
         dv,
     )
     fresh = (
@@ -1746,7 +1814,8 @@ def compact_small_generations(
             stats_src,
             point_cols,
             bloom_bits,
-        )
+        ),
+        allowMissingColumns=True,  # clones: old rows may carry `ext`
     )
     # the DV carries forward verbatim: fresh copies at v+1 satisfy
     # every surviving entry's `_gen >= live_gen`, dead keys wrote none
@@ -1870,7 +1939,10 @@ def vacuum_versions(
     root = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     deleted: list[str] = []
-    for bdir in fs.listStatus(root):
+    # a shallow clone with no local commit yet has no data dir; its
+    # external generations belong to the source table and are never
+    # this vacuum's to touch (only the local root is ever listed)
+    for bdir in fs.listStatus(root) if fs.exists(root) else []:
         bname = bdir.getPath().getName()
         if not bname.startswith("_kr="):
             continue  # _SUCCESS markers etc.
@@ -1898,7 +1970,9 @@ def vacuum_versions(
     return deleted
 
 
-def table_history(spark: SparkSession, path: str) -> DataFrame:
+def table_history(
+    spark: SparkSession, path: str, with_ts: bool = False
+) -> DataFrame:
     """DESCRIBE HISTORY for the versioned table: one row per COMMITTED
     version — ``version``, ``n_dirs`` (live (bucket, generation)
     directories its manifest references), ``physical_rows`` (sum of
@@ -1929,6 +2003,7 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
         .collect()
     }
     metas = {v: m for m, v in committed_metas(spark, path).items()}
+    ts = commit_timestamps(spark, path, versions) if with_ts else None
     jvm, fs, _ = _fs(spark, path)
     rows = []
     for v in versions:
@@ -1936,12 +2011,18 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
             jvm.org.apache.hadoop.fs.Path(f"{path}/_dv/v={v}")
         )
         nd, pr = per_v[v]
-        rows.append((int(v), nd, pr, bool(has_dv), metas.get(v)))
-    return spark.createDataFrame(
-        rows,
+        row = (int(v), nd, pr, bool(has_dv), metas.get(v))
+        rows.append(row + (ts[v],) if with_ts else row)
+    schema = (
         "version int, n_dirs bigint, physical_rows bigint, "
-        "has_dv boolean, meta string",
-    ).orderBy("version")
+        "has_dv boolean, meta string"
+    )
+    if with_ts:
+        # wall-clock is nondeterministic by nature, so the timestamp
+        # column is opt-in: DESCRIBE HISTORY's oracle-replayed shape
+        # (q_table_history) stays byte-stable without it
+        schema += ", commit_ts_ms bigint"
+    return spark.createDataFrame(rows, schema).orderBy("version")
 
 
 def restore_version(
@@ -2000,6 +2081,126 @@ def restore_version(
         1
     ).write.mode("overwrite").parquet(f"{path}/_manifest/v={v_new}")
     return v_new
+
+
+def clone_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    writer: str | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta's zero-copy clone, rebuilt on the
+    versioned layout): commit a NEW table at ``dst_path`` whose first
+    manifest references the SOURCE table's generation directories in
+    place — no data file is copied, read, or rewritten; the clone's
+    bootstrap cost is one manifest (plus the source version's DV file,
+    which is snapshot state) regardless of table size. From that
+    commit on the two tables diverge independently: every dst commit
+    writes LOCAL generations under ``<dst>/data`` (its manifest rows
+    carry no ``ext``), while still-shared history keeps resolving to
+    the source via the per-row ``ext`` data-root column every reader
+    and committer honors (_read_gen_dirs). Copy-on-write commits,
+    compaction, and rebucket progressively materialize the clone;
+    merge-on-read commits keep sharing untouched source files forever.
+
+    Generation-number contract: dst's first version number is the max
+    generation the cloned manifest references, so every later local
+    generation (committed at version+1) strictly exceeds every shared
+    one — a clone-local DV entry can never accidentally keep a stale
+    SHARED copy alive (`_gen >= live_gen` needs local > external).
+    Version numbers are table-local; nothing requires them to start
+    at 0 (readers use _list_versions order throughout).
+
+    Caveats (same as Delta shallow clone): VACUUM on the SOURCE can
+    reclaim generations the clone still references once the source's
+    retention drops the shared version — treat a live clone as a
+    reader pin when setting source retention; VACUUM on the clone
+    never touches shared files (it lists only ``<dst>/data``). Paths
+    are recorded verbatim — pass absolute paths. Returns the clone's
+    first version number."""
+    versions = _list_versions(spark, f"{src_path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"clone_table: no table at {src_path}")
+    v = versions[-1] if version is None else int(version)
+    if v not in versions:
+        raise ValueError(f"clone_table: version {v} not in {versions}")
+    if _list_versions(spark, f"{dst_path}/_manifest"):
+        raise ValueError(f"clone_table: {dst_path} already exists")
+    manifest = spark.read.parquet(f"{src_path}/_manifest/v={v}")
+    # absolutize every row's data root: plain rows point at the source,
+    # rows already external (clone of a clone) carry their root verbatim
+    if "ext" in manifest.columns:
+        manifest = manifest.withColumn(
+            "ext", F.coalesce(F.col("ext"), F.lit(f"{src_path}/data"))
+        )
+    else:
+        manifest = manifest.withColumn("ext", F.lit(f"{src_path}/data"))
+    # reads src's manifest, writes dst's: disjoint paths, no checkpoint
+    v0 = max(int(r.gen) for r in manifest.select("gen").collect())
+    _begin_commit(spark, dst_path, v0, writer or _unique_writer())
+    dv = _read_dv(spark, src_path, v)
+    if dv is not None:
+        dv.coalesce(1).write.mode("overwrite").parquet(
+            f"{dst_path}/_dv/v={v0}"
+        )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{dst_path}/_manifest/v={v0}"
+    )
+    return v0
+
+
+def commit_timestamps(
+    spark: SparkSession, path: str, versions: list[int] | None = None
+) -> dict[int, int]:
+    """version -> commit timestamp (epoch ms) for the versioned table,
+    from each committed manifest's ``_SUCCESS`` modification time —
+    the same source Delta uses for timestamp time travel — made
+    strictly monotonic in version order the way Delta adjusts
+    in-commit timestamps (ts_v = max(mtime_v, ts_prev + 1)), so
+    \"latest version at time T\" is well-defined even when two commits
+    land within one filesystem-timestamp tick. O(versions) driver FS
+    stats; no data file is opened."""
+    if versions is None:
+        versions = _list_versions(spark, f"{path}/_manifest")
+    jvm, fs, _ = _fs(spark, path)
+    out: dict[int, int] = {}
+    prev = -1
+    for v in versions:
+        m = fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest/v={v}/_SUCCESS")
+        ).getModificationTime()
+        t = max(int(m), prev + 1)
+        out[v] = t
+        prev = t
+    return out
+
+
+def version_as_of(spark: SparkSession, path: str, ts_ms: int) -> int:
+    """The version a read at wall-clock ``ts_ms`` resolves to: the
+    LATEST committed version whose commit timestamp is <= ts_ms
+    (Delta's TIMESTAMP AS OF rule). Raises if the table's first commit
+    is later than ts_ms."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"version_as_of: no table at {path}")
+    ts = commit_timestamps(spark, path, versions)
+    ok = [v for v in versions if ts[v] <= int(ts_ms)]
+    if not ok:
+        raise ValueError(
+            f"version_as_of: no version at or before ts={ts_ms} "
+            f"(first commit at {ts[versions[0]]})"
+        )
+    return ok[-1]
+
+
+def read_version_as_of(
+    spark: SparkSession, path: str, ts_ms: int
+) -> DataFrame:
+    """Timestamp time travel: the table exactly as of wall-clock
+    ``ts_ms`` — read_version at version_as_of. Same one-manifest read;
+    the timestamp resolution adds O(versions) driver FS stats."""
+    return read_version(spark, path, version_as_of(spark, path, ts_ms))
 
 
 def merge_scoped_sync(

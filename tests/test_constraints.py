@@ -1,0 +1,164 @@
+"""Write-time CHECK constraints (operators/constraints.py): the gate
+the reference pipeline never had — its MERGE absorbs any malformed row
+(main.py:349-358). Error mode fails the commit BEFORE any write;
+quarantine mode routes violating rows to the per-version quarantine
+ledger; NULL passes (SQL-standard CHECK); every versioned committer
+enforces the gate."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators import (
+    constraints as C,
+    merge,
+)
+
+
+def _table(spark, tmp_path, name="t"):
+    path = str(tmp_path / name)
+    merge.versioned_layout_write(
+        spark.range(50).selectExpr("id AS k", "CAST(id AS LONG) AS v"),
+        "k", path, 4,
+    )
+    return path
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long")
+
+
+def test_set_get_and_clear_constraints(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    assert C.get_constraints(spark, path) == {}
+    C.set_constraints(spark, path, {"v_pos": "v >= 0"})
+    assert C.get_constraints(spark, path) == {"v_pos": "v >= 0"}
+    C.set_constraints(spark, path, {})
+    assert C.get_constraints(spark, path) == {}
+
+
+def test_error_mode_fails_before_any_write(spark, tmp_path):
+    """A violating batch raises with per-constraint counts and leaves
+    the version list untouched — the gate sits before the intent
+    marker, so the loser contaminates nothing."""
+    path = _table(spark, tmp_path)
+    C.set_constraints(spark, path, {"v_pos": "v >= 0", "k_small": "k < 1000"})
+    before = merge._list_versions(spark, f"{path}/_manifest")
+    try:
+        merge.upsert_versioned(
+            spark, path, _batch(spark, [(1, -5), (2, -6), (2000, 1)]), "k"
+        )
+        raise AssertionError("expected ConstraintViolation")
+    except C.ConstraintViolation as e:
+        assert e.counts == {"v_pos": 2, "k_small": 1}
+    assert merge._list_versions(spark, f"{path}/_manifest") == before
+
+
+def test_all_versioned_committers_enforce(spark, tmp_path):
+    """COW upsert, MOR upsert, and the multi-arm MERGE all refuse a
+    violating write; the arms gate sees the rows the arms PRODUCE, so
+    an update arm violates even when only its column subset is bad."""
+    path = _table(spark, tmp_path)
+    C.set_constraints(spark, path, {"v_pos": "v >= 0"})
+    bad = _batch(spark, [(1, -1)])
+    for op in (merge.upsert_versioned, merge.upsert_versioned_dv):
+        try:
+            op(spark, path, bad, "k")
+            raise AssertionError("expected ConstraintViolation")
+        except C.ConstraintViolation:
+            pass
+    try:
+        merge.merge_arms_versioned_dv(
+            spark, path, bad, "k", matched=[(None, "update", ["v"])]
+        )
+        raise AssertionError("expected ConstraintViolation")
+    except C.ConstraintViolation:
+        pass
+    # a DELETE arm writes nothing: the same bad staging values commit
+    out = merge.merge_arms_versioned_dv(
+        spark, path, bad, "k", matched=[(None, "delete")]
+    )
+    assert out.n_deleted == 1
+
+
+def test_null_passes_sql_standard_check(spark, tmp_path):
+    """UNKNOWN (NULL) satisfies CHECK, exactly as in Delta: rejecting
+    NULL requires saying so (IS NOT NULL) in the expression."""
+    path = _table(spark, tmp_path)
+    C.set_constraints(spark, path, {"v_pos": "v >= 0"})
+    merge.upsert_versioned(spark, path, _batch(spark, [(1, None)]), "k")
+    C.set_constraints(
+        spark, path, {"v_req": "v IS NOT NULL AND v >= 0"}
+    )
+    try:
+        merge.upsert_versioned(spark, path, _batch(spark, [(2, None)]), "k")
+        raise AssertionError("expected ConstraintViolation")
+    except C.ConstraintViolation as e:
+        assert e.counts == {"v_req": 1}
+
+
+def test_quarantine_mode_splits_and_ledgers(spark, tmp_path):
+    """Quarantine commits the clean remainder, parks violators (with
+    their violation name) under the commit's own version, and the
+    classification is deterministic first-match in sorted-name order."""
+    path = _table(spark, tmp_path)
+    C.set_constraints(
+        spark, path, {"a_v_pos": "v >= 0", "b_k_small": "k < 1000"}
+    )
+    out = C.upsert_versioned_checked(
+        spark, path,
+        _batch(spark, [(1, 10), (2, -2), (3000, -3), (4, 40)]),
+        "k", mode="quarantine",
+    )
+    assert out.n_quarantined == 2
+    q = {r.k: r._violation for r in C.read_quarantine(
+        spark, path, out.version
+    ).collect()}
+    # k=3000 violates BOTH; first match in sorted-name order is a_v_pos
+    assert q == {2: "a_v_pos", 3000: "a_v_pos"}
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert live[1] == 10 and live[4] == 40
+    assert 2 not in live or live[2] != -2
+    assert 3000 not in live
+
+
+def test_quarantine_all_bad_is_noop_commit(spark, tmp_path):
+    """A batch stripped to nothing still commits (a zero-data no-op
+    version) so the quarantine ledger has a version to hang off."""
+    path = _table(spark, tmp_path)
+    C.set_constraints(spark, path, {"v_pos": "v >= 0"})
+    before = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    out = C.upsert_versioned_checked(
+        spark, path, _batch(spark, [(7, -7), (8, -8)]), "k",
+        mode="quarantine",
+    )
+    assert out.n_quarantined == 2
+    assert {
+        r.k: r.v for r in merge.read_version(spark, path).collect()
+    } == before
+    assert C.read_quarantine(spark, path, out.version).count() == 2
+
+
+def test_unconstrained_commit_pays_nothing_and_passes(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    out = C.upsert_versioned_checked(
+        spark, path, _batch(spark, [(1, -1)]), "k", mode="quarantine"
+    )
+    assert out.n_quarantined == 0
+    assert {
+        r.v for r in merge.read_version(spark, path).where("k = 1").collect()
+    } == {-1}
+
+
+def test_constraint_on_missing_column_fails_loudly(spark, tmp_path):
+    """Schema enforcement: a batch omitting a constrained column is an
+    analysis error, never a silently skipped check."""
+    path = _table(spark, tmp_path)
+    C.set_constraints(spark, path, {"w_pos": "w >= 0"})
+    try:
+        merge.upsert_versioned(
+            spark, path, _batch(spark, [(1, 1)]), "k"
+        )
+        raise AssertionError("expected analysis error")
+    except C.ConstraintViolation:
+        raise AssertionError("must not classify, must fail analysis")
+    except Exception:
+        pass

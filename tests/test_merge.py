@@ -1857,3 +1857,146 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
             check_all()
 
     run()
+
+
+# --- shallow clone (r13: clone_table) --------------------------------
+
+
+def _kv(spark, path, version=None):
+    return {
+        r.k: r.v for r in merge.read_version(spark, path, version).collect()
+    }
+
+
+def test_clone_table_is_zero_copy_and_reads_equal(spark, tmp_path):
+    """The clone's bootstrap writes NO data file (its data dir does not
+    even exist), yet reads exactly the cloned source version — DV state
+    included."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    merge.versioned_layout_write(
+        spark.range(80).selectExpr("id AS k", "id * 2 AS v"), "k", src, 4
+    )
+    merge.upsert_versioned_dv(
+        spark, src,
+        spark.createDataFrame([(3, 300), (70, 700)], "k long, v long"), "k",
+    )
+    merge.delete_versioned(
+        spark, src, spark.createDataFrame([(10,)], "k long"), "k"
+    )
+    merge.clone_table(spark, src, dst)
+    import os
+
+    assert not os.path.exists(f"{dst}/data")  # zero data files copied
+    assert _kv(spark, dst) == _kv(spark, src)
+    assert _kv(spark, dst)[3] == 300 and 10 not in _kv(spark, dst)
+
+
+def test_clone_diverges_independently_both_tiers(spark, tmp_path):
+    """COW and MOR commits on the clone never touch the source (and
+    vice versa); MOR on the clone cannot resurrect or duplicate a
+    shared copy (generation-number contract: local gens > shared)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    merge.versioned_layout_write(
+        spark.range(60).selectExpr("id AS k", "id AS v"), "k", src, 4
+    )
+    merge.clone_table(spark, src, dst)
+    merge.upsert_versioned(
+        spark, dst, spark.createDataFrame([(1, 111)], "k long, v long"), "k"
+    )
+    merge.upsert_versioned_dv(
+        spark, dst, spark.createDataFrame([(40, 444)], "k long, v long"), "k"
+    )
+    merge.upsert_versioned_dv(
+        spark, src, spark.createDataFrame([(1, -1)], "k long, v long"), "k"
+    )
+    got_dst, got_src = _kv(spark, dst), _kv(spark, src)
+    assert got_dst[1] == 111 and got_dst[40] == 444
+    assert got_src[1] == -1 and got_src[40] == 40
+    assert len(got_dst) == 60 == len(got_src)
+    dup = (
+        merge.read_version(spark, dst)
+        .groupBy("k").count().where("count > 1").count()
+    )
+    assert dup == 0
+
+
+def test_clone_vacuum_and_compact_safety(spark, tmp_path):
+    """VACUUM on the clone never deletes shared source files;
+    compact_table materializes the clone fully (no `ext` rows left)
+    with contents unchanged; clone-of-clone resolves transitively."""
+    src, dst, dst2 = (
+        str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "dst2")
+    )
+    merge.versioned_layout_write(
+        spark.range(50).selectExpr("id AS k", "id AS v"), "k", src, 4
+    )
+    merge.clone_table(spark, src, dst)
+    merge.upsert_versioned_dv(
+        spark, dst, spark.createDataFrame([(5, 55)], "k long, v long"), "k"
+    )
+    merge.clone_table(spark, dst, dst2)  # clone of a clone
+    assert _kv(spark, dst2)[5] == 55 and len(_kv(spark, dst2)) == 50
+    merge.vacuum_versions(spark, dst, keep_last=1)
+    assert len(_kv(spark, src)) == 50  # source untouched by clone vacuum
+    want = _kv(spark, dst)
+    merge.compact_table(spark, dst, "k")
+    assert _kv(spark, dst) == want
+    vlast = merge._list_versions(spark, f"{dst}/_manifest")[-1]
+    man = spark.read.parquet(f"{dst}/_manifest/v={vlast}")
+    assert "ext" not in man.columns or (
+        man.where(F.col("ext").isNotNull()).count() == 0
+    )
+
+
+def test_clone_refuses_existing_destination(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    merge.versioned_layout_write(
+        spark.range(10).selectExpr("id AS k", "id AS v"), "k", src, 2
+    )
+    merge.clone_table(spark, src, dst)
+    try:
+        merge.clone_table(spark, src, dst)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+# --- timestamp time travel (r13: read_version_as_of) -----------------
+
+
+def test_timestamp_time_travel_resolves_versions(spark, tmp_path):
+    """commit_timestamps is strictly monotonic; version_as_of picks the
+    latest commit at-or-before the probe; read_version_as_of equals the
+    resolved version's read; probing before the first commit raises."""
+    import itertools
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.range(30).selectExpr("id AS k", "id AS v"), "k", path, 2
+    )
+    merge.upsert_versioned(
+        spark, path, spark.createDataFrame([(1, 100)], "k long, v long"), "k"
+    )
+    merge.upsert_versioned(
+        spark, path, spark.createDataFrame([(1, 200)], "k long, v long"), "k"
+    )
+    ts = merge.commit_timestamps(spark, path)
+    vs = merge._list_versions(spark, f"{path}/_manifest")
+    assert vs == [0, 1, 2]
+    assert all(ts[a] < ts[b] for a, b in itertools.pairwise(vs))
+    assert merge.version_as_of(spark, path, ts[1]) == 1
+    assert merge.version_as_of(spark, path, ts[2] - 1) == 1
+    assert merge.version_as_of(spark, path, ts[2] + 10_000) == 2
+    got = {
+        r.k: r.v
+        for r in merge.read_version_as_of(spark, path, ts[1]).collect()
+    }
+    assert got[1] == 100
+    try:
+        merge.version_as_of(spark, path, ts[0] - 1)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    hist = merge.table_history(spark, path, with_ts=True)
+    assert hist.columns[-1] == "commit_ts_ms"
+    assert [r.commit_ts_ms for r in hist.collect()] == [ts[v] for v in vs]
