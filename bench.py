@@ -243,6 +243,10 @@ HEADLINE = [
     "table_replication",
     "rebucket",
     "compact_binpack",
+    # late r13: constraints, shallow clone, timestamp travel
+    "constraint_gate",
+    "shallow_clone",
+    "as_of_timestamp",
 ]
 
 

@@ -578,6 +578,57 @@ def _write_commit_meta(
     out.close()
 
 
+def _write_commit_op(
+    spark: SparkSession, path: str, version: int, operation: str, **params
+) -> None:
+    """Tag a commit with its operation name (+ parameters) —
+    ``_manifest/v=<n>.op`` — the provenance column Delta's DESCRIBE
+    HISTORY leads with. Written BEFORE the manifest commit point (same
+    crash-window reasoning as _write_commit_meta): a crash in between
+    leaves an uncommitted version whose tag table_history filters out.
+    Operation names are deterministic per committer, so the ledger
+    stays oracle-replayable."""
+    import json as _json
+
+    jvm, fs, _ = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest/v={version}.op")
+    out = fs.create(p, True)  # own version slot: overwrite self-heals
+    out.write(
+        bytearray(
+            _json.dumps(
+                {"operation": operation, "parameters": params},
+                sort_keys=True,
+            ),
+            "utf-8",
+        )
+    )
+    out.close()
+
+
+def commit_operations(spark: SparkSession, path: str) -> dict[int, str]:
+    """version -> operation name for every COMMITTED version carrying a
+    tag (commits made before the tag existed simply have none)."""
+    import json as _json
+
+    jvm, fs, mroot = _fs(spark, f"{path}/_manifest")
+    out: dict[int, str] = {}
+    if not fs.exists(mroot):
+        return out
+    committed = set(_list_versions(spark, f"{path}/_manifest"))
+    for st in fs.listStatus(mroot):
+        name = st.getPath().getName()
+        if not (name.startswith("v=") and name.endswith(".op")):
+            continue
+        v = int(name[2:-3])
+        if v not in committed:
+            continue
+        stream = fs.open(st.getPath())
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        stream.close()
+        out[v] = _json.loads(raw.decode("utf-8"))["operation"]
+    return out
+
+
 def committed_metas(spark: SparkSession, path: str) -> dict[str, int]:
     """meta-string -> version for every COMMITTED version that carries
     one. A streaming absorb checks its epoch id here before calling
@@ -947,6 +998,7 @@ def versioned_layout_write(
         point_cols,
         bloom_bits,
     )
+    _write_commit_op(spark, path, 0, "WRITE", n_buckets=int(n_buckets))
     rows.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest/v=0")
 
 
@@ -1196,6 +1248,7 @@ def upsert_versioned(
             )
         if commit_meta is not None:
             _write_commit_meta(spark, target_path, v + 1, commit_meta)
+        _write_commit_op(spark, target_path, v + 1, "MERGE", tier="cow")
         manifest.coalesce(1).write.mode("overwrite").parquet(
             f"{target_path}/_manifest/v={v + 1}"
         )
@@ -1263,6 +1316,7 @@ def upsert_versioned(
     # filtered out by committed_metas (it checks _SUCCESS) — no window.
     if commit_meta is not None:
         _write_commit_meta(spark, target_path, v + 1, commit_meta)
+    _write_commit_op(spark, target_path, v + 1, "MERGE", tier="cow")
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
     )
@@ -1364,6 +1418,7 @@ def upsert_versioned_dv(
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
         _write_commit_meta(spark, target_path, v + 1, commit_meta)
+    _write_commit_op(spark, target_path, v + 1, "MERGE", tier="mor")
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
     )
@@ -1415,6 +1470,7 @@ def delete_versioned(
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
         _write_commit_meta(spark, target_path, v + 1, commit_meta)
+    _write_commit_op(spark, target_path, v + 1, "DELETE")
     # data untouched: the manifest carries forward verbatim
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
@@ -1589,6 +1645,10 @@ def merge_arms_versioned_dv(
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
         _write_commit_meta(spark, target_path, v + 1, commit_meta)
+    _write_commit_op(
+        spark, target_path, v + 1, "MERGE",
+        tier="mor", arms=len(tuple(matched)) + len(tuple(not_matched)),
+    )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
     )
@@ -1715,6 +1775,7 @@ def compact_table(
         point_cols,
         _bloom_bits_of(manifest, point_cols) if point_cols else 0,
     )
+    _write_commit_op(spark, path, v + 1, "OPTIMIZE", mode="full")
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_manifest/v={v + 1}"
     )
@@ -1821,6 +1882,7 @@ def compact_small_generations(
     # every surviving entry's `_gen >= live_gen`, dead keys wrote none
     if dv is not None:
         dv.coalesce(1).write.mode("overwrite").parquet(f"{path}/_dv/v={v + 1}")
+    _write_commit_op(spark, path, v + 1, "OPTIMIZE", mode="binpack")
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_manifest/v={v + 1}"
     )
@@ -1893,6 +1955,7 @@ def rebucket_table(
         point_cols,
         bloom_bits,
     )
+    _write_commit_op(spark, path, v + 1, "REBUCKET", n_buckets=int(n_buckets))
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_manifest/v={v + 1}"
     )
@@ -1962,6 +2025,7 @@ def vacuum_versions(
             f"{path}/_manifest/v={v}",
             f"{path}/_manifest/v={v}.begin",
             f"{path}/_manifest/v={v}.meta",
+            f"{path}/_manifest/v={v}.op",
             f"{path}/_dv/v={v}",
         ):
             p = jvm.org.apache.hadoop.fs.Path(leftover)
@@ -1974,7 +2038,9 @@ def table_history(
     spark: SparkSession, path: str, with_ts: bool = False
 ) -> DataFrame:
     """DESCRIBE HISTORY for the versioned table: one row per COMMITTED
-    version — ``version``, ``n_dirs`` (live (bucket, generation)
+    version — ``version``, ``operation`` (the committer's deterministic
+    tag: WRITE/MERGE/DELETE/OPTIMIZE/REBUCKET/RESTORE/CLONE; NULL for
+    commits predating the tag), ``n_dirs`` (live (bucket, generation)
     directories its manifest references), ``physical_rows`` (sum of
     manifest row counts — the files' population, not the DV-resolved
     live count), ``has_dv`` (a deletion vector rides the version), and
@@ -2003,6 +2069,7 @@ def table_history(
         .collect()
     }
     metas = {v: m for m, v in committed_metas(spark, path).items()}
+    ops = commit_operations(spark, path)
     ts = commit_timestamps(spark, path, versions) if with_ts else None
     jvm, fs, _ = _fs(spark, path)
     rows = []
@@ -2011,11 +2078,11 @@ def table_history(
             jvm.org.apache.hadoop.fs.Path(f"{path}/_dv/v={v}")
         )
         nd, pr = per_v[v]
-        row = (int(v), nd, pr, bool(has_dv), metas.get(v))
+        row = (int(v), ops.get(v), nd, pr, bool(has_dv), metas.get(v))
         rows.append(row + (ts[v],) if with_ts else row)
     schema = (
-        "version int, n_dirs bigint, physical_rows bigint, "
-        "has_dv boolean, meta string"
+        "version int, operation string, n_dirs bigint, "
+        "physical_rows bigint, has_dv boolean, meta string"
     )
     if with_ts:
         # wall-clock is nondeterministic by nature, so the timestamp
@@ -2076,6 +2143,9 @@ def restore_version(
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
         _write_commit_meta(spark, path, v_new, commit_meta)
+    _write_commit_op(
+        spark, path, v_new, "RESTORE", restored_version=int(version)
+    )
     # reads v=<version>, writes v=<v_new>: disjoint paths, no checkpoint
     spark.read.parquet(f"{path}/_manifest/v={version}").coalesce(
         1
@@ -2144,6 +2214,9 @@ def clone_table(
         dv.coalesce(1).write.mode("overwrite").parquet(
             f"{dst_path}/_dv/v={v0}"
         )
+    _write_commit_op(
+        spark, dst_path, v0, "CLONE", source=src_path, source_version=int(v)
+    )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{dst_path}/_manifest/v={v0}"
     )

@@ -13242,8 +13242,10 @@ def q_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     the commit ledger as a queryable frame. A known five-commit
     sequence (bootstrap, merge-on-read upsert, pure-DV delete,
     copy-on-write update in a DISJOINT bucket region, RESTORE of v1)
-    is read back ENTIRELY from the commit log: per version, the live
-    directory count, the physical file population, DV presence, and
+    is read back ENTIRELY from the commit log: per version, the
+    operation tag (WRITE/MERGE/DELETE/RESTORE — Delta's provenance
+    column, deterministic per committer), the live directory count,
+    the physical file population, DV presence, and
     the commit-meta string; no data file is opened
     (operators/merge.py table_history — one scan over all manifests
     via the version partition column). Every cell is replayable from
@@ -13304,6 +13306,10 @@ WITH o AS (
   SELECT count(*) AS n FROM o
 )
 SELECT CAST(v.version AS INTEGER) AS version,
+       CASE v.version WHEN 0 THEN 'WRITE' WHEN 1 THEN 'MERGE'
+                      WHEN 2 THEN 'DELETE' WHEN 3 THEN 'MERGE'
+                      WHEN 4 THEN 'RESTORE'
+       END AS operation,
        CAST(CASE WHEN v.version = 0 THEN 16 ELSE 16 + nf1.nb END
             AS BIGINT) AS n_dirs,
        CAST(CASE WHEN v.version = 0 THEN tot.n ELSE tot.n + 40 END

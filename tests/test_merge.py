@@ -1739,14 +1739,20 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
     """Property-based capstone over the whole versioned-table tier:
     hypothesis drives random sequences of ALL committers (MOR/COW
     upserts, deletes, conditional arms, RESTORE, bin-packing, full
-    compaction, partition evolution, vacuum) against a dict model;
-    after every commit, every retained version must read back exactly
-    as its model. Catches cross-operator interactions no hand-written
-    sequence thought of."""
+    compaction, partition evolution, SHALLOW CLONE — the sequence
+    continues against the clone, exercising ext-resolution under every
+    later committer — quarantined constraint upserts, vacuum) against
+    a dict model; after every commit, every retained version must read
+    back exactly as its model. Catches cross-operator interactions no
+    hand-written sequence thought of."""
     import random
 
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import (
+        constraints as C,
+    )
 
     counter = {"n": 0}
 
@@ -1760,7 +1766,8 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
         ops=st.lists(
             st.sampled_from(
                 ["mor", "cow", "delete", "arms", "restore",
-                 "binpack", "compact", "rebucket", "vacuum"]
+                 "binpack", "compact", "rebucket", "vacuum",
+                 "clone", "quarantine"]
             ),
             min_size=4,
             max_size=7,
@@ -1790,7 +1797,7 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
                 }
                 assert got == models[v], f"version {v} diverged after {ops}"
 
-        for op in ops:
+        for i, op in enumerate(ops):
             m = latest_model()
             if op in ("mor", "cow"):
                 batch = {
@@ -1852,6 +1859,32 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
             elif op == "rebucket":
                 man = merge.rebucket_table(spark, path, "k", rng.choice([2, 3, 8]))
                 models[man.version] = m
+            elif op == "clone":
+                # fork at a random retained-and-modeled version; the
+                # REST of the sequence runs against the clone, so every
+                # later committer exercises mixed local+ext manifests
+                retained = merge._list_versions(spark, f"{path}/_manifest")
+                target = rng.choice([v for v in retained if v in models])
+                dst = str(tmp_path / f"hyp{counter['n']}c{i}")
+                v0 = merge.clone_table(spark, path, dst, version=target)
+                path = dst
+                models = {v0: dict(models[target])}
+            elif op == "quarantine":
+                C.set_constraints(spark, path, {"v_pos": "v >= 0"})
+                batch = {
+                    rng.randrange(80): rng.randrange(-5_000, 10_000)
+                    for _ in range(rng.randint(1, 6))
+                }
+                out = C.upsert_versioned_checked(
+                    spark, path,
+                    spark.createDataFrame(
+                        list(batch.items()), "k long, v long"
+                    ),
+                    "k", mode="quarantine",
+                )
+                C.set_constraints(spark, path, {})
+                m.update({k: nv for k, nv in batch.items() if nv >= 0})
+                models[out.version] = m
             elif op == "vacuum":
                 merge.vacuum_versions(spark, path, keep_last=rng.randint(1, 3))
             check_all()
@@ -2000,3 +2033,52 @@ def test_timestamp_time_travel_resolves_versions(spark, tmp_path):
     hist = merge.table_history(spark, path, with_ts=True)
     assert hist.columns[-1] == "commit_ts_ms"
     assert [r.commit_ts_ms for r in hist.collect()] == [ts[v] for v in vs]
+
+
+def test_table_history_operation_tags(spark, tmp_path):
+    """Every committer tags its commit with a deterministic operation
+    name (Delta's DESCRIBE HISTORY provenance column); the clone's
+    bootstrap is tagged CLONE; vacuum reclaims expired tags with their
+    versions."""
+    path = str(tmp_path / "ops")
+    merge.versioned_layout_write(
+        spark.range(40).selectExpr("id AS k", "id AS v"), "k", path, 4
+    )
+    merge.upsert_versioned(
+        spark, path, spark.createDataFrame([(1, 10)], "k long, v long"), "k"
+    )
+    merge.upsert_versioned_dv(
+        spark, path, spark.createDataFrame([(2, 20)], "k long, v long"), "k"
+    )
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(3,)], "k long"), "k"
+    )
+    merge.merge_arms_versioned_dv(
+        spark, path, spark.createDataFrame([(4, 40)], "k long, v long"),
+        "k", matched=[(None, "update", None)],
+    )
+    merge.compact_table(spark, path, "k")
+    merge.rebucket_table(spark, path, "k", 2)
+    merge.restore_version(spark, path, 5)
+    hist = {
+        r.version: r.operation
+        for r in merge.table_history(spark, path).collect()
+    }
+    assert hist == {
+        0: "WRITE", 1: "MERGE", 2: "MERGE", 3: "DELETE", 4: "MERGE",
+        5: "OPTIMIZE", 6: "REBUCKET", 7: "RESTORE",
+    }
+    dst = str(tmp_path / "ops_clone")
+    v0 = merge.clone_table(spark, path, dst)
+    ch = {
+        r.version: r.operation
+        for r in merge.table_history(spark, dst).collect()
+    }
+    assert ch == {v0: "CLONE"}
+    merge.vacuum_versions(spark, path, keep_last=2)
+    import os
+
+    left = {
+        f for f in os.listdir(f"{path}/_manifest") if f.endswith(".op")
+    }
+    assert left == {"v=6.op", "v=7.op"}
