@@ -141,28 +141,38 @@ def upsert_versioned_checked(
     staging: DataFrame,
     key: str,
     mode: str = "error",
+    tier: str = "cow",
     writer: str | None = None,
     commit_meta: str | None = None,
 ) -> DataFrame:
     """Constraint-aware MERGE: the DLT ``expect ... ON VIOLATION`` pair
-    on top of upsert_versioned. mode='error' commits nothing when any
-    staging row violates a constraint (the plain committers already
-    enforce this — the explicit wrapper just names the intent);
-    mode='quarantine' routes violating rows to the table's quarantine
-    ledger ``<path>/_quarantine/v=<version>/`` (with their
+    on top of the versioned committers. mode='error' commits nothing
+    when any staging row violates a constraint (the plain committers
+    already enforce this — the explicit wrapper just names the
+    intent); mode='quarantine' routes violating rows to the table's
+    quarantine ledger ``<path>/_quarantine/v=<version>/`` (with their
     ``_violation`` name) and commits the clean remainder — the commit
     and its quarantine share the version number, so the audit trail
-    lines up with DESCRIBE HISTORY. Returns the committed frame with
-    ``n_quarantined`` attached (0 in error mode)."""
+    lines up with DESCRIBE HISTORY. ``tier`` picks the committer:
+    'cow' = upsert_versioned, 'mor' = upsert_versioned_dv — the
+    merge-on-read tier is the natural pairing, since screened CDC
+    batches are exactly the small-commit case DVs price correctly.
+    Returns the committed frame with ``n_quarantined`` attached (0 in
+    error mode)."""
     if mode not in ("error", "quarantine"):
         raise ValueError(f"mode must be 'error' or 'quarantine', got {mode!r}")
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+        upsert_versioned,
+        upsert_versioned_dv,
+    )
+
+    committers = {"cow": upsert_versioned, "mor": upsert_versioned_dv}
+    if tier not in committers:
+        raise ValueError(f"tier must be 'cow' or 'mor', got {tier!r}")
+    commit = committers[tier]
     constraints = get_constraints(spark, target_path)
     if mode == "error" or not constraints:
-        from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
-            upsert_versioned,
-        )
-
-        out = upsert_versioned(
+        out = commit(
             spark, target_path, staging, key,
             writer=writer, commit_meta=commit_meta,
         )
@@ -173,11 +183,7 @@ def upsert_versioned_checked(
     # classification after the quarantine write (one scan, two sinks)
     bad = bad.localCheckpoint(eager=True)
     n_bad = bad.count()
-    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
-        upsert_versioned,
-    )
-
-    out = upsert_versioned(
+    out = commit(
         spark, target_path, clean, key, writer=writer, commit_meta=commit_meta
     )
     if n_bad:

@@ -1964,12 +1964,26 @@ def rebucket_table(
 
 
 def vacuum_versions(
-    spark: SparkSession, path: str, keep_last: int = 2
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 2,
+    retention_ms: int | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Drop generation directories no RETAINED manifest references
     (retention = the last ``keep_last`` versions), then the expired
     manifests themselves — the storage-reclamation half of the
     snapshot contract. Returns the deleted directory paths.
+
+    ``retention_ms`` widens retention by AGE (Delta's actual VACUUM
+    semantics): every version whose commit timestamp
+    (commit_timestamps — manifest _SUCCESS mtime, monotonic) is within
+    the last retention_ms ALSO stays, on top of the keep_last floor —
+    so "keep a week of time travel" is expressible without guessing a
+    version count. ``dry_run=True`` (Delta's VACUUM DRY RUN) computes
+    and returns the would-be-deleted directory list without touching
+    anything — the operator's preflight before an irreversible
+    reclaim.
 
     Concurrent-writer safety (r12): an IN-FLIGHT commit's fresh
     generation (gen > latest committed version, or any version holding
@@ -1984,6 +1998,10 @@ def vacuum_versions(
         raise ValueError("vacuum_versions: keep_last must be >= 1")
     versions = _list_versions(spark, f"{path}/_manifest")
     keep = versions[-int(keep_last):]
+    if retention_ms is not None and versions:
+        ts = commit_timestamps(spark, path, versions)
+        horizon = ts[versions[-1]] - int(retention_ms)
+        keep = sorted(set(keep) | {v for v in versions if ts[v] >= horizon})
     live: set[tuple[int, int]] = set()
     for v in keep:
         for r in spark.read.parquet(f"{path}/_manifest/v={v}").collect():
@@ -2018,9 +2036,14 @@ def vacuum_versions(
             if g > latest or g in inflight:
                 continue  # an in-flight commit's data: not ours to drop
             if (b, g) not in live:
-                fs.delete(gdir.getPath(), True)
+                if not dry_run:
+                    fs.delete(gdir.getPath(), True)
                 deleted.append(gdir.getPath().toString())
-    for v in versions[: -int(keep_last)]:
+    if dry_run:
+        return deleted
+    for v in versions:
+        if v in keep:
+            continue
         for leftover in (
             f"{path}/_manifest/v={v}",
             f"{path}/_manifest/v={v}.begin",

@@ -214,9 +214,12 @@ class VersionedCdfDataSource(DataSource):
     """``spark.readStream.format("versioned_cdf").option("path", p)
     .option("key", k)`` — stream the versioned table's change feed.
     Options: ``path`` (table root), ``key`` (the MERGE key column,
-    names deletes), optional ``starting_version`` (default 0: changes
-    begin AFTER the bootstrap snapshot), optional ``table_schema``
-    (DDL override for the data columns)."""
+    names deletes), optional ``starting_version`` (default: the
+    table's FIRST committed version, so changes begin AFTER the
+    bootstrap snapshot — which for a shallow clone is its fork commit,
+    whose inherited deletion vector is pre-fork history, not a
+    change), optional ``table_schema`` (DDL override for the data
+    columns)."""
 
     @classmethod
     def name(cls) -> str:
@@ -239,23 +242,33 @@ class VersionedCdfDataSource(DataSource):
         )
 
     def simpleStreamReader(self, schema: StructType):
+        sv = self.options.get("starting_version")
         return VersionedCdfStreamReader(
             self.options["path"],
             self.options["key"],
             [n for n, _ in self._data_cols()],
-            int(self.options.get("starting_version", 0)),
+            None if sv is None else int(sv),
         )
 
 
 class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, path: str, key: str, cols: list[str], start: int):
+    def __init__(
+        self, path: str, key: str, cols: list[str], start: int | None
+    ):
         self.path = path
         self.key = key
         self.cols = cols
         self.start = start
 
     def initialOffset(self) -> dict:
-        return {"version": self.start}
+        if self.start is not None:
+            return {"version": self.start}
+        # default: the table's first committed version — the bootstrap
+        # snapshot is never a change, and a shallow clone's fork commit
+        # (which carries the source's DV verbatim as inherited state)
+        # must be silent exactly like any bootstrap
+        versions = _cdf_committed_versions(self.path)
+        return {"version": versions[0] if versions else 0}
 
     def _changes(self, after: int, through: int):
         import os

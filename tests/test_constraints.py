@@ -162,3 +162,37 @@ def test_constraint_on_missing_column_fails_loudly(spark, tmp_path):
         raise AssertionError("must not classify, must fail analysis")
     except Exception:
         pass
+
+
+def test_quarantine_mor_tier_prices_like_dv_upsert(spark, tmp_path):
+    """tier='mor' routes the clean remainder through the merge-on-read
+    committer: pre-existing generation directories are untouched (no
+    copy-on-write rewrite) while the quarantine ledger and live
+    contents match the cow tier's semantics."""
+    import os
+
+    path = _table(spark, tmp_path)
+    C.set_constraints(spark, path, {"v_pos": "v >= 0"})
+
+    def data_tree():
+        out = set()
+        for b in os.listdir(f"{path}/data"):
+            if b.startswith("_kr="):
+                for g in os.listdir(f"{path}/data/{b}"):
+                    out.add((b, g))
+        return out
+
+    before = data_tree()
+    out = C.upsert_versioned_checked(
+        spark, path, _batch(spark, [(1, 11), (2, -2), (60, 66)]), "k",
+        mode="quarantine", tier="mor",
+    )
+    assert out.n_quarantined == 1
+    after = data_tree()
+    assert before <= after  # nothing rewritten, only fresh gen added
+    assert all(g == f"_gen={out.version}" for (b, g) in after - before)
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert live[1] == 11 and live[60] == 66 and live[2] == 2  # old kept
+    q = C.read_quarantine(spark, path, out.version)
+    assert [(r.k, r._violation) for r in q.collect()] == [(2, "v_pos")]
+    assert merge.commit_operations(spark, path)[out.version] == "MERGE"

@@ -2082,3 +2082,98 @@ def test_table_history_operation_tags(spark, tmp_path):
         f for f in os.listdir(f"{path}/_manifest") if f.endswith(".op")
     }
     assert left == {"v=6.op", "v=7.op"}
+
+
+def test_vacuum_dry_run_and_age_retention(spark, tmp_path):
+    """DRY RUN returns the would-delete list without touching anything;
+    retention_ms widens retention by commit age on top of the
+    keep_last floor (all versions within the horizon stay readable)."""
+    import os
+
+    path = str(tmp_path / "vac")
+    merge.versioned_layout_write(
+        spark.range(40).selectExpr("id AS k", "id AS v"), "k", path, 4
+    )
+    for i in range(3):
+        merge.upsert_versioned(
+            spark, path,
+            spark.createDataFrame([(1, 10 * i)], "k long, v long"), "k",
+        )
+    vs = merge._list_versions(spark, f"{path}/_manifest")
+    assert vs == [0, 1, 2, 3]
+    planned = merge.vacuum_versions(spark, path, keep_last=1, dry_run=True)
+    assert planned  # something would go
+    local = [p.removeprefix("file:") for p in planned]
+    assert all(os.path.exists(p) for p in local)  # nothing touched
+    assert merge._list_versions(spark, f"{path}/_manifest") == vs
+    # age retention: every commit just happened, so a wide horizon
+    # keeps every version despite keep_last=1
+    gone = merge.vacuum_versions(
+        spark, path, keep_last=1, retention_ms=3_600_000
+    )
+    assert gone == []
+    assert merge._list_versions(spark, f"{path}/_manifest") == vs
+    for v in vs:
+        merge.read_version(spark, path, v).count()
+    # zero horizon: only the keep_last floor holds
+    gone = merge.vacuum_versions(spark, path, keep_last=2, retention_ms=0)
+    assert set(gone) == set(planned) - {
+        p for p in planned if "_gen=2" in p or "_gen=3" in p
+    }
+    assert merge._list_versions(spark, f"{path}/_manifest") == [2, 3]
+
+
+def test_cdf_stream_over_shallow_clone(spark, tmp_path):
+    """The two r13 composition points meet: a shallow CLONE's own
+    merge-on-read commits stream out over the CDF source exactly like
+    any table's — the clone's commit log starts at its fork point, so
+    the feed carries only post-fork changes, never the inherited
+    history (which the clone shares as files, not as commits)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 31)], "k long, v long"
+        ),
+        "k", src, 2,
+    )
+    merge.upsert_versioned_dv(
+        spark, src,
+        spark.createDataFrame([(2, 222)], "k long, v long"), "k",
+    )  # pre-fork change: must NOT appear in the clone's feed
+    v0 = merge.clone_table(spark, src, dst)
+    merge.upsert_versioned_dv(
+        spark, dst,
+        spark.createDataFrame([(4, 444), (50, 500)], "k long, v long"), "k",
+    )
+    merge.delete_versioned(
+        spark, dst, spark.createDataFrame([(9,)], "k long"), "k"
+    )
+    register_versioned_cdf(spark)
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", dst)
+        .option("key", "k")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.k, r.v, r._op, r._version)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (4, 444, "upsert", v0 + 1),
+        (50, 500, "upsert", v0 + 1),
+        (9, None, "delete", v0 + 2),
+    }
