@@ -243,10 +243,11 @@ HEADLINE = [
     "table_replication",
     "rebucket",
     "compact_binpack",
-    # late r13: constraints, shallow clone, timestamp travel
+    # late r13: constraints, shallow clone, timestamp travel, tags
     "constraint_gate",
     "shallow_clone",
     "as_of_timestamp",
+    "tagged_read",
 ]
 
 

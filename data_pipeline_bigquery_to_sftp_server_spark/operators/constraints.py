@@ -58,26 +58,26 @@ def set_constraints(
     data on ADD CONSTRAINT; here historical versions predate the
     constraint by design and the gate applies to FUTURE commits).
     An empty dict clears all constraints."""
-    jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest/{_FILE}")
-    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
-    out.write(bytearray(json.dumps(dict(constraints), sort_keys=True), "utf-8"))
-    out.close()
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+        _write_small_file,
+    )
+
+    _write_small_file(
+        spark,
+        f"{path}/_manifest/{_FILE}",
+        json.dumps(dict(constraints), sort_keys=True),
+    )
 
 
 def get_constraints(spark: SparkSession, path: str) -> dict[str, str]:
     """The table's declared constraints ({} when none): one driver FS
     probe + one small JSON read."""
-    jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest/{_FILE}")
-    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        return {}
-    stream = fs.open(p)
-    raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    stream.close()
-    return json.loads(raw.decode("utf-8"))
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+        _read_small_file,
+    )
+
+    raw = _read_small_file(spark, f"{path}/_manifest/{_FILE}")
+    return {} if raw is None else json.loads(raw)
 
 
 def with_violation(df: DataFrame, constraints: dict[str, str]) -> DataFrame:
@@ -179,8 +179,13 @@ def upsert_versioned_checked(
         out.n_quarantined = 0
         return out
     clean, bad = split_on_constraints(staging, constraints)
-    # checkpoint both halves: the committer must not re-evaluate the
-    # classification after the quarantine write (one scan, two sinks)
+    # checkpoint BOTH halves: the classification must be evaluated
+    # exactly once — nondeterministic staging lineage (or a recomputed
+    # task) re-classifying during the commit could land a row in both
+    # the ledger and the table, or in neither. Pinning `clean` also
+    # makes the committer's own defense-in-depth check_batch a cheap
+    # scan over materialized rows rather than a full lineage replay.
+    clean = clean.localCheckpoint(eager=True)
     bad = bad.localCheckpoint(eager=True)
     n_bad = bad.count()
     out = commit(

@@ -504,6 +504,30 @@ def _fs(spark: SparkSession, path: str):
     return jvm, fs, jp
 
 
+def _write_small_file(
+    spark: SparkSession, path: str, payload: str, overwrite: bool = True
+) -> None:
+    """Write one small metadata file (tags/constraints/op/meta
+    sidecars) through the Hadoop FS — one place to get encoding,
+    overwrite semantics, and stream closing right."""
+    jvm, fs, _ = _fs(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), overwrite)
+    out.write(bytearray(payload, "utf-8"))
+    out.close()
+
+
+def _read_small_file(spark: SparkSession, path: str) -> str | None:
+    """Read one small metadata file as text; None when absent."""
+    jvm, fs, _ = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    stream.close()
+    return raw.decode("utf-8")
+
+
 def _list_versions(spark: SparkSession, manifest_root: str) -> list[int]:
     """COMMITTED manifest versions only: a version counts when its
     ``v=<n>`` DIRECTORY carries the committer's ``_SUCCESS`` marker —
@@ -590,19 +614,14 @@ def _write_commit_op(
     stays oracle-replayable."""
     import json as _json
 
-    jvm, fs, _ = _fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest/v={version}.op")
-    out = fs.create(p, True)  # own version slot: overwrite self-heals
-    out.write(
-        bytearray(
-            _json.dumps(
-                {"operation": operation, "parameters": params},
-                sort_keys=True,
-            ),
-            "utf-8",
-        )
+    # own version slot: overwrite self-heals after a crashed attempt
+    _write_small_file(
+        spark,
+        f"{path}/_manifest/v={version}.op",
+        _json.dumps(
+            {"operation": operation, "parameters": params}, sort_keys=True
+        ),
     )
-    out.close()
 
 
 def commit_operations(spark: SparkSession, path: str) -> dict[int, str]:
@@ -622,10 +641,8 @@ def commit_operations(spark: SparkSession, path: str) -> dict[int, str]:
         v = int(name[2:-3])
         if v not in committed:
             continue
-        stream = fs.open(st.getPath())
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        stream.close()
-        out[v] = _json.loads(raw.decode("utf-8"))["operation"]
+        raw = _read_small_file(spark, st.getPath().toString())
+        out[v] = _json.loads(raw)["operation"]
     return out
 
 
@@ -1980,7 +1997,9 @@ def vacuum_versions(
     (commit_timestamps — manifest _SUCCESS mtime, monotonic) is within
     the last retention_ms ALSO stays, on top of the keep_last floor —
     so "keep a week of time travel" is expressible without guessing a
-    version count. ``dry_run=True`` (Delta's VACUUM DRY RUN) computes
+    version count. TAGGED versions (tag_version) always stay — a tag
+    pins its snapshot until deleted, Iceberg's retention rule.
+    ``dry_run=True`` (Delta's VACUUM DRY RUN) computes
     and returns the would-be-deleted directory list without touching
     anything — the operator's preflight before an irreversible
     reclaim.
@@ -2002,6 +2021,12 @@ def vacuum_versions(
         ts = commit_timestamps(spark, path, versions)
         horizon = ts[versions[-1]] - int(retention_ms)
         keep = sorted(set(keep) | {v for v in versions if ts[v] >= horizon})
+    # tags pin their snapshots from expiration (Iceberg's rule): a
+    # tagged version — and therefore every generation it references —
+    # is retained until the tag is deleted
+    tagged = {v for v in list_tags(spark, path).values() if v in versions}
+    if tagged:
+        keep = sorted(set(keep) | tagged)
     live: set[tuple[int, int]] = set()
     for v in keep:
         for r in spark.read.parquet(f"{path}/_manifest/v={v}").collect():
@@ -2050,6 +2075,9 @@ def vacuum_versions(
             f"{path}/_manifest/v={v}.meta",
             f"{path}/_manifest/v={v}.op",
             f"{path}/_dv/v={v}",
+            # an expired version's quarantine ledger goes with it —
+            # otherwise screened CDC tables leak bad-row files forever
+            f"{path}/_quarantine/v={v}",
         ):
             p = jvm.org.apache.hadoop.fs.Path(leftover)
             if fs.exists(p):
@@ -2240,10 +2268,115 @@ def clone_table(
     _write_commit_op(
         spark, dst_path, v0, "CLONE", source=src_path, source_version=int(v)
     )
+    # table METADATA travels with the clone (Delta clones constraints):
+    # a fork of a constrained table is constrained. Tags deliberately
+    # do NOT travel — they are pointers into the SOURCE's version
+    # history, which the clone does not share (its numbering starts at
+    # the fork), and refs staying behind matches Iceberg clones.
+    con = _read_small_file(spark, f"{src_path}/_manifest/_constraints.json")
+    if con is not None:
+        _write_small_file(
+            spark, f"{dst_path}/_manifest/_constraints.json", con
+        )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{dst_path}/_manifest/v={v0}"
     )
     return v0
+
+
+def _with_tag_lock(spark: SparkSession, path: str, mutate) -> dict[str, int]:
+    """Atomic read-modify-write of ``_tags.json`` under a
+    create-exclusive lock file (the same HDFS CAS primitive
+    _begin_commit uses): two concurrent taggers serialize instead of
+    silently dropping each other's update. ``mutate`` receives the
+    current dict and edits it in place. The lock is held only for the
+    tiny JSON rewrite; a crashed holder leaves ``_tags.json.lock`` to
+    remove by hand (documented, loud — the next tagger raises)."""
+    import json as _json
+
+    lock = f"{path}/_manifest/_tags.json.lock"
+    try:
+        _write_small_file(spark, lock, "tagger", overwrite=False)
+    except Exception:
+        raise RuntimeError(
+            f"tag operation on {path}: _tags.json.lock is held (a "
+            "concurrent tagger, or a crashed one — remove the lock file "
+            "after confirming no tagger is live)"
+        )
+    try:
+        tags = list_tags(spark, path)
+        mutate(tags)
+        _write_small_file(
+            spark,
+            f"{path}/_manifest/_tags.json",
+            _json.dumps(tags, sort_keys=True),
+        )
+        return tags
+    finally:
+        jvm, fs, _ = _fs(spark, path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(lock), False)
+
+
+def tag_version(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> int:
+    """TAG a committed version with a name (Iceberg's tags — named
+    immutable snapshot pointers, 'git tag' for the table): the tag
+    file ``_manifest/_tags.json`` maps name -> version, read_tag
+    resolves it, and VACUUM treats every tagged version as retained —
+    a tag pins its snapshot (and the generations it references) from
+    expiration until the tag is deleted, exactly Iceberg's retention
+    rule. Re-tagging an existing name moves it. Metadata-only: one
+    small JSON write under a create-exclusive lock (concurrent taggers
+    serialize). Caveat shared with Iceberg: tagging races an
+    in-flight VACUUM — the version check here and vacuum's tag read
+    are not one transaction, so tag BEFORE relaxing retention, not
+    concurrently with it. Returns the tagged version."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"tag_version: no table at {path}")
+    v = versions[-1] if version is None else int(version)
+    if v not in versions:
+        raise ValueError(f"tag_version: version {v} not in {versions}")
+
+    def mutate(tags: dict) -> None:
+        tags[str(name)] = v
+
+    _with_tag_lock(spark, path, mutate)
+    return v
+
+
+def list_tags(spark: SparkSession, path: str) -> dict[str, int]:
+    """name -> version for every tag ({} when none)."""
+    import json as _json
+
+    raw = _read_small_file(spark, f"{path}/_manifest/_tags.json")
+    if raw is None:
+        return {}
+    return {k: int(v) for k, v in _json.loads(raw).items()}
+
+
+def delete_tag(spark: SparkSession, path: str, name: str) -> None:
+    """Drop a tag; its snapshot becomes expirable again on the next
+    vacuum (normal retention rules resume). Unknown names raise."""
+
+    def mutate(tags: dict) -> None:
+        if str(name) not in tags:
+            raise KeyError(
+                f"delete_tag: no tag {name!r} (have {sorted(tags)})"
+            )
+        del tags[str(name)]
+
+    _with_tag_lock(spark, path, mutate)
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Time-travel read by tag name: read_version at the tag's pinned
+    version."""
+    tags = list_tags(spark, path)
+    if str(name) not in tags:
+        raise KeyError(f"read_tag: no tag {name!r} (have {sorted(tags)})")
+    return read_version(spark, path, tags[str(name)])
 
 
 def commit_timestamps(

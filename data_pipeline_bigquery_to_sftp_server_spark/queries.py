@@ -12690,6 +12690,75 @@ FROM v1 GROUP BY b ORDER BY bucket
 """
 
 
+def q_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1s TAGS — named snapshot pointers that pin retention (r13;
+    Iceberg tags), ORACLE-CHECKED: a release tag is set on the middle
+    commit, a later merge supersedes it, and VACUUM with keep_last=1
+    runs — which would expire everything but the latest; the tag PINS
+    its snapshot (and the generations it references), so
+    read_tag("release") still serves the exact tagged contents while
+    the untagged bootstrap expires (operators/merge.py tag_version/
+    read_tag/list_tags + the vacuum retention rule). The report is the
+    tagged read's per-bucket aggregate with the pinned version and the
+    post-vacuum retained-version count as value-checked columns — so
+    the oracle checks the pointer, the pin, AND the reclaim in one
+    result. Re-tag/delete-tag/release semantics pinned in test_merge.
+    Scale: a tag is one small JSON write; the pin costs vacuum one
+    set-union over version numbers."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("tagged_")
+    merge.versioned_layout_write(o, "k", path, n_buckets=16)
+    ranked, _n = relational.with_global_rank(o, ["k"])
+    v1_batch = ranked.where(
+        (F.col("grank") >= 151) & (F.col("grank") <= 250)
+    ).select("k", (F.col("cents") + 4444).alias("cents"))
+    merge.upsert_versioned(spark, path, v1_batch, "k")  # v1: the release
+    tagged_v = merge.tag_version(spark, path, "release")  # pins v1
+    v2_batch = ranked.where(
+        (F.col("grank") >= 351) & (F.col("grank") <= 420)
+    ).select("k", (F.col("cents") - 7777).alias("cents"))
+    merge.upsert_versioned(spark, path, v2_batch, "k")  # v2 supersedes
+    merge.vacuum_versions(spark, path, keep_last=1)  # v0 expires, v1 pinned
+    retained = merge._list_versions(spark, f"{path}/_manifest")
+    return (
+        merge.read_tag(spark, path, "release")
+        .groupBy(F.col("_kr").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_live"), F.sum("cents").alias("sum_cents"))
+        .withColumn("tagged_version", F.lit(int(tagged_v)))
+        .withColumn("n_retained", F.lit(len(retained)))
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_TAGGED_READ = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), base AS (
+  SELECT k, cents, (rn - 1) * 16 // n AS b FROM o
+), v1b AS (
+  SELECT k, cents + 4444 AS cents FROM o WHERE rn BETWEEN 151 AND 250
+), v1 AS (
+  -- band updates of existing keys only: merge is a keyed CASE
+  SELECT b.k,
+         CASE WHEN u.k IS NOT NULL THEN u.cents ELSE b.cents END AS cents,
+         b.b
+  FROM base b LEFT JOIN v1b u ON u.k = b.k
+)
+SELECT b AS bucket, count(*) AS n_live,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       1 AS tagged_version,
+       2 AS n_retained
+FROM v1 GROUP BY b ORDER BY bucket
+"""
+
+
 def q_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1m file-size-aware OPTIMIZE (r12 verdict #7), ORACLE-CHECKED:
     three tiny merge-on-read commits plus a pure-DV delete leave one
@@ -14281,6 +14350,7 @@ QUERIES: dict[str, QueryFn] = {
     "constraint_gate": q_constraint_gate,
     "shallow_clone": q_shallow_clone,
     "as_of_timestamp": q_as_of_timestamp,
+    "tagged_read": q_tagged_read,
     # oldest-attested cohort: latest driver attestation r2
     "cosine_topk": q_cosine_topk,
     "cube": q_cube,
@@ -14311,12 +14381,13 @@ QUERIES: dict[str, QueryFn] = {
     "clean_text": q_clean_text,
     "csv_roundtrip": q_csv_roundtrip,
     "grouped_counts": q_grouped_counts,
-    "regex_extract": q_regex_extract,
     # -- slots 51+: verified via verify_local -------------------------
-    # udtf_sentences / anti_join / merge_upsert (attested r5-r6) and
-    # hash_split / lm_scores_foreign / distinct_keys / count_distinct /
-    # grouping_sets_sql (attested r6) displaced by the eight late-r13
-    # additions above; all remain verify_local-green.
+    # regex_extract / udtf_sentences / anti_join / merge_upsert
+    # (attested r5-r6) and hash_split / lm_scores_foreign /
+    # distinct_keys / count_distinct / grouping_sets_sql (attested r6)
+    # displaced by the nine late-r13 additions above; all remain
+    # verify_local-green.
+    "regex_extract": q_regex_extract,
     "udtf_sentences": q_udtf_sentences,
     "anti_join": q_anti_join,
     "merge_upsert": q_merge_upsert,
@@ -14803,6 +14874,7 @@ ORACLES: dict[str, str] = {
     "constraint_gate": _ORACLE_CONSTRAINT_GATE,
     "shallow_clone": _ORACLE_SHALLOW_CLONE,
     "as_of_timestamp": _ORACLE_AS_OF_TIMESTAMP,
+    "tagged_read": _ORACLE_TAGGED_READ,
     "data_health": _ORACLE_DATA_HEALTH,
     "rrf_fusion": _ORACLE_RRF_FUSION,
     "time_travel": _ORACLE_TIME_TRAVEL,

@@ -184,7 +184,9 @@ def _cdf_table_schema(path: str) -> list[tuple[str, str]]:
 
     data = os.path.join(path, "data")
     dirs = []
-    for b in os.listdir(data):
+    # a shallow clone with no local commit has no data dir: fall through
+    # to the clear raise (pass table_schema explicitly for that case)
+    for b in os.listdir(data) if os.path.isdir(data) else []:
         if not b.startswith("_kr="):
             continue
         for g in os.listdir(os.path.join(data, b)):
@@ -261,14 +263,19 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         self.start = start
 
     def initialOffset(self) -> dict:
-        if self.start is not None:
-            return {"version": self.start}
-        # default: the table's first committed version — the bootstrap
-        # snapshot is never a change, and a shallow clone's fork commit
-        # (which carries the source's DV verbatim as inherited state)
-        # must be silent exactly like any bootstrap
+        # the table's first committed version — the bootstrap snapshot
+        # is never a change, and a shallow clone's fork commit (which
+        # carries the source's DV verbatim as inherited state) must be
+        # silent exactly like any bootstrap. An EXPLICIT
+        # starting_version below the first version clamps up: pre-fork
+        # versions don't exist in this table's history, and emitting
+        # the fork's inherited DV would yield phantom deletes (the
+        # shared copies live in the source's directories, not gen=v0)
         versions = _cdf_committed_versions(self.path)
-        return {"version": versions[0] if versions else 0}
+        earliest = versions[0] if versions else 0
+        if self.start is not None:
+            return {"version": max(self.start, earliest)}
+        return {"version": earliest}
 
     def _changes(self, after: int, through: int):
         import os
@@ -282,7 +289,8 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
                 continue  # structural commit (compact/COW/restore): silent
             fresh: dict = {}
             data = os.path.join(self.path, "data")
-            for b in os.listdir(data):
+            # a shallow clone with no local commit has no data dir yet
+            for b in os.listdir(data) if os.path.isdir(data) else []:
                 if b.startswith("_kr="):
                     for r in _cdf_read_dir(
                         os.path.join(data, b, f"_gen={v}")

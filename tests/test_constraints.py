@@ -196,3 +196,46 @@ def test_quarantine_mor_tier_prices_like_dv_upsert(spark, tmp_path):
     q = C.read_quarantine(spark, path, out.version)
     assert [(r.k, r._violation) for r in q.collect()] == [(2, "v_pos")]
     assert merge.commit_operations(spark, path)[out.version] == "MERGE"
+
+
+def test_clone_carries_constraints(spark, tmp_path):
+    """A shallow clone of a constrained table is constrained (Delta
+    clones table metadata): the same violating batch the source
+    refuses, the clone refuses too."""
+    src = _table(spark, tmp_path, "csrc")
+    C.set_constraints(spark, src, {"v_pos": "v >= 0"})
+    dst = str(tmp_path / "cdst")
+    merge.clone_table(spark, src, dst)
+    assert C.get_constraints(spark, dst) == {"v_pos": "v >= 0"}
+    try:
+        merge.upsert_versioned(spark, dst, _batch(spark, [(1, -1)]), "k")
+        raise AssertionError("expected ConstraintViolation")
+    except C.ConstraintViolation:
+        pass
+    # constraints diverge independently after the fork
+    C.set_constraints(spark, dst, {})
+    merge.upsert_versioned(spark, dst, _batch(spark, [(1, -1)]), "k")
+    try:
+        merge.upsert_versioned(spark, src, _batch(spark, [(1, -1)]), "k")
+        raise AssertionError("source must still be constrained")
+    except C.ConstraintViolation:
+        pass
+
+
+def test_vacuum_reclaims_expired_quarantine(spark, tmp_path):
+    """An expired version's quarantine ledger is vacuumed with it —
+    screened CDC tables must not leak bad-row files forever."""
+    import os
+
+    path = _table(spark, tmp_path, "vq")
+    C.set_constraints(spark, path, {"v_pos": "v >= 0"})
+    out = C.upsert_versioned_checked(
+        spark, path, _batch(spark, [(1, 1), (2, -2)]), "k",
+        mode="quarantine",
+    )
+    qdir = f"{path}/_quarantine/v={out.version}"
+    assert os.path.isdir(qdir)
+    merge.upsert_versioned(spark, path, _batch(spark, [(3, 3)]), "k")
+    merge.upsert_versioned(spark, path, _batch(spark, [(4, 4)]), "k")
+    merge.vacuum_versions(spark, path, keep_last=1)
+    assert not os.path.exists(qdir)

@@ -2177,3 +2177,113 @@ def test_cdf_stream_over_shallow_clone(spark, tmp_path):
         (50, 500, "upsert", v0 + 1),
         (9, None, "delete", v0 + 2),
     }
+
+
+def test_tags_pin_versions_from_vacuum(spark, tmp_path):
+    """Iceberg-style tags: a named pointer reads its exact snapshot,
+    pins it (and its generations) from vacuum expiration, survives
+    re-tagging, and releases on delete_tag."""
+    path = str(tmp_path / "tags")
+    merge.versioned_layout_write(
+        spark.range(30).selectExpr("id AS k", "id AS v"), "k", path, 2
+    )
+    merge.upsert_versioned(
+        spark, path, spark.createDataFrame([(1, 100)], "k long, v long"), "k"
+    )  # v1
+    merge.tag_version(spark, path, "stable", 1)
+    merge.upsert_versioned(
+        spark, path, spark.createDataFrame([(1, 200)], "k long, v long"), "k"
+    )  # v2
+    merge.upsert_versioned(
+        spark, path, spark.createDataFrame([(2, 300)], "k long, v long"), "k"
+    )  # v3
+    assert merge.list_tags(spark, path) == {"stable": 1}
+    got = {r.k: r.v for r in merge.read_tag(spark, path, "stable").collect()}
+    assert got[1] == 100 and got[2] == 2
+    # vacuum keep_last=1 would normally drop v0..v2; the tag pins v1
+    merge.vacuum_versions(spark, path, keep_last=1)
+    left = merge._list_versions(spark, f"{path}/_manifest")
+    assert left == [1, 3]
+    assert {
+        r.k: r.v for r in merge.read_tag(spark, path, "stable").collect()
+    } == got
+    # re-tag moves the pointer; delete releases the pin
+    merge.tag_version(spark, path, "stable", 3)
+    merge.delete_tag(spark, path, "stable")
+    assert merge.list_tags(spark, path) == {}
+    merge.vacuum_versions(spark, path, keep_last=1)
+    assert merge._list_versions(spark, f"{path}/_manifest") == [3]
+    try:
+        merge.read_tag(spark, path, "stable")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_tag_lock_serializes_concurrent_taggers(spark, tmp_path):
+    """The tag file's read-modify-write runs under a create-exclusive
+    lock: a held lock makes the next tagger fail loudly instead of
+    silently dropping the other's update."""
+    path = str(tmp_path / "taglock")
+    merge.versioned_layout_write(
+        spark.range(10).selectExpr("id AS k", "id AS v"), "k", path, 2
+    )
+    merge._write_small_file(
+        spark, f"{path}/_manifest/_tags.json.lock", "crashed"
+    )
+    try:
+        merge.tag_version(spark, path, "t1")
+        raise AssertionError("expected RuntimeError (lock held)")
+    except RuntimeError:
+        pass
+    jvm, fs, _ = merge._fs(spark, path)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest/_tags.json.lock"),
+        False,
+    )
+    merge.tag_version(spark, path, "t1")
+    merge.tag_version(spark, path, "t2")
+    assert merge.list_tags(spark, path) == {"t1": 0, "t2": 0}
+
+
+def test_cdf_explicit_pre_fork_start_clamps_to_fork(spark, tmp_path):
+    """An explicit starting_version BELOW a clone's fork version clamps
+    up: pre-fork versions are the source's history, and the fork's
+    inherited DV must never replay as phantom deletes."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i) for i in range(1, 21)], "k long, v long"
+        ),
+        "k", src, 2,
+    )
+    merge.upsert_versioned_dv(
+        spark, src, spark.createDataFrame([(2, 22)], "k long, v long"), "k"
+    )  # pre-fork
+    merge.clone_table(spark, src, dst)
+    merge.upsert_versioned_dv(
+        spark, dst, spark.createDataFrame([(3, 33)], "k long, v long"), "k"
+    )  # post-fork
+    register_versioned_cdf(spark)
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", dst)
+        .option("key", "k")
+        .option("starting_version", 0)  # below the fork: must clamp
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.k, r.v, r._op) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(3, 33, "upsert")}
