@@ -1767,7 +1767,7 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
             st.sampled_from(
                 ["mor", "cow", "delete", "arms", "restore",
                  "binpack", "compact", "rebucket", "vacuum",
-                 "clone", "quarantine"]
+                 "clone", "quarantine", "tag"]
             ),
             min_size=4,
             max_size=7,
@@ -1788,7 +1788,10 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
             return dict(models[max(models)])
 
         def check_all():
-            for v in merge._list_versions(spark, f"{path}/_manifest"):
+            import itertools as _it
+
+            retained = merge._list_versions(spark, f"{path}/_manifest")
+            for v in retained:
                 if v not in models:
                     continue
                 got = {
@@ -1796,6 +1799,19 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
                     for r in merge.read_version(spark, path, v).collect()
                 }
                 assert got == models[v], f"version {v} diverged after {ops}"
+            # every tagged version must have survived vacuum and still
+            # read as its model; the commit clock must stay monotonic
+            for tname, tv in merge.list_tags(spark, path).items():
+                assert tv in retained, f"tag {tname} lost its version"
+                got = {
+                    r.k: r.v
+                    for r in merge.read_tag(spark, path, tname).collect()
+                }
+                assert got == models[tv], f"tag {tname} diverged"
+            ts = merge.commit_timestamps(spark, path, retained)
+            assert all(
+                ts[a] < ts[b] for a, b in _it.pairwise(retained)
+            ), "commit clock not monotonic"
 
         for i, op in enumerate(ops):
             m = latest_model()
@@ -1859,10 +1875,18 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
             elif op == "rebucket":
                 man = merge.rebucket_table(spark, path, "k", rng.choice([2, 3, 8]))
                 models[man.version] = m
+            elif op == "tag":
+                # tag a random retained modeled version: check_all then
+                # asserts it survives every later vacuum and still
+                # reads as its model (the retention pin, continuously)
+                retained = merge._list_versions(spark, f"{path}/_manifest")
+                target = rng.choice([v for v in retained if v in models])
+                merge.tag_version(spark, path, f"t{i}", target)
             elif op == "clone":
                 # fork at a random retained-and-modeled version; the
                 # REST of the sequence runs against the clone, so every
                 # later committer exercises mixed local+ext manifests
+                # (tags stay behind: they pin the SOURCE's history)
                 retained = merge._list_versions(spark, f"{path}/_manifest")
                 target = rng.choice([v for v in retained if v in models])
                 dst = str(tmp_path / f"hyp{counter['n']}c{i}")
