@@ -34,6 +34,11 @@ DEFAULT = [
     "merge_arms_sync",
     "table_history",
     "compact_binpack",
+    # late-r13 additions (all flat across 100x — see SCALING.md)
+    "constraint_gate",
+    "shallow_clone",
+    "as_of_timestamp",
+    "tagged_read",
 ]
 SF_DIRS = [
     "/root/testdata/sf0.001",
