@@ -13544,32 +13544,39 @@ def q_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_versioned_cdf(spark)
 
     def apply_changes(batch: DataFrame, epoch_id: int) -> None:
-        rows = batch.collect()  # CDC-sized by the DV contract
-        by_v: dict = {}
-        for r in rows:
-            by_v.setdefault(r._version, []).append(r)
+        # DataFrame-NATIVE apply (r14 — the r13 verdict's second
+        # driver-bound path): the change rows never land on the
+        # driver. Pin the micro-batch once (several actions below read
+        # it), collect ONLY the distinct version/op pairs — bounded by
+        # the number of commits in the batch, never by row count — and
+        # hand per-version DataFrame slices straight to the same MOR
+        # committers the source used.
+        pinned = batch.localCheckpoint(eager=True)
+        vops = {
+            (r._version, r._op)
+            for r in pinned.select("_version", "_op").distinct().collect()
+        }
         # one ledger read per delivered batch: replay protection is
         # against REDELIVERY (restart), not between a batch's versions
         meta_done = merge.committed_metas(spark, dst)
-        for v in sorted(by_v):
-            ups = [
-                (r.o_orderkey, r.cents)
-                for r in by_v[v]
-                if r._op == "upsert"
-            ]
-            de = [(r.o_orderkey,) for r in by_v[v] if r._op == "delete"]
-            if ups and f"cdf-u:{v}" not in meta_done:
+        for v in sorted({v for v, _ in vops}):
+            if (v, "upsert") in vops and f"cdf-u:{v}" not in meta_done:
                 merge.upsert_versioned_dv(
                     spark, dst,
-                    spark.createDataFrame(ups, "o_orderkey long, cents long"),
+                    pinned.where(
+                        (F.col("_version") == v) & (F.col("_op") == "upsert")
+                    ).select("o_orderkey", "cents"),
                     "o_orderkey", commit_meta=f"cdf-u:{v}",
                 )
-            if de and f"cdf-d:{v}" not in meta_done:
+            if (v, "delete") in vops and f"cdf-d:{v}" not in meta_done:
                 merge.delete_versioned(
                     spark, dst,
-                    spark.createDataFrame(de, "o_orderkey long"),
+                    pinned.where(
+                        (F.col("_version") == v) & (F.col("_op") == "delete")
+                    ).select("o_orderkey"),
                     "o_orderkey", commit_meta=f"cdf-d:{v}",
                 )
+        pinned.unpersist()
 
     q = (
         spark.readStream.format("versioned_cdf")

