@@ -188,15 +188,70 @@ def upsert_versioned_checked(
     clean = clean.localCheckpoint(eager=True)
     bad = bad.localCheckpoint(eager=True)
     n_bad = bad.count()
-    out = commit(
-        spark, target_path, clean, key, writer=writer, commit_meta=commit_meta
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+        _fs,
+        _unique_writer,
     )
+
+    writer = writer or _unique_writer()
+    staged = f"{target_path}/_quarantine/_staged-{writer}"
     if n_bad:
-        bad.coalesce(1).write.mode("overwrite").parquet(
-            f"{target_path}/_quarantine/v={out.version}"
+        # persist the quarantined rows to a writer-scoped staging path
+        # BEFORE the commit: the documented contract is "the commit and
+        # its quarantine share the version number", and a crash between
+        # the commit and a post-commit ledger write would leave a
+        # committed version whose quarantined rows vanished with no
+        # audit trail. Staged-then-rename closes that window — after a
+        # crash the rows are on disk and a retry that knows its commit
+        # landed (committed_metas) heals the ledger with
+        # finalize_staged_quarantine.
+        bad.coalesce(1).write.mode("overwrite").parquet(staged)
+    try:
+        out = commit(
+            spark, target_path, clean, key,
+            writer=writer, commit_meta=commit_meta,
         )
+    except BaseException:
+        if n_bad:
+            # no commit happened, so no audit gap: drop the staging dir
+            # (best-effort — an orphan is inert and writer-scoped)
+            try:
+                jvm, fs, _ = _fs(spark, target_path)
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
+            except Exception:
+                pass
+        raise
+    if n_bad:
+        finalize_staged_quarantine(spark, target_path, writer, out.version)
     out.n_quarantined = int(n_bad)
     return out
+
+
+def finalize_staged_quarantine(
+    spark: SparkSession, path: str, writer: str, version: int
+) -> bool:
+    """Promote a writer's staged quarantine rows to the committed
+    ledger slot ``_quarantine/v=<version>`` (one FS rename). Idempotent
+    in both directions — called by upsert_versioned_checked after its
+    commit, and by a crash retry that found its commit already landed:
+    staged-missing + ledger-present means a prior finalize won, and
+    both-present keeps the ledger (the rename already happened; the
+    stale staging dir is dropped). Returns True when the ledger slot
+    exists on exit."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+        _fs,
+    )
+
+    jvm, fs, _ = _fs(spark, path)
+    hp = jvm.org.apache.hadoop.fs.Path
+    src = hp(f"{path}/_quarantine/_staged-{writer}")
+    dst = hp(f"{path}/_quarantine/v={version}")
+    if not fs.exists(src):
+        return bool(fs.exists(dst))
+    if fs.exists(dst):
+        fs.delete(src, True)
+        return True
+    return bool(fs.rename(src, dst))
 
 
 def read_quarantine(

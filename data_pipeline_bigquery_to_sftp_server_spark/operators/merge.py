@@ -611,17 +611,63 @@ def _write_commit_op(
     crash-window reasoning as _write_commit_meta): a crash in between
     leaves an uncommitted version whose tag table_history filters out.
     Operation names are deterministic per committer, so the ledger
-    stays oracle-replayable."""
-    import json as _json
+    stays oracle-replayable.
 
+    Also PERSISTS the commit's monotonically-adjusted timestamp
+    (``commit_ts`` = max(now, prev committed ts + 1), Delta's
+    in-commit-timestamp rule): commit_timestamps previously re-derived
+    the chain from surviving _SUCCESS mtimes on every call, so
+    vacuuming an early version whose mtime exceeded later ones (clock
+    skew, copied tables) could change later versions' adjusted values
+    — and version_as_of(ts) with them. A stamped value is immune to
+    what vacuum deletes. Steady state reads ONE sidecar (the previous
+    version's persisted ts); the full-chain fallback only runs for
+    histories predating the stamp."""
+    import json as _json
+    import time as _time
+
+    prev_versions = [
+        v
+        for v in _list_versions(spark, f"{path}/_manifest")
+        if v < int(version)
+    ]
+    prev_ts = -1
+    if prev_versions:
+        last = prev_versions[-1]
+        p = _persisted_commit_ts(spark, path, last)
+        prev_ts = (
+            p
+            if p is not None
+            else commit_timestamps(spark, path, prev_versions)[last]
+        )
+    ts = max(int(_time.time() * 1000), prev_ts + 1)
     # own version slot: overwrite self-heals after a crashed attempt
     _write_small_file(
         spark,
         f"{path}/_manifest/v={version}.op",
         _json.dumps(
-            {"operation": operation, "parameters": params}, sort_keys=True
+            {"operation": operation, "parameters": params, "commit_ts": ts},
+            sort_keys=True,
         ),
     )
+
+
+def _persisted_commit_ts(
+    spark: SparkSession, path: str, version: int
+) -> int | None:
+    """The commit timestamp stamped into ``v=<n>.op`` at commit time,
+    or None for histories written before the stamp existed (their
+    commit_timestamps fall back to the _SUCCESS mtime)."""
+    import json as _json
+
+    raw = _read_small_file(spark, f"{path}/_manifest/v={version}.op")
+    if raw is None:
+        return None
+    try:
+        ts = _json.loads(raw).get("commit_ts")
+    except ValueError:
+        return None
+    return None if ts is None else int(ts)
 
 
 def commit_operations(spark: SparkSession, path: str) -> dict[int, str]:
@@ -1990,7 +2036,10 @@ def vacuum_versions(
     """Drop generation directories no RETAINED manifest references
     (retention = the last ``keep_last`` versions), then the expired
     manifests themselves — the storage-reclamation half of the
-    snapshot contract. Returns the deleted directory paths.
+    snapshot contract. Returns every reclaimed path: generation
+    directories plus the expired manifests, begin/meta/op sidecars,
+    DV files, and quarantine ledgers (dry_run previews the same
+    complete list).
 
     ``retention_ms`` widens retention by AGE (Delta's actual VACUUM
     semantics): every version whose commit timestamp
@@ -2064,8 +2113,10 @@ def vacuum_versions(
                 if not dry_run:
                     fs.delete(gdir.getPath(), True)
                 deleted.append(gdir.getPath().toString())
-    if dry_run:
-        return deleted
+    # expired manifests + sidecars ride the SAME keep check in both
+    # modes, so dry_run's preview is the complete reclaim list (it
+    # previously stopped at the generation directories, understating
+    # what the real run would delete)
     for v in versions:
         if v in keep:
             continue
@@ -2081,7 +2132,9 @@ def vacuum_versions(
         ):
             p = jvm.org.apache.hadoop.fs.Path(leftover)
             if fs.exists(p):
-                fs.delete(p, True)
+                if not dry_run:
+                    fs.delete(p, True)
+                deleted.append(leftover)
     return deleted
 
 
@@ -2291,18 +2344,46 @@ def _with_tag_lock(spark: SparkSession, path: str, mutate) -> dict[str, int]:
     silently dropping each other's update. ``mutate`` receives the
     current dict and edits it in place. The lock is held only for the
     tiny JSON rewrite; a crashed holder leaves ``_tags.json.lock`` to
-    remove by hand (documented, loud — the next tagger raises)."""
+    remove by hand (documented, loud — the next tagger raises, and the
+    error reports the lock's age from its embedded acquire timestamp
+    so a stale holder is recognizable). Only the lost-the-create race
+    maps to "lock is held": permission or filesystem faults from the
+    create re-raise as themselves."""
     import json as _json
+    import time as _time
 
     lock = f"{path}/_manifest/_tags.json.lock"
     try:
-        _write_small_file(spark, lock, "tagger", overwrite=False)
-    except Exception:
+        _write_small_file(
+            spark,
+            lock,
+            _json.dumps(
+                {"holder": "tagger", "acquired_ms": int(_time.time() * 1000)}
+            ),
+            overwrite=False,
+        )
+    except Exception as e:
+        # create-exclusive loses with FileAlreadyExistsException (or the
+        # local FS's "already exists" IOException); anything else —
+        # permission denied, unreachable FS — is a real fault, not
+        # contention, and must not masquerade as "lock is held"
+        if "exist" not in str(e).lower():
+            raise
+        age = ""
+        try:
+            held = _json.loads(_read_small_file(spark, lock) or "{}")
+            if "acquired_ms" in held:
+                age = (
+                    f", acquired {int(_time.time() * 1000) - int(held['acquired_ms'])}"
+                    " ms ago"
+                )
+        except Exception:
+            pass  # lock vanished or predates the timestamped payload
         raise RuntimeError(
-            f"tag operation on {path}: _tags.json.lock is held (a "
+            f"tag operation on {path}: _tags.json.lock is held{age} (a "
             "concurrent tagger, or a crashed one — remove the lock file "
             "after confirming no tagger is live)"
-        )
+        ) from e
     try:
         tags = list_tags(spark, path)
         mutate(tags)
@@ -2382,23 +2463,31 @@ def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
 def commit_timestamps(
     spark: SparkSession, path: str, versions: list[int] | None = None
 ) -> dict[int, int]:
-    """version -> commit timestamp (epoch ms) for the versioned table,
-    from each committed manifest's ``_SUCCESS`` modification time —
-    the same source Delta uses for timestamp time travel — made
-    strictly monotonic in version order the way Delta adjusts
-    in-commit timestamps (ts_v = max(mtime_v, ts_prev + 1)), so
-    \"latest version at time T\" is well-defined even when two commits
-    land within one filesystem-timestamp tick. O(versions) driver FS
-    stats; no data file is opened."""
+    """version -> commit timestamp (epoch ms) for the versioned table.
+    Each version's value is the one STAMPED into its ``v=<n>.op``
+    sidecar at commit time (already monotonically adjusted there —
+    Delta's in-commit-timestamp rule), falling back to the committed
+    manifest's ``_SUCCESS`` modification time for histories predating
+    the stamp. The monotonic pass (ts_v = max(ts_v, ts_prev + 1))
+    re-applies over the sequence so mixed stamped/mtime histories stay
+    strictly increasing — and because stamped values are stored, not
+    re-derived from surviving files, vacuuming early versions can no
+    longer shift later versions' timestamps (version_as_of is stable
+    across vacuums). O(versions) driver small-file reads/FS stats; no
+    data file is opened."""
     if versions is None:
         versions = _list_versions(spark, f"{path}/_manifest")
     jvm, fs, _ = _fs(spark, path)
     out: dict[int, int] = {}
     prev = -1
     for v in versions:
-        m = fs.getFileStatus(
-            jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest/v={v}/_SUCCESS")
-        ).getModificationTime()
+        m = _persisted_commit_ts(spark, path, v)
+        if m is None:
+            m = fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/_manifest/v={v}/_SUCCESS"
+                )
+            ).getModificationTime()
         t = max(int(m), prev + 1)
         out[v] = t
         prev = t

@@ -239,3 +239,66 @@ def test_vacuum_reclaims_expired_quarantine(spark, tmp_path):
     merge.upsert_versioned(spark, path, _batch(spark, [(4, 4)]), "k")
     merge.vacuum_versions(spark, path, keep_last=1)
     assert not os.path.exists(qdir)
+
+
+def test_quarantine_staged_before_commit_and_heals(spark, tmp_path):
+    """The quarantine ledger's rows hit disk BEFORE the commit (r14):
+    a crash between the commit and a post-commit ledger write can no
+    longer lose them — the staged writer-scoped directory survives,
+    and finalize_staged_quarantine promotes it to the commit's ledger
+    slot idempotently (the retry-heal path)."""
+    import os
+
+    path = _table(spark, tmp_path, "qs")
+    C.set_constraints(spark, path, {"v_pos": "v >= 0"})
+    # normal path: staged dir is gone, ledger is in place
+    out = C.upsert_versioned_checked(
+        spark, path, _batch(spark, [(1, 1), (2, -2)]), "k",
+        mode="quarantine", writer="W1",
+    )
+    assert os.path.isdir(f"{path}/_quarantine/v={out.version}")
+    assert not os.path.exists(f"{path}/_quarantine/_staged-W1")
+    # crash simulation: a staged dir exists (written pre-commit) but
+    # the rename never ran — the retry heals it into the version slot
+    staged = f"{path}/_quarantine/_staged-W2"
+    _batch(spark, [(9, -9)]).withColumn(
+        "_violation", F.lit("v_pos")
+    ).coalesce(1).write.parquet(staged)
+    v_target = out.version + 1
+    assert C.finalize_staged_quarantine(spark, path, "W2", v_target)
+    assert not os.path.exists(staged)
+    got = C.read_quarantine(spark, path, v_target)
+    assert [(r.k, r._violation) for r in got.collect()] == [(9, "v_pos")]
+    # idempotent re-heal: staged gone + ledger present -> True, no-op
+    assert C.finalize_staged_quarantine(spark, path, "W2", v_target)
+    # both present (rename raced a duplicate stage): ledger wins,
+    # stale staging dir is dropped
+    _batch(spark, [(8, -8)]).withColumn(
+        "_violation", F.lit("v_pos")
+    ).coalesce(1).write.parquet(staged)
+    assert C.finalize_staged_quarantine(spark, path, "W2", v_target)
+    assert not os.path.exists(staged)
+    assert [(r.k, r._violation) for r in C.read_quarantine(
+        spark, path, v_target
+    ).collect()] == [(9, "v_pos")]
+
+
+def test_quarantine_failed_commit_drops_staging(spark, tmp_path):
+    """When the commit itself fails (here: a concurrent writer holds
+    the version's intent marker), the pre-commit staging directory is
+    cleaned up — no commit, no audit gap, no orphan."""
+    import os
+
+    path = _table(spark, tmp_path, "qf")
+    C.set_constraints(spark, path, {"v_pos": "v >= 0"})
+    v = merge._list_versions(spark, f"{path}/_manifest")[-1]
+    merge._begin_commit(spark, path, v + 1, "OTHER")  # rival in flight
+    try:
+        C.upsert_versioned_checked(
+            spark, path, _batch(spark, [(1, 1), (2, -2)]), "k",
+            mode="quarantine", writer="LOSER",
+        )
+        raise AssertionError("expected ConcurrentWriteError")
+    except merge.ConcurrentWriteError:
+        pass
+    assert not os.path.exists(f"{path}/_quarantine/_staged-LOSER")

@@ -2130,6 +2130,10 @@ def test_vacuum_dry_run_and_age_retention(spark, tmp_path):
     local = [p.removeprefix("file:") for p in planned]
     assert all(os.path.exists(p) for p in local)  # nothing touched
     assert merge._list_versions(spark, f"{path}/_manifest") == vs
+    # the preview is COMPLETE: expired manifests and their sidecars
+    # are listed alongside the generation directories
+    assert any("/_manifest/v=0" in p for p in planned)
+    assert any(p.endswith("v=1.begin") for p in planned)
     # age retention: every commit just happened, so a wide horizon
     # keeps every version despite keep_last=1
     gone = merge.vacuum_versions(
@@ -2139,10 +2143,14 @@ def test_vacuum_dry_run_and_age_retention(spark, tmp_path):
     assert merge._list_versions(spark, f"{path}/_manifest") == vs
     for v in vs:
         merge.read_version(spark, path, v).count()
-    # zero horizon: only the keep_last floor holds
+    # zero horizon: only the keep_last floor holds — the real run
+    # reclaims exactly what the preview planned, minus what keeping
+    # versions 2 and 3 retains (their generations AND their sidecars)
     gone = merge.vacuum_versions(spark, path, keep_last=2, retention_ms=0)
     assert set(gone) == set(planned) - {
-        p for p in planned if "_gen=2" in p or "_gen=3" in p
+        p
+        for p in planned
+        if any(s in p for s in ("_gen=2", "_gen=3", "/v=2", "/v=3"))
     }
     assert merge._list_versions(spark, f"{path}/_manifest") == [2, 3]
 
@@ -2268,6 +2276,87 @@ def test_tag_lock_serializes_concurrent_taggers(spark, tmp_path):
     merge.tag_version(spark, path, "t1")
     merge.tag_version(spark, path, "t2")
     assert merge.list_tags(spark, path) == {"t1": 0, "t2": 0}
+    # a TIMESTAMPED lock (the r14 payload) surfaces its age in the
+    # error, so a stale crashed holder is recognizable at a glance
+    import json as _json
+
+    merge._write_small_file(
+        spark,
+        f"{path}/_manifest/_tags.json.lock",
+        _json.dumps({"holder": "tagger", "acquired_ms": 1}),
+    )
+    try:
+        merge.tag_version(spark, path, "t3")
+        raise AssertionError("expected RuntimeError (lock held)")
+    except RuntimeError as e:
+        assert "ms ago" in str(e)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest/_tags.json.lock"),
+        False,
+    )
+
+
+def test_tag_lock_propagates_real_fs_faults(monkeypatch, spark, tmp_path):
+    """Only losing the create-exclusive race reads as 'lock is held':
+    a permission/filesystem fault from the lock create re-raises as
+    itself instead of the misleading lock-held RuntimeError (which
+    would send an operator hunting for a lock file that isn't there)."""
+    path = str(tmp_path / "tagfault")
+    merge.versioned_layout_write(
+        spark.range(10).selectExpr("id AS k", "id AS v"), "k", path, 2
+    )
+    real = merge._write_small_file
+
+    def faulting(spark_, p, payload, overwrite=True):
+        if p.endswith("_tags.json.lock"):
+            raise IOError("Permission denied: simulated FS fault")
+        return real(spark_, p, payload, overwrite)
+
+    monkeypatch.setattr(merge, "_write_small_file", faulting)
+    try:
+        merge.tag_version(spark, path, "t1")
+        raise AssertionError("expected the raw IOError")
+    except IOError as e:
+        assert "Permission denied" in str(e)
+    monkeypatch.undo()
+    merge.tag_version(spark, path, "t1")  # healthy FS: works
+    assert merge.list_tags(spark, path) == {"t1": 0}
+
+
+def test_commit_timestamps_stable_across_vacuum(spark, tmp_path):
+    """Commit timestamps are STAMPED into the v=<n>.op sidecar at
+    commit time (monotonically adjusted there), so version_as_of
+    resolves identically before and after vacuuming early versions —
+    even when file mtimes are skewed (clock skew, copied tables), the
+    stamped values win over _SUCCESS mtimes."""
+    import os
+
+    path = str(tmp_path / "ts")
+    merge.versioned_layout_write(
+        spark.range(30).selectExpr("id AS k", "id AS v"), "k", path, 2
+    )
+    for i in range(3):
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame([(1, i)], "k long, v long"), "k",
+        )
+    before = merge.commit_timestamps(spark, path)
+    assert sorted(before) == [0, 1, 2, 3]
+    assert all(before[v] < before[v + 1] for v in range(3))
+    # skew every surviving _SUCCESS mtime far into the future: the
+    # stamped sidecar values must still be what reads resolve through
+    for v in range(4):
+        os.utime(
+            os.path.join(path, "_manifest", f"v={v}", "_SUCCESS"),
+            (2_000_000_000, 2_000_000_000),
+        )
+    assert merge.commit_timestamps(spark, path) == before
+    probe = before[1]  # wall-clock of v1's commit
+    assert merge.version_as_of(spark, path, probe) == 1
+    merge.vacuum_versions(spark, path, keep_last=3)  # v0 expires
+    after = merge.commit_timestamps(spark, path)
+    assert after == {v: before[v] for v in (1, 2, 3)}
+    assert merge.version_as_of(spark, path, probe) == 1
 
 
 def test_cdf_explicit_pre_fork_start_clamps_to_fork(spark, tmp_path):
@@ -2416,3 +2505,187 @@ def test_cdf_partitioned_equals_simple_reader(spark, tmp_path):
     rows_p = sorted(map(tuple, part.collect()), key=repr)
     rows_s = sorted(map(tuple, simple.collect()), key=repr)
     assert rows_p == rows_s and len(rows_p) == 3 + 2 + 2
+
+
+_RACE_CHILD = r"""
+import os, sys, time
+repo, path, writer, barrier = sys.argv[1:5]
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName(f"race-{writer}")
+    .getOrCreate()
+)
+from data_pipeline_bigquery_to_sftp_server_spark.operators import merge
+
+base = merge._list_versions(spark, f"{path}/_manifest")[-1]
+open(f"{barrier}.{writer}.ready", "w").write(str(base))
+while not os.path.exists(f"{barrier}.go"):
+    time.sleep(0.05)
+batch = spark.createDataFrame([(1, float(ord(writer[0])))], "k long, v double")
+try:
+    out = merge.upsert_versioned_dv(
+        spark, path, batch.selectExpr("k", "CAST(v AS LONG) AS v"),
+        "k", writer=writer,
+    )
+    print(f"RESULT {writer} WIN {out.version}", flush=True)
+except merge.ConcurrentWriteError as e:
+    print(f"RESULT {writer} LOSE {e.version}", flush=True)
+spark.stop()
+"""
+
+
+def test_cross_process_commit_race(spark, tmp_path):
+    """The optimistic-concurrency gate across REAL process boundaries
+    (r13 verdict #7): two independent driver JVMs race the same
+    version's create-exclusive intent marker — exactly one commits,
+    the other raises ConcurrentWriteError without contaminating the
+    table, and the loser's retry lands cleanly at the next version.
+    In-process racing (test_merge's other committer races) can't prove
+    the CAS holds between separate processes; this does."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    path = str(tmp_path / "race")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, 0) for i in range(1, 21)], "k long, v long"
+        ),
+        "k", path, 2,
+    )
+    child = str(tmp_path / "race_child.py")
+    with open(child, "w") as f:
+        f.write(_RACE_CHILD)
+    repo = os.path.dirname(
+        os.path.dirname(os.path.abspath(merge.__file__.replace("/operators", "")))
+    )
+    barrier = str(tmp_path / "barrier")
+    procs = {
+        w: subprocess.Popen(
+            [sys.executable, child, repo, path, w, barrier],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        for w in ("A", "B")
+    }
+    deadline = time.time() + 180
+    while not all(
+        os.path.exists(f"{barrier}.{w}.ready") for w in procs
+    ):
+        assert time.time() < deadline, "children never reached the barrier"
+        for p in procs.values():
+            assert p.poll() is None or p.returncode == 0
+        time.sleep(0.1)
+    # both children saw the SAME base version before either commits
+    seen = {open(f"{barrier}.{w}.ready").read() for w in procs}
+    assert seen == {"0"}
+    open(f"{barrier}.go", "w").write("1")
+    results = {}
+    for w, p in procs.items():
+        out, _ = p.communicate(timeout=180)
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, w_, verdict, v = line.split()
+                results[w_] = (verdict, int(v))
+    assert sorted(r[0] for r in results.values()) == ["LOSE", "WIN"]
+    assert all(v == 1 for _, v in results.values())
+    winner = next(w for w, r in results.items() if r[0] == "WIN")
+    got = {
+        r.k: r.v
+        for r in merge.read_version(spark, path).where("k = 1").collect()
+    }
+    assert got == {1: ord(winner)}
+    assert merge._list_versions(spark, f"{path}/_manifest") == [0, 1]
+    # the loser retries on the fresh tip and lands at v2
+    loser = next(w for w, r in results.items() if r[0] == "LOSE")
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(1, ord(loser))], "k long, v long"),
+        "k", writer=f"{loser}-retry",
+    )
+    got = {
+        r.k: r.v
+        for r in merge.read_version(spark, path).where("k = 1").collect()
+    }
+    assert got == {1: ord(loser)}
+
+
+def test_cross_process_crashed_writer_rollback(spark, tmp_path):
+    """A writer from ANOTHER process that died mid-commit (intent
+    marker + partial generation on disk, no manifest) blocks rivals
+    with ConcurrentWriteError until rollback_inflight clears it — then
+    commits proceed and the dead attempt's data is gone."""
+    import os
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "crash")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, 0) for i in range(1, 21)], "k long, v long"
+        ),
+        "k", path, 2,
+    )
+    child = str(tmp_path / "crash_child.py")
+    with open(child, "w") as f:
+        f.write(
+            r"""
+import os, sys
+repo, path = sys.argv[1:3]
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("crasher")
+    .getOrCreate()
+)
+from data_pipeline_bigquery_to_sftp_server_spark.operators import merge
+
+merge._begin_commit(spark, path, 1, "DEAD")
+spark.createDataFrame([(1, 99)], "k long, v long") \
+    .selectExpr("k", "v", "CAST(0 AS LONG) AS _kr", "CAST(1 AS LONG) AS _gen") \
+    .write.mode("append").partitionBy("_kr", "_gen").parquet(f"{path}/data")
+print("CRASHING", flush=True)
+os._exit(1)  # hard death: no cleanup, no spark.stop()
+"""
+        )
+    repo = os.path.dirname(
+        os.path.dirname(os.path.abspath(merge.__file__.replace("/operators", "")))
+    )
+    p = subprocess.run(
+        [sys.executable, child, repo, path],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        timeout=180,
+    )
+    assert "CRASHING" in p.stdout and p.returncode == 1
+    assert os.path.exists(f"{path}/_manifest/v=1.begin")
+    assert os.path.isdir(f"{path}/data/_kr=0/_gen=1")
+    try:
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame([(2, 22)], "k long, v long"),
+            "k", writer="ALIVE",
+        )
+        raise AssertionError("expected ConcurrentWriteError")
+    except merge.ConcurrentWriteError as e:
+        assert e.holder == "DEAD"
+    rolled = merge.rollback_inflight(spark, path)
+    assert rolled == [1]
+    assert not os.path.exists(f"{path}/_manifest/v=1.begin")
+    assert not os.path.exists(f"{path}/data/_kr=0/_gen=1")
+    out = merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(2, 22)], "k long, v long"),
+        "k", writer="ALIVE",
+    )
+    assert out.version == 1
+    got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert got[2] == 22 and got[1] == 0
