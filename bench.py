@@ -248,6 +248,12 @@ HEADLINE = [
     "shallow_clone",
     "as_of_timestamp",
     "tagged_read",
+    # r14: oracle-replayable exact configurations of the held-ANN family
+    "ivf_prebuilt_full_probe",
+    "pq_full_rerank",
+    "ivfpq_full_probe",
+    # r14: SQL front door routing MERGE INTO / RESTORE / DESCRIBE HISTORY
+    "lakehouse_sql",
 ]
 
 
@@ -262,6 +268,35 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
     return round(time.perf_counter() - t0, 3)
+
+
+def _jvm_hygiene(spark, base_views: set[str]) -> None:
+    """Between-query JVM-state reset (r13 verdict #2: shared-JVM
+    pressure inflated late-suite numbers by up to ±25% — pq_topk
+    measured 1.96 s isolated vs 4.45–6.74 s deep in a 200+-item run).
+    Three leaks accumulate across a long suite: temp views queries
+    register and abandon, py4j proxies pinning JVM-side plans/RDDs,
+    and localCheckpoint block stores that free only when their RDD is
+    garbage-collected IN THE JVM. So: drop the views this query added,
+    collect Python (releases the proxies), and ask the JVM to collect
+    (lets ContextCleaner reap the now-unreachable checkpoint blocks).
+    Deliberately NOT spark.catalog.clearCache(): the shared pair/BPE/
+    ANN-index caches are priced once as *_materialize line items and
+    the suite's steady-state entries measure the cached-read path by
+    design."""
+    import gc
+
+    try:
+        for t in spark.catalog.listTables():
+            if t.isTemporary and t.name not in base_views:
+                spark.catalog.dropTempView(t.name)
+    except Exception:
+        pass
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def main() -> None:
@@ -317,9 +352,19 @@ def main() -> None:
 
     # Best of two runs per query: the second run re-executes the full
     # plan (noop sink caches nothing), so min() filters transient
-    # machine-load noise without hiding real per-query cost.
+    # machine-load noise without hiding real per-query cost. Between
+    # queries, _jvm_hygiene resets the shared-JVM state so an item's
+    # number doesn't depend on its suite position.
+    base_views = set()
+    try:
+        base_views = {
+            t.name for t in spark.catalog.listTables() if t.isTemporary
+        }
+    except Exception:
+        pass
     for name in HEADLINE:
         timings[name] = min(run_one(spark, name, sf_dir) for _ in range(2))
+        _jvm_hygiene(spark, base_views)
 
     total = round(sum(timings.values()), 3)
     payload = {

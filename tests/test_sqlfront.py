@@ -1,0 +1,141 @@
+"""SQL front door (operators/sqlfront.py): Delta-style MERGE INTO /
+DESCRIBE HISTORY / RESTORE TABLE / VACUUM statements dispatched onto
+the existing versioned-table committers — parsing only, no second
+commit implementation. The reference has no statement surface at all
+(its MERGE is a hardwired BigQuery call, main.py:349-358)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_to_sftp_server_spark.operators import merge
+from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+    lakehouse_sql,
+)
+
+
+def _table(spark, tmp_path, name="t", n=40):
+    path = str(tmp_path / name)
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, n + 1)], "k long, v long"
+        ),
+        "k", path, 2,
+    )
+    return path
+
+
+def test_merge_into_routes_arms(spark, tmp_path):
+    """MERGE INTO with conditional delete + update + insert arms lands
+    as ONE merge_arms_versioned_dv commit, first-match-wins precedence
+    identical to the direct call."""
+    path = _table(spark, tmp_path)
+    spark.createDataFrame(
+        [(2, 999), (3, 999), (99, 990)], "k long, v long"
+    ).createOrReplaceTempView("_sf_cdc")
+    out = lakehouse_sql(
+        spark,
+        """
+        MERGE INTO t USING _sf_cdc AS s ON t.k = s.k
+        WHEN MATCHED AND t.v % 20 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *;
+        """,
+        tables={"t": path},
+    )
+    assert out.version == 1
+    assert (out.n_deleted, out.n_updated, out.n_inserted) == (1, 1, 1)
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    # k=2 (v=20, even-20) deleted; k=3 updated; k=99 inserted
+    assert 2 not in live and live[3] == 999 and live[99] == 990
+    assert merge.commit_operations(spark, path)[1] == "MERGE"
+
+
+def test_merge_into_update_subset_and_quoted_path(spark, tmp_path):
+    """UPDATE SET with an explicit column list updates only that
+    subset; a quoted path literal works without a tables mapping."""
+    path = _table(spark, tmp_path)
+    spark.createDataFrame(
+        [(5, 111, 7)], "k long, v long, w long"
+    ).createOrReplaceTempView("_sf_sub")
+    # target lacks w: stage only (k, v), SET only v
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO '{path}' USING _sf_sub ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v",
+        staging=spark.table("_sf_sub").select("k", "v"),
+    )
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert live[5] == 111
+
+
+def test_restore_and_history_and_vacuum(spark, tmp_path):
+    """RESTORE commits a rollback-as-commit; DESCRIBE HISTORY surfaces
+    the ledger; VACUUM DRY RUN previews without deleting and the real
+    run honors RETAIN."""
+    import os
+
+    path = _table(spark, tmp_path)
+    tables = {"t": path}
+    spark.createDataFrame([(1, 0)], "k long, v long").createOrReplaceTempView(
+        "_sf_r"
+    )
+    lakehouse_sql(
+        spark,
+        "MERGE INTO t USING _sf_r ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET *",
+        tables=tables,
+    )
+    v2 = lakehouse_sql(spark, "RESTORE TABLE t TO VERSION AS OF 0", tables=tables)
+    assert v2 == 2
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert live[1] == 10  # restored
+    hist = lakehouse_sql(spark, "DESCRIBE HISTORY t", tables=tables)
+    assert [
+        (r.version, r.operation) for r in hist.orderBy("version").collect()
+    ] == [(0, "WRITE"), (1, "MERGE"), (2, "RESTORE")]
+    planned = lakehouse_sql(spark, "VACUUM t DRY RUN", tables=tables)
+    assert planned and all(
+        os.path.exists(p.removeprefix("file:")) for p in planned
+    )
+    # a wide RETAIN keeps everything despite default keep_last
+    assert lakehouse_sql(spark, "VACUUM t RETAIN 9999 HOURS", tables=tables) == []
+    gone = lakehouse_sql(spark, "VACUUM t", tables=tables)
+    assert set(gone) == set(planned)  # the preview was the real list
+
+
+def test_rejects_unsupported_surface(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    tables = {"t": path}
+    spark.createDataFrame([(1, 0)], "k long, v long").createOrReplaceTempView(
+        "_sf_x"
+    )
+    with pytest.raises(ValueError, match="NOT MATCHED BY SOURCE"):
+        lakehouse_sql(
+            spark,
+            "MERGE INTO t USING _sf_x ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            tables=tables,
+        )
+    with pytest.raises(ValueError, match="same-named key"):
+        lakehouse_sql(
+            spark,
+            "MERGE INTO t USING _sf_x ON t.k = s.kk "
+            "WHEN MATCHED THEN UPDATE SET *",
+            tables=tables,
+        )
+    with pytest.raises(ValueError, match="unsupported clause"):
+        lakehouse_sql(
+            spark,
+            "MERGE INTO t USING _sf_x ON t.k = s.k "
+            "WHEN MATCHED THEN FROB",
+            tables=tables,
+        )
+    with pytest.raises(ValueError, match="unsupported statement"):
+        # an armless MERGE never reaches the dispatcher's arm parser
+        lakehouse_sql(
+            spark, "MERGE INTO t USING _sf_x ON t.k = s.k WHEN", tables=tables
+        )
+    with pytest.raises(KeyError, match="unknown table"):
+        lakehouse_sql(spark, "DESCRIBE HISTORY nope", tables=tables)
+    with pytest.raises(ValueError, match="unsupported statement"):
+        lakehouse_sql(spark, "OPTIMIZE t ZORDER BY (k)", tables=tables)
