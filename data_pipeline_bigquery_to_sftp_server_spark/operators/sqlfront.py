@@ -14,11 +14,23 @@ Supported grammar (one statement per call, ``;`` optional)::
     DESCRIBE HISTORY <table>
     RESTORE TABLE <table> TO VERSION AS OF <n>
     VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]
+    OPTIMIZE <table> [FULL]
+    CREATE TABLE <dst> SHALLOW CLONE <src>
     MERGE INTO <table> [AS t] USING <source> [AS s]
         ON t.<key> = s.<key>
         { WHEN MATCHED [AND <cond>] THEN UPDATE SET * | <c1, c2, ...>
         | WHEN MATCHED [AND <cond>] THEN DELETE
         | WHEN NOT MATCHED [AND <cond>] THEN INSERT * }...
+
+``OPTIMIZE`` routes to the file-size-aware bin-packer
+(compact_small_generations — steady-state big files never rewritten);
+``OPTIMIZE ... FULL`` is the whole-table compaction (compact_table,
+which also folds the deletion-vector debt to zero). Both need the
+table's merge key, passed as ``key=`` (the statement grammar has no
+slot for it; Delta reads it from table metadata, this engine's tables
+are key-parameterized at the call site like every committer).
+``SHALLOW CLONE``'s destination is a path literal or an (unbound)
+name resolved against ``tables``.
 
 ``<table>`` resolves through the ``tables`` name->path mapping, or is
 a quoted path literal (``'...'``). ``<source>`` is a temp-view name
@@ -44,6 +56,9 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+    clone_table,
+    compact_small_generations,
+    compact_table,
     merge_arms_versioned_dv,
     restore_version,
     table_history,
@@ -114,14 +129,17 @@ def lakehouse_sql(
     stmt: str,
     tables: dict[str, str] | None = None,
     staging: DataFrame | None = None,
+    key: str | None = None,
+    min_file_bytes: int = 128 * 1024 * 1024,
 ):
     """Dispatch one lakehouse SQL statement onto the versioned-table
     committers. Returns what the underlying operator returns:
     DESCRIBE HISTORY -> the history DataFrame; RESTORE -> the new
     version number (restore-as-commit); VACUUM -> the reclaimed-path
-    list (preview list under DRY RUN); MERGE INTO -> the committed
-    fresh-copy frame with version / touched_buckets / per-arm counts
-    attached."""
+    list (preview list under DRY RUN); OPTIMIZE -> what the compactor
+    returns (the live frame, ``key=`` required); SHALLOW CLONE -> the
+    clone's fork version; MERGE INTO -> the committed fresh-copy frame
+    with version / touched_buckets / per-arm counts attached."""
     s = _WS.sub(" ", str(stmt)).strip().rstrip(";").strip()
     m = re.match(r"(?i)^DESCRIBE HISTORY (.+)$", s)
     if m:
@@ -142,6 +160,37 @@ def lakehouse_sql(
             retention_ms=None if retain is None else int(retain) * 3_600_000,
             dry_run=bool(m.group(3)),
         )
+    m = re.match(r"(?i)^OPTIMIZE (.+?)( FULL)?$", s)
+    if m:
+        if re.search(r"(?i)\bZORDER\b", s):
+            raise ValueError(
+                "lakehouse_sql: OPTIMIZE ... ZORDER BY is not a statement "
+                "here — z-ordering is a bootstrap-time layout choice "
+                "(versioned_layout_write over a z-ordered frame; see "
+                "q_versioned_zorder)"
+            )
+        if key is None:
+            raise ValueError(
+                "lakehouse_sql: OPTIMIZE needs key=<merge key column> "
+                "(the table's key is a call-site parameter in this engine)"
+            )
+        path = _resolve_table(m.group(1), tables)
+        if m.group(2):
+            return compact_table(spark, path, key)
+        # Delta's OPTIMIZE small-file threshold is a session default;
+        # same shape here (128 MiB unless the caller overrides)
+        return compact_small_generations(spark, path, key, min_file_bytes)
+    m = re.match(r"(?i)^CREATE TABLE (\S+) SHALLOW CLONE (\S+)$", s)
+    if m:
+        dst, src = m.groups()
+        # the destination may be a NEW name: resolve leniently (quoted
+        # literal or mapping hit), falling back to the raw token as a
+        # path — it does not exist yet, so the mapping cannot know it
+        try:
+            dst_path = _resolve_table(dst, tables)
+        except KeyError:
+            dst_path = dst
+        return clone_table(spark, _resolve_table(src, tables), dst_path)
     m = re.match(
         r"(?i)^MERGE INTO (\S+)(?: AS t)? USING (\S+)(?: AS s)? "
         r"ON t\.(\w+) = s\.(\w+) (WHEN .+)$",

@@ -137,5 +137,47 @@ def test_rejects_unsupported_surface(spark, tmp_path):
         )
     with pytest.raises(KeyError, match="unknown table"):
         lakehouse_sql(spark, "DESCRIBE HISTORY nope", tables=tables)
-    with pytest.raises(ValueError, match="unsupported statement"):
+    with pytest.raises(ValueError, match="ZORDER"):
         lakehouse_sql(spark, "OPTIMIZE t ZORDER BY (k)", tables=tables)
+    with pytest.raises(ValueError, match="OPTIMIZE needs key="):
+        lakehouse_sql(spark, "OPTIMIZE t", tables=tables)
+    with pytest.raises(ValueError, match="unsupported statement"):
+        lakehouse_sql(spark, "SELECT 1", tables=tables)
+
+
+def test_optimize_and_shallow_clone_statements(spark, tmp_path):
+    """OPTIMIZE routes to the bin-packer (FULL -> whole-table
+    compaction, which folds DV debt); CREATE TABLE ... SHALLOW CLONE
+    forks zero-copy. Every statement lands as the same commit the
+    direct committer call would make."""
+    import os
+
+    path = _table(spark, tmp_path)
+    tables = {"t": path}
+    # a few tiny MOR commits to give the bin-packer material
+    for i in range(3):
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame([(1 + i, 999)], "k long, v long"), "k",
+        )
+    lakehouse_sql(spark, "OPTIMIZE t", tables=tables, key="k")
+    ops = merge.commit_operations(spark, path)
+    assert ops[max(ops)] == "OPTIMIZE"
+    live_before = {
+        r.k: r.v for r in merge.read_version(spark, path).collect()
+    }
+    lakehouse_sql(spark, "OPTIMIZE t FULL", tables=tables, key="k")
+    ops = merge.commit_operations(spark, path)
+    assert ops[max(ops)] == "OPTIMIZE"
+    assert not os.path.isdir(f"{path}/_dv/v={max(ops)}")  # DV debt folded
+    assert {
+        r.k: r.v for r in merge.read_version(spark, path).collect()
+    } == live_before
+    dst = str(tmp_path / "fork")
+    v0 = lakehouse_sql(
+        spark, f"CREATE TABLE '{dst}' SHALLOW CLONE t", tables=tables
+    )
+    assert merge.commit_operations(spark, dst)[v0] == "CLONE"
+    assert {
+        r.k: r.v for r in merge.read_version(spark, dst).collect()
+    } == live_before
