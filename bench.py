@@ -254,6 +254,9 @@ HEADLINE = [
     "ivfpq_full_probe",
     # r14: SQL front door routing MERGE INTO / RESTORE / DESCRIBE HISTORY
     "lakehouse_sql",
+    # r14: retrieval ANN twins at their exactness anchors
+    "hard_negatives_full_probe",
+    "retrieval_mrr_full_probe",
 ]
 
 

@@ -5772,6 +5772,60 @@ def q_retrieval_mrr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.join(exact, "query_id").orderBy("query_id")
 
 
+def q_hard_negatives_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39b at its exactness anchor (r14), ORACLE-CHECKED: the ANN
+    hard-negative miner under full-probe IVF with ``k_candidates >=
+    |corpus|`` — every inverted list probed and no candidate cut, so
+    the candidate set is the whole corpus and the label-filter +
+    exact-re-rank + top-5 must equal the exact twin for EVERY anchor
+    (not just the fixture the pytest pin runs on). Same
+    _ORACLE_HARD_NEGATIVES as the exact path; the production LSH
+    configuration stays rows-only with its recall column
+    (operators/retrieval.py hard_negatives_ann)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import (
+        retrieval as R,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = R.hard_negatives_ann(
+        e, anchors, k=5, k_candidates=1 << 30, method="ivf",
+        n_centroids=4, n_probe=4,
+    )
+    return out.select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    ).orderBy("query_id", "rnk")
+
+
+def q_retrieval_mrr_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43b at its exactness anchor (r14), ORACLE-CHECKED: MRR over
+    ANN candidate lists with full-probe IVF and ``k_candidates >=
+    |corpus|`` — the candidate list IS the corpus, so within-list
+    ranks equal global ranks and the first-relevant rank matches the
+    exact path's for every anchor. Shares _ORACLE_RETRIEVAL_MRR; the
+    pruned LSH configuration stays rows-only with its agreement
+    column (operators/retrieval.py retrieval_mrr_ann)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import (
+        retrieval as R,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = R.retrieval_mrr_ann(
+        e, anchors, k_candidates=1 << 30, method="ivf",
+        n_centroids=4, n_probe=4,
+    )
+    return out.orderBy("query_id")
+
+
 def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X38 Bloom-prefiltered exact dedup screen, ORACLE-CHECKED: the
     production two-tier membership pattern — every incoming doc
@@ -14515,6 +14569,8 @@ QUERIES: dict[str, QueryFn] = {
     "ivfpq_full_probe": q_ivfpq_full_probe,
     # r14 SQL front door (oracle replays MERGE arms + RESTORE + history):
     "lakehouse_sql": q_lakehouse_sql,
+    "hard_negatives_full_probe": q_hard_negatives_full_probe,
+    "retrieval_mrr_full_probe": q_retrieval_mrr_full_probe,
     # latest attestation r5:
     "regex_extract": q_regex_extract,
     "udtf_sentences": q_udtf_sentences,
@@ -14546,7 +14602,6 @@ QUERIES: dict[str, QueryFn] = {
     "token_topk": q_token_topk,
     # latest attestation r9:
     "assemble_bins": q_assemble_bins,
-    "bloom_screen": q_bloom_screen,
     "chunk_documents": q_chunk_documents,
     "corpus_report": q_corpus_report,
     "decontaminate": q_decontaminate,
@@ -14555,7 +14610,6 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_rules": q_gopher_rules,
     "heavy_hitters": q_heavy_hitters,
     "jaccard_pairs": q_jaccard_pairs,
-    "pagerank": q_pagerank,
     "pii_redaction": q_pii_redaction,
     "pricing_summary": q_pricing_summary,
     "quality_filter": q_quality_filter,
@@ -14572,6 +14626,8 @@ QUERIES: dict[str, QueryFn] = {
     # (r9, displaced by the lakehouse_sql slot) stays >= r9 and its
     # DSIR/mixture/temperature family has r10-r11 in-registry siblings.
     "importance_resample": q_importance_resample,
+    "bloom_screen": q_bloom_screen,
+    "pagerank": q_pagerank,
     "promo_share": q_promo_share,
     "disjunctive_rev": q_disjunctive_rev,
     "merge_dv": q_merge_dv,
@@ -14931,6 +14987,10 @@ ORACLES: dict[str, str] = {
     "ingest_pipeline": _ORACLE_INGEST_PIPELINE,
     "hard_negatives": _ORACLE_HARD_NEGATIVES,
     "retrieval_mrr": _ORACLE_RETRIEVAL_MRR,
+    # r14 promotions: ANN retrieval twins at full probe with the
+    # candidate cut removed are provably equal to their exact paths
+    "hard_negatives_full_probe": _ORACLE_HARD_NEGATIVES,
+    "retrieval_mrr_full_probe": _ORACLE_RETRIEVAL_MRR,
     "bloom_screen": _ORACLE_STREAMING_INCREMENTAL_DEDUP,
     "pagerank": _ORACLE_PAGERANK,
     "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
