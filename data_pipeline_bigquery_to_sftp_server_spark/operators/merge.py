@@ -2135,6 +2135,25 @@ def vacuum_versions(
                 if not dry_run:
                     fs.delete(p, True)
                 deleted.append(leftover)
+    # orphaned quarantine STAGING dirs (_quarantine/_staged-<writer>):
+    # a writer that hard-crashed between staging its quarantine rows
+    # and committing leaves one behind (the failure path deletes its
+    # own; only a process death orphans). Reclaim is AGE-GATED — only
+    # when the caller gave retention_ms and the staging dir predates
+    # the horizon — because inside the window a crashed-after-commit
+    # retry may still heal the dir into its version's ledger slot
+    # (constraints.finalize_staged_quarantine).
+    if retention_ms is not None:
+        import time as _time
+
+        qroot = jvm.org.apache.hadoop.fs.Path(f"{path}/_quarantine")
+        horizon = int(_time.time() * 1000) - int(retention_ms)
+        for st in fs.listStatus(qroot) if fs.exists(qroot) else []:
+            nm = st.getPath().getName()
+            if nm.startswith("_staged-") and st.getModificationTime() < horizon:
+                if not dry_run:
+                    fs.delete(st.getPath(), True)
+                deleted.append(st.getPath().toString())
     return deleted
 
 

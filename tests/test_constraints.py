@@ -302,3 +302,37 @@ def test_quarantine_failed_commit_drops_staging(spark, tmp_path):
     except merge.ConcurrentWriteError:
         pass
     assert not os.path.exists(f"{path}/_quarantine/_staged-LOSER")
+
+
+def test_vacuum_reclaims_aged_orphan_staging(spark, tmp_path):
+    """An orphaned quarantine STAGING dir (hard-crashed writer) is
+    reclaimed by an age-retention vacuum once it predates the horizon;
+    fresh staging dirs survive (a crashed-after-commit retry may still
+    heal them into their version slot), and keep_last-only vacuums
+    never touch them."""
+    import os
+
+    path = _table(spark, tmp_path, "vos")
+    staged = f"{path}/_quarantine/_staged-DEAD"
+    _batch(spark, [(9, -9)]).withColumn(
+        "_violation", F.lit("v_pos")
+    ).coalesce(1).write.parquet(staged)
+    merge.upsert_versioned(spark, path, _batch(spark, [(1, 1)]), "k")
+    # keep_last-only vacuum: staging dirs are not its to judge
+    merge.vacuum_versions(spark, path, keep_last=1)
+    assert os.path.isdir(staged)
+    # age vacuum with a wide horizon: still inside the heal window
+    merge.vacuum_versions(spark, path, keep_last=1, retention_ms=3_600_000)
+    assert os.path.isdir(staged)
+    # age the dir past the horizon: reclaimed (and previewed first)
+    os.utime(staged, (1, 1))
+    planned = merge.vacuum_versions(
+        spark, path, keep_last=1, retention_ms=60_000, dry_run=True
+    )
+    assert any("_staged-DEAD" in p for p in planned)
+    assert os.path.isdir(staged)
+    gone = merge.vacuum_versions(
+        spark, path, keep_last=1, retention_ms=60_000
+    )
+    assert any("_staged-DEAD" in p for p in gone)
+    assert not os.path.exists(staged)

@@ -1765,7 +1765,7 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
         seed=st.integers(0, 2**31),
         ops=st.lists(
             st.sampled_from(
-                ["mor", "cow", "delete", "arms", "restore",
+                ["mor", "cow", "delete", "arms", "arms_sql", "restore",
                  "binpack", "compact", "rebucket", "vacuum",
                  "clone", "quarantine", "tag"]
             ),
@@ -1834,7 +1834,7 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
                 for k in keys:
                     m.pop(k, None)
                 models[v] = m
-            elif op == "arms":
+            elif op in ("arms", "arms_sql"):
                 staged = [
                     (rng.randrange(80), rng.randrange(-50, 10_000),
                      rng.choice("DUI"))
@@ -1842,14 +1842,32 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
                 ]
                 # staging must be key-unique (MERGE contract)
                 staged = list({s[0]: s for s in staged}.values())
-                out = merge.merge_arms_versioned_dv(
-                    spark, path,
-                    spark.createDataFrame(staged, "k long, v long, op string"),
-                    "k",
-                    matched=[("s.op = 'D'", "delete"),
-                             ("s.op = 'U'", "update", None)],
-                    not_matched=[("s.op = 'I' AND s.v >= 0", "insert")],
-                )
+                sdf = spark.createDataFrame(staged, "k long, v long, op string")
+                if op == "arms":
+                    out = merge.merge_arms_versioned_dv(
+                        spark, path, sdf, "k",
+                        matched=[("s.op = 'D'", "delete"),
+                                 ("s.op = 'U'", "update", None)],
+                        not_matched=[("s.op = 'I' AND s.v >= 0", "insert")],
+                    )
+                else:
+                    # the SAME arms through the SQL front door: the
+                    # dispatcher must be commit-for-commit identical
+                    # to the direct call at any sequence position
+                    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+                        lakehouse_sql,
+                    )
+
+                    out = lakehouse_sql(
+                        spark,
+                        "MERGE INTO t USING src ON t.k = s.k "
+                        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+                        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET * "
+                        "WHEN NOT MATCHED AND s.op = 'I' AND s.v >= 0 "
+                        "THEN INSERT *",
+                        tables={"t": path},
+                        staging=sdf,
+                    )
                 for k, nv, sop in staged:
                     if k in m:
                         if sop == "D":
