@@ -35,6 +35,8 @@ DEFAULT = [
     "ivf_prebuilt_full_probe",
     "pq_full_rerank",
     "ivfpq_full_probe",
+    "hard_negatives_full_probe",
+    "retrieval_mrr_full_probe",
 ]
 SF_DIRS = [
     "/root/testdata/sf0.001",
