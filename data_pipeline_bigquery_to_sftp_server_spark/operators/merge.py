@@ -603,7 +603,12 @@ def _write_commit_meta(
 
 
 def _write_commit_op(
-    spark: SparkSession, path: str, version: int, operation: str, **params
+    spark: SparkSession,
+    path: str,
+    version: int,
+    operation: str,
+    changed_buckets: list | None = None,
+    **params,
 ) -> None:
     """Tag a commit with its operation name (+ parameters) —
     ``_manifest/v=<n>.op`` — the provenance column Delta's DESCRIBE
@@ -622,7 +627,20 @@ def _write_commit_op(
     — and version_as_of(ts) with them. A stamped value is immune to
     what vacuum deletes. Steady state reads ONE sidecar (the previous
     version's persisted ts); the full-chain fallback only runs for
-    histories predating the stamp."""
+    histories predating the stamp.
+
+    ``changed_buckets`` (r15) persists the commit's CDF change-set
+    bucket list — the distinct ``_kr`` values of DV entries whose
+    ``live_gen`` equals this version. With it, the streaming CDF
+    source's partition PLANNING is a sidecar read (O(n_buckets)
+    metadata) instead of a driver-side scan over the version's DV
+    (O(changed keys) — the r14 verdict's last scale term). Every
+    committer must pass it: the MOR committers pass their touched /
+    claimed buckets, everything else passes ``[]`` because structural
+    and copy-on-write commits have EMPTY change sets by construction
+    (no DV entry carries their own version as live_gen). ``None``
+    (omit the key) is reserved for histories written before the stamp;
+    the CDF planner then falls back to scanning the DV."""
     import json as _json
     import time as _time
 
@@ -641,14 +659,14 @@ def _write_commit_op(
             else commit_timestamps(spark, path, prev_versions)[last]
         )
     ts = max(int(_time.time() * 1000), prev_ts + 1)
+    payload = {"operation": operation, "parameters": params, "commit_ts": ts}
+    if changed_buckets is not None:
+        payload["changed_buckets"] = sorted(int(b) for b in changed_buckets)
     # own version slot: overwrite self-heals after a crashed attempt
     _write_small_file(
         spark,
         f"{path}/_manifest/v={version}.op",
-        _json.dumps(
-            {"operation": operation, "parameters": params, "commit_ts": ts},
-            sort_keys=True,
-        ),
+        _json.dumps(payload, sort_keys=True),
     )
 
 
@@ -953,12 +971,43 @@ def _read_dv(spark: SparkSession, path: str, version: int) -> DataFrame | None:
     Semantics: a DV row says only the key's copy with ``_gen >=
     live_gen`` is live; every older-generation copy is logically
     deleted. A pure delete commits live_gen = v+1 with NO new copy, so
-    the key simply has no live generation."""
+    the key simply has no live generation.
+
+    Reads BOTH layouts: the bucket-partitioned ``_dv/v=<n>/_kr=<b>/``
+    form _write_dv commits (r15) — partition discovery recovers
+    ``_kr`` exactly like the data directories' own ``_kr=<b>`` — and
+    the pre-r15 flat form where ``_kr`` is a data column. An empty DV
+    state (a partitioned write of zero rows leaves only _SUCCESS) is
+    semantically identical to no DV — no entry supersedes anything —
+    and returns None rather than failing schema inference."""
     jvm, fs, _ = _fs(spark, path)
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/_dv/v={version}")
     if not fs.exists(p):
         return None
+    # content = bucket partition directories (_kr=<b>, which DO start
+    # with an underscore) or flat data files; _SUCCESS/_committed
+    # markers alone mean a zero-entry DV state
+    if not any(
+        st.getPath().getName().startswith("_kr=")
+        or not st.getPath().getName().startswith("_")
+        for st in fs.listStatus(p)
+    ):
+        return None  # zero-entry DV state: nothing is superseded
     return spark.read.parquet(f"{path}/_dv/v={version}")
+
+
+def _write_dv(dv: DataFrame, path: str, version: int) -> None:
+    """Commit ``dv`` as the deletion-vector state at ``version``,
+    hive-partitioned by bucket (``_dv/v=<n>/_kr=<b>/``, r15): the
+    write parallelizes per-bucket instead of funneling a
+    backfill-sized DV through one coalesce(1) task, and the CDF
+    source's executor partitions open ONLY their own bucket's
+    directory (sources/pysource.py) instead of filter-scanning every
+    DV file. _read_dv and the CDF readers accept both this and the
+    pre-r15 flat layout, so upgraded tables mix freely."""
+    dv.write.mode("overwrite").partitionBy("_kr").parquet(
+        f"{path}/_dv/v={version}"
+    )
 
 
 def _apply_dv(data: DataFrame, dv: DataFrame | None) -> DataFrame:
@@ -1061,7 +1110,9 @@ def versioned_layout_write(
         point_cols,
         bloom_bits,
     )
-    _write_commit_op(spark, path, 0, "WRITE", n_buckets=int(n_buckets))
+    _write_commit_op(
+        spark, path, 0, "WRITE", changed_buckets=[], n_buckets=int(n_buckets)
+    )
     rows.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest/v=0")
 
 
@@ -1306,12 +1357,12 @@ def upsert_versioned(
         _begin_commit(spark, target_path, v + 1, writer)
         dv = _read_dv(spark, target_path, v)
         if dv is not None:
-            dv.coalesce(1).write.mode("overwrite").parquet(
-                f"{target_path}/_dv/v={v + 1}"
-            )
+            _write_dv(dv, target_path, v + 1)
         if commit_meta is not None:
             _write_commit_meta(spark, target_path, v + 1, commit_meta)
-        _write_commit_op(spark, target_path, v + 1, "MERGE", tier="cow")
+        _write_commit_op(
+            spark, target_path, v + 1, "MERGE", changed_buckets=[], tier="cow"
+        )
         manifest.coalesce(1).write.mode("overwrite").parquet(
             f"{target_path}/_manifest/v={v + 1}"
         )
@@ -1359,9 +1410,7 @@ def upsert_versioned(
         # overwrite its own read path, keeps its checkpoint)
         new_dv = dv.where(~F.col("_kr").isin(touched))
         if new_dv.limit(1).count():
-            new_dv.coalesce(1).write.mode("overwrite").parquet(
-                f"{target_path}/_dv/v={v + 1}"
-            )
+            _write_dv(new_dv, target_path, v + 1)
     # allowMissingColumns: rewritten buckets' rows carry no `ext` (they
     # are local now), a clone's untouched rows keep theirs
     new_manifest = manifest.where(~F.col("_kr").isin(touched)).unionByName(
@@ -1379,7 +1428,9 @@ def upsert_versioned(
     # filtered out by committed_metas (it checks _SUCCESS) — no window.
     if commit_meta is not None:
         _write_commit_meta(spark, target_path, v + 1, commit_meta)
-    _write_commit_op(spark, target_path, v + 1, "MERGE", tier="cow")
+    _write_commit_op(
+        spark, target_path, v + 1, "MERGE", changed_buckets=[], tier="cow"
+    )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
     )
@@ -1459,9 +1510,7 @@ def upsert_versioned_dv(
             dv_new
         )
     )
-    dv_state.coalesce(1).write.mode("overwrite").parquet(
-        f"{target_path}/_dv/v={v + 1}"
-    )
+    _write_dv(dv_state, target_path, v + 1)
     # a staging batch may omit a declared stats column (or carry new
     # ones — schema evolution); pad for the manifest aggregate only,
     # the data files stay exactly what staging carried
@@ -1481,7 +1530,10 @@ def upsert_versioned_dv(
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
         _write_commit_meta(spark, target_path, v + 1, commit_meta)
-    _write_commit_op(spark, target_path, v + 1, "MERGE", tier="mor")
+    _write_commit_op(
+        spark, target_path, v + 1, "MERGE",
+        changed_buckets=touched, tier="mor",
+    )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
     )
@@ -1515,6 +1567,9 @@ def delete_versioned(
     v = versions[-1]
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
     assigned = assign_range_bucket(keys.select(key), _cutpoints(manifest), key)
+    touched = sorted(
+        r[0] for r in assigned.select("_kr").distinct().collect()
+    )
     _begin_commit(spark, target_path, v + 1, writer)
     dv_new = assigned.select(
         "_kr", key, F.lit(v + 1).cast("long").alias("live_gen")
@@ -1527,13 +1582,13 @@ def delete_versioned(
             dv_new
         )
     )
-    dv_state.coalesce(1).write.mode("overwrite").parquet(
-        f"{target_path}/_dv/v={v + 1}"
-    )
+    _write_dv(dv_state, target_path, v + 1)
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
         _write_commit_meta(spark, target_path, v + 1, commit_meta)
-    _write_commit_op(spark, target_path, v + 1, "DELETE")
+    _write_commit_op(
+        spark, target_path, v + 1, "DELETE", changed_buckets=touched
+    )
     # data untouched: the manifest carries forward verbatim
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
@@ -1683,9 +1738,7 @@ def merge_arms_versioned_dv(
             claimed
         )
     )
-    dv_state.coalesce(1).write.mode("overwrite").parquet(
-        f"{target_path}/_dv/v={v + 1}"
-    )
+    _write_dv(dv_state, target_path, v + 1)
     if wrote_data:
         stats_src = fresh
         for c in stats_cols:
@@ -1708,8 +1761,14 @@ def merge_arms_versioned_dv(
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
         _write_commit_meta(spark, target_path, v + 1, commit_meta)
+    # the CDF change set is the CLAIMED keys' buckets (noop/skip rows
+    # wrote no DV entry) — a tiny distinct over the checkpointed frame
+    claimed_buckets = sorted(
+        r[0] for r in claimed.select("_kr").distinct().collect()
+    )
     _write_commit_op(
         spark, target_path, v + 1, "MERGE",
+        changed_buckets=claimed_buckets,
         tier="mor", arms=len(tuple(matched)) + len(tuple(not_matched)),
     )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
@@ -1838,7 +1897,9 @@ def compact_table(
         point_cols,
         _bloom_bits_of(manifest, point_cols) if point_cols else 0,
     )
-    _write_commit_op(spark, path, v + 1, "OPTIMIZE", mode="full")
+    _write_commit_op(
+        spark, path, v + 1, "OPTIMIZE", changed_buckets=[], mode="full"
+    )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_manifest/v={v + 1}"
     )
@@ -1944,8 +2005,10 @@ def compact_small_generations(
     # the DV carries forward verbatim: fresh copies at v+1 satisfy
     # every surviving entry's `_gen >= live_gen`, dead keys wrote none
     if dv is not None:
-        dv.coalesce(1).write.mode("overwrite").parquet(f"{path}/_dv/v={v + 1}")
-    _write_commit_op(spark, path, v + 1, "OPTIMIZE", mode="binpack")
+        _write_dv(dv, path, v + 1)
+    _write_commit_op(
+        spark, path, v + 1, "OPTIMIZE", changed_buckets=[], mode="binpack"
+    )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_manifest/v={v + 1}"
     )
@@ -2018,7 +2081,10 @@ def rebucket_table(
         point_cols,
         bloom_bits,
     )
-    _write_commit_op(spark, path, v + 1, "REBUCKET", n_buckets=int(n_buckets))
+    _write_commit_op(
+        spark, path, v + 1, "REBUCKET",
+        changed_buckets=[], n_buckets=int(n_buckets),
+    )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_manifest/v={v + 1}"
     )
@@ -2262,12 +2328,13 @@ def restore_version(
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_dv/v={v_new}"), True)
     dv = _read_dv(spark, path, version)
     if dv is not None:
-        dv.coalesce(1).write.mode("overwrite").parquet(f"{path}/_dv/v={v_new}")
+        _write_dv(dv, path, v_new)
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
         _write_commit_meta(spark, path, v_new, commit_meta)
     _write_commit_op(
-        spark, path, v_new, "RESTORE", restored_version=int(version)
+        spark, path, v_new, "RESTORE",
+        changed_buckets=[], restored_version=int(version),
     )
     # reads v=<version>, writes v=<v_new>: disjoint paths, no checkpoint
     spark.read.parquet(f"{path}/_manifest/v={version}").coalesce(
@@ -2334,11 +2401,10 @@ def clone_table(
     _begin_commit(spark, dst_path, v0, writer or _unique_writer())
     dv = _read_dv(spark, src_path, v)
     if dv is not None:
-        dv.coalesce(1).write.mode("overwrite").parquet(
-            f"{dst_path}/_dv/v={v0}"
-        )
+        _write_dv(dv, dst_path, v0)
     _write_commit_op(
-        spark, dst_path, v0, "CLONE", source=src_path, source_version=int(v)
+        spark, dst_path, v0, "CLONE",
+        changed_buckets=[], source=src_path, source_version=int(v),
     )
     # table METADATA travels with the clone (Delta clones constraints):
     # a fork of a constrained table is constrained. Tags deliberately

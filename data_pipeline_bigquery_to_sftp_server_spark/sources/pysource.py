@@ -160,7 +160,10 @@ def _cdf_read_dir(d: str):
     """All rows of one parquet directory as a list of dicts (pyarrow,
     driver-side; the directories this source reads are single-commit
     DV files and MOR fresh generations — CDC-sized by the DV
-    contract)."""
+    contract). Descends one level of hive partition subdirectories
+    (the r15 bucket-partitioned DV layout ``_kr=<b>/``) — partition
+    VALUES are not re-injected, which is fine because the CDF readers
+    never consume ``_kr`` from row content."""
     import os
 
     import pyarrow.parquet as pq
@@ -169,9 +172,11 @@ def _cdf_read_dir(d: str):
     if not os.path.isdir(d):
         return rows
     for f in sorted(os.listdir(d)):
-        if not f.endswith(".parquet"):
-            continue
-        rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+        full = os.path.join(d, f)
+        if os.path.isdir(full) and "=" in f and not f.startswith("."):
+            rows.extend(_cdf_read_dir(full))
+        elif f.endswith(".parquet"):
+            rows.extend(pq.read_table(full).to_pylist())
     return rows
 
 
@@ -223,7 +228,21 @@ class VersionedCdfDataSource(DataSource):
     bootstrap snapshot — which for a shallow clone is its fork commit,
     whose inherited deletion vector is pre-fork history, not a
     change), optional ``table_schema`` (DDL override for the data
-    columns)."""
+    columns), optional ``max_versions_per_trigger`` (admission
+    control, Delta's maxFilesPerTrigger analog: cap each micro-batch
+    at k commits so a giant backfill MERGE in the history cannot land
+    as ONE unbounded batch; the stream simply takes more batches to
+    reach the tip, end state identical).
+
+    Filesystem contract: both reader tiers address the table with
+    plain paths (os/pyarrow), so the table root must be visible to the
+    DRIVER and — for the default partitioned tier — to every EXECUTOR
+    at the same path: a shared filesystem (NFS, Lustre, fuse-mounted
+    object store) or local mode. On a cluster whose executors cannot
+    resolve the driver's paths, partitions fail loudly with
+    FileNotFoundError — mount the store or swap the os/pyarrow calls
+    for fsspec with the store's scheme (the partition planning and
+    read logic are path-scheme-agnostic)."""
 
     @classmethod
     def name(cls) -> str:
@@ -263,7 +282,23 @@ class VersionedCdfDataSource(DataSource):
             self.options["key"],
             [n for n, _ in self._data_cols()],
             None if sv is None else int(sv),
+            self._max_versions(),
         )
+
+    def _max_versions(self) -> int | None:
+        # option keys reach the python source lowercased; accept the
+        # Delta-style camelCase spelling via its lowercase form too
+        raw = self.options.get("max_versions_per_trigger") or self.options.get(
+            "maxversionspertrigger"
+        )
+        if raw is None:
+            return None
+        k = int(raw)
+        if k < 1:
+            raise ValueError(
+                f"versioned_cdf: max_versions_per_trigger must be >= 1, got {k}"
+            )
+        return k
 
     def simpleStreamReader(self, schema: StructType):
         sv = self.options.get("starting_version")
@@ -272,17 +307,38 @@ class VersionedCdfDataSource(DataSource):
             self.options["key"],
             [n for n, _ in self._data_cols()],
             None if sv is None else int(sv),
+            self._max_versions(),
         )
+
+
+def _cdf_clamp_end(path: str, after: int, max_versions: int | None) -> int:
+    """Newest version this micro-batch may consume: the tip, or — with
+    admission control on — the ``max_versions``-th COMMITTED version
+    past ``after`` (counted over actual commits, robust to any
+    numbering gap)."""
+    versions = _cdf_committed_versions(path)
+    if not versions:
+        return after
+    newer = [v for v in versions if v > after]
+    if max_versions is not None and len(newer) > max_versions:
+        return newer[max_versions - 1]
+    return max(versions[-1], after)
 
 
 class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
     def __init__(
-        self, path: str, key: str, cols: list[str], start: int | None
+        self,
+        path: str,
+        key: str,
+        cols: list[str],
+        start: int | None,
+        max_versions: int | None = None,
     ):
         self.path = path
         self.key = key
         self.cols = cols
         self.start = start
+        self.max_versions = max_versions
 
     def initialOffset(self) -> dict:
         # the table's first committed version — the bootstrap snapshot
@@ -305,19 +361,33 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         for v in _cdf_committed_versions(self.path):
             if not (after < v <= through):
                 continue
-            dv = _cdf_read_dir(os.path.join(self.path, "_dv", f"v={v}"))
+            # planning first (sidecar / directory listing / streamed
+            # scan): a silent commit — structural, COW — skips without
+            # reading its carried-forward DV at all, and with the r15
+            # bucket-partitioned layout only the CHANGED buckets' DV
+            # directories and _gen=<v> directories are ever opened
+            buckets = _cdf_changed_buckets(self.path, v)
+            if not buckets:
+                continue
+            dv_root = os.path.join(self.path, "_dv", f"v={v}")
+            if os.path.isdir(os.path.join(dv_root, f"_kr={buckets[0]}")):
+                dv = []
+                for b in buckets:
+                    dv.extend(_cdf_read_dir(os.path.join(dv_root, f"_kr={b}")))
+            else:
+                dv = _cdf_read_dir(dv_root)
             changed = [r for r in dv if r.get("live_gen") == v]
             if not changed:
                 continue  # structural commit (compact/COW/restore): silent
             fresh: dict = {}
             data = os.path.join(self.path, "data")
-            # a shallow clone with no local commit has no data dir yet
-            for b in os.listdir(data) if os.path.isdir(data) else []:
-                if b.startswith("_kr="):
-                    for r in _cdf_read_dir(
-                        os.path.join(data, b, f"_gen={v}")
-                    ):
-                        fresh[r[self.key]] = r
+            # bucket-locality: a changed key's fresh copy can only be
+            # in its own bucket's _gen=<v> directory
+            for b in buckets:
+                for r in _cdf_read_dir(
+                    os.path.join(data, f"_kr={b}", f"_gen={v}")
+                ):
+                    fresh[r[self.key]] = r
             for r in changed:
                 k = r[self.key]
                 if k in fresh:
@@ -332,8 +402,11 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
                     )
 
     def read(self, start: dict):
-        latest = (_cdf_committed_versions(self.path) or [start["version"]])[-1]
-        end = {"version": max(latest, start["version"])}
+        end = {
+            "version": _cdf_clamp_end(
+                self.path, start["version"], self.max_versions
+            )
+        }
         # a list ITERATOR: the runner drains it to prefetch, then
         # pickles the materialized rows to ship to executors — a bare
         # generator fails pickling, a bare list fails iteration
@@ -356,13 +429,16 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
 # InputPartition per (version, changed bucket), and each partition does
 # its parquet reads EXECUTOR-side:
 #
-#   driver   — lists committed versions; reads ONLY the two tiny
-#              columns (_kr, live_gen) of each version's DV to learn
-#              which buckets changed (O(changed keys) * 16 bytes,
-#              column-pruned — never the data rows);
-#   executor — partition (v, b) reads _dv/v=<v> filtered to its own
-#              bucket, then data/_kr=<b>/_gen=<v> for the fresh
-#              copies, and emits that bucket's upsert/delete rows.
+#   driver   — lists committed versions; learns which buckets changed
+#              from the commit-time ``changed_buckets`` stamp in the
+#              v=<n>.op sidecar (r15 — O(n_buckets) METADATA, no DV
+#              byte is read to plan; unstamped legacy histories fall
+#              back to a directory listing of the bucket-partitioned
+#              DV, or a streamed O(batch)-memory scan of a flat one);
+#   executor — partition (v, b) opens ONLY its own bucket's DV
+#              directory _dv/v=<v>/_kr=<b> (flat legacy: filter-scan),
+#              then data/_kr=<b>/_gen=<v> for the fresh copies, and
+#              emits that bucket's upsert/delete rows.
 #
 # Bucket-locality is what makes the split sound: every DV entry carries
 # the key's assigned ``_kr`` (upsert_versioned_dv / delete_versioned /
@@ -399,38 +475,109 @@ class CdfPartition(InputPartition):
         self.bucket = bucket
 
 
-def _cdf_changed_buckets(path: str, version: int) -> list[int]:
-    """Buckets with at least one changed key at ``version`` — read from
-    the DV's (_kr, live_gen) columns ONLY (column-pruned pyarrow scan;
-    the data columns never reach the driver)."""
+def _cdf_commit_sidecar(path: str, version: int) -> dict | None:
+    """The ``v=<n>.op`` commit sidecar as a dict, or None when the
+    version predates the op tag (pre-r12 histories)."""
+    import json
     import os
 
+    p = os.path.join(path, "_manifest", f"v={version}.op")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
+    except ValueError:
+        return None
+
+
+def _cdf_changed_buckets(path: str, version: int) -> list[int]:
+    """Buckets with at least one changed key at ``version`` — the CDF
+    partition PLANNING step, three tiers so the cost is metadata-sized
+    whenever the table's writer is current (r15 — closes the r14
+    verdict's last O(changed keys) driver term):
+
+    1. commit-time stamp: every committer persists the change set's
+       distinct bucket list into the ``v=<n>.op`` sidecar
+       (merge._write_commit_op ``changed_buckets``). Planning is one
+       tiny JSON read — O(n_buckets) regardless of how many keys a
+       backfill MERGE touched, and structural/COW commits stamp ``[]``
+       so they plan for free too.
+    2. bucket-partitioned DV (r15 layout, unstamped history): the
+       candidate buckets are the ``_kr=<b>/`` DIRECTORY NAMES; each is
+       confirmed by a column-pruned probe of its own directory only.
+    3. legacy flat DV: a STREAMING batched scan (iter_batches +
+       compute) over the two tiny columns — O(batch) driver memory,
+       never the whole changed-key column at once, and never a Python
+       list of raw keys."""
+    import os
+
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    side = _cdf_commit_sidecar(path, version)
+    if side is not None and "changed_buckets" in side:
+        return sorted(int(b) for b in side["changed_buckets"])
     d = os.path.join(path, "_dv", f"v={version}")
     if not os.path.isdir(d):
         return []
+    bucket_dirs = sorted(
+        (int(n[4:]), os.path.join(d, n))
+        for n in os.listdir(d)
+        if n.startswith("_kr=") and os.path.isdir(os.path.join(d, n))
+    )
+    if bucket_dirs:
+        out = []
+        for b, bdir in bucket_dirs:
+            hit = False
+            for f in sorted(os.listdir(bdir)):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(
+                    os.path.join(bdir, f),
+                    columns=["live_gen"],
+                    filters=[("live_gen", "==", version)],
+                )
+                if t.num_rows:
+                    hit = True
+                    break
+            if hit:
+                out.append(b)
+        return out
     buckets: set[int] = set()
     for f in sorted(os.listdir(d)):
         if not f.endswith(".parquet"):
             continue
-        t = pq.read_table(
-            os.path.join(d, f),
-            columns=["_kr", "live_gen"],
-            filters=[("live_gen", "==", version)],
-        )
-        buckets.update(t.column("_kr").to_pylist())
+        pf = pq.ParquetFile(os.path.join(d, f))
+        for batch in pf.iter_batches(columns=["_kr", "live_gen"]):
+            hits = pc.filter(
+                batch.column("_kr"),
+                pc.equal(batch.column("live_gen"), version),
+            )
+            buckets.update(pc.unique(hits).to_pylist())
     return sorted(buckets)
 
 
 class VersionedCdfPartitionedReader(DataSourceStreamReader):
     def __init__(
-        self, path: str, key: str, cols: list[str], start: int | None
+        self,
+        path: str,
+        key: str,
+        cols: list[str],
+        start: int | None,
+        max_versions: int | None = None,
     ):
         self.path = path
         self.key = key
         self.cols = cols
         self.start = start
+        self.max_versions = max_versions
+        # admission control needs the stream's current position, which
+        # this API only hands to partitions(start, end) — latestOffset
+        # clamps relative to the last planned end, fast-forwarded by
+        # partitions() after a checkpoint restart (at most ONE empty
+        # catch-up batch, then the clamp tracks the true offset)
+        self._planned = None
 
     def initialOffset(self) -> dict:
         # identical clamp semantics to VersionedCdfStreamReader: the
@@ -442,10 +589,21 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         return {"version": earliest}
 
     def latestOffset(self) -> dict:
-        versions = _cdf_committed_versions(self.path)
-        return {"version": versions[-1] if versions else 0}
+        if self.max_versions is None:
+            versions = _cdf_committed_versions(self.path)
+            return {"version": versions[-1] if versions else 0}
+        if self._planned is None:
+            self._planned = self.initialOffset()["version"]
+        self._planned = _cdf_clamp_end(
+            self.path, self._planned, self.max_versions
+        )
+        return {"version": self._planned}
 
     def partitions(self, start: dict, end: dict):
+        # fast-forward the admission-control base: after a checkpoint
+        # restart the engine's start (not our initialOffset) is truth
+        if self._planned is None or self._planned < start["version"]:
+            self._planned = start["version"]
         parts = []
         for v in _cdf_committed_versions(self.path):
             if not (start["version"] < v <= end["version"]):
@@ -470,14 +628,29 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         v, b = partition.version, partition.bucket
         dv_dir = os.path.join(path, "_dv", f"v={v}")
         changed: list = []
-        for f in sorted(os.listdir(dv_dir)):
-            if not f.endswith(".parquet"):
-                continue
-            t = pq.read_table(
-                os.path.join(dv_dir, f),
-                filters=[("_kr", "==", b), ("live_gen", "==", v)],
-            )
-            changed.extend(t.to_pylist())
+        bucket_dir = os.path.join(dv_dir, f"_kr={b}")
+        if os.path.isdir(bucket_dir):
+            # r15 bucket-partitioned DV: open ONLY this bucket's
+            # directory — the other buckets' DV bytes are never read
+            # (the partition value _kr is the directory, not a column)
+            for f in sorted(os.listdir(bucket_dir)):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(
+                    os.path.join(bucket_dir, f),
+                    filters=[("live_gen", "==", v)],
+                )
+                changed.extend(t.to_pylist())
+        else:
+            # pre-r15 flat DV: filter-scan each file for this bucket
+            for f in sorted(os.listdir(dv_dir)):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(
+                    os.path.join(dv_dir, f),
+                    filters=[("_kr", "==", b), ("live_gen", "==", v)],
+                )
+                changed.extend(t.to_pylist())
         fresh: dict = {}
         for r in _cdf_read_dir(os.path.join(path, "data", f"_kr={b}", f"_gen={v}")):
             fresh[r[key]] = r

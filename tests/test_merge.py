@@ -1812,6 +1812,31 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
             assert all(
                 ts[a] < ts[b] for a, b in _it.pairwise(retained)
             ), "commit clock not monotonic"
+            # r15: every commit's stamped change-set bucket list must
+            # equal the DV-derived truth (what CDF planning would get
+            # from scanning) — the invariant that keeps metadata-only
+            # planning sound across ALL committer interleavings
+            from data_pipeline_bigquery_to_sftp_server_spark.sources import (
+                pysource as _ps,
+            )
+
+            for v in retained:
+                side = _ps._cdf_commit_sidecar(path, v)
+                if side is None or "changed_buckets" not in side:
+                    continue
+                dv = merge._read_dv(spark, path, v)
+                truth = (
+                    []
+                    if dv is None
+                    else sorted(
+                        r[0]
+                        for r in dv.where(F.col("live_gen") == v)
+                        .select("_kr").distinct().collect()
+                    )
+                )
+                assert side["changed_buckets"] == truth, (
+                    f"v={v} stamped {side['changed_buckets']} != DV {truth}"
+                )
 
         for i, op in enumerate(ops):
             m = latest_model()
@@ -2707,3 +2732,217 @@ os._exit(1)  # hard death: no cleanup, no spark.stop()
     assert out.version == 1
     got = {r.k: r.v for r in merge.read_version(spark, path).collect()}
     assert got[2] == 22 and got[1] == 0
+
+
+def test_dv_commits_bucket_partitioned_and_plans_from_metadata(
+    monkeypatch, spark, tmp_path
+):
+    """r15 scale contract, both halves. (1) Deletion vectors commit
+    hive-partitioned by bucket (``_dv/v=<n>/_kr=<b>/``) — the write
+    parallelizes per bucket instead of coalesce(1)-funneling a
+    backfill's DV through one task. (2) CDF partition PLANNING is
+    metadata-only: the committer stamps the change set's bucket list
+    into the v=<n>.op sidecar, so _cdf_changed_buckets answers without
+    opening ANY DV file — pinned by making every pyarrow parquet open
+    raise. Structural/COW commits stamp [] and plan as silent for
+    free."""
+    import json
+    import os
+
+    from data_pipeline_bigquery_to_sftp_server_spark.sources import pysource
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 41)], "k long, v long"
+        ),
+        "k", path, n_buckets=4,
+    )
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(1, 0), (25, 0)], "k long, v long"), "k",
+    )  # v1: MOR — DV + stamp
+    merge.upsert_versioned(
+        spark, path,
+        spark.createDataFrame([(2, 0)], "k long, v long"), "k",
+    )  # v2: COW — carries part of the DV forward, change set EMPTY
+    # (1) the committed DV layout is bucket-partitioned
+    for v in (1, 2):
+        subdirs = sorted(os.listdir(f"{path}/_dv/v={v}"))
+        assert any(n.startswith("_kr=") for n in subdirs), (v, subdirs)
+        assert not any(n.endswith(".parquet") for n in subdirs), (v, subdirs)
+    expected_v1 = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{path}/_dv/v=1")
+        .select("_kr").distinct().collect()
+    )
+    side = json.load(open(f"{path}/_manifest/v=1.op"))
+    assert side["changed_buckets"] == expected_v1
+    assert json.load(open(f"{path}/_manifest/v=2.op"))["changed_buckets"] == []
+
+    def _no_read(*a, **k):  # pragma: no cover - must never fire
+        raise AssertionError("CDF planning opened a DV parquet file")
+
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(pq, "read_table", _no_read)
+    monkeypatch.setattr(pq, "ParquetFile", _no_read)
+    assert pysource._cdf_changed_buckets(path, 1) == expected_v1
+    assert pysource._cdf_changed_buckets(path, 2) == []
+
+
+def test_cdf_reads_pre_r15_flat_dv_layout(spark, tmp_path):
+    """Backward compatibility: a history whose DV is the pre-r15 FLAT
+    layout (``_kr`` as a data column, no sidecar bucket stamp) still
+    reads everywhere — read_version resolves it, planning falls back
+    to the streamed O(batch)-memory scan, and both CDF reader tiers
+    emit the same feed as the metadata-stamped form."""
+    import json
+    import os
+
+    from data_pipeline_bigquery_to_sftp_server_spark.sources import pysource
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 41)], "k long, v long"
+        ),
+        "k", path, n_buckets=4,
+    )
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(1, 0), (25, 0)], "k long, v long"), "k",
+    )  # v1
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(30,)], "k long"), "k"
+    )  # v2
+    # rewrite BOTH versions' DVs into the legacy flat single-file form
+    # and strip the sidecar stamps — a table written by the r14 binary
+    for v in (1, 2):
+        dv = spark.read.parquet(f"{path}/_dv/v={v}")
+        flat = dv.select("_kr", "k", "live_gen").coalesce(1).collect()
+        tmp = str(tmp_path / f"flat_{v}")
+        spark.createDataFrame(
+            flat, spark.read.parquet(f"{path}/_dv/v={v}").select(
+                "_kr", "k", "live_gen"
+            ).schema,
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(f"{path}/_dv/v={v}")
+        shutil.copytree(tmp, f"{path}/_dv/v={v}")
+        side = json.load(open(f"{path}/_manifest/v={v}.op"))
+        side.pop("changed_buckets")
+        with open(f"{path}/_manifest/v={v}.op", "w") as f:
+            json.dump(side, f)
+    assert not any(
+        n.startswith("_kr=") for n in os.listdir(f"{path}/_dv/v=1")
+    )
+    # read side: the flat DV resolves identically
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert live[1] == 0 and live[25] == 0 and 30 not in live
+    # planner: tier-3 streamed scan recovers the change-set buckets
+    expected = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{path}/_dv/v=1")
+        .where(F.col("live_gen") == 1).select("_kr").distinct().collect()
+    )
+    assert pysource._cdf_changed_buckets(path, 1) == expected
+    # both CDF tiers drain the legacy layout to the same feed
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    register_versioned_cdf(spark)
+
+    def drain(mode: str):
+        out = str(tmp_path / f"out_{mode}")
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", path)
+            .option("key", "k")
+            .option("reader", mode)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{mode}")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(
+            map(tuple, spark.read.parquet(out).collect()), key=repr
+        )
+
+    rows_p, rows_s = drain("partitioned"), drain("simple")
+    assert rows_p == rows_s
+    assert (30, None, "delete", 2) in rows_p and len(rows_p) == 3
+
+
+def test_cdf_max_versions_per_trigger(spark, tmp_path):
+    """Admission control (Delta's maxFilesPerTrigger analog): with
+    ``max_versions_per_trigger=1`` a 3-commit history lands as THREE
+    micro-batches — a giant backfill commit can never force one
+    unbounded batch — and the drained end state equals the unthrottled
+    run's, on BOTH reader tiers."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 21)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    for step in range(3):  # v1..v3
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame(
+                [(step + 1, step * 100)], "k long, v long"
+            ),
+            "k",
+        )
+    register_versioned_cdf(spark)
+
+    def drain(mode: str, throttle: bool):
+        out = str(tmp_path / f"out_{mode}_{throttle}")
+        reader = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", path)
+            .option("key", "k")
+            .option("reader", mode)
+        )
+        if throttle:
+            reader = reader.option("max_versions_per_trigger", "1")
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ckpt_{mode}_{throttle}"),
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        n_batches = sum(
+            1
+            for p in q.recentProgress
+            if p["numInputRows"] and int(p["numInputRows"]) > 0
+        )
+        q.stop()
+        rows = sorted(
+            map(tuple, spark.read.parquet(out).collect()), key=repr
+        )
+        return n_batches, rows
+
+    for mode in ("partitioned", "simple"):
+        nb_throttled, rows_throttled = drain(mode, True)
+        nb_free, rows_free = drain(mode, False)
+        assert rows_throttled == rows_free and len(rows_free) == 3, mode
+        assert nb_throttled == 3, (mode, nb_throttled)
+        assert nb_free == 1, (mode, nb_free)
