@@ -11,6 +11,7 @@ a path-addressed engine needs its own front door.
 
 Supported grammar (one statement per call, ``;`` optional)::
 
+    SELECT * FROM <table> [VERSION AS OF <n> | TIMESTAMP AS OF <ts>]
     DESCRIBE HISTORY <table>
     RESTORE TABLE <table> TO VERSION AS OF <n>
     VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]
@@ -21,6 +22,14 @@ Supported grammar (one statement per call, ``;`` optional)::
         { WHEN MATCHED [AND <cond>] THEN UPDATE SET * | <c1, c2, ...>
         | WHEN MATCHED [AND <cond>] THEN DELETE
         | WHEN NOT MATCHED [AND <cond>] THEN INSERT * }...
+
+``SELECT`` is the time-travel read surface (Delta's ``VERSION AS OF``
+/ ``TIMESTAMP AS OF``, r15): it routes to read_version /
+read_version_as_of and returns the version's DataFrame — compose any
+further projection/filter on that. ``<ts>`` is an integer epoch-
+milliseconds literal or a quoted ISO-8601 timestamp (naive values are
+UTC, matching the commit clock). Omitting the AS OF clause reads the
+latest version.
 
 ``OPTIMIZE`` routes to the file-size-aware bin-packer
 (compact_small_generations — steady-state big files never rewritten);
@@ -43,10 +52,11 @@ staging, which the DV tier deliberately excludes (its touched-buckets
 read contract — merge.py merge_arms_versioned_dv docstring); use the
 batch-level merge_arms / merge_scoped_sync for that family.
 
-Limitation (documented, loud): clause splitting keys on the word WHEN,
-so an arm condition containing a CASE WHEN expression is rejected by
-the clause parser rather than mis-parsed — rewrite the condition
-(IF(), boolean algebra) or call the committer directly.
+Clause splitting is tokenized (r15): the WHEN-tail splits only at
+TOP-LEVEL ``WHEN`` keywords — a ``WHEN`` inside quotes, parentheses,
+or a ``CASE ... END`` expression belongs to an arm condition and
+flows through verbatim, so ``WHEN MATCHED AND CASE WHEN ... END THEN
+DELETE`` parses as one arm.
 """
 
 from __future__ import annotations
@@ -60,12 +70,59 @@ from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
     compact_small_generations,
     compact_table,
     merge_arms_versioned_dv,
+    read_version,
+    read_version_as_of,
     restore_version,
     table_history,
     vacuum_versions,
 )
 
 _WS = re.compile(r"\s+")
+_WORD = re.compile(r"[A-Za-z_]\w*")
+
+
+def _split_when(tail: str) -> list[str]:
+    """Split a MERGE statement's WHEN-tail into clause strings at
+    TOP-LEVEL ``WHEN`` keywords only. A linear token walk tracks quote
+    state ('...'/"..."), parenthesis depth, and CASE...END nesting, so
+    a WHEN belonging to a CASE expression inside an arm condition —
+    parenthesized or not — never starts a new clause. Returns the
+    clause bodies (text after each top-level WHEN)."""
+    starts: list[int] = []
+    depth = case_depth = 0
+    i, n = 0, len(tail)
+    while i < n:
+        ch = tail[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and tail[j] != ch:
+                j += 1
+            i = j + 1  # a doubled quote re-enters string state next loop
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        m = _WORD.match(tail, i)
+        if m:
+            w = m.group(0).upper()
+            if w == "CASE":
+                case_depth += 1
+            elif w == "END" and case_depth:
+                case_depth -= 1
+            elif w == "WHEN" and depth == 0 and case_depth == 0:
+                starts.append(i)
+            i = m.end()
+            continue
+        i += 1
+    bounds = starts + [n]
+    return [
+        tail[a + 4 : b].strip() for a, b in zip(starts, bounds[1:])
+    ]
 
 
 def _resolve_table(ref: str, tables: dict[str, str] | None) -> str:
@@ -80,11 +137,31 @@ def _resolve_table(ref: str, tables: dict[str, str] | None) -> str:
     )
 
 
+def _parse_ts_ms(tok: str) -> int:
+    """TIMESTAMP AS OF operand -> epoch milliseconds: a bare integer
+    is already millis; a quoted literal parses as ISO-8601 (naive
+    values are UTC — the commit clock is time.time()-based)."""
+    from datetime import datetime, timezone
+
+    tok = tok.strip()
+    if re.fullmatch(r"\d+", tok):
+        return int(tok)
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in ("'", '"'):
+        dt = datetime.fromisoformat(tok[1:-1])
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+    raise ValueError(
+        f"lakehouse_sql: TIMESTAMP AS OF needs an epoch-millis integer "
+        f"or a quoted ISO-8601 literal, got {tok!r}"
+    )
+
+
 def _parse_merge_arms(tail: str):
     """The WHEN-clause tail of a MERGE INTO -> (matched, not_matched)
     arm lists in merge_arms format, declaration order preserved."""
     matched, not_matched = [], []
-    for clause in re.split(r"(?i)\bWHEN\b", tail)[1:]:
+    for clause in _split_when(tail):
         clause = clause.strip().rstrip(";").strip()
         m = re.match(
             r"(?i)^NOT MATCHED BY SOURCE\b", clause
@@ -134,6 +211,7 @@ def lakehouse_sql(
 ):
     """Dispatch one lakehouse SQL statement onto the versioned-table
     committers. Returns what the underlying operator returns:
+    SELECT -> the (time-travel) read's DataFrame;
     DESCRIBE HISTORY -> the history DataFrame; RESTORE -> the new
     version number (restore-as-commit); VACUUM -> the reclaimed-path
     list (preview list under DRY RUN); OPTIMIZE -> what the compactor
@@ -141,6 +219,17 @@ def lakehouse_sql(
     clone's fork version; MERGE INTO -> the committed fresh-copy frame
     with version / touched_buckets / per-arm counts attached."""
     s = _WS.sub(" ", str(stmt)).strip().rstrip(";").strip()
+    m = re.match(
+        r"(?i)^SELECT \* FROM (\S+)"
+        r"(?: VERSION AS OF (\d+)| TIMESTAMP AS OF (\S+|'[^']*'|\"[^\"]*\"))?$",
+        s,
+    )
+    if m:
+        ref, ver, ts = m.groups()
+        path = _resolve_table(ref, tables)
+        if ts is not None:
+            return read_version_as_of(spark, path, _parse_ts_ms(ts))
+        return read_version(spark, path, None if ver is None else int(ver))
     m = re.match(r"(?i)^DESCRIBE HISTORY (.+)$", s)
     if m:
         return table_history(spark, _resolve_table(m.group(1), tables))
@@ -184,11 +273,21 @@ def lakehouse_sql(
     if m:
         dst, src = m.groups()
         # the destination may be a NEW name: resolve leniently (quoted
-        # literal or mapping hit), falling back to the raw token as a
-        # path — it does not exist yet, so the mapping cannot know it
+        # literal or mapping hit). The raw-token fallback requires a
+        # PATH-LIKE token (a separator or scheme) — a bare unresolved
+        # word is almost certainly a typo'd table name, and silently
+        # cloning to a relative path named after the typo would be the
+        # worst possible recovery.
         try:
             dst_path = _resolve_table(dst, tables)
         except KeyError:
+            if "/" not in dst and ":" not in dst:
+                raise KeyError(
+                    f"lakehouse_sql: SHALLOW CLONE destination {dst!r} is "
+                    "neither a known table, a quoted path literal, nor "
+                    "path-like — add it to tables={name: path} or quote "
+                    "the destination path"
+                ) from None
             dst_path = dst
         return clone_table(spark, _resolve_table(src, tables), dst_path)
     m = re.match(
@@ -215,6 +314,8 @@ def lakehouse_sql(
         )
     raise ValueError(
         f"lakehouse_sql: unsupported statement {stmt!r} (supported: "
+        "SELECT * FROM t [VERSION|TIMESTAMP AS OF ...] / "
         "DESCRIBE HISTORY / RESTORE TABLE ... TO VERSION AS OF / "
-        "VACUUM [RETAIN n HOURS] [DRY RUN] / MERGE INTO ... WHEN ...)"
+        "VACUUM [RETAIN n HOURS] [DRY RUN] / OPTIMIZE [FULL] / "
+        "CREATE TABLE ... SHALLOW CLONE / MERGE INTO ... WHEN ...)"
     )

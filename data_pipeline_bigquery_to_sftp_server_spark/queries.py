@@ -14533,6 +14533,110 @@ ORDER BY version
 """
 
 
+def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1u SQL time-travel reads (r15 — the r14 verdict's gap #3),
+    ORACLE-CHECKED: Delta's ``SELECT * FROM t VERSION AS OF n`` /
+    ``TIMESTAMP AS OF ts`` routed through the SQL front door
+    (operators/sqlfront.py) onto read_version / read_version_as_of —
+    the first read a SQL-native user tries after MERGE INTO works.
+    Scene: bootstrap + two COW commits (the q_as_of_timestamp shape);
+    the SAME middle version is then read THREE ways — VERSION AS OF 1,
+    TIMESTAMP AS OF <epoch-millis literal>, and TIMESTAMP AS OF
+    '<quoted ISO-8601>' — and each read aggregates per bucket under a
+    ``form`` tag. All three forms must replay v1's exact content
+    (the later v2 commit must NOT leak into any of them), so a
+    resolution or parse defect in any spelling flips the hash.
+    Wall-clock values are nondeterministic; the content they resolve
+    to is not. Grammar/boundary errors pinned in test_sqlfront.
+    Scale: each read is read_version's one-manifest plan; timestamp
+    resolution is O(versions) sidecar reads."""
+    from datetime import datetime, timezone
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("sqltt_")
+    merge.versioned_layout_write(o, "k", path, n_buckets=16)
+    ranked, _n = relational.with_global_rank(o, ["k"])
+    v1_batch = (
+        ranked.where((F.col("grank") >= 201) & (F.col("grank") <= 320))
+        .select("k", (F.col("cents") + 1111).alias("cents"))
+        .unionByName(
+            spark.range(4).select(
+                (F.col("id") + 80_000_000).alias("k"),
+                (F.col("id") + 9).alias("cents"),
+            )
+        )
+    )
+    merge.upsert_versioned(spark, path, v1_batch, "k")  # v1: probe target
+    v2_batch = ranked.where(
+        (F.col("grank") >= 401) & (F.col("grank") <= 460)
+    ).select("k", (F.col("cents") - 3333).alias("cents"))
+    merge.upsert_versioned(spark, path, v2_batch, "k")  # v2: must NOT show
+    ts1 = merge.commit_timestamps(spark, path)[1]
+    iso1 = datetime.fromtimestamp(ts1 / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f"
+    )
+    tables = {"t": path}
+    stmts = {
+        "version": "SELECT * FROM t VERSION AS OF 1",
+        "ts_int": f"SELECT * FROM t TIMESTAMP AS OF {ts1}",
+        "ts_iso": f"SELECT * FROM t TIMESTAMP AS OF '{iso1}'",
+    }
+    out = None
+    for form, stmt in stmts.items():
+        part = (
+            lakehouse_sql(spark, stmt, tables=tables)
+            .groupBy(F.col("_kr").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(F.lit(form).alias("form"), "bucket", "n_live", "sum_cents")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("form", "bucket")
+
+
+_ORACLE_SQL_TIME_TRAVEL = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), base AS (
+  SELECT k, cents, (rn - 1) * 16 // n AS b FROM o
+), cut AS (
+  SELECT b, min(k) AS min_k FROM base GROUP BY b
+), v1b AS (
+  SELECT k, cents + 1111 AS cents FROM o WHERE rn BETWEEN 201 AND 320
+  UNION ALL
+  SELECT 80000000 + i, 9 + i FROM generate_series(0, 3) t(i)
+), gask AS (
+  SELECT s.k, s.cents,
+         coalesce((SELECT max(c.b) FROM cut c WHERE c.min_k <= s.k), 0) AS b
+  FROM v1b s
+), v1 AS (
+  SELECT k, cents, b FROM base WHERE k NOT IN (SELECT k FROM v1b)
+  UNION ALL SELECT k, cents, b FROM gask
+), agg AS (
+  SELECT b AS bucket, count(*) AS n_live,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM v1 GROUP BY b
+)
+SELECT f.form, a.bucket, a.n_live, a.sum_cents
+FROM (VALUES ('version'), ('ts_int'), ('ts_iso')) f(form)
+CROSS JOIN agg a
+ORDER BY f.form, a.bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14550,31 +14654,83 @@ ORDER BY version
 # tools/verify_local.py and tests/.
 QUERIES: dict[str, QueryFn] = {
     # -- slots 1-50: driver correctness window ------------------------
-    # r14 rotation (r13 verdict next-round #5/#6): first the three
-    # NEW oracle-replayable ANN configurations (held-index full probe,
-    # PQ full re-rank, IVF-PQ at both anchors — each provably equal to
-    # exact brute force, promoting the family out of the rows-only
-    # tier), then the ENTIRE stale-attestation cohort: every query
-    # whose latest driver attestation is r5-r8 (25 rows), then 22 of
-    # the 25 r9-attested rows. The three r9 rows left past the slot
-    # line (ivf_full_probe, quality_filter, streaming_session) have
-    # their machinery attested THIS round by the promoted trio /
-    # quality_ensemble / the in-window streaming_sliding, keeping
-    # every oracled query's latest attestation >= r9. Displaced r13
-    # window rows follow immediately after the slot line; all remain
-    # verify_local-green.
-    # r14 promotions (oracle = exact cosine top-k):
+    # r15 rotation (r14 verdict next-round #3): keep the attestation-
+    # freshness invariant by windowing the OLDEST cohorts — first the
+    # new r15 SQL time-travel read (VERSION/TIMESTAMP AS OF through
+    # the front door), then all six r9-attested rows, then 43 of the
+    # 50 r10-attested rows. The seven r10 rows left past the slot line
+    # (asof_forward, bpe_encode_fast, bpe_fast_merges, bpe_merges,
+    # kmv_set_ops, streaming_kmv, window_dist) each have an in-window
+    # sibling exercising the same machinery (asof_join, bpe_encode /
+    # bpe_segment, kmv_distinct, the streaming family's nine windowed
+    # rows, window_suite for window_dist) and head the r16 rotation
+    # pool. Displaced r14 window rows follow the slot line;
+    # all remain verify_local-green.
+    # r15 promotion (oracle replays v1 through all three read forms):
+    "sql_time_travel": q_sql_time_travel,
+    # latest attestation r9:
+    "bloom_screen": q_bloom_screen,
+    "importance_resample": q_importance_resample,
+    "ivf_full_probe": q_ivf_full_probe,
+    "pagerank": q_pagerank,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_session": q_streaming_session,
+    # latest attestation r10:
+    "asof_join": q_asof_join,
+    "bm25_topk": q_bm25_topk,
+    "bpe_encode": q_bpe_encode,
+    "bpe_segment": q_bpe_segment,
+    "bucketed_join": q_bucketed_join,
+    "cohort_retention": q_cohort_retention,
+    "constraint_audit": q_constraint_audit,
+    "curation_pipeline": q_curation_pipeline,
+    "dup_line_signals": q_dup_line_signals,
+    "embedding_covariance": q_embedding_covariance,
+    "funnel_conversion": q_funnel_conversion,
+    "hist_quantiles": q_hist_quantiles,
+    "incremental_covariance": q_incremental_covariance,
+    "incremental_embedding_dups": q_incremental_embedding_dups,
+    "ingest_pipeline": q_ingest_pipeline,
+    "iqr_outliers": q_iqr_outliers,
+    "kmv_distinct": q_kmv_distinct,
+    "lm_scores_bigram": q_lm_scores_bigram,
+    "media_features": q_media_features,
+    "nb_classify": q_nb_classify,
+    "pack_sequences": q_pack_sequences,
+    "pivot_report": q_pivot_report,
+    "quality_ensemble": q_quality_ensemble,
+    "rolling_anomaly": q_rolling_anomaly,
+    "scd2_apply": q_scd2_apply,
+    "schema_evolution": q_schema_evolution,
+    "selection_pipeline": q_selection_pipeline,
+    "semantic_dedup": q_semantic_dedup,
+    "session_sequences": q_session_sequences,
+    "sql_cte": q_sql_cte,
+    "stateful_dedup": q_stateful_dedup,
+    "streaming_ann_absorb": q_streaming_ann_absorb,
+    "streaming_covariance": q_streaming_covariance,
+    "streaming_hist": q_streaming_hist,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "streaming_iqr_gate": q_streaming_iqr_gate,
+    "streaming_join": q_streaming_join,
+    "streaming_stateful": q_streaming_stateful,
+    "streaming_tumbling": q_streaming_tumbling,
+    "streaming_upsert": q_streaming_upsert,
+    "sync_pipeline": q_sync_pipeline,
+    "udaf_geomean": q_udaf_geomean,
+    "weighted_sample": q_weighted_sample,
+    # -- slots 51+: verified via verify_local -------------------------
+    # The displaced r14 window (all 50 driver-green in CORRECTNESS_r14),
+    # the deferred r10 seven, and the rest of the registry in prior
+    # order.
     "ivf_prebuilt_full_probe": q_ivf_prebuilt_full_probe,
     "pq_full_rerank": q_pq_full_rerank,
     "ivfpq_full_probe": q_ivfpq_full_probe,
-    # r14 SQL front door (oracle replays MERGE arms + RESTORE + history):
     "lakehouse_sql": q_lakehouse_sql,
     "hard_negatives_full_probe": q_hard_negatives_full_probe,
     "retrieval_mrr_full_probe": q_retrieval_mrr_full_probe,
-    # latest attestation r5:
     "regex_extract": q_regex_extract,
     "udtf_sentences": q_udtf_sentences,
-    # latest attestation r6:
     "anti_join": q_anti_join,
     "count_distinct": q_count_distinct,
     "distinct_keys": q_distinct_keys,
@@ -14589,18 +14745,15 @@ QUERIES: dict[str, QueryFn] = {
     "semi_join": q_semi_join,
     "set_ops": q_set_ops,
     "top_customers": q_top_customers,
-    # latest attestation r7:
     "cosine_topk_np": q_cosine_topk_np,
     "dup_ngram_spans": q_dup_ngram_spans,
     "incremental_dedup": q_incremental_dedup,
     "streaming_sliding": q_streaming_sliding,
     "text_stats": q_text_stats,
-    # latest attestation r8:
     "embedding_dups_exact": q_embedding_dups_exact,
     "pmi_collocations": q_pmi_collocations,
     "tfidf_pairs": q_tfidf_pairs,
     "token_topk": q_token_topk,
-    # latest attestation r9:
     "assemble_bins": q_assemble_bins,
     "chunk_documents": q_chunk_documents,
     "corpus_report": q_corpus_report,
@@ -14620,14 +14773,6 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_diff": q_snapshot_diff,
     "star_join": q_star_join,
     "window_suite": q_window_suite,
-    # -- slots 51+: verified via verify_local -------------------------
-    # The displaced r13 window (all 50 driver-green in CORRECTNESS_r13)
-    # and the rest of the registry in prior order. importance_resample
-    # (r9, displaced by the lakehouse_sql slot) stays >= r9 and its
-    # DSIR/mixture/temperature family has r10-r11 in-registry siblings.
-    "importance_resample": q_importance_resample,
-    "bloom_screen": q_bloom_screen,
-    "pagerank": q_pagerank,
     "promo_share": q_promo_share,
     "disjunctive_rev": q_disjunctive_rev,
     "merge_dv": q_merge_dv,
@@ -14778,58 +14923,13 @@ QUERIES: dict[str, QueryFn] = {
     "hard_negatives": q_hard_negatives,
     "streaming_scd2": q_streaming_scd2,
     "priority_dedup": q_priority_dedup,
-    "curation_pipeline": q_curation_pipeline,
-    "sync_pipeline": q_sync_pipeline,
-    "semantic_dedup": q_semantic_dedup,
-    "pack_sequences": q_pack_sequences,
-    "streaming_ann_absorb": q_streaming_ann_absorb,
-    "embedding_covariance": q_embedding_covariance,
-    "incremental_covariance": q_incremental_covariance,
-    "streaming_covariance": q_streaming_covariance,
-    "incremental_embedding_dups": q_incremental_embedding_dups,
-    "dup_line_signals": q_dup_line_signals,
-    "quality_ensemble": q_quality_ensemble,
-    "iqr_outliers": q_iqr_outliers,
-    "rolling_anomaly": q_rolling_anomaly,
-    "kmv_distinct": q_kmv_distinct,
     "kmv_set_ops": q_kmv_set_ops,
-    "hist_quantiles": q_hist_quantiles,
-    "weighted_sample": q_weighted_sample,
-    "constraint_audit": q_constraint_audit,
-    "media_features": q_media_features,
-    "sql_cte": q_sql_cte,
-    "schema_evolution": q_schema_evolution,
-    "pivot_report": q_pivot_report,
-    "bucketed_join": q_bucketed_join,
-    "asof_join": q_asof_join,
     "asof_forward": q_asof_forward,
-    "ingest_pipeline": q_ingest_pipeline,
     "window_dist": q_window_dist,
-    "udaf_geomean": q_udaf_geomean,
-    "bm25_topk": q_bm25_topk,
-    "session_sequences": q_session_sequences,
-    "cohort_retention": q_cohort_retention,
-    "selection_pipeline": q_selection_pipeline,
-    "lm_scores_bigram": q_lm_scores_bigram,
-    "nb_classify": q_nb_classify,
-    "stateful_dedup": q_stateful_dedup,
     "bpe_merges": q_bpe_merges,
     "bpe_fast_merges": q_bpe_fast_merges,
-    "bpe_segment": q_bpe_segment,
-    "bpe_encode": q_bpe_encode,
     "bpe_encode_fast": q_bpe_encode_fast,
-    "funnel_conversion": q_funnel_conversion,
-    "scd2_apply": q_scd2_apply,
-    "streaming_tumbling": q_streaming_tumbling,
-    "streaming_hist": q_streaming_hist,
-    "streaming_join": q_streaming_join,
-    "streaming_upsert": q_streaming_upsert,
-    "streaming_stateful": q_streaming_stateful,
-    "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "streaming_kmv": q_streaming_kmv,
-    "streaming_iqr_gate": q_streaming_iqr_gate,
-    "streaming_session": q_streaming_session,
-    "streaming_dedup": q_streaming_dedup,
     "bpe_fast_deep": q_bpe_fast_deep,
     "hard_negatives_ann": q_hard_negatives_ann,
     "retrieval_mrr_ann": q_retrieval_mrr_ann,
@@ -14841,7 +14941,6 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_topk": q_ivf_topk,
     "ivf_topk_prebuilt": q_ivf_topk_prebuilt,
     "lsh_topk_prebuilt": q_lsh_topk_prebuilt,
-    "ivf_full_probe": q_ivf_full_probe,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -14851,6 +14950,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_embedding_dups_banded": q_incremental_embedding_dups_banded,
     "html_clean": q_html_clean,
 }
+
 
 
 ORACLES: dict[str, str] = {
@@ -14898,6 +14998,7 @@ ORACLES: dict[str, str] = {
     "pq_full_rerank": _ORACLE_COSINE_TOPK,
     "ivfpq_full_probe": _ORACLE_COSINE_TOPK,
     "lakehouse_sql": _ORACLE_LAKEHOUSE_SQL,
+    "sql_time_travel": _ORACLE_SQL_TIME_TRAVEL,
     "membership_split": _ORACLE_MEMBERSHIP_SPLIT,
     # simhash_near_pairs: rows-only (fingerprint isn't SQL-expressible)
     "token_topk": _ORACLE_TOKEN_TOPK,

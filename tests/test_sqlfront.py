@@ -181,3 +181,102 @@ def test_optimize_and_shallow_clone_statements(spark, tmp_path):
     assert {
         r.k: r.v for r in merge.read_version(spark, dst).collect()
     } == live_before
+
+
+def test_select_time_travel_statements(spark, tmp_path):
+    """SELECT * FROM t [VERSION AS OF n | TIMESTAMP AS OF ts] — the
+    SQL read surface (r15): version reads return exactly
+    read_version's frame, timestamp reads resolve through the stamped
+    commit clock (epoch-millis literal and quoted ISO-8601 both), and
+    the bare SELECT reads the latest version."""
+    from datetime import datetime, timezone
+
+    path = _table(spark, tmp_path)
+    tables = {"t": path}
+    spark.createDataFrame([(1, 111)], "k long, v long").createOrReplaceTempView(
+        "_sf_tt"
+    )
+    lakehouse_sql(
+        spark,
+        "MERGE INTO t USING _sf_tt ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET *",
+        tables=tables,
+    )
+    v0 = {
+        r.k: r.v
+        for r in lakehouse_sql(
+            spark, "SELECT * FROM t VERSION AS OF 0", tables=tables
+        ).collect()
+    }
+    latest = {
+        r.k: r.v
+        for r in lakehouse_sql(spark, "SELECT * FROM t", tables=tables).collect()
+    }
+    assert v0[1] == 10 and latest[1] == 111
+    # timestamp AS OF: the stamped commit clock names each version
+    hist = merge.commit_timestamps(spark, path, [0, 1])
+    at_v0 = {
+        r.k: r.v
+        for r in lakehouse_sql(
+            spark, f"SELECT * FROM t TIMESTAMP AS OF {hist[0]}", tables=tables
+        ).collect()
+    }
+    assert at_v0 == v0
+    iso = (
+        datetime.fromtimestamp(hist[1] / 1000, tz=timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%S.%f")
+    )
+    at_v1 = {
+        r.k: r.v
+        for r in lakehouse_sql(
+            spark, f"SELECT * FROM t TIMESTAMP AS OF '{iso}'", tables=tables
+        ).collect()
+    }
+    assert at_v1 == latest
+    with pytest.raises(ValueError, match="no version at or before"):
+        lakehouse_sql(
+            spark, "SELECT * FROM t TIMESTAMP AS OF 1", tables=tables
+        )
+
+
+def test_merge_arm_condition_may_contain_case_when(spark, tmp_path):
+    """The tokenized clause splitter (r15): a CASE WHEN expression
+    inside an arm condition — with its own WHEN and THEN keywords,
+    parenthesized or bare — stays inside that arm instead of
+    splitting the clause, and the arms commit exactly as the
+    boolean-algebra spelling would."""
+    path = _table(spark, tmp_path)
+    tables = {"t": path}
+    spark.createDataFrame(
+        [(2, 999), (3, 999), (99, 990)], "k long, v long"
+    ).createOrReplaceTempView("_sf_case")
+    out = lakehouse_sql(
+        spark,
+        "MERGE INTO t USING _sf_case ON t.k = s.k "
+        "WHEN MATCHED AND CASE WHEN t.v % 20 = 0 THEN true "
+        "ELSE false END THEN DELETE "
+        "WHEN MATCHED AND (CASE WHEN s.v > 0 THEN 1 ELSE 0 END) = 1 "
+        "THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables=tables,
+    )
+    assert (out.n_deleted, out.n_updated, out.n_inserted) == (1, 1, 1)
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert 2 not in live and live[3] == 999 and live[99] == 990
+
+
+def test_shallow_clone_rejects_bare_unresolved_destination(spark, tmp_path):
+    """A typo'd (unresolved, non-path-like) SHALLOW CLONE destination
+    raises instead of silently creating a clone at a relative path
+    named after the typo; path-like fallbacks still work."""
+    path = _table(spark, tmp_path)
+    tables = {"t": path}
+    with pytest.raises(KeyError, match="neither a known table"):
+        lakehouse_sql(
+            spark, "CREATE TABLE prodt SHALLOW CLONE t", tables=tables
+        )
+    dst = str(tmp_path / "fork2")
+    v0 = lakehouse_sql(
+        spark, f"CREATE TABLE {dst} SHALLOW CLONE t", tables=tables
+    )
+    assert merge.commit_operations(spark, dst)[v0] == "CLONE"
