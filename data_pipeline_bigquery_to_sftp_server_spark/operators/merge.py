@@ -653,9 +653,25 @@ def _write_commit_op(
     if prev_versions:
         last = prev_versions[-1]
         p = _persisted_commit_ts(spark, path, last)
+        # unstamped versions are a PREFIX of history (every commit since
+        # the stamp existed stamps, and vacuum reclaims oldest-first),
+        # so "fully stamped" is provable from the EARLIEST retained
+        # version's sidecar alone. Fully stamped -> the last stamp is
+        # the chain's max (two sidecar reads, steady state). Any
+        # unstamped prefix -> derive from the full reader-visible chain
+        # (commit_timestamps, stamps preferred + monotonicized):
+        # an unstamped early version's inflated _SUCCESS mtime can push
+        # the adjusted chain past the last stamp, and the new stamp
+        # must exceed what READERS see or vacuuming the legacy version
+        # would shift later versions' effective timestamps.
+        fully_stamped = (
+            p is not None
+            and _persisted_commit_ts(spark, path, prev_versions[0])
+            is not None
+        )
         prev_ts = (
             p
-            if p is not None
+            if fully_stamped
             else commit_timestamps(spark, path, prev_versions)[last]
         )
     ts = max(int(_time.time() * 1000), prev_ts + 1)
@@ -2132,9 +2148,11 @@ def vacuum_versions(
         raise ValueError("vacuum_versions: keep_last must be >= 1")
     versions = _list_versions(spark, f"{path}/_manifest")
     keep = versions[-int(keep_last):]
+    clock_anchor = None  # the last commit's timestamp, when known
     if retention_ms is not None and versions:
         ts = commit_timestamps(spark, path, versions)
-        horizon = ts[versions[-1]] - int(retention_ms)
+        clock_anchor = ts[versions[-1]]
+        horizon = clock_anchor - int(retention_ms)
         keep = sorted(set(keep) | {v for v in versions if ts[v] >= horizon})
     # tags pin their snapshots from expiration (Iceberg's rule): a
     # tagged version — and therefore every generation it references —
@@ -2213,7 +2231,16 @@ def vacuum_versions(
         import time as _time
 
         qroot = jvm.org.apache.hadoop.fs.Path(f"{path}/_quarantine")
-        horizon = int(_time.time() * 1000) - int(retention_ms)
+        # SAME clock anchor as version retention (the last commit's
+        # stamped timestamp): one vacuum call's two horizons must
+        # agree on "how old is old" even on clock-skewed tables. The
+        # wall clock is only the fallback for a table with no commits.
+        anchor = (
+            clock_anchor
+            if clock_anchor is not None
+            else int(_time.time() * 1000)
+        )
+        horizon = anchor - int(retention_ms)
         for st in fs.listStatus(qroot) if fs.exists(qroot) else []:
             nm = st.getPath().getName()
             if nm.startswith("_staged-") and st.getModificationTime() < horizon:
@@ -2448,11 +2475,20 @@ def _with_tag_lock(spark: SparkSession, path: str, mutate) -> dict[str, int]:
             overwrite=False,
         )
     except Exception as e:
-        # create-exclusive loses with FileAlreadyExistsException (or the
-        # local FS's "already exists" IOException); anything else —
-        # permission denied, unreachable FS — is a real fault, not
-        # contention, and must not masquerade as "lock is held"
-        if "exist" not in str(e).lower():
+        # losing the create race is only PROVEN by the lock actually
+        # being there: re-probe existence instead of pattern-matching
+        # the message (an ENOENT-family fault — "parent does not
+        # exist" — also contains the word 'exist' and must re-raise as
+        # itself, not masquerade as "lock is held"). The probe itself
+        # failing means the FS is unhealthy: surface the original.
+        try:
+            jvm, fs, _ = _fs(spark, path)
+            lock_present = bool(
+                fs.exists(jvm.org.apache.hadoop.fs.Path(lock))
+            )
+        except Exception:
+            lock_present = False  # can't even probe: original fault wins
+        if not lock_present:
             raise
         age = ""
         try:

@@ -2946,3 +2946,86 @@ def test_cdf_max_versions_per_trigger(spark, tmp_path):
         assert rows_throttled == rows_free and len(rows_free) == 3, mode
         assert nb_throttled == 3, (mode, nb_throttled)
         assert nb_free == 1, (mode, nb_free)
+
+
+def test_tag_lock_enoent_style_fault_not_misread_as_held(
+    monkeypatch, spark, tmp_path
+):
+    """r15 (r14 advice): contention is proven by RE-PROBING the lock's
+    existence, not by pattern-matching the failure message — an
+    ENOENT-family fault ('parent does not exist', which CONTAINS the
+    word 'exist') with NO lock file present re-raises as itself
+    instead of the misleading 'lock is held' RuntimeError."""
+    path = str(tmp_path / "tagenoent")
+    merge.versioned_layout_write(
+        spark.range(10).selectExpr("id AS k", "id AS v"), "k", path, 2
+    )
+    real = merge._write_small_file
+
+    def faulting(spark_, p, payload, overwrite=True):
+        if p.endswith("_tags.json.lock"):
+            raise IOError(
+                "mkdir failed: parent directory does not exist (simulated)"
+            )
+        return real(spark_, p, payload, overwrite)
+
+    monkeypatch.setattr(merge, "_write_small_file", faulting)
+    try:
+        merge.tag_version(spark, path, "t1")
+        raise AssertionError("expected the raw IOError")
+    except IOError as e:
+        assert "does not exist" in str(e)
+    monkeypatch.undo()
+    merge.tag_version(spark, path, "t1")
+    assert merge.list_tags(spark, path) == {"t1": 0}
+
+
+def test_commit_ts_stamp_exceeds_mixed_unstamped_chain(spark, tmp_path):
+    """r15 (r14 advice): in a MIXED history — an unstamped legacy
+    prefix whose inflated _SUCCESS mtime exceeds the later versions'
+    stamps — a NEW commit derives its stamp from the full
+    reader-visible chain, so stamps stay >= what commit_timestamps
+    reports and vacuuming the legacy version cannot shift later
+    versions' effective timestamps."""
+    import json
+    import os
+
+    path = str(tmp_path / "mixed")
+    merge.versioned_layout_write(
+        spark.range(20).selectExpr("id AS k", "id AS v"), "k", path, 2
+    )
+    merge.upsert_versioned_dv(
+        spark, path, spark.createDataFrame([(1, 1)], "k long, v long"), "k"
+    )  # v1 (stamped)
+    # make v0 an UNSTAMPED legacy version with a far-future mtime
+    op0 = os.path.join(path, "_manifest", "v=0.op")
+    side = json.load(open(op0))
+    side.pop("commit_ts")
+    with open(op0, "w") as f:
+        json.dump(side, f)
+    crc = os.path.join(path, "_manifest", ".v=0.op.crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # hadoop local-FS checksum of the pre-edit bytes
+    future = 4_000_000_000  # seconds: year ~2096
+    os.utime(
+        os.path.join(path, "_manifest", "v=0", "_SUCCESS"),
+        (future, future),
+    )
+    chain_before = merge.commit_timestamps(spark, path)
+    assert chain_before[1] > future * 1000  # monotonicized past v0
+    merge.upsert_versioned_dv(
+        spark, path, spark.createDataFrame([(2, 2)], "k long, v long"), "k"
+    )  # v2: must stamp ABOVE the reader-visible chain, not v1's stamp
+    stamped_v2 = merge._persisted_commit_ts(spark, path, 2)
+    assert stamped_v2 is not None and stamped_v2 > chain_before[1]
+    probe = merge.commit_timestamps(spark, path)
+    assert probe[0] < probe[1] < probe[2] == stamped_v2
+    # vacuum the legacy version: the NEW commit's effective timestamp
+    # holds (its stamp already cleared the inflated chain), and the
+    # clock stays totally ordered. v1's own pre-skew stamp legitimately
+    # resurfaces once the inflated v0 stops pushing it (bounded legacy
+    # behavior — ordering never inverts).
+    merge.vacuum_versions(spark, path, keep_last=2)
+    after = merge.commit_timestamps(spark, path)
+    assert after[2] == probe[2] == stamped_v2
+    assert after[1] < after[2]
