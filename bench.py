@@ -257,6 +257,8 @@ HEADLINE = [
     # r14: retrieval ANN twins at their exactness anchors
     "hard_negatives_full_probe",
     "retrieval_mrr_full_probe",
+    # r15: SQL time-travel reads through the front door
+    "sql_time_travel",
 ]
 
 
@@ -303,6 +305,24 @@ def _jvm_hygiene(spark, base_views: set[str]) -> None:
 
 
 def main() -> None:
+    import argparse
+
+    # --runs N codifies the min-of-N comparator SCALING.md adopted for
+    # cross-round claims (r14: same-binary suite spread measured 1.28x
+    # max/min from host weather alone; per-query min-of-N + the 100x
+    # scale curves are the honest signals). The default stays the
+    # driver's best-of-2; --out redirects the full payload so a
+    # min-of-3 snapshot can live beside BENCH_LOCAL.json.
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--runs", type=int, default=2,
+        help="per-query runs; the reported number is the min (default 2)",
+    )
+    ap.add_argument(
+        "--out", default="BENCH_LOCAL.json",
+        help="file (repo-relative) for the full per-query JSON payload",
+    )
+    args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -366,7 +386,9 @@ def main() -> None:
     except Exception:
         pass
     for name in HEADLINE:
-        timings[name] = min(run_one(spark, name, sf_dir) for _ in range(2))
+        timings[name] = min(
+            run_one(spark, name, sf_dir) for _ in range(max(1, args.runs))
+        )
         _jvm_hygiene(spark, base_views)
 
     total = round(sum(timings.values()), 3)
@@ -376,6 +398,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs": max(1, args.runs),
     }
     line = json.dumps(payload, separators=(",", ":"))
     # Truncation-proofing (r7/r9/r10 verdicts: the driver's tail capture
@@ -389,7 +412,9 @@ def main() -> None:
     # EARLIER stdout line for humans running it interactively.
     # spark.stop() runs before the final print so JVM shutdown logging
     # cannot land after it.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), args.out
+    )
     with open(out_path, "w") as f:
         f.write(line + "\n")
     print(line, flush=True)
