@@ -257,8 +257,10 @@ HEADLINE = [
     # r14: retrieval ANN twins at their exactness anchors
     "hard_negatives_full_probe",
     "retrieval_mrr_full_probe",
-    # r15: SQL time-travel reads through the front door
+    # r15: SQL time-travel reads through the front door; incremental
+    # liquid-clustering-style OPTIMIZE
     "sql_time_travel",
+    "incremental_optimize",
 ]
 
 

@@ -1995,9 +1995,15 @@ def compact_small_generations(
         .localCheckpoint(eager=True)
     )
     _clean_uncommitted_generation(spark, path, list(packed), v + 1)
-    fresh.write.mode("append").partitionBy("_kr", "_gen").parquet(
-        f"{path}/data"
-    )
+    # packed files are RE-SORTED by (bucket, table key) on the way out
+    # (r15 — Delta liquid clustering's OPTIMIZE behavior): for a table
+    # bootstrapped over a Morton key this incrementally restores the
+    # z-order inside every rewritten file, so parquet row-group stats
+    # stay tight without ever rewriting untouched generations. A
+    # narrow per-partition sort over sub-threshold bytes — no shuffle.
+    fresh.sortWithinPartitions("_kr", key).write.mode("append").partitionBy(
+        "_kr", "_gen"
+    ).parquet(f"{path}/data")
     stats_src = fresh
     for c in stats_cols:
         if c not in stats_src.columns:

@@ -14637,6 +14637,140 @@ ORDER BY f.form, a.bucket
 """
 
 
+def q_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1v incremental re-clustering OPTIMIZE (r15 — the r14 verdict's
+    stretch item; Delta liquid clustering's OPTIMIZE behavior),
+    ORACLE-CHECKED: a Morton-keyed versioned table (the
+    q_versioned_zorder layout: z(day0, ub) as the table key, both dims
+    as manifest stats columns) takes three CDC update commits against
+    one day-band, leaving every touched bucket with three extra small
+    generations — the layout debt liquid clustering exists to pay
+    down. ``OPTIMIZE`` (through the SQL front door, jumbo threshold so
+    generation COUNT, not byte size, drives packing) then rewrites
+    ONLY the buckets that accumulated new generations — cold buckets'
+    bootstrap directories are untouched (``gen0_dirs`` drops by
+    exactly |touched|) — and re-sorts the packed files by the Morton
+    key (compact_small_generations). The report runs the same pruned
+    range read before and after: ``dirs_total`` falls from
+    8 + 3·|touched| back to 8, ``dirs_read`` sheds the CDC
+    directories, and the content columns (count + updated payload sum
+    over the predicate) are IDENTICAL across the two phases — a
+    compaction that changed any row flips the hash. The oracle replays
+    the bit interleave, rank-math buckets, per-directory min/max
+    rectangles, both phases' pruning arithmetic, and the band's final
+    payload. Scale: OPTIMIZE cost is O(touched buckets' bytes), never
+    O(table) — the incremental property under test."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import layout
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    maxu = ev.agg(F.max("user_id").alias("_mu"))
+    d = ev.crossJoin(F.broadcast(maxu)).select(
+        "event_id",
+        (F.dayofmonth("ts") - 1).cast("long").alias("day0"),
+        F.expr("user_id * 32 div (_mu + 1)").cast("long").alias("ub"),
+        (F.col("event_id") % 1000).cast("long").alias("w"),
+    )
+    z = layout.zorder_key([F.col("day0"), F.col("ub")], bits=5)
+    t = d.withColumn(
+        "zk", (z * F.lit(2**44) + F.col("event_id")).cast("long")
+    )
+    path = _scratch_dir("liquid_")
+    merge.versioned_layout_write(
+        t, "zk", path, n_buckets=8, stats_cols=["day0", "ub"]
+    )
+    band = t.where((F.col("day0") >= 3) & (F.col("day0") <= 5))
+    for c in (1, 2, 3):  # v1..v3: same band, payload bumped each time
+        merge.upsert_versioned_dv(
+            spark, path,
+            band.withColumn("w", F.col("w") + F.lit(1000 * c)), "zk",
+        )
+
+    def report(phase: str) -> DataFrame:
+        pruned = merge.read_version_pruned(spark, path, "day0", 2, 4)
+        latest = merge._list_versions(spark, f"{path}/_manifest")[-1]
+        gen0 = (
+            spark.read.parquet(f"{path}/_manifest/v={latest}")
+            .where(F.col("gen") == 0)
+            .count()
+        )
+        return pruned.agg(
+            F.lit(phase).alias("phase"),
+            F.lit(int(pruned.dirs_read)).cast("int").alias("dirs_read"),
+            F.lit(int(pruned.dirs_total)).cast("int").alias("dirs_total"),
+            F.lit(int(gen0)).cast("int").alias("gen0_dirs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("w").alias("sum_w"),
+        )
+
+    before = report("1_before")
+    lakehouse_sql(
+        spark, "OPTIMIZE t", tables={"t": path}, key="zk",
+        min_file_bytes=1 << 30,
+    )
+    after = report("2_after")
+    return before.unionByName(after).orderBy("phase")
+
+
+_ORACLE_INCREMENTAL_OPTIMIZE = """
+WITH base AS (
+  SELECT event_id,
+         CAST(date_part('day', ts) - 1 AS BIGINT) AS day0,
+         CAST(user_id * 32 // ((SELECT max(user_id) FROM events
+                                WHERE ts IS NOT NULL AND user_id IS NOT NULL) + 1)
+              AS BIGINT) AS ub,
+         event_id % 1000 AS w
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), z AS (
+  SELECT event_id, day0, ub, w,
+         (((day0 >> 0) & 1) << 0) + (((ub >> 0) & 1) << 1) +
+         (((day0 >> 1) & 1) << 2) + (((ub >> 1) & 1) << 3) +
+         (((day0 >> 2) & 1) << 4) + (((ub >> 2) & 1) << 5) +
+         (((day0 >> 3) & 1) << 6) + (((ub >> 3) & 1) << 7) +
+         (((day0 >> 4) & 1) << 8) + (((ub >> 4) & 1) << 9) AS zkey
+  FROM base
+), n AS (
+  SELECT count(*) AS n FROM base
+), b AS (
+  SELECT event_id, day0, ub, w,
+         (row_number() OVER (ORDER BY zkey, event_id) - 1) * 8 // n.n
+           AS bucket
+  FROM z, n
+), band AS (
+  SELECT * FROM b WHERE day0 BETWEEN 3 AND 5
+), t AS (
+  SELECT count(DISTINCT bucket) AS nt FROM band
+), g0 AS (
+  SELECT bucket, min(day0) AS d0, max(day0) AS d1 FROM b GROUP BY bucket
+), cdc AS (
+  SELECT bucket, min(day0) AS d0, max(day0) AS d1 FROM band GROUP BY bucket
+), hits AS (
+  SELECT (SELECT count(*) FROM g0 WHERE d1 >= 2 AND d0 <= 4) AS g0_hit,
+         (SELECT count(*) FROM cdc WHERE d1 >= 2 AND d0 <= 4) AS cdc_hit
+), content AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN day0 BETWEEN 3 AND 5 THEN w + 3000 ELSE w END)
+              AS BIGINT) AS sum_w
+  FROM b WHERE day0 BETWEEN 2 AND 4
+)
+SELECT '1_before' AS phase,
+       CAST(h.g0_hit + 3 * h.cdc_hit AS INTEGER) AS dirs_read,
+       CAST(8 + 3 * t.nt AS INTEGER) AS dirs_total,
+       8 AS gen0_dirs, c.n_rows, c.sum_w
+FROM hits h, t, content c
+UNION ALL
+SELECT '2_after',
+       CAST(h.g0_hit AS INTEGER), 8,
+       CAST(8 - t.nt AS INTEGER), c.n_rows, c.sum_w
+FROM hits h, t, content c
+ORDER BY phase
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14666,8 +14800,13 @@ QUERIES: dict[str, QueryFn] = {
     # rows, window_suite for window_dist) and head the r16 rotation
     # pool. Displaced r14 window rows follow the slot line;
     # all remain verify_local-green.
-    # r15 promotion (oracle replays v1 through all three read forms):
+    # r15 promotions (sql_time_travel: oracle replays v1 through all
+    # three read forms; incremental_optimize: liquid-clustering-style
+    # OPTIMIZE — oracle replays both phases' pruning arithmetic and
+    # content). weighted_sample (r10) moves just past the slot line to
+    # make room and heads the r16 pool with the deferred seven.
     "sql_time_travel": q_sql_time_travel,
+    "incremental_optimize": q_incremental_optimize,
     # latest attestation r9:
     "bloom_screen": q_bloom_screen,
     "importance_resample": q_importance_resample,
@@ -14718,11 +14857,12 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_upsert": q_streaming_upsert,
     "sync_pipeline": q_sync_pipeline,
     "udaf_geomean": q_udaf_geomean,
-    "weighted_sample": q_weighted_sample,
     # -- slots 51+: verified via verify_local -------------------------
     # The displaced r14 window (all 50 driver-green in CORRECTNESS_r14),
-    # the deferred r10 seven, and the rest of the registry in prior
-    # order.
+    # the deferred r10 seven, weighted_sample (displaced by the r15
+    # incremental_optimize slot), and the rest of the registry in
+    # prior order.
+    "weighted_sample": q_weighted_sample,
     "ivf_prebuilt_full_probe": q_ivf_prebuilt_full_probe,
     "pq_full_rerank": q_pq_full_rerank,
     "ivfpq_full_probe": q_ivfpq_full_probe,
@@ -14999,6 +15139,7 @@ ORACLES: dict[str, str] = {
     "ivfpq_full_probe": _ORACLE_COSINE_TOPK,
     "lakehouse_sql": _ORACLE_LAKEHOUSE_SQL,
     "sql_time_travel": _ORACLE_SQL_TIME_TRAVEL,
+    "incremental_optimize": _ORACLE_INCREMENTAL_OPTIMIZE,
     "membership_split": _ORACLE_MEMBERSHIP_SPLIT,
     # simhash_near_pairs: rows-only (fingerprint isn't SQL-expressible)
     "token_topk": _ORACLE_TOKEN_TOPK,

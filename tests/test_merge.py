@@ -3029,3 +3029,77 @@ def test_commit_ts_stamp_exceeds_mixed_unstamped_chain(spark, tmp_path):
     after = merge.commit_timestamps(spark, path)
     assert after[2] == probe[2] == stamped_v2
     assert after[1] < after[2]
+
+
+def test_binpack_is_incremental_and_resorts_packed_files(spark, tmp_path):
+    """r15 liquid-clustering contract for compact_small_generations:
+    (1) INCREMENTAL — only buckets holding >= 2 sub-threshold
+    generations are rewritten; an untouched bucket's bootstrap files
+    are bit-for-bit the same inode content afterwards (mtimes pinned);
+    (2) the packed files come out SORTED by the table key, restoring
+    (Morton) clustering order inside every rewritten file."""
+    import os
+
+    path = str(tmp_path / "liq")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 3) for i in range(80)], "k long, v long"
+        ),
+        "k", path, n_buckets=4,
+    )
+    # two CDC commits against LOW keys only: buckets 0-1 gain small
+    # generations, buckets 2-3 stay bootstrap-only
+    for c in (1, 2):
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame(
+                [(k, 1000 * c + k) for k in (3, 7, 24, 31)], "k long, v long"
+            ),
+            "k",
+        )
+    latest = merge._list_versions(spark, f"{path}/_manifest")[-1]
+    manifest = spark.read.parquet(f"{path}/_manifest/v={latest}")
+    touched = sorted(
+        r._kr for r in manifest.where(F.col("gen") > 0)
+        .select("_kr").distinct().collect()
+    )
+    untouched = sorted(set(range(4)) - set(touched))
+    assert untouched, "test premise: some buckets must be cold"
+
+    def snapshot(bucket):
+        d = os.path.join(path, "data", f"_kr={bucket}", "_gen=0")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    cold_before = {b: snapshot(b) for b in untouched}
+    out = merge.compact_small_generations(
+        spark, path, "k", min_file_bytes=1 << 30
+    )
+    assert out.n_new_dirs == len(touched)
+    # (1) cold buckets: same files, same mtimes — never rewritten
+    assert {b: snapshot(b) for b in untouched} == cold_before
+    # cold buckets still serve from gen 0 in the new manifest
+    man2 = spark.read.parquet(f"{path}/_manifest/v={out.version}")
+    gens = {r._kr: r.gen for r in man2.collect()}
+    assert all(gens[b] == 0 for b in untouched)
+    assert all(gens[b] == out.version for b in touched)
+    # (2) every packed file is sorted by the table key
+    import pyarrow.parquet as pq
+
+    for b in touched:
+        d = os.path.join(path, "data", f"_kr={b}", f"_gen={out.version}")
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            ks = pq.read_table(os.path.join(d, f), columns=["k"]).column(
+                "k"
+            ).to_pylist()
+            assert ks == sorted(ks), (b, f)
+    # content: the pack changed nothing
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    expect = {i: i * 3 for i in range(80)}
+    expect.update({k: 2000 + k for k in (3, 7, 24, 31)})
+    assert live == expect
