@@ -572,11 +572,18 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         self.cols = cols
         self.start = start
         self.max_versions = max_versions
-        # admission control needs the stream's current position, which
-        # this API only hands to partitions(start, end) — latestOffset
-        # clamps relative to the last planned end, fast-forwarded by
-        # partitions() after a checkpoint restart (at most ONE empty
-        # catch-up batch, then the clamp tracks the true offset)
+        # admission control needs the stream's current position. One
+        # long-lived reader instance serves every protocol call
+        # (python_streaming_source_runner), and the engine always
+        # hands the position over before the first throttled
+        # latestOffset: initialOffset on a fresh stream, and on a
+        # checkpoint restart either commit(end) (recovery re-commits
+        # the last committed batch to the source) or partitions(start,
+        # end) (re-planning an uncommitted one). _planned tracks the
+        # max position seen across all of them; latestOffset clamps
+        # relative to it and therefore can never move the stream's
+        # offset backward (which would replay already-emitted commits
+        # — pinned in test_merge's restart test).
         self._planned = None
 
     def initialOffset(self) -> dict:
@@ -584,9 +591,9 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         # bootstrap snapshot (a clone's fork commit included) is silent
         versions = _cdf_committed_versions(self.path)
         earliest = versions[0] if versions else 0
-        if self.start is not None:
-            return {"version": max(self.start, earliest)}
-        return {"version": earliest}
+        off = max(self.start, earliest) if self.start is not None else earliest
+        self._planned = off  # fresh start: the position is known
+        return {"version": off}
 
     def latestOffset(self) -> dict:
         if self.max_versions is None:
@@ -600,10 +607,11 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         return {"version": self._planned}
 
     def partitions(self, start: dict, end: dict):
-        # fast-forward the admission-control base: after a checkpoint
-        # restart the engine's start (not our initialOffset) is truth
-        if self._planned is None or self._planned < start["version"]:
-            self._planned = start["version"]
+        # learn the position: a recovered batch's start/end (from the
+        # engine's offset log) outrank anything derived locally
+        planned = max(start["version"], end["version"])
+        if self._planned is None or self._planned < planned:
+            self._planned = planned
         parts = []
         for v in _cdf_committed_versions(self.path):
             if not (start["version"] < v <= end["version"]):
@@ -665,8 +673,12 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
                 )
 
     def commit(self, end: dict) -> None:
-        # offsets name immutable history; nothing to release
-        ...
+        # offsets name immutable history — nothing to release; but the
+        # committed position is the admission-control floor (restart
+        # recovery re-commits the last batch to the source, which is
+        # how a fresh worker learns where the stream already is)
+        if self._planned is None or self._planned < end["version"]:
+            self._planned = end["version"]
 
 
 def register_versioned_cdf(spark) -> None:

@@ -3103,3 +3103,70 @@ def test_binpack_is_incremental_and_resorts_packed_files(spark, tmp_path):
     expect = {i: i * 3 for i in range(80)}
     expect.update({k: 2000 + k for k in (3, 7, 24, 31)})
     assert live == expect
+
+
+def test_cdf_throttle_never_regresses_offset_across_restart(spark, tmp_path):
+    """Checkpoint-restart under admission control: the first trigger
+    after a restart calls latestOffset with the reader's position
+    unknown (initialOffset is not called on restart) — it must return
+    the unclamped tip rather than a clamp anchored at the initial
+    offset, which would move the stream's offset BACKWARD and replay
+    already-emitted commits. Drain 2 commits, stop, add 2 more,
+    restart the SAME checkpoint: the second run emits exactly the new
+    commits, no duplicates, and the union equals the unthrottled
+    feed."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 21)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+
+    def commit(step):
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame(
+                [(step, step * 100)], "k long, v long"
+            ),
+            "k",
+        )
+
+    commit(1)
+    commit(2)
+    register_versioned_cdf(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", path)
+            .option("key", "k")
+            .option("max_versions_per_trigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()  # run 1: v1, v2 as two throttled batches
+    commit(3)
+    commit(4)
+    drain()  # run 2: restart from the checkpoint, v3 + v4 only
+    rows = [
+        (r.k, r.v, r._op, r._version)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert sorted(rows) == [
+        (1, 100, "upsert", 1),
+        (2, 200, "upsert", 2),
+        (3, 300, "upsert", 3),
+        (4, 400, "upsert", 4),
+    ], rows  # each commit exactly once — no replay, no loss
