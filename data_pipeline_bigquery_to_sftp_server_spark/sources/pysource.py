@@ -637,6 +637,8 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         dv_dir = os.path.join(path, "_dv", f"v={v}")
         changed: list = []
         bucket_dir = os.path.join(dv_dir, f"_kr={b}")
+        # only the KEY column is consumed from the DV (fresh values
+        # come from the data directory): project it, filter the rest
         if os.path.isdir(bucket_dir):
             # r15 bucket-partitioned DV: open ONLY this bucket's
             # directory — the other buckets' DV bytes are never read
@@ -646,6 +648,7 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
                     continue
                 t = pq.read_table(
                     os.path.join(bucket_dir, f),
+                    columns=[key],
                     filters=[("live_gen", "==", v)],
                 )
                 changed.extend(t.to_pylist())
@@ -656,6 +659,7 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
                     continue
                 t = pq.read_table(
                     os.path.join(dv_dir, f),
+                    columns=[key],
                     filters=[("_kr", "==", b), ("live_gen", "==", v)],
                 )
                 changed.extend(t.to_pylist())
