@@ -16,7 +16,7 @@ Supported grammar (one statement per call, ``;`` optional)::
     RESTORE TABLE <table> TO VERSION AS OF <n>
     VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]
     OPTIMIZE <table> [FULL]
-    CREATE TABLE <dst> SHALLOW CLONE <src>
+    CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <n>]
     MERGE INTO <table> [AS t] USING <source> [AS s]
         ON t.<key> = s.<key>
         { WHEN MATCHED [AND <cond>] THEN UPDATE SET * | <c1, c2, ...>
@@ -269,9 +269,13 @@ def lakehouse_sql(
         # Delta's OPTIMIZE small-file threshold is a session default;
         # same shape here (128 MiB unless the caller overrides)
         return compact_small_generations(spark, path, key, min_file_bytes)
-    m = re.match(r"(?i)^CREATE TABLE (\S+) SHALLOW CLONE (\S+)$", s)
+    m = re.match(
+        r"(?i)^CREATE TABLE (\S+) SHALLOW CLONE (\S+)"
+        r"(?: VERSION AS OF (\d+))?$",
+        s,
+    )
     if m:
-        dst, src = m.groups()
+        dst, src, clone_v = m.groups()
         # the destination may be a NEW name: resolve leniently (quoted
         # literal or mapping hit). The raw-token fallback requires a
         # PATH-LIKE token (a separator or scheme) — a bare unresolved
@@ -289,7 +293,12 @@ def lakehouse_sql(
                     "the destination path"
                 ) from None
             dst_path = dst
-        return clone_table(spark, _resolve_table(src, tables), dst_path)
+        return clone_table(
+            spark,
+            _resolve_table(src, tables),
+            dst_path,
+            version=None if clone_v is None else int(clone_v),
+        )
     m = re.match(
         r"(?i)^MERGE INTO (\S+)(?: AS t)? USING (\S+)(?: AS s)? "
         r"ON t\.(\w+) = s\.(\w+) (WHEN .+)$",

@@ -227,7 +227,12 @@ class VersionedCdfDataSource(DataSource):
     table's FIRST committed version, so changes begin AFTER the
     bootstrap snapshot — which for a shallow clone is its fork commit,
     whose inherited deletion vector is pre-fork history, not a
-    change), optional ``table_schema`` (DDL override for the data
+    change), optional ``starting_timestamp`` (Delta's CDF
+    startingTimestamp: emit every version whose commit timestamp is at
+    or after the given epoch-millis integer or ISO-8601 string, naive
+    = UTC; resolved through the stamped commit clock, mutually
+    exclusive with starting_version, raises if beyond the newest
+    commit), optional ``table_schema`` (DDL override for the data
     columns), optional ``max_versions_per_trigger`` (admission
     control, Delta's maxFilesPerTrigger analog: cap each micro-batch
     at k commits so a giant backfill MERGE in the history cannot land
@@ -276,14 +281,37 @@ class VersionedCdfDataSource(DataSource):
                 errorClass="NOT_IMPLEMENTED",
                 messageParameters={"feature": "streamReader"},
             )
-        sv = self.options.get("starting_version")
         return VersionedCdfPartitionedReader(
             self.options["path"],
             self.options["key"],
             [n for n, _ in self._data_cols()],
-            None if sv is None else int(sv),
+            self._starting_version(),
             self._max_versions(),
+            self._starting_ts(),
         )
+
+    def _starting_version(self) -> int | None:
+        sv = self.options.get("starting_version")
+        if sv is not None and self.options.get("starting_timestamp"):
+            raise ValueError(
+                "versioned_cdf: starting_version and starting_timestamp "
+                "are mutually exclusive"
+            )
+        return None if sv is None else int(sv)
+
+    def _starting_ts(self) -> int | None:
+        raw = self.options.get("starting_timestamp")
+        if raw is None:
+            return None
+        raw = str(raw).strip()
+        if raw.isdigit():
+            return int(raw)
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(raw.strip("'\""))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)  # the commit clock's base
+        return int(dt.timestamp() * 1000)
 
     def _max_versions(self) -> int | None:
         # option keys reach the python source lowercased; accept the
@@ -301,13 +329,13 @@ class VersionedCdfDataSource(DataSource):
         return k
 
     def simpleStreamReader(self, schema: StructType):
-        sv = self.options.get("starting_version")
         return VersionedCdfStreamReader(
             self.options["path"],
             self.options["key"],
             [n for n, _ in self._data_cols()],
-            None if sv is None else int(sv),
+            self._starting_version(),
             self._max_versions(),
+            self._starting_ts(),
         )
 
 
@@ -333,12 +361,14 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         cols: list[str],
         start: int | None,
         max_versions: int | None = None,
+        start_ts: int | None = None,
     ):
         self.path = path
         self.key = key
         self.cols = cols
         self.start = start
         self.max_versions = max_versions
+        self.start_ts = start_ts
 
     def initialOffset(self) -> dict:
         # the table's first committed version — the bootstrap snapshot
@@ -348,12 +378,10 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         # starting_version below the first version clamps up: pre-fork
         # versions don't exist in this table's history, and emitting
         # the fork's inherited DV would yield phantom deletes (the
-        # shared copies live in the source's directories, not gen=v0)
-        versions = _cdf_committed_versions(self.path)
-        earliest = versions[0] if versions else 0
-        if self.start is not None:
-            return {"version": max(self.start, earliest)}
-        return {"version": earliest}
+        # shared copies live in the source's directories, not gen=v0).
+        # starting_timestamp resolves through the commit clock — see
+        # _cdf_resolve_start.
+        return _cdf_resolve_start(self.path, self.start, self.start_ts)
 
     def _changes(self, after: int, through: int):
         import os
@@ -491,6 +519,57 @@ def _cdf_commit_sidecar(path: str, version: int) -> dict | None:
         return None
 
 
+def _cdf_commit_timestamps(path: str, versions: list[int]) -> dict[int, int]:
+    """Driver-side mirror of merge.commit_timestamps (this source runs
+    without a SparkSession): the stamped ``commit_ts`` from each
+    ``v=<n>.op`` sidecar when present, the manifest ``_SUCCESS`` mtime
+    for histories predating the stamp, then the same strictly-monotonic
+    adjustment (ts_v = max(raw_v, prev+1)) so "first version at or
+    after T" is total even for same-tick commits."""
+    import os
+
+    out: dict[int, int] = {}
+    prev = -1
+    for v in versions:
+        side = _cdf_commit_sidecar(path, v)
+        raw = None if side is None else side.get("commit_ts")
+        if raw is None:
+            p = os.path.join(path, "_manifest", f"v={v}", "_SUCCESS")
+            raw = int(os.stat(p).st_mtime * 1000)
+        ts = max(int(raw), prev + 1)
+        out[v] = ts
+        prev = ts
+    return out
+
+
+def _cdf_resolve_start(
+    path: str, start_version: int | None, start_ts: int | None
+) -> dict:
+    """The shared initial-offset rule for both reader tiers: the
+    bootstrap snapshot (a clone's fork commit included) is silent, an
+    explicit starting_version below the first commit clamps up, and
+    starting_timestamp T resolves to "emit every version whose commit
+    timestamp is >= T" (Delta's CDF startingTimestamp) — an offset of
+    first-such-version - 1, clamped to the bootstrap rule; T beyond
+    the newest commit raises (matching Delta) rather than silently
+    streaming nothing."""
+    versions = _cdf_committed_versions(path)
+    earliest = versions[0] if versions else 0
+    if start_ts is not None:
+        ts = _cdf_commit_timestamps(path, versions)
+        hits = [v for v in versions if ts[v] >= start_ts]
+        if not hits:
+            raise ValueError(
+                f"versioned_cdf: starting_timestamp {start_ts} is after "
+                f"the newest commit "
+                f"({ts[versions[-1]] if versions else 'no commits'})"
+            )
+        return {"version": max(hits[0] - 1, earliest)}
+    if start_version is not None:
+        return {"version": max(start_version, earliest)}
+    return {"version": earliest}
+
+
 def _cdf_changed_buckets(path: str, version: int) -> list[int]:
     """Buckets with at least one changed key at ``version`` — the CDF
     partition PLANNING step, three tiers so the cost is metadata-sized
@@ -566,12 +645,14 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         cols: list[str],
         start: int | None,
         max_versions: int | None = None,
+        start_ts: int | None = None,
     ):
         self.path = path
         self.key = key
         self.cols = cols
         self.start = start
         self.max_versions = max_versions
+        self.start_ts = start_ts
         # admission control needs the stream's current position. One
         # long-lived reader instance serves every protocol call
         # (python_streaming_source_runner), and the engine always
@@ -587,13 +668,13 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         self._planned = None
 
     def initialOffset(self) -> dict:
-        # identical clamp semantics to VersionedCdfStreamReader: the
-        # bootstrap snapshot (a clone's fork commit included) is silent
-        versions = _cdf_committed_versions(self.path)
-        earliest = versions[0] if versions else 0
-        off = max(self.start, earliest) if self.start is not None else earliest
-        self._planned = off  # fresh start: the position is known
-        return {"version": off}
+        # identical semantics to VersionedCdfStreamReader: the
+        # bootstrap snapshot (a clone's fork commit included) is
+        # silent; starting_version clamps up; starting_timestamp
+        # resolves through the commit clock (_cdf_resolve_start)
+        off = _cdf_resolve_start(self.path, self.start, self.start_ts)
+        self._planned = off["version"]  # fresh start: position known
+        return off
 
     def latestOffset(self) -> dict:
         if self.max_versions is None:

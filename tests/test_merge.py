@@ -3170,3 +3170,100 @@ def test_cdf_throttle_never_regresses_offset_across_restart(spark, tmp_path):
         (3, 300, "upsert", 3),
         (4, 400, "upsert", 4),
     ], rows  # each commit exactly once — no replay, no loss
+
+
+def test_cdf_starting_timestamp_and_versioned_clone_sql(spark, tmp_path):
+    """r15 parity additions: (1) the CDF source's
+    ``starting_timestamp`` option (Delta's startingTimestamp) resolves
+    through the stamped commit clock — epoch-millis and ISO-8601
+    spellings both emit exactly the versions committed at or after the
+    probe, on BOTH reader tiers; beyond-the-newest-commit raises and
+    combining it with starting_version raises. (2) ``CREATE TABLE ...
+    SHALLOW CLONE ... VERSION AS OF n`` forks at the named version."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+    from data_pipeline_bigquery_to_sftp_server_spark.sources import pysource
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 21)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    for step in (1, 2, 3):
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame(
+                [(step, step * 100)], "k long, v long"
+            ),
+            "k",
+        )
+    ts = merge.commit_timestamps(spark, path)
+    # the driver-side clock mirror agrees with the Spark-side one
+    assert pysource._cdf_commit_timestamps(path, [0, 1, 2, 3]) == ts
+    register_versioned_cdf(spark)
+
+    def drain(mode: str, start_ts) -> list:
+        out = str(tmp_path / f"o_{mode}_{start_ts}")
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", path)
+            .option("key", "k")
+            .option("reader", mode)
+            .option("starting_timestamp", str(start_ts))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"c_{mode}_{start_ts}"),
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(
+            (r.k, r.v, r._version)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    want = [(2, 200, 2), (3, 300, 3)]
+    for mode in ("partitioned", "simple"):
+        assert drain(mode, ts[2]) == want, mode
+    iso = datetime.fromtimestamp(ts[2] / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f"
+    )
+    assert drain("partitioned", iso) == want
+    with _pytest.raises(ValueError, match="after the newest commit"):
+        pysource._cdf_resolve_start(path, None, ts[3] + 1)
+    ds = pysource.VersionedCdfDataSource(
+        {
+            "path": path,
+            "key": "k",
+            "starting_version": "1",
+            "starting_timestamp": str(ts[2]),
+        }
+    )
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        ds._starting_version()
+    # (2) SHALLOW CLONE at a named version through the front door
+    dst = str(tmp_path / "fork_v2")
+    v0 = lakehouse_sql(
+        spark,
+        f"CREATE TABLE '{dst}' SHALLOW CLONE t VERSION AS OF 2",
+        tables={"t": path},
+    )
+    got = {r.k: r.v for r in merge.read_version(spark, dst).collect()}
+    want_clone = {i: i * 10 for i in range(1, 21)}
+    want_clone.update({1: 100, 2: 200})  # v2: steps 1-2 applied, not 3
+    assert got == want_clone
+    assert merge.commit_operations(spark, dst)[v0] == "CLONE"
