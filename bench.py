@@ -258,9 +258,10 @@ HEADLINE = [
     "hard_negatives_full_probe",
     "retrieval_mrr_full_probe",
     # r15: SQL time-travel reads through the front door; incremental
-    # liquid-clustering-style OPTIMIZE
+    # liquid-clustering-style OPTIMIZE; DELETE FROM / UPDATE statements
     "sql_time_travel",
     "incremental_optimize",
+    "sql_update_delete",
 ]
 
 

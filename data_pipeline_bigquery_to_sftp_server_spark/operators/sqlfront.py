@@ -17,6 +17,8 @@ Supported grammar (one statement per call, ``;`` optional)::
     VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]
     OPTIMIZE <table> [FULL]
     CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <n>]
+    DELETE FROM <table> [WHERE <cond>]
+    UPDATE <table> SET <c> = <expr>[, ...] [WHERE <cond>]
     MERGE INTO <table> [AS t] USING <source> [AS s]
         ON t.<key> = s.<key>
         { WHEN MATCHED [AND <cond>] THEN UPDATE SET * | <c1, c2, ...>
@@ -30,6 +32,17 @@ further projection/filter on that. ``<ts>`` is an integer epoch-
 milliseconds literal or a quoted ISO-8601 timestamp (naive values are
 UTC, matching the commit clock). Omitting the AS OF clause reads the
 latest version.
+
+``DELETE FROM`` and ``UPDATE`` (r15, Delta's statement pair) commit
+MERGE-ON-READ: DELETE resolves the matching keys through the live
+read (partition-pruned when the predicate allows) and routes to
+delete_versioned — a zero-data-file commit; UPDATE evaluates the SET
+expressions over the matched rows' OLD values (standard SQL UPDATE
+semantics) and commits the rewritten rows through upsert_versioned_dv
+— O(matching rows), never a bucket rewrite. Both need ``key=`` like
+OPTIMIZE; conditions and SET expressions are SQL over the table's
+bare column names. UPDATE's history tag is MERGE tier=mor (it rides
+the MOR upsert committer); DELETE tags DELETE.
 
 ``OPTIMIZE`` routes to the file-size-aware bin-packer
 (compact_small_generations — steady-state big files never rewritten);
@@ -64,16 +77,19 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
     clone_table,
     compact_small_generations,
     compact_table,
+    delete_versioned,
     merge_arms_versioned_dv,
     read_version,
     read_version_as_of,
     restore_version,
     table_history,
+    upsert_versioned_dv,
     vacuum_versions,
 )
 
@@ -135,6 +151,37 @@ def _resolve_table(ref: str, tables: dict[str, str] | None) -> str:
         f"lakehouse_sql: unknown table {t!r} — pass tables={{name: path}} "
         "or quote a path literal"
     )
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split a SET list on TOP-LEVEL commas only — commas inside
+    quotes or parentheses (function calls, IN lists) stay put."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and s[j] != ch:
+                j += 1
+            cur.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _parse_ts_ms(tok: str) -> int:
@@ -299,6 +346,64 @@ def lakehouse_sql(
             dst_path,
             version=None if clone_v is None else int(clone_v),
         )
+    m = re.match(r"(?i)^DELETE FROM (\S+)(?: WHERE (.+))?$", s)
+    if m:
+        if key is None:
+            raise ValueError(
+                "lakehouse_sql: DELETE needs key=<merge key column> "
+                "(the table's key is a call-site parameter in this engine)"
+            )
+        path = _resolve_table(m.group(1), tables)
+        live = read_version(spark, path)
+        matched = live.where(F.expr(m.group(2))) if m.group(2) else live
+        # zero-data-file MOR commit: only the matching KEYS travel
+        return delete_versioned(spark, path, matched.select(key), key)
+    m = re.match(r"(?i)^UPDATE (\S+) SET (.+?)(?: WHERE (.+))?$", s)
+    if m:
+        if key is None:
+            raise ValueError(
+                "lakehouse_sql: UPDATE needs key=<merge key column> "
+                "(the table's key is a call-site parameter in this engine)"
+            )
+        path = _resolve_table(m.group(1), tables)
+        sets: dict[str, str] = {}
+        for part in _split_top_commas(m.group(2)):
+            pm = re.match(r"(?s)^([A-Za-z_]\w*)\s*=\s*(.+)$", part)
+            if not pm:
+                raise ValueError(
+                    f"lakehouse_sql: bad SET clause {part!r} "
+                    "(expected <column> = <sql expression>)"
+                )
+            sets[pm.group(1)] = pm.group(2)
+        if key in sets:
+            raise ValueError(
+                "lakehouse_sql: UPDATE must not SET the merge key "
+                f"({key!r}) — MERGE INTO with an insert arm expresses "
+                "re-keying"
+            )
+        live = read_version(spark, path)
+        cols = [c for c in live.columns if c not in ("_kr", "_gen")]
+        unknown = sorted(set(sets) - set(cols))
+        if unknown:
+            raise ValueError(
+                f"lakehouse_sql: UPDATE SET references unknown "
+                f"column(s) {unknown} (table has {cols})"
+            )
+        matched = live.where(F.expr(m.group(3))) if m.group(3) else live
+        # standard SQL UPDATE semantics: every SET expression sees the
+        # row's OLD values (all exprs evaluate over the matched frame)
+        # and the column's TYPE is invariant (cast the expression, so
+        # `SET w = 0` against a BIGINT column stays BIGINT instead of
+        # forking the table's schema with an INT generation)
+        staged = matched.select(
+            *[
+                F.expr(sets[c]).cast(live.schema[c].dataType).alias(c)
+                if c in sets
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        return upsert_versioned_dv(spark, path, staged, key)
     m = re.match(
         r"(?i)^MERGE INTO (\S+)(?: AS t)? USING (\S+)(?: AS s)? "
         r"ON t\.(\w+) = s\.(\w+) (WHEN .+)$",
@@ -326,5 +431,7 @@ def lakehouse_sql(
         "SELECT * FROM t [VERSION|TIMESTAMP AS OF ...] / "
         "DESCRIBE HISTORY / RESTORE TABLE ... TO VERSION AS OF / "
         "VACUUM [RETAIN n HOURS] [DRY RUN] / OPTIMIZE [FULL] / "
-        "CREATE TABLE ... SHALLOW CLONE / MERGE INTO ... WHEN ...)"
+        "CREATE TABLE ... SHALLOW CLONE [VERSION AS OF n] / "
+        "DELETE FROM ... [WHERE] / UPDATE ... SET ... [WHERE] / "
+        "MERGE INTO ... WHEN ...)"
     )

@@ -14637,6 +14637,70 @@ ORDER BY f.form, a.bucket
 """
 
 
+def q_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1w SQL DELETE FROM / UPDATE statements (r15 — Delta's
+    statement pair), ORACLE-CHECKED: both route through the front door
+    onto the MERGE-ON-READ committers — UPDATE evaluates its SET
+    expressions over the matched rows' OLD values and commits the
+    rewritten rows via upsert_versioned_dv (O(matching rows), no
+    bucket rewrite); DELETE resolves the matching keys through the
+    live read and commits a zero-data-file delete_versioned version.
+    The DELETE's predicate reads the UPDATE's committed state (cents
+    AFTER the +777), so the oracle value-checks the statement
+    ordering, the arithmetic, the key resolution, and the final live
+    table per bucket in one result. Grammar/guard rails pinned in
+    test_sqlfront. Scale: both commits are O(matched), the read side
+    is the touched buckets' live rows."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("sqlud_")
+    merge.versioned_layout_write(o, "k", path, n_buckets=8)
+    tables = {"t": path}
+    lakehouse_sql(
+        spark, "UPDATE t SET cents = cents + 777 WHERE k % 3 = 0",
+        tables=tables, key="k",
+    )  # v1
+    lakehouse_sql(
+        spark, "DELETE FROM t WHERE cents % 5 = 0", tables=tables, key="k"
+    )  # v2: sees v1's cents
+    return (
+        merge.read_version(spark, path)
+        .groupBy(F.col("_kr").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_SQL_UPDATE_DELETE = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), upd AS (
+  SELECT k,
+         CASE WHEN k % 3 = 0 THEN cents + 777 ELSE cents END AS cents,
+         (rn - 1) * 8 // n AS b
+  FROM o
+), live AS (
+  SELECT * FROM upd WHERE cents % 5 != 0
+)
+SELECT b AS bucket, count(*) AS n_live,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM live GROUP BY b ORDER BY bucket
+"""
+
+
 def q_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1v incremental re-clustering OPTIMIZE (r15 — the r14 verdict's
     stretch item; Delta liquid clustering's OPTIMIZE behavior),
@@ -14807,6 +14871,7 @@ QUERIES: dict[str, QueryFn] = {
     # make room and heads the r16 pool with the deferred seven.
     "sql_time_travel": q_sql_time_travel,
     "incremental_optimize": q_incremental_optimize,
+    "sql_update_delete": q_sql_update_delete,
     # latest attestation r9:
     "bloom_screen": q_bloom_screen,
     "importance_resample": q_importance_resample,
@@ -14856,12 +14921,13 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_upsert": q_streaming_upsert,
     "sync_pipeline": q_sync_pipeline,
-    "udaf_geomean": q_udaf_geomean,
     # -- slots 51+: verified via verify_local -------------------------
     # The displaced r14 window (all 50 driver-green in CORRECTNESS_r14),
     # the deferred r10 seven, weighted_sample (displaced by the r15
     # incremental_optimize slot), and the rest of the registry in
-    # prior order.
+    # prior order. udaf_geomean (r10) was displaced by the r15
+    # sql_update_delete slot; it and weighted_sample head the r16 pool.
+    "udaf_geomean": q_udaf_geomean,
     "weighted_sample": q_weighted_sample,
     "ivf_prebuilt_full_probe": q_ivf_prebuilt_full_probe,
     "pq_full_rerank": q_pq_full_rerank,
@@ -15140,6 +15206,7 @@ ORACLES: dict[str, str] = {
     "lakehouse_sql": _ORACLE_LAKEHOUSE_SQL,
     "sql_time_travel": _ORACLE_SQL_TIME_TRAVEL,
     "incremental_optimize": _ORACLE_INCREMENTAL_OPTIMIZE,
+    "sql_update_delete": _ORACLE_SQL_UPDATE_DELETE,
     "membership_split": _ORACLE_MEMBERSHIP_SPLIT,
     # simhash_near_pairs: rows-only (fingerprint isn't SQL-expressible)
     "token_topk": _ORACLE_TOKEN_TOPK,

@@ -1767,7 +1767,7 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
             st.sampled_from(
                 ["mor", "cow", "delete", "arms", "arms_sql", "restore",
                  "binpack", "compact", "rebucket", "vacuum",
-                 "clone", "quarantine", "tag"]
+                 "clone", "quarantine", "tag", "delete_sql", "update_sql"]
             ),
             min_size=4,
             max_size=7,
@@ -1903,6 +1903,33 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
                     elif sop == "I" and nv >= 0:
                         m[k] = nv
                 models[out.version] = m
+            elif op in ("delete_sql", "update_sql"):
+                # the r15 statement pair through the SQL front door:
+                # must be commit-for-commit identical to the committers
+                from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+                    lakehouse_sql,
+                )
+
+                d, r2 = rng.randint(2, 9), rng.randint(0, 1)
+                if op == "delete_sql":
+                    v = lakehouse_sql(
+                        spark, f"DELETE FROM t WHERE k % {d} = {r2}",
+                        tables={"t": path}, key="k",
+                    )
+                    m = {k: val for k, val in m.items() if k % d != r2}
+                    models[v] = m
+                else:
+                    c = rng.randrange(1000)
+                    out = lakehouse_sql(
+                        spark,
+                        f"UPDATE t SET v = v * 2 + {c} WHERE k % {d} = {r2}",
+                        tables={"t": path}, key="k",
+                    )
+                    m = {
+                        k: (val * 2 + c if k % d == r2 else val)
+                        for k, val in m.items()
+                    }
+                    models[out.version] = m
             elif op == "restore":
                 retained = merge._list_versions(spark, f"{path}/_manifest")
                 target = rng.choice([v for v in retained if v in models])

@@ -280,3 +280,69 @@ def test_shallow_clone_rejects_bare_unresolved_destination(spark, tmp_path):
         spark, f"CREATE TABLE {dst} SHALLOW CLONE t", tables=tables
     )
     assert merge.commit_operations(spark, dst)[v0] == "CLONE"
+
+
+def test_delete_from_and_update_statements(spark, tmp_path):
+    """DELETE FROM / UPDATE (r15 — Delta's statement pair) commit
+    merge-on-read: DELETE is a zero-data-file commit of the matching
+    keys; UPDATE evaluates SET expressions over the rows' OLD values
+    (standard SQL semantics: a swap-style pair of SETs both see the
+    pre-update row) and rides the MOR upsert. WHERE is optional on
+    both; guard rails reject SET on the merge key and unknown
+    columns."""
+    import os
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10, i % 7) for i in range(1, 41)],
+            "k long, v long, w long",
+        ),
+        "k", path, 2,
+    )
+    tables = {"t": path}
+    before = _data_tree_files(path)
+    v = lakehouse_sql(
+        spark, "DELETE FROM t WHERE k % 10 = 0", tables=tables, key="k"
+    )
+    assert v == 1
+    assert _data_tree_files(path) == before  # zero data files written
+    live = {r.k for r in merge.read_version(spark, path).collect()}
+    assert live == {i for i in range(1, 41) if i % 10 != 0}
+    assert merge.commit_operations(spark, path)[1] == "DELETE"
+    # UPDATE: both SET expressions see the OLD row (v' uses old w,
+    # w' uses old v) — order in the SET list must not matter
+    out = lakehouse_sql(
+        spark,
+        "UPDATE t SET v = v + w * 1000, w = CASE WHEN v >= 200 "
+        "THEN -1 ELSE w END WHERE k BETWEEN 18 AND 22",
+        tables=tables, key="k",
+    )
+    assert out.version == 2
+    got = {
+        r.k: (r.v, r.w) for r in merge.read_version(spark, path).collect()
+    }
+    for k in (18, 19, 21, 22):  # 20 was deleted
+        old_v, old_w = k * 10, k % 7
+        assert got[k] == (old_v + old_w * 1000, -1 if old_v >= 200 else old_w), k
+    assert got[5] == (50, 5)  # outside WHERE: untouched
+    # unconditional UPDATE touches every live row
+    lakehouse_sql(spark, "UPDATE t SET w = 0", tables=tables, key="k")
+    assert {r.w for r in merge.read_version(spark, path).collect()} == {0}
+    with pytest.raises(ValueError, match="must not SET the merge key"):
+        lakehouse_sql(spark, "UPDATE t SET k = 1", tables=tables, key="k")
+    with pytest.raises(ValueError, match="unknown column"):
+        lakehouse_sql(spark, "UPDATE t SET nope = 1", tables=tables, key="k")
+    with pytest.raises(ValueError, match="DELETE needs key="):
+        lakehouse_sql(spark, "DELETE FROM t WHERE k = 1", tables=tables)
+
+
+def _data_tree_files(path):
+    import os
+
+    out = set()
+    for root, _dirs, files in os.walk(os.path.join(path, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.join(root, f))
+    return out
