@@ -19,6 +19,9 @@ Supported grammar (one statement per call, ``;`` optional)::
     CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <n>]
     DELETE FROM <table> [WHERE <cond>]
     UPDATE <table> SET <c> = <expr>[, ...] [WHERE <cond>]
+    ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
+    ALTER TABLE <table> DROP CONSTRAINT [IF EXISTS] <name>
+    DESCRIBE DETAIL <table>
     MERGE INTO <table> [AS t] USING <source> [AS s]
         ON t.<key> = s.<key>
         { WHEN MATCHED [AND <cond>] THEN UPDATE SET * | <c1, c2, ...>
@@ -248,6 +251,54 @@ def _parse_merge_arms(tail: str):
     return matched, not_matched
 
 
+def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
+    """Delta's ``DESCRIBE DETAIL`` shape for the versioned table: ONE
+    row of physical metadata, all of it from the commit log + driver
+    FS stats — no data file is opened. ``size_bytes`` sums the LIVE
+    generation directories only (dead generations await vacuum and are
+    not the table's logical footprint); ext-aware, so a shallow
+    clone's shared directories count toward the clone's size exactly
+    as Delta reports for clones."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.constraints import (
+        get_constraints,
+    )
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+        _fs,
+        _gen_dir,
+        _list_versions,
+    )
+
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"describe detail: no table at {path}")
+    v = versions[-1]
+    manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
+    rows = manifest.collect()
+    jvm, fs, _ = _fs(spark, path)
+    size = 0
+    for r in rows:
+        p = jvm.org.apache.hadoop.fs.Path(_gen_dir(path, r))
+        fs_d = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        size += fs_d.getContentSummary(p).getLength()
+    return spark.createDataFrame(
+        [
+            (
+                "versioned_parquet",
+                path,
+                int(v),
+                len(versions),
+                len(rows),
+                int(sum(r.n_rows for r in rows)),
+                int(size),
+                len(get_constraints(spark, path)),
+            )
+        ],
+        "format string, location string, version int, num_versions int, "
+        "num_dirs int, physical_rows bigint, size_bytes bigint, "
+        "num_constraints int",
+    )
+
+
 def lakehouse_sql(
     spark: SparkSession,
     stmt: str,
@@ -259,6 +310,10 @@ def lakehouse_sql(
     """Dispatch one lakehouse SQL statement onto the versioned-table
     committers. Returns what the underlying operator returns:
     SELECT -> the (time-travel) read's DataFrame;
+    DELETE -> the new version number; UPDATE -> the committed
+    fresh-copy frame; ALTER TABLE ADD/DROP CONSTRAINT -> the table's
+    constraint dict after the change; DESCRIBE DETAIL -> the one-row
+    physical-metadata frame;
     DESCRIBE HISTORY -> the history DataFrame; RESTORE -> the new
     version number (restore-as-commit); VACUUM -> the reclaimed-path
     list (preview list under DRY RUN); OPTIMIZE -> what the compactor
@@ -346,6 +401,49 @@ def lakehouse_sql(
             dst_path,
             version=None if clone_v is None else int(clone_v),
         )
+    m = re.match(
+        r"(?i)^ALTER TABLE (\S+) ADD CONSTRAINT (\w+) CHECK \((.+)\)$", s
+    )
+    if m:
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.constraints import (
+            get_constraints,
+            set_constraints,
+        )
+
+        path = _resolve_table(m.group(1), tables)
+        cons = get_constraints(spark, path)
+        if m.group(2) in cons:
+            raise ValueError(
+                f"lakehouse_sql: constraint {m.group(2)!r} already exists "
+                f"on {path} (Delta errors too; DROP it first to replace)"
+            )
+        cons[m.group(2)] = m.group(3)
+        set_constraints(spark, path, cons)
+        return cons
+    m = re.match(
+        r"(?i)^ALTER TABLE (\S+) DROP CONSTRAINT( IF EXISTS)? (\w+)$", s
+    )
+    if m:
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.constraints import (
+            get_constraints,
+            set_constraints,
+        )
+
+        path = _resolve_table(m.group(1), tables)
+        cons = get_constraints(spark, path)
+        if m.group(3) not in cons:
+            if m.group(2):
+                return cons  # IF EXISTS: absent is fine
+            raise ValueError(
+                f"lakehouse_sql: no constraint {m.group(3)!r} on {path} "
+                f"(declared: {sorted(cons) or 'none'})"
+            )
+        del cons[m.group(3)]
+        set_constraints(spark, path, cons)
+        return cons
+    m = re.match(r"(?i)^DESCRIBE DETAIL (.+)$", s)
+    if m:
+        return _describe_detail(spark, _resolve_table(m.group(1), tables))
     m = re.match(r"(?i)^DELETE FROM (\S+)(?: WHERE (.+))?$", s)
     if m:
         if key is None:
@@ -433,5 +531,6 @@ def lakehouse_sql(
         "VACUUM [RETAIN n HOURS] [DRY RUN] / OPTIMIZE [FULL] / "
         "CREATE TABLE ... SHALLOW CLONE [VERSION AS OF n] / "
         "DELETE FROM ... [WHERE] / UPDATE ... SET ... [WHERE] / "
+        "ALTER TABLE ... ADD|DROP CONSTRAINT / DESCRIBE DETAIL / "
         "MERGE INTO ... WHEN ...)"
     )

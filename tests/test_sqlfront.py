@@ -346,3 +346,49 @@ def _data_tree_files(path):
             if f.endswith(".parquet"):
                 out.add(os.path.join(root, f))
     return out
+
+
+def test_alter_constraint_and_describe_detail(spark, tmp_path):
+    """ALTER TABLE ADD/DROP CONSTRAINT (Delta's CHECK surface) routes
+    onto the constraints metadata and the write gate enforces the
+    added check on the very next commit; DESCRIBE DETAIL returns the
+    one-row physical-metadata shape from the commit log alone."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.constraints import (
+        ConstraintViolation,
+    )
+
+    path = _table(spark, tmp_path)
+    tables = {"t": path}
+    cons = lakehouse_sql(
+        spark,
+        "ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v >= 0)",
+        tables=tables,
+    )
+    assert cons == {"v_pos": "v >= 0"}
+    with pytest.raises(ValueError, match="already exists"):
+        lakehouse_sql(
+            spark,
+            "ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 1)",
+            tables=tables,
+        )
+    # the gate holds on the next commit, through the statement surface
+    with pytest.raises(ConstraintViolation):
+        lakehouse_sql(
+            spark, "UPDATE t SET v = -5 WHERE k = 1", tables=tables, key="k"
+        )
+    lakehouse_sql(
+        spark, "UPDATE t SET v = 5 WHERE k = 1", tables=tables, key="k"
+    )  # passing batch commits
+    d = lakehouse_sql(spark, "DESCRIBE DETAIL t", tables=tables).collect()[0]
+    assert d.format == "versioned_parquet" and d.location == path
+    assert d.version == 1 and d.num_versions == 2
+    assert d.num_constraints == 1 and d.size_bytes > 0
+    assert d.physical_rows == 41  # 40 bootstrap + 1 MOR fresh copy
+    with pytest.raises(ValueError, match="no constraint 'nope'"):
+        lakehouse_sql(spark, "ALTER TABLE t DROP CONSTRAINT nope", tables=tables)
+    assert lakehouse_sql(
+        spark, "ALTER TABLE t DROP CONSTRAINT IF EXISTS nope", tables=tables
+    ) == {"v_pos": "v >= 0"}
+    assert lakehouse_sql(
+        spark, "ALTER TABLE t DROP CONSTRAINT v_pos", tables=tables
+    ) == {}
