@@ -262,6 +262,7 @@ HEADLINE = [
     "sql_time_travel",
     "incremental_optimize",
     "sql_update_delete",
+    "table_changes_batch",
 ]
 
 

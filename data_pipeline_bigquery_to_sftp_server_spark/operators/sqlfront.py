@@ -12,6 +12,7 @@ a path-addressed engine needs its own front door.
 Supported grammar (one statement per call, ``;`` optional)::
 
     SELECT * FROM <table> [VERSION AS OF <n> | TIMESTAMP AS OF <ts>]
+    SELECT * FROM TABLE_CHANGES(<table>, <start>[, <end>])
     DESCRIBE HISTORY <table>
     RESTORE TABLE <table> TO VERSION AS OF <n>
     VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]
@@ -91,6 +92,7 @@ from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
     read_version,
     read_version_as_of,
     restore_version,
+    table_changes,
     table_history,
     upsert_versioned_dv,
     vacuum_versions,
@@ -321,6 +323,18 @@ def lakehouse_sql(
     clone's fork version; MERGE INTO -> the committed fresh-copy frame
     with version / touched_buckets / per-arm counts attached."""
     s = _WS.sub(" ", str(stmt)).strip().rstrip(";").strip()
+    m = re.match(
+        r"(?i)^SELECT \* FROM TABLE_CHANGES\( ?(\S+?), ?(\d+)(?:, ?(\d+))? ?\)$",
+        s,
+    )
+    if m:
+        # Delta's table_changes() TVF: the batch CDF read
+        return table_changes(
+            spark,
+            _resolve_table(m.group(1), tables),
+            int(m.group(2)),
+            None if m.group(3) is None else int(m.group(3)),
+        )
     m = re.match(
         r"(?i)^SELECT \* FROM (\S+)"
         r"(?: VERSION AS OF (\d+)| TIMESTAMP AS OF (\S+|'[^']*'|\"[^\"]*\"))?$",

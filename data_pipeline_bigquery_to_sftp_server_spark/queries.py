@@ -13614,6 +13614,75 @@ ORDER BY _version, o_orderkey
 """
 
 
+def q_table_changes_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95f BATCH change-data-feed read (r15 — Delta's
+    ``table_changes()`` TVF, the batch twin of X95b's streaming
+    source), ORACLE-CHECKED through the SQL spelling ``SELECT * FROM
+    TABLE_CHANGES(t, 0)``: the same change rule as the stream (DV
+    entries with live_gen == v; fresh copy -> upsert, absent ->
+    delete), derived DataFrame-natively per version — one
+    column-pruned DV read, a scan of only that version's _gen
+    directories, a semi/anti join pair — so the batch feed costs
+    O(changes in range), never O(table). The scene commits an upsert
+    batch (updates + inserts), a pure delete, and a full compaction
+    whose rewrite of every bucket must emit NOTHING (structural
+    commits are silent). Byte-equality with the streamed feed, range
+    endpoints (consumed-through offsets), and empty-range schema are
+    pinned in test_merge (operators/merge.py table_changes;
+    operators/sqlfront.py)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("tcb_")
+    merge.versioned_layout_write(o, "o_orderkey", path, n_buckets=16)
+    ranked, n_total = relational.with_global_rank(o, ["o_orderkey"])
+    mid, quarter = n_total // 2, n_total // 4
+    upd = (
+        ranked.where((F.col("grank") >= mid + 1) & (F.col("grank") <= mid + 40))
+        .select("o_orderkey", (F.col("cents") + 999).alias("cents"))
+        .unionByName(
+            spark.range(5).select(
+                (F.col("id") + 60_000_000).alias("o_orderkey"),
+                (F.col("id") * 13).alias("cents"),
+            )
+        )
+    )
+    merge.upsert_versioned_dv(spark, path, upd, "o_orderkey")  # v1
+    dels = ranked.where(
+        (F.col("grank") >= quarter + 1) & (F.col("grank") <= quarter + 20)
+    ).select("o_orderkey")
+    merge.delete_versioned(spark, path, dels, "o_orderkey")  # v2
+    merge.compact_table(spark, path, "o_orderkey")  # v3: silent
+    return lakehouse_sql(
+        spark, "SELECT * FROM TABLE_CHANGES(t, 0)", tables={"t": path}
+    ).orderBy("_version", "o_orderkey")
+
+
+_ORACLE_TABLE_CHANGES_BATCH = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT k AS o_orderkey, cents + 999 AS cents,
+       'upsert' AS _op, CAST(1 AS BIGINT) AS _version
+FROM o WHERE rn > n // 2 AND rn <= n // 2 + 40
+UNION ALL
+SELECT 60000000 + i, i * 13, 'upsert', 1 FROM generate_series(0, 4) t(i)
+UNION ALL
+SELECT k, NULL, 'delete', 2
+FROM o WHERE rn > n // 4 AND rn <= n // 4 + 20
+ORDER BY _version, o_orderkey
+"""
+
+
 def q_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X95c end-to-end table replication (r13), ORACLE-CHECKED: the
     composite the CDF source exists for — a REPLICA versioned table
@@ -14872,6 +14941,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_time_travel": q_sql_time_travel,
     "incremental_optimize": q_incremental_optimize,
     "sql_update_delete": q_sql_update_delete,
+    "table_changes_batch": q_table_changes_batch,
     # latest attestation r9:
     "bloom_screen": q_bloom_screen,
     "importance_resample": q_importance_resample,
@@ -14920,13 +14990,14 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_stateful": q_streaming_stateful,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_upsert": q_streaming_upsert,
-    "sync_pipeline": q_sync_pipeline,
     # -- slots 51+: verified via verify_local -------------------------
     # The displaced r14 window (all 50 driver-green in CORRECTNESS_r14),
     # the deferred r10 seven, weighted_sample (displaced by the r15
     # incremental_optimize slot), and the rest of the registry in
-    # prior order. udaf_geomean (r10) was displaced by the r15
-    # sql_update_delete slot; it and weighted_sample head the r16 pool.
+    # prior order. udaf_geomean and sync_pipeline (r10) were displaced
+    # by the r15 sql_update_delete / table_changes_batch slots; they
+    # and weighted_sample head the r16 pool.
+    "sync_pipeline": q_sync_pipeline,
     "udaf_geomean": q_udaf_geomean,
     "weighted_sample": q_weighted_sample,
     "ivf_prebuilt_full_probe": q_ivf_prebuilt_full_probe,
@@ -15207,6 +15278,7 @@ ORACLES: dict[str, str] = {
     "sql_time_travel": _ORACLE_SQL_TIME_TRAVEL,
     "incremental_optimize": _ORACLE_INCREMENTAL_OPTIMIZE,
     "sql_update_delete": _ORACLE_SQL_UPDATE_DELETE,
+    "table_changes_batch": _ORACLE_TABLE_CHANGES_BATCH,
     "membership_split": _ORACLE_MEMBERSHIP_SPLIT,
     # simhash_near_pairs: rows-only (fingerprint isn't SQL-expressible)
     "token_topk": _ORACLE_TOKEN_TOPK,

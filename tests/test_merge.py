@@ -3294,3 +3294,90 @@ def test_cdf_starting_timestamp_and_versioned_clone_sql(spark, tmp_path):
     want_clone.update({1: 100, 2: 200})  # v2: steps 1-2 applied, not 3
     assert got == want_clone
     assert merge.commit_operations(spark, dst)[v0] == "CLONE"
+
+
+def test_table_changes_batch_equals_streamed_feed(spark, tmp_path):
+    """table_changes (r15 — Delta's table_changes() TVF, the batch CDF
+    read): same change rule as the streaming source, verified by
+    draining the SAME history both ways and comparing row-for-row;
+    range endpoints are consumed-through offsets (a catch-up read from
+    a mid-history offset returns exactly the suffix); structural
+    commits are silent; the SQL spelling routes through the front
+    door."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 61)], "k long, v long"
+        ),
+        "k", path, n_buckets=4,
+    )
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame(
+            [(7, 700), (33, 0), (99, 990)], "k long, v long"
+        ),
+        "k",
+    )  # v1
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(5,), (50,)], "k long"), "k"
+    )  # v2
+    merge.merge_arms_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(7, 1), (8, 800)], "k long, v long"), "k",
+        matched=[("t.v >= 700", "delete"), (None, "update", None)],
+        not_matched=[(None, "insert")],
+    )  # v3
+    merge.compact_table(spark, path, "k")  # v4: silent
+    batch = sorted(
+        map(tuple, merge.table_changes(spark, path, 0).collect()), key=repr
+    )
+    # stream the same history for the ground-truth feed
+    register_versioned_cdf(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", path)
+        .option("key", "k")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(
+        map(tuple, spark.read.parquet(out).collect()), key=repr
+    )
+    assert batch == streamed and len(batch) == 3 + 2 + 2
+    # catch-up read from a mid-history offset: exactly the suffix
+    suffix = sorted(
+        map(tuple, merge.table_changes(spark, path, 2).collect()), key=repr
+    )
+    assert suffix == [t for t in batch if t[-1] > 2]
+    # bounded range
+    only_v2 = merge.table_changes(spark, path, 1, 2).collect()
+    assert {r._op for r in only_v2} == {"delete"} and len(only_v2) == 2
+    # empty / all-silent range: zero rows, stable schema
+    empty = merge.table_changes(spark, path, 3, 4)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v", "_op", "_version"]
+    # SQL spelling
+    via_sql = sorted(
+        map(
+            tuple,
+            lakehouse_sql(
+                spark, "SELECT * FROM TABLE_CHANGES(t, 0, 3)",
+                tables={"t": path},
+            ).collect(),
+        ),
+        key=repr,
+    )
+    assert via_sql == batch
