@@ -1081,6 +1081,42 @@ def _read_gen_dirs(spark: SparkSession, path: str, rows) -> DataFrame:
     return out
 
 
+def _write_table_meta(spark: SparkSession, path: str, **meta) -> None:
+    """Persist table-level metadata — ``_manifest/_table.json`` — the
+    slot Delta keeps in its transaction-log metaData action: the merge
+    KEY, bucket count, and declared stats/point columns. Written at
+    bootstrap (versioned_layout_write), updated by partition evolution
+    (rebucket_table), copied by SHALLOW CLONE — so SQL-front-door DML
+    (DELETE/UPDATE/OPTIMIZE, sqlfront.py) can resolve the key from the
+    table itself instead of demanding a ``key=`` call-site parameter.
+    Merge-updates the existing file (unknown keys survive)."""
+    import json as _json
+
+    cur = table_meta(spark, path)
+    cur.update({k: v for k, v in meta.items() if v is not None})
+    _write_small_file(
+        spark,
+        f"{path}/_manifest/_table.json",
+        _json.dumps(cur, sort_keys=True),
+    )
+
+
+def table_meta(spark: SparkSession, path: str) -> dict:
+    """The table's persisted metadata dict ({} for tables bootstrapped
+    before ``_table.json`` existed — every consumer must treat missing
+    keys as 'pass the parameter explicitly')."""
+    import json as _json
+
+    raw = _read_small_file(spark, f"{path}/_manifest/_table.json")
+    if raw is None:
+        return {}
+    try:
+        out = _json.loads(raw)
+    except ValueError:
+        return {}
+    return out if isinstance(out, dict) else {}
+
+
 def versioned_layout_write(
     df: DataFrame,
     key: str,
@@ -1125,6 +1161,14 @@ def versioned_layout_write(
         written,
         point_cols,
         bloom_bits,
+    )
+    _write_table_meta(
+        spark,
+        path,
+        key=key,
+        n_buckets=int(n_buckets),
+        stats_cols=list(stats_cols),
+        point_cols=list(point_cols),
     )
     _write_commit_op(
         spark, path, 0, "WRITE", changed_buckets=[], n_buckets=int(n_buckets)
@@ -1872,7 +1916,12 @@ def upsert_with_retry(
 
 
 def compact_table(
-    spark: SparkSession, path: str, key: str, writer: str | None = None
+    spark: SparkSession,
+    path: str,
+    key: str,
+    writer: str | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> DataFrame:
     """Small-file compaction for the versioned table: rewrite every
     LIVE bucket as one fresh generation and commit a new manifest
@@ -1885,13 +1934,37 @@ def compact_table(
     the compacted generation holds only live rows and the new version
     carries no DV file, resetting merge-on-read debt to zero (the
     compaction half of the DV contract). Returns the new manifest
-    frame with ``version`` attached."""
+    frame with ``version`` attached.
+
+    ``zorder_by`` (r16 — Delta's ``OPTIMIZE ... ZORDER BY``, the SQL
+    spelling routes here): the rewritten files are additionally sorted
+    WITHIN each bucket by the Morton interleave of the given dimension
+    columns (layout.zorder_key — pure JVM shift/mask expressions), and
+    those dimensions are PROMOTED to manifest stats columns (their
+    min_<c>/max_<c> land in the new manifest, and because later
+    committers recover the stats set from the manifest schema
+    (_stats_cols_of), every subsequent commit maintains them). Two
+    skipping effects: read_version_pruned prunes whole directories on
+    either dimension where the bucket layout correlates, and parquet
+    row-group stats inside each rewritten file are tight on every
+    interleaved dimension (the clustering Delta buys with ZORDER).
+    Dimensions must already be bucketed into [0, 2**zorder_bits) —
+    zorder_key's in-plan range assert fails the job otherwise, same
+    contract as every layout.py caller. The bucket assignment itself
+    (key ranges) is untouched: z-clustering changes file-internal
+    order and statistics, never commit semantics."""
     versions = _list_versions(spark, f"{path}/_manifest")
     if not versions:
         raise FileNotFoundError(f"no table at {path}")
     v = versions[-1]
     manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
     stats_cols = _stats_cols_of(manifest)
+    if zorder_by:
+        # promoted dimensions join the maintained stats set (the key
+        # itself already has min_key/max_key)
+        stats_cols = stats_cols + [
+            c for c in zorder_by if c not in stats_cols and c != key
+        ]
     live = read_version(spark, path, v)  # DV-resolved, every live gen
     _begin_commit(spark, path, v + 1, writer or _unique_writer())
     compacted = (
@@ -1899,11 +1972,26 @@ def compact_table(
         .withColumn("_gen", F.lit(v + 1).cast("long"))
         .localCheckpoint(eager=True)
     )
+    to_write = compacted
+    if zorder_by:
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.layout import (
+            zorder_key,
+        )
+
+        # one bounded exchange on the bucket column, then the Morton
+        # sort inside each task — no global sort, no temp column (the
+        # sort expression never lands in the written files). The sort
+        # applies to the WRITE only; the manifest aggregate below runs
+        # over the checkpointed frame (order-insensitive min/max).
+        to_write = compacted.repartition("_kr").sortWithinPartitions(
+            F.col("_kr"),
+            zorder_key([F.col(c) for c in zorder_by], bits=int(zorder_bits)),
+        )
     _clean_uncommitted_generation(
         spark, path,
         [r[0] for r in manifest.select("_kr").distinct().collect()], v + 1,
     )
-    compacted.write.mode("append").partitionBy("_kr", "_gen").parquet(
+    to_write.write.mode("append").partitionBy("_kr", "_gen").parquet(
         f"{path}/data"
     )
     point_cols = _point_cols_of(manifest)
@@ -1914,7 +2002,9 @@ def compact_table(
         _bloom_bits_of(manifest, point_cols) if point_cols else 0,
     )
     _write_commit_op(
-        spark, path, v + 1, "OPTIMIZE", changed_buckets=[], mode="full"
+        spark, path, v + 1, "OPTIMIZE", changed_buckets=[],
+        mode="zorder" if zorder_by else "full",
+        **({"zorder_by": list(zorder_by)} if zorder_by else {}),
     )
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_manifest/v={v + 1}"
@@ -2103,6 +2193,7 @@ def rebucket_table(
         point_cols,
         bloom_bits,
     )
+    _write_table_meta(spark, path, key=key, n_buckets=int(n_buckets))
     _write_commit_op(
         spark, path, v + 1, "REBUCKET",
         changed_buckets=[], n_buckets=int(n_buckets),
@@ -2449,6 +2540,12 @@ def clone_table(
         _write_small_file(
             spark, f"{dst_path}/_manifest/_constraints.json", con
         )
+    # ... and so does _table.json (key / layout / stats declarations):
+    # a clone is the same logical table forked, so SQL DML keeps
+    # resolving its merge key without a call-site parameter
+    tbl = _read_small_file(spark, f"{src_path}/_manifest/_table.json")
+    if tbl is not None:
+        _write_small_file(spark, f"{dst_path}/_manifest/_table.json", tbl)
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{dst_path}/_manifest/v={v0}"
     )
@@ -2495,6 +2592,20 @@ def _with_tag_lock(spark: SparkSession, path: str, mutate) -> dict[str, int]:
         except Exception:
             lock_present = False  # can't even probe: original fault wins
         if not lock_present:
+            # one more window: the WINNING tagger can finish and delete
+            # the lock between our failed create and the probe. The
+            # original exception being the FS's own already-exists TYPE
+            # (precise class name, not a substring of the message text)
+            # proves the create lost a race — surface it as transient
+            # contention, not a raw fault.
+            if "FileAlreadyExistsException" in type(e).__name__ or (
+                "FileAlreadyExistsException" in str(e)
+            ):
+                raise RuntimeError(
+                    f"tag operation on {path}: lost the _tags.json.lock "
+                    "create race, and the holder already released — "
+                    "retry the tag operation"
+                ) from e
             raise
         age = ""
         try:
@@ -2648,11 +2759,32 @@ def read_version_as_of(
     return read_version(spark, path, version_as_of(spark, path, ts_ms))
 
 
+def _commit_changed_buckets(
+    spark: SparkSession, path: str, version: int
+) -> list[int] | None:
+    """The ``changed_buckets`` list stamped into ``v=<n>.op`` at commit
+    time, or None for histories predating the stamp (the caller then
+    falls back to probing the DV). The Spark-session twin of
+    pysource._cdf_changed_buckets' tier 1."""
+    import json as _json
+
+    raw = _read_small_file(spark, f"{path}/_manifest/v={version}.op")
+    if raw is None:
+        return None
+    try:
+        cb = _json.loads(raw).get("changed_buckets")
+    except ValueError:
+        return None
+    return None if cb is None else sorted(int(b) for b in cb)
+
+
 def table_changes(
     spark: SparkSession,
     path: str,
-    starting_version: int,
+    starting_version: int | None = None,
     ending_version: int | None = None,
+    starting_timestamp: int | None = None,
+    ending_timestamp: int | None = None,
 ) -> DataFrame:
     """BATCH change-data-feed read (Delta's ``table_changes()`` TVF —
     the batch twin of the streaming ``versioned_cdf`` source, r15):
@@ -2668,31 +2800,85 @@ def table_changes(
     Same change rule as the source (sources/pysource.py): changed keys
     at v are the DV entries with ``live_gen == v`` — fresh copy
     present -> upsert, absent -> delete — so MOR commits emit exactly
-    their logical changes and structural/COW commits are silent BY THE
-    JOINS (their carried-forward DVs hold no live_gen==v entry; a
-    cheap guard skips their generation scan entirely). Fully
-    DataFrame-native: per version one column-pruned DV read, one scan
-    of ONLY the _gen=<v> directories its manifest lists (ext-aware —
-    a clone's shared generations resolve through _read_gen_dirs), one
-    semi/anti join pair; versions union by name with missing columns
-    NULL, so schema evolution reads like Delta CDF's. Scale: cost is
-    O(changes in range) + one tiny DV probe per version — never
-    O(table)."""
+    their logical changes and structural/COW commits are silent. The
+    silence check is SIDECAR-FIRST (r16): a version whose ``v=<n>.op``
+    stamp records ``changed_buckets: []`` skips for one JSON read — no
+    DV file opened, no Spark job — so long structural stretches
+    (compactions, COW merges, restores) cost pure metadata; only
+    histories predating the stamp fall back to the DV probe. Fully
+    DataFrame-native: per changed version one column-pruned DV read,
+    one scan of ONLY the _gen=<v> directories its manifest lists
+    (ext-aware — a clone's shared generations resolve through
+    _read_gen_dirs), one semi/anti join pair; versions union by name
+    with missing columns NULL, so schema evolution reads like Delta
+    CDF's. Scale: cost is O(changes in range) + one sidecar read per
+    version — never O(table).
+
+    Endpoints: ``starting_version`` is CONSUMED-THROUGH (the stream's
+    offset meaning); it clamps up to the table's FIRST committed
+    version, so on a shallow clone the fork commit — whose inherited
+    DV is pre-fork snapshot state, not a change — stays silent exactly
+    as the stream's initialOffset keeps it (a sub-fork start would
+    otherwise emit phantom upserts from the inherited DV).
+    ``starting_timestamp`` / ``ending_timestamp`` (r16, Delta's
+    timestamp endpoints) resolve through the SAME stamped commit clock
+    as the stream's starting_timestamp (commit_timestamps):
+    start-ts T = every version whose commit ts >= T (raises if T is
+    past the newest commit, matching Delta); end-ts T = every version
+    whose commit ts <= T. Exactly one of starting_version /
+    starting_timestamp is required."""
+    if (starting_version is None) == (starting_timestamp is None):
+        raise ValueError(
+            "table_changes: exactly one of starting_version / "
+            "starting_timestamp is required"
+        )
+    if ending_version is not None and ending_timestamp is not None:
+        raise ValueError(
+            "table_changes: ending_version and ending_timestamp are "
+            "mutually exclusive"
+        )
     versions = _list_versions(spark, f"{path}/_manifest")
     if not versions:
         raise FileNotFoundError(f"table_changes: no table at {path}")
-    end = versions[-1] if ending_version is None else int(ending_version)
+    ts = (
+        commit_timestamps(spark, path, versions)
+        if starting_timestamp is not None or ending_timestamp is not None
+        else None
+    )
+    if starting_timestamp is not None:
+        hits = [v for v in versions if ts[v] >= int(starting_timestamp)]
+        if not hits:
+            raise ValueError(
+                f"table_changes: starting_timestamp {starting_timestamp} "
+                f"is after the newest commit ({ts[versions[-1]]})"
+            )
+        start = hits[0] - 1
+    else:
+        start = int(starting_version)
+    # bootstrap/fork clamp — mirrors _cdf_resolve_start: versions below
+    # the first commit don't exist in THIS table's history, and the
+    # first commit itself (a clone's fork included) is snapshot, never
+    # change
+    start = max(start, versions[0])
+    if ending_timestamp is not None:
+        at_or_before = [v for v in versions if ts[v] <= int(ending_timestamp)]
+        end = at_or_before[-1] if at_or_before else start  # none: empty
+    else:
+        end = versions[-1] if ending_version is None else int(ending_version)
     out: DataFrame | None = None
     for v in versions:
-        if not (int(starting_version) < v <= end):
+        if not (start < v <= end):
             continue
+        stamped = _commit_changed_buckets(spark, path, v)
+        if stamped is not None and not stamped:
+            continue  # stamped structural/COW commit: silent for free
         dv = _read_dv(spark, path, v)
         if dv is None:
             continue  # no DV rides the version: nothing changed
         changed = dv.where(F.col("live_gen") == v)
-        # structural/COW guard: a carried-forward-only DV means a
-        # silent commit — skip before touching any generation dir
-        if not changed.limit(1).count():
+        # unstamped legacy history: probe the DV for silence (the
+        # stamp, when present and non-empty, already proves changes)
+        if stamped is None and not changed.limit(1).count():
             continue
         key = [c for c in dv.columns if c not in ("_kr", "live_gen")][0]
         manifest = spark.read.parquet(f"{path}/_manifest/v={v}")

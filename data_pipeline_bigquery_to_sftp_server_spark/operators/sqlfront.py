@@ -13,10 +13,13 @@ Supported grammar (one statement per call, ``;`` optional)::
 
     SELECT * FROM <table> [VERSION AS OF <n> | TIMESTAMP AS OF <ts>]
     SELECT * FROM TABLE_CHANGES(<table>, <start>[, <end>])
+        (each endpoint: an integer version, or a quoted ISO-8601 /
+        epoch-millis timestamp resolved via the stamped commit clock)
     DESCRIBE HISTORY <table>
     RESTORE TABLE <table> TO VERSION AS OF <n>
     VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]
     OPTIMIZE <table> [FULL]
+    OPTIMIZE <table> ZORDER BY (<c1>, <c2>[, ...]) [BITS <n>]
     CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <n>]
     DELETE FROM <table> [WHERE <cond>]
     UPDATE <table> SET <c> = <expr>[, ...] [WHERE <cond>]
@@ -37,24 +40,38 @@ milliseconds literal or a quoted ISO-8601 timestamp (naive values are
 UTC, matching the commit clock). Omitting the AS OF clause reads the
 latest version.
 
+``TABLE_CHANGES(t, start[, end])`` offset semantics (documented
+divergence from Delta): ``start`` is CONSUMED-THROUGH (exclusive) —
+changes begin at the NEXT commit — matching this engine's streaming
+CDF offsets exactly, so ``TABLE_CHANGES(t, stream_offset)`` is the
+literal catch-up read for a checkpointed consumer. Delta's
+identically-spelled TVF is start-INCLUSIVE; porting Delta SQL,
+subtract 1 from the start operand.
+
 ``DELETE FROM`` and ``UPDATE`` (r15, Delta's statement pair) commit
 MERGE-ON-READ: DELETE resolves the matching keys through the live
 read (partition-pruned when the predicate allows) and routes to
 delete_versioned — a zero-data-file commit; UPDATE evaluates the SET
 expressions over the matched rows' OLD values (standard SQL UPDATE
 semantics) and commits the rewritten rows through upsert_versioned_dv
-— O(matching rows), never a bucket rewrite. Both need ``key=`` like
-OPTIMIZE; conditions and SET expressions are SQL over the table's
-bare column names. UPDATE's history tag is MERGE tier=mor (it rides
-the MOR upsert committer); DELETE tags DELETE.
+— O(matching rows), never a bucket rewrite. Conditions and SET
+expressions are SQL over the table's bare column names; UPDATE's
+top-level WHERE is located by the tokenized walk, so 'where' inside
+a string literal never splits the statement. UPDATE's history tag is
+MERGE tier=mor (it rides the MOR upsert committer); DELETE tags
+DELETE.
 
 ``OPTIMIZE`` routes to the file-size-aware bin-packer
 (compact_small_generations — steady-state big files never rewritten);
 ``OPTIMIZE ... FULL`` is the whole-table compaction (compact_table,
-which also folds the deletion-vector debt to zero). Both need the
-table's merge key, passed as ``key=`` (the statement grammar has no
-slot for it; Delta reads it from table metadata, this engine's tables
-are key-parameterized at the call site like every committer).
+which also folds the deletion-vector debt to zero).
+
+Key resolution (r16): DML statements (DELETE / UPDATE / OPTIMIZE)
+resolve the table's merge key from the metadata file the bootstrap
+persisted (``_manifest/_table.json``, merge.table_meta — the same
+fact Delta keeps in its metaData action), so no ``key=`` parameter is
+needed; an explicit ``key=`` still overrides, and tables bootstrapped
+before the metadata file existed raise with instructions.
 ``SHALLOW CLONE``'s destination is a path literal or an (unbound)
 name resolved against ``tables``.
 
@@ -94,6 +111,7 @@ from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
     restore_version,
     table_changes,
     table_history,
+    table_meta,
     upsert_versioned_dv,
     vacuum_versions,
 )
@@ -158,6 +176,41 @@ def _resolve_table(ref: str, tables: dict[str, str] | None) -> str:
     )
 
 
+def _find_top_keyword(s: str, word: str) -> int:
+    """Offset of the first TOP-LEVEL occurrence of ``word`` (case-
+    insensitive, whole word) — outside quotes and parentheses — or -1.
+    The UPDATE splitter uses this for WHERE so a SET expression whose
+    string literal contains the word ('fix where needed') never
+    mis-splits (the lazy-regex form did)."""
+    want = word.upper()
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and s[j] != ch:
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        m = _WORD.match(s, i)
+        if m:
+            if depth == 0 and m.group(0).upper() == want:
+                return i
+            i = m.end()
+            continue
+        i += 1
+    return -1
+
+
 def _split_top_commas(s: str) -> list[str]:
     """Split a SET list on TOP-LEVEL commas only — commas inside
     quotes or parentheses (function calls, IN lists) stay put."""
@@ -187,6 +240,25 @@ def _split_top_commas(s: str) -> list[str]:
         i += 1
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _key_for(spark: SparkSession, path: str, key: str | None, stmt: str) -> str:
+    """The table's merge key for a DML statement: the explicit ``key=``
+    parameter when given (an override, like every committer's), else
+    the key persisted in ``_manifest/_table.json`` at bootstrap
+    (merge.table_meta — Delta keeps the same fact in its metaData
+    action). Only tables predating the metadata file still need the
+    parameter, and the raise says so."""
+    if key is not None:
+        return key
+    k = table_meta(spark, path).get("key")
+    if k is None:
+        raise ValueError(
+            f"lakehouse_sql: {stmt} needs key=<merge key column> — this "
+            f"table ({path}) has no _manifest/_table.json (bootstrapped "
+            "before table metadata existed); re-bootstrap or pass key="
+        )
+    return str(k)
 
 
 def _parse_ts_ms(tok: str) -> int:
@@ -324,16 +396,32 @@ def lakehouse_sql(
     with version / touched_buckets / per-arm counts attached."""
     s = _WS.sub(" ", str(stmt)).strip().rstrip(";").strip()
     m = re.match(
-        r"(?i)^SELECT \* FROM TABLE_CHANGES\( ?(\S+?), ?(\d+)(?:, ?(\d+))? ?\)$",
+        r"(?i)^SELECT \* FROM TABLE_CHANGES\( ?(\S+?), "
+        r"?(\d+|'[^']*'|\"[^\"]*\")(?:, ?(\d+|'[^']*'|\"[^\"]*\"))? ?\)$",
         s,
     )
     if m:
-        # Delta's table_changes() TVF: the batch CDF read
+        # Delta's table_changes() TVF: the batch CDF read. Integer
+        # operands are versions (start = consumed-through — see the
+        # module docstring's divergence note); QUOTED operands are
+        # ISO-8601 timestamps resolved through the stamped commit
+        # clock (Delta's timestamp endpoints).
+        def _endpoint(tok):
+            return (
+                (int(tok), None)
+                if re.fullmatch(r"\d+", tok)
+                else (None, _parse_ts_ms(tok))
+            )
+
+        sv, sts = _endpoint(m.group(2))
+        ev, ets = (None, None) if m.group(3) is None else _endpoint(m.group(3))
         return table_changes(
             spark,
             _resolve_table(m.group(1), tables),
-            int(m.group(2)),
-            None if m.group(3) is None else int(m.group(3)),
+            starting_version=sv,
+            ending_version=ev,
+            starting_timestamp=sts,
+            ending_timestamp=ets,
         )
     m = re.match(
         r"(?i)^SELECT \* FROM (\S+)"
@@ -365,26 +453,33 @@ def lakehouse_sql(
             retention_ms=None if retain is None else int(retain) * 3_600_000,
             dry_run=bool(m.group(3)),
         )
+    m = re.match(
+        r"(?i)^OPTIMIZE (\S+) ZORDER BY \(([^)]+)\)(?: BITS (\d+))?$", s
+    )
+    if m:
+        # Delta's OPTIMIZE ZORDER BY: full rewrite, files re-clustered
+        # on the Morton interleave of the listed dimensions, which are
+        # promoted to maintained manifest stats columns (see
+        # merge.compact_table zorder_by). BITS overrides the per-dim
+        # range width (default 8: dims bucketed into [0, 256)).
+        path = _resolve_table(m.group(1), tables)
+        dims = [c.strip() for c in m.group(2).split(",") if c.strip()]
+        return compact_table(
+            spark,
+            path,
+            _key_for(spark, path, key, "OPTIMIZE ZORDER BY"),
+            zorder_by=dims,
+            zorder_bits=8 if m.group(3) is None else int(m.group(3)),
+        )
     m = re.match(r"(?i)^OPTIMIZE (.+?)( FULL)?$", s)
     if m:
-        if re.search(r"(?i)\bZORDER\b", s):
-            raise ValueError(
-                "lakehouse_sql: OPTIMIZE ... ZORDER BY is not a statement "
-                "here — z-ordering is a bootstrap-time layout choice "
-                "(versioned_layout_write over a z-ordered frame; see "
-                "q_versioned_zorder)"
-            )
-        if key is None:
-            raise ValueError(
-                "lakehouse_sql: OPTIMIZE needs key=<merge key column> "
-                "(the table's key is a call-site parameter in this engine)"
-            )
         path = _resolve_table(m.group(1), tables)
+        k = _key_for(spark, path, key, "OPTIMIZE")
         if m.group(2):
-            return compact_table(spark, path, key)
+            return compact_table(spark, path, k)
         # Delta's OPTIMIZE small-file threshold is a session default;
         # same shape here (128 MiB unless the caller overrides)
-        return compact_small_generations(spark, path, key, min_file_bytes)
+        return compact_small_generations(spark, path, k, min_file_bytes)
     m = re.match(
         r"(?i)^CREATE TABLE (\S+) SHALLOW CLONE (\S+)"
         r"(?: VERSION AS OF (\d+))?$",
@@ -460,26 +555,25 @@ def lakehouse_sql(
         return _describe_detail(spark, _resolve_table(m.group(1), tables))
     m = re.match(r"(?i)^DELETE FROM (\S+)(?: WHERE (.+))?$", s)
     if m:
-        if key is None:
-            raise ValueError(
-                "lakehouse_sql: DELETE needs key=<merge key column> "
-                "(the table's key is a call-site parameter in this engine)"
-            )
         path = _resolve_table(m.group(1), tables)
+        k = _key_for(spark, path, key, "DELETE")
         live = read_version(spark, path)
         matched = live.where(F.expr(m.group(2))) if m.group(2) else live
         # zero-data-file MOR commit: only the matching KEYS travel
-        return delete_versioned(spark, path, matched.select(key), key)
-    m = re.match(r"(?i)^UPDATE (\S+) SET (.+?)(?: WHERE (.+))?$", s)
+        return delete_versioned(spark, path, matched.select(k), k)
+    m = re.match(r"(?i)^UPDATE (\S+) SET (.+)$", s)
     if m:
-        if key is None:
-            raise ValueError(
-                "lakehouse_sql: UPDATE needs key=<merge key column> "
-                "(the table's key is a call-site parameter in this engine)"
-            )
         path = _resolve_table(m.group(1), tables)
+        k = _key_for(spark, path, key, "UPDATE")
+        # locate the top-level WHERE with the tokenized walk — a SET
+        # expression containing 'where' inside a string literal or a
+        # parenthesized subexpression must not split the statement
+        tail = m.group(2)
+        w_at = _find_top_keyword(tail, "WHERE")
+        set_sql = tail[:w_at].strip() if w_at >= 0 else tail.strip()
+        where_sql = tail[w_at + 5 :].strip() if w_at >= 0 else None
         sets: dict[str, str] = {}
-        for part in _split_top_commas(m.group(2)):
+        for part in _split_top_commas(set_sql):
             pm = re.match(r"(?s)^([A-Za-z_]\w*)\s*=\s*(.+)$", part)
             if not pm:
                 raise ValueError(
@@ -487,10 +581,10 @@ def lakehouse_sql(
                     "(expected <column> = <sql expression>)"
                 )
             sets[pm.group(1)] = pm.group(2)
-        if key in sets:
+        if k in sets:
             raise ValueError(
                 "lakehouse_sql: UPDATE must not SET the merge key "
-                f"({key!r}) — MERGE INTO with an insert arm expresses "
+                f"({k!r}) — MERGE INTO with an insert arm expresses "
                 "re-keying"
             )
         live = read_version(spark, path)
@@ -501,7 +595,7 @@ def lakehouse_sql(
                 f"lakehouse_sql: UPDATE SET references unknown "
                 f"column(s) {unknown} (table has {cols})"
             )
-        matched = live.where(F.expr(m.group(3))) if m.group(3) else live
+        matched = live.where(F.expr(where_sql)) if where_sql else live
         # standard SQL UPDATE semantics: every SET expression sees the
         # row's OLD values (all exprs evaluate over the matched frame)
         # and the column's TYPE is invariant (cast the expression, so
@@ -515,7 +609,7 @@ def lakehouse_sql(
                 for c in cols
             ]
         )
-        return upsert_versioned_dv(spark, path, staged, key)
+        return upsert_versioned_dv(spark, path, staged, k)
     m = re.match(
         r"(?i)^MERGE INTO (\S+)(?: AS t)? USING (\S+)(?: AS s)? "
         r"ON t\.(\w+) = s\.(\w+) (WHEN .+)$",
@@ -542,7 +636,8 @@ def lakehouse_sql(
         f"lakehouse_sql: unsupported statement {stmt!r} (supported: "
         "SELECT * FROM t [VERSION|TIMESTAMP AS OF ...] / "
         "DESCRIBE HISTORY / RESTORE TABLE ... TO VERSION AS OF / "
-        "VACUUM [RETAIN n HOURS] [DRY RUN] / OPTIMIZE [FULL] / "
+        "VACUUM [RETAIN n HOURS] [DRY RUN] / "
+        "OPTIMIZE [FULL | ZORDER BY (cols)] / "
         "CREATE TABLE ... SHALLOW CLONE [VERSION AS OF n] / "
         "DELETE FROM ... [WHERE] / UPDATE ... SET ... [WHERE] / "
         "ALTER TABLE ... ADD|DROP CONSTRAINT / DESCRIBE DETAIL / "

@@ -137,8 +137,11 @@ def test_rejects_unsupported_surface(spark, tmp_path):
         )
     with pytest.raises(KeyError, match="unknown table"):
         lakehouse_sql(spark, "DESCRIBE HISTORY nope", tables=tables)
-    with pytest.raises(ValueError, match="ZORDER"):
-        lakehouse_sql(spark, "OPTIMIZE t ZORDER BY (k)", tables=tables)
+    # a LEGACY table (no _table.json) still needs the key= parameter,
+    # and the raise says why
+    import os
+
+    os.remove(os.path.join(path, "_manifest", "_table.json"))
     with pytest.raises(ValueError, match="OPTIMIZE needs key="):
         lakehouse_sql(spark, "OPTIMIZE t", tables=tables)
     with pytest.raises(ValueError, match="unsupported statement"):
@@ -333,6 +336,8 @@ def test_delete_from_and_update_statements(spark, tmp_path):
         lakehouse_sql(spark, "UPDATE t SET k = 1", tables=tables, key="k")
     with pytest.raises(ValueError, match="unknown column"):
         lakehouse_sql(spark, "UPDATE t SET nope = 1", tables=tables, key="k")
+    # legacy table (no _table.json): key= still required, loudly
+    os.remove(os.path.join(path, "_manifest", "_table.json"))
     with pytest.raises(ValueError, match="DELETE needs key="):
         lakehouse_sql(spark, "DELETE FROM t WHERE k = 1", tables=tables)
 
@@ -392,3 +397,115 @@ def test_alter_constraint_and_describe_detail(spark, tmp_path):
     assert lakehouse_sql(
         spark, "ALTER TABLE t DROP CONSTRAINT v_pos", tables=tables
     ) == {}
+
+
+def test_dml_resolves_key_from_table_metadata(spark, tmp_path):
+    """r16: the bootstrap persists the merge key (and layout facts) in
+    _manifest/_table.json, so DELETE / UPDATE / OPTIMIZE work with NO
+    key= parameter — the first thing a SQL-native user types. SHALLOW
+    CLONE carries the metadata, rebucket updates it, and an explicit
+    key= still overrides."""
+    path = _table(spark, tmp_path)
+    tables = {"t": path}
+    meta = merge.table_meta(spark, path)
+    assert meta["key"] == "k" and meta["n_buckets"] == 2
+    # DELETE with no key= — resolved from metadata
+    v = lakehouse_sql(spark, "DELETE FROM t WHERE k = 7", tables=tables)
+    assert v == 1
+    assert 7 not in {r.k for r in merge.read_version(spark, path).collect()}
+    # UPDATE with no key=
+    out = lakehouse_sql(spark, "UPDATE t SET v = -v WHERE k = 3", tables=tables)
+    assert out.version == 2
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert live[3] == -30
+    # OPTIMIZE with no key=
+    lakehouse_sql(spark, "OPTIMIZE t FULL", tables=tables)
+    ops = merge.commit_operations(spark, path)
+    assert ops[max(ops)] == "OPTIMIZE"
+    assert {
+        r.k: r.v for r in merge.read_version(spark, path).collect()
+    } == live
+    # the clone inherits the metadata — DML on the clone needs no key=
+    dst = str(tmp_path / "t_clone")
+    lakehouse_sql(spark, f"CREATE TABLE '{dst}' SHALLOW CLONE t", tables=tables)
+    assert merge.table_meta(spark, dst)["key"] == "k"
+    lakehouse_sql(spark, f"DELETE FROM '{dst}' WHERE k = 1")
+    assert 1 not in {r.k for r in merge.read_version(spark, dst).collect()}
+    # partition evolution updates the persisted bucket count
+    merge.rebucket_table(spark, path, "k", 4)
+    assert merge.table_meta(spark, path)["n_buckets"] == 4
+    # explicit key= stays an override (same column here)
+    lakehouse_sql(spark, "DELETE FROM t WHERE k = 2", tables=tables, key="k")
+    assert 2 not in {r.k for r in merge.read_version(spark, path).collect()}
+
+
+def test_update_where_inside_string_literal_does_not_split(spark, tmp_path):
+    """The UPDATE splitter locates the top-level WHERE with the
+    tokenized walk: 'where' inside a SET string literal (or inside
+    parentheses) is expression text, not the clause boundary."""
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10, "x") for i in range(1, 11)],
+            "k long, v long, note string",
+        ),
+        "k", path, 2,
+    )
+    tables = {"t": path}
+    lakehouse_sql(
+        spark,
+        "UPDATE t SET note = 'fix where needed' WHERE k = 4",
+        tables=tables,
+    )
+    got = {r.k: r.note for r in merge.read_version(spark, path).collect()}
+    assert got[4] == "fix where needed" and got[5] == "x"
+    # no WHERE at all, literal still contains the word
+    lakehouse_sql(spark, "UPDATE t SET note = 'a where b'", tables=tables)
+    assert {
+        r.note for r in merge.read_version(spark, path).collect()
+    } == {"a where b"}
+
+
+def test_optimize_zorder_by_statement(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY (r16 — Delta's spelling) routes onto
+    compact_table's Morton re-cluster: contents identical, the listed
+    dimensions are PROMOTED to maintained manifest stats columns
+    (later commits keep them), and directory pruning works on the
+    promoted dimension where the layout correlates."""
+    path = str(tmp_path / "t")
+    # key ascending, d1 = k-correlated dim, d2 = anti-correlated
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i // 8, (127 - i) // 8, i * 10) for i in range(128)],
+            "k long, d1 long, d2 long, v long",
+        ),
+        "k", path, 8,
+    )
+    tables = {"t": path}
+    before = {
+        (r.k, r.d1, r.d2, r.v)
+        for r in merge.read_version(spark, path).collect()
+    }
+    lakehouse_sql(spark, "OPTIMIZE t ZORDER BY (d1, d2) BITS 5", tables=tables)
+    ops = merge.commit_operations(spark, path)
+    assert ops[max(ops)] == "OPTIMIZE"
+    assert {
+        (r.k, r.d1, r.d2, r.v)
+        for r in merge.read_version(spark, path).collect()
+    } == before
+    man = spark.read.parquet(f"{path}/_manifest/v={max(ops)}")
+    assert {"min_d1", "max_d1", "min_d2", "max_d2"} <= set(man.columns)
+    # pruning evidence on a promoted dimension
+    pruned = merge.read_version_pruned(spark, path, "d1", 0, 1)
+    assert pruned.dirs_read < pruned.dirs_total
+    assert {r.k for r in pruned.collect()} == set(range(16))
+    # the promoted stats SURVIVE later commits (recovered from the
+    # manifest schema, padded when the batch omits them)
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(5, 0, 15, 999)], "k long, d1 long, d2 long, v long"),
+        "k",
+    )
+    ops = merge.commit_operations(spark, path)
+    man2 = spark.read.parquet(f"{path}/_manifest/v={max(ops)}")
+    assert {"min_d1", "max_d1"} <= set(man2.columns)
