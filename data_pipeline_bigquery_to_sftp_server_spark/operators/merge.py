@@ -2930,13 +2930,13 @@ def table_changes(
             )
     if out is None:
         # empty range (or all-silent): zero rows, stable schema from
-        # the latest version's columns
-        cols = [
-            c
-            for c in read_version(spark, path).columns
-            if c not in ("_kr", "_gen")
-        ]
-        base = read_version(spark, path).select(*cols)
+        # the latest version's columns — schema only, so no DV is
+        # resolved (the zero-DV-opens pin for stamped ranges holds
+        # even when the range is entirely structural)
+        latest = spark.read.parquet(f"{path}/_manifest/v={versions[-1]}")
+        data = _read_gen_dirs(spark, path, latest.collect())
+        cols = [c for c in data.columns if c not in ("_kr", "_gen")]
+        base = data.select(*cols)
         return base.where(F.lit(False)).select(
             "*",
             F.lit("").alias("_op"),

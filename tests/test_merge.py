@@ -3381,3 +3381,144 @@ def test_table_changes_batch_equals_streamed_feed(spark, tmp_path):
         key=repr,
     )
     assert via_sql == batch
+
+
+def test_table_changes_sidecar_first_and_clone_clamp(spark, tmp_path):
+    """r16 table_changes upgrades: (1) stamped structural commits are
+    skipped on the sidecar alone — no DV file opened, no Spark probe
+    job (pinned by poisoning _read_dv); (2) the range start clamps to
+    the table's first committed version, so on a SHALLOW CLONE whose
+    source tip was a MOR commit, a sub-fork starting_version no longer
+    emits the fork's inherited DV as phantom upserts — the batch feed
+    stays byte-equal to the stream, which is silent for the fork."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    path = str(tmp_path / "src")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 31)], "k long, v long"
+        ),
+        "k", path, n_buckets=4,
+    )
+    # source tip is a MOR commit: its DV holds live_gen == 1 entries,
+    # the exact shape the clone inherits at its fork version
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(3, 333), (9, 999)], "k long, v long"), "k",
+    )  # v1
+    dst = str(tmp_path / "fork")
+    v0 = merge.clone_table(spark, path, dst)
+    assert v0 == 1  # fork version = max referenced gen
+    # sub-fork start: the fork commit must be SILENT (clamped), not a
+    # phantom-upsert emitter
+    assert merge.table_changes(spark, dst, 0).count() == 0
+    # a real change on the clone is the feed's only content
+    merge.delete_versioned(
+        spark, dst, spark.createDataFrame([(3,)], "k long"), "k"
+    )  # v2
+    got = merge.table_changes(spark, dst, 0).collect()
+    assert [(r.k, r._op, r._version) for r in got] == [(3, "delete", 2)]
+    # byte-equal to the streamed feed over the same clone history
+    register_versioned_cdf(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", dst)
+        .option("key", "k")
+        # the clone's only local commit is a zero-data-file DV delete:
+        # no local footer to sniff, so declare the schema (documented)
+        .option("table_schema", "k bigint, v bigint")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()), key=repr)
+    assert sorted(map(tuple, got), key=repr) == streamed
+    # sidecar-first silence: a stamped-structural stretch plans with
+    # ZERO DV opens — poison _read_dv and read the structural range
+    merge.compact_table(spark, dst, "k")  # v3: stamped changed_buckets=[]
+    merge.compact_table(spark, dst, "k")  # v4
+    real_read_dv = merge._read_dv
+
+    def _poisoned(*a, **kw):
+        raise AssertionError("table_changes opened a DV on a stamped range")
+
+    merge._read_dv = _poisoned
+    try:
+        # range (2, 4]: both commits stamped structural -> pure JSON
+        assert merge.table_changes(spark, dst, 2, 4).count() == 0
+    finally:
+        merge._read_dv = real_read_dv
+
+
+def test_table_changes_timestamp_endpoints(spark, tmp_path):
+    """r16: starting_timestamp / ending_timestamp resolve through the
+    SAME stamped commit clock as the stream's starting_timestamp —
+    start-ts T emits versions with commit ts >= T, end-ts T stops at
+    the last version with ts <= T; past-the-tip start raises like
+    Delta; the SQL spelling takes quoted ISO-8601 operands."""
+    import pytest
+    from datetime import datetime, timedelta, timezone
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 21)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    for i in range(3):  # v1..v3, one upsert each
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame([(i + 1, 900 + i)], "k long, v long"), "k",
+        )
+    ts = merge.commit_timestamps(spark, path)
+    # start at v2's stamp: exactly v2 and v3
+    got = merge.table_changes(spark, path, starting_timestamp=ts[2])
+    assert sorted(r._version for r in got.collect()) == [2, 3]
+    # bounded by v2's stamp on both ends: exactly v2
+    got = merge.table_changes(
+        spark, path, starting_timestamp=ts[2], ending_timestamp=ts[2]
+    )
+    assert [r._version for r in got.collect()] == [2]
+    # version start + timestamp end mix
+    got = merge.table_changes(spark, path, 0, ending_timestamp=ts[1])
+    assert [r._version for r in got.collect()] == [1]
+    # end-ts before the first commit: empty feed, stable schema
+    empty = merge.table_changes(
+        spark, path, 0, ending_timestamp=ts[0] - 10_000
+    )
+    assert empty.count() == 0 and empty.columns == ["k", "v", "_op", "_version"]
+    with pytest.raises(ValueError, match="after the newest commit"):
+        merge.table_changes(
+            spark, path, starting_timestamp=ts[3] + 3_600_000
+        )
+    with pytest.raises(ValueError, match="exactly one of"):
+        merge.table_changes(spark, path)
+    with pytest.raises(ValueError, match="exactly one of"):
+        merge.table_changes(spark, path, 0, starting_timestamp=ts[1])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        merge.table_changes(
+            spark, path, 0, ending_version=2, ending_timestamp=ts[2]
+        )
+    # SQL spelling: quoted ISO-8601 (naive = UTC, the commit clock)
+    iso = (
+        datetime(1970, 1, 1, tzinfo=timezone.utc)
+        + timedelta(milliseconds=ts[2])
+    ).replace(tzinfo=None).isoformat()
+    via_sql = lakehouse_sql(
+        spark,
+        f"SELECT * FROM TABLE_CHANGES(t, '{iso}')",
+        tables={"t": path},
+    )
+    assert sorted(r._version for r in via_sql.collect()) == [2, 3]
