@@ -121,6 +121,80 @@ class RestPagesReader(DataSourceReader):
 from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
 
 
+# --------------------------------------------------------------------------
+# Filesystem layer (r16 — closes the shared-POSIX seam): every path the
+# CDF source touches goes through a pyarrow.fs.FileSystem, so the same
+# planner and executor code serves local disk, HDFS, S3/GCS (scheme
+# URIs via FileSystem.from_uri), or any fsspec filesystem wrapped with
+# pyarrow.fs.PyFileSystem. Resolution order:
+#   1. .option("filesystem", cdf_filesystem_option(fs)) -> the exact
+#      instance the caller built (credentials, endpoints, SubTree
+#      scoping, fsspec wrappers). Options are the ONLY channel that
+#      reaches every process a Python data source runs in (the
+#      DataSource itself is constructed inside a python worker, so
+#      driver-module state never arrives) — pyarrow filesystems pickle
+#      by design, so the instance travels as the option string and
+#      then rides the reader/partitions to executors;
+#   2. a scheme-qualified path ("s3://bucket/t") -> FileSystem.from_uri
+#      (the path is normalized to the store's own form);
+#   3. plain paths -> LocalFileSystem.
+# --------------------------------------------------------------------------
+
+
+def cdf_filesystem_option(fs) -> str:
+    """Serialize a pyarrow FileSystem instance for
+    ``.option("filesystem", ...)`` — base64-pickled, because data
+    source options are strings and must cross the driver -> planning
+    worker -> executor boundaries intact."""
+    import base64
+    import pickle
+
+    return base64.b64encode(pickle.dumps(fs)).decode("ascii")
+
+
+def _cdf_resolve_fs(path: str, token: str | None = None):
+    """(filesystem, normalized_path) for a table root — see the
+    resolution order above."""
+    import pyarrow.fs as pafs
+
+    if token:
+        import base64
+        import pickle
+
+        try:
+            fs = pickle.loads(base64.b64decode(token))
+        except Exception as e:
+            raise ValueError(
+                "versioned_cdf: the 'filesystem' option must be the "
+                "output of cdf_filesystem_option(<pyarrow FileSystem>) "
+                f"(got {token[:40]!r}...)"
+            ) from e
+        return fs, path
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _fs_ls(fs, d: str) -> list:
+    """Sorted FileInfo list of a directory ([] when absent)."""
+    import pyarrow.fs as pafs
+
+    sel = pafs.FileSelector(d, allow_not_found=True)
+    return sorted(fs.get_file_info(sel), key=lambda i: i.path)
+
+
+def _fs_isdir(fs, p: str) -> bool:
+    import pyarrow.fs as pafs
+
+    return fs.get_file_info([p])[0].type == pafs.FileType.Directory
+
+
+def _fs_isfile(fs, p: str) -> bool:
+    import pyarrow.fs as pafs
+
+    return fs.get_file_info([p])[0].type == pafs.FileType.File
+
+
 _PA_TO_DDL = {
     "int64": "bigint",
     "int32": "int",
@@ -136,27 +210,26 @@ _PA_TO_DDL = {
 }
 
 
-def _cdf_committed_versions(path: str) -> list[int]:
+def _cdf_committed_versions(path: str, fs=None) -> list[int]:
     """Driver-side mirror of merge._list_versions (the source runs
     without a SparkSession): committed = v=<n> manifest DIRECTORY with
-    the _SUCCESS marker; .begin/.meta intent files skipped."""
-    import os
+    the _SUCCESS marker; .begin/.meta intent files skipped. All access
+    through the pyarrow filesystem (r16 — object-store safe)."""
+    import pyarrow.fs as pafs
 
-    mroot = os.path.join(path, "_manifest")
-    if not os.path.isdir(mroot):
-        return []
+    fs = fs or _cdf_resolve_fs(path)[0]
     out = []
-    for name in os.listdir(mroot):
-        full = os.path.join(mroot, name)
-        if not (name.startswith("v=") and os.path.isdir(full)):
+    for info in _fs_ls(fs, f"{path}/_manifest"):
+        name = info.base_name
+        if not (name.startswith("v=") and info.type == pafs.FileType.Directory):
             continue
-        if not os.path.exists(os.path.join(full, "_SUCCESS")):
+        if not _fs_isfile(fs, f"{info.path}/_SUCCESS"):
             continue
         out.append(int(name[2:]))
     return sorted(out)
 
 
-def _cdf_read_dir(d: str):
+def _cdf_read_dir(d: str, fs=None):
     """All rows of one parquet directory as a list of dicts (pyarrow,
     driver-side; the directories this source reads are single-commit
     DV files and MOR fresh generations — CDC-sized by the DV
@@ -164,45 +237,50 @@ def _cdf_read_dir(d: str):
     (the r15 bucket-partitioned DV layout ``_kr=<b>/``) — partition
     VALUES are not re-injected, which is fine because the CDF readers
     never consume ``_kr`` from row content."""
-    import os
-
+    import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
+    fs = fs or _cdf_resolve_fs(d)[0]
     rows: list[dict] = []
-    if not os.path.isdir(d):
-        return rows
-    for f in sorted(os.listdir(d)):
-        full = os.path.join(d, f)
-        if os.path.isdir(full) and "=" in f and not f.startswith("."):
-            rows.extend(_cdf_read_dir(full))
+    for info in _fs_ls(fs, d):
+        f = info.base_name
+        if (
+            info.type == pafs.FileType.Directory
+            and "=" in f
+            and not f.startswith(".")
+        ):
+            rows.extend(_cdf_read_dir(info.path, fs))
         elif f.endswith(".parquet"):
-            rows.extend(pq.read_table(full).to_pylist())
+            rows.extend(pq.read_table(info.path, filesystem=fs).to_pylist())
     return rows
 
 
-def _cdf_table_schema(path: str) -> list[tuple[str, str]]:
+def _cdf_table_schema(path: str, fs=None) -> list[tuple[str, str]]:
     """(name, ddl_type) of the table's data columns, sniffed from one
     live data footer (newest generation first, so evolved columns are
     seen). A production source would read this from the catalog; the
     partition columns _kr/_gen never surface."""
-    import os
-
+    import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
-    data = os.path.join(path, "data")
+    fs = fs or _cdf_resolve_fs(path)[0]
     dirs = []
     # a shallow clone with no local commit has no data dir: fall through
     # to the clear raise (pass table_schema explicitly for that case)
-    for b in os.listdir(data) if os.path.isdir(data) else []:
-        if not b.startswith("_kr="):
+    for b in _fs_ls(fs, f"{path}/data"):
+        if not (
+            b.base_name.startswith("_kr=")
+            and b.type == pafs.FileType.Directory
+        ):
             continue
-        for g in os.listdir(os.path.join(data, b)):
-            if g.startswith("_gen="):
-                dirs.append((int(g[5:]), os.path.join(data, b, g)))
+        for g in _fs_ls(fs, b.path):
+            if g.base_name.startswith("_gen="):
+                dirs.append((int(g.base_name[5:]), g.path))
     for _, d in sorted(dirs, reverse=True):
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
-                sch = pq.read_schema(os.path.join(d, f))
+        for info in _fs_ls(fs, d):
+            if info.base_name.endswith(".parquet"):
+                with fs.open_input_file(info.path) as fh:
+                    sch = pq.read_schema(fh)
                 out = []
                 for name, typ in zip(sch.names, sch.types):
                     ddl = _PA_TO_DDL.get(str(typ))
@@ -237,21 +315,28 @@ class VersionedCdfDataSource(DataSource):
     control, Delta's maxFilesPerTrigger analog: cap each micro-batch
     at k commits so a giant backfill MERGE in the history cannot land
     as ONE unbounded batch; the stream simply takes more batches to
-    reach the tip, end state identical).
+    reach the tip, end state identical), optional ``filesystem`` (a
+    pyarrow FileSystem serialized with cdf_filesystem_option — the
+    injection point for object stores or fsspec wrappers; unset, a
+    scheme-qualified path resolves via FileSystem.from_uri and plain
+    paths use LocalFileSystem).
 
-    Filesystem contract: both reader tiers address the table with
-    plain paths (os/pyarrow), so the table root must be visible to the
-    DRIVER and — for the default partitioned tier — to every EXECUTOR
-    at the same path: a shared filesystem (NFS, Lustre, fuse-mounted
-    object store) or local mode. On a cluster whose executors cannot
-    resolve the driver's paths, partitions fail loudly with
-    FileNotFoundError — mount the store or swap the os/pyarrow calls
-    for fsspec with the store's scheme (the partition planning and
-    read logic are path-scheme-agnostic)."""
+    Filesystem contract (r16): every path — planning AND executor
+    partition reads — goes through the resolved pyarrow FileSystem,
+    which pickles into the reader and its partitions, so the same
+    stream works on local disk, HDFS, S3/GCS, or any fsspec-wrapped
+    store with no shared-POSIX assumption."""
 
     @classmethod
     def name(cls) -> str:
         return "versioned_cdf"
+
+    def _fs_path(self):
+        """(filesystem, normalized table root) — resolved once,
+        driver-side; the instance rides into readers/partitions."""
+        return _cdf_resolve_fs(
+            self.options["path"], self.options.get("filesystem")
+        )
 
     def _data_cols(self) -> list[tuple[str, str]]:
         ddl = self.options.get("table_schema")
@@ -261,7 +346,8 @@ class VersionedCdfDataSource(DataSource):
                 n, t = part.strip().split(None, 1)
                 pairs.append((n, t))
             return pairs
-        return _cdf_table_schema(self.options["path"])
+        fs, path = self._fs_path()
+        return _cdf_table_schema(path, fs)
 
     def schema(self) -> str:
         cols = self._data_cols()
@@ -281,13 +367,15 @@ class VersionedCdfDataSource(DataSource):
                 errorClass="NOT_IMPLEMENTED",
                 messageParameters={"feature": "streamReader"},
             )
+        fs, path = self._fs_path()
         return VersionedCdfPartitionedReader(
-            self.options["path"],
+            path,
             self.options["key"],
             [n for n, _ in self._data_cols()],
             self._starting_version(),
             self._max_versions(),
             self._starting_ts(),
+            fs,
         )
 
     def _starting_version(self) -> int | None:
@@ -329,22 +417,26 @@ class VersionedCdfDataSource(DataSource):
         return k
 
     def simpleStreamReader(self, schema: StructType):
+        fs, path = self._fs_path()
         return VersionedCdfStreamReader(
-            self.options["path"],
+            path,
             self.options["key"],
             [n for n, _ in self._data_cols()],
             self._starting_version(),
             self._max_versions(),
             self._starting_ts(),
+            fs,
         )
 
 
-def _cdf_clamp_end(path: str, after: int, max_versions: int | None) -> int:
+def _cdf_clamp_end(
+    path: str, after: int, max_versions: int | None, fs=None
+) -> int:
     """Newest version this micro-batch may consume: the tip, or — with
     admission control on — the ``max_versions``-th COMMITTED version
     past ``after`` (counted over actual commits, robust to any
     numbering gap)."""
-    versions = _cdf_committed_versions(path)
+    versions = _cdf_committed_versions(path, fs)
     if not versions:
         return after
     newer = [v for v in versions if v > after]
@@ -362,6 +454,7 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         start: int | None,
         max_versions: int | None = None,
         start_ts: int | None = None,
+        fs=None,
     ):
         self.path = path
         self.key = key
@@ -369,6 +462,7 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         self.start = start
         self.max_versions = max_versions
         self.start_ts = start_ts
+        self.fs = fs if fs is not None else _cdf_resolve_fs(path)[0]
 
     def initialOffset(self) -> dict:
         # the table's first committed version — the bootstrap snapshot
@@ -381,12 +475,11 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         # shared copies live in the source's directories, not gen=v0).
         # starting_timestamp resolves through the commit clock — see
         # _cdf_resolve_start.
-        return _cdf_resolve_start(self.path, self.start, self.start_ts)
+        return _cdf_resolve_start(self.path, self.start, self.start_ts, self.fs)
 
     def _changes(self, after: int, through: int):
-        import os
-
-        for v in _cdf_committed_versions(self.path):
+        fs = self.fs
+        for v in _cdf_committed_versions(self.path, fs):
             if not (after < v <= through):
                 continue
             # planning first (sidecar / directory listing / streamed
@@ -394,26 +487,25 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
             # reading its carried-forward DV at all, and with the r15
             # bucket-partitioned layout only the CHANGED buckets' DV
             # directories and _gen=<v> directories are ever opened
-            buckets = _cdf_changed_buckets(self.path, v)
+            buckets = _cdf_changed_buckets(self.path, v, fs)
             if not buckets:
                 continue
-            dv_root = os.path.join(self.path, "_dv", f"v={v}")
-            if os.path.isdir(os.path.join(dv_root, f"_kr={buckets[0]}")):
+            dv_root = f"{self.path}/_dv/v={v}"
+            if _fs_isdir(fs, f"{dv_root}/_kr={buckets[0]}"):
                 dv = []
                 for b in buckets:
-                    dv.extend(_cdf_read_dir(os.path.join(dv_root, f"_kr={b}")))
+                    dv.extend(_cdf_read_dir(f"{dv_root}/_kr={b}", fs))
             else:
-                dv = _cdf_read_dir(dv_root)
+                dv = _cdf_read_dir(dv_root, fs)
             changed = [r for r in dv if r.get("live_gen") == v]
             if not changed:
                 continue  # structural commit (compact/COW/restore): silent
             fresh: dict = {}
-            data = os.path.join(self.path, "data")
             # bucket-locality: a changed key's fresh copy can only be
             # in its own bucket's _gen=<v> directory
             for b in buckets:
                 for r in _cdf_read_dir(
-                    os.path.join(data, f"_kr={b}", f"_gen={v}")
+                    f"{self.path}/data/_kr={b}/_gen={v}", fs
                 ):
                     fresh[r[self.key]] = r
             for r in changed:
@@ -432,7 +524,7 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         end = {
             "version": _cdf_clamp_end(
-                self.path, start["version"], self.max_versions
+                self.path, start["version"], self.max_versions, self.fs
             )
         }
         # a list ITERATOR: the runner drains it to prefetch, then
@@ -490,52 +582,65 @@ from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
 
 class CdfPartition(InputPartition):
     """One (committed version, changed bucket) unit of change-feed
-    work. Carries everything read() needs — the executor never calls
-    back to the driver."""
+    work. Carries everything read() needs — including the PICKLED
+    pyarrow filesystem, so the executor talks to the same store the
+    driver planned against and never assumes a shared POSIX mount."""
 
     def __init__(
-        self, path: str, key: str, cols: list[str], version: int, bucket: int
+        self,
+        path: str,
+        key: str,
+        cols: list[str],
+        version: int,
+        bucket: int,
+        fs=None,
     ) -> None:
         self.path = path
         self.key = key
         self.cols = cols
         self.version = version
         self.bucket = bucket
+        self.fs = fs
 
 
-def _cdf_commit_sidecar(path: str, version: int) -> dict | None:
+def _cdf_commit_sidecar(path: str, version: int, fs=None) -> dict | None:
     """The ``v=<n>.op`` commit sidecar as a dict, or None when the
     version predates the op tag (pre-r12 histories)."""
     import json
-    import os
 
-    p = os.path.join(path, "_manifest", f"v={version}.op")
-    if not os.path.exists(p):
+    fs = fs or _cdf_resolve_fs(path)[0]
+    p = f"{path}/_manifest/v={version}.op"
+    if not _fs_isfile(fs, p):
         return None
     try:
-        with open(p, encoding="utf-8") as f:
-            return json.load(f)
+        with fs.open_input_stream(p) as f:
+            return json.loads(f.readall().decode("utf-8"))
     except ValueError:
         return None
 
 
-def _cdf_commit_timestamps(path: str, versions: list[int]) -> dict[int, int]:
+def _cdf_commit_timestamps(
+    path: str, versions: list[int], fs=None
+) -> dict[int, int]:
     """Driver-side mirror of merge.commit_timestamps (this source runs
     without a SparkSession): the stamped ``commit_ts`` from each
     ``v=<n>.op`` sidecar when present, the manifest ``_SUCCESS`` mtime
     for histories predating the stamp, then the same strictly-monotonic
     adjustment (ts_v = max(raw_v, prev+1)) so "first version at or
     after T" is total even for same-tick commits."""
-    import os
-
+    fs = fs or _cdf_resolve_fs(path)[0]
     out: dict[int, int] = {}
     prev = -1
     for v in versions:
-        side = _cdf_commit_sidecar(path, v)
+        side = _cdf_commit_sidecar(path, v, fs)
         raw = None if side is None else side.get("commit_ts")
         if raw is None:
-            p = os.path.join(path, "_manifest", f"v={v}", "_SUCCESS")
-            raw = int(os.stat(p).st_mtime * 1000)
+            info = fs.get_file_info([f"{path}/_manifest/v={v}/_SUCCESS"])[0]
+            raw = (
+                info.mtime_ns // 1_000_000
+                if info.mtime_ns is not None
+                else int(info.mtime.timestamp() * 1000)
+            )
         ts = max(int(raw), prev + 1)
         out[v] = ts
         prev = ts
@@ -543,7 +648,7 @@ def _cdf_commit_timestamps(path: str, versions: list[int]) -> dict[int, int]:
 
 
 def _cdf_resolve_start(
-    path: str, start_version: int | None, start_ts: int | None
+    path: str, start_version: int | None, start_ts: int | None, fs=None
 ) -> dict:
     """The shared initial-offset rule for both reader tiers: the
     bootstrap snapshot (a clone's fork commit included) is silent, an
@@ -553,10 +658,11 @@ def _cdf_resolve_start(
     first-such-version - 1, clamped to the bootstrap rule; T beyond
     the newest commit raises (matching Delta) rather than silently
     streaming nothing."""
-    versions = _cdf_committed_versions(path)
+    fs = fs or _cdf_resolve_fs(path)[0]
+    versions = _cdf_committed_versions(path, fs)
     earliest = versions[0] if versions else 0
     if start_ts is not None:
-        ts = _cdf_commit_timestamps(path, versions)
+        ts = _cdf_commit_timestamps(path, versions, fs)
         hits = [v for v in versions if ts[v] >= start_ts]
         if not hits:
             raise ValueError(
@@ -570,7 +676,7 @@ def _cdf_resolve_start(
     return {"version": earliest}
 
 
-def _cdf_changed_buckets(path: str, version: int) -> list[int]:
+def _cdf_changed_buckets(path: str, version: int, fs=None) -> list[int]:
     """Buckets with at least one changed key at ``version`` — the CDF
     partition PLANNING step, three tiers so the cost is metadata-sized
     whenever the table's writer is current (r15 — closes the r14
@@ -589,33 +695,33 @@ def _cdf_changed_buckets(path: str, version: int) -> list[int]:
        compute) over the two tiny columns — O(batch) driver memory,
        never the whole changed-key column at once, and never a Python
        list of raw keys."""
-    import os
-
     import pyarrow.compute as pc
+    import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
-    side = _cdf_commit_sidecar(path, version)
+    fs = fs or _cdf_resolve_fs(path)[0]
+    side = _cdf_commit_sidecar(path, version, fs)
     if side is not None and "changed_buckets" in side:
         return sorted(int(b) for b in side["changed_buckets"])
-    d = os.path.join(path, "_dv", f"v={version}")
-    if not os.path.isdir(d):
-        return []
+    d = f"{path}/_dv/v={version}"
+    entries = _fs_ls(fs, d)
     bucket_dirs = sorted(
-        (int(n[4:]), os.path.join(d, n))
-        for n in os.listdir(d)
-        if n.startswith("_kr=") and os.path.isdir(os.path.join(d, n))
+        (int(i.base_name[4:]), i.path)
+        for i in entries
+        if i.base_name.startswith("_kr=") and i.type == pafs.FileType.Directory
     )
     if bucket_dirs:
         out = []
         for b, bdir in bucket_dirs:
             hit = False
-            for f in sorted(os.listdir(bdir)):
-                if not f.endswith(".parquet"):
+            for i in _fs_ls(fs, bdir):
+                if not i.base_name.endswith(".parquet"):
                     continue
                 t = pq.read_table(
-                    os.path.join(bdir, f),
+                    i.path,
                     columns=["live_gen"],
                     filters=[("live_gen", "==", version)],
+                    filesystem=fs,
                 )
                 if t.num_rows:
                     hit = True
@@ -624,16 +730,17 @@ def _cdf_changed_buckets(path: str, version: int) -> list[int]:
                 out.append(b)
         return out
     buckets: set[int] = set()
-    for f in sorted(os.listdir(d)):
-        if not f.endswith(".parquet"):
+    for i in entries:
+        if not i.base_name.endswith(".parquet"):
             continue
-        pf = pq.ParquetFile(os.path.join(d, f))
-        for batch in pf.iter_batches(columns=["_kr", "live_gen"]):
-            hits = pc.filter(
-                batch.column("_kr"),
-                pc.equal(batch.column("live_gen"), version),
-            )
-            buckets.update(pc.unique(hits).to_pylist())
+        with fs.open_input_file(i.path) as fh:
+            pf = pq.ParquetFile(fh)
+            for batch in pf.iter_batches(columns=["_kr", "live_gen"]):
+                hits = pc.filter(
+                    batch.column("_kr"),
+                    pc.equal(batch.column("live_gen"), version),
+                )
+                buckets.update(pc.unique(hits).to_pylist())
     return sorted(buckets)
 
 
@@ -646,6 +753,7 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         start: int | None,
         max_versions: int | None = None,
         start_ts: int | None = None,
+        fs=None,
     ):
         self.path = path
         self.key = key
@@ -653,6 +761,7 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         self.start = start
         self.max_versions = max_versions
         self.start_ts = start_ts
+        self.fs = fs if fs is not None else _cdf_resolve_fs(path)[0]
         # admission control needs the stream's current position. One
         # long-lived reader instance serves every protocol call
         # (python_streaming_source_runner), and the engine always
@@ -672,18 +781,18 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         # bootstrap snapshot (a clone's fork commit included) is
         # silent; starting_version clamps up; starting_timestamp
         # resolves through the commit clock (_cdf_resolve_start)
-        off = _cdf_resolve_start(self.path, self.start, self.start_ts)
+        off = _cdf_resolve_start(self.path, self.start, self.start_ts, self.fs)
         self._planned = off["version"]  # fresh start: position known
         return off
 
     def latestOffset(self) -> dict:
         if self.max_versions is None:
-            versions = _cdf_committed_versions(self.path)
+            versions = _cdf_committed_versions(self.path, self.fs)
             return {"version": versions[-1] if versions else 0}
         if self._planned is None:
             self._planned = self.initialOffset()["version"]
         self._planned = _cdf_clamp_end(
-            self.path, self._planned, self.max_versions
+            self.path, self._planned, self.max_versions, self.fs
         )
         return {"version": self._planned}
 
@@ -694,12 +803,14 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         if self._planned is None or self._planned < planned:
             self._planned = planned
         parts = []
-        for v in _cdf_committed_versions(self.path):
+        for v in _cdf_committed_versions(self.path, self.fs):
             if not (start["version"] < v <= end["version"]):
                 continue
-            for b in _cdf_changed_buckets(self.path, v):
+            for b in _cdf_changed_buckets(self.path, v, self.fs):
                 parts.append(
-                    CdfPartition(self.path, self.key, self.cols, v, b)
+                    CdfPartition(
+                        self.path, self.key, self.cols, v, b, self.fs
+                    )
                 )
         # structural-only ranges (compaction, restore) plan zero
         # partitions — an empty micro-batch, exactly the simple
@@ -708,44 +819,51 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
 
     def read(self, partition: CdfPartition):
         # EXECUTOR-side: this bucket's slice of the version's change
-        # set. Stateless — everything comes off the partition value.
-        import os
-
+        # set. Stateless — everything (the pickled filesystem
+        # included) comes off the partition value, so the read works
+        # against object stores with no shared mount.
         import pyarrow.parquet as pq
 
         path, key, cols = partition.path, partition.key, partition.cols
         v, b = partition.version, partition.bucket
-        dv_dir = os.path.join(path, "_dv", f"v={v}")
+        fs = (
+            partition.fs
+            if partition.fs is not None
+            else _cdf_resolve_fs(path)[0]
+        )
+        dv_dir = f"{path}/_dv/v={v}"
         changed: list = []
-        bucket_dir = os.path.join(dv_dir, f"_kr={b}")
+        bucket_dir = f"{dv_dir}/_kr={b}"
         # only the KEY column is consumed from the DV (fresh values
         # come from the data directory): project it, filter the rest
-        if os.path.isdir(bucket_dir):
+        if _fs_isdir(fs, bucket_dir):
             # r15 bucket-partitioned DV: open ONLY this bucket's
             # directory — the other buckets' DV bytes are never read
             # (the partition value _kr is the directory, not a column)
-            for f in sorted(os.listdir(bucket_dir)):
-                if not f.endswith(".parquet"):
+            for i in _fs_ls(fs, bucket_dir):
+                if not i.base_name.endswith(".parquet"):
                     continue
                 t = pq.read_table(
-                    os.path.join(bucket_dir, f),
+                    i.path,
                     columns=[key],
                     filters=[("live_gen", "==", v)],
+                    filesystem=fs,
                 )
                 changed.extend(t.to_pylist())
         else:
             # pre-r15 flat DV: filter-scan each file for this bucket
-            for f in sorted(os.listdir(dv_dir)):
-                if not f.endswith(".parquet"):
+            for i in _fs_ls(fs, dv_dir):
+                if not i.base_name.endswith(".parquet"):
                     continue
                 t = pq.read_table(
-                    os.path.join(dv_dir, f),
+                    i.path,
                     columns=[key],
                     filters=[("_kr", "==", b), ("live_gen", "==", v)],
+                    filesystem=fs,
                 )
                 changed.extend(t.to_pylist())
         fresh: dict = {}
-        for r in _cdf_read_dir(os.path.join(path, "data", f"_kr={b}", f"_gen={v}")):
+        for r in _cdf_read_dir(f"{path}/data/_kr={b}/_gen={v}", fs):
             fresh[r[key]] = r
         for r in changed:
             k = r[key]

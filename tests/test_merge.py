@@ -3522,3 +3522,67 @@ def test_table_changes_timestamp_endpoints(spark, tmp_path):
         tables={"t": path},
     )
     assert sorted(r._version for r in via_sql.collect()) == [2, 3]
+
+
+def test_cdf_source_through_registered_filesystem(spark, tmp_path):
+    """r16 — the object-store seam closed: every CDF path (planning
+    and executor partition reads) goes through an injectable
+    pyarrow.fs.FileSystem. Drive the WHOLE stream through a
+    SubTreeFileSystem rooted at tmp_path with table paths that are
+    meaningless on the local filesystem ('t', not '/.../t') — the run
+    only works if both tiers really route through the instance; the
+    result must equal the default-filesystem read of the same
+    history."""
+    import pyarrow.fs as pafs
+
+    from data_pipeline_bigquery_to_sftp_server_spark.sources import pysource
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        cdf_filesystem_option,
+        register_versioned_cdf,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 31)], "k long, v long"
+        ),
+        "k", path, n_buckets=4,
+    )
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(3, 333), (40, 400)], "k long, v long"), "k",
+    )
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(7,)], "k long"), "k"
+    )
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    # planner helpers resolve through the instance with SUBTREE paths
+    assert pysource._cdf_committed_versions("t", sub) == [0, 1, 2]
+    assert pysource._cdf_changed_buckets("t", 2, sub) != []
+    register_versioned_cdf(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", "t")  # relative to the injected subtree
+        .option("filesystem", cdf_filesystem_option(sub))
+        .option("key", "k")
+        .option("table_schema", "k bigint, v bigint")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()), key=repr)
+    want = sorted(
+        map(tuple, merge.table_changes(spark, path, 0).collect()), key=repr
+    )
+    assert got == want and len(got) == 3
+    # a malformed filesystem option fails loudly at resolution,
+    # naming the serializer — not with a downstream path error
+    import pytest
+
+    with pytest.raises(ValueError, match="cdf_filesystem_option"):
+        pysource._cdf_resolve_fs("t", "nope")
