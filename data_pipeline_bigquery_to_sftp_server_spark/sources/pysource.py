@@ -195,6 +195,19 @@ def _fs_isfile(fs, p: str) -> bool:
     return fs.get_file_info([p])[0].type == pafs.FileType.File
 
 
+def _fs_du(fs, d: str) -> int:
+    """Total bytes of every file under ``d`` (0 when absent) — one
+    recursive listing, sizes off the FileInfo (no file is opened)."""
+    import pyarrow.fs as pafs
+
+    sel = pafs.FileSelector(d, allow_not_found=True, recursive=True)
+    return sum(
+        i.size or 0
+        for i in fs.get_file_info(sel)
+        if i.type == pafs.FileType.File
+    )
+
+
 _PA_TO_DDL = {
     "int64": "bigint",
     "int32": "int",
@@ -315,7 +328,13 @@ class VersionedCdfDataSource(DataSource):
     control, Delta's maxFilesPerTrigger analog: cap each micro-batch
     at k commits so a giant backfill MERGE in the history cannot land
     as ONE unbounded batch; the stream simply takes more batches to
-    reach the tip, end state identical), optional ``filesystem`` (a
+    reach the tip, end state identical), optional
+    ``max_bytes_per_trigger`` (r16, Delta's maxBytesPerTrigger analog:
+    clamp each micro-batch by CUMULATIVE COMMIT BYTES — DV file plus
+    changed-bucket data directories, sized from listings alone; at
+    least one commit is always admitted, so an over-budget backfill
+    lands isolated in its own batch instead of stalling; composes with
+    max_versions_per_trigger), optional ``filesystem`` (a
     pyarrow FileSystem serialized with cdf_filesystem_option — the
     injection point for object stores or fsspec wrappers; unset, a
     scheme-qualified path resolves via FileSystem.from_uri and plain
@@ -376,6 +395,7 @@ class VersionedCdfDataSource(DataSource):
             self._max_versions(),
             self._starting_ts(),
             fs,
+            self._max_bytes(),
         )
 
     def _starting_version(self) -> int | None:
@@ -416,6 +436,23 @@ class VersionedCdfDataSource(DataSource):
             )
         return k
 
+    def _max_bytes(self) -> int | None:
+        # bytes-weighted admission (Delta's maxBytesPerTrigger analog):
+        # clamp each micro-batch by cumulative commit bytes — commit
+        # sizes come from listings alone (_cdf_commit_bytes). Composes
+        # with max_versions_per_trigger (both clamps apply).
+        raw = self.options.get("max_bytes_per_trigger") or self.options.get(
+            "maxbytespertrigger"
+        )
+        if raw is None:
+            return None
+        k = int(raw)
+        if k < 1:
+            raise ValueError(
+                f"versioned_cdf: max_bytes_per_trigger must be >= 1, got {k}"
+            )
+        return k
+
     def simpleStreamReader(self, schema: StructType):
         fs, path = self._fs_path()
         return VersionedCdfStreamReader(
@@ -426,23 +463,57 @@ class VersionedCdfDataSource(DataSource):
             self._max_versions(),
             self._starting_ts(),
             fs,
+            self._max_bytes(),
         )
 
 
+def _cdf_commit_bytes(path: str, version: int, fs=None) -> int:
+    """The physical bytes commit ``version`` added: its DV file plus
+    the changed buckets' ``_gen=<v>`` data directories — pure FileInfo
+    metadata (sizes from listings, no file opened; the bucket list
+    comes from the sidecar stamp when present). Structural commits
+    with an empty change set cost 0 by construction."""
+    fs = fs or _cdf_resolve_fs(path)[0]
+    total = _fs_du(fs, f"{path}/_dv/v={version}")
+    for b in _cdf_changed_buckets(path, version, fs):
+        total += _fs_du(fs, f"{path}/data/_kr={b}/_gen={version}")
+    return total
+
+
 def _cdf_clamp_end(
-    path: str, after: int, max_versions: int | None, fs=None
+    path: str,
+    after: int,
+    max_versions: int | None,
+    fs=None,
+    max_bytes: int | None = None,
 ) -> int:
     """Newest version this micro-batch may consume: the tip, or — with
     admission control on — the ``max_versions``-th COMMITTED version
     past ``after`` (counted over actual commits, robust to any
-    numbering gap)."""
+    numbering gap), further clamped by CUMULATIVE COMMIT BYTES when
+    ``max_bytes`` is set (Delta's maxBytesPerTrigger analog): commits
+    admit until the next would push the batch past the budget, with at
+    least ONE always admitted so an over-budget backfill commit lands
+    isolated in its own batch instead of stalling the stream."""
     versions = _cdf_committed_versions(path, fs)
     if not versions:
         return after
     newer = [v for v in versions if v > after]
-    if max_versions is not None and len(newer) > max_versions:
-        return newer[max_versions - 1]
-    return max(versions[-1], after)
+    if not newer:
+        return max(versions[-1], after)
+    n = len(newer)
+    if max_versions is not None:
+        n = min(n, max_versions)
+    if max_bytes is not None:
+        acc = admitted = 0
+        for v in newer[:n]:
+            b = _cdf_commit_bytes(path, v, fs)
+            if admitted >= 1 and acc + b > int(max_bytes):
+                break
+            acc += b
+            admitted += 1
+        n = admitted
+    return newer[n - 1] if n < len(newer) else max(versions[-1], after)
 
 
 class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
@@ -455,6 +526,7 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         max_versions: int | None = None,
         start_ts: int | None = None,
         fs=None,
+        max_bytes: int | None = None,
     ):
         self.path = path
         self.key = key
@@ -463,6 +535,7 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         self.max_versions = max_versions
         self.start_ts = start_ts
         self.fs = fs if fs is not None else _cdf_resolve_fs(path)[0]
+        self.max_bytes = max_bytes
 
     def initialOffset(self) -> dict:
         # the table's first committed version — the bootstrap snapshot
@@ -524,7 +597,11 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         end = {
             "version": _cdf_clamp_end(
-                self.path, start["version"], self.max_versions, self.fs
+                self.path,
+                start["version"],
+                self.max_versions,
+                self.fs,
+                self.max_bytes,
             )
         }
         # a list ITERATOR: the runner drains it to prefetch, then
@@ -754,6 +831,7 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         max_versions: int | None = None,
         start_ts: int | None = None,
         fs=None,
+        max_bytes: int | None = None,
     ):
         self.path = path
         self.key = key
@@ -762,6 +840,7 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         self.max_versions = max_versions
         self.start_ts = start_ts
         self.fs = fs if fs is not None else _cdf_resolve_fs(path)[0]
+        self.max_bytes = max_bytes
         # admission control needs the stream's current position. One
         # long-lived reader instance serves every protocol call
         # (python_streaming_source_runner), and the engine always
@@ -786,13 +865,14 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         return off
 
     def latestOffset(self) -> dict:
-        if self.max_versions is None:
+        if self.max_versions is None and self.max_bytes is None:
             versions = _cdf_committed_versions(self.path, self.fs)
             return {"version": versions[-1] if versions else 0}
         if self._planned is None:
             self._planned = self.initialOffset()["version"]
         self._planned = _cdf_clamp_end(
-            self.path, self._planned, self.max_versions, self.fs
+            self.path, self._planned, self.max_versions, self.fs,
+            self.max_bytes,
         )
         return {"version": self._planned}
 

@@ -3586,3 +3586,85 @@ def test_cdf_source_through_registered_filesystem(spark, tmp_path):
 
     with pytest.raises(ValueError, match="cdf_filesystem_option"):
         pysource._cdf_resolve_fs("t", "nope")
+
+
+def test_cdf_max_bytes_per_trigger(spark, tmp_path):
+    """Bytes-weighted admission (r16, Delta's maxBytesPerTrigger
+    analog): with a budget sized between a thin and a fat commit, a
+    thin/fat/thin history drains as THREE micro-batches — the fat
+    backfill commit lands ISOLATED in its own batch (the at-least-one
+    rule admits it despite exceeding the budget) — and the end state
+    equals the unthrottled run's, on both reader tiers."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources import pysource
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, "x" * 10) for i in range(1, 2001)], "k long, v string"
+        ),
+        "k", path, n_buckets=2,
+    )
+    # v1 thin (1 row), v2 FAT (1500 rows of wide strings), v3 thin
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(1, "a")], "k long, v string"), "k",
+    )
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame(
+            [(i, "y" * 400) for i in range(1, 1501)], "k long, v string"
+        ),
+        "k",
+    )
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(2, "b")], "k long, v string"), "k",
+    )
+    thin = pysource._cdf_commit_bytes(path, 1)
+    fat = pysource._cdf_commit_bytes(path, 2)
+    assert fat > 3 * thin  # the budget below separates them
+    budget = str(thin + fat // 4)
+    register_versioned_cdf(spark)
+
+    def drain(mode: str, throttle: bool):
+        out = str(tmp_path / f"out_{mode}_{throttle}")
+        reader = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", path)
+            .option("key", "k")
+            .option("reader", mode)
+        )
+        if throttle:
+            reader = reader.option("max_bytes_per_trigger", budget)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ckpt_{mode}_{throttle}"),
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        batch_sizes = [
+            int(p["numInputRows"])
+            for p in q.recentProgress
+            if p["numInputRows"] and int(p["numInputRows"]) > 0
+        ]
+        q.stop()
+        rows = sorted(
+            map(tuple, spark.read.parquet(out).collect()), key=repr
+        )
+        return batch_sizes, rows
+
+    for mode in ("partitioned", "simple"):
+        sizes_t, rows_t = drain(mode, True)
+        sizes_f, rows_f = drain(mode, False)
+        assert rows_t == rows_f and len(rows_f) == 1 + 1500 + 1, mode
+        # three batches: thin / fat-isolated / thin
+        assert sizes_t == [1, 1500, 1], (mode, sizes_t)
+        assert sizes_f == [1502], (mode, sizes_f)
