@@ -1507,6 +1507,7 @@ def upsert_versioned_dv(
     key: str,
     writer: str | None = None,
     commit_meta: str | None = None,
+    admit_disjoint: bool = False,
 ) -> DataFrame:
     """Merge-on-READ MERGE (r11 verdict #3 — the missing half of the
     snapshot mechanism): where upsert_versioned rewrites every touched
@@ -1527,7 +1528,29 @@ def upsert_versioned_dv(
     deletes ride the same mechanism (delete_versioned). Read-side
     equality with the copy-on-write path is pinned in test_merge.
     ``writer`` defaults per-call-unique (stable explicit id needed for
-    idempotent crash retry — see _unique_writer)."""
+    idempotent crash retry — see _unique_writer).
+
+    ``admit_disjoint`` (r16 — Delta's conflict resolution for
+    non-conflicting transactions): on losing the ``v+1`` commit race,
+    instead of raising for a full rebase, WAIT for the winner to
+    commit and — when the winner's stamped ``changed_buckets`` are
+    DISJOINT from this batch's touched buckets and its operation is
+    cutpoint-stable (MOR MERGE or DELETE) — commit at the next version
+    with the ALREADY-STAGED batch: no staging recompute, no
+    re-assignment, no retry cycle. Soundness: (a) the staged bucket
+    assignment stays valid because admitted winner ops never move a
+    cutpoint — MOR MERGE appends manifest rows whose min_key is >= the
+    bucket's existing cutpoint by the assignment rule itself (bucket
+    0's min can only EXTEND downward, and below-global-min keys clamp
+    to bucket 0 under either cutpoint set), and DELETE carries the
+    manifest forward verbatim; (b) the deletion-vector union re-reads
+    the WINNER's committed DV, so its entries carry forward; (c)
+    last-writer-wins-per-key is vacuous across disjoint buckets.
+    Overlapping or non-admittable winners (COW/structural commits may
+    replace manifest rows and move cutpoints) raise
+    ConcurrentWriteError exactly as before — upsert_with_retry's
+    rebase handles them. A winner that never commits (crashed holder)
+    times out (_ADMIT_WAIT_S) and re-raises."""
     writer = writer or _unique_writer()
     versions = _list_versions(spark, f"{target_path}/_manifest")
     if not versions:
@@ -1546,15 +1569,39 @@ def upsert_versioned_dv(
     stats_cols = _stats_cols_of(manifest)
     point_cols = _point_cols_of(manifest)
     bloom_bits = _bloom_bits_of(manifest, point_cols) if point_cols else 0
+    # stage BEFORE the commit gate: the materialized assignment is
+    # what disjoint admission reuses across winners (and the critical
+    # section shrinks for everyone else)
     assigned = assign_range_bucket(staging, _cutpoints(manifest), key)
+    assigned = assigned.localCheckpoint(eager=True)
     touched = sorted(
         r[0] for r in assigned.select("_kr").distinct().collect()
     )
-    _begin_commit(spark, target_path, v + 1, writer)
-    fresh = (
-        assigned.withColumn("_gen", F.lit(v + 1).cast("long"))
-        .localCheckpoint(eager=True)
-    )
+    admitted_over: list[int] = []
+    while True:
+        try:
+            _begin_commit(spark, target_path, v + 1, writer)
+            break
+        except ConcurrentWriteError:
+            if not admit_disjoint:
+                raise
+            if not _wait_for_commit(spark, target_path, v + 1):
+                raise  # crashed holder: rebase/rollback path decides
+            win = _commit_op_payload(spark, target_path, v + 1) or {}
+            op_name = win.get("operation")
+            tier = (win.get("parameters") or {}).get("tier")
+            cb = win.get("changed_buckets")
+            admissible = (
+                op_name == "DELETE" or (op_name == "MERGE" and tier == "mor")
+            )
+            if not admissible or cb is None or set(cb) & set(touched):
+                raise
+            admitted_over.append(v + 1)
+            v = v + 1
+            manifest = spark.read.parquet(
+                f"{target_path}/_manifest/v={v}"
+            )
+    fresh = assigned.withColumn("_gen", F.lit(v + 1).cast("long"))
     _clean_uncommitted_generation(spark, target_path, touched, v + 1)
     fresh.write.mode("append").partitionBy("_kr", "_gen").parquet(
         f"{target_path}/data"
@@ -1600,7 +1647,46 @@ def upsert_versioned_dv(
     out = fresh.drop("_gen")
     out.version = v + 1
     out.touched_buckets = touched
+    out.admitted_over = admitted_over
     return out
+
+
+_ADMIT_WAIT_S = 30.0  # how long admission waits for a racing winner
+
+
+def _wait_for_commit(
+    spark: SparkSession, path: str, version: int, timeout_s: float | None = None
+) -> bool:
+    """Poll until ``version`` is a COMMITTED manifest version (its
+    _SUCCESS exists) — the admission path's wait for a racing winner.
+    False on timeout (a crashed holder never commits)."""
+    import time as _time
+
+    deadline = _time.monotonic() + (
+        _ADMIT_WAIT_S if timeout_s is None else timeout_s
+    )
+    while _time.monotonic() < deadline:
+        if version in _list_versions(spark, f"{path}/_manifest"):
+            return True
+        _time.sleep(0.1)
+    return False
+
+
+def _commit_op_payload(
+    spark: SparkSession, path: str, version: int
+) -> dict | None:
+    """The full ``v=<n>.op`` sidecar payload (operation, parameters,
+    commit_ts, changed_buckets), or None when absent/unparseable."""
+    import json as _json
+
+    raw = _read_small_file(spark, f"{path}/_manifest/v={version}.op")
+    if raw is None:
+        return None
+    try:
+        out = _json.loads(raw)
+    except ValueError:
+        return None
+    return out if isinstance(out, dict) else None
 
 
 def delete_versioned(
@@ -1897,12 +1983,26 @@ def upsert_with_retry(
     (strictly stronger than a disjoint-buckets-only rebase). Raises
     the final ConcurrentWriteError after ``attempts`` exhausted — a
     conflict that persists across retries with no new committed
-    version means a crashed holder: run rollback_inflight."""
+    version means a crashed holder: run rollback_inflight.
+
+    MOR tier (r16): the committer first tries DISJOINT-BUCKET
+    ADMISSION (upsert_versioned_dv admit_disjoint=True — Delta's
+    non-conflicting-transaction rule): a racing winner whose stamped
+    change set doesn't touch this batch's buckets is simply committed
+    past, with no staging recompute and no retry consumed; only
+    overlapping or non-admittable winners reach the rebase loop."""
     if int(attempts) < 1:
         # attempts<=0 would fall through to `raise last` with last=None
         # (an opaque TypeError) — fail meaningfully up front instead
         raise ValueError(f"upsert_with_retry: attempts must be >= 1, got {attempts}")
-    op = upsert_versioned_dv if mor else upsert_versioned
+    if mor:
+        def op(spark_, path_, staging_, key_, writer):
+            return upsert_versioned_dv(
+                spark_, path_, staging_, key_, writer=writer,
+                admit_disjoint=True,
+            )
+    else:
+        op = upsert_versioned
     last: ConcurrentWriteError | None = None
     for _ in range(int(attempts)):
         try:
@@ -2766,15 +2866,8 @@ def _commit_changed_buckets(
     time, or None for histories predating the stamp (the caller then
     falls back to probing the DV). The Spark-session twin of
     pysource._cdf_changed_buckets' tier 1."""
-    import json as _json
-
-    raw = _read_small_file(spark, f"{path}/_manifest/v={version}.op")
-    if raw is None:
-        return None
-    try:
-        cb = _json.loads(raw).get("changed_buckets")
-    except ValueError:
-        return None
+    side = _commit_op_payload(spark, path, version)
+    cb = None if side is None else side.get("changed_buckets")
     return None if cb is None else sorted(int(b) for b in cb)
 
 

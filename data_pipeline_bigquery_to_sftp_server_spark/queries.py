@@ -14904,6 +14904,386 @@ ORDER BY phase
 """
 
 
+def q_sql_table_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1x metadata-resolved SQL DML (r16 — the r15 verdict's top
+    item), ORACLE-CHECKED: the bootstrap persists the table's merge
+    key (and layout facts) in ``_manifest/_table.json`` exactly where
+    Delta's metaData action keeps it, so ``UPDATE`` / ``DELETE FROM``
+    / ``OPTIMIZE`` run with NO ``key=`` parameter — the first
+    statement a SQL-native user types now works. The scene drives the
+    whole lifecycle key-free: UPDATE (old-values semantics), DELETE
+    reading the UPDATE's committed state, OPTIMIZE FULL (content
+    must be invariant), then SHALLOW CLONE — the metadata travels
+    with the fork — and a key-free DELETE on the clone. The oracle
+    replays both tables' final per-bucket live state, so key
+    resolution, statement ordering, arithmetic, and clone inheritance
+    are all value-checked in one result
+    (operators/merge.py table_meta; operators/sqlfront.py _key_for).
+    Scale: metadata is one tiny JSON read per statement."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("tmeta_src_")
+    clone = _scratch_dir("tmeta_clone_")
+    merge.versioned_layout_write(o, "k", path, n_buckets=8)
+    tables = {"t": path}
+    # every statement below resolves the key from _table.json
+    lakehouse_sql(
+        spark, "UPDATE t SET cents = cents + 777 WHERE k % 3 = 0",
+        tables=tables,
+    )  # v1
+    lakehouse_sql(
+        spark, "DELETE FROM t WHERE cents % 5 = 0", tables=tables
+    )  # v2: sees v1's cents
+    lakehouse_sql(spark, "OPTIMIZE t FULL", tables=tables)  # v3: invariant
+    lakehouse_sql(
+        spark, f"CREATE TABLE '{clone}' SHALLOW CLONE t", tables=tables
+    )
+    lakehouse_sql(spark, f"DELETE FROM '{clone}' WHERE k % 7 = 0")
+
+    def agg(tag: str, p: str) -> DataFrame:
+        return (
+            merge.read_version(spark, p)
+            .groupBy(F.col("_kr").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(
+                F.lit(tag).alias("tbl"), "bucket", "n_live", "sum_cents"
+            )
+        )
+
+    return (
+        agg("1_src", path)
+        .unionByName(agg("2_clone", clone))
+        .orderBy("tbl", "bucket")
+    )
+
+
+_ORACLE_SQL_TABLE_META = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), upd AS (
+  SELECT k,
+         CASE WHEN k % 3 = 0 THEN cents + 777 ELSE cents END AS cents,
+         (rn - 1) * 8 // n AS b
+  FROM o
+), live_src AS (
+  SELECT * FROM upd WHERE cents % 5 != 0
+), live_clone AS (
+  SELECT * FROM live_src WHERE k % 7 != 0
+)
+SELECT '1_src' AS tbl, b AS bucket, count(*) AS n_live,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM live_src GROUP BY b
+UNION ALL
+SELECT '2_clone', b, count(*), CAST(sum(cents) AS BIGINT)
+FROM live_clone GROUP BY b
+ORDER BY tbl, bucket
+"""
+
+
+def q_optimize_zorder_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1y ``OPTIMIZE ... ZORDER BY`` through the SQL front door (r16
+    — Delta's spelling on the Morton machinery), ORACLE-CHECKED: a
+    day-major events table bootstrapped with NO declared stats
+    columns takes ``OPTIMIZE t ZORDER BY (day0, ub)``: compact_table
+    rewrites every bucket sorted on the Morton interleave of the two
+    dimensions AND PROMOTES them to maintained manifest statistics.
+    The report runs the same pruned range read before and after — the
+    before phase has no stats for day0, so pruning degrades to
+    read-everything (dirs_read == dirs_total == 8); the after phase
+    prunes on the freshly promoted statistics (only the buckets whose
+    day range intersects), with the content columns identical across
+    phases (a rewrite that changed any row flips the hash). The
+    oracle replays the rank-math bucket layout, each bucket's day
+    min/max rectangle, both phases' pruning arithmetic, and the
+    band's payload (operators/merge.py compact_table zorder_by;
+    operators/sqlfront.py). Scale: the rewrite is one bounded
+    bucket-exchange + in-task sort, never a global sort."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    maxu = ev.agg(F.max("user_id").alias("_mu"))
+    d = ev.crossJoin(F.broadcast(maxu)).select(
+        "event_id",
+        (F.dayofmonth("ts") - 1).cast("long").alias("day0"),
+        F.expr("user_id * 32 div (_mu + 1)").cast("long").alias("ub"),
+        (F.col("event_id") % 1000).cast("long").alias("w"),
+    )
+    # day-major key: buckets become day ranges, so the PROMOTED day0
+    # statistics have pruning power the moment they exist
+    t = d.withColumn(
+        "dk", (F.col("day0") * F.lit(2**44) + F.col("event_id")).cast("long")
+    )
+    path = _scratch_dir("zsql_")
+    merge.versioned_layout_write(t, "dk", path, n_buckets=8)  # NO stats
+
+    def report(phase: str) -> DataFrame:
+        pruned = merge.read_version_pruned(spark, path, "day0", 10, 16)
+        return pruned.agg(
+            F.lit(phase).alias("phase"),
+            F.lit(int(pruned.dirs_read)).cast("int").alias("dirs_read"),
+            F.lit(int(pruned.dirs_total)).cast("int").alias("dirs_total"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("w").alias("sum_w"),
+        )
+
+    before = report("1_before")
+    lakehouse_sql(
+        spark, "OPTIMIZE t ZORDER BY (day0, ub) BITS 5", tables={"t": path}
+    )  # key-free: resolved from _table.json
+    after = report("2_after")
+    return before.unionByName(after).orderBy("phase")
+
+
+_ORACLE_OPTIMIZE_ZORDER_SQL = """
+WITH base AS (
+  SELECT event_id,
+         CAST(date_part('day', ts) - 1 AS BIGINT) AS day0,
+         CAST(user_id * 32 // ((SELECT max(user_id) FROM events
+                                WHERE ts IS NOT NULL AND user_id IS NOT NULL) + 1)
+              AS BIGINT) AS ub,
+         event_id % 1000 AS w
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), n AS (
+  SELECT count(*) AS n FROM base
+), b AS (
+  SELECT day0, w,
+         (row_number() OVER (ORDER BY day0 * 17592186044416 + event_id) - 1)
+           * 8 // n.n AS bucket
+  FROM base, n
+), rect AS (
+  SELECT bucket, min(day0) AS d0, max(day0) AS d1 FROM b GROUP BY bucket
+), hits AS (
+  SELECT count(*) AS hit FROM rect WHERE d1 >= 10 AND d0 <= 16
+), content AS (
+  SELECT count(*) AS n_rows, CAST(sum(w) AS BIGINT) AS sum_w
+  FROM b WHERE day0 BETWEEN 10 AND 16
+)
+SELECT '1_before' AS phase, 8 AS dirs_read, 8 AS dirs_total,
+       c.n_rows, c.sum_w
+FROM content c
+UNION ALL
+SELECT '2_after', CAST(h.hit AS INTEGER), 8, c.n_rows, c.sum_w
+FROM hits h, content c
+ORDER BY phase
+"""
+
+
+def q_table_changes_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95g timestamp-endpoint batch CDF (r16 — Delta's
+    starting/endingTimestamp on table_changes), ORACLE-CHECKED: the
+    batch feed's endpoints resolve through the STAMPED commit clock
+    (the same vacuum-immune in-commit timestamps the stream and
+    TIMESTAMP AS OF use). Three MOR commits land; the report reads
+    the feed twice — from v2's stamp onward (versions 2 and 3) and
+    bounded to exactly v2's stamp on both ends — and aggregates each
+    slice per (version, op), so the clock resolution, the
+    consumed-through conversion, and both change sets are
+    value-checked. The oracle replays the deterministic change sets
+    (operators/merge.py table_changes starting_timestamp /
+    ending_timestamp + commit_timestamps). Scale: endpoint resolution
+    is O(versions) sidecar reads; the feed stays O(changes in
+    range)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("tcts_")
+    merge.versioned_layout_write(o, "k", path, n_buckets=8)
+    merge.upsert_versioned_dv(
+        spark, path,
+        o.where(F.col("k") % 97 == 0).select("k", (F.col("cents") + 1).alias("cents")),
+        "k",
+    )  # v1
+    merge.delete_versioned(
+        spark, path, o.where(F.col("k") % 101 == 0).select("k"), "k"
+    )  # v2
+    merge.upsert_versioned_dv(
+        spark, path,
+        o.where(F.col("k") % 103 == 0).select("k", (F.col("cents") + 2).alias("cents")),
+        "k",
+    )  # v3
+    ts = merge.commit_timestamps(spark, path)
+
+    def agg(tag: str, df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.col("_version").alias("ver"), F.col("_op").alias("op")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("k").alias("sum_k"),
+            )
+            .select(F.lit(tag).alias("scope"), "ver", "op", "n", "sum_k")
+        )
+
+    from_v2 = agg(
+        "1_from_v2_ts",
+        merge.table_changes(spark, path, starting_timestamp=ts[2]),
+    )
+    only_v2 = agg(
+        "2_only_v2",
+        merge.table_changes(
+            spark, path, starting_timestamp=ts[2], ending_timestamp=ts[2]
+        ),
+    )
+    return from_v2.unionByName(only_v2).orderBy("scope", "ver", "op")
+
+
+_ORACLE_TABLE_CHANGES_TS = """
+WITH o AS (SELECT o_orderkey AS k FROM orders),
+v2 AS (
+  SELECT CAST(2 AS BIGINT) AS ver, 'delete' AS op, count(*) AS n,
+         CAST(sum(k) AS BIGINT) AS sum_k
+  FROM o WHERE k % 101 = 0
+), v3 AS (
+  SELECT CAST(3 AS BIGINT), 'upsert', count(*),
+         CAST(sum(k) AS BIGINT)
+  FROM o WHERE k % 103 = 0
+)
+SELECT '1_from_v2_ts' AS scope, * FROM v2
+UNION ALL
+SELECT '1_from_v2_ts', * FROM v3
+UNION ALL
+SELECT '2_only_v2', * FROM v2
+ORDER BY scope, ver, op
+"""
+
+
+def q_concurrent_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1z disjoint-bucket concurrent-commit admission (r16 — Delta's
+    conflict resolution for non-conflicting transactions),
+    ORACLE-CHECKED under a REAL race: writer A claims version 1's
+    commit intent and stalls; writer B (a second thread) stages a
+    bucket-disjoint MOR batch, loses the create-exclusive race, waits
+    for A's commit, proves disjointness from A's stamped
+    changed_buckets, and commits at version 2 with its
+    ALREADY-STAGED batch — no rebase, no staging recompute
+    (admitted_over == [1] is asserted in-query; a rebase would record
+    nothing). The result is the merged table's per-bucket live state
+    plus each commit's stamped change-set buckets, so the oracle
+    value-checks that two genuinely concurrent writers produced
+    exactly the sequential application
+    (operators/merge.py upsert_versioned_dv admit_disjoint /
+    _wait_for_commit). Scale: admission costs one sidecar read and
+    one manifest re-read per admitted winner — the staged batch
+    (the expensive part at 100 TB) is written once."""
+    import threading
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("ccadmit_")
+    merge.versioned_layout_write(o, "k", path, n_buckets=8)
+    ranked, n_total = relational.with_global_rank(o, ["k"])
+    low5 = ranked.where(F.col("grank") <= 5).select(
+        "k", F.lit(111).cast("long").alias("cents")
+    )
+    high5 = ranked.where(F.col("grank") > n_total - 5).select(
+        "k", F.lit(222).cast("long").alias("cents")
+    )
+    # writer A claims v1 and stalls mid-commit
+    merge._begin_commit(spark, path, 1, "writer-A")
+    res: dict = {}
+
+    def racer():
+        try:
+            res["out"] = merge.upsert_versioned_dv(
+                spark, path, high5, "k",
+                writer="writer-B", admit_disjoint=True,
+            )
+        except Exception as e:  # surfaced after join
+            res["err"] = e
+
+    t = threading.Thread(target=racer)
+    t.start()
+    import time
+
+    time.sleep(1.0)  # B has staged, lost the race, and is waiting
+    merge.upsert_versioned_dv(
+        spark, path, low5, "k", writer="writer-A"
+    )  # A completes v1 (same-writer idempotent re-entry)
+    t.join(120)
+    if "err" in res:
+        raise res["err"]
+    if res["out"].admitted_over != [1]:
+        raise AssertionError(
+            f"admission did not happen: {res['out'].admitted_over}"
+        )
+    stamps = spark.createDataFrame(
+        [
+            (int(v), ",".join(map(str, merge._commit_changed_buckets(spark, path, v))))
+            for v in (1, 2)
+        ],
+        "ver int, changed_buckets string",
+    ).select(
+        F.lit("2_ledger").alias("section"),
+        F.col("ver").cast("long").alias("bucket"),
+        F.col("changed_buckets").alias("detail"),
+        F.lit(None).cast("long").alias("n_live"),
+        F.lit(None).cast("long").alias("sum_cents"),
+    )
+    live = (
+        merge.read_version(spark, path)
+        .groupBy(F.col("_kr").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            F.lit("1_live").alias("section"),
+            "bucket",
+            F.lit(None).cast("string").alias("detail"),
+            "n_live",
+            "sum_cents",
+        )
+    )
+    return live.unionByName(stamps).orderBy("section", "bucket")
+
+
+_ORACLE_CONCURRENT_COMMITS = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), seq AS (  -- sequential application of A (5 lowest) then B (5 highest)
+  SELECT k,
+         CASE WHEN rn <= 5 THEN 111
+              WHEN rn > n - 5 THEN 222
+              ELSE cents END AS cents,
+         (rn - 1) * 8 // n AS b
+  FROM o
+)
+SELECT '1_live' AS section, b AS bucket, CAST(NULL AS VARCHAR) AS detail,
+       count(*) AS n_live, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM seq GROUP BY b
+UNION ALL
+SELECT '2_ledger', 1, '0', NULL, NULL
+UNION ALL
+SELECT '2_ledger', 2, '7', NULL, NULL
+ORDER BY section, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14921,35 +15301,83 @@ ORDER BY phase
 # tools/verify_local.py and tests/.
 QUERIES: dict[str, QueryFn] = {
     # -- slots 1-50: driver correctness window ------------------------
-    # r15 rotation (r14 verdict next-round #3): keep the attestation-
-    # freshness invariant by windowing the OLDEST cohorts — first the
-    # new r15 SQL time-travel read (VERSION/TIMESTAMP AS OF through
-    # the front door), then all six r9-attested rows, then 43 of the
-    # 50 r10-attested rows. The seven r10 rows left past the slot line
-    # (asof_forward, bpe_encode_fast, bpe_fast_merges, bpe_merges,
-    # kmv_set_ops, streaming_kmv, window_dist) each have an in-window
-    # sibling exercising the same machinery (asof_join, bpe_encode /
-    # bpe_segment, kmv_distinct, the streaming family's nine windowed
-    # rows, window_suite for window_dist) and head the r16 rotation
-    # pool. Displaced r14 window rows follow the slot line;
-    # all remain verify_local-green.
-    # r15 promotions (sql_time_travel: oracle replays v1 through all
-    # three read forms; incremental_optimize: liquid-clustering-style
-    # OPTIMIZE — oracle replays both phases' pruning arithmetic and
-    # content). weighted_sample (r10) moves just past the slot line to
-    # make room and heads the r16 pool with the deferred seven.
+    # r16 rotation (r15 verdict next-round #3): the four new r16
+    # queries (metadata-resolved SQL DML incl. clone inheritance;
+    # OPTIMIZE ZORDER BY with stats promotion; timestamp-endpoint
+    # batch CDF; disjoint-bucket concurrent-commit admission under a
+    # real race), then the ten r10-attested rows that headed the
+    # rotation pool (asof_forward, the BPE trio, kmv_set_ops,
+    # streaming_kmv, sync_pipeline, udaf_geomean, weighted_sample,
+    # window_dist), then 36 of the r11 cohort in its correctness
+    # order. The remaining 14 r11 rows sit just past the slot line
+    # (all verify_local-green) and head the r17 pool with the r12
+    # cohort.
+    "sql_table_meta": q_sql_table_meta,
+    "optimize_zorder_sql": q_optimize_zorder_sql,
+    "table_changes_ts": q_table_changes_ts,
+    "concurrent_commits": q_concurrent_commits,
+    # latest attestation r10:
+    "asof_forward": q_asof_forward,
+    "bpe_encode_fast": q_bpe_encode_fast,
+    "bpe_fast_merges": q_bpe_fast_merges,
+    "bpe_merges": q_bpe_merges,
+    "kmv_set_ops": q_kmv_set_ops,
+    "streaming_kmv": q_streaming_kmv,
+    "sync_pipeline": q_sync_pipeline,
+    "udaf_geomean": q_udaf_geomean,
+    "weighted_sample": q_weighted_sample,
+    "window_dist": q_window_dist,
+    # latest attestation r11 (cohort order):
+    "skyline_customers": q_skyline_customers,
+    "target_encode": q_target_encode,
+    "impute_missing": q_impute_missing,
+    "pit_join": q_pit_join,
+    "attribution": q_attribution,
+    "bfs_reachability": q_bfs_reachability,
+    "ivm_aggregate": q_ivm_aggregate,
+    "streaming_ivm": q_streaming_ivm,
+    "entity_resolution": q_entity_resolution,
+    "k_anonymity": q_k_anonymity,
+    "quantile_calibration": q_quantile_calibration,
+    "event_transitions": q_event_transitions,
+    "rfm_segments": q_rfm_segments,
+    "scd3_apply": q_scd3_apply,
+    "surrogate_keys": q_surrogate_keys,
+    "fk_integrity": q_fk_integrity,
+    "shortest_paths": q_shortest_paths,
+    "revenue_trend": q_revenue_trend,
+    "streaming_transitions": q_streaming_transitions,
+    "python_datasource": q_python_datasource,
+    "media_dedup": q_media_dedup,
+    "spatial_join": q_spatial_join,
+    "table_reconcile": q_table_reconcile,
+    "benford_audit": q_benford_audit,
+    "streaming_reconcile": q_streaming_reconcile,
+    "basket_rules": q_basket_rules,
+    "hist_drift": q_hist_drift,
+    "rolling_active": q_rolling_active,
+    "hll_distinct": q_hll_distinct,
+    "cms_counts": q_cms_counts,
+    "zorder_layout": q_zorder_layout,
+    "profile_table": q_profile_table,
+    "sequence_pattern": q_sequence_pattern,
+    "streaming_hll": q_streaming_hll,
+    "semantic_decontam": q_semantic_decontam,
+    "resample_ffill": q_resample_ffill,
+    # -- slots 51+: verified via verify_local -------------------------
+    # The displaced r15 window (all 50 driver-green in CORRECTNESS_r15),
+    # the remaining 14 r11-cohort rows, and the rest of the registry
+    # in prior order.
     "sql_time_travel": q_sql_time_travel,
     "incremental_optimize": q_incremental_optimize,
     "sql_update_delete": q_sql_update_delete,
     "table_changes_batch": q_table_changes_batch,
-    # latest attestation r9:
     "bloom_screen": q_bloom_screen,
     "importance_resample": q_importance_resample,
     "ivf_full_probe": q_ivf_full_probe,
     "pagerank": q_pagerank,
     "streaming_dedup": q_streaming_dedup,
     "streaming_session": q_streaming_session,
-    # latest attestation r10:
     "asof_join": q_asof_join,
     "bm25_topk": q_bm25_topk,
     "bpe_encode": q_bpe_encode,
@@ -14990,16 +15418,6 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_stateful": q_streaming_stateful,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_upsert": q_streaming_upsert,
-    # -- slots 51+: verified via verify_local -------------------------
-    # The displaced r14 window (all 50 driver-green in CORRECTNESS_r14),
-    # the deferred r10 seven, weighted_sample (displaced by the r15
-    # incremental_optimize slot), and the rest of the registry in
-    # prior order. udaf_geomean and sync_pipeline (r10) were displaced
-    # by the r15 sql_update_delete / table_changes_batch slots; they
-    # and weighted_sample head the r16 pool.
-    "sync_pipeline": q_sync_pipeline,
-    "udaf_geomean": q_udaf_geomean,
-    "weighted_sample": q_weighted_sample,
     "ivf_prebuilt_full_probe": q_ivf_prebuilt_full_probe,
     "pq_full_rerank": q_pq_full_rerank,
     "ivfpq_full_probe": q_ivfpq_full_probe,
@@ -15150,42 +15568,6 @@ QUERIES: dict[str, QueryFn] = {
     "returned_items": q_returned_items,
     "exists_subquery": q_exists_subquery,
     "priority_case_counts": q_priority_case_counts,
-    "skyline_customers": q_skyline_customers,
-    "target_encode": q_target_encode,
-    "impute_missing": q_impute_missing,
-    "pit_join": q_pit_join,
-    "attribution": q_attribution,
-    "bfs_reachability": q_bfs_reachability,
-    "ivm_aggregate": q_ivm_aggregate,
-    "streaming_ivm": q_streaming_ivm,
-    "entity_resolution": q_entity_resolution,
-    "k_anonymity": q_k_anonymity,
-    "quantile_calibration": q_quantile_calibration,
-    "event_transitions": q_event_transitions,
-    "rfm_segments": q_rfm_segments,
-    "scd3_apply": q_scd3_apply,
-    "surrogate_keys": q_surrogate_keys,
-    "fk_integrity": q_fk_integrity,
-    "shortest_paths": q_shortest_paths,
-    "revenue_trend": q_revenue_trend,
-    "streaming_transitions": q_streaming_transitions,
-    "python_datasource": q_python_datasource,
-    "media_dedup": q_media_dedup,
-    "spatial_join": q_spatial_join,
-    "table_reconcile": q_table_reconcile,
-    "benford_audit": q_benford_audit,
-    "streaming_reconcile": q_streaming_reconcile,
-    "basket_rules": q_basket_rules,
-    "hist_drift": q_hist_drift,
-    "rolling_active": q_rolling_active,
-    "hll_distinct": q_hll_distinct,
-    "cms_counts": q_cms_counts,
-    "zorder_layout": q_zorder_layout,
-    "profile_table": q_profile_table,
-    "sequence_pattern": q_sequence_pattern,
-    "streaming_hll": q_streaming_hll,
-    "semantic_decontam": q_semantic_decontam,
-    "resample_ffill": q_resample_ffill,
     "resample_interp": q_resample_interp,
     "streaming_resample": q_streaming_resample,
     "triangle_counts": q_triangle_counts,
@@ -15200,13 +15582,6 @@ QUERIES: dict[str, QueryFn] = {
     "hard_negatives": q_hard_negatives,
     "streaming_scd2": q_streaming_scd2,
     "priority_dedup": q_priority_dedup,
-    "kmv_set_ops": q_kmv_set_ops,
-    "asof_forward": q_asof_forward,
-    "window_dist": q_window_dist,
-    "bpe_merges": q_bpe_merges,
-    "bpe_fast_merges": q_bpe_fast_merges,
-    "bpe_encode_fast": q_bpe_encode_fast,
-    "streaming_kmv": q_streaming_kmv,
     "bpe_fast_deep": q_bpe_fast_deep,
     "hard_negatives_ann": q_hard_negatives_ann,
     "retrieval_mrr_ann": q_retrieval_mrr_ann,
@@ -15526,4 +15901,8 @@ ORACLES: dict[str, str] = {
     # equals the one-shot scan, so the batch oracle replays the drill
     "streaming_reconcile": _ORACLE_TABLE_RECONCILE,
     "basket_rules": _ORACLE_BASKET_RULES,
+    "sql_table_meta": _ORACLE_SQL_TABLE_META,
+    "optimize_zorder_sql": _ORACLE_OPTIMIZE_ZORDER_SQL,
+    "table_changes_ts": _ORACLE_TABLE_CHANGES_TS,
+    "concurrent_commits": _ORACLE_CONCURRENT_COMMITS,
 }

@@ -3668,3 +3668,109 @@ def test_cdf_max_bytes_per_trigger(spark, tmp_path):
         # three batches: thin / fat-isolated / thin
         assert sizes_t == [1, 1500, 1], (mode, sizes_t)
         assert sizes_f == [1502], (mode, sizes_f)
+
+
+def test_disjoint_bucket_concurrent_admission(spark, tmp_path):
+    """r16 — Delta's non-conflicting-transaction rule on the versioned
+    layout: a MOR writer losing the commit race to a winner whose
+    stamped changed_buckets are DISJOINT from its own commits at the
+    next version with its already-staged batch (admitted_over records
+    the winner), no rebase cycle; the merged table equals sequential
+    application and the ledger stamps both commits. Overlapping
+    writers still rebase (ConcurrentWriteError from the committer;
+    upsert_with_retry recomputes). A winner that never commits times
+    out and re-raises."""
+    import threading
+    import time
+
+    import pytest
+
+    path = str(tmp_path / "t")
+    # 40 keys, 4 buckets: ~[1-10][11-20][21-30][31-40]
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 41)], "k long, v long"
+        ),
+        "k", path, n_buckets=4,
+    )
+    # writer A claims v1 and stalls mid-commit (begin intent held)
+    merge._begin_commit(spark, path, 1, "writer-A")
+    res: dict = {}
+
+    def loser():
+        try:
+            res["out"] = merge.upsert_versioned_dv(
+                spark, path,
+                spark.createDataFrame(
+                    [(35, 1), (38, 2)], "k long, v long"
+                ),
+                "k", writer="writer-B", admit_disjoint=True,
+            )
+        except Exception as e:  # surface in the main thread
+            res["err"] = e
+
+    t = threading.Thread(target=loser)
+    t.start()
+    time.sleep(1.5)  # B has staged, lost the race, and is polling
+    # A completes its commit (same-writer idempotent re-entry): bucket 0
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(2, 100), (3, 100)], "k long, v long"),
+        "k", writer="writer-A",
+    )
+    t.join(90)
+    assert not t.is_alive() and "err" not in res, res.get("err")
+    out = res["out"]
+    # B admitted past A's v1 without a rebase: both landed, N and N+1
+    assert out.version == 2 and out.admitted_over == [1]
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    want = {i: i * 10 for i in range(1, 41)}
+    want.update({2: 100, 3: 100, 35: 1, 38: 2})  # sequential application
+    assert live == want
+    ops = merge.commit_operations(spark, path)
+    assert ops[1] == "MERGE" and ops[2] == "MERGE"
+    # the ledger's change-set stamps hold for BOTH commits
+    assert merge._commit_changed_buckets(spark, path, 1) == [0]
+    assert merge._commit_changed_buckets(spark, path, 2) == [3]
+    # ---- overlapping writers still rebase -------------------------
+    merge._begin_commit(spark, path, 3, "writer-C")
+
+    def overlap_loser():
+        try:
+            res["out2"] = merge.upsert_with_retry(
+                spark, path,
+                spark.createDataFrame([(2, 777)], "k long, v long"),
+                "k", writer="writer-D", mor=True,
+            )
+        except Exception as e:
+            res["err2"] = e
+
+    t2 = threading.Thread(target=overlap_loser)
+    t2.start()
+    time.sleep(1.5)
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(3, 555)], "k long, v long"),
+        "k", writer="writer-C",
+    )  # v3: bucket 0 — OVERLAPS D's key 2
+    t2.join(90)
+    assert not t2.is_alive() and "err2" not in res, res.get("err2")
+    out2 = res["out2"]
+    # D could not admit (overlap): the rebase attempt landed it at v4
+    # with NO admitted winners recorded on the successful attempt
+    assert out2.version == 4 and out2.admitted_over == []
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert live[2] == 777 and live[3] == 555
+    # ---- crashed holder: admission times out and re-raises --------
+    merge._begin_commit(spark, path, 5, "ghost")
+    real_wait = merge._ADMIT_WAIT_S
+    merge._ADMIT_WAIT_S = 1.0
+    try:
+        with pytest.raises(merge.ConcurrentWriteError):
+            merge.upsert_versioned_dv(
+                spark, path,
+                spark.createDataFrame([(40, 0)], "k long, v long"),
+                "k", writer="writer-E", admit_disjoint=True,
+            )
+    finally:
+        merge._ADMIT_WAIT_S = real_wait
