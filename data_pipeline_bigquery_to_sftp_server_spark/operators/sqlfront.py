@@ -354,6 +354,7 @@ def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
         p = jvm.org.apache.hadoop.fs.Path(_gen_dir(path, r))
         fs_d = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         size += fs_d.getContentSummary(p).getLength()
+    meta = table_meta(spark, path)  # r16: surface the persisted facts
     return spark.createDataFrame(
         [
             (
@@ -365,11 +366,13 @@ def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
                 int(sum(r.n_rows for r in rows)),
                 int(size),
                 len(get_constraints(spark, path)),
+                meta.get("key"),
+                meta.get("n_buckets"),
             )
         ],
         "format string, location string, version int, num_versions int, "
         "num_dirs int, physical_rows bigint, size_bytes bigint, "
-        "num_constraints int",
+        "num_constraints int, merge_key string, n_buckets int",
     )
 
 

@@ -357,6 +357,33 @@ class VersionedCdfDataSource(DataSource):
             self.options["path"], self.options.get("filesystem")
         )
 
+    def _key(self) -> str:
+        """The MERGE key column: the ``key`` option when given, else
+        the key the bootstrap persisted in ``_manifest/_table.json``
+        (r16 — the same metadata resolution SQL DML uses), so
+        ``readStream.format("versioned_cdf").option("path", p)`` works
+        with no key option on any table bootstrapped since the
+        metadata file existed."""
+        k = self.options.get("key")
+        if k:
+            return k
+        import json
+
+        fs, path = self._fs_path()
+        p = f"{path}/_manifest/_table.json"
+        if _fs_isfile(fs, p):
+            try:
+                with fs.open_input_stream(p) as f:
+                    k = json.loads(f.readall().decode("utf-8")).get("key")
+            except ValueError:
+                k = None
+            if k:
+                return str(k)
+        raise ValueError(
+            "versioned_cdf: no 'key' option and the table has no "
+            "_manifest/_table.json metadata — pass .option('key', <col>)"
+        )
+
     def _data_cols(self) -> list[tuple[str, str]]:
         ddl = self.options.get("table_schema")
         if ddl:
@@ -389,7 +416,7 @@ class VersionedCdfDataSource(DataSource):
         fs, path = self._fs_path()
         return VersionedCdfPartitionedReader(
             path,
-            self.options["key"],
+            self._key(),
             [n for n, _ in self._data_cols()],
             self._starting_version(),
             self._max_versions(),
@@ -457,7 +484,7 @@ class VersionedCdfDataSource(DataSource):
         fs, path = self._fs_path()
         return VersionedCdfStreamReader(
             path,
-            self.options["key"],
+            self._key(),
             [n for n, _ in self._data_cols()],
             self._starting_version(),
             self._max_versions(),

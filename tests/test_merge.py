@@ -3774,3 +3774,57 @@ def test_disjoint_bucket_concurrent_admission(spark, tmp_path):
             )
     finally:
         merge._ADMIT_WAIT_S = real_wait
+
+
+def test_cdf_key_resolves_from_table_metadata(spark, tmp_path):
+    """r16: the versioned_cdf source resolves the MERGE key from
+    _manifest/_table.json when no 'key' option is given — the same
+    metadata SQL DML uses — and raises with instructions on legacy
+    tables lacking both."""
+    import os
+
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 21)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(5,)], "k long"), "k"
+    )
+    register_versioned_cdf(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", path)  # NO key option: metadata-resolved
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert [(r.k, r._op, r._version) for r in rows] == [(5, "delete", 1)]
+    # legacy table (no metadata) without a key option: loud raise
+    os.remove(os.path.join(path, "_manifest", "_table.json"))
+    q2 = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_nokey")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="key"):
+        q2.processAllAvailable()
+        q2.stop()

@@ -509,3 +509,16 @@ def test_optimize_zorder_by_statement(spark, tmp_path):
     ops = merge.commit_operations(spark, path)
     man2 = spark.read.parquet(f"{path}/_manifest/v={max(ops)}")
     assert {"min_d1", "max_d1"} <= set(man2.columns)
+
+
+def test_describe_detail_surfaces_table_metadata(spark, tmp_path):
+    """r16: DESCRIBE DETAIL includes the persisted merge key and
+    bucket count (NULL for legacy tables without _table.json)."""
+    import os
+
+    path = _table(spark, tmp_path)
+    d = lakehouse_sql(spark, "DESCRIBE DETAIL t", tables={"t": path}).collect()[0]
+    assert d.merge_key == "k" and d.n_buckets == 2
+    os.remove(os.path.join(path, "_manifest", "_table.json"))
+    d = lakehouse_sql(spark, "DESCRIBE DETAIL t", tables={"t": path}).collect()[0]
+    assert d.merge_key is None and d.n_buckets is None
