@@ -21,6 +21,9 @@ Supported grammar (one statement per call, ``;`` optional)::
     OPTIMIZE <table> [FULL]
     OPTIMIZE <table> ZORDER BY (<c1>, <c2>[, ...]) [BITS <n>]
     CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <n>]
+    CREATE TABLE <dst> KEY <col> [BUCKETS <n>] [STATS (<c1>, ...)]
+        AS SELECT ... | AS VALUES ...
+    INSERT INTO <table> [(<c1>, ...)] SELECT ... | VALUES ...
     DELETE FROM <table> [WHERE <cond>]
     UPDATE <table> SET <c> = <expr>[, ...] [WHERE <cond>]
     ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
@@ -484,6 +487,99 @@ def lakehouse_sql(
         # same shape here (128 MiB unless the caller overrides)
         return compact_small_generations(spark, path, k, min_file_bytes)
     m = re.match(
+        r"(?i)^CREATE TABLE (\S+) KEY (\w+)"
+        r"(?: BUCKETS (\d+))?(?: STATS \(([^)]+)\))? AS (SELECT .+|VALUES .+)$",
+        s,
+    )
+    if m:
+        # lakehouse CTAS (r16): bootstrap a versioned table FROM SQL —
+        # the SELECT runs through spark.sql against the session's
+        # views, versioned_layout_write commits v0 and persists the
+        # KEY (+ optional STATS columns) in _table.json, so every
+        # later statement on the table is key-free. KEY is this
+        # engine's spelling of what Delta keeps in table properties
+        # (a keyed table needs its merge key declared at birth).
+        dst, kcol, nb, stats, sel = m.groups()
+        try:
+            dst_path = _resolve_table(dst, tables)
+        except KeyError:
+            if "/" not in dst and ":" not in dst:
+                raise KeyError(
+                    f"lakehouse_sql: CREATE TABLE destination {dst!r} is "
+                    "neither a known table, a quoted path literal, nor "
+                    "path-like — add it to tables={name: path} or quote "
+                    "the destination path"
+                ) from None
+            dst_path = dst
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+            versioned_layout_write,
+        )
+
+        df = spark.sql(sel)
+        if kcol not in df.columns:
+            raise ValueError(
+                f"lakehouse_sql: CTAS KEY column {kcol!r} is not in the "
+                f"SELECT's output ({df.columns})"
+            )
+        versioned_layout_write(
+            df,
+            kcol,
+            dst_path,
+            n_buckets=16 if nb is None else int(nb),
+            stats_cols=[]
+            if stats is None
+            else [c.strip() for c in stats.split(",") if c.strip()],
+        )
+        return read_version(spark, dst_path)
+    m = re.match(
+        r"(?i)^INSERT INTO (\S+)(?: \(([^)]+)\))? (SELECT .+|VALUES .+)$", s
+    )
+    if m:
+        # INSERT INTO (r16): committed MERGE-ON-READ through the same
+        # upsert the MERGE statement rides. Documented divergence from
+        # Delta: these tables are KEYED, so inserting an existing key
+        # REPLACES it (last-writer-wins per key) instead of appending
+        # a duplicate row. A column list binds by name (omitted
+        # columns become NULL); without one, the source binds
+        # positionally to the table's columns. Types cast to the
+        # table's schema, so integer literals never fork a BIGINT
+        # column's schema.
+        path = _resolve_table(m.group(1), tables)
+        k = _key_for(spark, path, key, "INSERT")
+        live = read_version(spark, path)
+        cols = [c for c in live.columns if c not in ("_kr", "_gen")]
+        src = spark.sql(m.group(3))
+        names = (
+            [c.strip() for c in m.group(2).split(",")]
+            if m.group(2)
+            else list(cols)
+        )
+        if len(src.columns) != len(names):
+            raise ValueError(
+                f"lakehouse_sql: INSERT provides {len(src.columns)} "
+                f"column(s) for {len(names)} target column(s) {names}"
+            )
+        unknown = sorted(set(names) - set(cols))
+        if unknown:
+            raise ValueError(
+                f"lakehouse_sql: INSERT column(s) {unknown} not in the "
+                f"table (has {cols})"
+            )
+        if k not in names:
+            raise ValueError(
+                f"lakehouse_sql: INSERT must provide the merge key {k!r}"
+            )
+        bound = src.toDF(*names)
+        staged = bound.select(
+            *[
+                F.col(c).cast(live.schema[c].dataType).alias(c)
+                if c in names
+                else F.lit(None).cast(live.schema[c].dataType).alias(c)
+                for c in cols
+            ]
+        )
+        return upsert_versioned_dv(spark, path, staged, k)
+    m = re.match(
         r"(?i)^CREATE TABLE (\S+) SHALLOW CLONE (\S+)"
         r"(?: VERSION AS OF (\d+))?$",
         s,
@@ -642,6 +738,8 @@ def lakehouse_sql(
         "VACUUM [RETAIN n HOURS] [DRY RUN] / "
         "OPTIMIZE [FULL | ZORDER BY (cols)] / "
         "CREATE TABLE ... SHALLOW CLONE [VERSION AS OF n] / "
+        "CREATE TABLE ... KEY k [BUCKETS n] AS SELECT|VALUES / "
+        "INSERT INTO ... SELECT|VALUES / "
         "DELETE FROM ... [WHERE] / UPDATE ... SET ... [WHERE] / "
         "ALTER TABLE ... ADD|DROP CONSTRAINT / DESCRIBE DETAIL / "
         "MERGE INTO ... WHEN ...)"

@@ -15284,6 +15284,91 @@ ORDER BY section, bucket
 """
 
 
+def q_sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2a lakehouse CTAS + INSERT INTO (r16 — the last SQL lifecycle
+    gap: bootstrap previously required Python), ORACLE-CHECKED:
+    ``CREATE TABLE ... KEY k BUCKETS 8 AS SELECT`` bootstraps a
+    versioned table from a SQL view (the KEY clause persists into
+    ``_table.json``, this engine's metaData slot, so every later
+    statement is key-free), then three key-free INSERTs exercise both
+    sources and both semantics — VALUES with new keys (appends,
+    integer literals cast to the table's BIGINT columns), SELECT with
+    new keys (appends into the extended last bucket), and SELECT over
+    EXISTING keys (keyed replace: last-writer-wins per key, the
+    documented divergence from Delta's duplicate-appending INSERT).
+    The oracle replays the bootstrap bucket layout, the replaces, and
+    both appends per bucket (operators/sqlfront.py CTAS/INSERT
+    dispatch; guard rails pinned in test_sqlfront). Scale: each
+    INSERT is an O(|staging|) MOR commit."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView("_q_ctas_orders")
+    path = _scratch_dir("ctasins_")
+    lakehouse_sql(
+        spark,
+        f"CREATE TABLE '{path}' KEY k BUCKETS 8 AS "
+        "SELECT k, cents FROM _q_ctas_orders WHERE k % 2 = 0",
+    )
+    tables = {"t": path}
+    lakehouse_sql(
+        spark,
+        "INSERT INTO t VALUES (200000001, 11), (200000002, 22)",
+        tables=tables,
+    )  # v1: appends past the key range
+    lakehouse_sql(
+        spark,
+        "INSERT INTO t SELECT k + 100000000, cents "
+        "FROM _q_ctas_orders WHERE k % 10 = 4",
+        tables=tables,
+    )  # v2: SELECT-sourced appends
+    lakehouse_sql(
+        spark,
+        "INSERT INTO t SELECT k, cents + 7 "
+        "FROM _q_ctas_orders WHERE k % 50 = 0",
+        tables=tables,
+    )  # v3: existing keys -> keyed replace
+    return (
+        merge.read_version(spark, path)
+        .groupBy(F.col("_kr").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_SQL_CTAS_INSERT = """
+WITH e AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders WHERE o_orderkey % 2 = 0
+), base AS (  -- bootstrap layout + the v3 keyed replaces
+  SELECT CASE WHEN k % 50 = 0 THEN cents + 7 ELSE cents END AS cents,
+         (rn - 1) * 8 // n AS b
+  FROM e
+), ins AS (   -- v1 VALUES + v2 SELECT appends: beyond max key -> last bucket
+  SELECT cents, 7 AS b FROM e WHERE k % 10 = 4
+  UNION ALL
+  SELECT 11, 7
+  UNION ALL
+  SELECT 22, 7
+), allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM ins
+)
+SELECT b AS bucket, count(*) AS n_live,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM allrows GROUP BY b ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15301,21 +15386,22 @@ ORDER BY section, bucket
 # tools/verify_local.py and tests/.
 QUERIES: dict[str, QueryFn] = {
     # -- slots 1-50: driver correctness window ------------------------
-    # r16 rotation (r15 verdict next-round #3): the four new r16
+    # r16 rotation (r15 verdict next-round #3): the five new r16
     # queries (metadata-resolved SQL DML incl. clone inheritance;
     # OPTIMIZE ZORDER BY with stats promotion; timestamp-endpoint
     # batch CDF; disjoint-bucket concurrent-commit admission under a
     # real race), then the ten r10-attested rows that headed the
     # rotation pool (asof_forward, the BPE trio, kmv_set_ops,
     # streaming_kmv, sync_pipeline, udaf_geomean, weighted_sample,
-    # window_dist), then 36 of the r11 cohort in its correctness
-    # order. The remaining 14 r11 rows sit just past the slot line
+    # window_dist), then 35 of the r11 cohort in its correctness
+    # order. The remaining 15 r11 rows sit just past the slot line
     # (all verify_local-green) and head the r17 pool with the r12
     # cohort.
     "sql_table_meta": q_sql_table_meta,
     "optimize_zorder_sql": q_optimize_zorder_sql,
     "table_changes_ts": q_table_changes_ts,
     "concurrent_commits": q_concurrent_commits,
+    "sql_ctas_insert": q_sql_ctas_insert,
     # latest attestation r10:
     "asof_forward": q_asof_forward,
     "bpe_encode_fast": q_bpe_encode_fast,
@@ -15363,8 +15449,8 @@ QUERIES: dict[str, QueryFn] = {
     "sequence_pattern": q_sequence_pattern,
     "streaming_hll": q_streaming_hll,
     "semantic_decontam": q_semantic_decontam,
-    "resample_ffill": q_resample_ffill,
     # -- slots 51+: verified via verify_local -------------------------
+    "resample_ffill": q_resample_ffill,
     # The displaced r15 window (all 50 driver-green in CORRECTNESS_r15),
     # the remaining 14 r11-cohort rows, and the rest of the registry
     # in prior order.
@@ -15904,5 +15990,6 @@ ORACLES: dict[str, str] = {
     "sql_table_meta": _ORACLE_SQL_TABLE_META,
     "optimize_zorder_sql": _ORACLE_OPTIMIZE_ZORDER_SQL,
     "table_changes_ts": _ORACLE_TABLE_CHANGES_TS,
+    "sql_ctas_insert": _ORACLE_SQL_CTAS_INSERT,
     "concurrent_commits": _ORACLE_CONCURRENT_COMMITS,
 }

@@ -522,3 +522,63 @@ def test_describe_detail_surfaces_table_metadata(spark, tmp_path):
     os.remove(os.path.join(path, "_manifest", "_table.json"))
     d = lakehouse_sql(spark, "DESCRIBE DETAIL t", tables={"t": path}).collect()[0]
     assert d.merge_key is None and d.n_buckets is None
+
+
+def test_ctas_and_insert_into_statements(spark, tmp_path):
+    """r16 lakehouse CTAS + INSERT INTO: the SQL front door can now
+    BOOTSTRAP a versioned table (CREATE TABLE ... KEY ... AS SELECT,
+    which persists the key in _table.json) and append/replace rows
+    (INSERT INTO — keyed semantics: an existing key is replaced, the
+    documented divergence from Delta's duplicate-appending INSERT).
+    Column lists bind by name with NULL fill; types cast to the
+    table's schema."""
+    spark.createDataFrame(
+        [(i, i * 10, f"n{i}") for i in range(1, 21)],
+        "k long, v long, note string",
+    ).createOrReplaceTempView("_sf_ctas_src")
+    path = str(tmp_path / "t")
+    out = lakehouse_sql(
+        spark,
+        f"CREATE TABLE '{path}' KEY k BUCKETS 4 STATS (v) "
+        "AS SELECT k, v, note FROM _sf_ctas_src WHERE k <= 15",
+    )
+    assert out.count() == 15
+    meta = merge.table_meta(spark, path)
+    assert meta["key"] == "k" and meta["n_buckets"] == 4
+    assert meta["stats_cols"] == ["v"]
+    man = spark.read.parquet(f"{path}/_manifest/v=0")
+    assert {"min_v", "max_v"} <= set(man.columns)
+    tables = {"t": path}
+    # INSERT VALUES, no column list: positional bind, key-free (from
+    # metadata), INT literals cast to the table's BIGINT columns
+    lakehouse_sql(
+        spark, "INSERT INTO t VALUES (100, 1000, 'new'), (3, 999, 'upd')",
+        tables=tables,
+    )
+    live = {r.k: (r.v, r.note) for r in merge.read_version(spark, path).collect()}
+    assert live[100] == (1000, "new")  # appended
+    assert live[3] == (999, "upd")  # keyed replace, not a duplicate
+    assert len(live) == 16
+    assert merge.read_version(spark, path).schema["v"].dataType.simpleString() == "bigint"
+    # INSERT SELECT with a column list: omitted columns NULL-fill
+    lakehouse_sql(
+        spark,
+        "INSERT INTO t (k, v) SELECT k + 200, v FROM _sf_ctas_src WHERE k <= 2",
+        tables=tables,
+    )
+    live = {r.k: (r.v, r.note) for r in merge.read_version(spark, path).collect()}
+    assert live[201] == (10, None) and live[202] == (20, None)
+    # guard rails
+    with pytest.raises(ValueError, match="must provide the merge key"):
+        lakehouse_sql(spark, "INSERT INTO t (v) VALUES (5)", tables=tables)
+    with pytest.raises(ValueError, match="not in the table"):
+        lakehouse_sql(spark, "INSERT INTO t (nope) VALUES (5)", tables=tables)
+    with pytest.raises(ValueError, match="column\\(s\\) for"):
+        lakehouse_sql(spark, "INSERT INTO t (k, v) VALUES (5)", tables=tables)
+    with pytest.raises(ValueError, match="KEY column"):
+        lakehouse_sql(
+            spark,
+            f"CREATE TABLE '{tmp_path}/x' KEY zz AS SELECT 1 AS a",
+        )
+    with pytest.raises(KeyError, match="CREATE TABLE destination"):
+        lakehouse_sql(spark, "CREATE TABLE bare KEY k AS SELECT 1 AS k")
