@@ -2878,6 +2878,7 @@ def table_changes(
     ending_version: int | None = None,
     starting_timestamp: int | None = None,
     ending_timestamp: int | None = None,
+    change_format: str = "collapsed",
 ) -> DataFrame:
     """BATCH change-data-feed read (Delta's ``table_changes()`` TVF —
     the batch twin of the streaming ``versioned_cdf`` source, r15):
@@ -2919,7 +2920,26 @@ def table_changes(
     start-ts T = every version whose commit ts >= T (raises if T is
     past the newest commit, matching Delta); end-ts T = every version
     whose commit ts <= T. Exactly one of starting_version /
-    starting_timestamp is required."""
+    starting_timestamp is required.
+
+    ``change_format`` (r16): ``"collapsed"`` (default) is the MOR
+    feed's two-op form — ``_op`` upsert/delete, delete rows key-only.
+    ``"delta"`` is Delta CDF's full ``_change_type`` vocabulary:
+    ``insert`` (key absent at v-1), ``update_preimage`` /
+    ``update_postimage`` (the OLD and NEW row for keys present at
+    both versions), and ``delete`` carrying the deleted row's VALUES
+    — derived by one additional read of the changed BUCKETS' live
+    state at v-1 (directory-pruned: untouched buckets' directories
+    are never opened), exactly the price Delta pays to materialize
+    preimages. A delete of a key that never existed emits nothing in
+    delta format (there is no image), while collapsed keeps its
+    key-only delete row — the one documented divergence between the
+    two formats."""
+    if change_format not in ("collapsed", "delta"):
+        raise ValueError(
+            f"table_changes: change_format must be 'collapsed' or "
+            f"'delta', got {change_format!r}"
+        )
     if (starting_version is None) == (starting_timestamp is None):
         raise ValueError(
             "table_changes: exactly one of starting_version / "
@@ -2991,6 +3011,70 @@ def table_changes(
             ]
         )
         parts = []
+        if change_format == "delta":
+            # one pruned read of the changed BUCKETS' live state at the
+            # PREVIOUS version supplies every old image; untouched
+            # buckets' directories are never opened
+            pv = versions[versions.index(v) - 1]
+            buckets = set(
+                stamped
+                if stamped
+                else [
+                    r[0] for r in changed.select("_kr").distinct().collect()
+                ]
+            )
+            man_p = spark.read.parquet(f"{path}/_manifest/v={pv}")
+            rows_p = [r for r in man_p.collect() if r._kr in buckets]
+            prev_changed = None
+            if rows_p:
+                prev_live = _apply_dv(
+                    _read_gen_dirs(spark, path, rows_p),
+                    _read_dv(spark, path, pv),
+                ).drop("_kr", "_gen")
+                prev_changed = prev_live.join(
+                    changed.select(key), key, "semi"
+                ).localCheckpoint(eager=True)
+            tag = lambda df, t: df.select(  # noqa: E731
+                "*",
+                F.lit(t).alias("_change_type"),
+                F.lit(v).cast("long").alias("_version"),
+            )
+            if fresh is not None and prev_changed is not None:
+                old_keys = prev_changed.select(key)
+                parts.append(
+                    tag(fresh.join(old_keys, key, "left_anti"), "insert")
+                )
+                parts.append(
+                    tag(
+                        prev_changed.join(fresh.select(key), key, "semi"),
+                        "update_preimage",
+                    )
+                )
+                parts.append(
+                    tag(
+                        fresh.join(old_keys, key, "semi"),
+                        "update_postimage",
+                    )
+                )
+                parts.append(
+                    tag(
+                        prev_changed.join(
+                            fresh.select(key), key, "left_anti"
+                        ),
+                        "delete",
+                    )
+                )
+            elif fresh is not None:
+                parts.append(tag(fresh, "insert"))
+            elif prev_changed is not None:
+                parts.append(tag(prev_changed, "delete"))
+            for p in parts:
+                out = (
+                    p
+                    if out is None
+                    else out.unionByName(p, allowMissingColumns=True)
+                )
+            continue
         if fresh is not None:
             parts.append(
                 fresh.join(changed.select(key), key, "semi").select(
@@ -3030,9 +3114,10 @@ def table_changes(
         data = _read_gen_dirs(spark, path, latest.collect())
         cols = [c for c in data.columns if c not in ("_kr", "_gen")]
         base = data.select(*cols)
+        tag_col = "_change_type" if change_format == "delta" else "_op"
         return base.where(F.lit(False)).select(
             "*",
-            F.lit("").alias("_op"),
+            F.lit("").alias(tag_col),
             F.lit(0).cast("long").alias("_version"),
         )
     return out

@@ -15369,6 +15369,87 @@ FROM allrows GROUP BY b ORDER BY bucket
 """
 
 
+def q_table_changes_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95i Delta-vocabulary batch CDF (r16), ORACLE-CHECKED:
+    ``table_changes(change_format='delta')`` emits Delta CDF's full
+    ``_change_type`` set — insert / update_preimage /
+    update_postimage / delete-carrying-old-values — derived by ONE
+    pruned read of the changed buckets' live state at v-1 (untouched
+    buckets never opened). A single MERGE mixing all three arm
+    classes lands; the report aggregates the feed per change type
+    over keys AND payloads, so both images' values (old cents on the
+    preimage and the delete, new cents on the postimage) are
+    value-checked against the oracle's replay
+    (operators/merge.py table_changes change_format; row-level image
+    pins in test_merge). Scale: O(changed buckets) extra read per
+    version — Delta's own preimage price."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("tcdelta_")
+    merge.versioned_layout_write(o, "k", path, n_buckets=8)
+    staged = (
+        o.where(F.col("k") % 30 == 0)
+        .select("k", (F.col("cents") + 9).alias("cents"))
+        .unionByName(
+            o.where((F.col("k") % 40 == 0) & (F.col("k") % 30 != 0)).select(
+                "k", F.lit(-1).cast("long").alias("cents")
+            )
+        )
+        .unionByName(
+            o.where(F.col("k") % 100 == 0).select(
+                (F.col("k") + 70_000_000).alias("k"),
+                F.lit(55).cast("long").alias("cents"),
+            )
+        )
+    )
+    merge.merge_arms_versioned_dv(
+        spark, path, staged, "k",
+        matched=[("s.cents = -1", "delete"), (None, "update", None)],
+        not_matched=[(None, "insert")],
+    )
+    return (
+        merge.table_changes(spark, path, 0, change_format="delta")
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("change_type")
+    )
+
+
+_ORACLE_TABLE_CHANGES_DELTA = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), upd AS (SELECT k, cents FROM o WHERE k % 30 = 0),
+dels AS (SELECT k, cents FROM o WHERE k % 40 = 0 AND k % 30 != 0),
+ins AS (SELECT k + 70000000 AS k, CAST(55 AS BIGINT) AS cents
+        FROM o WHERE k % 100 = 0)
+SELECT 'delete' AS change_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM dels
+UNION ALL
+SELECT 'insert', count(*), CAST(sum(k) AS BIGINT),
+       CAST(sum(cents) AS BIGINT)
+FROM ins
+UNION ALL
+SELECT 'update_preimage', count(*), CAST(sum(k) AS BIGINT),
+       CAST(sum(cents) AS BIGINT)
+FROM upd
+UNION ALL
+SELECT 'update_postimage', count(*), CAST(sum(k) AS BIGINT),
+       CAST(sum(cents) + 9 * count(*) AS BIGINT)
+FROM upd
+ORDER BY change_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15451,6 +15532,7 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_decontam": q_semantic_decontam,
     # -- slots 51+: verified via verify_local -------------------------
     "resample_ffill": q_resample_ffill,
+    "table_changes_delta": q_table_changes_delta,
     # The displaced r15 window (all 50 driver-green in CORRECTNESS_r15),
     # the remaining 14 r11-cohort rows, and the rest of the registry
     # in prior order.
@@ -15991,5 +16073,6 @@ ORACLES: dict[str, str] = {
     "optimize_zorder_sql": _ORACLE_OPTIMIZE_ZORDER_SQL,
     "table_changes_ts": _ORACLE_TABLE_CHANGES_TS,
     "sql_ctas_insert": _ORACLE_SQL_CTAS_INSERT,
+    "table_changes_delta": _ORACLE_TABLE_CHANGES_DELTA,
     "concurrent_commits": _ORACLE_CONCURRENT_COMMITS,
 }

@@ -3828,3 +3828,66 @@ def test_cdf_key_resolves_from_table_metadata(spark, tmp_path):
     with pytest.raises(Exception, match="key"):
         q2.processAllAvailable()
         q2.stop()
+
+
+def test_table_changes_delta_format_images(spark, tmp_path):
+    """r16 — Delta CDF's full _change_type vocabulary on the batch
+    feed: change_format='delta' classifies each changed key as
+    insert / update_preimage+update_postimage / delete-with-values by
+    one pruned read of the changed buckets' live state at v-1. A
+    single MERGE commit mixing all three classes yields exactly the
+    four row kinds with the right OLD and NEW values; a pure delete
+    carries the deleted row's values (collapsed emits key-only); a
+    delete of a never-existing key emits nothing (no image)."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 21)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    # v1: one MERGE with update (k=3), insert (k=99), delete (k=4)
+    merge.merge_arms_versioned_dv(
+        spark, path,
+        spark.createDataFrame(
+            [(3, 333), (99, 990), (4, 0)], "k long, v long"
+        ),
+        "k",
+        matched=[("s.v = 0", "delete"), (None, "update", None)],
+        not_matched=[(None, "insert")],
+    )
+    got = sorted(
+        (r.k, r.v, r._change_type, r._version)
+        for r in merge.table_changes(
+            spark, path, 0, change_format="delta"
+        ).collect()
+    )
+    assert got == [
+        (3, 30, "update_preimage", 1),
+        (3, 333, "update_postimage", 1),
+        (4, 40, "delete", 1),  # delete carries the OLD values
+        (99, 990, "insert", 1),
+    ]
+    # v2: pure zero-data-file delete, including a never-existing key
+    merge.delete_versioned(
+        spark, path,
+        spark.createDataFrame([(7,), (12345,)], "k long"), "k",
+    )
+    delta_v2 = merge.table_changes(
+        spark, path, 1, change_format="delta"
+    ).collect()
+    # the phantom key emits nothing; the real delete carries values
+    assert [(r.k, r.v, r._change_type) for r in delta_v2] == [
+        (7, 70, "delete")
+    ]
+    collapsed_v2 = merge.table_changes(spark, path, 1).collect()
+    assert sorted(r.k for r in collapsed_v2) == [7, 12345]  # key-only
+    assert {r.v for r in collapsed_v2} == {None}
+    # empty delta range keeps the delta schema
+    empty = merge.table_changes(spark, path, 2, change_format="delta")
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v", "_change_type", "_version"]
+    with pytest.raises(ValueError, match="change_format"):
+        merge.table_changes(spark, path, 0, change_format="nope")
