@@ -12,9 +12,12 @@ a path-addressed engine needs its own front door.
 Supported grammar (one statement per call, ``;`` optional)::
 
     SELECT * FROM <table> [VERSION AS OF <n> | TIMESTAMP AS OF <ts>]
-    SELECT * FROM TABLE_CHANGES(<table>, <start>[, <end>])
+    SELECT * FROM TABLE_CHANGES(<table>, <start>[, <end>]
+                                [, format => 'delta'|'collapsed'])
         (each endpoint: an integer version, or a quoted ISO-8601 /
-        epoch-millis timestamp resolved via the stamped commit clock)
+        epoch-millis timestamp resolved via the stamped commit clock;
+        format => 'delta' emits Delta CDF's _change_type vocabulary
+        with pre/post images, default 'collapsed' = the two-op feed)
     DESCRIBE HISTORY <table>
     RESTORE TABLE <table> TO VERSION AS OF <n>
     VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]
@@ -403,7 +406,8 @@ def lakehouse_sql(
     s = _WS.sub(" ", str(stmt)).strip().rstrip(";").strip()
     m = re.match(
         r"(?i)^SELECT \* FROM TABLE_CHANGES\( ?(\S+?), "
-        r"?(\d+|'[^']*'|\"[^\"]*\")(?:, ?(\d+|'[^']*'|\"[^\"]*\"))? ?\)$",
+        r"?(\d+|'[^']*'|\"[^\"]*\")(?:, ?(\d+|'[^']*'|\"[^\"]*\"))?"
+        r"(?:, ?format ?=> ?'(delta|collapsed)')? ?\)$",
         s,
     )
     if m:
@@ -411,7 +415,12 @@ def lakehouse_sql(
         # operands are versions (start = consumed-through — see the
         # module docstring's divergence note); QUOTED operands are
         # ISO-8601 timestamps resolved through the stamped commit
-        # clock (Delta's timestamp endpoints).
+        # clock (Delta's timestamp endpoints). A trailing named
+        # argument (Spark's TVF ``=>`` syntax) picks the change
+        # vocabulary: ``format => 'delta'`` emits Delta CDF's
+        # _change_type rows (insert / update_preimage /
+        # update_postimage / delete-with-values); default 'collapsed'
+        # is the stream-aligned two-op feed.
         def _endpoint(tok):
             return (
                 (int(tok), None)
@@ -428,6 +437,7 @@ def lakehouse_sql(
             ending_version=ev,
             starting_timestamp=sts,
             ending_timestamp=ets,
+            change_format=(m.group(4) or "collapsed").lower(),
         )
     m = re.match(
         r"(?i)^SELECT \* FROM (\S+)"

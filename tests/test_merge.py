@@ -3841,6 +3841,10 @@ def test_table_changes_delta_format_images(spark, tmp_path):
     delete of a never-existing key emits nothing (no image)."""
     import pytest
 
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
     path = str(tmp_path / "t")
     merge.versioned_layout_write(
         spark.createDataFrame(
@@ -3891,3 +3895,13 @@ def test_table_changes_delta_format_images(spark, tmp_path):
     assert empty.columns == ["k", "v", "_change_type", "_version"]
     with pytest.raises(ValueError, match="change_format"):
         merge.table_changes(spark, path, 0, change_format="nope")
+    # SQL spelling: Spark's TVF named-argument syntax picks the format
+    via_sql = sorted(
+        (r.k, r.v, r._change_type, r._version)
+        for r in lakehouse_sql(
+            spark,
+            "SELECT * FROM TABLE_CHANGES(t, 0, 1, format => 'delta')",
+            tables={"t": path},
+        ).collect()
+    )
+    assert via_sql == got
