@@ -1117,6 +1117,348 @@ def table_meta(spark: SparkSession, path: str) -> dict:
     return out if isinstance(out, dict) else {}
 
 
+# ---------------------------------------------------------------------------
+# column mapping (r16) — Delta's name-mode column mapping rebuilt on the
+# plain-parquet layout: RENAME / DROP / ADD COLUMN are METADATA-ONLY
+# structural commits. Files keep the PHYSICAL column names they were
+# written with forever (Delta freezes physical names for exactly this
+# reason: a rename must not invalidate petabytes of immutable parquet),
+# and a versioned sidecar ``_manifest/v=<n>.schema`` maps logical ->
+# physical as of each schema change. Readers project physical frames to
+# the logical schema AS OF the version they read (time travel shows each
+# version under its own column names); committers translate incoming
+# LOGICAL batches to physical right before the write, so deletion
+# vectors, manifest statistics, and bucket layouts stay uniform across
+# the rename. Tables that never ran a schema DDL have no sidecar and
+# every path below is a no-op — zero cost, byte-identical behavior.
+# ---------------------------------------------------------------------------
+
+_RESERVED_COLS = ("_kr", "_gen", "live_gen", "_op", "_version", "_change_type")
+
+
+def _schema_as_of(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict | None:
+    """The column-mapping schema in force at ``version`` (default: any
+    version — the latest), or None when the table has never run a
+    schema DDL (the overwhelmingly common case: one FS listing, no
+    file reads). A sidecar only counts when its version's commit op
+    carries ``schema_change`` — an orphan sidecar from a crashed DDL
+    whose version slot was later won by a different committer is
+    ignored (the op tag is written by the DDL after the sidecar and
+    before the manifest, so a COMMITTED schema change always
+    validates)."""
+    import json as _json
+
+    jvm, fs, _ = _fs(spark, f"{path}/_manifest")
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest")
+    if not fs.exists(root):
+        return None
+    cand = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v=") and name.endswith(".schema"):
+            try:
+                k = int(name[2:-7])
+            except ValueError:
+                continue
+            if version is None or k <= int(version):
+                cand.append(k)
+    committed = _list_versions(spark, f"{path}/_manifest") if cand else []
+    for k in sorted(cand, reverse=True):
+        if committed and k >= committed[0]:
+            # the version is in the retained window: its op tag must
+            # vouch for the sidecar (a crashed DDL's orphan whose slot
+            # was later won by a different committer must not count)
+            if k not in committed:
+                continue
+            op = _commit_op_payload(spark, path, k) or {}
+            if not (op.get("parameters") or {}).get("schema_change"):
+                continue
+        # else: the version was VACUUMED (sidecars expire with it but
+        # ``.schema`` files deliberately survive — they are the only
+        # record of the mapping for the retained suffix) — accept
+        raw = _read_small_file(spark, f"{path}/_manifest/v={k}.schema")
+        if raw is not None:
+            doc = _json.loads(raw)
+            doc["since_version"] = k
+            return doc
+    return None
+
+
+def _project_logical(
+    df: DataFrame,
+    sch: dict | None,
+    passthrough: tuple = ("_kr", "_gen"),
+) -> DataFrame:
+    """Physical frame -> the logical schema: rename mapped columns,
+    materialize declared-but-never-written columns as typed NULLs,
+    drop retired (DROP COLUMN) physicals; ``passthrough`` columns
+    (layout internals, CDF tag columns) ride along when present."""
+    if sch is None:
+        return df
+    cols = []
+    for e in sch["columns"]:
+        if e["physical"] in df.columns:
+            cols.append(F.col(e["physical"]).alias(e["logical"]))
+        else:  # ADD COLUMN not yet written by any file: typed NULL
+            cols.append(F.lit(None).cast(e["type"]).alias(e["logical"]))
+    extras = [c for c in passthrough if c in df.columns]
+    return df.select(*cols, *extras)
+
+
+def _to_physical(df: DataFrame, sch: dict | None, what: str) -> DataFrame:
+    """Logical batch -> physical column names for the write path. A
+    column outside the declared schema is an ERROR (Delta's behavior
+    without autoMerge): with a declared schema in force, evolution is
+    explicit — ALTER TABLE ... ADD COLUMN first."""
+    if sch is None:
+        return df
+    l2p = {e["logical"]: e["physical"] for e in sch["columns"]}
+    unknown = [
+        c for c in df.columns if c not in l2p and c not in ("_kr", "_gen")
+    ]
+    if unknown:
+        raise ValueError(
+            f"{what}: column(s) {unknown} are not in the table's declared "
+            f"schema {sorted(l2p)} — ALTER TABLE ... ADD COLUMN first"
+        )
+    return df.select(
+        *[F.col(c).alias(l2p[c]) if c in l2p else F.col(c) for c in df.columns]
+    )
+
+
+def _phys_name(sch: dict | None, key: str, what: str = "key") -> str:
+    """Resolve a caller-supplied column name to its physical name:
+    logical names map, already-physical names pass through (legacy
+    callers holding the pre-rename name keep working)."""
+    if sch is None:
+        return key
+    for e in sch["columns"]:
+        if e["logical"] == key:
+            return e["physical"]
+    if any(e["physical"] == key for e in sch["columns"]):
+        return key
+    raise ValueError(
+        f"{what} {key!r} is not a column of the table "
+        f"(declared: {[e['logical'] for e in sch['columns']]})"
+    )
+
+
+def _schema_snapshot(spark: SparkSession, path: str) -> dict:
+    """Identity mapping bootstrapped from the table's current physical
+    schema (parquet footers only — no job) — the implicit schema every
+    pre-DDL table has."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    manifest = spark.read.parquet(f"{path}/_manifest/v={versions[-1]}")
+    data = _read_gen_dirs(spark, path, manifest.collect())
+    return {
+        "columns": [
+            {
+                "logical": f.name,
+                "physical": f.name,
+                "type": f.dataType.simpleString(),
+            }
+            for f in data.schema.fields
+            if f.name not in ("_kr", "_gen")
+        ],
+        "retired": [],
+    }
+
+
+def _guard_constraint_refs(spark: SparkSession, path: str, col: str) -> None:
+    """Delta blocks RENAME/DROP of a column a CHECK constraint
+    references (the stored expression text would silently go stale);
+    so do we."""
+    import re as _re
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.constraints import (
+        get_constraints,
+    )
+
+    for name, expr in get_constraints(spark, path).items():
+        if _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint "
+                f"{name!r} ({expr!r}) — drop the constraint first"
+            )
+
+
+def _ident_ok(name: str) -> bool:
+    import re as _re
+
+    return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name))
+
+
+def _alter_schema_commit(
+    spark: SparkSession,
+    path: str,
+    doc: dict,
+    writer: str | None,
+    **op_params,
+) -> int:
+    """Commit a schema change as a structural version (restore-shaped:
+    manifest and DV state carry forward VERBATIM — zero data reads or
+    writes, O(manifest) like every metadata commit). Ordering: intent
+    marker -> DV copy -> ``.schema`` sidecar -> op tag (carrying
+    ``schema_change`` so _schema_as_of can reject orphan sidecars) ->
+    manifest copy (the commit point)."""
+    import json as _json
+
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"alter schema: no table at {path}")
+    v = versions[-1]
+    v_new = v + 1
+    _begin_commit(spark, path, v_new, writer or _unique_writer())
+    jvm, fs, _ = _fs(spark, path)
+    for stale in (
+        f"{path}/_dv/v={v_new}",
+        f"{path}/_manifest/v={v_new}.schema",
+    ):
+        sp = jvm.org.apache.hadoop.fs.Path(stale)
+        if fs.exists(sp):
+            fs.delete(sp, True)
+    dv = _read_dv(spark, path, v)
+    if dv is not None:
+        _write_dv(dv, path, v_new)
+    payload = {k: v2 for k, v2 in doc.items() if k != "since_version"}
+    _write_small_file(
+        spark,
+        f"{path}/_manifest/v={v_new}.schema",
+        _json.dumps(payload, sort_keys=True),
+    )
+    _write_commit_op(
+        spark, path, v_new, "ALTER SCHEMA",
+        changed_buckets=[], schema_change=True, **op_params,
+    )
+    spark.read.parquet(f"{path}/_manifest/v={v}").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_manifest/v={v_new}")
+    return v_new
+
+
+def rename_column(
+    spark: SparkSession,
+    path: str,
+    old: str,
+    new: str,
+    writer: str | None = None,
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN — a metadata-only commit (Delta
+    column mapping, name mode): the logical name changes, the physical
+    name in every immutable parquet file does not. Time travel reads
+    BEFORE this version keep the old name; reads at or after it see
+    the new one. Renaming the merge key is fine (its physical name —
+    what DVs and manifests use — never moves). Returns the new
+    version."""
+    sch = _schema_as_of(spark, path) or _schema_snapshot(spark, path)
+    logicals = [e["logical"] for e in sch["columns"]]
+    if old not in logicals:
+        raise ValueError(f"rename_column: no column {old!r} in {logicals}")
+    if new in logicals:
+        raise ValueError(f"rename_column: {new!r} already exists")
+    if new in _RESERVED_COLS or not _ident_ok(new):
+        raise ValueError(f"rename_column: {new!r} is reserved or invalid")
+    _guard_constraint_refs(spark, path, old)
+    doc = {
+        "columns": [
+            {**e, "logical": new if e["logical"] == old else e["logical"]}
+            for e in sch["columns"]
+        ],
+        "retired": list(sch.get("retired", [])),
+    }
+    return _alter_schema_commit(
+        spark, path, doc, writer,
+        action="RENAME COLUMN", rename_from=old, rename_to=new,
+    )
+
+
+def drop_column(
+    spark: SparkSession, path: str, name: str, writer: str | None = None
+) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only (Delta needs column
+    mapping enabled for exactly this): the physical column stays in
+    the immutable files but is RETIRED from the mapping, so reads stop
+    projecting it and a later ADD COLUMN of the same name cannot
+    resurrect the old values (the retired physical name is permanently
+    reserved). Time travel before this version still serves it. The
+    merge key cannot be dropped. Returns the new version."""
+    sch = _schema_as_of(spark, path) or _schema_snapshot(spark, path)
+    entry = next(
+        (e for e in sch["columns"] if e["logical"] == name), None
+    )
+    if entry is None:
+        raise ValueError(
+            f"drop_column: no column {name!r} in "
+            f"{[e['logical'] for e in sch['columns']]}"
+        )
+    meta_key = table_meta(spark, path).get("key")
+    if meta_key is not None and entry["physical"] == meta_key:
+        raise ValueError(
+            f"drop_column: {name!r} is the table's merge key"
+        )
+    if len(sch["columns"]) == 1:
+        raise ValueError("drop_column: cannot drop the last column")
+    _guard_constraint_refs(spark, path, name)
+    doc = {
+        "columns": [e for e in sch["columns"] if e["logical"] != name],
+        "retired": list(sch.get("retired", [])) + [entry["physical"]],
+    }
+    return _alter_schema_commit(
+        spark, path, doc, writer, action="DROP COLUMN", dropped=name,
+    )
+
+
+def add_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    dtype: str,
+    writer: str | None = None,
+) -> int:
+    """ALTER TABLE ... ADD COLUMN — metadata-only: existing rows read
+    as typed NULL until a later write materializes the column. The
+    physical name is the logical name unless that physical is already
+    taken or retired (re-adding a dropped name), in which case a
+    suffixed fresh physical prevents resurrecting old file data —
+    Delta's GUID physical names solve the same problem. Returns the
+    new version."""
+    sch = _schema_as_of(spark, path) or _schema_snapshot(spark, path)
+    logicals = [e["logical"] for e in sch["columns"]]
+    if name in logicals:
+        raise ValueError(f"add_column: {name!r} already exists")
+    if name in _RESERVED_COLS or not _ident_ok(name):
+        raise ValueError(f"add_column: {name!r} is reserved or invalid")
+    try:  # eager type validation: bad DDL fails HERE, not at read time
+        spark.range(0).select(F.lit(None).cast(dtype)).schema
+    except Exception:
+        raise ValueError(f"add_column: cannot parse type {dtype!r}")
+    taken = {e["physical"] for e in sch["columns"]} | set(
+        sch.get("retired", [])
+    )
+    phys = name
+    while phys in taken:
+        phys = f"{phys}__p"
+    doc = {
+        "columns": list(sch["columns"])
+        + [{"logical": name, "physical": phys, "type": str(dtype)}],
+        "retired": list(sch.get("retired", [])),
+    }
+    return _alter_schema_commit(
+        spark, path, doc, writer,
+        action="ADD COLUMN", added=name, type=str(dtype),
+    )
+
+
+def table_schema(spark: SparkSession, path: str) -> list[dict]:
+    """The declared logical schema at the tip (``[{logical, physical,
+    type}]``) — from the mapping when a schema DDL ever ran, else the
+    identity snapshot of the physical files."""
+    sch = _schema_as_of(spark, path) or _schema_snapshot(spark, path)
+    return [dict(e) for e in sch["columns"]]
+
+
 def versioned_layout_write(
     df: DataFrame,
     key: str,
@@ -1177,13 +1519,22 @@ def versioned_layout_write(
 
 
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    physical: bool = False,
 ) -> DataFrame:
     """Time-travel read: the table exactly as manifest ``version``
     committed it (default: latest). One parquet read over the live
     (bucket, generation) directories the manifest lists — dead
     generations are never opened, so reading v0 after 100 merges costs
-    the same as reading v0 on day one."""
+    the same as reading v0 on day one.
+
+    Column names are the LOGICAL schema as of the version (r16 column
+    mapping — each version time-travels under its own names); tables
+    that never ran a schema DDL skip the projection entirely.
+    ``physical=True`` returns raw file column names — the compaction /
+    rebucket tier rewrites files under their frozen physical names."""
     versions = _list_versions(spark, f"{path}/_manifest")
     if not versions:
         raise FileNotFoundError(f"no manifest versions under {path}")
@@ -1193,7 +1544,10 @@ def read_version(
     manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
     data = _read_gen_dirs(spark, path, manifest.collect())
     # merge-on-read: resolve this version's deletion vector, if any
-    return _apply_dv(data, _read_dv(spark, path, v))
+    out = _apply_dv(data, _read_dv(spark, path, v))
+    if physical:
+        return out
+    return _project_logical(out, _schema_as_of(spark, path, v))
 
 
 def read_version_pruned(
@@ -1224,6 +1578,12 @@ def read_version_pruned(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
+    # r16 column mapping: stats columns live under PHYSICAL names;
+    # the caller's predicate column translates, the result projects
+    # back to the logical schema as of the version
+    sch = _schema_as_of(spark, path, v)
+    col = _phys_name(sch, col, "read_version_pruned col")
+    key = None if key is None else _phys_name(sch, key)
     if col == key:
         lo_c, hi_c = "min_key", "max_key"
     elif f"min_{col}" in manifest.columns:
@@ -1247,14 +1607,19 @@ def read_version_pruned(
         or not (r[hi_c] < lo or r[lo_c] > hi)
     ]
     if not live:
-        out = read_version(spark, path, v).where(F.lit(False))
-        out = out.where((F.col(col) >= lo) & (F.col(col) <= hi))
+        out = read_version(spark, path, v, physical=True).where(F.lit(False))
+        out = _project_logical(
+            out.where((F.col(col) >= lo) & (F.col(col) <= hi)), sch
+        )
         out.dirs_read = 0
         out.dirs_total = len(rows)
         return out
     data = _read_gen_dirs(spark, path, live)
-    out = _apply_dv(data, _read_dv(spark, path, v)).where(
-        (F.col(col) >= lo) & (F.col(col) <= hi)
+    out = _project_logical(
+        _apply_dv(data, _read_dv(spark, path, v)).where(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        ),
+        sch,
     )
     out.dirs_read = len(live)
     out.dirs_total = len(rows)
@@ -1317,6 +1682,9 @@ def read_version_point(
         raise ValueError(f"version {v} not in {versions}")
     manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
     rows = manifest.collect()
+    # r16 column mapping: Bloom bitmaps key on PHYSICAL names
+    lsch = _schema_as_of(spark, path, v)
+    col = _phys_name(lsch, col, "read_version_point col")
     bcol = f"bloom_{col}"
     all_dirs = [_gen_dir(path, r) for r in rows]
     if bcol in manifest.columns:
@@ -1342,15 +1710,21 @@ def read_version_point(
     else:
         live = list(rows)  # no bitmap for col: cannot prune
     if not live:
-        out = read_version(spark, path, v).where(F.lit(False)).where(
-            F.col(col) == F.lit(value)
+        out = _project_logical(
+            read_version(spark, path, v, physical=True)
+            .where(F.lit(False))
+            .where(F.col(col) == F.lit(value)),
+            lsch,
         )
         out.dirs_read = 0
         out.dirs_total = len(rows)
         return out
     data = _read_gen_dirs(spark, path, live)
-    out = _apply_dv(data, _read_dv(spark, path, v)).where(
-        F.col(col) == F.lit(value)
+    out = _project_logical(
+        _apply_dv(data, _read_dv(spark, path, v)).where(
+            F.col(col) == F.lit(value)
+        ),
+        lsch,
     )
     out.dirs_read = len(live)
     out.dirs_total = len(rows)
@@ -1402,6 +1776,11 @@ def upsert_versioned(
     )
 
     check_batch(spark, target_path, staging)
+    # r16 column mapping: logical batch -> frozen physical file names
+    sch = _schema_as_of(spark, target_path)
+    if sch is not None:
+        staging = _to_physical(staging, sch, "upsert_versioned")
+        key = _phys_name(sch, key)
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
     stats_cols = _stats_cols_of(manifest)
     point_cols = _point_cols_of(manifest)
@@ -1426,7 +1805,7 @@ def upsert_versioned(
         manifest.coalesce(1).write.mode("overwrite").parquet(
             f"{target_path}/_manifest/v={v + 1}"
         )
-        out = assigned.drop("_kr")
+        out = _project_logical(assigned.drop("_kr"), sch)
         out.version = v + 1
         out.touched_buckets = []
         return out
@@ -1494,7 +1873,7 @@ def upsert_versioned(
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
     )
-    out = merged.drop("_gen")
+    out = _project_logical(merged.drop("_gen"), sch)
     out.version = v + 1
     out.touched_buckets = touched
     return out
@@ -1565,6 +1944,14 @@ def upsert_versioned_dv(
     )
 
     check_batch(spark, target_path, staging)
+    # r16 column mapping: the user's LOGICAL batch translates to the
+    # files' frozen physical names at the write boundary (no-op for
+    # tables that never ran a schema DDL); DV / manifest stats /
+    # bucket layout stay uniform across any rename
+    sch = _schema_as_of(spark, target_path)
+    if sch is not None:
+        staging = _to_physical(staging, sch, "upsert_versioned_dv")
+        key = _phys_name(sch, key)
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
     stats_cols = _stats_cols_of(manifest)
     point_cols = _point_cols_of(manifest)
@@ -1644,7 +2031,7 @@ def upsert_versioned_dv(
     new_manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{target_path}/_manifest/v={v + 1}"
     )
-    out = fresh.drop("_gen")
+    out = _project_logical(fresh.drop("_gen"), sch)
     out.version = v + 1
     out.touched_buckets = touched
     out.admitted_over = admitted_over
@@ -1711,6 +2098,11 @@ def delete_versioned(
     if not versions:
         raise FileNotFoundError(f"delete_versioned: no table at {target_path}")
     v = versions[-1]
+    # r16 column mapping: the key frame arrives under its logical name
+    sch = _schema_as_of(spark, target_path)
+    if sch is not None:
+        keys = _to_physical(keys.select(key), sch, "delete_versioned")
+        key = _phys_name(sch, key)
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
     assigned = assign_range_bucket(keys.select(key), _cutpoints(manifest), key)
     touched = sorted(
@@ -1789,18 +2181,26 @@ def merge_arms_versioned_dv(
     v = versions[-1]
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
     stats_cols = _stats_cols_of(manifest)
+    # r16 column mapping: arm conditions and staging use LOGICAL names,
+    # so the merge computes in logical space — the live read projects
+    # physical->logical here, and the fresh rows translate back to the
+    # files' frozen physical names at the write boundary below
+    sch = _schema_as_of(spark, target_path)
     assigned = assign_range_bucket(staging, _cutpoints(manifest), key)
     touched = sorted(
         r[0] for r in assigned.select("_kr").distinct().collect()
     )
-    live = _apply_dv(
-        _read_gen_dirs(
-            spark,
-            target_path,
-            [r for r in manifest.collect() if r._kr in set(touched)],
-        ),
-        _read_dv(spark, target_path, v),
-    ).drop("_gen", "_kr")
+    live = _project_logical(
+        _apply_dv(
+            _read_gen_dirs(
+                spark,
+                target_path,
+                [r for r in manifest.collect() if r._kr in set(touched)],
+            ),
+            _read_dv(spark, target_path, v),
+        ).drop("_gen", "_kr"),
+        sch,
+    )
     table_cols = live.columns
     t = live.alias("t")
     s = assigned.alias("s")
@@ -1863,10 +2263,15 @@ def merge_arms_versioned_dv(
     fresh = resolved.where(
         F.col("_arm").isin(list(update_arms) + insert_codes)
     ).drop("_arm").withColumn("_gen", F.lit(v + 1).cast("long"))
+    # logical -> frozen physical names for everything that lands on
+    # disk (files, DV, manifest stats); `fresh` itself stays logical
+    # for the returned frame
+    fresh_phys = _to_physical(fresh, sch, "merge_arms_versioned_dv")
+    key_phys = _phys_name(sch, key) if sch is not None else key
     wrote_data = (n_updated + n_inserted) > 0
     if wrote_data:
         _clean_uncommitted_generation(spark, target_path, touched, v + 1)
-        fresh.write.mode("append").partitionBy("_kr", "_gen").parquet(
+        fresh_phys.write.mode("append").partitionBy("_kr", "_gen").parquet(
             f"{target_path}/data"
         )
     # DV entries for every CLAIMED key: updates+inserts point at their
@@ -1874,19 +2279,21 @@ def merge_arms_versioned_dv(
     # noop (matched, unclaimed) and skip (not-matched, unclaimed) rows
     # get NO entry — their state is untouched by this commit.
     claimed = resolved.where(~F.col("_arm").isin(["noop", "skip"])).select(
-        "_kr", key, F.lit(v + 1).cast("long").alias("live_gen")
+        "_kr",
+        F.col(key).alias(key_phys),  # DVs carry the physical key name
+        F.lit(v + 1).cast("long").alias("live_gen"),
     )
     old_dv = _read_dv(spark, target_path, v)
     dv_state = (
         claimed
         if old_dv is None
-        else old_dv.join(claimed.select(key), key, "left_anti").unionByName(
-            claimed
-        )
+        else old_dv.join(
+            claimed.select(key_phys), key_phys, "left_anti"
+        ).unionByName(claimed)
     )
     _write_dv(dv_state, target_path, v + 1)
     if wrote_data:
-        stats_src = fresh
+        stats_src = fresh_phys
         for c in stats_cols:
             if c not in stats_src.columns:
                 stats_src = stats_src.withColumn(
@@ -1895,7 +2302,9 @@ def merge_arms_versioned_dv(
         point_cols = _point_cols_of(manifest)
         new_manifest = manifest.unionByName(
             _with_bloom(
-                stats_src.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
+                stats_src.groupBy("_kr").agg(
+                    *_manifest_agg(key_phys, stats_cols)
+                ),
                 stats_src,
                 point_cols,
                 _bloom_bits_of(manifest, point_cols) if point_cols else 0,
@@ -2059,13 +2468,18 @@ def compact_table(
     v = versions[-1]
     manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
     stats_cols = _stats_cols_of(manifest)
+    # compaction rewrites files, which keep their frozen PHYSICAL
+    # names (r16 column mapping) — caller-supplied names translate
+    sch = _schema_as_of(spark, path, v)
+    key = _phys_name(sch, key)
+    zorder_by = [_phys_name(sch, c, "zorder_by") for c in (zorder_by or [])]
     if zorder_by:
         # promoted dimensions join the maintained stats set (the key
         # itself already has min_key/max_key)
         stats_cols = stats_cols + [
             c for c in zorder_by if c not in stats_cols and c != key
         ]
-    live = read_version(spark, path, v)  # DV-resolved, every live gen
+    live = read_version(spark, path, v, physical=True)  # DV-resolved
     _begin_commit(spark, path, v + 1, writer or _unique_writer())
     compacted = (
         live.drop("_gen")
@@ -2148,6 +2562,8 @@ def compact_small_generations(
     stats_cols = _stats_cols_of(manifest)
     point_cols = _point_cols_of(manifest)
     bloom_bits = _bloom_bits_of(manifest, point_cols) if point_cols else 0
+    # packed rewrites keep frozen PHYSICAL names (r16 column mapping)
+    key = _phys_name(_schema_as_of(spark, path, v), key)
     jvm, fs, _ = _fs(spark, path)
     rows = manifest.collect()
     from collections import defaultdict
@@ -2263,7 +2679,9 @@ def rebucket_table(
     stats_cols = _stats_cols_of(manifest)
     point_cols = _point_cols_of(manifest)
     bloom_bits = _bloom_bits_of(manifest, point_cols) if point_cols else 0
-    live = read_version(spark, path, v).drop("_gen", "_kr")
+    # the re-layout rewrites files under frozen PHYSICAL names (r16)
+    key = _phys_name(_schema_as_of(spark, path, v), key)
+    live = read_version(spark, path, v, physical=True).drop("_gen", "_kr")
     _begin_commit(spark, path, v + 1, writer or _unique_writer())
     from data_pipeline_bigquery_to_sftp_server_spark.operators.relational import (
         with_global_rank,
@@ -2548,17 +2966,58 @@ def restore_version(
     # DV state is part of the snapshot: restore it alongside (absence
     # of a DV at the restored version means absence at the new one —
     # a stale _dv/v=v_new from a rolled-back attempt must not leak in)
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_dv/v={v_new}")):
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_dv/v={v_new}"), True)
+    for stale in (f"{path}/_dv/v={v_new}", f"{path}/_manifest/v={v_new}.schema"):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(stale)):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
     dv = _read_dv(spark, path, version)
     if dv is not None:
         _write_dv(dv, path, v_new)
+    # the COLUMN MAPPING is part of the snapshot too (r16 — Delta's
+    # RESTORE restores metadata): when a mapping is in force anywhere
+    # in history, re-commit the restored version's schema (explicit
+    # sidecar, or the identity schema of its physical files when the
+    # restored version predates every schema DDL) so reads at v_new
+    # see the restored version's own column names. Tables that never
+    # ran a schema DDL skip all of this.
+    restored_sch = None
+    if _schema_as_of(spark, path) is not None:
+        import json as _json
+
+        restored_sch = _schema_as_of(spark, path, version)
+        if restored_sch is None:
+            man_r = spark.read.parquet(f"{path}/_manifest/v={version}")
+            data_r = _read_gen_dirs(spark, path, man_r.collect())
+            restored_sch = {
+                "columns": [
+                    {
+                        "logical": f.name,
+                        "physical": f.name,
+                        "type": f.dataType.simpleString(),
+                    }
+                    for f in data_r.schema.fields
+                    if f.name not in ("_kr", "_gen")
+                ],
+                "retired": [],
+            }
+        _write_small_file(
+            spark,
+            f"{path}/_manifest/v={v_new}.schema",
+            _json.dumps(
+                {
+                    k: s
+                    for k, s in restored_sch.items()
+                    if k != "since_version"
+                },
+                sort_keys=True,
+            ),
+        )
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
         _write_commit_meta(spark, path, v_new, commit_meta)
     _write_commit_op(
         spark, path, v_new, "RESTORE",
         changed_buckets=[], restored_version=int(version),
+        schema_change=bool(restored_sch),
     )
     # reads v=<version>, writes v=<v_new>: disjoint paths, no checkpoint
     spark.read.parquet(f"{path}/_manifest/v={version}").coalesce(
@@ -2626,9 +3085,27 @@ def clone_table(
     dv = _read_dv(spark, src_path, v)
     if dv is not None:
         _write_dv(dv, dst_path, v0)
+    # the COLUMN MAPPING travels with the clone (r16): the fork
+    # version's ``.schema`` sidecar is the source's schema as of the
+    # cloned version, and the fork op carries ``schema_change`` so
+    # _schema_as_of accepts it — a clone of a renamed table reads
+    # under the same logical names as its source did
+    src_sch = _schema_as_of(spark, src_path, v)
+    if src_sch is not None:
+        import json as _json
+
+        _write_small_file(
+            spark,
+            f"{dst_path}/_manifest/v={v0}.schema",
+            _json.dumps(
+                {k: s for k, s in src_sch.items() if k != "since_version"},
+                sort_keys=True,
+            ),
+        )
     _write_commit_op(
         spark, dst_path, v0, "CLONE",
         changed_buckets=[], source=src_path, source_version=int(v),
+        schema_change=bool(src_sch),
     )
     # table METADATA travels with the clone (Delta clones constraints):
     # a fork of a constrained table is constrained. Tags deliberately
@@ -3006,7 +3483,7 @@ def table_changes(
             if fresh is not None
             else [
                 c
-                for c in read_version(spark, path, v).columns
+                for c in read_version(spark, path, v, physical=True).columns
                 if c not in ("_kr", "_gen")
             ]
         )
@@ -3083,7 +3560,11 @@ def table_changes(
                     F.lit(v).cast("long").alias("_version"),
                 )
             )
-        schema = (fresh if fresh is not None else read_version(spark, path, v)).schema
+        schema = (
+            fresh
+            if fresh is not None
+            else read_version(spark, path, v, physical=True)
+        ).schema
         dead = changed.select(key)
         if fresh is not None:
             dead = dead.join(fresh.select(key), key, "left_anti")
@@ -3105,6 +3586,12 @@ def table_changes(
                 if out is None
                 else out.unionByName(p, allowMissingColumns=True)
             )
+    # r16 column mapping: the whole feed reads under the LOGICAL
+    # schema as of the range END (Delta CDF's rule: one schema per
+    # read) — physical change rows from before a rename surface under
+    # the end-of-range names, retired (dropped) columns vanish
+    sch_end = _schema_as_of(spark, path, min(end, versions[-1]))
+    tag_col = "_change_type" if change_format == "delta" else "_op"
     if out is None:
         # empty range (or all-silent): zero rows, stable schema from
         # the latest version's columns — schema only, so no DV is
@@ -3113,14 +3600,13 @@ def table_changes(
         latest = spark.read.parquet(f"{path}/_manifest/v={versions[-1]}")
         data = _read_gen_dirs(spark, path, latest.collect())
         cols = [c for c in data.columns if c not in ("_kr", "_gen")]
-        base = data.select(*cols)
-        tag_col = "_change_type" if change_format == "delta" else "_op"
+        base = _project_logical(data.select(*cols), sch_end)
         return base.where(F.lit(False)).select(
             "*",
             F.lit("").alias(tag_col),
             F.lit(0).cast("long").alias("_version"),
         )
-    return out
+    return _project_logical(out, sch_end, passthrough=(tag_col, "_version"))
 
 
 def merge_scoped_sync(

@@ -31,6 +31,13 @@ Supported grammar (one statement per call, ``;`` optional)::
     UPDATE <table> SET <c> = <expr>[, ...] [WHERE <cond>]
     ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
     ALTER TABLE <table> DROP CONSTRAINT [IF EXISTS] <name>
+    ALTER TABLE <table> RENAME COLUMN <old> TO <new>
+    ALTER TABLE <table> ADD COLUMN <name> <type>
+    ALTER TABLE <table> DROP COLUMN <name>
+        (r16 column mapping, Delta name mode: metadata-only commits —
+        files keep frozen physical names, readers project the logical
+        schema as of the version they read, a renamed merge key keeps
+        resolving without key=)
     DESCRIBE DETAIL <table>
     MERGE INTO <table> [AS t] USING <source> [AS s]
         ON t.<key> = s.<key>
@@ -264,6 +271,18 @@ def _key_for(spark: SparkSession, path: str, key: str | None, stmt: str) -> str:
             f"table ({path}) has no _manifest/_table.json (bootstrapped "
             "before table metadata existed); re-bootstrap or pass key="
         )
+    # r16 column mapping: _table.json records the PHYSICAL key (DVs
+    # and manifests never change names); DML statements run against
+    # LOGICAL frames, so a renamed key resolves to its current name
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+        _schema_as_of,
+    )
+
+    sch = _schema_as_of(spark, path)
+    if sch is not None:
+        for e in sch["columns"]:
+            if e["physical"] == str(k):
+                return e["logical"]
     return str(k)
 
 
@@ -659,6 +678,39 @@ def lakehouse_sql(
         del cons[m.group(3)]
         set_constraints(spark, path, cons)
         return cons
+    # r16 column mapping DDL — metadata-only structural commits
+    # (merge.rename_column / add_column / drop_column); each returns
+    # the new version number like RESTORE does
+    m = re.match(r"(?i)^ALTER TABLE (\S+) RENAME COLUMN (\w+) TO (\w+)$", s)
+    if m:
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+            rename_column,
+        )
+
+        return rename_column(
+            spark, _resolve_table(m.group(1), tables), m.group(2), m.group(3)
+        )
+    m = re.match(r"(?i)^ALTER TABLE (\S+) ADD COLUMN (\w+) ([\w(), ]+)$", s)
+    if m:
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+            add_column,
+        )
+
+        return add_column(
+            spark,
+            _resolve_table(m.group(1), tables),
+            m.group(2),
+            m.group(3).strip(),
+        )
+    m = re.match(r"(?i)^ALTER TABLE (\S+) DROP COLUMN (\w+)$", s)
+    if m:
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+            drop_column,
+        )
+
+        return drop_column(
+            spark, _resolve_table(m.group(1), tables), m.group(2)
+        )
     m = re.match(r"(?i)^DESCRIBE DETAIL (.+)$", s)
     if m:
         return _describe_detail(spark, _resolve_table(m.group(1), tables))

@@ -15369,6 +15369,110 @@ FROM allrows GROUP BY b ORDER BY bucket
 """
 
 
+def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2b column mapping lifecycle (r16), ORACLE-CHECKED: Delta's
+    name-mode column mapping rebuilt on the plain-parquet layout —
+    RENAME / ADD / DROP COLUMN as metadata-only structural commits
+    (merge.rename_column/add_column/drop_column + the ALTER TABLE SQL
+    spellings), files keeping their frozen physical names, every read
+    projecting the LOGICAL schema as of its version. The lifecycle
+    mixes Python-API and SQL DDL, writes through the MOR committer
+    under three different schemas (original, renamed, renamed+added),
+    and reports BOTH the tip state (renamed twice + added column) and
+    a time-travel read at v1 under v1's OWN original names — all
+    values replayed by the oracle (operators/merge.py column-mapping
+    layer; row-level pins in test_merge/test_sqlfront). Scale: every
+    DDL commit is O(manifest) — no data file is opened, let alone
+    rewritten, exactly Delta's price."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("colmap_")
+    merge.versioned_layout_write(o, "k", path, n_buckets=8)  # v0
+    merge.upsert_versioned_dv(  # v1 — under the ORIGINAL name
+        spark, path,
+        o.where(F.col("k") % 10 == 0).select(
+            "k", (F.col("cents") + 5).alias("cents")
+        ),
+        "k",
+    )
+    merge.rename_column(spark, path, "cents", "amount")  # v2
+    merge.upsert_versioned_dv(  # v3 — under the RENAMED name
+        spark, path,
+        o.where(F.col("k") % 15 == 0).select(
+            "k", F.lit(77).cast("long").alias("amount")
+        ),
+        "k",
+    )
+    merge.add_column(spark, path, "flag", "long")  # v4
+    upd = (  # v5 — rows keep their current amount, gain flag=1
+        merge.read_version(spark, path)
+        .where(F.col("k") % 20 == 0)
+        .select("k", "amount", F.lit(1).cast("long").alias("flag"))
+    )
+    merge.upsert_versioned_dv(spark, path, upd, "k")
+    tables = {"t": path}
+    lakehouse_sql(  # v6+v7 — ADD then DROP leaves no trace at the tip
+        spark, "ALTER TABLE t ADD COLUMN tmp long", tables=tables
+    )
+    lakehouse_sql(spark, "ALTER TABLE t DROP COLUMN tmp", tables=tables)
+    lakehouse_sql(  # v8 — second rename, through SQL
+        spark, "ALTER TABLE t RENAME COLUMN amount TO amt", tables=tables
+    )
+    tip = (
+        merge.read_version(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amt").alias("sum_val"),
+            F.sum("flag").alias("sum_flag"),
+        )
+        .select(F.lit("tip").alias("scene"), "n", "sum_val", "sum_flag")
+    )
+    v1 = (
+        merge.read_version(spark, path, 1)  # v1's OWN names: cents
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_val"))
+        .select(
+            F.lit("v1").alias("scene"),
+            "n",
+            "sum_val",
+            F.lit(None).cast("long").alias("sum_flag"),
+        )
+    )
+    return tip.unionByName(v1).orderBy("scene")
+
+
+_ORACLE_COLUMN_MAPPING = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), fin AS (
+  SELECT k,
+         CASE WHEN k % 15 = 0 THEN 77
+              WHEN k % 10 = 0 THEN cents + 5
+              ELSE cents END AS amt,
+         CASE WHEN k % 20 = 0 THEN 1 ELSE NULL END AS flag
+  FROM o
+)
+SELECT 'tip' AS scene, count(*) AS n,
+       CAST(sum(amt) AS BIGINT) AS sum_val,
+       CAST(sum(flag) AS BIGINT) AS sum_flag
+FROM fin
+UNION ALL
+SELECT 'v1', count(*),
+       CAST(sum(CASE WHEN k % 10 = 0 THEN cents + 5 ELSE cents END)
+            AS BIGINT),
+       NULL
+FROM o
+ORDER BY scene
+"""
+
+
 def q_table_changes_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X95i Delta-vocabulary batch CDF (r16), ORACLE-CHECKED:
     ``table_changes(change_format='delta')`` emits Delta CDF's full
@@ -15533,6 +15637,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- slots 51+: verified via verify_local -------------------------
     "resample_ffill": q_resample_ffill,
     "table_changes_delta": q_table_changes_delta,
+    "column_mapping": q_column_mapping,
     # The displaced r15 window (all 50 driver-green in CORRECTNESS_r15),
     # the remaining 14 r11-cohort rows, and the rest of the registry
     # in prior order.
@@ -16074,5 +16179,6 @@ ORACLES: dict[str, str] = {
     "table_changes_ts": _ORACLE_TABLE_CHANGES_TS,
     "sql_ctas_insert": _ORACLE_SQL_CTAS_INSERT,
     "table_changes_delta": _ORACLE_TABLE_CHANGES_DELTA,
+    "column_mapping": _ORACLE_COLUMN_MAPPING,
     "concurrent_commits": _ORACLE_CONCURRENT_COMMITS,
 }

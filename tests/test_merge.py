@@ -1767,7 +1767,8 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
             st.sampled_from(
                 ["mor", "cow", "delete", "arms", "arms_sql", "restore",
                  "binpack", "compact", "rebucket", "vacuum",
-                 "clone", "quarantine", "tag", "delete_sql", "update_sql"]
+                 "clone", "quarantine", "tag", "delete_sql", "update_sql",
+                 "addcol"]
             ),
             min_size=4,
             max_size=7,
@@ -1930,6 +1931,14 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
                         for k, val in m.items()
                     }
                     models[out.version] = m
+            elif op == "addcol":
+                # r16 column mapping: a metadata-only ADD COLUMN mid-
+                # sequence puts a declared schema in force, so every
+                # LATER committer runs through the logical->physical
+                # translation layer; the k/v model reads are untouched
+                # (the new column is NULL everywhere)
+                v = merge.add_column(spark, path, f"x{i}", "long")
+                models[v] = m
             elif op == "restore":
                 retained = merge._list_versions(spark, f"{path}/_manifest")
                 target = rng.choice([v for v in retained if v in models])
@@ -3905,3 +3914,187 @@ def test_table_changes_delta_format_images(spark, tmp_path):
         ).collect()
     )
     assert via_sql == got
+
+
+def test_column_mapping_lifecycle(spark, tmp_path):
+    """r16 — Delta-style column mapping (name mode) rebuilt on the
+    plain-parquet layout: RENAME / ADD / DROP COLUMN are metadata-only
+    structural commits; files keep frozen physical names; every reader
+    projects the LOGICAL schema as of the version it reads and every
+    committer translates logical batches at the write boundary."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 21)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    merge.upsert_versioned_dv(
+        spark, path, spark.createDataFrame([(3, 333)], "k long, v long"), "k"
+    )  # v1
+    assert merge.rename_column(spark, path, "v", "amount") == 2
+    # reads: tip under the new name, time travel under each version's own
+    assert merge.read_version(spark, path).columns[:2] == ["k", "amount"]
+    assert merge.read_version(spark, path, 1).columns[:2] == ["k", "v"]
+    # physical file names are FROZEN: no data file was rewritten
+    got = {
+        r.k: r.amount
+        for r in merge.read_version(spark, path).select("k", "amount").collect()
+    }
+    assert got[3] == 333 and got[1] == 10
+    # writes bind to the logical schema: new name works, old name and
+    # undeclared columns are rejected with ADD COLUMN guidance
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(5, 555)], "k long, amount long"), "k",
+    )  # v3
+    with pytest.raises(ValueError, match="ADD COLUMN"):
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame([(6, 1)], "k long, v long"), "k",
+        )
+    # ADD COLUMN: typed NULL until written, then real values; DROP
+    # retires the physical name; re-ADD cannot resurrect old values
+    merge.add_column(spark, path, "note", "string")
+    assert [r[0] for r in
+            merge.read_version(spark, path).select("note").distinct().collect()
+            ] == [None]
+    with pytest.raises(ValueError, match="cannot parse type"):
+        merge.add_column(spark, path, "bad", "no_such_type")
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame(
+            [(7, 70, "hi")], "k long, amount long, note string"
+        ),
+        "k",
+    )
+    assert {
+        r.k: r.note
+        for r in merge.read_version(spark, path).select("k", "note").collect()
+    }[7] == "hi"
+    v_drop = merge.drop_column(spark, path, "note")
+    assert "note" not in merge.read_version(spark, path).columns
+    assert "note" in merge.read_version(spark, path, v_drop - 1).columns
+    merge.add_column(spark, path, "note", "string")
+    assert {
+        r[0]
+        for r in merge.read_version(spark, path).select("note").distinct().collect()
+    } == {None}, "re-added column resurrected dropped file data"
+    # the key cannot be dropped; reserved/dup names rejected
+    with pytest.raises(ValueError, match="merge key"):
+        merge.drop_column(spark, path, "k")
+    with pytest.raises(ValueError, match="already exists"):
+        merge.add_column(spark, path, "amount", "long")
+    # conditional MERGE arms evaluate in LOGICAL space
+    out = merge.merge_arms_versioned_dv(
+        spark, path,
+        spark.createDataFrame(
+            [(1, -1, None), (99, 990, "n")],
+            "k long, amount long, note string",
+        ),
+        "k",
+        matched=[("s.amount = -1", "delete"), (None, "update", None)],
+        not_matched=[(None, "insert")],
+    )
+    assert (out.n_deleted, out.n_inserted) == (1, 1)
+    live = merge.read_version(spark, path)
+    assert live.where(F.col("k") == 1).count() == 0
+    assert live.where(F.col("k") == 99).count() == 1
+    # logical-key delete; stats-pruned read translates the column
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(5,)], "k long"), "k"
+    )
+    pr = merge.read_version_pruned(spark, path, "k", 2, 4, key="k")
+    assert pr.columns[:2] == ["k", "amount"]
+    assert pr.dirs_read < pr.dirs_total
+    assert sorted(r.k for r in pr.collect()) == [2, 3, 4]
+    # RESTORE restores the mapping with the snapshot (Delta parity)
+    merge.restore_version(spark, path, 1)
+    assert merge.read_version(spark, path).columns[:2] == ["k", "v"]
+    # compaction under a fresh mapping keeps physical names and content
+    merge.rename_column(spark, path, "v", "amt2")
+    before = {
+        r.k: r.amt2
+        for r in merge.read_version(spark, path).select("k", "amt2").collect()
+    }
+    merge.compact_table(spark, path, "k")
+    after = {
+        r.k: r.amt2
+        for r in merge.read_version(spark, path).select("k", "amt2").collect()
+    }
+    assert after == before
+    # batch CDF reads the whole range under the END-of-range schema
+    tc = merge.table_changes(spark, path, 0)
+    assert tc.columns == ["k", "amt2", "_op", "_version"]
+    assert tc.count() > 0
+
+
+def test_column_mapping_clone_vacuum_constraints(spark, tmp_path):
+    """r16 column mapping x the rest of the tier: SHALLOW CLONE carries
+    the mapping across the fork; VACUUM may reclaim the DDL version's
+    op sidecar but the ``.schema`` record survives for the retained
+    suffix; CHECK constraints block rename/drop of referenced columns
+    (Delta's rule) and keep evaluating on logical batches."""
+    import time
+
+    import pytest
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import (
+        constraints as C,
+    )
+
+    path = str(tmp_path / "src")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 11)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    C.set_constraints(spark, path, {"v_pos": "v >= 0"})
+    with pytest.raises(ValueError, match="constraint"):
+        merge.rename_column(spark, path, "v", "amount")
+    with pytest.raises(ValueError, match="constraint"):
+        merge.drop_column(spark, path, "v")
+    C.set_constraints(spark, path, {})
+    merge.rename_column(spark, path, "v", "amount")  # v1
+    # constraints added AFTER the rename bind to the logical name
+    C.set_constraints(spark, path, {"amt_pos": "amount >= 0"})
+    with pytest.raises(Exception, match="amt_pos"):
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame([(1, -5)], "k long, amount long"), "k",
+        )
+    merge.upsert_versioned_dv(
+        spark, path, spark.createDataFrame([(1, 5)], "k long, amount long"),
+        "k",
+    )  # v2
+    # clone at the tip: the mapping travels, reads and writes on the
+    # clone are logical from the first statement
+    dst = str(tmp_path / "dst")
+    merge.clone_table(spark, path, dst)
+    assert merge.read_version(spark, dst).columns[:2] == ["k", "amount"]
+    merge.upsert_versioned_dv(
+        spark, dst, spark.createDataFrame([(2, 22)], "k long, amount long"),
+        "k",
+    )
+    assert {
+        r.k: r.amount
+        for r in merge.read_version(spark, dst).select("k", "amount").collect()
+    }[2] == 22
+    # vacuum the source down past the DDL version: the .schema record
+    # survives (op sidecars may not) and the tip still reads logically
+    for i in range(3, 6):
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame([(i, i)], "k long, amount long"), "k",
+        )
+    time.sleep(0.05)
+    merge.vacuum_versions(spark, path, keep_last=2, retention_ms=1)
+    retained = merge._list_versions(spark, f"{path}/_manifest")
+    assert 1 not in retained  # the rename's version itself is gone
+    assert merge.read_version(spark, path).columns[:2] == ["k", "amount"]
+    assert merge.read_version(spark, path, retained[0]).columns[:2] == [
+        "k", "amount",
+    ]

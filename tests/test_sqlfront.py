@@ -582,3 +582,87 @@ def test_ctas_and_insert_into_statements(spark, tmp_path):
         )
     with pytest.raises(KeyError, match="CREATE TABLE destination"):
         lakehouse_sql(spark, "CREATE TABLE bare KEY k AS SELECT 1 AS k")
+
+
+def test_alter_table_column_mapping_sql(spark, tmp_path):
+    """r16 — the column-mapping DDL through the SQL front door, and
+    the part Delta users lean on hardest: DML keeps working key-FREE
+    after the merge key itself is renamed (the metadata key is
+    physical; _key_for translates to the current logical name)."""
+    path = str(tmp_path / "t")
+    lakehouse_sql(
+        spark,
+        f"CREATE TABLE '{path}' KEY k AS "
+        "SELECT id AS k, id * 10 AS v FROM range(1, 21)",
+    )
+    assert lakehouse_sql(
+        spark, "ALTER TABLE t RENAME COLUMN v TO amount", tables={"t": path}
+    ) == 1
+    got = lakehouse_sql(spark, "SELECT * FROM t", tables={"t": path})
+    assert got.columns[:2] == ["k", "amount"]
+    # key-free UPDATE / DELETE under the renamed payload column
+    lakehouse_sql(
+        spark, "UPDATE t SET amount = amount + 1 WHERE k <= 3",
+        tables={"t": path},
+    )
+    lakehouse_sql(spark, "DELETE FROM t WHERE k = 20", tables={"t": path})
+    rows = {
+        r.k: r.amount
+        for r in lakehouse_sql(
+            spark, "SELECT * FROM t", tables={"t": path}
+        ).collect()
+    }
+    assert rows[1] == 11 and rows[4] == 40 and 20 not in rows
+    # rename the KEY itself; key-free DML must still resolve
+    lakehouse_sql(
+        spark, "ALTER TABLE t RENAME COLUMN k TO id", tables={"t": path}
+    )
+    lakehouse_sql(spark, "DELETE FROM t WHERE id = 19", tables={"t": path})
+    out = lakehouse_sql(spark, "SELECT * FROM t", tables={"t": path})
+    assert out.columns[:2] == ["id", "amount"]
+    assert 19 not in {r.id for r in out.collect()}
+    # ADD COLUMN with a parameterized type; INSERT binds by name
+    lakehouse_sql(
+        spark, "ALTER TABLE t ADD COLUMN price decimal(10,2)",
+        tables={"t": path},
+    )
+    lakehouse_sql(
+        spark,
+        "INSERT INTO t (id, amount, price) VALUES (100, 1, 9.50)",
+        tables={"t": path},
+    )
+    prices = {
+        r.id: r.price
+        for r in lakehouse_sql(
+            spark, "SELECT * FROM t", tables={"t": path}
+        ).collect()
+    }
+    assert str(prices[100]) == "9.50" and prices[1] is None
+    # DROP COLUMN; time travel still shows each version's own schema
+    lakehouse_sql(spark, "ALTER TABLE t DROP COLUMN price", tables={"t": path})
+    assert "price" not in lakehouse_sql(
+        spark, "SELECT * FROM t", tables={"t": path}
+    ).columns
+    assert lakehouse_sql(
+        spark, "SELECT * FROM t VERSION AS OF 0", tables={"t": path}
+    ).columns[:2] == ["k", "v"]
+    # MERGE INTO evaluates arms against the CURRENT logical names
+    staged = spark.createDataFrame(
+        [(2, -1), (101, 77)], "id long, amount long"
+    )
+    out = lakehouse_sql(
+        spark,
+        "MERGE INTO t USING src ON t.id = s.id "
+        "WHEN MATCHED AND s.amount < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": path},
+        staging=staged,
+    )
+    live = {
+        r.id
+        for r in lakehouse_sql(
+            spark, "SELECT * FROM t", tables={"t": path}
+        ).collect()
+    }
+    assert 2 not in live and 101 in live
