@@ -268,6 +268,46 @@ def _cdf_read_dir(d: str, fs=None):
     return rows
 
 
+def _cdf_schema_mapping(path: str, fs=None) -> dict | None:
+    """Driver-side pyarrow mirror of merge._schema_as_of at the TIP
+    (r16 column mapping): the latest committed ``v=<n>.schema``
+    sidecar, validated against its version's op tag exactly like the
+    Spark-side reader (orphan sidecars from crashed DDLs whose slot a
+    different committer won are rejected; sidecars of VACUUMED
+    versions are accepted — the ``.schema`` record deliberately
+    survives vacuum as the only mapping evidence for the retained
+    suffix). None when the table never ran a schema DDL — one FS
+    listing, the common-case cost."""
+    import json
+
+    fs = fs or _cdf_resolve_fs(path)[0]
+    root = f"{path}/_manifest"
+    cand = []
+    for info in _fs_ls(fs, root):
+        n = info.base_name
+        if n.startswith("v=") and n.endswith(".schema"):
+            try:
+                cand.append(int(n[2:-7]))
+            except ValueError:
+                continue
+    if not cand:
+        return None
+    committed = _cdf_committed_versions(path, fs)
+    for k in sorted(cand, reverse=True):
+        if committed and k >= committed[0]:
+            if k not in committed:
+                continue
+            side = _cdf_commit_sidecar(path, k, fs) or {}
+            if not (side.get("parameters") or {}).get("schema_change"):
+                continue
+        try:
+            with fs.open_input_stream(f"{root}/v={k}.schema") as f:
+                return json.loads(f.readall().decode("utf-8"))
+        except ValueError:
+            continue
+    return None
+
+
 def _cdf_table_schema(path: str, fs=None) -> list[tuple[str, str]]:
     """(name, ddl_type) of the table's data columns, sniffed from one
     live data footer (newest generation first, so evolved columns are
@@ -358,14 +398,22 @@ class VersionedCdfDataSource(DataSource):
         )
 
     def _key(self) -> str:
-        """The MERGE key column: the ``key`` option when given, else
-        the key the bootstrap persisted in ``_manifest/_table.json``
-        (r16 — the same metadata resolution SQL DML uses), so
+        """The MERGE key column — PHYSICAL name (what DV files and
+        data footers carry): the ``key`` option when given (a LOGICAL
+        spelling translates through the column mapping), else the key
+        the bootstrap persisted in ``_manifest/_table.json`` (r16 —
+        the same metadata resolution SQL DML uses; _table.json records
+        the physical key, which never moves), so
         ``readStream.format("versioned_cdf").option("path", p)`` works
         with no key option on any table bootstrapped since the
         metadata file existed."""
         k = self.options.get("key")
         if k:
+            sch = self._mapping()
+            if sch is not None:
+                for e in sch["columns"]:
+                    if e["logical"] == str(k):
+                        return e["physical"]
             return k
         import json
 
@@ -384,6 +432,21 @@ class VersionedCdfDataSource(DataSource):
             "_manifest/_table.json metadata — pass .option('key', <col>)"
         )
 
+    def _mapping(self) -> dict | None:
+        """The table's column mapping at STREAM START (r16): like
+        Delta, the stream's schema binds once — a rename committed
+        mid-stream does not re-label rows already planned. An explicit
+        ``table_schema`` option overrides the mapping entirely (its
+        names are taken as the physical file names, the legacy
+        contract). Resolved once per source instance."""
+        if "_mapping_cache" not in self.__dict__:
+            if self.options.get("table_schema"):
+                self._mapping_cache = None
+            else:
+                fs, path = self._fs_path()
+                self._mapping_cache = _cdf_schema_mapping(path, fs)
+        return self._mapping_cache
+
     def _data_cols(self) -> list[tuple[str, str]]:
         ddl = self.options.get("table_schema")
         if ddl:
@@ -392,8 +455,21 @@ class VersionedCdfDataSource(DataSource):
                 n, t = part.strip().split(None, 1)
                 pairs.append((n, t))
             return pairs
+        sch = self._mapping()
+        if sch is not None:
+            # the mapping knows every LOGICAL column and its type
+            # (recorded at DDL time) — no footer sniff needed
+            return [(e["logical"], e["type"]) for e in sch["columns"]]
         fs, path = self._fs_path()
         return _cdf_table_schema(path, fs)
+
+    def _fetch_cols(self) -> list[str]:
+        """The PHYSICAL column names readers fetch from parquet row
+        dicts, parallel (same order) to _data_cols' logical schema."""
+        sch = self._mapping()
+        if sch is not None:
+            return [e["physical"] for e in sch["columns"]]
+        return [n for n, _ in self._data_cols()]
 
     def schema(self) -> str:
         cols = self._data_cols()
@@ -417,7 +493,7 @@ class VersionedCdfDataSource(DataSource):
         return VersionedCdfPartitionedReader(
             path,
             self._key(),
-            [n for n, _ in self._data_cols()],
+            self._fetch_cols(),
             self._starting_version(),
             self._max_versions(),
             self._starting_ts(),
@@ -485,7 +561,7 @@ class VersionedCdfDataSource(DataSource):
         return VersionedCdfStreamReader(
             path,
             self._key(),
-            [n for n, _ in self._data_cols()],
+            self._fetch_cols(),
             self._starting_version(),
             self._max_versions(),
             self._starting_ts(),

@@ -4098,3 +4098,58 @@ def test_column_mapping_clone_vacuum_constraints(spark, tmp_path):
     assert merge.read_version(spark, path, retained[0]).columns[:2] == [
         "k", "amount",
     ]
+
+
+def test_cdf_stream_under_column_mapping(spark, tmp_path):
+    """r16 — the streaming CDF source under column mapping: the stream
+    binds the LOGICAL schema at start (Delta's rule) in both reader
+    tiers — renamed columns surface under their current names, a
+    declared-but-never-written ADD COLUMN arrives as typed NULL, and a
+    renamed merge KEY still resolves key-free from table metadata
+    (the physical key, which DV files actually carry)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    register_versioned_cdf(spark)
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 11)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    merge.rename_column(spark, path, "v", "amount")
+    merge.rename_column(spark, path, "k", "id")
+    merge.add_column(spark, path, "note", "string")
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(3, 333)], "id long, amount long"), "id",
+    )
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(7,)], "id long"), "id"
+    )
+    for tier in ("partitioned", "simple"):
+        out = str(tmp_path / f"out_{tier}")
+        ck = str(tmp_path / f"ck_{tier}")
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", path)
+            .option("reader", tier)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert set(got.columns) == {"id", "amount", "note", "_op", "_version"}
+        rows = sorted(
+            (r.id, r.amount, r.note, r._op) for r in got.collect()
+        )
+        assert rows == [
+            (3, 333, None, "upsert"),
+            (7, None, None, "delete"),
+        ], (tier, rows)
