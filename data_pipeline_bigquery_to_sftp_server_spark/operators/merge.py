@@ -2646,6 +2646,94 @@ def compact_small_generations(
     return new_manifest
 
 
+def purge_deletion_vectors(
+    spark: SparkSession, path: str, key: str, writer: str | None = None
+) -> DataFrame:
+    """REORG TABLE ... APPLY (PURGE) — Delta's deletion-vector purge,
+    the third member of the maintenance family: rewrite ONLY the
+    buckets carrying DV debt (every DV entry lives in its key's
+    assigned bucket — the bucket-locality invariant all MOR committers
+    maintain), folding the merge-on-read debt to ZERO without opening
+    a single clean bucket's directory. compact_table pays O(table) to
+    do this as a side effect; bin-packing targets file SIZE and
+    carries the DV forward; PURGE targets the DV itself at O(debt
+    buckets) — the right price when churn concentrates in a hot key
+    range of a 100 TB table. Each debt bucket's live rows (all
+    generations, DV-resolved) become one fresh generation at v+1,
+    re-sorted by (bucket, key) like the liquid-clustering pack; clean
+    buckets' manifest rows — and their file mtimes — carry forward
+    byte-untouched (pinned in test_merge). The commit is STRUCTURAL
+    (no DV entry carries v+1), so the CDF stays silent, matching
+    Delta: a purge changes no logical row. A table with no DV returns
+    the current manifest without committing. Returns the new manifest
+    with ``version`` / ``n_purged_buckets`` / ``n_dv_entries``
+    (entries folded) attached."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"no table at {path}")
+    v = versions[-1]
+    manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
+    stats_cols = _stats_cols_of(manifest)
+    point_cols = _point_cols_of(manifest)
+    bloom_bits = _bloom_bits_of(manifest, point_cols) if point_cols else 0
+    # rewrites land under frozen PHYSICAL names (r16 column mapping)
+    key = _phys_name(_schema_as_of(spark, path, v), key)
+    dv = _read_dv(spark, path, v)
+    if dv is None:
+        manifest.version = v
+        manifest.n_purged_buckets = 0
+        manifest.n_dv_entries = 0
+        return manifest
+    debt = sorted(r[0] for r in dv.select("_kr").distinct().collect())
+    n_entries = dv.count()
+    _begin_commit(spark, path, v + 1, writer or _unique_writer())
+    rows = manifest.collect()
+    data = _apply_dv(
+        _read_gen_dirs(spark, path, [r for r in rows if r._kr in set(debt)]),
+        dv,
+    )
+    fresh = (
+        data.drop("_gen")
+        .withColumn("_gen", F.lit(v + 1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    _clean_uncommitted_generation(spark, path, debt, v + 1)
+    fresh.sortWithinPartitions("_kr", key).write.mode("append").partitionBy(
+        "_kr", "_gen"
+    ).parquet(f"{path}/data")
+    stats_src = fresh
+    for c in stats_cols:
+        if c not in stats_src.columns:
+            stats_src = stats_src.withColumn(
+                c, F.lit(None).cast(manifest.schema[f"min_{c}"].dataType)
+            )
+    new_manifest = manifest.where(
+        ~F.col("_kr").isin([int(b) for b in debt])
+    ).unionByName(
+        _with_bloom(
+            stats_src.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
+            stats_src,
+            point_cols,
+            bloom_bits,
+        ),
+        allowMissingColumns=True,  # clones: old rows may carry `ext`
+    )
+    # deliberately NO _dv/v=<v+1> write: the debt is folded — every
+    # entry pointed into a rewritten bucket, and the fresh generation
+    # holds exactly the live rows
+    _write_commit_op(
+        spark, path, v + 1, "REORG",
+        changed_buckets=[], mode="purge", purged_buckets=len(debt),
+    )
+    new_manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_manifest/v={v + 1}"
+    )
+    new_manifest.version = v + 1
+    new_manifest.n_purged_buckets = len(debt)
+    new_manifest.n_dv_entries = int(n_entries)
+    return new_manifest
+
+
 def rebucket_table(
     spark: SparkSession,
     path: str,

@@ -38,6 +38,9 @@ Supported grammar (one statement per call, ``;`` optional)::
         files keep frozen physical names, readers project the logical
         schema as of the version they read, a renamed merge key keeps
         resolving without key=)
+    REORG TABLE <table> APPLY (PURGE)
+        (fold merge-on-read deletion-vector debt to zero by rewriting
+        ONLY the buckets that carry DV entries — O(debt), not O(table))
     DESCRIBE DETAIL <table>
     MERGE INTO <table> [AS t] USING <source> [AS s]
         ON t.<key> = s.<key>
@@ -710,6 +713,19 @@ def lakehouse_sql(
 
         return drop_column(
             spark, _resolve_table(m.group(1), tables), m.group(2)
+        )
+    m = re.match(r"(?i)^REORG TABLE (\S+) APPLY \( ?PURGE ?\)$", s)
+    if m:
+        # Delta's deletion-vector purge: rewrite ONLY the buckets
+        # carrying DV debt (merge.purge_deletion_vectors) — key-free
+        # via table metadata like every other DML statement
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+            purge_deletion_vectors,
+        )
+
+        path = _resolve_table(m.group(1), tables)
+        return purge_deletion_vectors(
+            spark, path, _key_for(spark, path, key, "REORG")
         )
     m = re.match(r"(?i)^DESCRIBE DETAIL (.+)$", s)
     if m:

@@ -15473,6 +15473,79 @@ ORDER BY scene
 """
 
 
+def q_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2c REORG TABLE ... APPLY (PURGE) (r16), ORACLE-CHECKED:
+    Delta's deletion-vector purge — rewrite ONLY the buckets carrying
+    DV debt, folding merge-on-read debt to zero at O(debt buckets)
+    instead of compact_table's O(table). The scene: a MOR upsert and a
+    MOR delete concentrate debt in the touched keys' buckets; the
+    purge rewrites exactly those buckets (count oracle-replayed via
+    the bootstrap bucket-assignment arithmetic), the folded DV entry
+    count matches the distinct-touched-keys replay, the post-purge DV
+    is literally absent, and the live content is value-identical to
+    the oracle's state replay (operators/merge.py
+    purge_deletion_vectors; mtime/CDF-silence pins in test_merge).
+    Scale: clean buckets' directories are never opened — the rewrite
+    is O(churned key range), the exact price Delta's REORG pays."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("purge_")
+    merge.versioned_layout_write(o, "k", path, n_buckets=8)
+    merge.upsert_versioned_dv(
+        spark, path,
+        o.where(F.col("k") % 50 == 0).select(
+            "k", (F.col("cents") + 3).alias("cents")
+        ),
+        "k",
+    )
+    merge.delete_versioned(
+        spark, path,
+        o.where(F.col("k") % 70 == 0).select("k"),
+        "k",
+    )
+    man = merge.purge_deletion_vectors(spark, path, "k")
+    dv_after = merge._read_dv(spark, path, man.version)
+    live = merge.read_version(spark, path).agg(
+        F.count(F.lit(1)).alias("a"), F.sum("cents").alias("b")
+    )
+    facts = spark.createDataFrame(
+        [
+            ("purge", int(man.n_purged_buckets), int(man.n_dv_entries)),
+            ("dv_after", 0 if dv_after is None else dv_after.count(), None),
+        ],
+        "scene string, a long, b long",
+    )
+    return (
+        live.select(F.lit("live").alias("scene"), "a", "b")
+        .unionByName(facts)
+        .orderBy("scene")
+    )
+
+
+_ORACLE_REORG_PURGE = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         (row_number() OVER (ORDER BY o_orderkey) - 1) * 8
+             // count(*) OVER () AS bucket
+  FROM orders
+), touched AS (
+  SELECT k, bucket FROM o WHERE k % 50 = 0 OR k % 70 = 0
+), live AS (
+  SELECT CASE WHEN k % 50 = 0 THEN cents + 3 ELSE cents END AS amt
+  FROM o WHERE k % 70 != 0
+)
+SELECT 'dv_after' AS scene, CAST(0 AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b
+UNION ALL
+SELECT 'live', count(*), CAST(sum(amt) AS BIGINT) FROM live
+UNION ALL
+SELECT 'purge', count(DISTINCT bucket), count(*) FROM touched
+ORDER BY scene
+"""
+
+
 def q_table_changes_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X95i Delta-vocabulary batch CDF (r16), ORACLE-CHECKED:
     ``table_changes(change_format='delta')`` emits Delta CDF's full
@@ -15638,6 +15711,7 @@ QUERIES: dict[str, QueryFn] = {
     "resample_ffill": q_resample_ffill,
     "table_changes_delta": q_table_changes_delta,
     "column_mapping": q_column_mapping,
+    "reorg_purge": q_reorg_purge,
     # The displaced r15 window (all 50 driver-green in CORRECTNESS_r15),
     # the remaining 14 r11-cohort rows, and the rest of the registry
     # in prior order.
@@ -16180,5 +16254,6 @@ ORACLES: dict[str, str] = {
     "sql_ctas_insert": _ORACLE_SQL_CTAS_INSERT,
     "table_changes_delta": _ORACLE_TABLE_CHANGES_DELTA,
     "column_mapping": _ORACLE_COLUMN_MAPPING,
+    "reorg_purge": _ORACLE_REORG_PURGE,
     "concurrent_commits": _ORACLE_CONCURRENT_COMMITS,
 }

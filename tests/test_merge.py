@@ -1768,7 +1768,7 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
                 ["mor", "cow", "delete", "arms", "arms_sql", "restore",
                  "binpack", "compact", "rebucket", "vacuum",
                  "clone", "quarantine", "tag", "delete_sql", "update_sql",
-                 "addcol"]
+                 "addcol", "purge"]
             ),
             min_size=4,
             max_size=7,
@@ -1947,6 +1947,12 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
             elif op == "binpack":
                 man = merge.compact_small_generations(spark, path, "k", 10 << 20)
                 if man.n_packed_dirs:
+                    models[man.version] = m
+            elif op == "purge":
+                # r16 REORG PURGE: rewrites only DV-debt buckets, folds
+                # the DV to zero — content must be invariant
+                man = merge.purge_deletion_vectors(spark, path, "k")
+                if man.n_purged_buckets:
                     models[man.version] = m
             elif op == "compact":
                 man = merge.compact_table(spark, path, "k")
@@ -4153,3 +4159,81 @@ def test_cdf_stream_under_column_mapping(spark, tmp_path):
             (3, 333, None, "upsert"),
             (7, None, None, "delete"),
         ], (tier, rows)
+
+
+def test_reorg_purge_deletion_vectors(spark, tmp_path):
+    """r16 — REORG TABLE ... APPLY (PURGE): only the buckets carrying
+    DV debt are rewritten (clean buckets' file mtimes pinned
+    byte-untouched), the deletion vector folds to ZERO, content is
+    identical before/after, the commit is CDF-silent (structural,
+    like Delta's purge), and the batch feed emits nothing for it."""
+    import os
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 41)], "k long, v long"
+        ),
+        "k", path, n_buckets=4,
+    )
+    # debt lands in the FIRST bucket only (low keys)
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(1, 111), (2, 222)], "k long, v long"), "k",
+    )
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(3,)], "k long"), "k"
+    )
+    before = {
+        r.k: r.v for r in merge.read_version(spark, path).collect()
+    }
+    def bucket_mtimes():
+        out = {}
+        for b in os.listdir(f"{path}/data"):
+            if not b.startswith("_kr="):
+                continue
+            for g in os.listdir(f"{path}/data/{b}"):
+                d = f"{path}/data/{b}/{g}"
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        out[f"{b}/{g}/{f}"] = os.path.getmtime(f"{d}/{f}")
+        return out
+
+    cold_before = {
+        p: t for p, t in bucket_mtimes().items() if not p.startswith("_kr=0/")
+    }
+    man = merge.purge_deletion_vectors(spark, path, "k")
+    assert man.version == 3
+    assert man.n_purged_buckets == 1  # only the debt bucket
+    assert man.n_dv_entries == 3  # 2 upserts + 1 delete folded
+    # DV is GONE at the new version
+    assert merge._read_dv(spark, path, 3) is None
+    # content identical
+    after = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert after == before
+    # clean buckets byte-untouched
+    cold_after = {
+        p: t for p, t in bucket_mtimes().items() if not p.startswith("_kr=0/")
+    }
+    for p, t in cold_before.items():
+        assert cold_after[p] == t, f"clean-bucket file rewritten: {p}"
+    # CDF-silent: the feed across the purge emits exactly the v1+v2
+    # changes and nothing at v3
+    feed = merge.table_changes(spark, path, 0)
+    assert sorted({r._version for r in feed.collect()}) == [1, 2]
+    # no debt -> no commit
+    man2 = merge.purge_deletion_vectors(spark, path, "k")
+    assert man2.version == 3 and man2.n_purged_buckets == 0
+    # SQL spelling, key-free
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(5,)], "k long"), "k"
+    )
+    man3 = lakehouse_sql(
+        spark, "REORG TABLE t APPLY (PURGE)", tables={"t": path}
+    )
+    assert man3.n_purged_buckets == 1 and man3.n_dv_entries == 1
+    assert merge._read_dv(spark, path, man3.version) is None
