@@ -1451,6 +1451,24 @@ def add_column(
     )
 
 
+def _auto_evolve_schema(
+    spark: SparkSession, path: str, staging: DataFrame
+) -> None:
+    """Delta's MERGE ``WITH SCHEMA EVOLUTION`` under a declared
+    mapping: commit one metadata-only ADD COLUMN per staging column
+    the schema doesn't know, typed from the batch, so the committer's
+    strict validation then passes. A table with no mapping needs
+    nothing — its schema already evolves by write (unionByName)."""
+    sch = _schema_as_of(spark, path)
+    if sch is None:
+        return
+    logicals = {e["logical"] for e in sch["columns"]}
+    for f in staging.schema.fields:
+        if f.name in logicals or f.name in ("_kr", "_gen"):
+            continue
+        add_column(spark, path, f.name, f.dataType.simpleString())
+
+
 def table_schema(spark: SparkSession, path: str) -> list[dict]:
     """The declared logical schema at the tip (``[{logical, physical,
     type}]``) — from the mapping when a schema DDL ever ran, else the
@@ -1887,6 +1905,7 @@ def upsert_versioned_dv(
     writer: str | None = None,
     commit_meta: str | None = None,
     admit_disjoint: bool = False,
+    auto_evolve: bool = False,
 ) -> DataFrame:
     """Merge-on-READ MERGE (r11 verdict #3 — the missing half of the
     snapshot mechanism): where upsert_versioned rewrites every touched
@@ -1947,7 +1966,12 @@ def upsert_versioned_dv(
     # r16 column mapping: the user's LOGICAL batch translates to the
     # files' frozen physical names at the write boundary (no-op for
     # tables that never ran a schema DDL); DV / manifest stats /
-    # bucket layout stay uniform across any rename
+    # bucket layout stay uniform across any rename. auto_evolve
+    # (Delta's MERGE WITH SCHEMA EVOLUTION) first commits one
+    # metadata-only ADD COLUMN per unknown staging column.
+    if auto_evolve:
+        _auto_evolve_schema(spark, target_path, staging)
+        v = _list_versions(spark, f"{target_path}/_manifest")[-1]
     sch = _schema_as_of(spark, target_path)
     if sch is not None:
         staging = _to_physical(staging, sch, "upsert_versioned_dv")
@@ -2143,6 +2167,7 @@ def merge_arms_versioned_dv(
     not_matched=(),
     writer: str | None = None,
     commit_meta: str | None = None,
+    auto_evolve: bool = False,
 ) -> DataFrame:
     """Conditional multi-arm MERGE committed merge-on-read (r12
     verdict #5, DV tier): same arm surface as merge_arms, but against
@@ -2178,6 +2203,12 @@ def merge_arms_versioned_dv(
             f"merge_arms_versioned_dv: no table at {target_path} — "
             "bootstrap with versioned_layout_write"
         )
+    if auto_evolve:
+        # Delta's MERGE WITH SCHEMA EVOLUTION: unknown staging columns
+        # become declared columns (metadata-only commits) BEFORE the
+        # merge, so update/insert arms can take them
+        _auto_evolve_schema(spark, target_path, staging)
+        versions = _list_versions(spark, f"{target_path}/_manifest")
     v = versions[-1]
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
     stats_cols = _stats_cols_of(manifest)

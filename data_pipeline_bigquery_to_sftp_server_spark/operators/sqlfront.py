@@ -42,7 +42,7 @@ Supported grammar (one statement per call, ``;`` optional)::
         (fold merge-on-read deletion-vector debt to zero by rewriting
         ONLY the buckets that carry DV entries — O(debt), not O(table))
     DESCRIBE DETAIL <table>
-    MERGE INTO <table> [AS t] USING <source> [AS s]
+    MERGE [WITH SCHEMA EVOLUTION] INTO <table> [AS t] USING <source> [AS s]
         ON t.<key> = s.<key>
         { WHEN MATCHED [AND <cond>] THEN UPDATE SET * | <c1, c2, ...>
         | WHEN MATCHED [AND <cond>] THEN DELETE
@@ -788,12 +788,13 @@ def lakehouse_sql(
         )
         return upsert_versioned_dv(spark, path, staged, k)
     m = re.match(
-        r"(?i)^MERGE INTO (\S+)(?: AS t)? USING (\S+)(?: AS s)? "
+        r"(?i)^MERGE( WITH SCHEMA EVOLUTION)? INTO (\S+)(?: AS t)? "
+        r"USING (\S+)(?: AS s)? "
         r"ON t\.(\w+) = s\.(\w+) (WHEN .+)$",
         s,
     )
     if m:
-        target_ref, source_ref, kt, ks, tail = m.groups()
+        evolve, target_ref, source_ref, kt, ks, tail = m.groups()
         if kt != ks:
             raise ValueError(
                 "lakehouse_sql: MERGE ON must equate the same-named key "
@@ -808,6 +809,9 @@ def lakehouse_sql(
             kt,
             matched=matched,
             not_matched=not_matched,
+            # Delta's spelling: WITH SCHEMA EVOLUTION declares unknown
+            # staging columns (metadata-only ADD COLUMN) pre-merge
+            auto_evolve=bool(evolve),
         )
     raise ValueError(
         f"lakehouse_sql: unsupported statement {stmt!r} (supported: "

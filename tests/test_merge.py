@@ -4237,3 +4237,61 @@ def test_reorg_purge_deletion_vectors(spark, tmp_path):
     )
     assert man3.n_purged_buckets == 1 and man3.n_dv_entries == 1
     assert merge._read_dv(spark, path, man3.version) is None
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """r16 — Delta's MERGE WITH SCHEMA EVOLUTION under a declared
+    mapping: unknown staging columns become metadata-only ADD COLUMN
+    commits before the merge, so update/insert arms carry them;
+    without the flag the strict declared-schema contract raises
+    (plain upsert) or silently ignores the extra column (arms tier,
+    the pre-mapping contract)."""
+    import pytest
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 11)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    merge.rename_column(spark, path, "v", "amount")  # mapping in force
+    staged = spark.createDataFrame(
+        [(3, 30, "eu"), (99, 990, "us")], "k long, amount long, region string"
+    )
+    with pytest.raises(ValueError, match="ADD COLUMN"):
+        merge.upsert_versioned_dv(spark, path, staged, "k")
+    merge.upsert_versioned_dv(spark, path, staged, "k", auto_evolve=True)
+    got = {
+        r.k: r.region
+        for r in merge.read_version(spark, path).select("k", "region").collect()
+    }
+    assert got[3] == "eu" and got[99] == "us" and got[1] is None
+    # the SQL spelling, through the arms tier
+    staged2 = spark.createDataFrame(
+        [(4, 40, 7), (100, 1, 9)], "k long, amount long, score long"
+    )
+    out = lakehouse_sql(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING src ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": path},
+        staging=staged2,
+    )
+    assert (out.n_updated, out.n_inserted) == (1, 1)
+    rows = {
+        r.k: (r.score, r.region)
+        for r in merge.read_version(spark, path)
+        .select("k", "score", "region")
+        .collect()
+    }
+    assert rows[4] == (7, None) and rows[100] == (9, None)
+    assert rows[3] == (None, "eu")
+    # declared types recorded: DESCRIBE-able via table_schema
+    sch = {e["logical"]: e["type"] for e in merge.table_schema(spark, path)}
+    assert sch["region"] == "string" and sch["score"] == "bigint"
