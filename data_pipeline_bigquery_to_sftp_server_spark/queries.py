@@ -15660,6 +15660,9 @@ QUERIES: dict[str, QueryFn] = {
     "table_changes_ts": q_table_changes_ts,
     "concurrent_commits": q_concurrent_commits,
     "sql_ctas_insert": q_sql_ctas_insert,
+    "table_changes_delta": q_table_changes_delta,
+    "column_mapping": q_column_mapping,
+    "reorg_purge": q_reorg_purge,
     # latest attestation r10:
     "asof_forward": q_asof_forward,
     "bpe_encode_fast": q_bpe_encode_fast,
@@ -15709,9 +15712,6 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_decontam": q_semantic_decontam,
     # -- slots 51+: verified via verify_local -------------------------
     "resample_ffill": q_resample_ffill,
-    "table_changes_delta": q_table_changes_delta,
-    "column_mapping": q_column_mapping,
-    "reorg_purge": q_reorg_purge,
     # The displaced r15 window (all 50 driver-green in CORRECTNESS_r15),
     # the remaining 14 r11-cohort rows, and the rest of the registry
     # in prior order.
