@@ -38,6 +38,9 @@ Supported grammar (one statement per call, ``;`` optional)::
         files keep frozen physical names, readers project the logical
         schema as of the version they read, a renamed merge key keeps
         resolving without key=)
+    DESCRIBE TABLE <table>
+        (the LOGICAL schema: col_name, data_type, physical_name —
+        Spark's DESCRIBE shape plus the column-mapping physical name)
     REORG TABLE <table> APPLY (PURGE)
         (fold merge-on-read deletion-vector debt to zero by rewriting
         ONLY the buckets that carry DV entries — O(debt), not O(table))
@@ -726,6 +729,25 @@ def lakehouse_sql(
         path = _resolve_table(m.group(1), tables)
         return purge_deletion_vectors(
             spark, path, _key_for(spark, path, key, "REORG")
+        )
+    m = re.match(r"(?i)^DESCRIBE TABLE (.+)$", s)
+    if m:
+        # the LOGICAL schema (r16 column mapping): declared name, type,
+        # and the frozen physical file name behind it — Spark's
+        # DESCRIBE TABLE shape plus the mapping column Delta shows
+        # under column mapping
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+            table_schema,
+        )
+
+        return spark.createDataFrame(
+            [
+                (e["logical"], e["type"], e["physical"])
+                for e in table_schema(
+                    spark, _resolve_table(m.group(1), tables)
+                )
+            ],
+            "col_name string, data_type string, physical_name string",
         )
     m = re.match(r"(?i)^DESCRIBE DETAIL (.+)$", s)
     if m:

@@ -666,3 +666,30 @@ def test_alter_table_column_mapping_sql(spark, tmp_path):
         ).collect()
     }
     assert 2 not in live and 101 in live
+
+
+def test_describe_table_logical_schema(spark, tmp_path):
+    """r16 — DESCRIBE TABLE returns the declared LOGICAL schema with
+    the frozen physical name behind each column (identity for tables
+    that never ran a schema DDL)."""
+    path = str(tmp_path / "t")
+    lakehouse_sql(
+        spark,
+        f"CREATE TABLE '{path}' KEY k AS "
+        "SELECT id AS k, id * 2 AS v FROM range(1, 6)",
+    )
+    rows = lakehouse_sql(
+        spark, "DESCRIBE TABLE t", tables={"t": path}
+    ).collect()
+    assert [(r.col_name, r.physical_name) for r in rows] == [
+        ("k", "k"), ("v", "v"),
+    ]
+    lakehouse_sql(
+        spark, "ALTER TABLE t RENAME COLUMN v TO amount", tables={"t": path}
+    )
+    rows = lakehouse_sql(
+        spark, "DESCRIBE TABLE t", tables={"t": path}
+    ).collect()
+    assert [(r.col_name, r.data_type, r.physical_name) for r in rows] == [
+        ("k", "bigint", "k"), ("amount", "bigint", "v"),
+    ]
