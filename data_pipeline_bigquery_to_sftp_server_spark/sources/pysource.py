@@ -268,6 +268,103 @@ def _cdf_read_dir(d: str, fs=None):
     return rows
 
 
+def _cdf_prev_live_rows(
+    path: str, pv: int, bucket: int, key: str, changed_keys, fs
+) -> dict:
+    """{key value -> row dict} of ``bucket``'s live rows at version
+    ``pv``, restricted to ``changed_keys`` — the OLD images the delta
+    change vocabulary needs (update_preimage / delete-with-values).
+    Mirror of the Spark read path in pure pyarrow (runs driver-side in
+    the simple tier, EXECUTOR-side in the partitioned tier): manifest
+    rows name the bucket's live (gen) directories (ext-aware for
+    clones), the version's DV supplies live_gen, and a row survives
+    iff its gen >= live_gen with the newest-gen copy winning. Memory
+    is O(|changed keys in the bucket|) — rows outside the change set
+    are dropped as they stream by. Only the changed BUCKET's
+    directories are ever opened — the same pruning the forward read
+    does."""
+    import pyarrow.parquet as pq
+
+    changed = set(changed_keys)
+    if not changed:
+        return {}
+    man_rows: list = []
+    for i in _fs_ls(fs, f"{path}/_manifest/v={pv}"):
+        if i.base_name.endswith(".parquet"):
+            with fs.open_input_file(i.path) as fh:
+                man_rows.extend(pq.read_table(fh).to_pylist())
+    lg: dict = {}
+    dv_dir = f"{path}/_dv/v={pv}"
+    bdir = f"{dv_dir}/_kr={bucket}"
+    if _fs_isdir(fs, bdir):
+        for i in _fs_ls(fs, bdir):
+            if i.base_name.endswith(".parquet"):
+                t = pq.read_table(i.path, filesystem=fs)
+                for r in t.to_pylist():
+                    lg[r[key]] = r["live_gen"]
+    elif _fs_isdir(fs, dv_dir):
+        for i in _fs_ls(fs, dv_dir):
+            if not i.base_name.endswith(".parquet"):
+                continue
+            t = pq.read_table(
+                i.path, filters=[("_kr", "==", bucket)], filesystem=fs
+            )
+            for r in t.to_pylist():
+                lg[r[key]] = r["live_gen"]
+    best_gen: dict = {}
+    out: dict = {}
+    for r in man_rows:
+        if r.get("_kr") != bucket:
+            continue
+        g = r["gen"]
+        root = r.get("ext") or f"{path}/data"
+        for row in _cdf_read_dir(f"{root}/_kr={bucket}/_gen={g}", fs):
+            k = row[key]
+            if k not in changed:
+                continue
+            live_gen = lg.get(k)
+            if live_gen is not None and g < live_gen:
+                continue  # superseded copy
+            if k not in best_gen or g > best_gen[k]:
+                best_gen[k] = g
+                out[k] = row
+    return out
+
+
+def _cdf_delta_rows(
+    path: str,
+    v: int,
+    pv: int,
+    bucket: int,
+    key: str,
+    cols: list[str],
+    changed_keys,
+    fresh: dict,
+    fs,
+):
+    """Classify one (version, bucket) change slice into Delta CDF's
+    full ``_change_type`` vocabulary: insert / update_preimage /
+    update_postimage / delete-carrying-old-values. A delete of a key
+    that never existed emits nothing (no image) — the one documented
+    divergence from the collapsed two-op feed, matching the batch
+    table_changes(change_format='delta')."""
+    prev = _cdf_prev_live_rows(path, pv, bucket, key, changed_keys, fs)
+    for k in changed_keys:
+        old, new = prev.get(k), fresh.get(k)
+        if new is not None and old is None:
+            yield tuple([new.get(c) for c in cols] + ["insert", v])
+        elif new is not None and old is not None:
+            yield tuple(
+                [old.get(c) for c in cols] + ["update_preimage", v]
+            )
+            yield tuple(
+                [new.get(c) for c in cols] + ["update_postimage", v]
+            )
+        elif old is not None:
+            yield tuple([old.get(c) for c in cols] + ["delete", v])
+        # neither: phantom delete — no image, nothing to emit
+
+
 def _cdf_schema_mapping(path: str, fs=None) -> dict | None:
     """Driver-side pyarrow mirror of merge._schema_as_of at the TIP
     (r16 column mapping): the latest committed ``v=<n>.schema``
@@ -471,10 +568,22 @@ class VersionedCdfDataSource(DataSource):
             return [e["physical"] for e in sch["columns"]]
         return [n for n, _ in self._data_cols()]
 
+    def _change_format(self) -> str:
+        raw = str(self.options.get("change_format", "collapsed")).lower()
+        if raw not in ("collapsed", "delta"):
+            raise ValueError(
+                "versioned_cdf: change_format must be 'collapsed' or "
+                f"'delta', got {raw!r}"
+            )
+        return raw
+
     def schema(self) -> str:
         cols = self._data_cols()
+        tag = (
+            "_change_type" if self._change_format() == "delta" else "_op"
+        )
         return ", ".join(
-            [f"{n} {t}" for n, t in cols] + ["_op string", "_version bigint"]
+            [f"{n} {t}" for n, t in cols] + [f"{tag} string", "_version bigint"]
         )
 
     def streamReader(self, schema: StructType):
@@ -499,6 +608,7 @@ class VersionedCdfDataSource(DataSource):
             self._starting_ts(),
             fs,
             self._max_bytes(),
+            self._change_format(),
         )
 
     def _starting_version(self) -> int | None:
@@ -567,6 +677,7 @@ class VersionedCdfDataSource(DataSource):
             self._starting_ts(),
             fs,
             self._max_bytes(),
+            self._change_format(),
         )
 
 
@@ -630,6 +741,7 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         start_ts: int | None = None,
         fs=None,
         max_bytes: int | None = None,
+        change_format: str = "collapsed",
     ):
         self.path = path
         self.key = key
@@ -639,6 +751,7 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         self.start_ts = start_ts
         self.fs = fs if fs is not None else _cdf_resolve_fs(path)[0]
         self.max_bytes = max_bytes
+        self.change_format = change_format
 
     def initialOffset(self) -> dict:
         # the table's first committed version — the bootstrap snapshot
@@ -655,7 +768,8 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
 
     def _changes(self, after: int, through: int):
         fs = self.fs
-        for v in _cdf_committed_versions(self.path, fs):
+        versions = _cdf_committed_versions(self.path, fs)
+        for v in versions:
             if not (after < v <= through):
                 continue
             # planning first (sidecar / directory listing / streamed
@@ -676,6 +790,35 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
             changed = [r for r in dv if r.get("live_gen") == v]
             if not changed:
                 continue  # structural commit (compact/COW/restore): silent
+            if self.change_format == "delta":
+                # Delta's full vocabulary: classify per bucket against
+                # the bucket's live state at the PREVIOUS version (the
+                # preimage read opens only changed buckets' dirs)
+                pv = versions[versions.index(v) - 1]
+                for b in buckets:
+                    fresh_b: dict = {}
+                    for r in _cdf_read_dir(
+                        f"{self.path}/data/_kr={b}/_gen={v}", fs
+                    ):
+                        fresh_b[r[self.key]] = r
+                    bdir = f"{self.path}/_dv/v={v}/_kr={b}"
+                    if _fs_isdir(fs, bdir):
+                        keys_b = [
+                            r[self.key]
+                            for r in _cdf_read_dir(bdir, fs)
+                            if r.get("live_gen") == v
+                        ]
+                    else:  # flat legacy DV: this bucket's slice
+                        keys_b = [
+                            r[self.key]
+                            for r in dv
+                            if r.get("live_gen") == v and r.get("_kr") == b
+                        ]
+                    yield from _cdf_delta_rows(
+                        self.path, v, pv, b, self.key, self.cols,
+                        keys_b, fresh_b, fs,
+                    )
+                continue
             fresh: dict = {}
             # bucket-locality: a changed key's fresh copy can only be
             # in its own bucket's _gen=<v> directory
@@ -774,6 +917,8 @@ class CdfPartition(InputPartition):
         version: int,
         bucket: int,
         fs=None,
+        prev_version: int | None = None,
+        change_format: str = "collapsed",
     ) -> None:
         self.path = path
         self.key = key
@@ -781,6 +926,8 @@ class CdfPartition(InputPartition):
         self.version = version
         self.bucket = bucket
         self.fs = fs
+        self.prev_version = prev_version
+        self.change_format = change_format
 
 
 def _cdf_commit_sidecar(path: str, version: int, fs=None) -> dict | None:
@@ -935,6 +1082,7 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         start_ts: int | None = None,
         fs=None,
         max_bytes: int | None = None,
+        change_format: str = "collapsed",
     ):
         self.path = path
         self.key = key
@@ -944,6 +1092,7 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         self.start_ts = start_ts
         self.fs = fs if fs is not None else _cdf_resolve_fs(path)[0]
         self.max_bytes = max_bytes
+        self.change_format = change_format
         # admission control needs the stream's current position. One
         # long-lived reader instance serves every protocol call
         # (python_streaming_source_runner), and the engine always
@@ -986,13 +1135,19 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         if self._planned is None or self._planned < planned:
             self._planned = planned
         parts = []
-        for v in _cdf_committed_versions(self.path, self.fs):
+        versions = _cdf_committed_versions(self.path, self.fs)
+        for v in versions:
             if not (start["version"] < v <= end["version"]):
                 continue
+            # the PREVIOUS committed version — the preimage snapshot
+            # the delta vocabulary classifies against (v is never the
+            # first version: the bootstrap/fork commit is silent)
+            pv = versions[versions.index(v) - 1]
             for b in _cdf_changed_buckets(self.path, v, self.fs):
                 parts.append(
                     CdfPartition(
-                        self.path, self.key, self.cols, v, b, self.fs
+                        self.path, self.key, self.cols, v, b, self.fs,
+                        pv, self.change_format,
                     )
                 )
         # structural-only ranges (compaction, restore) plan zero
@@ -1048,6 +1203,16 @@ class VersionedCdfPartitionedReader(DataSourceStreamReader):
         fresh: dict = {}
         for r in _cdf_read_dir(f"{path}/data/_kr={b}/_gen={v}", fs):
             fresh[r[key]] = r
+        if partition.change_format == "delta":
+            # EXECUTOR-side preimage read: only THIS bucket's live
+            # state at the previous version, restricted to its
+            # changed keys — the backfill case never lands a change
+            # set in driver memory in either vocabulary
+            yield from _cdf_delta_rows(
+                path, v, partition.prev_version, b, key, cols,
+                [r[key] for r in changed], fresh, fs,
+            )
+            return
         for r in changed:
             k = r[key]
             if k in fresh:

@@ -4295,3 +4295,66 @@ def test_merge_with_schema_evolution(spark, tmp_path):
     # declared types recorded: DESCRIBE-able via table_schema
     sch = {e["logical"]: e["type"] for e in merge.table_schema(spark, path)}
     assert sch["region"] == "string" and sch["score"] == "bigint"
+
+
+def test_cdf_stream_delta_change_format(spark, tmp_path):
+    """r16 — the streaming CDF source speaks Delta's full change
+    vocabulary too: ``.option("change_format", "delta")`` emits
+    insert / update_preimage / update_postimage /
+    delete-carrying-old-values in BOTH reader tiers, byte-equal to the
+    batch ``table_changes(change_format='delta')`` feed; the
+    partitioned tier derives each bucket's preimages EXECUTOR-side
+    from that bucket's live state at v-1 (no driver materialization)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.sources.pysource import (
+        register_versioned_cdf,
+    )
+
+    register_versioned_cdf(spark)
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 21)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    # v1: mixed MERGE (update k=3, insert k=99, delete k=4)
+    merge.merge_arms_versioned_dv(
+        spark, path,
+        spark.createDataFrame(
+            [(3, 333), (99, 990), (4, 0)], "k long, v long"
+        ),
+        "k",
+        matched=[("s.v = 0", "delete"), (None, "update", None)],
+        not_matched=[(None, "insert")],
+    )
+    # v2: pure delete incl. a phantom key
+    merge.delete_versioned(
+        spark, path, spark.createDataFrame([(7,), (999,)], "k long"), "k"
+    )
+    want = sorted(
+        map(tuple, merge.table_changes(
+            spark, path, 0, change_format="delta"
+        ).collect()),
+        key=repr,
+    )
+    assert len(want) == 5  # 4 at v1 + 1 real delete at v2 (no phantom)
+    for tier in ("partitioned", "simple"):
+        out = str(tmp_path / f"o_{tier}")
+        ck = str(tmp_path / f"c_{tier}")
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", path)
+            .option("reader", tier)
+            .option("change_format", "delta")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            map(tuple, spark.read.parquet(out).collect()), key=repr
+        )
+        assert got == want, (tier, got)
