@@ -1416,6 +1416,7 @@ def add_column(
     name: str,
     dtype: str,
     writer: str | None = None,
+    generated_as: str | None = None,
 ) -> int:
     """ALTER TABLE ... ADD COLUMN — metadata-only: existing rows read
     as typed NULL until a later write materializes the column. The
@@ -1423,7 +1424,16 @@ def add_column(
     taken or retired (re-adding a dropped name), in which case a
     suffixed fresh physical prevents resurrecting old file data —
     Delta's GUID physical names solve the same problem. Returns the
-    new version."""
+    new version.
+
+    ``generated_as`` (r16 — Delta's GENERATED ALWAYS AS): a SQL
+    expression over the table's logical columns. Every LATER write
+    computes the column when the batch omits it and VALIDATES a
+    supplied value against the expression (mismatch raises, Delta's
+    rule). Existing rows are NOT backfilled — they read as NULL until
+    rewritten — the documented divergence from Delta, which only
+    allows generated columns at CREATE and therefore never faces the
+    question."""
     sch = _schema_as_of(spark, path) or _schema_snapshot(spark, path)
     logicals = [e["logical"] for e in sch["columns"]]
     if name in logicals:
@@ -1440,14 +1450,29 @@ def add_column(
     phys = name
     while phys in taken:
         phys = f"{phys}__p"
+    entry = {"logical": name, "physical": phys, "type": str(dtype)}
+    if generated_as is not None:
+        try:  # the expression must at least parse over the schema
+            spark.range(0).select(
+                *[
+                    F.lit(None).cast(e["type"]).alias(e["logical"])
+                    for e in sch["columns"]
+                ]
+            ).select(F.expr(str(generated_as))).schema
+        except Exception:
+            raise ValueError(
+                f"add_column: cannot evaluate GENERATED expression "
+                f"{generated_as!r} over the table's columns"
+            )
+        entry["generated_as"] = str(generated_as)
     doc = {
-        "columns": list(sch["columns"])
-        + [{"logical": name, "physical": phys, "type": str(dtype)}],
+        "columns": list(sch["columns"]) + [entry],
         "retired": list(sch.get("retired", [])),
     }
     return _alter_schema_commit(
         spark, path, doc, writer,
         action="ADD COLUMN", added=name, type=str(dtype),
+        generated=bool(generated_as),
     )
 
 
@@ -1467,6 +1492,31 @@ def _auto_evolve_schema(
         if f.name in logicals or f.name in ("_kr", "_gen"):
             continue
         add_column(spark, path, f.name, f.dataType.simpleString())
+
+
+def _apply_generated(df: DataFrame, sch: dict | None, what: str) -> DataFrame:
+    """GENERATED ALWAYS AS enforcement at the write boundary (logical
+    space): compute each generated column the batch omits; validate a
+    supplied value against its expression and raise on mismatch
+    (Delta's rule — a generated column cannot silently diverge). One
+    tiny count job per supplied-and-generated column; zero jobs in the
+    common omit case."""
+    if sch is None:
+        return df
+    for e in sch["columns"]:
+        expr = e.get("generated_as")
+        if not expr:
+            continue
+        c = e["logical"]
+        computed = F.expr(expr).cast(e["type"])
+        if c not in df.columns:
+            df = df.withColumn(c, computed)
+        elif df.where(~F.col(c).eqNullSafe(computed)).limit(1).count():
+            raise ValueError(
+                f"{what}: column {c!r} is GENERATED ALWAYS AS ({expr}) "
+                "and the batch supplies a value that does not match it"
+            )
+    return df
 
 
 def table_schema(spark: SparkSession, path: str) -> list[dict]:
@@ -1797,6 +1847,7 @@ def upsert_versioned(
     # r16 column mapping: logical batch -> frozen physical file names
     sch = _schema_as_of(spark, target_path)
     if sch is not None:
+        staging = _apply_generated(staging, sch, "upsert_versioned")
         staging = _to_physical(staging, sch, "upsert_versioned")
         key = _phys_name(sch, key)
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
@@ -1974,6 +2025,7 @@ def upsert_versioned_dv(
         v = _list_versions(spark, f"{target_path}/_manifest")[-1]
     sch = _schema_as_of(spark, target_path)
     if sch is not None:
+        staging = _apply_generated(staging, sch, "upsert_versioned_dv")
         staging = _to_physical(staging, sch, "upsert_versioned_dv")
         key = _phys_name(sch, key)
     manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
@@ -2294,6 +2346,16 @@ def merge_arms_versioned_dv(
     fresh = resolved.where(
         F.col("_arm").isin(list(update_arms) + insert_codes)
     ).drop("_arm").withColumn("_gen", F.lit(v + 1).cast("long"))
+    # GENERATED columns recompute over the POST-arm rows (an update
+    # arm changing an input column must refresh the generated value —
+    # supplied staging values were already folded in by the arms)
+    if sch is not None and any(e.get("generated_as") for e in sch["columns"]):
+        for e in sch["columns"]:
+            if e.get("generated_as"):
+                fresh = fresh.withColumn(
+                    e["logical"],
+                    F.expr(e["generated_as"]).cast(e["type"]),
+                )
     # logical -> frozen physical names for everything that lands on
     # disk (files, DV, manifest stats); `fresh` itself stays logical
     # for the returned frame

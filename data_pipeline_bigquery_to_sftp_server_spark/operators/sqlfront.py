@@ -33,6 +33,7 @@ Supported grammar (one statement per call, ``;`` optional)::
     ALTER TABLE <table> DROP CONSTRAINT [IF EXISTS] <name>
     ALTER TABLE <table> RENAME COLUMN <old> TO <new>
     ALTER TABLE <table> ADD COLUMN <name> <type>
+        [GENERATED ALWAYS AS (<expr>)]
     ALTER TABLE <table> DROP COLUMN <name>
         (r16 column mapping, Delta name mode: metadata-only commits —
         files keep frozen physical names, readers project the logical
@@ -696,7 +697,11 @@ def lakehouse_sql(
         return rename_column(
             spark, _resolve_table(m.group(1), tables), m.group(2), m.group(3)
         )
-    m = re.match(r"(?i)^ALTER TABLE (\S+) ADD COLUMN (\w+) ([\w(), ]+)$", s)
+    m = re.match(
+        r"(?i)^ALTER TABLE (\S+) ADD COLUMN (\w+) ([\w(), ]+?)"
+        r"(?: GENERATED ALWAYS AS \((.+)\))?$",
+        s,
+    )
     if m:
         from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
             add_column,
@@ -707,6 +712,7 @@ def lakehouse_sql(
             _resolve_table(m.group(1), tables),
             m.group(2),
             m.group(3).strip(),
+            generated_as=m.group(4),
         )
     m = re.match(r"(?i)^ALTER TABLE (\S+) DROP COLUMN (\w+)$", s)
     if m:

@@ -4358,3 +4358,65 @@ def test_cdf_stream_delta_change_format(spark, tmp_path):
             map(tuple, spark.read.parquet(out).collect()), key=repr
         )
         assert got == want, (tier, got)
+
+
+def test_generated_columns(spark, tmp_path):
+    """r16 — GENERATED ALWAYS AS on the mapping layer: later writes
+    compute the column when omitted, validate (and raise) when a
+    supplied value diverges, and the arms tier recomputes over the
+    POST-arm rows so an update refreshing an input column refreshes
+    the generated value with it."""
+    import pytest
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 11)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    lakehouse_sql(
+        spark,
+        "ALTER TABLE t ADD COLUMN v2 bigint GENERATED ALWAYS AS (v * 2)",
+        tables={"t": path},
+    )
+    # omitted -> computed
+    merge.upsert_versioned_dv(
+        spark, path, spark.createDataFrame([(3, 7)], "k long, v long"), "k"
+    )
+    got = {
+        (r.k): (r.v, r.v2)
+        for r in merge.read_version(spark, path)
+        .where(F.col("k") == 3)
+        .collect()
+    }
+    assert got[3] == (7, 14)
+    # supplied-and-matching passes; diverging raises
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(4, 5, 10)], "k long, v long, v2 long"), "k",
+    )
+    with pytest.raises(ValueError, match="GENERATED"):
+        merge.upsert_versioned_dv(
+            spark, path,
+            spark.createDataFrame([(5, 5, 99)], "k long, v long, v2 long"),
+            "k",
+        )
+    # arms tier: an UPDATE that changes v refreshes v2
+    out = merge.merge_arms_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(4, 100)], "k long, v long"), "k",
+        matched=[(None, "update", None)],
+    )
+    assert out.n_updated == 1
+    row = (
+        merge.read_version(spark, path).where(F.col("k") == 4).collect()[0]
+    )
+    assert (row.v, row.v2) == (100, 200)
+    # a bad expression is rejected at DDL time
+    with pytest.raises(ValueError, match="GENERATED|evaluate"):
+        merge.add_column(spark, path, "bad", "long", generated_as="nope(")
