@@ -263,6 +263,18 @@ HEADLINE = [
     "incremental_optimize",
     "sql_update_delete",
     "table_changes_batch",
+    # r16: persisted table metadata + key-free SQL DML; OPTIMIZE ZORDER
+    # BY; timestamp-endpoint batch CDF; disjoint-bucket concurrent
+    # commits; SQL CTAS/INSERT; Delta-vocabulary batch CDF; column
+    # mapping; REORG PURGE
+    "sql_table_meta",
+    "optimize_zorder_sql",
+    "table_changes_ts",
+    "concurrent_commits",
+    "sql_ctas_insert",
+    "table_changes_delta",
+    "column_mapping",
+    "reorg_purge",
 ]
 
 

@@ -19,6 +19,16 @@ as the regression sentinel for the pyarrow-fs routing (r16 moved
 every CDF path onto the FileSystem layer — the abstraction must not
 bend the r15 curve).
 
+Late-r16 additions: sql_ctas_insert (SQL bootstrap + keyed INSERT —
+curve tracks the CTAS input); table_changes_delta (delta-vocabulary
+batch CDF: one pruned v-1 read of the CHANGED buckets per version —
+the curve tracks the change sets, not the table); column_mapping (a
+9-version DDL lifecycle whose schema commits are O(manifest) — the
+curve must track only the three MOR writes riding along);
+reorg_purge (DV-debt purge: O(debt buckets) rewrite — the curve
+tracks the churned key range, and the clean-bucket mtime pin in
+test_merge is the no-superlinear-term witness).
+
 Usage: python tools/scale_r16.py [query ...]
 """
 
@@ -40,6 +50,10 @@ DEFAULT = [
     "table_changes_ts",
     "concurrent_commits",
     "streaming_cdf",
+    "sql_ctas_insert",
+    "table_changes_delta",
+    "column_mapping",
+    "reorg_purge",
 ]
 SF_DIRS = [
     "/root/testdata/sf0.001",
