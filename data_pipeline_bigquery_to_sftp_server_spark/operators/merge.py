@@ -2220,6 +2220,7 @@ def merge_arms_versioned_dv(
     writer: str | None = None,
     commit_meta: str | None = None,
     auto_evolve: bool = False,
+    admit_disjoint: bool = False,
 ) -> DataFrame:
     """Conditional multi-arm MERGE committed merge-on-read (r12
     verdict #5, DV tier): same arm surface as merge_arms, but against
@@ -2342,7 +2343,37 @@ def merge_arms_versioned_dv(
     n_updated = sum(counts.get(c, 0) for c in update_arms)
     n_deleted = sum(counts.get(c, 0) for c in delete_codes)
     n_inserted = sum(counts.get(c, 0) for c in insert_codes)
-    _begin_commit(spark, target_path, v + 1, writer or _unique_writer())
+    # ``admit_disjoint`` (r16): the same conflict resolution the plain
+    # DV upsert ships — SOUND here too because the arms only read the
+    # TOUCHED buckets' live rows, and an admissible winner (MOR
+    # MERGE / DELETE over disjoint buckets) neither changed those rows
+    # nor moved a cutpoint, so `resolved` (computed pre-gate) is still
+    # exactly what a serial execution would produce; the DV union
+    # below re-reads the winner's committed state.
+    admitted_over: list[int] = []
+    writer = writer or _unique_writer()
+    while True:
+        try:
+            _begin_commit(spark, target_path, v + 1, writer)
+            break
+        except ConcurrentWriteError:
+            if not admit_disjoint:
+                raise
+            if not _wait_for_commit(spark, target_path, v + 1):
+                raise  # crashed holder: rebase/rollback path decides
+            win = _commit_op_payload(spark, target_path, v + 1) or {}
+            op_name = win.get("operation")
+            tier = (win.get("parameters") or {}).get("tier")
+            cb = win.get("changed_buckets")
+            admissible = (
+                op_name == "DELETE" or (op_name == "MERGE" and tier == "mor")
+            )
+            if not admissible or cb is None or set(cb) & set(touched):
+                raise
+            admitted_over.append(v + 1)
+            v = v + 1
+            # the winner may have appended manifest rows in ITS buckets
+            manifest = spark.read.parquet(f"{target_path}/_manifest/v={v}")
     fresh = resolved.where(
         F.col("_arm").isin(list(update_arms) + insert_codes)
     ).drop("_arm").withColumn("_gen", F.lit(v + 1).cast("long"))
@@ -2425,6 +2456,7 @@ def merge_arms_versioned_dv(
     out = fresh.drop("_gen")
     out.version = v + 1
     out.touched_buckets = touched
+    out.admitted_over = admitted_over
     out.n_updated = int(n_updated)
     out.n_deleted = int(n_deleted)
     out.n_inserted = int(n_inserted)
@@ -2573,6 +2605,15 @@ def compact_table(
             c for c in zorder_by if c not in stats_cols and c != key
         ]
     live = read_version(spark, path, v, physical=True)  # DV-resolved
+    # DROPped columns' retired physicals are scrubbed by any full
+    # rewrite (r16 — Delta's REORG column purge): time travel to
+    # pre-drop versions still reads the OLD generations, which keep
+    # the bytes until vacuum
+    retired = [
+        c for c in (sch or {}).get("retired", []) if c in live.columns
+    ]
+    if retired:
+        live = live.drop(*retired)
     _begin_commit(spark, path, v + 1, writer or _unique_writer())
     compacted = (
         live.drop("_gen")
@@ -2770,7 +2811,8 @@ def purge_deletion_vectors(
     point_cols = _point_cols_of(manifest)
     bloom_bits = _bloom_bits_of(manifest, point_cols) if point_cols else 0
     # rewrites land under frozen PHYSICAL names (r16 column mapping)
-    key = _phys_name(_schema_as_of(spark, path, v), key)
+    sch = _schema_as_of(spark, path, v)
+    key = _phys_name(sch, key)
     dv = _read_dv(spark, path, v)
     if dv is None:
         manifest.version = v
@@ -2785,6 +2827,12 @@ def purge_deletion_vectors(
         _read_gen_dirs(spark, path, [r for r in rows if r._kr in set(debt)]),
         dv,
     )
+    # rewritten buckets scrub DROPped columns' retired physicals too
+    retired = [
+        c for c in (sch or {}).get("retired", []) if c in data.columns
+    ]
+    if retired:
+        data = data.drop(*retired)
     fresh = (
         data.drop("_gen")
         .withColumn("_gen", F.lit(v + 1).cast("long"))

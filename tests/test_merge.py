@@ -4420,3 +4420,120 @@ def test_generated_columns(spark, tmp_path):
     # a bad expression is rejected at DDL time
     with pytest.raises(ValueError, match="GENERATED|evaluate"):
         merge.add_column(spark, path, "bad", "long", generated_as="nope(")
+
+
+def test_arms_disjoint_bucket_admission(spark, tmp_path):
+    """r16 — the conditional-arms committer ships the same
+    non-conflicting-transaction admission as the plain DV upsert:
+    sound because the arms read ONLY the touched buckets' live rows,
+    which an admissible disjoint winner by definition left untouched.
+    The merged table equals sequential application including arm
+    classification (update + insert + delete), and overlap still
+    raises."""
+    import threading
+    import time
+
+    import pytest
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 41)], "k long, v long"
+        ),
+        "k", path, n_buckets=4,
+    )
+    merge._begin_commit(spark, path, 1, "writer-A")
+    res: dict = {}
+
+    def loser():
+        try:
+            res["out"] = merge.merge_arms_versioned_dv(
+                spark, path,
+                spark.createDataFrame(
+                    [(35, -1), (38, 2), (44, 7)], "k long, v long"
+                ),
+                "k",
+                matched=[("s.v = -1", "delete"), (None, "update", None)],
+                not_matched=[(None, "insert")],
+                writer="writer-B", admit_disjoint=True,
+            )
+        except Exception as e:
+            res["err"] = e
+
+    t = threading.Thread(target=loser)
+    t.start()
+    time.sleep(1.5)
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(2, 100)], "k long, v long"),
+        "k", writer="writer-A",
+    )
+    t.join(90)
+    assert not t.is_alive() and "err" not in res, res.get("err")
+    out = res["out"]
+    assert out.version == 2 and out.admitted_over == [1]
+    assert (out.n_deleted, out.n_updated, out.n_inserted) == (1, 1, 1)
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    want = {i: i * 10 for i in range(1, 41)}
+    want[2] = 100          # the winner's upsert
+    del want[35]           # B's delete arm
+    want[38] = 2           # B's update arm
+    want[44] = 7           # B's insert arm
+    assert live == want
+    assert merge._commit_changed_buckets(spark, path, 2) == [3]
+    # overlap: the winner touches B2's bucket -> rebase error
+    merge._begin_commit(spark, path, 3, "writer-C")
+
+    def overlap():
+        try:
+            res["out2"] = merge.merge_arms_versioned_dv(
+                spark, path,
+                spark.createDataFrame([(3, 1)], "k long, v long"), "k",
+                matched=[(None, "update", None)],
+                writer="writer-D", admit_disjoint=True,
+            )
+        except Exception as e:
+            res["err2"] = e
+
+    t2 = threading.Thread(target=overlap)
+    t2.start()
+    time.sleep(1.5)
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(4, 9)], "k long, v long"),
+        "k", writer="writer-C",
+    )  # bucket 0 — overlaps D's key 3
+    t2.join(90)
+    assert not t2.is_alive()
+    assert isinstance(res.get("err2"), merge.ConcurrentWriteError)
+
+
+def test_rewrites_scrub_retired_physicals(spark, tmp_path):
+    """r16 — full compaction and REORG PURGE scrub DROPped columns'
+    retired physical bytes from the generations they rewrite (Delta's
+    REORG column purge), while pre-drop versions still time-travel
+    with the column until vacuumed."""
+    import pyarrow.parquet as pq
+    import os
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10, f"s{i}") for i in range(1, 21)],
+            "k long, v long, junk string",
+        ),
+        "k", path, n_buckets=2,
+    )
+    merge.drop_column(spark, path, "junk")  # v1
+    merge.compact_table(spark, path, "k")  # v2: full rewrite
+    # the rewritten generation's parquet files no longer carry `junk`
+    for b in os.listdir(f"{path}/data"):
+        d = f"{path}/data/{b}/_gen=2"
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    names = pq.read_schema(f"{d}/{f}").names
+                    assert "junk" not in names, names
+    # pre-drop time travel still serves the column from old files
+    assert "junk" in merge.read_version(spark, path, 0).columns
+    assert "junk" not in merge.read_version(spark, path).columns
