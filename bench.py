@@ -275,6 +275,7 @@ HEADLINE = [
     "table_changes_delta",
     "column_mapping",
     "reorg_purge",
+    "schema_evolution_merge",
 ]
 
 

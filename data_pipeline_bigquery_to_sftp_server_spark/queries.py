@@ -15473,6 +15473,95 @@ ORDER BY scene
 """
 
 
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2d/J2e composite (r16), ORACLE-CHECKED: MERGE WITH SCHEMA
+    EVOLUTION + GENERATED ALWAYS AS working together under a declared
+    mapping. The lifecycle: bootstrap -> rename (mapping in force) ->
+    add a GENERATED cents-bucket column -> a MERGE WITH SCHEMA
+    EVOLUTION whose staging carries a brand-new ``src`` column (auto
+    ADD COLUMN) while the generated column recomputes over the
+    POST-arm rows — update arms refresh it, inserts compute it, and
+    rows untouched by the merge keep NULL (added columns are not
+    backfilled, the documented divergence). Every value is replayed by
+    the oracle (operators/merge.py _auto_evolve_schema /
+    _apply_generated; row-level pins in test_merge)."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("schevo_")
+    merge.versioned_layout_write(o, "k", path, n_buckets=8)
+    merge.rename_column(spark, path, "cents", "amount")
+    lakehouse_sql(
+        spark,
+        "ALTER TABLE t ADD COLUMN band bigint "
+        "GENERATED ALWAYS AS (amount % 97)",
+        tables={"t": path},
+    )
+    staged = (
+        o.where(F.col("k") % 40 == 0)
+        .select(
+            "k",
+            (F.col("cents") + 11).alias("amount"),
+            F.lit("upd").alias("src"),
+        )
+        .unionByName(
+            o.where(F.col("k") % 90 == 0).select(
+                (F.col("k") + 80_000_000).alias("k"),
+                F.lit(500).cast("long").alias("amount"),
+                F.lit("new").alias("src"),
+            )
+        )
+    )
+    lakehouse_sql(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING src ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": path},
+        staging=staged,
+    )
+    return (
+        merge.read_version(spark, path)
+        .groupBy(F.coalesce(F.col("src"), F.lit("base")).alias("src"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount").alias("sum_amount"),
+            F.sum("band").alias("sum_band"),
+        )
+        .orderBy("src")
+    )
+
+
+_ORACLE_SCHEMA_EVOLUTION_MERGE = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), upd AS (SELECT k, cents + 11 AS amount FROM o WHERE k % 40 = 0),
+ins AS (SELECT k + 80000000 AS k, CAST(500 AS BIGINT) AS amount
+        FROM o WHERE k % 90 = 0),
+base AS (SELECT k, cents AS amount FROM o WHERE k % 40 != 0)
+SELECT 'base' AS src, count(*) AS n,
+       CAST(sum(amount) AS BIGINT) AS sum_amount,
+       CAST(NULL AS BIGINT) AS sum_band
+FROM base
+UNION ALL
+SELECT 'new', count(*), CAST(sum(amount) AS BIGINT),
+       CAST(sum(amount % 97) AS BIGINT)
+FROM ins
+UNION ALL
+SELECT 'upd', count(*), CAST(sum(amount) AS BIGINT),
+       CAST(sum(amount % 97) AS BIGINT)
+FROM upd
+ORDER BY src
+"""
+
+
 def q_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2c REORG TABLE ... APPLY (PURGE) (r16), ORACLE-CHECKED:
     Delta's deletion-vector purge — rewrite ONLY the buckets carrying
@@ -15663,6 +15752,7 @@ QUERIES: dict[str, QueryFn] = {
     "table_changes_delta": q_table_changes_delta,
     "column_mapping": q_column_mapping,
     "reorg_purge": q_reorg_purge,
+    "schema_evolution_merge": q_schema_evolution_merge,
     # latest attestation r10:
     "asof_forward": q_asof_forward,
     "bpe_encode_fast": q_bpe_encode_fast,
@@ -16255,5 +16345,6 @@ ORACLES: dict[str, str] = {
     "table_changes_delta": _ORACLE_TABLE_CHANGES_DELTA,
     "column_mapping": _ORACLE_COLUMN_MAPPING,
     "reorg_purge": _ORACLE_REORG_PURGE,
+    "schema_evolution_merge": _ORACLE_SCHEMA_EVOLUTION_MERGE,
     "concurrent_commits": _ORACLE_CONCURRENT_COMMITS,
 }
