@@ -357,6 +357,23 @@ def _parse_merge_arms(tail: str):
     return matched, not_matched
 
 
+
+def _generated_cols(spark: SparkSession, path: str) -> set:
+    """Logical names of GENERATED ALWAYS AS columns (empty for tables
+    with no mapping) — SQL DML must leave these to the committer's
+    recompute instead of materializing stale or NULL values."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+        _schema_as_of,
+    )
+
+    sch = _schema_as_of(spark, path)
+    if sch is None:
+        return set()
+    return {
+        e["logical"] for e in sch["columns"] if e.get("generated_as")
+    }
+
+
 def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
     """Delta's ``DESCRIBE DETAIL`` shape for the versioned table: ONE
     row of physical metadata, all of it from the commit log + driver
@@ -606,12 +623,17 @@ def lakehouse_sql(
                 f"lakehouse_sql: INSERT must provide the merge key {k!r}"
             )
         bound = src.toDF(*names)
+        # GENERATED columns the statement does not provide are left
+        # ABSENT (the committer computes them); explicit NULL-fill
+        # would trip generated-value validation
+        gen = _generated_cols(spark, path)
         staged = bound.select(
             *[
                 F.col(c).cast(live.schema[c].dataType).alias(c)
                 if c in names
                 else F.lit(None).cast(live.schema[c].dataType).alias(c)
                 for c in cols
+                if c in names or c not in gen
             ]
         )
         return upsert_versioned_dv(spark, path, staged, k)
@@ -792,6 +814,14 @@ def lakehouse_sql(
                 f"({k!r}) — MERGE INTO with an insert arm expresses "
                 "re-keying"
             )
+        gen = _generated_cols(spark, path)
+        bad_gen = sorted(set(sets) & gen)
+        if bad_gen:
+            raise ValueError(
+                f"lakehouse_sql: column(s) {bad_gen} are GENERATED "
+                "ALWAYS AS and computed automatically — SET their "
+                "input columns instead (Delta blocks this the same way)"
+            )
         live = read_version(spark, path)
         cols = [c for c in live.columns if c not in ("_kr", "_gen")]
         unknown = sorted(set(sets) - set(cols))
@@ -811,7 +841,10 @@ def lakehouse_sql(
                 F.expr(sets[c]).cast(live.schema[c].dataType).alias(c)
                 if c in sets
                 else F.col(c)
+                # GENERATED columns recompute in the committer — a
+                # SET changing their inputs must refresh them
                 for c in cols
+                if c not in gen
             ]
         )
         return upsert_versioned_dv(spark, path, staged, k)

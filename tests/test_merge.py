@@ -4537,3 +4537,39 @@ def test_rewrites_scrub_retired_physicals(spark, tmp_path):
     # pre-drop time travel still serves the column from old files
     assert "junk" in merge.read_version(spark, path, 0).columns
     assert "junk" not in merge.read_version(spark, path).columns
+
+
+def test_generated_columns_sql_dml(spark, tmp_path):
+    """r16 — generated columns x SQL DML: UPDATE of an input column
+    refreshes the generated value (the rewrite leaves it to the
+    committer's recompute), SET of the generated column itself is
+    rejected (Delta's rule), and INSERT without it computes it."""
+    import pytest
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 11)], "k long, v long"
+        ),
+        "k", path, n_buckets=2,
+    )
+    tables = {"t": path}
+    lakehouse_sql(
+        spark,
+        "ALTER TABLE t ADD COLUMN v2 bigint GENERATED ALWAYS AS (v * 2)",
+        tables=tables,
+    )
+    lakehouse_sql(spark, "UPDATE t SET v = 7 WHERE k = 3", tables=tables)
+    row = merge.read_version(spark, path).where(F.col("k") == 3).collect()[0]
+    assert (row.v, row.v2) == (7, 14)
+    with pytest.raises(ValueError, match="GENERATED"):
+        lakehouse_sql(spark, "UPDATE t SET v2 = 0 WHERE k = 3", tables=tables)
+    lakehouse_sql(
+        spark, "INSERT INTO t (k, v) VALUES (99, 50)", tables=tables
+    )
+    row = merge.read_version(spark, path).where(F.col("k") == 99).collect()[0]
+    assert (row.v, row.v2) == (50, 100)
