@@ -3095,7 +3095,10 @@ def vacuum_versions(
 
 
 def table_history(
-    spark: SparkSession, path: str, with_ts: bool = False
+    spark: SparkSession,
+    path: str,
+    with_ts: bool = False,
+    with_parameters: bool = False,
 ) -> DataFrame:
     """DESCRIBE HISTORY for the versioned table: one row per COMMITTED
     version — ``version``, ``operation`` (the committer's deterministic
@@ -3139,7 +3142,22 @@ def table_history(
         )
         nd, pr = per_v[v]
         row = (int(v), ops.get(v), nd, pr, bool(has_dv), metas.get(v))
-        rows.append(row + (ts[v],) if with_ts else row)
+        if with_ts:
+            row = row + (ts[v],)
+        if with_parameters:
+            # Delta's operationParameters: the op sidecar's parameters
+            # dict as sorted-keys JSON (NULL for pre-tag commits) —
+            # RENAME/ADD/DROP COLUMN actions, MERGE tier/arms,
+            # RESTORE's source version, CLONE provenance, REORG mode
+            import json as _json
+
+            p = (_commit_op_payload(spark, path, v) or {}).get(
+                "parameters"
+            )
+            row = row + (
+                None if p is None else _json.dumps(p, sort_keys=True),
+            )
+        rows.append(row)
     schema = (
         "version int, operation string, n_dirs bigint, "
         "physical_rows bigint, has_dv boolean, meta string"
@@ -3149,6 +3167,8 @@ def table_history(
         # column is opt-in: DESCRIBE HISTORY's oracle-replayed shape
         # (q_table_history) stays byte-stable without it
         schema += ", commit_ts_ms bigint"
+    if with_parameters:
+        schema += ", parameters string"
     return spark.createDataFrame(rows, schema).orderBy("version")
 
 

@@ -4573,3 +4573,34 @@ def test_generated_columns_sql_dml(spark, tmp_path):
     )
     row = merge.read_version(spark, path).where(F.col("k") == 99).collect()[0]
     assert (row.v, row.v2) == (50, 100)
+
+
+def test_table_history_operation_parameters(spark, tmp_path):
+    """r16 — Delta's operationParameters surface: opt-in ``parameters``
+    column carrying each commit's op-sidecar parameters as sorted-keys
+    JSON (MERGE tier, schema-DDL actions, REORG mode)."""
+    import json
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        "k", path, n_buckets=2,
+    )
+    merge.upsert_versioned_dv(
+        spark, path, spark.createDataFrame([(1, 11)], "k long, v long"), "k"
+    )
+    merge.rename_column(spark, path, "v", "w")
+    merge.purge_deletion_vectors(spark, path, "k")
+    hist = {
+        r.version: r.parameters
+        for r in merge.table_history(
+            spark, path, with_parameters=True
+        ).collect()
+    }
+    assert json.loads(hist[1])["tier"] == "mor"
+    p2 = json.loads(hist[2])
+    assert p2["action"] == "RENAME COLUMN" and p2["rename_to"] == "w"
+    p3 = json.loads(hist[3])
+    assert p3["mode"] == "purge" and p3["purged_buckets"] == 1
+    # default shape unchanged (the oracled q_table_history contract)
+    assert "parameters" not in merge.table_history(spark, path).columns
