@@ -20,6 +20,7 @@ Supported grammar (one statement per call, ``;`` optional)::
         with pre/post images, default 'collapsed' = the two-op feed)
     DESCRIBE HISTORY <table>
     RESTORE TABLE <table> TO VERSION AS OF <n>
+    RESTORE TABLE <table> TO TIMESTAMP AS OF <ts>
     VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]
     OPTIMIZE <table> [FULL]
     OPTIMIZE <table> ZORDER BY (<c1>, <c2>[, ...]) [BITS <n>]
@@ -500,6 +501,23 @@ def lakehouse_sql(
     if m:
         return restore_version(
             spark, _resolve_table(m.group(1), tables), int(m.group(2))
+        )
+    m = re.match(
+        r"(?i)^RESTORE TABLE (.+?) TO TIMESTAMP AS OF "
+        r"(\d+|'[^']*'|\"[^\"]*\")$",
+        s,
+    )
+    if m:
+        # Delta's timestamp restore: resolve through the stamped
+        # commit clock (version_as_of), then the same rollback-as-
+        # commit path
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+            version_as_of,
+        )
+
+        path = _resolve_table(m.group(1), tables)
+        return restore_version(
+            spark, path, version_as_of(spark, path, _parse_ts_ms(m.group(2)))
         )
     m = re.match(
         r"(?i)^VACUUM (.+?)(?: RETAIN (\d+) HOURS)?( DRY RUN)?$", s

@@ -693,3 +693,28 @@ def test_describe_table_logical_schema(spark, tmp_path):
     assert [(r.col_name, r.data_type, r.physical_name) for r in rows] == [
         ("k", "bigint", "k"), ("amount", "bigint", "v"),
     ]
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """r16 — RESTORE TABLE ... TO TIMESTAMP AS OF: the timestamp
+    resolves through the stamped commit clock (version_as_of) and the
+    restore commits the same rollback-as-commit a version restore
+    does."""
+    path = _table(spark, tmp_path)
+    tables = {"t": path}
+    ts0 = merge.commit_timestamps(spark, path, [0])[0]
+    spark.createDataFrame([(1, 0)], "k long, v long").createOrReplaceTempView(
+        "_sf_rt"
+    )
+    lakehouse_sql(
+        spark,
+        "MERGE INTO t USING _sf_rt ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET *",
+        tables=tables,
+    )
+    v = lakehouse_sql(
+        spark, f"RESTORE TABLE t TO TIMESTAMP AS OF {ts0}", tables=tables
+    )
+    assert v == 2
+    live = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+    assert live[1] == 10  # pre-merge value restored
