@@ -2875,6 +2875,112 @@ def purge_deletion_vectors(
     return new_manifest
 
 
+
+def compact_key_range(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    lo,
+    hi,
+    writer: str | None = None,
+) -> DataFrame:
+    """Scoped OPTIMIZE (Delta's ``OPTIMIZE ... WHERE``): compact ONLY
+    the buckets whose manifest key range intersects ``[lo, hi]`` —
+    each such bucket's live rows (all generations, DV-resolved) become
+    one fresh (bucket, key)-sorted generation, its DV entries fold
+    away, and every out-of-range bucket's manifest rows and file
+    mtimes carry forward byte-untouched. The right price when churn
+    concentrates in a hot key range of a 100 TB table: full
+    compaction pays O(table), this pays O(range). The commit is
+    STRUCTURAL (CDF-silent). Buckets with one generation and no DV
+    entries are already optimal and are skipped even when in range.
+    Returns the new manifest with ``version`` / ``n_compacted_buckets``
+    attached (no work -> current manifest, no commit)."""
+    versions = _list_versions(spark, f"{path}/_manifest")
+    if not versions:
+        raise FileNotFoundError(f"no table at {path}")
+    v = versions[-1]
+    manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
+    stats_cols = _stats_cols_of(manifest)
+    point_cols = _point_cols_of(manifest)
+    bloom_bits = _bloom_bits_of(manifest, point_cols) if point_cols else 0
+    sch = _schema_as_of(spark, path, v)
+    key = _phys_name(sch, key)
+    rows = manifest.collect()
+    dv = _read_dv(spark, path, v)
+    dv_buckets = (
+        set()
+        if dv is None
+        else {r[0] for r in dv.select("_kr").distinct().collect()}
+    )
+    from collections import Counter
+
+    gens_per_bucket = Counter(r._kr for r in rows)
+    hit = sorted(
+        {
+            r._kr
+            for r in rows
+            if not (r.max_key < lo or r.min_key > hi)
+            and (gens_per_bucket[r._kr] > 1 or r._kr in dv_buckets)
+        }
+    )
+    if not hit:
+        manifest.version = v
+        manifest.n_compacted_buckets = 0
+        return manifest
+    _begin_commit(spark, path, v + 1, writer or _unique_writer())
+    data = _apply_dv(
+        _read_gen_dirs(spark, path, [r for r in rows if r._kr in set(hit)]),
+        dv,
+    )
+    retired = [
+        c for c in (sch or {}).get("retired", []) if c in data.columns
+    ]
+    if retired:  # scoped rewrites scrub dropped columns too
+        data = data.drop(*retired)
+    fresh = (
+        data.drop("_gen")
+        .withColumn("_gen", F.lit(v + 1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    _clean_uncommitted_generation(spark, path, hit, v + 1)
+    fresh.sortWithinPartitions("_kr", key).write.mode("append").partitionBy(
+        "_kr", "_gen"
+    ).parquet(f"{path}/data")
+    stats_src = fresh
+    for c in stats_cols:
+        if c not in stats_src.columns:
+            stats_src = stats_src.withColumn(
+                c, F.lit(None).cast(manifest.schema[f"min_{c}"].dataType)
+            )
+    new_manifest = manifest.where(
+        ~F.col("_kr").isin([int(b) for b in hit])
+    ).unionByName(
+        _with_bloom(
+            stats_src.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
+            stats_src,
+            point_cols,
+            bloom_bits,
+        ),
+        allowMissingColumns=True,
+    )
+    # compacted buckets' DV entries fold away; other buckets' carry
+    if dv is not None:
+        rest = dv.where(~F.col("_kr").isin([int(b) for b in hit]))
+        if rest.limit(1).count():
+            _write_dv(rest, path, v + 1)
+    _write_commit_op(
+        spark, path, v + 1, "OPTIMIZE",
+        changed_buckets=[], mode="range", n_buckets_compacted=len(hit),
+    )
+    new_manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_manifest/v={v + 1}"
+    )
+    new_manifest.version = v + 1
+    new_manifest.n_compacted_buckets = len(hit)
+    return new_manifest
+
+
 def rebucket_table(
     spark: SparkSession,
     path: str,

@@ -23,6 +23,8 @@ Supported grammar (one statement per call, ``;`` optional)::
     RESTORE TABLE <table> TO TIMESTAMP AS OF <ts>
     VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]
     OPTIMIZE <table> [FULL]
+    OPTIMIZE <table> WHERE <key> BETWEEN <lo> AND <hi>
+        (scoped compaction: only buckets whose key range intersects)
     OPTIMIZE <table> ZORDER BY (<c1>, <c2>[, ...]) [BITS <n>]
     CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <n>]
     CREATE TABLE <dst> KEY <col> [BUCKETS <n>] [STATS (<c1>, ...)]
@@ -529,6 +531,39 @@ def lakehouse_sql(
             _resolve_table(m.group(1), tables),
             retention_ms=None if retain is None else int(retain) * 3_600_000,
             dry_run=bool(m.group(3)),
+        )
+    m = re.match(
+        r"(?i)^OPTIMIZE (\S+) WHERE (\w+) BETWEEN "
+        r"('[^']*'|\S+) AND ('[^']*'|\S+)$",
+        s,
+    )
+    if m:
+        # Delta's scoped OPTIMIZE ... WHERE: compact only the buckets
+        # whose key range intersects the predicate — the predicate
+        # column must be the table's merge key (the manifest's pruning
+        # ranges are keyed on it)
+        from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+            compact_key_range,
+        )
+
+        path = _resolve_table(m.group(1), tables)
+        k = _key_for(spark, path, key, "OPTIMIZE WHERE")
+        if m.group(2) != k:
+            raise ValueError(
+                f"lakehouse_sql: OPTIMIZE WHERE prunes on the merge key "
+                f"({k!r}); got {m.group(2)!r}"
+            )
+
+        def _lit(tok):
+            if tok.startswith("'"):
+                return tok.strip("'")
+            try:
+                return int(tok)
+            except ValueError:
+                return float(tok)
+
+        return compact_key_range(
+            spark, path, k, _lit(m.group(3)), _lit(m.group(4))
         )
     m = re.match(
         r"(?i)^OPTIMIZE (\S+) ZORDER BY \(([^)]+)\)(?: BITS (\d+))?$", s

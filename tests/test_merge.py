@@ -1768,7 +1768,7 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
                 ["mor", "cow", "delete", "arms", "arms_sql", "restore",
                  "binpack", "compact", "rebucket", "vacuum",
                  "clone", "quarantine", "tag", "delete_sql", "update_sql",
-                 "addcol", "purge"]
+                 "addcol", "purge", "rangeopt"]
             ),
             min_size=4,
             max_size=7,
@@ -1953,6 +1953,15 @@ def test_hypothesis_random_committer_sequences(spark, tmp_path):
                 # the DV to zero — content must be invariant
                 man = merge.purge_deletion_vectors(spark, path, "k")
                 if man.n_purged_buckets:
+                    models[man.version] = m
+            elif op == "rangeopt":
+                # r16 scoped OPTIMIZE: compacts only in-range buckets,
+                # folds their DV entries — content must be invariant
+                a = rng.randrange(0, 60)
+                man = merge.compact_key_range(
+                    spark, path, "k", a, a + rng.randrange(5, 30)
+                )
+                if man.n_compacted_buckets:
                     models[man.version] = m
             elif op == "compact":
                 man = merge.compact_table(spark, path, "k")
@@ -4604,3 +4613,71 @@ def test_table_history_operation_parameters(spark, tmp_path):
     assert p3["mode"] == "purge" and p3["purged_buckets"] == 1
     # default shape unchanged (the oracled q_table_history contract)
     assert "parameters" not in merge.table_history(spark, path).columns
+
+
+def test_scoped_optimize_key_range(spark, tmp_path):
+    """r16 — OPTIMIZE ... WHERE (scoped compaction): only buckets
+    whose key range intersects [lo, hi] are rewritten (out-of-range
+    buckets' file mtimes pinned untouched), their DV entries fold
+    away while other buckets' carry, content is invariant, and the
+    commit is CDF-silent."""
+    import os
+
+    from data_pipeline_bigquery_to_sftp_server_spark.operators.sqlfront import (
+        lakehouse_sql,
+    )
+
+    path = str(tmp_path / "t")
+    merge.versioned_layout_write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 41)], "k long, v long"
+        ),
+        "k", path, n_buckets=4,
+    )
+    # churn in buckets 0 (keys ~1-10) and 3 (keys ~31-40)
+    merge.upsert_versioned_dv(
+        spark, path,
+        spark.createDataFrame([(2, 222), (35, 355)], "k long, v long"), "k",
+    )
+    before = {r.k: r.v for r in merge.read_version(spark, path).collect()}
+
+    def mtimes(pred):
+        out = {}
+        for b in os.listdir(f"{path}/data"):
+            if b.startswith("_kr=") and pred(int(b[4:])):
+                for g in os.listdir(f"{path}/data/{b}"):
+                    d = f"{path}/data/{b}/{g}"
+                    for f in os.listdir(d):
+                        if f.endswith(".parquet"):
+                            out[f"{b}/{g}/{f}"] = os.path.getmtime(
+                                f"{d}/{f}"
+                            )
+        return out
+
+    cold = mtimes(lambda b: b != 0)
+    man = merge.compact_key_range(spark, path, "k", 1, 9)
+    assert man.version == 2 and man.n_compacted_buckets == 1
+    assert {r.k: r.v for r in merge.read_version(spark, path).collect()} == before
+    for p, t in cold.items():
+        assert mtimes(lambda b: True)[p] == t, f"out-of-range rewrite: {p}"
+    # bucket 0's DV entries folded; bucket 3's carry
+    dv = merge._read_dv(spark, path, 2)
+    assert dv is not None and {r._kr for r in dv.collect()} == {3}
+    # CDF-silent
+    feed = merge.table_changes(spark, path, 0)
+    assert sorted({r._version for r in feed.collect()}) == [1]
+    # in-range but already-optimal buckets: no commit
+    man2 = merge.compact_key_range(spark, path, "k", 11, 19)
+    assert man2.version == 2 and man2.n_compacted_buckets == 0
+    # SQL spelling (key-free); wrong predicate column raises
+    man3 = lakehouse_sql(
+        spark, "OPTIMIZE t WHERE k BETWEEN 30 AND 40", tables={"t": path}
+    )
+    assert man3.n_compacted_buckets == 1
+    assert merge._read_dv(spark, path, man3.version) is None
+    import pytest
+
+    with pytest.raises(ValueError, match="merge key"):
+        lakehouse_sql(
+            spark, "OPTIMIZE t WHERE v BETWEEN 1 AND 2", tables={"t": path}
+        )
