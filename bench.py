@@ -276,6 +276,7 @@ HEADLINE = [
     "column_mapping",
     "reorg_purge",
     "schema_evolution_merge",
+    "scoped_optimize",
 ]
 
 

@@ -15473,6 +15473,82 @@ ORDER BY scene
 """
 
 
+def q_scoped_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2g scoped OPTIMIZE ... WHERE (r16), ORACLE-CHECKED: compact
+    ONLY the buckets whose key range intersects the predicate. Churn
+    lands both inside and outside a key window; the scoped compaction
+    rewrites exactly the in-window churned buckets (count replayed via
+    the bootstrap bucket-assignment arithmetic — in-window buckets
+    with one generation and no DV are SKIPPED, so the count is the
+    churned-bucket count, not the window's bucket count), folds their
+    DV entries while the out-of-window churn's entries carry forward
+    (replayed), and leaves the live content value-identical
+    (operators/merge.py compact_key_range; mtime/CDF-silence pins in
+    test_merge). Scale: O(window churn), never O(table)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _scratch_dir("scopedopt_")
+    merge.versioned_layout_write(o, "k", path, n_buckets=8)
+    stats = o.agg(F.max("k").alias("mx")).collect()[0]
+    lo, hi = 1, int(stats.mx) // 3  # the first third of the key space
+    churn = o.where(F.col("k") % 7 == 0).select(
+        "k", (F.col("cents") + 1).alias("cents")
+    )
+    merge.upsert_versioned_dv(spark, path, churn, "k")  # in+out of window
+    man = merge.compact_key_range(spark, path, "k", lo, hi)
+    dv_after = merge._read_dv(spark, path, man.version)
+    live = merge.read_version(spark, path).agg(
+        F.count(F.lit(1)).alias("a"), F.sum("cents").alias("b")
+    )
+    facts = spark.createDataFrame(
+        [
+            (
+                "opt",
+                int(man.n_compacted_buckets),
+                0 if dv_after is None else dv_after.count(),
+            )
+        ],
+        "scene string, a long, b long",
+    )
+    return (
+        live.select(F.lit("live").alias("scene"), "a", "b")
+        .unionByName(facts)
+        .orderBy("scene")
+    )
+
+
+_ORACLE_SCOPED_OPTIMIZE = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         (row_number() OVER (ORDER BY o_orderkey) - 1) * 8
+             // count(*) OVER () AS bucket
+  FROM orders
+), win AS (
+  SELECT CAST(max(k) AS BIGINT) // 3 AS hi FROM o
+), churned AS (
+  SELECT k, bucket FROM o WHERE k % 7 = 0
+)
+SELECT 'live' AS scene, count(*) AS a,
+       CAST(sum(CASE WHEN k % 7 = 0 THEN cents + 1 ELSE cents END)
+            AS BIGINT) AS b
+FROM o
+UNION ALL
+SELECT 'opt',
+       -- hit buckets: every bucket is churned (k%7 spans the key
+       -- space), so the hit set is exactly the buckets whose
+       -- bootstrap range intersects [1, hi] = buckets holding any
+       -- key <= hi
+       (SELECT count(DISTINCT bucket) FROM o, win WHERE k <= hi),
+       -- carried DV entries: churn in the NON-hit buckets
+       (SELECT count(*) FROM churned WHERE bucket NOT IN (
+          SELECT bucket FROM o, win WHERE k <= hi))
+ORDER BY scene
+"""
+
+
 def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2d/J2e composite (r16), ORACLE-CHECKED: MERGE WITH SCHEMA
     EVOLUTION + GENERATED ALWAYS AS working together under a declared
@@ -15753,6 +15829,7 @@ QUERIES: dict[str, QueryFn] = {
     "column_mapping": q_column_mapping,
     "reorg_purge": q_reorg_purge,
     "schema_evolution_merge": q_schema_evolution_merge,
+    "scoped_optimize": q_scoped_optimize,
     # latest attestation r10:
     "asof_forward": q_asof_forward,
     "bpe_encode_fast": q_bpe_encode_fast,
@@ -16346,5 +16423,6 @@ ORACLES: dict[str, str] = {
     "column_mapping": _ORACLE_COLUMN_MAPPING,
     "reorg_purge": _ORACLE_REORG_PURGE,
     "schema_evolution_merge": _ORACLE_SCHEMA_EVOLUTION_MERGE,
+    "scoped_optimize": _ORACLE_SCOPED_OPTIMIZE,
     "concurrent_commits": _ORACLE_CONCURRENT_COMMITS,
 }
