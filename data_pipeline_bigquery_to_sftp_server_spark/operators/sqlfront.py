@@ -124,6 +124,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_to_sftp_server_spark.operators.merge import (
+    _read_manifest,
     clone_table,
     compact_small_generations,
     compact_table,
@@ -398,7 +399,7 @@ def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"describe detail: no table at {path}")
     v = versions[-1]
-    manifest = spark.read.parquet(f"{path}/_manifest/v={v}")
+    manifest = _read_manifest(spark, path, v)
     rows = manifest.collect()
     jvm, fs, _ = _fs(spark, path)
     size = 0

@@ -12679,7 +12679,7 @@ def q_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge.upsert_versioned(spark, dst, staging, "k")
     vlast = merge._list_versions(spark, f"{dst}/_manifest")[-1]
-    man = spark.read.parquet(f"{dst}/_manifest/v={vlast}")
+    man = merge._read_manifest(spark, dst, vlast)
     n_shared = (
         man.where(F.col("ext").isNotNull()).count()
         if "ext" in man.columns
@@ -14827,7 +14827,7 @@ def q_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned = merge.read_version_pruned(spark, path, "day0", 2, 4)
         latest = merge._list_versions(spark, f"{path}/_manifest")[-1]
         gen0 = (
-            spark.read.parquet(f"{path}/_manifest/v={latest}")
+            merge._read_manifest(spark, path, latest)
             .where(F.col("gen") == 0)
             .count()
         )
