@@ -430,10 +430,18 @@ def upsert_fileskip(
     the key, pinned by re-apply in tests. Returns the merged view of
     the touched buckets with ``touched_buckets`` attached."""
     manifest = spark.read.parquet(f"{target_path}/_manifest")
-    assigned = assign_range_bucket(staging, manifest, key)
-    touched = sorted(
-        r[0] for r in assigned.select("_kr").distinct().collect()
+    # touched buckets ride the staging checkpoint's Observation (r16)
+    # instead of a separate distinct-collect job; the merge below
+    # reads the checkpoint instead of recomputing the staging pipeline
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = (
+        assign_range_bucket(staging, manifest, key)
+        .observe(obs, F.collect_set("_kr").alias("b"))
+        .localCheckpoint(eager=True)
     )
+    touched = sorted(int(b) for b in obs.get["b"])
     target = spark.read.parquet(target_path).where(F.col("_kr").isin(touched))
     merged = upsert_anti_union(
         target, assigned.select(*target.columns), key
@@ -1932,10 +1940,19 @@ def upsert_versioned(
     stats_cols = _stats_cols_of(manifest)
     point_cols = _point_cols_of(manifest)
     bloom_bits = _bloom_bits_of(manifest, point_cols) if point_cols else 0
-    assigned = assign_range_bucket(staging, _cutpoints(manifest), key)
-    touched = sorted(
-        r[0] for r in assigned.select("_kr").distinct().collect()
+    # checkpoint the assigned staging ONCE, with the touched-bucket
+    # set riding the materialization as an Observation (r16): the
+    # distinct-collect job is gone, and the merged write below reads
+    # the checkpoint instead of recomputing the staging pipeline.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = (
+        assign_range_bucket(staging, _cutpoints(manifest), key)
+        .observe(obs, F.collect_set("_kr").alias("b"))
+        .localCheckpoint(eager=True)
     )
+    touched = sorted(int(b) for b in obs.get["b"])
     if not touched:
         # empty staging: a zero-data no-op commit (manifest and DV
         # carry forward verbatim) rather than a crash — quarantine
@@ -2116,12 +2133,18 @@ def upsert_versioned_dv(
     bloom_bits = _bloom_bits_of(manifest, point_cols) if point_cols else 0
     # stage BEFORE the commit gate: the materialized assignment is
     # what disjoint admission reuses across winners (and the critical
-    # section shrinks for everyone else)
+    # section shrinks for everyone else). The touched-bucket set rides
+    # the checkpoint materialization as an Observation (r16, guide
+    # §1.2: one job, not a checkpoint job plus a distinct-collect job
+    # — the same trick connected_components uses for its label sum).
+    from pyspark.sql import Observation
+
+    obs = Observation()
     assigned = assign_range_bucket(staging, _cutpoints(manifest), key)
-    assigned = assigned.localCheckpoint(eager=True)
-    touched = sorted(
-        r[0] for r in assigned.select("_kr").distinct().collect()
-    )
+    assigned = assigned.observe(
+        obs, F.collect_set("_kr").alias("b")
+    ).localCheckpoint(eager=True)
+    touched = sorted(int(b) for b in obs.get["b"])
     admitted_over: list[int] = []
     while True:
         try:
@@ -2262,10 +2285,19 @@ def delete_versioned(
         keys = _to_physical(keys.select(key), sch, "delete_versioned")
         key = _phys_name(sch, key)
     manifest = _read_manifest(spark, target_path, v)
-    assigned = assign_range_bucket(keys.select(key), _cutpoints(manifest), key)
-    touched = sorted(
-        r[0] for r in assigned.select("_kr").distinct().collect()
+    # checkpoint the assigned keys ONCE with the touched-bucket set
+    # riding the materialization as an Observation (r16): previously
+    # the keys pipeline was computed twice — a distinct-collect job
+    # for `touched`, then again inside the DV write's union.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = (
+        assign_range_bucket(keys.select(key), _cutpoints(manifest), key)
+        .observe(obs, F.collect_set("_kr").alias("b"))
+        .localCheckpoint(eager=True)
     )
+    touched = sorted(int(b) for b in obs.get["b"])
     _begin_commit(spark, target_path, v + 1, writer)
     dv_new = assigned.select(
         "_kr", key, F.lit(v + 1).cast("long").alias("live_gen")
@@ -2408,7 +2440,28 @@ def merge_arms_versioned_dv(
             F.col(f"t.{c}") if chain is None else chain.otherwise(F.col(f"t.{c}"))
         )
         out_cols.append(val.alias(c))
-    resolved = classified.select(*out_cols).localCheckpoint(eager=True)
+    # the per-arm counts and the claimed-bucket set ride the
+    # checkpoint materialization as Observations (r16, guide §1.2):
+    # previously both cost their own scheduled job over the
+    # checkpointed frame (a groupBy-collect and a distinct-collect)
+    from pyspark.sql import Observation
+
+    arm_codes = list(update_arms) + list(delete_codes) + list(insert_codes)
+    obs = Observation()
+    resolved = (
+        classified.select(*out_cols)
+        .observe(
+            obs,
+            F.collect_set(
+                F.when(~F.col("_arm").isin("noop", "skip"), F.col("_kr"))
+            ).alias("claimed_b"),
+            *[
+                F.sum((F.col("_arm") == code).cast("long")).alias(f"n_{i}")
+                for i, code in enumerate(arm_codes)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
     # CHECK-constraint gate, on the rows the arms WRITE (an update arm
     # taking a column subset can violate even when staging passes) —
     # before the intent marker, before any write
@@ -2421,10 +2474,11 @@ def merge_arms_versioned_dv(
         target_path,
         resolved.where(F.col("_arm").isin(list(update_arms) + insert_codes)),
     )
+    got = obs.get
     counts = {
-        r._arm: r.n
-        for r in resolved.groupBy("_arm").agg(F.count(F.lit(1)).alias("n")).collect()
+        code: int(got[f"n_{i}"] or 0) for i, code in enumerate(arm_codes)
     }
+    claimed_buckets = sorted(int(b) for b in got["claimed_b"])
     n_updated = sum(counts.get(c, 0) for c in update_arms)
     n_deleted = sum(counts.get(c, 0) for c in delete_codes)
     n_inserted = sum(counts.get(c, 0) for c in insert_codes)
@@ -2526,10 +2580,8 @@ def merge_arms_versioned_dv(
     if commit_meta is not None:
         _write_commit_meta(spark, target_path, v + 1, commit_meta)
     # the CDF change set is the CLAIMED keys' buckets (noop/skip rows
-    # wrote no DV entry) — a tiny distinct over the checkpointed frame
-    claimed_buckets = sorted(
-        r[0] for r in claimed.select("_kr").distinct().collect()
-    )
+    # wrote no DV entry) — captured by the checkpoint's Observation
+    # above, no extra job
     _write_commit_op(
         spark, target_path, v + 1, "MERGE",
         changed_buckets=claimed_buckets,

@@ -4588,13 +4588,18 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _scratch_dir("events_state_src_")
     wb = Window.orderBy("ts", "event_id")
     parts = ev.withColumn("_b", F.ntile(4).over(wb))
+    # ONE pass stages all four batch files (r16 optimization, guide
+    # §1.2 "don't compute things you throw away"): the per-tile loop
+    # re-evaluated the single-partition ntile window once per file —
+    # 4 global sorts of the events table for 4 staged files. A single
+    # partitionBy("_b") write from the window's one sorted partition
+    # routes rows in order, so each tile file holds exactly the rows,
+    # in exactly the order, the filtered per-tile writes produced.
+    stage = _scratch_dir("events_state_tiles_")
+    parts.coalesce(1).write.mode("overwrite").partitionBy("_b").parquet(stage)
     for i in range(1, 5):
-        stage = _scratch_dir(f"events_state_b{i}_")
-        parts.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
         dst = f"{src}/batch{i}.parquet"
-        shutil.copy(globmod.glob(f"{stage}/part-*.parquet")[0], dst)
+        shutil.copy(globmod.glob(f"{stage}/_b={i}/part-*.parquet")[0], dst)
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
 
     stream = (
@@ -11647,11 +11652,16 @@ def q_streaming_transitions_state(spark: SparkSession, sf_dir: str) -> DataFrame
     src = _scratch_dir("transitions_state_src_")
     ckpt = _scratch_dir("transitions_state_ckpt_")
     tmp = _scratch_dir("transitions_state_tmp_")
+    # ONE pass stages all four roll files (r16 optimization): the
+    # per-tile loop re-ran the single-partition ntile window per file
+    # — 4 global sorts for 4 staged files. The partitionBy("_tile")
+    # write from the window's one sorted partition routes rows in
+    # order, so each roll file holds the same rows in the same order.
+    tiled.coalesce(1).write.mode("overwrite").partitionBy(
+        "_tile"
+    ).parquet(tmp)
     for k in range(1, 5):
-        part_dir = f"{tmp}/t{k}"
-        tiled.where(F.col("_tile") == k).drop("_tile").coalesce(
-            1
-        ).write.mode("overwrite").parquet(part_dir)
+        part_dir = f"{tmp}/_tile={k}"
         (part_file,) = [
             f for f in _os.listdir(part_dir) if f.endswith(".parquet")
         ]
