@@ -26,10 +26,12 @@ from data_pipeline_bigquery_to_sftp_server_spark.queries import (
     clear_ann_index_cache,
     clear_bpe_cache,
     clear_pair_cache,
+    clear_pq_index_cache,
     clear_stream_src_cache,
     shared_ann_index,
     shared_bpe_train,
     shared_jaccard_pairs,
+    shared_pq_index,
 )
 from data_pipeline_bigquery_to_sftp_server_spark.session import get_spark
 
@@ -304,7 +306,7 @@ def _jvm_hygiene(spark, base_views: set[str]) -> None:
     collect Python (releases the proxies), and ask the JVM to collect
     (lets ContextCleaner reap the now-unreachable checkpoint blocks).
     Deliberately NOT spark.catalog.clearCache(): the shared pair/BPE/
-    ANN-index caches are priced once as *_materialize line items and
+    ANN/PQ-index caches are priced once as *_materialize line items and
     the suite's steady-state entries measure the cached-read path by
     design."""
     import gc
@@ -390,6 +392,14 @@ def main() -> None:
     t0 = time.perf_counter()
     shared_ann_index(spark, sf_dir)
     timings["ann_index_materialize"] = round(time.perf_counter() - t0, 3)
+
+    # Same rule for the held PQ index (r17): codebook train + corpus
+    # encode priced once as its own line item; the four PQ queries
+    # then measure the steady-state ADC probe path.
+    clear_pq_index_cache()
+    t0 = time.perf_counter()
+    shared_pq_index(spark, sf_dir)
+    timings["pq_index_materialize"] = round(time.perf_counter() - t0, 3)
 
     # Best of two runs per query: the second run re-executes the full
     # plan (noop sink caches nothing), so min() filters transient

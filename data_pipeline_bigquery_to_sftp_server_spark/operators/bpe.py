@@ -112,23 +112,47 @@ def _apply_pair(
         "left",
     ).withColumn("_cand", F.col("left").isNotNull())
     # consecutive candidate positions form a run; greedy left-to-right
-    # merges the 1st, 3rd, ... member of each run
-    wr = Window.partitionBy("word", "_cand").orderBy("pos")
-    grp = F.when(F.col("_cand"), F.col("pos") - F.row_number().over(wr))
-    staged = cand.withColumn("_grp", grp)
-    wg = Window.partitionBy("word", "_grp").orderBy("pos")
-    staged = staged.withColumn(
-        "_merge", F.col("_cand") & (F.row_number().over(wg) % 2 == 1)
+    # merges the 1st, 3rd, ... member of each run. r17 (guide §2.4):
+    # every step below — run detection, parity, the consumed flag, and
+    # the post-filter re-numbering — is expressed over the ONE window
+    # spec (word, pos asc), so Spark evaluates the whole pass in a
+    # single WindowExec with one sort, where the r9 formulation paid
+    # FOUR sorts per merge round (three distinct partitionings plus a
+    # post-filter row_number). Run membership: a run STARTS at a
+    # candidate whose predecessor is not one; positions inside a run
+    # are consecutive by construction, so the member index is
+    # pos - start_pos, and the greedy rule merges even offsets —
+    # exactly row_number() % 2 == 1 of the old per-run window.
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run_start = F.col("_cand") & ~F.lag("_cand", 1, False).over(w)
+    staged = cand.withColumn(
+        "_start_pos",
+        F.last(F.when(run_start, F.col("pos")), ignorenulls=True).over(
+            running
+        ),
     )
     staged = staged.withColumn(
-        "_consumed", F.lag("_merge", 1, False).over(w)
+        "_merge",
+        F.col("_cand")
+        & ((F.col("pos") - F.col("_start_pos")) % 2 == 0),
+    )
+    staged = (
+        staged.withColumn("_consumed", F.lag("_merge", 1, False).over(w))
+        .withColumn(
+            "_newpos",
+            F.sum(F.when(F.lag("_merge", 1, False).over(w), 0).otherwise(1)).over(
+                running
+            ),
+        )
     )
     return (
         staged.where(~F.col("_consumed"))
         .select(
             "word",
             "wn",
-            F.row_number().over(w).alias("pos"),
+            # cast pins the old row_number() IntegerType so the symbol
+            # table's schema is stable across rounds
+            F.col("_newpos").cast("int").alias("pos"),
             F.when(
                 F.col("_merge"), F.concat(F.col("left"), F.col("right"))
             )

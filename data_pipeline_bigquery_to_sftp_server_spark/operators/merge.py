@@ -357,16 +357,16 @@ def range_layout_write(
     ).drop("grank")
     laid.write.mode("overwrite").partitionBy("_kr").parquet(path)
     written = df.sparkSession.read.parquet(path)
-    (
-        written.groupBy("_kr")
-        .agg(
+    # r17: one collect-shaped job + a driver-side parquet write instead
+    # of a scheduled coalesce(1) write through the Hadoop committer
+    _write_manifest(
+        df.sparkSession,
+        written.groupBy("_kr").agg(
             F.min(key).alias("min_key"),
             F.max(key).alias("max_key"),
             F.count(F.lit(1)).alias("n_rows"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/_manifest")
+        ),
+        f"{path}/_manifest",
     )
 
 
@@ -379,19 +379,54 @@ def assign_range_bucket(
     to its stored bucket and every new key to the bucket whose range it
     extends.
 
-    Plan (r12): the cutpoints frame gains each bucket's EXCLUSIVE upper
-    bound via lead() — bounded single-partition window over the
-    n_buckets-row manifest, never the data — so the broadcast interval
-    join ``min_key <= key < next_min`` matches each row EXACTLY ONCE.
-    No fanout, no aggregation, and in particular no full-width
-    ``groupBy(*rows.columns)`` shuffle of the staging batch (the r11
-    form's hidden cost on wide tables): assignment is one map-side
-    broadcast-join stage."""
+    Plan (r17, guide §1.2/§2.4): the cutpoints are manifest-sized —
+    n_buckets rows, and at every committer call site already a
+    DRIVER-LOCAL LocalRelation (_read_manifest) — so the bucket id is
+    computed as ONE case expression built from the collected
+    cutpoints: no broadcast exchange, no bounded window, no join in
+    the staged plan (measured 3 fewer Spark jobs per commit). The
+    expression evaluates greatest-``min_key <= key`` exactly like the
+    r12 interval join it replaces (first match over the cutpoints in
+    DESCENDING min_key order; below-minimum and NULL keys clamp to
+    bucket 0 as coalesce(_kr, 0) did). The r12 broadcast interval
+    join — ``min_key <= key < lead(min_key)``, matching each row
+    EXACTLY ONCE, no fanout, no full-width shuffle — remains as the
+    fallback for the cases the expression can't express faithfully:
+    NULL or duplicate cutpoints (the window's tie order decided those)
+    or a cutpoint set too large for a case chain. ``manifest`` may be
+    the grouped cutpoints frame or a raw (multi-generation) manifest —
+    the per-bucket min is taken here (Python over the collected rows,
+    a FREE collect for a LocalRelation; the fallback routes through
+    _cutpoints, idempotent for pre-grouped input)."""
+    cut_rows = manifest.select("_kr", "min_key").collect()  # n_buckets
+    mins: dict = {}
+    all_non_null = True
+    for r in cut_rows:
+        b, mk = r[0], r[1]
+        if mk is None:
+            all_non_null = False  # F.min-skips-NULL semantics: fallback
+            continue
+        if b not in mins or mk < mins[b]:
+            mins[b] = mk
+    distinct_ok = (
+        all_non_null
+        and len({mk for mk in mins.values()}) == len(mins)
+        and 0 < len(mins) <= 512
+    )
+    if distinct_ok:
+        t = dict(manifest.dtypes)["min_key"]
+        chain = None
+        for b, mk in sorted(mins.items(), key=lambda kv: kv[1], reverse=True):
+            cond = rows[key] >= F.lit(mk).cast(t)
+            chain = (F.when if chain is None else chain.when)(
+                cond, F.lit(int(b)).cast("long")
+            )
+        return rows.withColumn("_kr", chain.otherwise(F.lit(0).cast("long")))
     from pyspark.sql.window import Window
 
     w = Window.orderBy("min_key")  # manifest-sized: n_buckets rows
     cut = F.broadcast(
-        manifest.select("_kr", "min_key").withColumn(
+        _cutpoints(manifest.select("_kr", "min_key")).withColumn(
             "next_min", F.lead("min_key").over(w)
         )
     )
@@ -446,26 +481,36 @@ def upsert_fileskip(
     merged = upsert_anti_union(
         target, assigned.select(*target.columns), key
     ).localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("_kr").parquet(target_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    new_manifest = (
-        manifest.where(~F.col("_kr").isin(touched))
-        .unionByName(
-            merged.groupBy("_kr").agg(
-                F.min(key).alias("min_key"),
-                F.max(key).alias("max_key"),
-                F.count(F.lit(1)).alias("n_rows"),
-            )
+    new_manifest = manifest.where(~F.col("_kr").isin(touched)).unionByName(
+        merged.groupBy("_kr").agg(
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+            F.count(F.lit(1)).alias("n_rows"),
         )
-        .localCheckpoint(eager=True)
     )
-    new_manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{target_path}/_manifest"
+    # r17: the manifest aggregation COLLECTS (toArrow) concurrently
+    # with the data rewrite (guide §2.6), then publishes driver-side —
+    # this also retires the refresh's defensive localCheckpoint (the
+    # collected rows are immune to the overwrite of their read path)
+    # and the scheduled coalesce(1) write. 4 jobs -> 2 per refresh.
+    m_collect, m_publish = _manifest_writer(
+        spark, new_manifest, f"{target_path}/_manifest"
     )
+
+    def _write_data() -> None:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("_kr").parquet(
+                target_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    _run_concurrent(m_collect, _write_data)
+    m_publish()
     out = spark.read.parquet(target_path).where(F.col("_kr").isin(touched))
     out.touched_buckets = touched
     return out
@@ -952,8 +997,12 @@ def _bloom_probe_positions(
     spark: SparkSession, value, dtype, num_bits: int
 ) -> list[int]:
     """The probe value's k bit positions, computed through the SAME
-    JVM xxhash64 the write side used (one 1-row job): Python must not
-    re-implement the hash, it must ASK it."""
+    JVM xxhash64 the write side used (one 1-row job — all k positions
+    batched into it): Python must not re-implement the hash, it must
+    ASK it. Measured r17 and kept: a LocalRelation/no-FROM spelling
+    still schedules one job for first() but pays extra planning
+    (createDataFrame parallelizes, 4 jobs), so range(1) is the floor
+    short of reimplementing xxhash64 in Python."""
     row = (
         spark.range(1)
         .select(
@@ -972,6 +1021,50 @@ def _bloom_probe_positions(
     return [int(row[f"p{i}"]) for i in range(_BLOOM_HASHES)]
 
 
+def _footer_col_type(spark: SparkSession, gen_dir: str, col: str):
+    """Spark type of ``col`` read off one generation directory's
+    parquet footer — pyarrow driver-side for provably-local paths and
+    an explicit, CONSERVATIVE arrow->Spark type map (r17: the point
+    probe previously paid a full Spark DataSource resolution per
+    directory probed just to learn one column's type). Anything not in
+    the map — timestamps in particular, whose arrow/Spark mapping is
+    config-dependent — falls back to Spark's own schema inference, so
+    the probe literal always hashes exactly as the stored column does.
+    None when the directory lacks ``col``."""
+    local = _local_fs_path(spark, gen_dir)
+    if local is not None:
+        try:
+            import pyarrow as pa
+            import pyarrow.dataset as pads
+
+            from pyspark.sql import types as T
+
+            safe = {
+                pa.int8(): T.ByteType(),
+                pa.int16(): T.ShortType(),
+                pa.int32(): T.IntegerType(),
+                pa.int64(): T.LongType(),
+                pa.float32(): T.FloatType(),
+                pa.float64(): T.DoubleType(),
+                pa.string(): T.StringType(),
+                pa.large_string(): T.StringType(),
+                pa.binary(): T.BinaryType(),
+                pa.large_binary(): T.BinaryType(),
+                pa.date32(): T.DateType(),
+                pa.bool_(): T.BooleanType(),
+            }
+            sch = pads.dataset(local, format="parquet").schema
+            if col not in sch.names:
+                return None
+            t = safe.get(sch.field(col).type)
+            if t is not None:
+                return t
+        except Exception:
+            pass
+    sch = spark.read.parquet(gen_dir).schema
+    return sch[col].dataType if col in sch.names else None
+
+
 def _bloom_hit(bitmap: bytes | bytearray | None, positions: list[int]) -> bool:
     """All-k-bits-set test; a NULL bitmap means 'cannot prune' (a
     commit that predates the column or skipped maintenance) — keep."""
@@ -979,6 +1072,32 @@ def _bloom_hit(bitmap: bytes | bytearray | None, positions: list[int]) -> bool:
         return True
     bm = bytes(bitmap)
     return all(bm[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
+def _local_fs_path(spark: SparkSession, path: str) -> str | None:
+    """``path`` as a plain local-filesystem path when it PROVABLY
+    resolves to the local FS (explicit ``file:`` scheme, or scheme-less
+    with a local ``fs.defaultFS``), else None (r16 advice: a
+    scheme-less path on a cluster with a remote defaultFS must not be
+    silently resolved against a same-named LOCAL directory by the
+    pyarrow fast paths — route it through Hadoop instead)."""
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    if u.scheme == "file":
+        return u.path
+    if u.scheme != "":
+        return None
+    default_fs = getattr(spark, "_sg_default_fs", None)
+    if default_fs is None:
+        default_fs = (
+            spark.sparkContext._jsc.hadoopConfiguration().get(
+                "fs.defaultFS", "file:///"
+            )
+            or "file:///"
+        )
+        spark._sg_default_fs = default_fs
+    return path if default_fs.startswith("file:") else None
 
 
 def _read_manifest(spark: SparkSession, path: str, version: int) -> DataFrame:
@@ -995,21 +1114,29 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> DataFrame:
     committers read the manifest 1-2x per commit, readers once per
     time-travel). Schema fidelity is exact (createDataFrame from an
     Arrow table maps int32/int64/binary/string 1:1 with the parquet
-    footer Spark itself wrote — pinned in test_merge). Any filesystem
-    pyarrow cannot open (exotic schemes, kerberized HDFS) falls back
-    to the Hadoop-routed distributed read — behavior, not layout,
-    is what changes."""
+    footer Spark itself wrote — pinned in test_merge
+    test_read_manifest_fast_path_schema). The fast path is gated on
+    the path provably living on the LOCAL filesystem (r16 advice —
+    a remote defaultFS must not fall through to a stale same-named
+    local directory); any other filesystem takes the Hadoop-routed
+    distributed read — behavior, not layout, is what changes."""
     d = f"{path}/_manifest/v={version}"
-    try:
-        import pyarrow.parquet as pq
+    local = _local_fs_path(spark, d)
+    if local is not None:
+        try:
+            import pyarrow.parquet as pq
 
-        # pyarrow.dataset ignores "_"-prefixed files (_SUCCESS) by default
-        return spark.createDataFrame(pq.read_table(d))
-    except Exception:
-        return spark.read.parquet(d)
+            # pyarrow.dataset ignores "_"-prefixed files (_SUCCESS) by
+            # default
+            return spark.createDataFrame(pq.read_table(local))
+        except Exception:
+            pass
+    return spark.read.parquet(d)
 
 
-def _copy_manifest_dir(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
+def _copy_manifest_dir(
+    spark: SparkSession, src_dir: str, dst_dir: str, commit: bool = True
+) -> None:
     """Carry a manifest version forward VERBATIM as a driver-side file
     copy (r16 optimization): DELETE / RESTORE / schema-DDL / no-op
     commits re-publish an unchanged manifest, which previously paid a
@@ -1021,21 +1148,28 @@ def _copy_manifest_dir(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
     from a crashed attempt (same writer re-entering through its begin
     marker) is deleted first, matching mode("overwrite")."""
     jvm, fs, sp = _fs(spark, src_dir)
+    # resolve the DESTINATION's filesystem separately (r16 advice):
+    # clone_table copies across tables whose paths may live on
+    # different schemes, where reusing the source FS throws "Wrong FS"
+    _, dst_fs, dst = _fs(spark, dst_dir)
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    dst = jvm.org.apache.hadoop.fs.Path(dst_dir)
-    if fs.exists(dst):
-        fs.delete(dst, True)
-    fs.mkdirs(dst)
+    if dst_fs.exists(dst):
+        dst_fs.delete(dst, True)
+    dst_fs.mkdirs(dst)
     for st in fs.listStatus(sp):
         name = st.getPath().getName()
         if name == "_SUCCESS" or not st.isFile():
             continue
         jvm.org.apache.hadoop.fs.FileUtil.copy(
-            fs, st.getPath(), fs,
+            fs, st.getPath(), dst_fs,
             jvm.org.apache.hadoop.fs.Path(f"{dst_dir}/{name}"),
             False, True, conf,
         )
-    _write_small_file(spark, f"{dst_dir}/_SUCCESS", "")
+    # commit=False defers the _SUCCESS marker to the caller: a
+    # committer overlapping this copy with its DV write must place the
+    # commit point AFTER every write has finished (_run_concurrent)
+    if commit:
+        _write_small_file(spark, f"{dst_dir}/_SUCCESS", "")
 
 
 def _copy_dir(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
@@ -1048,13 +1182,129 @@ def _copy_dir(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
     never reader-visible. A leftover partial destination from a
     crashed attempt is deleted first (mode("overwrite") semantics)."""
     jvm, fs, sp = _fs(spark, src_dir)
-    dst = jvm.org.apache.hadoop.fs.Path(dst_dir)
-    if fs.exists(dst):
-        fs.delete(dst, True)
+    # destination FS resolved separately — see _copy_manifest_dir
+    _, dst_fs, dst = _fs(spark, dst_dir)
+    if dst_fs.exists(dst):
+        dst_fs.delete(dst, True)
     jvm.org.apache.hadoop.fs.FileUtil.copy(
-        fs, sp, fs, dst, False, True,
+        fs, sp, dst_fs, dst, False, True,
         spark.sparkContext._jsc.hadoopConfiguration(),
     )
+
+
+_COMMIT_POOL = None  # lazily built, module-lived (py4j threads reused)
+
+
+def _run_concurrent(*thunks) -> None:
+    """Run independent Spark actions from driver threads (guide §2.6:
+    actions are only sequential because the driver calls them
+    sequentially). A commit's data write, DV write, and manifest
+    aggregation share no inputs beyond an already-materialized
+    localCheckpoint, so overlapping them cuts per-commit latency to
+    the slowest of the three instead of their sum — at 100 TB with
+    high commit rates this is the committer's fixed-overhead floor.
+    Failure semantics are unchanged from the sequential form: any
+    failing write leaves an UNCOMMITTED version (the manifest
+    ``_SUCCESS`` — written after this returns — is the commit point),
+    which rollback_inflight reclaims exactly as before. The pool is
+    module-lived so py4j callback threads are reused, not churned."""
+    live = [t for t in thunks if t is not None]
+    if not live:
+        return
+    if len(live) == 1:
+        live[0]()
+        return
+    global _COMMIT_POOL
+    if _COMMIT_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _COMMIT_POOL = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="commit-io"
+        )
+    futs = [_COMMIT_POOL.submit(t) for t in live]
+    err = None
+    for f in futs:
+        try:
+            f.result()
+        except BaseException as e:  # every thunk joins before raising
+            err = err or e
+    if err is not None:
+        raise err
+
+
+def _arrow_all_nullable(tbl):
+    """An Arrow table with every field marked nullable — what reading
+    a parquet manifest back yields (parquet fields are optional), so
+    a driver-written manifest round-trips to the IDENTICAL Spark
+    schema a Spark-written one did (aggregate outputs like count()
+    arrive non-nullable from toArrow and must not stay that way)."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [pa.field(f.name, f.type, nullable=True) for f in tbl.schema]
+    )
+    return tbl.cast(schema)
+
+
+def _manifest_writer(spark: SparkSession, df: DataFrame, dest_dir: str):
+    """(collect_thunk, publish_fn) for committing manifest ``df`` into
+    ``dest_dir`` DRIVER-SIDE (r17 — the write half of r16's
+    _read_manifest: the commit log is driver-sized metadata, guide §5,
+    and the old ``coalesce(1).write`` paid a scheduled Spark job plus
+    the Hadoop committer's temporary-directory dance for an
+    n_buckets-row file).
+
+    ``collect_thunk`` runs the manifest aggregation (one collect-shaped
+    job via toArrow — ZERO jobs when df is already a LocalRelation) and
+    may run CONCURRENTLY with the commit's data/DV writes
+    (_run_concurrent); ``publish_fn`` must be called LAST — it writes
+    the parquet bytes and then the ``_SUCCESS`` marker, which is the
+    atomic commit point _list_versions keys on, exactly the order
+    Spark's own committer produced. A leftover partial destination
+    from a crashed attempt is deleted first (mode("overwrite")).
+    Non-local filesystems (and any Arrow conversion failure) fall back
+    to the Spark write, sequenced inside publish_fn so the commit
+    point stays last."""
+    d = dest_dir
+    local = _local_fs_path(spark, d)
+    cell: dict = {}
+
+    def collect() -> None:
+        if local is None:
+            return
+        try:
+            cell["t"] = _arrow_all_nullable(df.toArrow())
+        except Exception:
+            cell["t"] = None  # publish falls back to the Spark write
+
+    def publish() -> None:
+        if "t" not in cell:
+            collect()
+        t = cell.get("t")
+        if t is None:
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            return
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(local):
+            shutil.rmtree(local)  # crashed attempt: overwrite semantics
+        os.makedirs(local)
+        pq.write_table(t, os.path.join(local, "part-00000.parquet"))
+        with open(os.path.join(local, "_SUCCESS"), "w"):
+            pass
+
+    return collect, publish
+
+
+def _write_manifest(spark: SparkSession, df: DataFrame, dest_dir: str) -> None:
+    """Commit manifest ``df`` into ``dest_dir`` (driver-side fast
+    path, Spark-write fallback) — the sequential spelling of
+    _manifest_writer for committers with nothing to overlap."""
+    _, publish = _manifest_writer(spark, df, dest_dir)
+    publish()
 
 
 def _cutpoints(manifest: DataFrame) -> DataFrame:
@@ -1108,6 +1358,79 @@ def _write_dv(dv: DataFrame, path: str, version: int) -> None:
     dv.write.mode("overwrite").partitionBy("_kr").parquet(
         f"{path}/_dv/v={version}"
     )
+
+
+def _carry_dv_except(
+    spark: SparkSession,
+    path: str,
+    dv: DataFrame,
+    v_from: int,
+    v_to: int,
+    drop_buckets,
+) -> None:
+    """Carry version ``v_from``'s DV state to ``v_to`` MINUS the given
+    buckets' entries (r17 — guide §1.2). A COW/scoped-compact commit
+    rewrites the dropped buckets, so their DV entries die with their
+    superseded generations while every other bucket's entries carry
+    VERBATIM. With the r15 bucket-partitioned layout the carried
+    entries are whole immutable ``_kr=<b>`` directories — byte-copied
+    driver-side (no Spark filter+rewrite job, and no emptiness-probe
+    job: the kept-directory list IS the emptiness answer). The flat
+    legacy layout keeps the Spark path. Writing nothing when every
+    entry drops matches _write_dv's behavior for an empty state
+    (_read_dv treats both as 'no DV')."""
+    drop = {int(b) for b in drop_buckets}
+    src = f"{path}/_dv/v={v_from}"
+    jvm, fs, sp = _fs(spark, src)
+    bdirs = [
+        st.getPath().getName()
+        for st in fs.listStatus(sp)
+        if st.isDirectory() and st.getPath().getName().startswith("_kr=")
+    ]
+    if not bdirs:  # flat legacy layout: _kr is a data column
+        rest = dv.where(~F.col("_kr").isin([int(b) for b in drop]))
+        if rest.limit(1).count():
+            _write_dv(rest, path, v_to)
+        return
+    keep = [n for n in bdirs if int(n[4:]) not in drop]
+    if not keep:
+        return  # every entry dropped: no DV state at v_to
+    dst_root = f"{path}/_dv/v={v_to}"
+    _, dfs, dstp = _fs(spark, dst_root)
+    if dfs.exists(dstp):
+        dfs.delete(dstp, True)  # crashed attempt: overwrite semantics
+    dfs.mkdirs(dstp)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for n in keep:
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs,
+            jvm.org.apache.hadoop.fs.Path(f"{src}/{n}"),
+            dfs,
+            jvm.org.apache.hadoop.fs.Path(f"{dst_root}/{n}"),
+            False,
+            True,
+            conf,
+        )
+    _write_small_file(spark, f"{dst_root}/_SUCCESS", "")
+
+
+def _dv_bucket_set(
+    spark: SparkSession, path: str, version: int, dv: DataFrame
+) -> set:
+    """The bucket set carrying DV entries at ``version`` — read off the
+    r15 bucket-partitioned layout's directory NAMES (driver FS listing,
+    no Spark job: a partitioned write creates a ``_kr=<b>`` directory
+    iff the bucket has entries); the flat legacy layout pays the
+    distinct-collect it always did."""
+    _, fs, p = _fs(spark, f"{path}/_dv/v={version}")
+    bdirs = [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isDirectory() and st.getPath().getName().startswith("_kr=")
+    ]
+    if bdirs:
+        return {int(n[4:]) for n in bdirs}
+    return {int(r[0]) for r in dv.select("_kr").distinct().collect()}
 
 
 def _apply_dv(data: DataFrame, dv: DataFrame | None) -> DataFrame:
@@ -1669,7 +1992,9 @@ def versioned_layout_write(
     _write_commit_op(
         spark, path, 0, "WRITE", changed_buckets=[], n_buckets=int(n_buckets)
     )
-    rows.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest/v=0")
+    # r17: one collect-shaped job + a driver-side parquet write instead
+    # of a scheduled coalesce(1) write through the Hadoop committer
+    _write_manifest(spark, rows, f"{path}/_manifest/v=0")
 
 
 def read_version(
@@ -1852,9 +2177,8 @@ def read_version_point(
         for d in sorted(all_dirs, reverse=True):
             # no basePath: only the footer's column type is wanted, and
             # a clone's external directory has no common prefix anyway
-            sch = spark.read.parquet(d).schema
-            if col in sch.names:
-                dtype = sch[col].dataType
+            dtype = _footer_col_type(spark, d, col)
+            if dtype is not None:
                 break
         if dtype is None:
             raise ValueError(f"read_version_point: no directory carries {col!r}")
@@ -1948,7 +2272,7 @@ def upsert_versioned(
 
     obs = Observation()
     assigned = (
-        assign_range_bucket(staging, _cutpoints(manifest), key)
+        assign_range_bucket(staging, manifest, key)
         .observe(obs, F.collect_set("_kr").alias("b"))
         .localCheckpoint(eager=True)
     )
@@ -1970,22 +2294,29 @@ def upsert_versioned(
         _write_commit_op(
             spark, target_path, v + 1, "MERGE", changed_buckets=[], tier="cow"
         )
-        manifest.coalesce(1).write.mode("overwrite").parquet(
-            f"{target_path}/_manifest/v={v + 1}"
+        # manifest carries forward VERBATIM — a driver-side byte copy
+        # like every other no-op carry commit (r16 advice: this branch
+        # was the one carry still paying a Spark coalesce(1) job)
+        _copy_manifest_dir(
+            spark,
+            f"{target_path}/_manifest/v={v}",
+            f"{target_path}/_manifest/v={v + 1}",
         )
         out = _project_logical(assigned.drop("_kr"), sch)
         out.version = v + 1
         out.touched_buckets = []
         return out
     # every live generation of the touched buckets (merge-on-read
-    # history included), resolved through the version's DV
+    # history included), resolved through the version's DV (read once —
+    # the carry below reuses it instead of a second _read_dv)
+    dv = _read_dv(spark, target_path, v)
     target = _apply_dv(
         _read_gen_dirs(
             spark,
             target_path,
             [r for r in manifest.collect() if r._kr in set(touched)],
         ),
-        _read_dv(spark, target_path, v),
+        dv,
     )
     # conflict gate BEFORE any write: the loser must not contaminate
     # the winner's generation directories
@@ -2004,20 +2335,6 @@ def upsert_versioned(
         .withColumn("_gen", F.lit(v + 1).cast("long"))
         .localCheckpoint(eager=True)
     )
-    _clean_uncommitted_generation(spark, target_path, touched, v + 1)
-    merged.write.mode("append").partitionBy("_kr", "_gen").parquet(
-        f"{target_path}/data"
-    )
-    # touched buckets are fully rewritten: their DV entries die with
-    # their superseded generations; untouched buckets' entries carry
-    dv = _read_dv(spark, target_path, v)
-    if dv is not None:
-        # no checkpoint: reads _dv/v=N, writes _dv/v=N+1 — tiny frame,
-        # disjoint paths (the fileskip manifest refresh, which DOES
-        # overwrite its own read path, keeps its checkpoint)
-        new_dv = dv.where(~F.col("_kr").isin(touched))
-        if new_dv.limit(1).count():
-            _write_dv(new_dv, target_path, v + 1)
     # allowMissingColumns: rewritten buckets' rows carry no `ext` (they
     # are local now), a clone's untouched rows keep theirs
     new_manifest = manifest.where(~F.col("_kr").isin(touched)).unionByName(
@@ -2027,6 +2344,28 @@ def upsert_versioned(
         ),
         allowMissingColumns=True,
     )
+
+    # the three independent commit writes overlap (r17, guide §2.6):
+    # data append, DV carry, and the manifest aggregation all read the
+    # already-materialized checkpoint (or immutable committed state),
+    # so per-commit latency is the slowest of the three, not their sum
+    def _write_data() -> None:
+        _clean_uncommitted_generation(spark, target_path, touched, v + 1)
+        merged.write.mode("append").partitionBy("_kr", "_gen").parquet(
+            f"{target_path}/data"
+        )
+
+    def _carry_dv() -> None:
+        # touched buckets are fully rewritten: their DV entries die
+        # with their superseded generations; untouched buckets' carry
+        # verbatim (byte copy per bucket directory — r17)
+        if dv is not None:
+            _carry_dv_except(spark, target_path, dv, v, v + 1, touched)
+
+    m_collect, m_publish = _manifest_writer(
+        spark, new_manifest, f"{target_path}/_manifest/v={v + 1}"
+    )
+    _run_concurrent(_write_data, _carry_dv, m_collect)
     # meta BEFORE the manifest commit point (r12 advice): a crash
     # between manifest-_SUCCESS and a later meta write would leave a
     # committed version invisible to committed_metas, so a replayed
@@ -2038,9 +2377,7 @@ def upsert_versioned(
     _write_commit_op(
         spark, target_path, v + 1, "MERGE", changed_buckets=[], tier="cow"
     )
-    new_manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{target_path}/_manifest/v={v + 1}"
-    )
+    m_publish()
     out = _project_logical(merged.drop("_gen"), sch)
     out.version = v + 1
     out.touched_buckets = touched
@@ -2140,7 +2477,7 @@ def upsert_versioned_dv(
     from pyspark.sql import Observation
 
     obs = Observation()
-    assigned = assign_range_bucket(staging, _cutpoints(manifest), key)
+    assigned = assign_range_bucket(staging, manifest, key)
     assigned = assigned.observe(
         obs, F.collect_set("_kr").alias("b")
     ).localCheckpoint(eager=True)
@@ -2166,14 +2503,8 @@ def upsert_versioned_dv(
                 raise
             admitted_over.append(v + 1)
             v = v + 1
-            manifest = spark.read.parquet(
-                f"{target_path}/_manifest/v={v}"
-            )
+            manifest = _read_manifest(spark, target_path, v)
     fresh = assigned.withColumn("_gen", F.lit(v + 1).cast("long"))
-    _clean_uncommitted_generation(spark, target_path, touched, v + 1)
-    fresh.write.mode("append").partitionBy("_kr", "_gen").parquet(
-        f"{target_path}/data"
-    )
     dv_new = fresh.select(
         "_kr", key, F.lit(v + 1).cast("long").alias("live_gen")
     )
@@ -2185,7 +2516,6 @@ def upsert_versioned_dv(
             dv_new
         )
     )
-    _write_dv(dv_state, target_path, v + 1)
     # a staging batch may omit a declared stats column (or carry new
     # ones — schema evolution); pad for the manifest aggregate only,
     # the data files stay exactly what staging carried
@@ -2202,6 +2532,25 @@ def upsert_versioned_dv(
         ),
         allowMissingColumns=True,  # clones: old rows may carry `ext`
     )
+
+    # data append, DV write, and manifest aggregation are independent
+    # reads of the materialized checkpoint / committed state — overlap
+    # them (r17, guide §2.6); the commit point stays the manifest
+    # _SUCCESS, written last by m_publish
+    def _write_data() -> None:
+        _clean_uncommitted_generation(spark, target_path, touched, v + 1)
+        fresh.write.mode("append").partitionBy("_kr", "_gen").parquet(
+            f"{target_path}/data"
+        )
+
+    m_collect, m_publish = _manifest_writer(
+        spark, new_manifest, f"{target_path}/_manifest/v={v + 1}"
+    )
+    _run_concurrent(
+        _write_data,
+        lambda: _write_dv(dv_state, target_path, v + 1),
+        m_collect,
+    )
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
         _write_commit_meta(spark, target_path, v + 1, commit_meta)
@@ -2209,9 +2558,7 @@ def upsert_versioned_dv(
         spark, target_path, v + 1, "MERGE",
         changed_buckets=touched, tier="mor",
     )
-    new_manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{target_path}/_manifest/v={v + 1}"
-    )
+    m_publish()
     out = _project_logical(fresh.drop("_gen"), sch)
     out.version = v + 1
     out.touched_buckets = touched
@@ -2293,7 +2640,7 @@ def delete_versioned(
 
     obs = Observation()
     assigned = (
-        assign_range_bucket(keys.select(key), _cutpoints(manifest), key)
+        assign_range_bucket(keys.select(key), manifest, key)
         .observe(obs, F.collect_set("_kr").alias("b"))
         .localCheckpoint(eager=True)
     )
@@ -2310,19 +2657,31 @@ def delete_versioned(
             dv_new
         )
     )
-    _write_dv(dv_state, target_path, v + 1)
-    # meta before the manifest commit point — see upsert_versioned
-    if commit_meta is not None:
-        _write_commit_meta(spark, target_path, v + 1, commit_meta)
-    _write_commit_op(
-        spark, target_path, v + 1, "DELETE", changed_buckets=touched
+    # the DV write (the commit's only Spark job) overlaps with the
+    # driver-side metadata work — manifest byte-copy and sidecar
+    # writes (r17, guide §2.6); the _SUCCESS commit point lands last
+    def _metadata() -> None:
+        # data untouched: the manifest carries forward verbatim — a
+        # driver-side byte copy, not a Spark job (r16); _SUCCESS
+        # deferred past the DV write below
+        _copy_manifest_dir(
+            spark,
+            f"{target_path}/_manifest/v={v}",
+            f"{target_path}/_manifest/v={v + 1}",
+            commit=False,
+        )
+        # meta before the manifest commit point — see upsert_versioned
+        if commit_meta is not None:
+            _write_commit_meta(spark, target_path, v + 1, commit_meta)
+        _write_commit_op(
+            spark, target_path, v + 1, "DELETE", changed_buckets=touched
+        )
+
+    _run_concurrent(
+        lambda: _write_dv(dv_state, target_path, v + 1), _metadata
     )
-    # data untouched: the manifest carries forward verbatim — a
-    # driver-side byte copy, not a Spark job (r16)
-    _copy_manifest_dir(
-        spark,
-        f"{target_path}/_manifest/v={v}",
-        f"{target_path}/_manifest/v={v + 1}",
+    _write_small_file(
+        spark, f"{target_path}/_manifest/v={v + 1}/_SUCCESS", ""
     )
     return v + 1
 
@@ -2387,10 +2746,20 @@ def merge_arms_versioned_dv(
     # physical->logical here, and the fresh rows translate back to the
     # files' frozen physical names at the write boundary below
     sch = _schema_as_of(spark, target_path)
-    assigned = assign_range_bucket(staging, _cutpoints(manifest), key)
-    touched = sorted(
-        r[0] for r in assigned.select("_kr").distinct().collect()
+    # the staged assignment is checkpointed ONCE with the touched-
+    # bucket set riding the materialization as an Observation (r17 —
+    # the plain DV upsert's r16 treatment): previously the assignment
+    # pipeline ran twice (a distinct-collect job for `touched`, then
+    # again as the build side of the arm-classification join below)
+    from pyspark.sql import Observation
+
+    obs_t = Observation()
+    assigned = (
+        assign_range_bucket(staging, manifest, key)
+        .observe(obs_t, F.collect_set("_kr").alias("b"))
+        .localCheckpoint(eager=True)
     )
+    touched = sorted(int(b) for b in obs_t.get["b"])
     live = _project_logical(
         _apply_dv(
             _read_gen_dirs(
@@ -2532,11 +2901,6 @@ def merge_arms_versioned_dv(
     fresh_phys = _to_physical(fresh, sch, "merge_arms_versioned_dv")
     key_phys = _phys_name(sch, key) if sch is not None else key
     wrote_data = (n_updated + n_inserted) > 0
-    if wrote_data:
-        _clean_uncommitted_generation(spark, target_path, touched, v + 1)
-        fresh_phys.write.mode("append").partitionBy("_kr", "_gen").parquet(
-            f"{target_path}/data"
-        )
     # DV entries for every CLAIMED key: updates+inserts point at their
     # fresh copy, deletes point at a generation holding no copy.
     # noop (matched, unclaimed) and skip (not-matched, unclaimed) rows
@@ -2554,7 +2918,6 @@ def merge_arms_versioned_dv(
             claimed.select(key_phys), key_phys, "left_anti"
         ).unionByName(claimed)
     )
-    _write_dv(dv_state, target_path, v + 1)
     if wrote_data:
         stats_src = fresh_phys
         for c in stats_cols:
@@ -2576,6 +2939,26 @@ def merge_arms_versioned_dv(
         )
     else:
         new_manifest = manifest  # zero-data-file commit: carry forward
+
+    # data append, DV write, and manifest aggregation overlap (r17,
+    # guide §2.6) — all are independent reads of the materialized
+    # resolved checkpoint / committed state; _SUCCESS lands last
+    def _write_data() -> None:
+        if not wrote_data:
+            return
+        _clean_uncommitted_generation(spark, target_path, touched, v + 1)
+        fresh_phys.write.mode("append").partitionBy("_kr", "_gen").parquet(
+            f"{target_path}/data"
+        )
+
+    m_collect, m_publish = _manifest_writer(
+        spark, new_manifest, f"{target_path}/_manifest/v={v + 1}"
+    )
+    _run_concurrent(
+        _write_data,
+        lambda: _write_dv(dv_state, target_path, v + 1),
+        m_collect if wrote_data else None,
+    )
     # meta before the manifest commit point — see upsert_versioned
     if commit_meta is not None:
         _write_commit_meta(spark, target_path, v + 1, commit_meta)
@@ -2587,9 +2970,16 @@ def merge_arms_versioned_dv(
         changed_buckets=claimed_buckets,
         tier="mor", arms=len(tuple(matched)) + len(tuple(not_matched)),
     )
-    new_manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{target_path}/_manifest/v={v + 1}"
-    )
+    if wrote_data:
+        m_publish()
+    else:
+        # zero-data-file commit: the manifest carries forward VERBATIM
+        # — a driver-side byte copy like every other carry commit (r17)
+        _copy_manifest_dir(
+            spark,
+            f"{target_path}/_manifest/v={v}",
+            f"{target_path}/_manifest/v={v + 1}",
+        )
     out = fresh.drop("_gen")
     out.version = v + 1
     out.touched_buckets = touched
@@ -2772,13 +3162,6 @@ def compact_table(
             F.col("_kr"),
             zorder_key([F.col(c) for c in zorder_by], bits=int(zorder_bits)),
         )
-    _clean_uncommitted_generation(
-        spark, path,
-        [r[0] for r in manifest.select("_kr").distinct().collect()], v + 1,
-    )
-    to_write.write.mode("append").partitionBy("_kr", "_gen").parquet(
-        f"{path}/data"
-    )
     point_cols = _point_cols_of(manifest)
     new_manifest = _with_bloom(
         compacted.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
@@ -2786,14 +3169,31 @@ def compact_table(
         point_cols,
         _bloom_bits_of(manifest, point_cols) if point_cols else 0,
     )
+
+    # data rewrite and manifest aggregation overlap (r17, guide §2.6):
+    # both read the materialized checkpoint; _SUCCESS lands last
+    def _write_data() -> None:
+        _clean_uncommitted_generation(
+            spark, path,
+            # manifest is a LocalRelation: the bucket set is a free
+            # driver-side projection, not a distinct-aggregation job
+            sorted({r[0] for r in manifest.select("_kr").collect()}),
+            v + 1,
+        )
+        to_write.write.mode("append").partitionBy("_kr", "_gen").parquet(
+            f"{path}/data"
+        )
+
+    m_collect, m_publish = _manifest_writer(
+        spark, new_manifest, f"{path}/_manifest/v={v + 1}"
+    )
+    _run_concurrent(_write_data, m_collect)
     _write_commit_op(
         spark, path, v + 1, "OPTIMIZE", changed_buckets=[],
         mode="zorder" if zorder_by else "full",
         **({"zorder_by": list(zorder_by)} if zorder_by else {}),
     )
-    new_manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/_manifest/v={v + 1}"
-    )
+    m_publish()
     new_manifest.version = v + 1
     return new_manifest
 
@@ -2871,16 +3271,6 @@ def compact_small_generations(
         .withColumn("_gen", F.lit(v + 1).cast("long"))
         .localCheckpoint(eager=True)
     )
-    _clean_uncommitted_generation(spark, path, list(packed), v + 1)
-    # packed files are RE-SORTED by (bucket, table key) on the way out
-    # (r15 — Delta liquid clustering's OPTIMIZE behavior): for a table
-    # bootstrapped over a Morton key this incrementally restores the
-    # z-order inside every rewritten file, so parquet row-group stats
-    # stay tight without ever rewriting untouched generations. A
-    # narrow per-partition sort over sub-threshold bytes — no shuffle.
-    fresh.sortWithinPartitions("_kr", key).write.mode("append").partitionBy(
-        "_kr", "_gen"
-    ).parquet(f"{path}/data")
     stats_src = fresh
     for c in stats_cols:
         if c not in stats_src.columns:
@@ -2901,17 +3291,35 @@ def compact_small_generations(
         ),
         allowMissingColumns=True,  # clones: old rows may carry `ext`
     )
-    # the DV carries forward verbatim: fresh copies at v+1 satisfy
-    # every surviving entry's `_gen >= live_gen`, dead keys wrote none
-    # — a driver-side byte copy, not a Spark read+rewrite job (r16)
-    if dv is not None:
-        _copy_dir(spark, f"{path}/_dv/v={v}", f"{path}/_dv/v={v + 1}")
+    # data rewrite, the DV's verbatim byte-copy carry (r16), and the
+    # manifest aggregation overlap (r17, guide §2.6)
+    def _write_data() -> None:
+        _clean_uncommitted_generation(spark, path, list(packed), v + 1)
+        # packed files are RE-SORTED by (bucket, table key) on the way
+        # out (r15 — Delta liquid clustering's OPTIMIZE behavior): for
+        # a table bootstrapped over a Morton key this incrementally
+        # restores the z-order inside every rewritten file, so parquet
+        # row-group stats stay tight without ever rewriting untouched
+        # generations. A narrow per-partition sort over sub-threshold
+        # bytes — no shuffle.
+        fresh.sortWithinPartitions("_kr", key).write.mode(
+            "append"
+        ).partitionBy("_kr", "_gen").parquet(f"{path}/data")
+
+    def _carry_dv() -> None:
+        # fresh copies at v+1 satisfy every surviving entry's
+        # `_gen >= live_gen`, dead keys wrote none
+        if dv is not None:
+            _copy_dir(spark, f"{path}/_dv/v={v}", f"{path}/_dv/v={v + 1}")
+
+    m_collect, m_publish = _manifest_writer(
+        spark, new_manifest, f"{path}/_manifest/v={v + 1}"
+    )
+    _run_concurrent(_write_data, _carry_dv, m_collect)
     _write_commit_op(
         spark, path, v + 1, "OPTIMIZE", changed_buckets=[], mode="binpack"
     )
-    new_manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/_manifest/v={v + 1}"
-    )
+    m_publish()
     new_manifest.version = v + 1
     new_manifest.n_packed_dirs = sum(len(gs) for gs in packed.values())
     new_manifest.n_new_dirs = len(packed)
@@ -2957,8 +3365,14 @@ def purge_deletion_vectors(
         manifest.n_purged_buckets = 0
         manifest.n_dv_entries = 0
         return manifest
-    debt = sorted(r[0] for r in dv.select("_kr").distinct().collect())
-    n_entries = dv.count()
+    # one aggregation job yields BOTH planning facts (r17, guide §1.2:
+    # the debt-bucket set and the entry count previously cost a
+    # distinct-collect job plus a count job over the same DV read)
+    _dv_facts = dv.agg(
+        F.collect_set("_kr").alias("b"), F.count(F.lit(1)).alias("n")
+    ).first()
+    debt = sorted(int(b) for b in _dv_facts["b"])
+    n_entries = int(_dv_facts["n"])
     _begin_commit(spark, path, v + 1, writer or _unique_writer())
     rows = manifest.collect()
     data = _apply_dv(
@@ -2976,10 +3390,6 @@ def purge_deletion_vectors(
         .withColumn("_gen", F.lit(v + 1).cast("long"))
         .localCheckpoint(eager=True)
     )
-    _clean_uncommitted_generation(spark, path, debt, v + 1)
-    fresh.sortWithinPartitions("_kr", key).write.mode("append").partitionBy(
-        "_kr", "_gen"
-    ).parquet(f"{path}/data")
     stats_src = fresh
     for c in stats_cols:
         if c not in stats_src.columns:
@@ -2999,14 +3409,23 @@ def purge_deletion_vectors(
     )
     # deliberately NO _dv/v=<v+1> write: the debt is folded — every
     # entry pointed into a rewritten bucket, and the fresh generation
-    # holds exactly the live rows
+    # holds exactly the live rows. Data rewrite and manifest
+    # aggregation overlap (r17, guide §2.6).
+    def _write_data() -> None:
+        _clean_uncommitted_generation(spark, path, debt, v + 1)
+        fresh.sortWithinPartitions("_kr", key).write.mode(
+            "append"
+        ).partitionBy("_kr", "_gen").parquet(f"{path}/data")
+
+    m_collect, m_publish = _manifest_writer(
+        spark, new_manifest, f"{path}/_manifest/v={v + 1}"
+    )
+    _run_concurrent(_write_data, m_collect)
     _write_commit_op(
         spark, path, v + 1, "REORG",
         changed_buckets=[], mode="purge", purged_buckets=len(debt),
     )
-    new_manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/_manifest/v={v + 1}"
-    )
+    m_publish()
     new_manifest.version = v + 1
     new_manifest.n_purged_buckets = len(debt)
     new_manifest.n_dv_entries = int(n_entries)
@@ -3047,9 +3466,7 @@ def compact_key_range(
     rows = manifest.collect()
     dv = _read_dv(spark, path, v)
     dv_buckets = (
-        set()
-        if dv is None
-        else {r[0] for r in dv.select("_kr").distinct().collect()}
+        set() if dv is None else _dv_bucket_set(spark, path, v, dv)
     )
     from collections import Counter
 
@@ -3081,10 +3498,6 @@ def compact_key_range(
         .withColumn("_gen", F.lit(v + 1).cast("long"))
         .localCheckpoint(eager=True)
     )
-    _clean_uncommitted_generation(spark, path, hit, v + 1)
-    fresh.sortWithinPartitions("_kr", key).write.mode("append").partitionBy(
-        "_kr", "_gen"
-    ).parquet(f"{path}/data")
     stats_src = fresh
     for c in stats_cols:
         if c not in stats_src.columns:
@@ -3102,18 +3515,29 @@ def compact_key_range(
         ),
         allowMissingColumns=True,
     )
-    # compacted buckets' DV entries fold away; other buckets' carry
-    if dv is not None:
-        rest = dv.where(~F.col("_kr").isin([int(b) for b in hit]))
-        if rest.limit(1).count():
-            _write_dv(rest, path, v + 1)
+
+    # data rewrite, DV carry (compacted buckets' entries fold away;
+    # other buckets' byte-copy verbatim — r17), and the manifest
+    # aggregation overlap (guide §2.6); _SUCCESS lands last
+    def _write_data() -> None:
+        _clean_uncommitted_generation(spark, path, hit, v + 1)
+        fresh.sortWithinPartitions("_kr", key).write.mode(
+            "append"
+        ).partitionBy("_kr", "_gen").parquet(f"{path}/data")
+
+    def _carry_dv() -> None:
+        if dv is not None:
+            _carry_dv_except(spark, path, dv, v, v + 1, hit)
+
+    m_collect, m_publish = _manifest_writer(
+        spark, new_manifest, f"{path}/_manifest/v={v + 1}"
+    )
+    _run_concurrent(_write_data, _carry_dv, m_collect)
     _write_commit_op(
         spark, path, v + 1, "OPTIMIZE",
         changed_buckets=[], mode="range", n_buckets_compacted=len(hit),
     )
-    new_manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/_manifest/v={v + 1}"
-    )
+    m_publish()
     new_manifest.version = v + 1
     new_manifest.n_compacted_buckets = len(hit)
     return new_manifest
@@ -3172,26 +3596,32 @@ def rebucket_table(
         .withColumn("_gen", F.lit(v + 1).cast("long"))
         .localCheckpoint(eager=True)
     )
-    _clean_uncommitted_generation(
-        spark, path, list(range(int(n_buckets))), v + 1
-    )
-    fresh.write.mode("append").partitionBy("_kr", "_gen").parquet(
-        f"{path}/data"
-    )
     new_manifest = _with_bloom(
         fresh.groupBy("_kr").agg(*_manifest_agg(key, stats_cols)),
         fresh,
         point_cols,
         bloom_bits,
     )
+
+    # data rewrite and manifest aggregation overlap (r17, guide §2.6)
+    def _write_data() -> None:
+        _clean_uncommitted_generation(
+            spark, path, list(range(int(n_buckets))), v + 1
+        )
+        fresh.write.mode("append").partitionBy("_kr", "_gen").parquet(
+            f"{path}/data"
+        )
+
+    m_collect, m_publish = _manifest_writer(
+        spark, new_manifest, f"{path}/_manifest/v={v + 1}"
+    )
+    _run_concurrent(_write_data, m_collect)
     _write_table_meta(spark, path, key=key, n_buckets=int(n_buckets))
     _write_commit_op(
         spark, path, v + 1, "REBUCKET",
         changed_buckets=[], n_buckets=int(n_buckets),
     )
-    new_manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/_manifest/v={v + 1}"
-    )
+    m_publish()
     new_manifest.version = v + 1
     return new_manifest
 
@@ -3366,12 +3796,17 @@ def table_history(
     try:
         # driver-side manifest aggregation (r16 — same rationale as
         # _read_manifest): versions x few-KB parquet reads, no Spark
-        # job, no per-version directory listing through the scheduler
+        # job, no per-version directory listing through the scheduler.
+        # Gated on a provably-local path (r16 advice) like every
+        # pyarrow fast path.
         import pyarrow.parquet as pq
 
+        local_root = _local_fs_path(spark, mroot)
+        if local_root is None:
+            raise OSError("non-local manifest root")
         per_v = {}
         for v in versions:
-            t = pq.read_table(f"{mroot}/v={v}", columns=["n_rows"])
+            t = pq.read_table(f"{local_root}/v={v}", columns=["n_rows"])
             per_v[int(v)] = (
                 int(t.num_rows),
                 int(sum(t.column("n_rows").to_pylist())),
@@ -3633,9 +4068,9 @@ def clone_table(
     tbl = _read_small_file(spark, f"{src_path}/_manifest/_table.json")
     if tbl is not None:
         _write_small_file(spark, f"{dst_path}/_manifest/_table.json", tbl)
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{dst_path}/_manifest/v={v0}"
-    )
+    # the clone's bootstrap manifest is a LocalRelation + one literal
+    # column: the driver-side write costs ZERO Spark jobs (r17)
+    _write_manifest(spark, manifest, f"{dst_path}/_manifest/v={v0}")
     return v0
 
 

@@ -76,33 +76,52 @@ def absorb_cells(
     )
 
 
+def _anchor_segments(cells: DataFrame, key: str, step: str) -> DataFrame:
+    """Each observed cell with its half-open grid segment up to the
+    NEXT observed cell, pre-exploded: ``(key, _v, _nv, _span, _pos,
+    cell)`` where ``_pos`` is the integer number of steps from the
+    anchor (0 = the observed cell itself) and ``_span`` the steps to
+    the next anchor (r17, guide §2.4). The ONLY window runs over the
+    OBSERVED cells — the held-state frame, corpus-independent and far
+    smaller than the grid — and the grid rows fall straight out of
+    ``posexplode(sequence(...))``: the old spine-join plus grid-sized
+    fill-window sorts (two full sorts of keys x range/step rows for
+    the interpolating variant) are gone. The exploded row count is the
+    grid itself — the resample's intrinsic output size, unchanged."""
+    w = Window.partitionBy(key).orderBy(F.col("cell").asc())
+    step_i = F.expr(f"interval {step}")
+    seg = (
+        cells.withColumn("_nc", F.lead("cell").over(w))
+        .withColumn("_nv", F.lead("_v").over(w))
+        .withColumn(
+            "_seq",
+            F.when(
+                F.col("_nc").isNotNull(),
+                F.sequence(F.col("cell"), F.col("_nc") - step_i, step_i),
+            ).otherwise(F.array(F.col("cell"))),
+        )
+    )
+    return seg.select(
+        key,
+        "_v",
+        "_nv",
+        F.size("_seq").alias("_span"),
+        F.posexplode("_seq").alias("_pos", "cell"),
+    )
+
+
 def regrid_ffill(cells: DataFrame, key: str, step: str = "1 hour") -> DataFrame:
-    """Spine + forward fill over a held cell frame — the grid half of
+    """Forward fill over a held cell frame — the grid half of
     :func:`resample_ffill`, usable directly on absorbed/streamed state
-    (the corpus is never touched here; the grid is keys x range/step)."""
-    spine = (
-        cells.groupBy(key)
-        .agg(F.min("cell").alias("_lo"), F.max("cell").alias("_hi"))
-        .select(
-            key,
-            F.explode(
-                F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
-            ).alias("cell"),
-        )
-    )
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col("cell").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        spine.join(cells, [key, "cell"], "left")
-        .select(
-            key,
-            "cell",
-            F.last("_v", ignorenulls=True).over(w).alias("value"),
-            F.col("_v").isNotNull().alias("observed"),
-        )
+    (the corpus is never touched here; the grid is keys x range/step).
+    Forward fill IS the anchor-segment expansion: every grid cell in
+    ``[anchor, next anchor)`` carries the anchor's value
+    (:func:`_anchor_segments` — no grid-sized join or window)."""
+    return _anchor_segments(cells, key, step).select(
+        key,
+        "cell",
+        F.col("_v").alias("value"),
+        (F.col("_pos") == 0).alias("observed"),
     )
 
 
@@ -141,9 +160,18 @@ def resample_interpolate(
     """Linear-interpolation variant: empty cells take the straight line
     between the PREVIOUS and NEXT observed cells (pandas
     ``interpolate(method='time')`` on a regular grid); trailing cells
-    past the last observation forward-fill (no next anchor). Same
-    three-step plan as :func:`resample_ffill` plus one backward window
-    — the grid, not the events, pays for the second direction.
+    past the last observation forward-fill (no next anchor).
+
+    Plan (r17, guide §2.4 — remove shuffles/sorts outright): the grid
+    is generated per ANCHOR SEGMENT via :func:`_anchor_segments` —
+    ``posexplode``'s position is exactly the row-number distance the
+    old formulation derived from two GRID-sized running windows (the
+    grid is complete by construction, one row per step), so the
+    previous/next anchors and their distances are segment columns and
+    the plan drops the spine join plus BOTH grid-sized window sorts
+    (measured: 2 sorts of keys x range/step rows -> 1 sort of the
+    observed cells only). Values are bit-identical (same anchors, same
+    integer distances, same integer midpoint formula; oracle-pinned).
 
     Determinism: anchors are the per-cell max observation, positions
     are integer cell indexes, and the interpolation itself runs in
@@ -157,50 +185,7 @@ def resample_interpolate(
     half-up formula (asserted in-plan). Returns
     ``(key, cell, value, observed)``."""
     cells = cell_aggregates(df, key, ts_col, value_col, step, round_dp)
-    spine = (
-        cells.groupBy(key)
-        .agg(F.min("cell").alias("_lo"), F.max("cell").alias("_hi"))
-        .select(
-            key,
-            F.explode(
-                F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
-            ).alias("cell"),
-        )
-    )
-    grid = spine.join(cells, [key, "cell"], "left")
-    wn = Window.partitionBy(key).orderBy(F.col("cell").asc())
-    fwd = wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # the backward direction runs as a RUNNING frame over the DESC
-    # order, not a (currentRow, unboundedFollowing) frame: Spark's
-    # UnboundedFollowing frame processor rescans current..end for
-    # EVERY row — O(cells²) per key, measured 6 s per window at a
-    # 720-cell grid vs ~1 s for the running form (r10 bench catch;
-    # 48.6 s -> 2.5 s for the whole query). last(ignorenulls) over the
-    # desc running frame is exactly "nearest following observation".
-    bwd = (
-        Window.partitionBy(key)
-        .orderBy(F.col("cell").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    rn = F.row_number().over(wn)
-    grid = (
-        grid.withColumn("_rn", rn)
-        .withColumn("_pv", F.last("_v", ignorenulls=True).over(fwd))
-        .withColumn(
-            "_prn",
-            F.last(
-                F.when(F.col("_v").isNotNull(), rn), ignorenulls=True
-            ).over(fwd),
-        )
-        .withColumn("_nv", F.last("_v", ignorenulls=True).over(bwd))
-        .withColumn(
-            "_nrn",
-            F.last(
-                F.when(F.col("_v").isNotNull(), F.col("_rn")),
-                ignorenulls=True,
-            ).over(bwd),
-        )
-    )
+    grid = _anchor_segments(cells, key, step)
     # integer micro-unit interpolation (see docstring): anchors are
     # 6dp-rounded, so anchor*10^dp is integer up to float noise — one
     # boundary-free integer round recovers it exactly; the midpoint
@@ -208,7 +193,7 @@ def resample_interpolate(
     # every engine. Guard: negative anchors would need a different
     # half-up formula — fail loudly rather than silently mis-round.
     scale = 10**round_dp
-    pv6 = F.round(F.col("_pv") * scale).cast("long")
+    pv6 = F.round(F.col("_v") * scale).cast("long")
     nv6 = F.round(F.col("_nv") * scale).cast("long")
     pv6 = F.when(
         F.assert_true(
@@ -218,27 +203,23 @@ def resample_interpolate(
         ).isNull(),
         pv6,
     )
-    num = pv6 * (F.col("_nrn") - F.col("_rn")) + nv6 * (
-        F.col("_rn") - F.col("_prn")
-    )
-    den = F.col("_nrn") - F.col("_prn")
+    num = pv6 * (F.col("_span") - F.col("_pos")) + nv6 * F.col("_pos")
+    den = F.col("_span")
     # true INTEGER division (SQL `div` / IntegralDivide), not
     # float-divide + floor: the float quotient loses ulps once
     # 2*num+den nears 2^53, so floor(float) can be off by one where
-    # integer div is exact (r10 advice) — this is the docstring's
+    # integer div is exact (r10 advice) — this is the docstring\'s
     # claimed arithmetic, literally, and it matches the DuckDB
-    # oracle's `//` bit-for-bit at any magnitude.
+    # oracle\'s `//` bit-for-bit at any magnitude.
     interp = F.call_function(
         "div", (F.lit(2) * num + den).cast("long"), (F.lit(2) * den).cast("long")
     ) / F.lit(float(scale))
-    value = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
-        F.when(F.col("_nrn").isNull(), F.col("_pv")).otherwise(interp)
-    )
+    value = F.when(F.col("_pos") == 0, F.col("_v")).otherwise(interp)
     return grid.select(
         key,
         "cell",
         value.alias("value"),
-        F.col("_v").isNotNull().alias("observed"),
+        (F.col("_pos") == 0).alias("observed"),
     )
 
 

@@ -1246,6 +1246,42 @@ def clear_ann_index_cache() -> None:
         idx.assigned.unpersist()
 
 
+# The PQ family's held index (r17 — the r16 verdict's ivfpq audit):
+# four queries (pq_topk, ivfpq_topk, pq_full_rerank, ivfpq_full_probe)
+# each re-trained the IDENTICAL codebooks (deterministic seeded sample,
+# driver k-means x8 subspaces) and re-encoded the corpus per call.
+# Like the AnnIndex/pair-set/tokenizer, the build is now once per
+# session and priced as its own bench line item
+# (`pq_index_materialize`), so the query entries honestly measure the
+# steady-state ADC probe path a serving deployment runs. Results are
+# unchanged: the build is deterministic, so the shared index equals
+# each query's private rebuild bit-for-bit (pinned in test_pq).
+_PQ_INDEX_CACHE: dict[tuple[str, str], object] = {}
+
+
+def shared_pq_index(spark: SparkSession, sf_dir: str):
+    """The session's held PqIndex over the embeddings corpus (the
+    params every PQ query uses: dim=64, m=8, ksub=256), codes
+    materialized."""
+    from data_pipeline_bigquery_to_sftp_server_spark.operators import pq
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _PQ_INDEX_CACHE.get(key)
+    if idx is None:
+        e = load_table(spark, sf_dir, "embeddings")
+        idx = pq.build_pq_index(e, dim=64, m=8, ksub=256)
+        idx.codes.count()  # materialize the persisted code table
+        _PQ_INDEX_CACHE[key] = idx
+    return idx
+
+
+def clear_pq_index_cache() -> None:
+    """Release every cached PQ index."""
+    while _PQ_INDEX_CACHE:
+        _, idx = _PQ_INDEX_CACHE.popitem()
+        idx.codes.unpersist()
+
+
 def q_ivf_topk_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 steady-state tier (r10): IVF top-k against the session's HELD
     AnnIndex — no quantizer train, no assignment pass; the probe joins
@@ -1348,7 +1384,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    idx = pq.build_pq_index(e, dim=64, m=8, ksub=256)
+    idx = shared_pq_index(spark, sf_dir)
     approx = pq.pq_topk(e, queries, idx, k=10, rerank=50)
     return _ann_with_recall(approx, e, queries, k=10)
 
@@ -1370,7 +1406,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     ann = shared_ann_index(spark, sf_dir)
-    pidx = pq.build_pq_index(e, dim=64, m=8, ksub=256)
+    pidx = shared_pq_index(spark, sf_dir)
     approx = pq.ivfpq_topk(e, queries, ann, pidx, k=10, n_probe=6, rerank=50)
     return _ann_with_recall(approx, e, queries, k=10)
 
@@ -1422,7 +1458,7 @@ def q_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    idx = pq.build_pq_index(e, dim=64, m=8, ksub=256)
+    idx = shared_pq_index(spark, sf_dir)
     out = pq.pq_topk(e, queries, idx, k=10, rerank=1 << 30)
     return out.select(
         "query_id",
@@ -1447,7 +1483,7 @@ def q_ivfpq_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     ann = shared_ann_index(spark, sf_dir)
-    pidx = pq.build_pq_index(e, dim=64, m=8, ksub=256)
+    pidx = shared_pq_index(spark, sf_dir)
     out = pq.ivfpq_topk(
         e, queries, ann, pidx, k=10, n_probe=16, rerank=1 << 30
     )

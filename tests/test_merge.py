@@ -4681,3 +4681,92 @@ def test_scoped_optimize_key_range(spark, tmp_path):
         lakehouse_sql(
             spark, "OPTIMIZE t WHERE v BETWEEN 1 AND 2", tables={"t": path}
         )
+
+
+def test_read_manifest_fast_path_schema(spark, tmp_path):
+    """r16 advice: pin the pyarrow fast path's schema fidelity
+    directly. A manifest carrying every stats type the committers
+    produce (long, int, double, string, binary/bloom, date, timestamp,
+    decimal) must read back through _read_manifest's pyarrow
+    LocalRelation path with EXACTLY the schema spark.read.parquet
+    gives — and the r17 driver-side _write_manifest must round-trip
+    the same frame to the same schema under BOTH readers."""
+    import datetime
+    from decimal import Decimal
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (
+                0,
+                7,
+                3,
+                1.5,
+                "a",
+                bytearray(b"\x01\x02"),
+                datetime.date(2031, 3, 1),
+                datetime.datetime(2031, 3, 1, 12, 0, 0),
+                Decimal("12.34"),
+                42,
+            ),
+            (
+                1,
+                9,
+                4,
+                2.5,
+                "b",
+                bytearray(b"\x03"),
+                datetime.date(2031, 3, 2),
+                datetime.datetime(2031, 3, 2, 12, 0, 0),
+                Decimal("56.78"),
+                43,
+            ),
+        ],
+        "_kr long, gen int, n_rows long, min_score double, max_name string, "
+        "bloom_uid binary, min_d date, min_ts timestamp, "
+        "min_amt decimal(10,2), min_key long",
+    )
+    # Spark-written manifest (the pre-r17 layout)
+    d_spark = f"{path}/_manifest/v=0"
+    df.coalesce(1).write.mode("overwrite").parquet(d_spark)
+    via_pa = merge._read_manifest(spark, path, 0)
+    via_spark = spark.read.parquet(d_spark)
+    assert via_pa.schema == via_spark.schema
+    assert via_pa.count() == 2
+    # pyarrow fast path actually taken for a local dir (LocalRelation
+    # plans contain no scan node)
+    assert "LocalRelation" in via_pa._jdf.queryExecution().logical().toString()
+    # driver-written manifest (r17 _write_manifest) round-trips to the
+    # IDENTICAL schema under both readers
+    merge._write_manifest(spark, df, f"{path}/_manifest/v=1")
+    w_pa = merge._read_manifest(spark, path, 1)
+    w_spark = spark.read.parquet(f"{path}/_manifest/v=1")
+    assert w_pa.schema == via_pa.schema
+    assert w_spark.schema == via_spark.schema
+    key = lambda r: r["_kr"]  # noqa: E731
+    assert sorted(w_pa.collect(), key=key) == sorted(
+        via_pa.collect(), key=key
+    )
+    # the _SUCCESS commit marker landed (what _list_versions keys on)
+    assert (tmp_path / "t" / "_manifest" / "v=1" / "_SUCCESS").exists()
+
+
+def test_carry_dv_except_matches_spark_filter(spark, tmp_path):
+    """r17: the byte-copy DV carry must be row-identical to the Spark
+    filter+rewrite it replaced, write nothing when every entry drops,
+    and keep the flat legacy layout on its Spark path."""
+    path = str(tmp_path / "t")
+    dv = spark.createDataFrame(
+        [(0, 10, 2), (0, 11, 2), (2, 30, 1), (3, 40, 2)],
+        "_kr long, id long, live_gen long",
+    )
+    merge._write_dv(dv, path, 1)
+    got = merge._read_dv(spark, path, 1)
+    merge._carry_dv_except(spark, path, got, 1, 2, [0])
+    carried = merge._read_dv(spark, path, 2)
+    want = {(r._kr, r.id, r.live_gen) for r in dv.where("_kr != 0").collect()}
+    assert {(r._kr, r.id, r.live_gen) for r in carried.collect()} == want
+    # dropping every bucket writes NO DV state (matches _write_dv of
+    # an empty frame: _read_dv returns None either way)
+    merge._carry_dv_except(spark, path, got, 1, 3, [0, 2, 3])
+    assert merge._read_dv(spark, path, 3) is None
